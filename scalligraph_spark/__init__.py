@@ -1,0 +1,39 @@
+"""scalligraph_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of TheHive-Project/ScalliGraph.
+
+The reference (see /root/reference, SURVEY.md) is a typed graph-database
+framework executing Gremlin traversals on JanusGraph. This engine computes the
+same results with idiomatic Spark: entities are columnar label tables
+(``nodes_<L>`` / ``edges_<L>``), traversal steps are DataFrame transformations,
+graph hops are equi-joins, and the declarative JSON query language compiles to
+Catalyst plans.
+
+Layout (SURVEY.md §7.1):
+  model.py       typed entity models + audit envelope        (§1)
+  catalog.py     label → table registry, FK edges, versions  (§1.3)
+  traversal.py   the ~90-operator traversal DSL              (§2)
+  properties.py  public-property registry                    (§2.2/2.11)
+  qlang/         JSON query language (filters/sorts/aggs)    (§2.3/2.5/2.6, §3.A)
+  writes.py      create/update/delete with audit stamping    (§3.B.4)
+  integrity.py   dedup + link integrity checks               (§2.11-adjacent)
+  operators/     scale operators: dedup, similarity, multimodal
+  functions/     scalar function library (text, vectors, hashing)
+  streaming/     structured-streaming surface for event tables
+"""
+
+from scalligraph_spark.catalog import GraphCatalog
+from scalligraph_spark.model import AUDIT_COLUMNS, EntityModel, FieldSpec
+from scalligraph_spark.session import get_spark
+from scalligraph_spark.traversal import P, Traversal
+
+__all__ = [
+    "AUDIT_COLUMNS",
+    "EntityModel",
+    "FieldSpec",
+    "GraphCatalog",
+    "P",
+    "Traversal",
+    "get_spark",
+]
+
+__version__ = "0.1.0"
