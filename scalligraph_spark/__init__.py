@@ -21,19 +21,24 @@ Layout (SURVEY.md §7.1):
   streaming/     structured-streaming surface for event tables
 """
 
-from scalligraph_spark.catalog import GraphCatalog
+from scalligraph_spark.catalog import EdgeSpec, GraphCatalog, VertexSpec, tpch_catalog
 from scalligraph_spark.model import AUDIT_COLUMNS, EntityModel, FieldSpec
 from scalligraph_spark.session import get_spark
-from scalligraph_spark.traversal import P, Traversal
+from scalligraph_spark.traversal import P, SortBy, TextP, Traversal
 
 __all__ = [
     "AUDIT_COLUMNS",
+    "EdgeSpec",
     "EntityModel",
     "FieldSpec",
     "GraphCatalog",
     "P",
+    "SortBy",
+    "TextP",
     "Traversal",
+    "VertexSpec",
     "get_spark",
+    "tpch_catalog",
 ]
 
 __version__ = "0.1.0"

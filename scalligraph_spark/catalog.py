@@ -1,0 +1,244 @@
+"""Graph catalog: label → table registry with derived foreign-key edges.
+
+Reference semantics (SURVEY.md §1.3): the reference stores a declared,
+versioned schema of vertex/edge models and resolves ``graph.V(label)`` /
+``graph.E(label)`` scans against JanusGraph label indexes
+(reference: core/.../traversal/Graph.scala:25-42,
+database/janusgraph/.../JanusDatabase.scala:487-521).
+
+Spark-first re-expression: a label IS a table.  ``V(label)`` is a parquet
+scan (partition pruning by construction — no label index needed).  Edges are
+either dedicated tables (``src``/``dst`` keys + properties) or *derived* from
+foreign keys.  At 100 TB the wrong move is materializing an edge list of
+opaque string ids and joining through it (two shuffles); the right move is
+joining on the natural key columns the tables already have — FK hops compile
+to ONE equi-join, dimension sides broadcast, and Catalyst pushes filters into
+both scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class VertexSpec:
+    """One vertex label = one table.
+
+    ``id_col`` is the natural unique key (the reference's opaque ``_id``,
+    core/.../EntityId.scala:6-38, maps to this); ``name_col`` supports
+    name-or-id resolution (services/ElementSrv.scala:24-31).
+    """
+
+    label: str
+    id_col: str
+    loader: Callable[[], DataFrame]
+    name_col: str | None = None
+
+
+@dataclass
+class EdgeSpec:
+    """One edge label (src_label → dst_label).
+
+    The *edge relation* is a DataFrame whose ``src_key``/``dst_key`` columns
+    equal the vertex tables' ``src_join_col``/``dst_join_col``.
+
+    kind:
+      * ``fk``    — the edge relation IS one of the endpoint tables
+                    (``fk_holder`` = "src" | "dst").  Hops compile to a
+                    single equi-join because the edge row coincides with the
+                    holder-side vertex row.
+      * ``table`` — a dedicated edge relation with its own properties
+                    (the reference's ``Knows(weight)`` shape,
+                    core-test/.../Modern.scala:42).
+    """
+
+    label: str
+    src_label: str
+    dst_label: str
+    loader: Callable[[], DataFrame]
+    src_key: str
+    dst_key: str
+    src_join_col: str
+    dst_join_col: str
+    kind: str = "table"  # "fk" | "table"
+    fk_holder: str | None = None  # "src" | "dst" when kind == "fk"
+
+
+class GraphCatalog:
+    """Label registry + scan entry points (Graph.scala:25-42 analog)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.vertices: dict[str, VertexSpec] = {}
+        self.edges: dict[str, EdgeSpec] = {}
+
+    # -- registration -----------------------------------------------------
+    def add_vertex(self, spec: VertexSpec) -> "GraphCatalog":
+        self.vertices[spec.label] = spec
+        return self
+
+    def add_edge(self, spec: EdgeSpec) -> "GraphCatalog":
+        self.edges[spec.label] = spec
+        return self
+
+    def out_edges(self, src_label: str) -> list[EdgeSpec]:
+        return [e for e in self.edges.values() if e.src_label == src_label]
+
+    def in_edges(self, dst_label: str) -> list[EdgeSpec]:
+        return [e for e in self.edges.values() if e.dst_label == dst_label]
+
+    # -- scans (Graph.scala:25-33) ----------------------------------------
+    def vertex_df(self, label: str) -> DataFrame:
+        return self.vertices[label].loader()
+
+    def edge_df(self, label: str) -> DataFrame:
+        return self.edges[label].loader()
+
+    def V(self, label: str, ids: list | None = None):  # noqa: N802
+        """Typed vertex scan (Graph.scala:25; JanusDatabase.scala:487-494).
+
+        ``ids`` folds into the scan as an IN filter — parquet row-group
+        pruning serves it, mirroring the reference's index-backed
+        ``JanusGraphStep`` id folding (strategies/JanusGraphAcceptNull
+        Strategy.java:31-62).
+        """
+        from scalligraph_spark.traversal import Traversal
+
+        spec = self.vertices[label]
+        df = spec.loader()
+        if ids:
+            df = df.where(F.col(spec.id_col).isin(ids))
+        return Traversal(df, catalog=self, label=label)
+
+    def E(self, label: str):  # noqa: N802
+        """Edge scan (Graph.scala:29-32)."""
+        from scalligraph_spark.traversal import Traversal
+
+        return Traversal(self.edge_df(label), catalog=self, label=label, edge_label=label)
+
+    def empty(self, label: str):
+        """Empty traversal with a label's schema (Graph.scala:33)."""
+        from scalligraph_spark.traversal import Traversal
+
+        df = self.vertex_df(label).where(F.lit(False))
+        return Traversal(df, catalog=self, label=label)
+
+    def union(self, *trav_fns):
+        """Union of from-scratch traversals (Graph.scala:34-42)."""
+        from scalligraph_spark.traversal import Traversal
+
+        dfs = [fn(self).df for fn in trav_fns]
+        first = trav_fns[0](self)
+        return Traversal(reduce(DataFrame.unionByName, dfs), catalog=self, label=first.label)
+
+
+# ---------------------------------------------------------------------------
+# Driver-supplied TPC-H-ish tables as a graph (FIXTURES.md §5): FK columns
+# become derived edges; `lineitem` doubles as a property-rich edge between
+# orders and part (the reference's `Knows(weight)` analog).
+# ---------------------------------------------------------------------------
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+ID_COLS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",  # composite key in truth; l_linenumber disambiguates
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+_NAME_COLS = {
+    "region": "r_name",
+    "nation": "n_name",
+    "customer": "c_name",
+    "supplier": "s_name",
+    "part": "p_name",
+}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TPCH_TABLES}
+
+
+def tpch_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
+    """Catalog over the driver's tables with FK-derived edges.
+
+    Edge labels (src → dst):
+      in_region    nation   → region    (FK n_regionkey, holder=src)
+      in_nation    customer → nation    (FK c_nationkey, holder=src)
+      sup_nation   supplier → nation    (FK s_nationkey, holder=src)
+      placed       customer → orders    (FK o_custkey,  holder=dst)
+      contains     orders   → lineitem  (FK l_orderkey, holder=dst)
+      of_part      lineitem → part      (FK l_partkey,  holder=src)
+      by_supplier  lineitem → supplier  (FK l_suppkey,  holder=src)
+      ordered_part orders   → part      (edge table = lineitem, with props)
+    """
+    cat = GraphCatalog(spark)
+    loaders = {
+        t: (lambda spark=spark, sf_dir=sf_dir, t=t: spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        for t in TPCH_TABLES
+    }
+
+    for t in TPCH_TABLES:
+        cat.add_vertex(VertexSpec(label=t, id_col=ID_COLS[t], loader=loaders[t], name_col=_NAME_COLS.get(t)))
+
+    def fk(label, src, dst, holder, src_key, dst_key, src_join, dst_join):
+        cat.add_edge(
+            EdgeSpec(
+                label=label,
+                src_label=src,
+                dst_label=dst,
+                loader=loaders[src if holder == "src" else dst],
+                src_key=src_key,
+                dst_key=dst_key,
+                src_join_col=src_join,
+                dst_join_col=dst_join,
+                kind="fk",
+                fk_holder=holder,
+            )
+        )
+
+    fk("in_region", "nation", "region", "src", "n_nationkey", "n_regionkey", "n_nationkey", "r_regionkey")
+    fk("in_nation", "customer", "nation", "src", "c_custkey", "c_nationkey", "c_custkey", "n_nationkey")
+    fk("sup_nation", "supplier", "nation", "src", "s_suppkey", "s_nationkey", "s_suppkey", "n_nationkey")
+    fk("placed", "customer", "orders", "dst", "o_custkey", "o_orderkey", "c_custkey", "o_orderkey")
+    fk("contains", "orders", "lineitem", "dst", "l_orderkey", "l_orderkey", "o_orderkey", "l_orderkey")
+    fk("of_part", "lineitem", "part", "src", "l_orderkey", "l_partkey", "l_orderkey", "p_partkey")
+    fk("by_supplier", "lineitem", "supplier", "src", "l_orderkey", "l_suppkey", "l_orderkey", "s_suppkey")
+    cat.add_edge(
+        EdgeSpec(
+            label="ordered_part",
+            src_label="orders",
+            dst_label="part",
+            loader=loaders["lineitem"],
+            src_key="l_orderkey",
+            dst_key="l_partkey",
+            src_join_col="o_orderkey",
+            dst_join_col="p_partkey",
+            kind="table",
+        )
+    )
+    return cat

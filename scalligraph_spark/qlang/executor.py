@@ -1,0 +1,135 @@
+"""Query-chain executor: fold a JSON array of named steps into one plan.
+
+Reference: ``QueryExecutor`` folds the chain left-to-right, resolving each
+``{"_name": N, ...}`` by name AND current input type, then composing with
+``Query.andThen`` (core/.../query/QueryExecutor.scala:115-160,
+query/Query.scala:42-49).  Our types become *kinds*: ``GRAPH`` →
+``traversal:<label>`` → ``value``; same-named queries may differ by input
+kind (ModernQuery.scala:84-85's two ``output`` queries).
+
+The fold is pure plan-building — nothing executes until the caller collects
+(the reference's lazy Gremlin construction, Traversal.scala:25-33; here the
+laziness is Catalyst's).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scalligraph_spark.properties import PublicProperties
+from scalligraph_spark.qlang.aggs import compile_aggregation
+from scalligraph_spark.qlang.filters import compile_filter
+from scalligraph_spark.qlang.sorts import compile_sort
+from scalligraph_spark.traversal import Traversal
+
+GRAPH = "graph"
+
+
+@dataclass
+class ParamQuery:
+    """A registered named query (query/Query.scala:62-90 analog).
+
+    ``from_kind``: ``GRAPH`` for init queries, a label for traversal-typed
+    steps, ``"*"`` for any traversal input.
+    """
+
+    name: str
+    from_kind: str
+    fn: Callable[[Any, dict, dict | None], Traversal]
+
+
+class QueryExecutor:
+    """Versioned executor: registry + chain fold + paging contract.
+
+    ``limited_count_threshold`` mirrors the reference test executor's 1000
+    cap (QueryExecutor.scala:19,25; core-test/.../ModernQuery.scala:38).
+    """
+
+    def __init__(
+        self,
+        catalog,
+        properties: dict[str, PublicProperties] | None = None,
+        limited_count_threshold: int = 1000,
+    ):
+        self.catalog = catalog
+        self.properties = properties or {}
+        self.limited_count_threshold = limited_count_threshold
+        self._queries: list[ParamQuery] = []
+
+    # -- registration -----------------------------------------------------
+    def register(self, name: str, from_kind: str, fn) -> "QueryExecutor":
+        self._queries.append(ParamQuery(name, from_kind, fn))
+        return self
+
+    def register_init(self, name: str, fn) -> "QueryExecutor":
+        """Init query: (catalog, params, auth) → Traversal."""
+        return self.register(name, GRAPH, fn)
+
+    def props_for(self, label: str | None) -> PublicProperties:
+        return self.properties.get(label) or PublicProperties()
+
+    # -- type-directed lookup (QueryExecutor.scala:115-147) ---------------
+    def _lookup(self, name: str, kind: str) -> ParamQuery | None:
+        for q in self._queries:
+            if q.name != name:
+                continue
+            if q.from_kind == kind or (q.from_kind == "*" and kind != GRAPH):
+                return q
+        return None
+
+    # -- chain fold (QueryExecutor.scala:149-160) -------------------------
+    def execute(self, chain: list[dict], auth: dict | None = None) -> Traversal:
+        state: Any = GRAPH
+        current: Traversal | None = None
+        for i, step in enumerate(chain):
+            name = step.get("_name")
+            if name is None:
+                raise ValueError(f"step {i} has no _name: {step!r}")
+            kind = GRAPH if current is None else (current.label or "*")
+            q = self._lookup(name, GRAPH if current is None else kind)
+            if q is not None:
+                src = self.catalog if current is None else current
+                current = q.fn(src, step, auth)
+                continue
+            if current is None:
+                raise ValueError(f"no init query named {name!r}")
+            current = self._builtin(current, name, step, auth)
+        if current is None:
+            raise ValueError("empty query chain")
+        return current
+
+    def _builtin(self, t: Traversal, name: str, step: dict, auth) -> Traversal:
+        props = self.props_for(t.label)
+        if name == "filter":
+            spec = {k: v for k, v in step.items() if k != "_name"}
+            id_col = t._id_col()
+            return t._with(t.df.where(compile_filter(spec, props, auth, id_col=id_col)))
+        if name == "sort":
+            return t._with(t.df.orderBy(*compile_sort(step, props, auth)))
+        if name in ("page", "range"):
+            lo, hi = int(step.get("from", 0)), int(step["to"])
+            extra = step.get("extraData") or []
+            sliced = t.df.offset(lo).limit(hi - lo)
+            if step.get("withTotal") or "total" in extra:
+                total = t.df.agg(F.count(F.lit(1)).alias("total"))
+                return t._with(sliced.crossJoin(F.broadcast(total)))
+            return t._with(sliced)
+        if name == "limit":
+            return t.limit(int(step["n"]))
+        if name == "count":
+            return t.count()
+        if name == "limitedCount":
+            return t.limited_count(int(step.get("threshold", self.limited_count_threshold)))
+        if name == "aggregation":
+            spec = {k: v for k, v in step.items() if k != "_name"}
+            # property names resolve through the registry; the group key and
+            # sub-agg columns come back as plain columns
+            run = compile_aggregation(spec, props, auth)
+            return t._with(run(t.df))
+        if name == "dedup":
+            return t.dedup(*(step.get("_fields") or []))
+        raise ValueError(f"no query named {name!r} for input {t.label!r}")
