@@ -197,10 +197,22 @@ def tpch_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
       ordered_part orders   → part      (edge table = lineitem, with props)
     """
     cat = GraphCatalog(spark)
+
+    def _load_events(spark=spark, sf_dir=sf_dir):
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read
+        # natively — the session sets spark.sql.legacy.parquet.nanosAsLong
+        # (session.py) and we convert ns → µs with exact integer division
+        # (`div`; double division is lossy at 1e18 ns magnitudes).
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+        return df
+
     loaders = {
         t: (lambda spark=spark, sf_dir=sf_dir, t=t: spark.read.parquet(f"{sf_dir}/{t}.parquet"))
         for t in TPCH_TABLES
     }
+    loaders["events"] = _load_events
 
     for t in TPCH_TABLES:
         cat.add_vertex(VertexSpec(label=t, id_col=ID_COLS[t], loader=loaders[t], name_col=_NAME_COLS.get(t)))

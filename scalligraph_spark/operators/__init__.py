@@ -1,0 +1,34 @@
+"""Scale operators beyond the reference surface: dedup, similarity,
+text analysis, multimodal plumbing (BASELINE.json north star).
+
+These are the operations a 100 TB training-data pipeline needs; each is
+designed as a composition of built-in DataFrame ops (JVM-side, codegen'd)
+with Pandas UDFs only where Spark lacks the primitive.
+"""
+
+from scalligraph_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from scalligraph_spark.operators.similarity import brute_force_cosine_topk, lsh_bucket_candidates
+from scalligraph_spark.operators.text import (
+    document_fingerprint,
+    language_score,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "brute_force_cosine_topk",
+    "document_fingerprint",
+    "exact_dedup",
+    "language_score",
+    "lsh_bucket_candidates",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "simhash_pairs",
+    "token_count",
+]

@@ -1,0 +1,90 @@
+"""Text analysis operators: token counting, quality scoring, language
+scoring, document fingerprinting.
+
+All pure built-in expressions (codegen'd, pushdown-friendly) — each has an
+exact SQL mirror for the DuckDB oracle (see suite.py).  At 100 TB these are
+map-only passes: no shuffle, no UDF, column-pruned to (id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker-word sets for the language score (documents are
+# synthetic word soup — the score is the operator; recovering the real
+# language is not the contract here)
+LANG_MARKERS = {
+    "en": ["the", "a", "value", "table"],
+    "dv": ["data", "vector"],  # second score axis to make argmax non-trivial
+}
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (length/4 rule,
+    the common heuristic for byte-pair tokenizers)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        (F.length(F.col(text_col)) / F.lit(4)).cast("double").alias("est_bpe_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / mean-word-length / stopword-ratio quality features.
+
+    Mirrors the usual pretraining-corpus filters (C4/Gopher rules):
+    documents outside sane length or stopword bounds get score 0.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_toks = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "to", "and")))
+    stop_ratio = (stop / n_toks).cast("double")
+    mean_word_len = (n_chars / n_toks).cast("double")
+    score = (
+        F.when((n_toks >= 5) & (mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.0)
+        * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
+    ).cast("double")
+    return docs.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def language_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language scoring (n-gram-free heuristic lang-id).
+
+    Emits per-axis marker hit counts and the argmax label; deterministic
+    and SQL-mirrorable.  A production lang-id swaps the marker table for
+    character n-gram profiles — same plan shape (map-only)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    # NB: no default-arg lambdas here — PySpark infers higher-order-function
+    # arity from the signature, and a 2-arg lambda receives (element, index)
+    def _marker_count(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: _marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    en, dv = scores["en"], scores["dv"]
+    label = F.when(en >= dv, F.lit("en")).otherwise(F.lit("dv"))
+    return docs.select(
+        F.col(id_col),
+        en.alias("score_en"),
+        dv.alias("score_dv"),
+        label.alias("pred_lang"),
+    )
+
+
+def document_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical fingerprint (OpenRefine-style): lowercase → strip
+    non-alphanumerics → distinct sorted tokens → md5.  Catches
+    reorder/punctuation-variant duplicates that exact hashing misses."""
+    cleaned = F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", ""))
+    toks = F.array_distinct(F.split(F.trim(cleaned), r"\s+"))
+    canon = F.array_join(F.array_sort(toks), " ")
+    return docs.select(F.col(id_col), F.md5(canon.cast("binary")).alias("fingerprint"))

@@ -1,0 +1,88 @@
+"""Mutations in a batch world: create / update / remove with audit stamping.
+
+Reference: every create stamps the audit envelope
+(``_id,_label,_createdBy,_createdAt``, JanusDatabase.scala:436-471 via
+models/Model.scala:25-32); updates go through ``PropertyUpdater``s and stamp
+``_updatedBy/_updatedAt`` (services/VertexSrv.scala:76-95,
+TraversalOps.scala:586-599); ``Traversal.remove()`` drops matched elements
+(TraversalOps.scala:156-160).
+
+Spark re-expression: OLTP row mutations become label-table rewrites —
+``create`` appends, ``update`` is a conditional column rewrite of matched
+rows, ``remove`` an anti-filter.  No transaction/retry machinery
+(JanusDatabase.scala:232-246) is needed: a rewrite is atomic at the
+table-swap level (Delta-style), and batch jobs do not interleave.
+
+Determinism: the clock is an explicit parameter (``at``), never
+``now()`` — replays and oracle comparisons need stable stamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_audit(
+    df: DataFrame,
+    label: str,
+    id_col: str,
+    created_by: str,
+    at: str,
+) -> DataFrame:
+    """Stamp the audit envelope on new rows (create path)."""
+    return df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.lit(label).alias("_label"),
+        F.lit(created_by).alias("_created_by"),
+        F.lit(at).cast("timestamp_ntz").alias("_created_at"),
+        *[c for c in df.columns if c != id_col],
+    )
+
+
+def create_entities(table: DataFrame, new_rows: DataFrame, label: str, id_col: str, created_by: str, at: str) -> DataFrame:
+    """Append stamped rows to a label table (model.create batch form)."""
+    return table.unionByName(with_audit(new_rows, label, id_col, created_by, at), allowMissingColumns=True)
+
+
+def update_where(
+    df: DataFrame,
+    cond: Column,
+    updates: dict[str, Column],
+    updated_by: str,
+    at: str | None = None,
+) -> DataFrame:
+    """Rewrite matched rows: apply updaters + stamp ``_updated_by``
+    (``_updated_at`` only when a deterministic clock is given)."""
+    # materialize the match BEFORE applying updaters — the condition must
+    # see pre-update values even when an updater rewrites a column it reads
+    out = df.withColumn("__matched", cond)
+    m = F.col("__matched")
+    for name, expr in updates.items():
+        out = out.withColumn(name, F.when(m, expr).otherwise(F.col(name)))
+    out = out.withColumn("_updated_by", F.when(m, F.lit(updated_by)).otherwise(F.lit(None).cast("string")))
+    if at is not None:
+        out = out.withColumn(
+            "_updated_at", F.when(m, F.lit(at).cast("timestamp_ntz")).otherwise(F.lit(None).cast("timestamp_ntz"))
+        )
+    return out.drop("__matched")
+
+
+def remove_where(df: DataFrame, cond: Column) -> DataFrame:
+    """Delete matched elements → keep the complement (anti-filter rewrite)."""
+    return df.where(~cond)
+
+
+def add_value(df: DataFrame, col: str, value) -> DataFrame:
+    """Multi-valued property addValue → array_union (Mapping.scala:147-168)."""
+    return df.withColumn(col, F.array_union(F.col(col), F.array(F.lit(value))))
+
+
+def remove_value(df: DataFrame, col: str, value) -> DataFrame:
+    """removeValue → array_remove (Mapping.scala:147-168)."""
+    return df.withColumn(col, F.array_remove(F.col(col), value))
+
+
+def remove_property(df: DataFrame, col: str) -> DataFrame:
+    """removeProperty → null out the column (schema keeps the field)."""
+    return df.withColumn(col, F.lit(None).cast(dict(df.dtypes)[col]))
