@@ -36,9 +36,13 @@ class VertexSpec:
     """
 
     label: str
-    id_col: str
+    id_col: str | tuple[str, ...]  # composite keys allowed (lineitem)
     loader: Callable[[], DataFrame]
     name_col: str | None = None
+
+    @property
+    def id_cols(self) -> tuple[str, ...]:
+        return tuple(self.id_col) if isinstance(self.id_col, (tuple, list)) else (self.id_col,)
 
 
 @dataclass
@@ -113,7 +117,16 @@ class GraphCatalog:
         spec = self.vertices[label]
         df = spec.loader()
         if ids:
-            df = df.where(F.col(spec.id_col).isin(ids))
+            cols = spec.id_cols
+            if len(cols) == 1:
+                df = df.where(F.col(cols[0]).isin(ids))
+            else:
+                # composite ids arrive as tuples; OR of per-key conjunctions
+                conds = [
+                    reduce(lambda a, b: a & b, [F.col(c) == F.lit(v) for c, v in zip(cols, i)])
+                    for i in ids
+                ]
+                df = df.where(reduce(lambda a, b: a | b, conds))
         return Traversal(df, catalog=self, label=label)
 
     def E(self, label: str):  # noqa: N802
@@ -164,7 +177,10 @@ ID_COLS = {
     "supplier": "s_suppkey",
     "part": "p_partkey",
     "orders": "o_orderkey",
-    "lineitem": "l_orderkey",  # composite key in truth; l_linenumber disambiguates
+    # lineitem's element identity IS composite — treating l_orderkey alone as
+    # the id would make every semi/anti-join keep or drop whole orders' worth
+    # of lines (EntityId.scala expects unique element identity)
+    "lineitem": ("l_orderkey", "l_linenumber"),
     "events": "event_id",
     "documents": "doc_id",
     "embeddings": "vec_id",
@@ -200,9 +216,12 @@ def tpch_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
 
     def _load_events(spark=spark, sf_dir=sf_dir):
         # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read
-        # natively — the session sets spark.sql.legacy.parquet.nanosAsLong
-        # (session.py) and we convert ns → µs with exact integer division
-        # (`div`; double division is lossy at 1e18 ns magnitudes).
+        # natively.  nanosAsLong is a runtime SQL conf, so set it here — not
+        # only at builder time (session.py) — because the harness supplies its
+        # own SparkSession that never goes through get_spark().  Then convert
+        # ns → µs with exact integer division (`div`; double division is
+        # lossy at 1e18 ns magnitudes).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))

@@ -115,7 +115,11 @@ class QueryExecutor:
             extra = step.get("extraData") or []
             sliced = t.df.offset(lo).limit(hi - lo)
             if step.get("withTotal") or "total" in extra:
-                total = t.df.agg(F.count(F.lit(1)).alias("total"))
+                # richPage computes the total via getLimitedCount(threshold)
+                # (TraversalOps.scala:165-171): totals at/over the threshold
+                # render as -threshold, and the limit stops the scan early —
+                # an exact count would force a full scan at 100 TB
+                total = t.limited_count(self.limited_count_threshold, alias="total").df
                 return t._with(sliced.crossJoin(F.broadcast(total)))
             return t._with(sliced)
         if name == "limit":

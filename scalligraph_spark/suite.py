@@ -574,12 +574,13 @@ def group_count_step(spark, sf):
 
 @q(
     "fold_collect",
-    "SELECT c_mktsegment, list_sort(list(c_name)) AS fold FROM customer GROUP BY c_mktsegment",
-    "group→fold collect (sorted for distributed determinism) — TraversalOps.scala:344-345",
+    "SELECT c_mktsegment, array_to_string(list_sort(list(c_name)), ',') AS fold FROM customer GROUP BY c_mktsegment",
+    "group→fold collect, string-canonical (sorted for distributed determinism; "
+    "string so every canonicalizer can hash it) — TraversalOps.scala:344-345",
 )
 def fold_collect(spark, sf):
     t = cat_for(spark, sf).V("customer")
-    return t.group("c_mktsegment", F.sort_array(F.collect_list("c_name")).alias("fold")).df
+    return t.group("c_mktsegment", F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("fold")).df
 
 
 @q(

@@ -309,23 +309,40 @@ class Traversal:
         col = self._resolve(field)
         if pred is None:
             return self._with(self.df.where(col.isNull()))
+        # absent properties MATCH hasNot(f, pred) — Gremlin keeps elements
+        # without the property; SQL three-valued logic would drop them, so
+        # the null branch is explicit
         if isinstance(pred, P):
-            return self._with(self.df.where(~pred(col)))
-        return self._with(self.df.where(col != F.lit(pred)))
+            return self._with(self.df.where(col.isNull() | ~pred(col)))
+        return self._with(self.df.where(col.isNull() | (col != F.lit(pred))))
 
     unsafe_has = has
     unsafe_has_not = has_not
 
     def has_id(self, *ids) -> "Traversal":
-        """Id lookup (TraversalOps.scala:570-574)."""
-        return self._with(self.df.where(F.col(self._id_col()).isin(list(ids))))
+        """Id lookup (TraversalOps.scala:570-574).  Composite-keyed elements
+        (lineitem) take tuple ids."""
+        cols = self._id_cols()
+        if len(cols) == 1:
+            return self._with(self.df.where(F.col(cols[0]).isin(list(ids))))
+        from functools import reduce
+
+        conds = [
+            reduce(lambda a, b: a & b, [F.col(c) == F.lit(v) for c, v in zip(cols, i)]) for i in ids
+        ]
+        return self._with(self.df.where(reduce(lambda a, b: a | b, conds)))
+
+    def _id_cols(self) -> list[str]:
+        """Element-identity columns (EntityId.scala:6-38).  Usually one
+        natural key; composite for tables like lineitem."""
+        if self.catalog and self.label in self.catalog.vertices:
+            return list(self.catalog.vertices[self.label].id_cols)
+        if "_id" in self.df.columns:
+            return ["_id"]
+        return [self.df.columns[0]]
 
     def _id_col(self) -> str:
-        if self.catalog and self.label in self.catalog.vertices:
-            return self.catalog.vertices[self.label].id_col
-        if "_id" in self.df.columns:
-            return "_id"
-        return self.df.columns[0]
+        return self._id_cols()[0]
 
     def has_label(self, label: str) -> "Traversal":
         """Label filter (TraversalOps.scala:548) — label = table, so this is
@@ -354,12 +371,13 @@ class Traversal:
         return self._exists_join(sub, "left_anti")
 
     def _exists_join(self, sub, how: str) -> "Traversal":
-        key = self._id_col()
+        keys = self._id_cols()
         sub_t = sub(self)
-        probe = sub_t.df.select(F.col(key)).dropDuplicates([key]) if key in sub_t.df.columns else None
-        if probe is None:
-            raise ValueError(f"filter sub-traversal lost the key column {key!r}; bind it with as_() first")
-        return self._with(self.df.join(probe, on=key, how=how))
+        missing = [k for k in keys if k not in sub_t.df.columns]
+        if missing:
+            raise ValueError(f"filter sub-traversal lost the key column(s) {missing!r}; bind them with as_() first")
+        probe = sub_t.df.select(*keys).dropDuplicates(keys)
+        return self._with(self.df.join(probe, on=keys, how=how))
 
     def and_(self, *subs) -> "Traversal":
         """Conjunction of sub-filters (TraversalOps.scala:684-686)."""
@@ -371,18 +389,18 @@ class Traversal:
     def or_(self, *subs) -> "Traversal":
         """Disjunction (TraversalOps.scala:687-689): union of the per-branch
         matches, de-duplicated by element key."""
-        key = self._id_col()
+        keys = self._id_cols()
         from functools import reduce
 
         branches = [(s(self) if callable(s) else self._with(self.df.where(s))).df for s in subs]
-        matched = reduce(DataFrame.unionByName, [b.select(key) for b in branches]).dropDuplicates([key])
-        return self._with(self.df.join(matched, on=key, how="left_semi"))
+        matched = reduce(DataFrame.unionByName, [b.select(*keys) for b in branches]).dropDuplicates(keys)
+        return self._with(self.df.join(matched, on=keys, how="left_semi"))
 
     def not_(self, sub) -> "Traversal":
         """Negated sub-filter (TraversalOps.scala:690-691) → anti join."""
-        key = self._id_col()
+        keys = self._id_cols()
         branch = (sub(self) if callable(sub) else self._with(self.df.where(sub))).df
-        return self._with(self.df.join(branch.select(key).dropDuplicates([key]), on=key, how="left_anti"))
+        return self._with(self.df.join(branch.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"))
 
     # -- graph steps (§2.4) ----------------------------------------------
     def _edge_spec(self, edge_label: str):

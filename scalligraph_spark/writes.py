@@ -60,11 +60,14 @@ def update_where(
     m = F.col("__matched")
     for name, expr in updates.items():
         out = out.withColumn(name, F.when(m, expr).otherwise(F.col(name)))
-    out = out.withColumn("_updated_by", F.when(m, F.lit(updated_by)).otherwise(F.lit(None).cast("string")))
+    # non-matched rows keep any audit stamp from a PREVIOUS update — the
+    # reference persists per-entity _updatedBy/_updatedAt across updates
+    # (TraversalOps update path); only rows never updated stay null
+    prev_by = F.col("_updated_by") if "_updated_by" in df.columns else F.lit(None).cast("string")
+    out = out.withColumn("_updated_by", F.when(m, F.lit(updated_by)).otherwise(prev_by))
     if at is not None:
-        out = out.withColumn(
-            "_updated_at", F.when(m, F.lit(at).cast("timestamp_ntz")).otherwise(F.lit(None).cast("timestamp_ntz"))
-        )
+        prev_at = F.col("_updated_at") if "_updated_at" in df.columns else F.lit(None).cast("timestamp_ntz")
+        out = out.withColumn("_updated_at", F.when(m, F.lit(at).cast("timestamp_ntz")).otherwise(prev_at))
     return out.drop("__matched")
 
 
