@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line on stdout:
+    {"metric": "suite_wall_seconds", "value": <total>, "unit": "sec",
+     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": <scale factor>}
+
+Each query executes end-to-end into the `noop` sink (full pipeline runs,
+nothing materializes driver-side), so the timing covers scan → shuffle →
+result production, not just a count shortcut.  One untimed warm-up query
+amortizes JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative spread: flagship analytics, hops/joins, qlang aggregations,
+# top-k, and every LLM-pipeline operator family (dedup / similarity / text).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "events_funnel",
+    "hop_two_chain",
+    "filter_semi_join",
+    "qagg_field_subaggs",
+    "qagg_time_day",
+    "top_k",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_lsh_buckets",
+    "text_token_count",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from scalligraph_spark.session import get_spark
+    from scalligraph_spark.suite import SUITE, cat_for
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM JIT, parquet footer reads, codegen — untimed
+    cat_for(spark, sf_dir).V("nation").count().df.collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = SUITE.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+    out = {
+        "metric": "suite_wall_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

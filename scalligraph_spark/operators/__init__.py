@@ -9,10 +9,20 @@ with Pandas UDFs only where Spark lacks the primitive.
 from scalligraph_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_signature,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from scalligraph_spark.operators.similarity import brute_force_cosine_topk, lsh_bucket_candidates
+from scalligraph_spark.operators.multimodal import (
+    extract_features,
+    fake_media_from_documents,
+    frame_sample,
+)
+from scalligraph_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    lsh_ann_topk,
+    lsh_bucket_candidates,
+)
 from scalligraph_spark.operators.text import (
     document_fingerprint,
     language_score,
@@ -24,9 +34,14 @@ __all__ = [
     "brute_force_cosine_topk",
     "document_fingerprint",
     "exact_dedup",
+    "extract_features",
+    "fake_media_from_documents",
+    "frame_sample",
     "language_score",
+    "lsh_ann_topk",
     "lsh_bucket_candidates",
     "minhash_lsh_pairs",
+    "minhash_signature",
     "ngram_jaccard_pairs",
     "quality_score",
     "simhash_pairs",

@@ -128,10 +128,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signature(docs, text_col, id_col, num_hashes)
+    # persist: the signature feeds both the banding pass and the estimate
+    # join-back; recomputing it would re-hash every token twice
+    sigs = minhash_signature(docs, text_col, id_col, num_hashes).persist()
+    # the banded relation carries ONLY (id, band, bh) — 3 narrow columns.
+    # Shipping the 64-long signature through the ×bands exploded self-join
+    # would multiply shuffle bytes by ~bands×signature width; instead the
+    # (deduplicated) candidate pairs join BACK to the signature table by id.
     banded = sigs.select(
         "id",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -143,22 +148,20 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "signature", "bk.band", "bk.bh")
+    ).select("id", "bk.band", "bk.bh")
     a = banded.alias("a")
     b = banded.alias("b")
-    cands = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    cands = pairs.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")), "id_a"
+    ).join(sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")), "id_b")
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(float(num_hashes))
@@ -174,30 +177,58 @@ def simhash_pairs(
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs within a Hamming radius.
 
-    Signature: sign-sum of per-token xxhash64 bits.  Bucketing by the top
-    16 bits bounds the self-join (near-dups usually share the prefix; a
-    production sweep rotates the prefix 4× for guarantees — noted, not
-    needed for parity).
+    Signature: sign-sum of per-token xxhash64 bits.  Each token is hashed
+    ONCE into a single 64-bit value; all 64 bit-votes derive from that array
+    (the naive formulation re-hashes every token per bit — 64× redundant
+    work in the map stage).
+
+    Bucketing: the 64-bit signature splits into four 16-bit blocks and each
+    block is a bucket key (4 self-joins unioned, pair-deduped).  Two
+    signatures within Hamming distance 3 are GUARANTEED to agree on at
+    least one block (pigeonhole); larger radii are caught with high
+    probability — strictly better recall than single-prefix bucketing,
+    which misses any near-dup differing in the prefix.
     """
     toks = F.array_distinct(_tokens(F.col(text_col)))
+    # stage 1 (map-only): one xxhash64 per token
+    hashed = docs.select(F.col(id_col).alias("id"), F.transform(toks, lambda x: F.xxhash64(x)).alias("__h"))
+
     def _bit_vote(bit: int):
         return F.aggregate(
-            toks,
+            F.col("__h"),
             F.lit(0),
-            lambda acc, x: acc + F.when(F.shiftright(F.xxhash64(x), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
 
-    bit_votes = [_bit_vote(i) for i in range(64)]
     sim = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
+    for i in range(64):
         bit_val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 is the long sign bit
-        sim = sim + F.when(v > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
-    sigs = docs.select(F.col(id_col).alias("id"), sim.alias("simhash"))
-    sigs = sigs.withColumn("bucket", F.shiftrightunsigned("simhash", 48))
-    a, b = sigs.alias("a"), sigs.alias("b")
+        sim = sim + F.when(_bit_vote(i) > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+    sigs = hashed.select("id", sim.alias("simhash"))
+    # 4 block-bucket tables (OR-construction): block k = bits [16k, 16k+16)
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.shiftrightunsigned("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.blk", "b.bkey")
+    a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -69,31 +69,22 @@ def brute_force_cosine_topk(
     )
 
 
-def lsh_bucket_candidates(
-    embeddings: DataFrame,
-    num_planes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Random-hyperplane LSH bucketing: sign-pattern of ``num_planes``
-    pseudo-random projections → bucket id.  Self-join per bucket yields
-    candidate pairs; callers re-rank candidates with the exact cosine.
+def _plane_bucket(vec_col: str, num_planes: int, table_seed: int):
+    """Sign-pattern bucket id of ``num_planes`` pseudo-random projections.
 
-    The "random" planes are xxhash64-derived per (plane, dimension) —
-    deterministic across runs and executors without shipping plane
-    matrices.  Scale shape: signature is map-only; the bucket self-join is
-    the only shuffle and its size is data-dependent (2^num_planes buckets).
+    The "random" planes are xxhash64-derived per (table, plane, dimension) —
+    deterministic across runs and executors without shipping plane matrices.
     """
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-    # plane p, dim d coefficient ∈ {-1, +1} from xxhash64(p, d)
+
     def proj(p: int):
         return F.aggregate(
             F.zip_with(
                 F.col(vec_col),
                 dim_idx,
-                lambda x, d: F.when(F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1, x.cast("double")).otherwise(
-                    -x.cast("double")
-                ),
+                lambda x, d: F.when(
+                    F.xxhash64(F.lit(table_seed), F.lit(p), d).bitwiseAND(F.lit(1)) == 1, x.cast("double")
+                ).otherwise(-x.cast("double")),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -102,9 +93,89 @@ def lsh_bucket_candidates(
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         bucket = bucket + F.when(proj(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    sigs = embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.bucket").alias("bucket"))
+    return bucket
+
+
+def lsh_bucket_candidates(
+    embeddings: DataFrame,
+    num_planes: int | None = None,
+    num_tables: int = 4,
+    target_bucket_rows: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs — the 100 TB ANN path.
+
+    Scale controls (the three knobs that keep the self-join subquadratic):
+
+    * ``num_planes`` defaults to ``ceil(log2(N / target_bucket_rows))`` —
+      the plane count GROWS with the table so expected bucket occupancy
+      stays ~``target_bucket_rows`` and the per-bucket self-join stays
+      ~N·target_bucket_rows instead of N²/2^planes with a fixed small
+      plane count.
+    * ``num_tables`` independent hash tables (OR-construction) recover the
+      recall that more planes cost: a true neighbor pair is emitted if ANY
+      table buckets it together.
+    * candidates are pair-deduped before any downstream re-rank
+      (:func:`lsh_ann_topk` does the exact-cosine re-rank).
+
+    Shape: bucket signatures are map-only; the per-table bucket self-join
+    is the only shuffle; union + dedup keys on (id_a, id_b).
+    """
+    if num_planes is None:
+        import math
+
+        n = embeddings.count()  # one cheap metadata-ish job; amortized over the run
+        num_planes = max(4, min(28, math.ceil(math.log2(max(2.0, n / target_bucket_rows)))))
+    tables = []
+    for t in range(num_tables):
+        bucket = _plane_bucket(vec_col, num_planes, table_seed=t)
+        sigs = embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+        a, b = sigs.alias("a"), sigs.alias("b")
+        tables.append(
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))).select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, tables).dropDuplicates(["id_a", "id_b"])
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    num_planes: int | None = None,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k neighbors per vector: LSH candidates → exact
+    cosine re-rank → k best per id (both directions of each pair count).
+
+    The re-rank joins candidate pairs back to the (narrow) embedding table
+    twice by id, computes the decimal-exact cosine, and keeps the top k per
+    source id with a window — TakeOrdered-per-key, no global sort.
+    """
+    from pyspark.sql import Window
+
+    pairs = lsh_bucket_candidates(
+        embeddings, num_planes=num_planes, num_tables=num_tables, id_col=id_col, vec_col=vec_col
     )
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_decimal_norm2(F.col(vec_col))).alias("nrm")
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    scored = (
+        both.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_decimal_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc_nulls_last(), F.col("id_b").asc())
+    return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")

@@ -27,7 +27,10 @@ from scalligraph_spark.operators import (
     brute_force_cosine_topk,
     document_fingerprint,
     exact_dedup,
+    extract_features,
+    fake_media_from_documents,
     language_score,
+    lsh_ann_topk,
     lsh_bucket_candidates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1013,10 +1016,12 @@ def dedup_ngram_jaccard_q(spark, sf):
 @q(
     "dedup_minhash_lsh",
     None,  # xxhash64 seeds have no DuckDB equivalent → rows-only check
-    "MinHash+LSH banded near-dup candidates — the 100 TB dedup path",
+    "MinHash+LSH banded near-dup candidates — the 100 TB dedup path. "
+    "bands=8/r=8 puts the S-curve midpoint at (1/8)^(1/8)≈0.77, matching the "
+    "0.7 emit threshold (r=4 banding would flood candidates on a pair-dense corpus)",
 )
 def dedup_minhash_q(spark, sf):
-    return minhash_lsh_pairs(cat_for(spark, sf).vertex_df("documents"), threshold=0.4)
+    return minhash_lsh_pairs(cat_for(spark, sf).vertex_df("documents"), bands=8, threshold=0.7)
 
 
 @q(
@@ -1053,10 +1058,21 @@ def similarity_cosine_topk_q(spark, sf):
 @q(
     "similarity_lsh_buckets",
     None,  # hyperplanes derived from xxhash64 → rows-only check
-    "random-hyperplane LSH candidate pairs — the scale ANN path",
+    "random-hyperplane LSH candidate pairs (auto-scaled plane count, "
+    "multi-table OR-construction) — the scale ANN path",
 )
 def similarity_lsh_q(spark, sf):
-    return lsh_bucket_candidates(cat_for(spark, sf).vertex_df("embeddings"), num_planes=6)
+    return lsh_bucket_candidates(cat_for(spark, sf).vertex_df("embeddings"))
+
+
+@q(
+    "similarity_ann_topk",
+    None,  # LSH candidate set is hash-derived → rows-only check
+    "ANN top-k per vector: LSH candidates → exact-cosine re-rank → "
+    "row_number()<=k per source id (TakeOrdered-per-key, no global sort)",
+)
+def similarity_ann_topk_q(spark, sf):
+    return lsh_ann_topk(cat_for(spark, sf).vertex_df("embeddings"), k=10)
 
 
 @q(
@@ -1100,6 +1116,28 @@ FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documen
 )
 def text_language_q(spark, sf):
     return language_score(cat_for(spark, sf).vertex_df("documents"))
+
+
+@q(
+    "multimodal_features",
+    """
+SELECT media_id, kind, n_bytes,
+       CAST(CASE WHEN kind = 'image' THEN (n_bytes % 640) + 1 END AS INTEGER) AS width,
+       CAST(CASE WHEN kind = 'image' THEN (n_bytes % 480) + 1 END AS INTEGER) AS height
+FROM (
+  SELECT doc_id AS media_id,
+         list_extract(['image','audio','video'], CAST(doc_id % 3 AS INTEGER) + 1) AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+""",
+    "multimodal decode/featurize plumbing: binary payload column → Arrow-batched "
+    "mapInPandas (deterministic stub decoder; real codecs are a one-function swap). "
+    "The byte-histogram feature column is dropped here so the result stays hashable.",
+)
+def multimodal_features_q(spark, sf):
+    media = fake_media_from_documents(cat_for(spark, sf).vertex_df("documents"))
+    return extract_features(media).select("media_id", "kind", "n_bytes", "width", "height")
 
 
 @q(
