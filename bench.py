@@ -35,10 +35,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_cosine_topk",
-    "similarity_lsh_buckets",
-    "text_token_count",
-    "text_quality",
-    "text_fingerprint",
+    "similarity_ann_topk",
+    "text_quality_tokens",
+    "text_lang_fingerprint",
+    "multimodal_features",
 ]
 
 

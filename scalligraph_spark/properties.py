@@ -73,6 +73,18 @@ class PublicProperties:
             )
         )
 
+    def auth_computed(
+        self,
+        public: str,
+        expr: Callable[[dict | None], Column],
+        filter_expr: Callable[[dict | None], Column] | None = None,
+        value_codec: Callable[[Any], Any] = lambda v: v,
+    ) -> "PublicProperties":
+        """Auth-aware computed property (PropertyBuilder.scala:34-44
+        ``authSelect``): the read expression sees the auth context and can
+        mask / substitute per caller."""
+        return self.add(PublicProperty(public, expr, filter_expr, value_codec))
+
     def read(self, name: str, auth: dict | None = None) -> Column:
         if name in self._props:
             return self._props[name].read(auth)

@@ -189,6 +189,7 @@ class Traversal:
         edge_label: str | None = None,
         bindings: dict[str, dict[str, str]] | None = None,
         hop_n: int = 0,
+        group_key: str | None = None,
     ):
         self.df = df
         self.catalog = catalog
@@ -196,6 +197,7 @@ class Traversal:
         self.edge_label = edge_label  # set when current element is an edge
         self.bindings = bindings or {}
         self._hop_n = hop_n
+        self._group_key = group_key  # set by group()/group_count() for selectKeys/Values
 
     # -- plumbing ---------------------------------------------------------
     def _with(self, df: DataFrame, **kw) -> "Traversal":
@@ -204,6 +206,7 @@ class Traversal:
         kw.setdefault("edge_label", self.edge_label)
         kw.setdefault("bindings", self.bindings)
         kw.setdefault("hop_n", self._hop_n)
+        kw.setdefault("group_key", None)  # group context does not survive arbitrary steps
         return Traversal(df, **kw)
 
     def _resolve(self, field: str | Column) -> Column:
@@ -473,16 +476,47 @@ class Traversal:
             return lhs._with(joined, label=e.src_label, edge_label=None)
         return self.in_e(e.label).out_v()
 
-    def both(self, edge_label: str) -> "Traversal":
+    def both(self, edge_label: str | None = None) -> "Traversal":
         """Hop both directions (TraversalOps.scala:464-469): union of the
-        out-hop and the in-hop (self-referencing labels only make sense when
-        both endpoints share a label)."""
-        e = self._edge_spec(edge_label)
-        outs = self._hop_out(e) if e.src_label == self.label else None
-        ins = self._hop_in(e) if e.dst_label == self.label else None
-        if outs and ins:
-            return outs._with(outs.df.unionByName(ins.df, allowMissingColumns=True))
-        return outs or ins
+        out-hops and the in-hops.  With no label, unions over EVERY edge
+        label incident to the current label (the reference's ``both()``);
+        heterogeneous neighbor schemas union with null-padding."""
+        if edge_label is None:
+            hops = [self._hop_out(e) for e in self.catalog.out_edges(self.label)] + [
+                self._hop_in(e) for e in self.catalog.in_edges(self.label)
+            ]
+        else:
+            e = self._edge_spec(edge_label)
+            hops = ([self._hop_out(e)] if e.src_label == self.label else []) + (
+                [self._hop_in(e)] if e.dst_label == self.label else []
+            )
+        if not hops:
+            raise ValueError(f"no edges incident to label {self.label!r}")
+        if len(hops) == 1:
+            return hops[0]
+        from functools import reduce
+
+        df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), [h.df for h in hops])
+        return hops[0]._with(df, label=None)
+
+    def v_restart(self, label: str, ids: list | None = None) -> "Traversal":
+        """Mid-traversal ``V(ids*)`` restart (TraversalOps.scala:487-488):
+        discard the current stream and rescan — the reference re-enters the
+        graph; here it is simply a fresh catalog scan (the abandoned plan
+        prunes away entirely)."""
+        if self.catalog is None:
+            raise ValueError("v_restart requires a catalog-backed traversal")
+        return self.catalog.V(label, ids=ids)
+
+    def is_empty_id(self) -> "Traversal":
+        """Keep elements with an empty/unset id (TraversalOps.scala:562)."""
+        c = F.col(self._id_col())
+        return self._with(self.df.where(c.isNull() | (c.cast("string") == "")))
+
+    def non_empty_id(self) -> "Traversal":
+        """Keep elements with a set id (TraversalOps.scala:563)."""
+        c = F.col(self._id_col())
+        return self._with(self.df.where(c.isNotNull() & (c.cast("string") != "")))
 
     def out_e(self, edge_label: str) -> "Traversal":
         """Step onto out-edges (TraversalOps.scala:436-441)."""
@@ -601,13 +635,30 @@ class Traversal:
         if not value_aggs:
             value_aggs = (F.collect_list(F.struct(*self.df.columns)).alias("elements"),)
         kname = key_by if isinstance(key_by, str) else "key"
-        return self._with(self.df.groupBy(key.alias(kname)).agg(*value_aggs))
+        return self._with(self.df.groupBy(key.alias(kname)).agg(*value_aggs), group_key=kname)
 
     def group_count(self, key_by: str | Column, alias: str = "count") -> "Traversal":
         """groupCount (TraversalOps.scala:263-272)."""
         key = self._resolve(key_by)
         kname = key_by if isinstance(key_by, str) else "key"
-        return self._with(self.df.groupBy(key.alias(kname)).agg(F.count(F.lit(1)).alias(alias)))
+        return self._with(self.df.groupBy(key.alias(kname)).agg(F.count(F.lit(1)).alias(alias)), group_key=kname)
+
+    def select_keys(self) -> "Traversal":
+        """Keys of a grouped result (TraversalOps.scala:356-360) — the
+        reference sorts field-agg groups via ``_.selectKeys``
+        (Aggregation.scala:361-367)."""
+        if not self._group_key:
+            raise ValueError("selectKeys requires a preceding group()/groupCount()")
+        return self._with(self.df.select(self._group_key))
+
+    def select_values(self) -> "Traversal":
+        """Values of a grouped result (TraversalOps.scala:362-365); pairs
+        with ``localCount`` for group sizes, as the reference's field
+        aggregation does (Aggregation.scala:361-367)."""
+        if not self._group_key:
+            raise ValueError("selectValues requires a preceding group()/groupCount()")
+        vals = [c for c in self.df.columns if c != self._group_key]
+        return self._with(self.df.select(*vals))
 
     def fold(self, field: str | None = None, alias: str = "fold") -> "Traversal":
         """Collect into a list (TraversalOps.scala:344-345).  Sorted for
@@ -682,6 +733,84 @@ class Traversal:
         """coalesce(value, constant) (TraversalOps.scala:394-403)."""
         a = alias or (field if isinstance(field, str) else "coalesce")
         return self._with(self.df.withColumn(a, F.coalesce(self._resolve(field), F.lit(default))))
+
+    def coalesce_multi(
+        self,
+        *branches: Callable[["Traversal"], "Traversal"],
+        value_col: str,
+        default=None,
+        alias: str | None = None,
+    ) -> "Traversal":
+        """Branch-form coalesce (TraversalOps.scala:367-403,
+        ``coalesceIdent``/``coalesceMulti``): per element, the value of the
+        FIRST branch sub-traversal that produces output; ``default`` when
+        none does.
+
+        Spark shape: each branch computes (element keys → min(value)) —
+        min = deterministic canonical pick when a branch yields several
+        values per element — then N left joins + one ``coalesce`` across
+        the branch columns.  Branch sub-traversals must preserve the
+        element key columns (bind with :meth:`as_` if a hop would lose
+        them)."""
+        keys = self._id_cols()
+        a = alias or value_col
+        df = self.df
+        bcols = []
+        for i, br in enumerate(branches):
+            bdf = br(self).df
+            missing = [k for k in keys if k not in bdf.columns]
+            if missing:
+                raise ValueError(f"coalesce branch {i} lost key column(s) {missing!r}")
+            bname = f"__b{i}"
+            agg = bdf.groupBy(*keys).agg(F.min(value_col).alias(bname))
+            df = df.join(agg, on=keys, how="left")
+            bcols.append(F.col(bname))
+        out = df.withColumn(a, F.coalesce(*bcols, F.lit(default)))
+        return self._with(out.drop(*[f"__b{i}" for i in range(len(branches))]))
+
+    def choose_branch(
+        self,
+        on: str | Column,
+        cases: dict,
+        default=None,
+        alias: str = "choice",
+    ) -> "Traversal":
+        """chooseBranch with Pick semantics (TraversalOps.scala:274-282,
+        traversal/BranchSelector.scala:6-45): ``on``-value dispatches to a
+        per-case branch; ``default`` is Pick.none.  A branch may be a
+        literal, a Column, or a map-style sub-traversal ``Traversal →
+        Column`` evaluated against the current element (the reference's
+        traversal-valued branches re-walk the element; a Column over the
+        row IS that walk in columnar form)."""
+        col = self._resolve(on)
+
+        def _branch_col(v):
+            if callable(v) and not isinstance(v, Column):
+                return v(self)
+            return v if isinstance(v, Column) else F.lit(v)
+
+        expr = None
+        for k, v in cases.items():
+            bc = _branch_col(v)
+            expr = F.when(col == F.lit(k), bc) if expr is None else expr.when(col == F.lit(k), bc)
+        dflt = _branch_col(default) if default is not None else F.lit(None)
+        expr = expr.otherwise(dflt) if expr is not None else dflt
+        return self._with(self.df.withColumn(alias, expr))
+
+    # -- sack (TraversalOps.scala:668-676) --------------------------------
+    def with_sack(self, init, alias: str = "_sack") -> "Traversal":
+        """Seed a per-traverser accumulator column (Gremlin ``withSack``)."""
+        return self._with(self.df.withColumn(alias, F.lit(init) if not isinstance(init, Column) else init))
+
+    def sack_op(self, fn: Callable[[Column, DataFrame], Column], alias: str = "_sack") -> "Traversal":
+        """Update the sack from the current element: ``fn(sack_col, df) →
+        new sack``.  Column-carrying replaces Gremlin's per-traverser
+        mutable state — the sack is just a column riding the plan."""
+        return self._with(self.df.withColumn(alias, fn(F.col(alias), self.df)))
+
+    def sack(self, alias: str = "_sack") -> "Traversal":
+        """Project the sack value (Gremlin ``sack()`` step)."""
+        return self._with(self.df.select(F.col(alias)))
 
     def optional(self, sub: Callable[["Traversal"], "Traversal"], on: str) -> "Traversal":
         """optional(f) (TraversalOps.scala:405-406): element plus its

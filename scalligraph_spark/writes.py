@@ -40,8 +40,37 @@ def with_audit(
     )
 
 
-def create_entities(table: DataFrame, new_rows: DataFrame, label: str, id_col: str, created_by: str, at: str) -> DataFrame:
-    """Append stamped rows to a label table (model.create batch form)."""
+def enforce_unique(
+    table: DataFrame, new_rows: DataFrame, unique_keys: list[tuple[str, ...]]
+) -> DataFrame:
+    """Write-time unique-index enforcement (Model.scala:16-19 `unique`
+    indexes + the IntegrityCheckOps dedup loop): drop incoming rows that
+    duplicate an existing row's unique key, and de-duplicate the incoming
+    batch itself.  Each key check is one semi-structured anti-join against
+    a key projection of the table — at scale the probe side carries only
+    the key columns, and broadcast kicks in when the batch is small."""
+    out = new_rows
+    for keys in unique_keys:
+        kl = list(keys)
+        out = out.dropDuplicates(kl)
+        out = out.join(table.select(*kl).dropDuplicates(kl), on=kl, how="left_anti")
+    return out
+
+
+def create_entities(
+    table: DataFrame,
+    new_rows: DataFrame,
+    label: str,
+    id_col: str,
+    created_by: str,
+    at: str,
+    unique_keys: list[tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Append stamped rows to a label table (model.create batch form).
+    ``unique_keys`` (from ``EntityModel.unique_keys()``) rejects duplicate
+    rows before stamping."""
+    if unique_keys:
+        new_rows = enforce_unique(table, new_rows, unique_keys)
     return table.unionByName(with_audit(new_rows, label, id_col, created_by, at), allowMissingColumns=True)
 
 
