@@ -16,13 +16,16 @@ Layout (SURVEY.md §7.1):
   qlang/         JSON query language (filters/sorts/aggs)    (§2.3/2.5/2.6, §3.A)
   writes.py      create/update/delete with audit stamping    (§3.B.4)
   integrity.py   dedup + link integrity checks               (§2.11-adjacent)
+  migrations.py  schema-versioned Operation set              (§3.B.5)
   operators/     scale operators: dedup, similarity, multimodal
   functions/     scalar function library (text, vectors, hashing)
   streaming/     structured-streaming surface for event tables
 """
 
 from scalligraph_spark.catalog import EdgeSpec, GraphCatalog, VertexSpec, tpch_catalog
+from scalligraph_spark.migrations import SchemaUpdater, VersionStore
 from scalligraph_spark.model import AUDIT_COLUMNS, EntityModel, FieldSpec
+from scalligraph_spark.properties import PublicProperties, PublicProperty
 from scalligraph_spark.session import get_spark
 from scalligraph_spark.traversal import P, SortBy, TextP, Traversal
 
@@ -33,9 +36,13 @@ __all__ = [
     "FieldSpec",
     "GraphCatalog",
     "P",
+    "PublicProperties",
+    "PublicProperty",
+    "SchemaUpdater",
     "SortBy",
     "TextP",
     "Traversal",
+    "VersionStore",
     "VertexSpec",
     "get_spark",
     "tpch_catalog",

@@ -72,15 +72,16 @@ def compile_filter(
         if op == "_any":
             return F.lit(True)
         if op in ("_lt", "_gt", "_lte", "_gte", "_ne", "_is"):
-            f, v = _field_value(spec)
-            c, v = col(f), F.lit(val(f, v))
+            f, raw = _field_value(spec)
+            rv = val(f, raw)  # keep the PY value: None must route to eqNullSafe
+            c, v = col(f), F.lit(rv)
             return {
                 "_lt": c < v,
                 "_gt": c > v,
                 "_lte": c <= v,
                 "_gte": c >= v,
                 "_ne": c != v,
-                "_is": c.eqNullSafe(v) if v is None else c == v,
+                "_is": c.eqNullSafe(v) if rv is None else c == v,
             }[op]
         if op == "_startsWith":
             f, v = _field_value(spec)

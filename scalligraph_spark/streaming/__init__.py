@@ -1,0 +1,110 @@
+"""Structured Streaming surface: the reference's live-result machinery
+re-expressed as streams.
+
+Reference: transaction-scoped result streaming via Akka Sources
+(JanusDatabase.scala:191-209, core-test/.../StreamTransactionTest.scala:39-62)
+and cluster pub/sub eventing (core/.../services/EventSrv.scala:14-31).  A
+batch engine has no transactions to stream; the equivalent capability is a
+Structured Streaming pipeline over the same tables: file-source ingest →
+event-time windowed aggregation with watermarked late-data handling →
+incremental sink.
+
+Scale shape: the windowed aggregate is a streaming hash aggregate with
+state eviction at the watermark; ``available_now`` triggers process a
+backlog with bounded batches (the batch/stream unification point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet on-disk schema under nanosAsLong (ts is INT64 TIMESTAMP(NANOS))
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (readStream needs an explicit
+    schema; ns → timestamp conversion matches catalog._load_events exactly)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source needs a directory; events.parquet is a single file →
+    # stream the parent dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window rollup with late-data watermark: the
+    streaming twin of the ``time`` aggregation (Aggregation.scala:401-428).
+    State for windows older than the watermark is evicted — bounded memory
+    on an unbounded stream."""
+    from scalligraph_spark.functions import dsum
+
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("__ts", ts)
+        .withWatermark("__ts", watermark)
+        .groupBy(F.window("__ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("count"), dsum(F.col("value")).alias("total"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "count",
+            "total",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str = "events_rollup") -> DataFrame:
+    """Drain the current backlog through the streaming plan into an
+    in-memory sink and return the result table (the test/driver entry;
+    production would writeStream to parquet/Kafka with checkpointing)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (the stateful-operator shape): built-in
+    ``session_window`` keeps this JVM-side — no Python state machine needed
+    (applyInPandasWithState is the fallback for semantics Spark lacks)."""
+    from scalligraph_spark.functions import dsum
+
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("__ts", ts)
+        .withWatermark("__ts", gap)
+        .groupBy(F.session_window("__ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("sess.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sess.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,161 @@
+"""LLM-pipeline operator tests: dedup family recall/precision on known
+near-duplicates, similarity ranking, text scoring, and the multimodal
+Arrow-batch plumbing (cited by operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalligraph_spark.operators import (
+    brute_force_cosine_topk,
+    document_fingerprint,
+    exact_dedup,
+    extract_features,
+    fake_media_from_documents,
+    frame_sample,
+    language_score,
+    lsh_ann_topk,
+    lsh_bucket_candidates,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_pairs,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+    other = "completely different content about spark distributed query engines and columnar formats"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups(docs):
+    out = exact_dedup(docs).collect()
+    groups = {r["canonical_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2  # docs 1 and 2 are byte-identical
+    assert len(out) == 3
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] > 0.8
+    assert (1, 4) not in pairs
+
+
+def test_minhash_signature_deterministic(docs):
+    a = minhash_signature(docs, "text", "doc_id", 16).collect()
+    b = minhash_signature(docs, "text", "doc_id", 16).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_minhash_lsh_recall_on_dups(docs):
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert (1, 4) not in got
+
+
+def test_simhash_near_dups(spark):
+    # simhash needs enough tokens for the bit-votes to be stable — short
+    # docs flip too many bits per edit; use a ~26-distinct-token doc with a
+    # one-token addition as the near-dup
+    words = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike",
+        "november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu",
+    ]
+    base = " ".join(words)
+    near = base + " extraword"
+    other = "completely different content about spark distributed query engines and columnar formats"
+    sdocs = spark.createDataFrame([(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(sdocs, max_hamming=16).collect()}
+    assert got[(1, 2)] == 0  # identical docs → identical signatures
+    assert (1, 3) in got and got[(1, 3)] <= 16
+    assert (1, 4) not in got
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),  # near the query
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (4, [0.9, 0.2, 0.1, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_cosine_ranking(vecs):
+    out = brute_force_cosine_topk(vecs, query_id=0, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 4, 2]
+    assert out[0]["cosine"] > 0.99
+
+
+def test_lsh_candidates_and_rerank(vecs):
+    cands = lsh_bucket_candidates(vecs, num_planes=2, num_tables=4).collect()
+    assert all(r["id_a"] < r["id_b"] for r in cands)
+    topk = lsh_ann_topk(vecs, k=2, num_planes=2, num_tables=4)
+    rows = topk.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["id_a"], []).append(r["cosine"])
+    # per-source lists are sorted descending and capped at k
+    for sims in by_src.values():
+        assert sims == sorted(sims, reverse=True) and len(sims) <= 2
+
+
+def test_token_count_and_quality(docs):
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert tc[1] == 15
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0 <= q[1]["quality"] <= 1 and q[1]["stopword_ratio"] > 0
+
+
+def test_language_and_fingerprint(docs):
+    langs = {r["doc_id"]: r["pred_lang"] for r in language_score(docs).collect()}
+    assert langs[1] == "en"
+    fp = {r["doc_id"]: r["fingerprint"] for r in document_fingerprint(docs).collect()}
+    assert fp[1] == fp[2]  # identical content → identical fingerprint
+    assert fp[1] != fp[4]
+
+
+@pytest.fixture(scope="module")
+def media(spark, docs):
+    return fake_media_from_documents(
+        docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("test"))
+    )
+
+
+def test_multimodal_extract_features_schema_and_values(media, docs):
+    out = extract_features(media)
+    assert [f.name for f in out.schema.fields] == ["media_id", "kind", "n_bytes", "width", "height", "feature"]
+    rows = {r["media_id"]: r for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for mid, r in rows.items():
+        assert r["n_bytes"] == len(texts[mid].encode())
+        assert len(r["feature"]) == 8 and abs(sum(r["feature"]) - 1.0) < 1e-6
+        if r["kind"] == "image":
+            assert r["width"] == (r["n_bytes"] % 640) + 1
+        else:
+            assert r["width"] is None
+
+
+def test_multimodal_frame_sample_expansion(media):
+    frames = frame_sample(media, every_n_bytes=16)
+    rows = frames.collect()
+    video_ids = {r["media_id"] for r in media.where(F.col("kind") == "video").collect()}
+    assert {r["media_id"] for r in rows} == video_ids
+    # 1→N expansion happens inside the Arrow batch: frame_no sequences per id
+    for mid in video_ids:
+        nos = sorted(r["frame_no"] for r in rows if r["media_id"] == mid)
+        assert nos == list(range(len(nos))) and len(nos) >= 2
+        chunks = [r["chunk"] for r in rows if r["media_id"] == mid]
+        assert all(len(c) <= 16 for c in chunks)

@@ -1,0 +1,168 @@
+"""JSON query-language tests: the full 19-operator filter grammar
+(Filter.scala:131-196), sort tokens (InputSort.scala:13-47), aggregation
+grammar (Aggregation.scala), and auth-aware properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalligraph_spark.properties import PublicProperties
+from scalligraph_spark.qlang import QueryExecutor
+from scalligraph_spark.qlang.filters import compile_filter
+from scalligraph_spark.traversal import Traversal
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            (1, "marko", 29, "km"),
+            (2, "vadas", 27, None),
+            (3, "josh", 32, "jj"),
+            (4, "peter", 35, "pp"),
+        ],
+        "id long, name string, age long, nick string",
+    )
+
+
+def _ids(df, cond):
+    return sorted(r["id"] for r in df.where(cond).collect())
+
+
+def test_filter_grammar_all_operators(people):
+    f = lambda spec: _ids(people, compile_filter(spec, id_col="id"))
+    assert f({"_lt": {"_field": "age", "_value": 29}}) == [2]
+    assert f({"_gt": {"_field": "age", "_value": 32}}) == [4]
+    assert f({"_lte": {"_field": "age", "_value": 29}}) == [1, 2]
+    assert f({"_gte": {"_field": "age", "_value": 32}}) == [3, 4]
+    assert f({"_ne": {"_field": "age", "_value": 29}}) == [2, 3, 4]
+    assert f({"_is": {"_field": "name", "_value": "josh"}}) == [3]
+    assert f({"_startsWith": {"_field": "name", "_value": "ma"}}) == [1]
+    assert f({"_endsWith": {"_field": "name", "_value": "s"}}) == [2]
+    assert f({"_id": 4}) == [4]
+    assert f({"_between": {"_field": "age", "_from": 27, "_to": 32}}) == [1, 2]
+    assert f({"_in": {"_field": "name", "_values": ["marko", "peter"]}}) == [1, 4]
+    assert f({"_contains": "nick"}) == [1, 3, 4]
+    assert f({"_like": {"_field": "name", "_value": "*o*"}}) == [1, 3]
+    assert f({"_wildcard": {"_field": "name", "_value": "pet*"}}) == [4]
+    assert f({"_and": [{"_gt": {"_field": "age", "_value": 27}}, {"_lt": {"_field": "age", "_value": 35}}]}) == [1, 3]
+    assert f({"_or": [{"name": "marko"}, {"name": "vadas"}]}) == [1, 2]
+    assert f({"_not": {"name": "marko"}}) == [2, 3, 4]
+    assert f({"_any": {}}) == [1, 2, 3, 4]
+    assert f({"_string": "ignored"}) == [1, 2, 3, 4]
+    assert f({"name": "peter"}) == [4]  # bare field → _is
+    assert f({}) == [1, 2, 3, 4]  # empty object → yes (Filter.scala:195)
+
+
+def test_filter_deprecated_obj_form(people):
+    # FDeprecatedObjOne: {"_lt": {"age": 30}}
+    assert _ids(people, compile_filter({"_lt": {"age": 30}}, id_col="id")) == [1, 2]
+
+
+def test_filter_unknown_operator_raises(people):
+    with pytest.raises(ValueError):
+        compile_filter({"_bogus": 1})
+
+
+def test_is_null_safe(people):
+    assert _ids(people, compile_filter({"_is": {"_field": "nick", "_value": None}}, id_col="id")) == [2]
+
+
+def test_sort_tokens(modern):
+    ex = QueryExecutor(modern)
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    for fields, first in (
+        (["+name"], "josh"),
+        (["-name"], "vadas"),
+        ([{"name": "incr"}], "josh"),
+        ([{"name": "decr"}], "vadas"),
+        ([{"age": "asc"}], "vadas"),
+    ):
+        t = ex.execute([{"_name": "allPeople"}, {"_name": "sort", "_fields": fields}])
+        assert t.df.select("name").collect()[0]["name"] == first
+
+
+def test_aggregation_time_intervals(tpch):
+    ex = QueryExecutor(tpch)
+    ex.register_init("allOrders", lambda g, s, a: g.V("orders"))
+    t = ex.execute(
+        [{"_name": "allOrders"}, {"_name": "aggregation", "_agg": "time", "_field": "o_orderdate", "_interval": "1y"}]
+    )
+    rows = t.df.collect()
+    assert len(rows) >= 5 and all(r["count"] > 0 for r in rows)
+
+
+def test_aggregation_avg_min_max(modern):
+    ex = QueryExecutor(modern)
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    t = ex.execute(
+        [
+            {"_name": "allPeople"},
+            {
+                "_name": "aggregation",
+                "_agg": "field",
+                "_field": "name",
+                "_select": [{"_agg": "max", "_field": "age", "_name": "m"}],
+            },
+        ]
+    )
+    got = {r["name"]: r["m"] for r in t.df.collect()}
+    assert got["marko"] == 29 and len(got) == 4
+
+
+def test_registered_param_query(modern):
+    ex = QueryExecutor(modern)
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    ex.register(
+        "olderThan", "person", lambda t, s, a: t.has("age", __import__("scalligraph_spark.traversal", fromlist=["P"]).P.gt(int(s["min"])))
+    )
+    t = ex.execute([{"_name": "allPeople"}, {"_name": "olderThan", "min": 30}])
+    assert t.df.count() == 2
+
+
+def test_executor_dedup_and_limit(modern):
+    ex = QueryExecutor(modern)
+    ex.register_init("allSoftware", lambda g, s, a: g.V("software"))
+    t = ex.execute([{"_name": "allSoftware"}, {"_name": "limit", "n": 1}])
+    assert t.df.count() == 1
+    t2 = ex.execute([{"_name": "allSoftware"}, {"_name": "limitedCount", "threshold": 1}])
+    assert t2.df.collect()[0]["count"] == -1
+
+
+def test_unknown_query_raises(modern):
+    ex = QueryExecutor(modern)
+    with pytest.raises(ValueError):
+        ex.execute([{"_name": "nope"}])
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    with pytest.raises(ValueError):
+        ex.execute([{"_name": "allPeople"}, {"_name": "alsoNope"}])
+
+
+def test_auth_aware_property_two_contexts(modern):
+    """PropertyBuilder.scala:34-44 authSelect: same public name, different
+    result per auth context."""
+    props = PublicProperties().auth_computed(
+        "name",
+        lambda a: F.col("name") if a and "admin" in (a.get("permissions") or []) else F.lit("<redacted>"),
+    )
+    df = modern.V("person").df
+    admin = df.select(props.read("name", {"permissions": ["admin"]}).alias("v")).collect()
+    user = df.select(props.read("name", {"permissions": []}).alias("v")).collect()
+    assert sorted(r["v"] for r in admin) == ["josh", "marko", "peter", "vadas"]
+    assert {r["v"] for r in user} == {"<redacted>"}
+
+
+def test_property_value_codec_reverse_mapping(modern):
+    """ModernQuery.scala:49-53: computed 'label' = 'Mister ' + name filters
+    by stripping the prefix from the incoming value."""
+    props = PublicProperties().computed(
+        "label",
+        lambda: F.concat(F.lit("Mister "), F.col("name")),
+        filter_expr=lambda: F.col("name"),
+        value_codec=lambda v: str(v).removeprefix("Mister "),
+    )
+    ex = QueryExecutor(modern, properties={"person": props})
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    t = ex.execute([{"_name": "allPeople"}, {"_name": "filter", "_is": {"_field": "label", "_value": "Mister josh"}}])
+    assert [r["name"] for r in t.df.select("name").collect()] == ["josh"]

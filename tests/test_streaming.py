@@ -1,0 +1,61 @@
+"""Structured Streaming tests: file-source ingest of the events table,
+watermarked windowed aggregation, available-now backlog drain, and session
+windows — verified against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalligraph_spark.streaming import (
+    event_stream,
+    run_available_now,
+    sessionize,
+    windowed_event_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+
+
+def test_stream_is_streaming(spark):
+    s = event_stream(spark, SF_DIR)
+    assert s.isStreaming
+    assert dict(s.dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_windowed_counts_match_batch(spark, batch_events):
+    stream_result = run_available_now(
+        windowed_event_counts(event_stream(spark, SF_DIR), window="1 day", watermark="1 day"),
+        query_name="t_rollup",
+    )
+    got = {(r["window_start"], r["event_type"]): (r["count"], r["total"]) for r in stream_result.collect()}
+    expected_df = (
+        batch_events.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 day").alias("win"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("count"), F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total"))
+        .select(F.col("win.start").cast("timestamp_ntz").alias("ws"), "event_type", "count", "total")
+    )
+    expected = {(r["ws"], r["event_type"]): (r["count"], r["total"]) for r in expected_df.collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_sessionize_batch_shape(spark, batch_events):
+    # session_window works on batch frames too — verify the shape and that
+    # sessions never overlap per user
+    out = sessionize(batch_events.limit(500), gap="30 minutes")
+    rows = out.collect()
+    assert len(rows) > 0
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["session_start"], r["session_end"]))
+    for sessions in by_user.values():
+        sessions.sort()
+        for (s1, e1), (s2, _) in zip(sessions, sessions[1:]):
+            assert e1 <= s2  # no overlap

@@ -1,0 +1,79 @@
+"""Write-path tests: audit stamping, update audit persistence across
+updates, unique-key enforcement, multi-valued property mutation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scalligraph_spark.writes import (
+    add_value,
+    create_entities,
+    enforce_unique,
+    remove_property,
+    remove_value,
+    remove_where,
+    update_where,
+    with_audit,
+)
+
+
+def test_with_audit_envelope(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    out = with_audit(df, label="thing", id_col="k", created_by="admin", at="2026-01-01 00:00:00")
+    rows = out.collect()
+    assert out.columns == ["_id", "_label", "_created_by", "_created_at", "v"]
+    assert {r["_id"] for r in rows} == {"1", "2"}
+    assert all(r["_label"] == "thing" and r["_created_by"] == "admin" for r in rows)
+
+
+def test_update_preserves_prior_audit(spark):
+    """A second update must NOT erase the first update's stamps on rows it
+    does not touch (the reference persists per-entity _updatedBy/_updatedAt)."""
+    df = spark.createDataFrame([(1, 10.0), (2, -5.0), (3, -1.0)], "k long, bal double")
+    once = update_where(df, F.col("k") == 2, {"bal": F.lit(0.0)}, "first", at="2026-01-01 00:00:00")
+    twice = update_where(once, F.col("k") == 3, {"bal": F.lit(0.0)}, "second", at="2026-02-01 00:00:00")
+    got = {r["k"]: (r["_updated_by"], r["bal"]) for r in twice.collect()}
+    assert got[1] == (None, 10.0)
+    assert got[2] == ("first", 0.0)  # preserved through the second update
+    assert got[3] == ("second", 0.0)
+
+
+def test_update_condition_sees_pre_update_values(spark):
+    df = spark.createDataFrame([(1, -5.0)], "k long, bal double")
+    out = update_where(df, F.col("bal") < 0, {"bal": F.lit(100.0)}, "fix")
+    r = out.collect()[0]
+    assert r["bal"] == 100.0 and r["_updated_by"] == "fix"
+
+
+def test_remove_where(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    assert sorted(r["k"] for r in remove_where(df, F.col("k") == 2).collect()) == [1, 3]
+
+
+def test_enforce_unique_rejects_existing_and_batch_dups(spark):
+    table = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    batch = spark.createDataFrame([(2, "dup-of-existing"), (3, "new"), (3, "batch-dup")], "k long, v string")
+    out = enforce_unique(table, batch, [("k",)])
+    assert [r["k"] for r in out.collect()] == [3]
+
+
+def test_create_entities_with_unique_keys(spark):
+    table = spark.createDataFrame([(1, "a")], "k long, v string")
+    batch = spark.createDataFrame([(1, "dup"), (2, "new")], "k long, v string")
+    out = create_entities(table, batch, "t", "k", "loader", "2026-01-01 00:00:00", unique_keys=[("k",)])
+    assert out.count() == 2  # original + the one genuinely-new row
+    stamped = [r for r in out.collect() if r["_id"] is not None]
+    assert len(stamped) == 1 and stamped[0]["_id"] == "2"
+
+
+def test_add_remove_value_and_property(spark):
+    df = spark.createDataFrame([(1, ["a"])], "k long, tags array<string>")
+    added = add_value(df, "tags", "b")
+    assert added.collect()[0]["tags"] == ["a", "b"]
+    # set semantics: adding an existing value is a no-op (array_union)
+    again = add_value(added, "tags", "b")
+    assert again.collect()[0]["tags"] == ["a", "b"]
+    removed = remove_value(again, "tags", "a")
+    assert removed.collect()[0]["tags"] == ["b"]
+    nulled = remove_property(df, "tags")
+    assert nulled.collect()[0]["tags"] is None
