@@ -1486,6 +1486,38 @@ def remove_elements(spark, sf):
 
 
 @q(
+    "blob_chunk_roundtrip",
+    "SELECT doc_id AS blob_id, text FROM documents",
+    "chunked binary storage round trip: payload → 32 KiB chunk rows → "
+    "reassembled payload (chunk rows replace the reference's NextChunk "
+    "linked list) — Database.scala:210,322-394, StorageSrv.scala:31-46",
+)
+def blob_chunk_roundtrip(spark, sf):
+    from scalligraph_spark.blobs import assemble_blobs, chunk_blobs
+
+    docs = cat_for(spark, sf).vertex_df("documents").select(
+        F.col("doc_id").alias("blob_id"), F.col("text").cast("binary").alias("payload")
+    )
+    back = assemble_blobs(chunk_blobs(docs, chunk_size=256))  # small chunks → real multi-chunk blobs
+    return back.select("blob_id", F.col("payload").cast("string").alias("text"))
+
+
+@q(
+    "streaming_windowed_rollup",
+    f"SELECT {time_bucket_sql('ts', 1, 'd')} AS window_start, event_type, "
+    f"count(*) AS count, {dsum_expr('value')} AS total FROM events GROUP BY 1, 2",
+    "Structured Streaming twin of the time aggregation: file-source ingest → "
+    "watermarked 1-day tumbling windows → available-now drain; must equal the "
+    "batch/oracle computation exactly — JanusDatabase.scala:191-209 re-expressed",
+)
+def streaming_windowed_rollup(spark, sf):
+    from scalligraph_spark.streaming import event_stream, run_available_now, windowed_event_counts
+
+    stream = windowed_event_counts(event_stream(spark, sf), window="1 day", watermark="1 day")
+    return run_available_now(stream, query_name="suite_rollup")
+
+
+@q(
     "integrity_dangling_links",
     "SELECT o.o_orderkey FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL",
     "link integrity: FK rows without a target vertex — IntegrityCheckOps single-link check",
