@@ -13,6 +13,7 @@ the same way — see functions.dsum for the rationale.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +35,26 @@ def _decimal_norm2(a):
         F.lit(0).cast(_PROD_DEC),
         lambda acc, v: (acc + v).cast(_PROD_DEC),
     ).cast("double")
+
+
+def _double_dot(a, b):
+    """Plain-double Σ a_i*b_i.  Per-row array aggregation evaluates in array
+    order on one executor — deterministic without decimal (decimal is only
+    required when an ORACLE recomputes the sum in a different order, as
+    DuckDB's unnest-SUM does for the brute-force baseline)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _double_norm2(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def brute_force_cosine_topk(
@@ -69,31 +90,37 @@ def brute_force_cosine_topk(
     )
 
 
-def _plane_bucket(vec_col: str, num_planes: int, table_seed: int):
-    """Sign-pattern bucket id of ``num_planes`` pseudo-random projections.
+def _bucket_udf(num_planes: int, num_tables: int):
+    """Arrow-vectorized bucket signatures: one numpy matmul per batch
+    against seeded Gaussian hyperplanes → ``num_tables`` bucket ids per
+    vector.
 
-    The "random" planes are xxhash64-derived per (table, plane, dimension) —
-    deterministic across runs and executors without shipping plane matrices.
+    Why a Pandas UDF here: Spark's higher-order array functions
+    (aggregate/zip_with) are interpreted per-element — num_tables ×
+    num_planes nested aggregates dominated the wall clock.  A (n, dim) @
+    (dim, tables·planes) matmul is the same math fully vectorized.  The
+    planes come from ``numpy.random.RandomState`` (the frozen legacy
+    generator — bit-reproducible across platforms and workers), so every
+    executor derives identical matrices without shipping state.
     """
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    from pyspark.sql.functions import pandas_udf
 
-    def proj(p: int):
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                dim_idx,
-                lambda x, d: F.when(
-                    F.xxhash64(F.lit(table_seed), F.lit(p), d).bitwiseAND(F.lit(1)) == 1, x.cast("double")
-                ).otherwise(-x.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        import numpy as np
 
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        bucket = bucket + F.when(proj(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+        mat = np.vstack(v.to_numpy())  # (n, dim)
+        dim = mat.shape[1]
+        planes = np.hstack(
+            [np.random.RandomState(7_000 + t).standard_normal((dim, num_planes)) for t in range(num_tables)]
+        )  # (dim, tables*planes)
+        signs = (mat.astype(np.float64) @ planes) > 0  # (n, tables*planes)
+        weights = (1 << np.arange(num_planes)).astype(np.int64)
+        per_table = [signs[:, t * num_planes : (t + 1) * num_planes] @ weights for t in range(num_tables)]
+        out = np.stack(per_table, axis=1)  # (n, tables)
+        return pd.Series(list(out))
+
+    return buckets
 
 
 def lsh_bucket_candidates(
@@ -119,27 +146,27 @@ def lsh_bucket_candidates(
     * candidates are pair-deduped before any downstream re-rank
       (:func:`lsh_ann_topk` does the exact-cosine re-rank).
 
-    Shape: bucket signatures are map-only; the per-table bucket self-join
-    is the only shuffle; union + dedup keys on (id_a, id_b).
+    Shape: bucket signatures are one Arrow-batched matmul (map-only); ONE
+    self-join on (table, bucket) covers all hash tables; dedup keys on
+    (id_a, id_b).
     """
     if num_planes is None:
         import math
 
         n = embeddings.count()  # one cheap metadata-ish job; amortized over the run
         num_planes = max(4, min(28, math.ceil(math.log2(max(2.0, n / target_bucket_rows)))))
-    tables = []
-    for t in range(num_tables):
-        bucket = _plane_bucket(vec_col, num_planes, table_seed=t)
-        sigs = embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
-        a, b = sigs.alias("a"), sigs.alias("b")
-        tables.append(
-            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))).select(
-                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-            )
+    udf = _bucket_udf(num_planes, num_tables)
+    sigs = embeddings.select(F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("bks"))
+    tb = sigs.select("id", F.posexplode("bks").alias("tbl", "bucket"))
+    a, b = tb.alias("a"), tb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
         )
-    from functools import reduce
-
-    return reduce(DataFrame.unionByName, tables).dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def lsh_ann_topk(
@@ -159,23 +186,36 @@ def lsh_ann_topk(
     """
     from pyspark.sql import Window
 
+    # bucket size derives from k: num_tables × bucket ≈ several × k candidate
+    # neighbors per vector is plenty for a top-k re-rank; bigger buckets just
+    # quadratically inflate the self-join without improving the final k
     pairs = lsh_bucket_candidates(
-        embeddings, num_planes=num_planes, num_tables=num_tables, id_col=id_col, vec_col=vec_col
+        embeddings,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        target_bucket_rows=max(16, 2 * k),
+        id_col=id_col,
+        vec_col=vec_col,
     )
     vecs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_decimal_norm2(F.col(vec_col))).alias("nrm")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_double_norm2(F.col(vec_col))).alias("nrm")
     )
-    both = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    # score each undirected pair ONCE, then mirror the scored rows — halves
+    # the dot products vs scoring both directions
     scored = (
-        both.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
+        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(_decimal_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
+            F.round(_double_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
         )
     )
+    # persist: both union branches read the scored pairs — without it the
+    # whole candidate pipeline (4 bucket joins + re-rank) runs twice
+    scored = scored.persist()
+    both = scored.unionByName(
+        scored.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), F.col("cosine"))
+    )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc_nulls_last(), F.col("id_b").asc())
-    return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+    return both.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
