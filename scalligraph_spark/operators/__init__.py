@@ -13,6 +13,11 @@ from scalligraph_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from scalligraph_spark.operators.graph_analytics import (
+    connected_components,
+    degrees,
+    pagerank,
+)
 from scalligraph_spark.operators.multimodal import (
     extract_features,
     fake_media_from_documents,
@@ -32,7 +37,10 @@ from scalligraph_spark.operators.text import (
 
 __all__ = [
     "brute_force_cosine_topk",
+    "connected_components",
+    "degrees",
     "document_fingerprint",
+    "pagerank",
     "exact_dedup",
     "extract_features",
     "fake_media_from_documents",

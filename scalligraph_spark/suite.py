@@ -1518,6 +1518,67 @@ def streaming_windowed_rollup(spark, sf):
 
 
 @q(
+    "graph_degrees",
+    "SELECT vertex, out_degree, in_degree, out_degree + in_degree AS degree FROM ("
+    "  SELECT coalesce(o.vertex, i.vertex) AS vertex, coalesce(o.od, 0) AS out_degree, coalesce(i.id_, 0) AS in_degree"
+    "  FROM (SELECT o_custkey AS vertex, count(*) AS od FROM orders GROUP BY o_custkey) o"
+    "  FULL OUTER JOIN (SELECT 1000000 + o_orderkey AS vertex, CAST(count(*) AS BIGINT) AS id_ FROM orders GROUP BY o_orderkey) i"
+    "  ON o.vertex = i.vertex)",
+    "graph analytics: per-vertex in/out/total degree over a graph export — "
+    "GraphX degrees analog, one aggregation per direction",
+)
+def graph_degrees(spark, sf):
+    from scalligraph_spark.operators import degrees
+
+    orders = cat_for(spark, sf).vertex_df("orders")
+    edges = orders.select(F.col("o_custkey").alias("src"), (F.lit(1000000) + F.col("o_orderkey")).alias("dst"))
+    return degrees(edges)
+
+
+@q(
+    "graph_connected_components",
+    """
+SELECT CAST(r_regionkey AS BIGINT) AS vertex, CAST(r_regionkey AS BIGINT) AS component FROM region
+UNION ALL
+SELECT CAST(100 + n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation
+UNION ALL
+SELECT CAST(1000 + c_custkey AS BIGINT), CAST(n.n_regionkey AS BIGINT)
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+    "graph analytics: connected components by min-label propagation "
+    "(HashToMin shape; iterative join supersteps with lineage checkpoints). "
+    "Differential oracle: on the region←nation←customer forest the component "
+    "is closed-form — the region id, which is the minimum namespaced vertex id",
+)
+def graph_connected_components(spark, sf):
+    from scalligraph_spark.operators import connected_components
+
+    c = cat_for(spark, sf)
+    nat = c.vertex_df("nation").select(
+        (F.lit(100) + F.col("n_nationkey")).cast("long").alias("src"), F.col("n_regionkey").cast("long").alias("dst")
+    )
+    cust = c.vertex_df("customer").select(
+        (F.lit(1000) + F.col("c_custkey")).cast("long").alias("src"),
+        (F.lit(100) + F.col("c_nationkey")).cast("long").alias("dst"),
+    )
+    return connected_components(nat.unionByName(cust))
+
+
+@q(
+    "graph_pagerank",
+    None,  # iterative fixpoint — no closed-form SQL oracle; rows-only
+    "graph analytics: 10-iteration PageRank (rank = (1-d) + d·Σ rank/outdeg, "
+    "GraphX staticRank formulation) over the customer→orders export",
+)
+def graph_pagerank(spark, sf):
+    from scalligraph_spark.operators import pagerank
+
+    orders = cat_for(spark, sf).vertex_df("orders")
+    edges = orders.select(F.col("o_custkey").alias("src"), (F.lit(1000000) + F.col("o_orderkey")).alias("dst"))
+    return pagerank(edges, iterations=5)
+
+
+@q(
     "integrity_dangling_links",
     "SELECT o.o_orderkey FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL",
     "link integrity: FK rows without a target vertex — IntegrityCheckOps single-link check",
