@@ -48,6 +48,21 @@ def render_grouped(df: DataFrame, key: str) -> dict:
     return out
 
 
+def render_stream(df: DataFrame, chunk_size: int = 1000):
+    """Streamed result chunks (IteratorOutput / chunked-JSON analog,
+    traversal/IteratorOutput.scala:7-15, JanusDatabase.scala:191-209):
+    yields lists of JSON objects via ``toLocalIterator`` — partitions are
+    fetched incrementally, so the driver never holds the full result."""
+    chunk: list[dict] = []
+    for row in df.toLocalIterator():
+        chunk.append({k: _json_value(v) for k, v in row.asDict(recursive=True).items()})
+        if len(chunk) >= chunk_size:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
+
+
 def render_scalar(df: DataFrame):
     """count/sum/… → bare value; empty aggregation renders null
     (Aggregation.scala:208,231-239)."""

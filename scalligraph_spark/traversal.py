@@ -266,6 +266,15 @@ class Traversal:
         """Full element (TraversalOps.scala:490-546) — the row already is it."""
         return self
 
+    def entity_map(self) -> "Traversal":
+        """Envelope-map render (TraversalOps.scala:524-546 ``entityMap``):
+        one map column name → stringified value, audit/_id keys included
+        when present — the JSON-facing element shape."""
+        pairs = []
+        for c in self.df.columns:
+            pairs += [F.lit(c), F.col(c).cast("string")]
+        return self._with(self.df.select(F.create_map(*pairs).alias("entity")))
+
     def project(self, **exprs: Column | str) -> "Traversal":
         """Multi-column projection (TraversalOps.scala:408-413);
         each kwarg is one ``by`` sub-projection."""

@@ -117,3 +117,21 @@ def test_page_with_limited_total(modern):
     # TraversalOps.scala:165-171)
     assert [r["name"] for r in rows] == ["josh", "marko"]
     assert all(r["total"] == -3 for r in rows)
+
+
+def test_entity_map_envelope(modern):
+    from scalligraph_spark.writes import with_audit
+    from scalligraph_spark.traversal import Traversal
+
+    df = with_audit(modern.V("person").df, "person", "person_id", "admin", "2026-01-01 00:00:00")
+    t = Traversal(df).entity_map()
+    m = t.df.collect()[0]["entity"]
+    assert m["_label"] == "person" and m["_created_by"] == "admin" and "name" in m
+
+
+def test_render_stream_chunks(modern):
+    from scalligraph_spark.qlang.renderers import render_stream
+
+    chunks = list(render_stream(modern.V("person").df.select("name"), chunk_size=3))
+    assert [len(c) for c in chunks] == [3, 1]
+    assert {r["name"] for c in chunks for r in c} == {"marko", "vadas", "josh", "peter"}
