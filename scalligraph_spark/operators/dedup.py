@@ -20,12 +20,20 @@ scale by partitioning on hash/band keys:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def _tokens(text_col):
     return F.split(F.trim(text_col), r"\s+")
+
+
+def _base_hashes(text_col):
+    """One JVM-side xxhash64 per distinct token — the single expensive hash
+    pass; every derived hash family below is cheap integer arithmetic over
+    this array in numpy."""
+    return F.transform(F.array_distinct(_tokens(text_col)), lambda x: F.xxhash64(x))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -92,23 +100,47 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signature(docs: DataFrame, text_col: str, id_col: str, num_hashes: int = 64) -> DataFrame:
-    """MinHash signatures via seeded xxhash64 over distinct word shingles.
+def _minhash_udf(num_hashes: int):
+    """Arrow-vectorized MinHash from base token hashes.
 
-    hash_i(s) = xxhash64(s, seed=i); signature[i] = min over shingles.
-    Pure built-ins: explode → groupBy(id) with ``min_by``-free aggregation
-    using array of mins via collect is avoided — instead one agg per seed
-    batch computed with higher-order functions over the shingle array,
-    keeping everything map-side (no shuffle until banding).
+    hash_i(x) = (a_i·x + b_i) mod 2^64 with odd a_i — the multiply-shift
+    universal family derived from ONE xxhash64 per token.  The naive
+    formulation (xxhash64(token, seed=i) × num_hashes) re-hashes every
+    token 64×, and Spark's higher-order array functions evaluate it
+    interpreted per element; here it is one (tokens × hashes) numpy
+    broadcast per row, vectorized across the Arrow batch.  Constants come
+    from the frozen legacy RandomState — identical on every worker.
     """
-    toks = F.array_distinct(_tokens(F.col(text_col)))
-    def _minhash(seed: int):
-        # factory avoids default-arg lambdas: PySpark infers higher-order
-        # arity from the signature (a 2-arg lambda receives (elem, index))
-        return F.array_min(F.transform(toks, lambda x: F.xxhash64(x, F.lit(seed))))
+    from pyspark.sql.functions import pandas_udf
 
-    sig = F.array(*[_minhash(i) for i in range(num_hashes)]).alias("signature")
-    return docs.select(F.col(id_col).alias("id"), sig)
+    @pandas_udf("array<long>")
+    def mh(h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        rs = np.random.RandomState(42)
+        a = (rs.randint(0, 2**62, size=num_hashes, dtype=np.uint64) * 2 + 1).astype(np.uint64)
+        b = rs.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+        empty = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+        out = []
+        with np.errstate(over="ignore"):
+            for row in h:
+                if row is None or len(row) == 0:
+                    out.append(empty)
+                    continue
+                hh = np.asarray(row, dtype=np.int64).astype(np.uint64)
+                derived = hh[:, None] * a[None, :] + b[None, :]  # wraps mod 2^64
+                out.append(derived.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return mh
+
+
+def minhash_signature(docs: DataFrame, text_col: str, id_col: str, num_hashes: int = 64) -> DataFrame:
+    """MinHash signatures over distinct word tokens: one JVM xxhash64 per
+    token, then the full hash family + minima in one vectorized Arrow
+    batch (see _minhash_udf).  Map-only — no shuffle until banding."""
+    udf = _minhash_udf(num_hashes)
+    return docs.select(F.col(id_col).alias("id"), udf(_base_hashes(F.col(text_col))).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -128,9 +160,12 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # persist: the signature feeds both the banding pass and the estimate
-    # join-back; recomputing it would re-hash every token twice
+    # persist + eagerly materialize: the signature feeds both sides of the
+    # banded self-join AND the estimate join-back — lazily-persisted plans
+    # get computed once per scan inside the first job (the cache only
+    # helps after it is populated), so force it with a count first
     sigs = minhash_signature(docs, text_col, id_col, num_hashes).persist()
+    sigs.count()
     # the banded relation carries ONLY (id, band, bh) — 3 narrow columns.
     # Shipping the 64-long signature through the ×bands exploded self-join
     # would multiply shuffle bytes by ~bands×signature width; instead the
@@ -189,22 +224,29 @@ def simhash_pairs(
     probability — strictly better recall than single-prefix bucketing,
     which misses any near-dup differing in the prefix.
     """
-    toks = F.array_distinct(_tokens(F.col(text_col)))
-    # stage 1 (map-only): one xxhash64 per token
-    hashed = docs.select(F.col(id_col).alias("id"), F.transform(toks, lambda x: F.xxhash64(x)).alias("__h"))
+    from pyspark.sql.functions import pandas_udf
 
-    def _bit_vote(bit: int):
-        return F.aggregate(
-            F.col("__h"),
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    @pandas_udf("long")
+    def simhash64(h: pd.Series) -> pd.Series:
+        # all 64 bit-votes in one numpy broadcast per row: bits (t×64) →
+        # ±1 votes → column sums → sign bits packed back into an int64.
+        # (the per-bit aggregate formulation runs interpreted in Spark's
+        # higher-order functions — 64 array walks per row)
+        import numpy as np
 
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        bit_val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 is the long sign bit
-        sim = sim + F.when(_bit_vote(i) > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
-    sigs = hashed.select("id", sim.alias("simhash"))
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << shifts  # bit i → 2^i
+        out = np.zeros(len(h), dtype=np.uint64)
+        for i, row in enumerate(h):
+            if row is None or len(row) == 0:
+                continue
+            hh = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            bits = (hh[:, None] >> shifts[None, :]) & np.uint64(1)  # (t, 64)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            out[i] = (weights * (votes > 0)).sum(dtype=np.uint64)  # disjoint bits — exact
+        return pd.Series(out.view(np.int64))
+
+    sigs = docs.select(F.col(id_col).alias("id"), simhash64(_base_hashes(F.col(text_col))).alias("simhash"))
     # 4 block-bucket tables (OR-construction): block k = bits [16k, 16k+16)
     blocks = sigs.select(
         "id",

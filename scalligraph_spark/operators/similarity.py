@@ -211,9 +211,11 @@ def lsh_ann_topk(
             F.round(_double_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
         )
     )
-    # persist: both union branches read the scored pairs — without it the
-    # whole candidate pipeline (4 bucket joins + re-rank) runs twice
+    # persist + eager count: both union branches read the scored pairs —
+    # a lazy persist would compute the whole candidate pipeline once per
+    # branch inside the same job before the cache populates
     scored = scored.persist()
+    scored.count()
     both = scored.unionByName(
         scored.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), F.col("cosine"))
     )
