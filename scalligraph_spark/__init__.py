@@ -27,6 +27,7 @@ from scalligraph_spark.migrations import SchemaUpdater, VersionStore
 from scalligraph_spark.model import AUDIT_COLUMNS, EntityModel, FieldSpec
 from scalligraph_spark.properties import PublicProperties, PublicProperty
 from scalligraph_spark.session import get_spark
+from scalligraph_spark.store import LabelStore
 from scalligraph_spark.traversal import P, SortBy, TextP, Traversal
 
 __all__ = [
@@ -35,6 +36,7 @@ __all__ = [
     "EntityModel",
     "FieldSpec",
     "GraphCatalog",
+    "LabelStore",
     "P",
     "PublicProperties",
     "PublicProperty",

@@ -54,11 +54,19 @@ class QueryExecutor:
         catalog,
         properties: dict[str, PublicProperties] | None = None,
         limited_count_threshold: int = 1000,
+        custom_filters: dict | None = None,
     ):
         self.catalog = catalog
         self.properties = properties or {}
         self.limited_count_threshold = limited_count_threshold
+        # custom filter grammar extensions (FilterQuery composition,
+        # query/Filter.scala:22-30): op name → fn(spec, props, auth) → Column
+        self.custom_filters = custom_filters or {}
         self._queries: list[ParamQuery] = []
+
+    def register_filter(self, op: str, fn) -> "QueryExecutor":
+        self.custom_filters[op] = fn
+        return self
 
     # -- registration -----------------------------------------------------
     def register(self, name: str, from_kind: str, fn) -> "QueryExecutor":
@@ -107,7 +115,9 @@ class QueryExecutor:
         if name == "filter":
             spec = {k: v for k, v in step.items() if k != "_name"}
             id_col = t._id_col()
-            return t._with(t.df.where(compile_filter(spec, props, auth, id_col=id_col)))
+            return t._with(
+                t.df.where(compile_filter(spec, props, auth, id_col=id_col, custom_ops=self.custom_filters))
+            )
         if name == "sort":
             return t._with(t.df.orderBy(*compile_sort(step, props, auth)))
         if name in ("page", "range"):

@@ -43,9 +43,17 @@ def compile_filter(
     props: PublicProperties | None = None,
     auth: dict | None = None,
     id_col: str = "_id",
+    custom_ops: dict | None = None,
 ) -> Column:
-    """Compile one filter object to a boolean Column (Filter.scala:146-195)."""
+    """Compile one filter object to a boolean Column (Filter.scala:146-195).
+
+    ``custom_ops`` extends the grammar (QueryExecutor custom filter
+    queries, query/Filter.scala:22-30 ``FilterQuery`` composition): maps an
+    operator name (``"_near"``, ``"_mine"``, …) to ``fn(spec, props, auth)
+    → Column``.  Custom operators compose freely under ``_and/_or/_not``.
+    """
     props = props or PublicProperties()
+    custom_ops = custom_ops or {}
 
     def col(name: str) -> Column:
         return props.for_filter(name, auth)
@@ -108,6 +116,8 @@ def compile_filter(
             return TextP.like(str(val(f, v)))(col(f))
         if op == "_string":
             return F.lit(True)  # ignored with a warning in the reference
+        if op in custom_ops:
+            return custom_ops[op](spec, props, auth)
         if op.startswith("_"):
             raise ValueError(f"unknown filter operator {op!r}")
         # bare {field: value} → _is (Filter.scala:193)

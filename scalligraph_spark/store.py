@@ -1,0 +1,105 @@
+"""Versioned label-table storage: the Database SPI re-expressed for a
+batch engine.
+
+Reference: the ``Database`` SPI supplies transactions, snapshot reads and
+atomic element CRUD over a pluggable backend
+(core/.../models/Database.scala:23-109; JanusGraph impl
+JanusDatabase.scala:93-535).  A columnar engine has no OLTP transactions;
+the equivalent guarantees come from **table-version swaps**:
+
+* a write lands in a fresh ``v{N}`` directory, then a pointer file flips
+  to it with an atomic rename — readers see either the old version or the
+  new one, never a half-written table (snapshot isolation for free);
+* old versions stay on disk until vacuumed → time travel and rollback,
+  which also covers the reference's migration re-runs;
+* the path scheme selects the backend (local FS here; HDFS/S3 in
+  production through the same Hadoop FS layer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LabelStore:
+    """Versioned parquet tables, one directory per label.
+
+    Layout::
+
+        root/<label>/v1/…parquet files…
+        root/<label>/v2/…
+        root/<label>/_current     # JSON {"version": 2}
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- pointer management (atomic) --------------------------------------
+    def _pointer(self, label: str) -> str:
+        return os.path.join(self.root, label, "_current")
+
+    def version(self, label: str) -> int:
+        p = self._pointer(label)
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(json.load(f)["version"])
+
+    def _set_version(self, label: str, version: int) -> None:
+        # write-temp + rename: atomic on POSIX — readers never observe a
+        # partially-written pointer
+        d = os.path.dirname(self._pointer(label))
+        fd, tmp = tempfile.mkstemp(dir=d, prefix="_current.")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._pointer(label))
+
+    def history(self, label: str) -> list[int]:
+        d = os.path.join(self.root, label)
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(v[1:]) for v in os.listdir(d) if v.startswith("v") and v[1:].isdigit())
+
+    # -- reads / writes ----------------------------------------------------
+    def path(self, label: str, version: int | None = None) -> str:
+        v = self.version(label) if version is None else version
+        return os.path.join(self.root, label, f"v{v}")
+
+    def write(self, label: str, df: DataFrame) -> int:
+        """Commit a new table version and flip the pointer (the atomic
+        'transaction' of the batch world)."""
+        new_v = self.version(label) + 1
+        os.makedirs(os.path.join(self.root, label), exist_ok=True)
+        df.write.mode("overwrite").parquet(self.path(label, new_v))
+        self._set_version(label, new_v)
+        return new_v
+
+    def read(self, spark: SparkSession, label: str, version: int | None = None) -> DataFrame:
+        """Snapshot read — pinned to the pointed-at (or requested) version;
+        concurrent writes cannot change what this DataFrame scans."""
+        v = self.version(label) if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"label {label!r} has no committed version in {self.root}")
+        return spark.read.parquet(self.path(label, v))
+
+    def rollback(self, label: str, version: int) -> None:
+        """Point back to an earlier version (migration undo / time travel)."""
+        if version not in self.history(label):
+            raise ValueError(f"no version {version} for label {label!r}; have {self.history(label)}")
+        self._set_version(label, version)
+
+    def vacuum(self, label: str, keep: int = 2) -> list[int]:
+        """Drop all but the newest ``keep`` versions (never the current).
+        Returns the versions removed."""
+        import shutil
+
+        current = self.version(label)
+        victims = [v for v in self.history(label)[:-keep] if v != current]
+        for v in victims:
+            shutil.rmtree(self.path(label, v), ignore_errors=True)
+        return victims

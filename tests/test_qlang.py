@@ -166,3 +166,18 @@ def test_property_value_codec_reverse_mapping(modern):
     ex.register_init("allPeople", lambda g, s, a: g.V("person"))
     t = ex.execute([{"_name": "allPeople"}, {"_name": "filter", "_is": {"_field": "label", "_value": "Mister josh"}}])
     assert [r["name"] for r in t.df.select("name").collect()] == ["josh"]
+
+
+def test_custom_filter_grammar(modern):
+    """Custom filter operators (FilterQuery composition, Filter.scala:22-30):
+    registered ops compose with the built-in grammar under _and/_not."""
+    ex = QueryExecutor(modern)
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    ex.register_filter("_nameLen", lambda spec, props, auth: F.length(F.col("name")) == int(spec))
+    t = ex.execute(
+        [
+            {"_name": "allPeople"},
+            {"_name": "filter", "_and": [{"_nameLen": 5}, {"_not": {"name": "vadas"}}]},
+        ]
+    )
+    assert sorted(r["name"] for r in t.df.select("name").collect()) == ["marko", "peter"]
