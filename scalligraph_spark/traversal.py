@@ -534,7 +534,9 @@ class Traversal:
         lhs = self._rename_collisions(edges.columns)
         sj = f"__h{lhs._hop_n}__{e.src_join_col}" if f"__h{lhs._hop_n}__{e.src_join_col}" in lhs.df.columns else e.src_join_col
         joined = lhs.df.join(edges, lhs.df[sj] == edges[e.src_key], "inner")
-        return lhs._with(joined, label=e.label, edge_label=e.label)
+        t = lhs._with(joined, label=e.label, edge_label=e.label)
+        t._edge_entered_from = "src"
+        return t
 
     def in_e(self, edge_label: str) -> "Traversal":
         """Step onto in-edges (TraversalOps.scala:450-455)."""
@@ -543,7 +545,20 @@ class Traversal:
         lhs = self._rename_collisions(edges.columns)
         dj = f"__h{lhs._hop_n}__{e.dst_join_col}" if f"__h{lhs._hop_n}__{e.dst_join_col}" in lhs.df.columns else e.dst_join_col
         joined = lhs.df.join(edges, lhs.df[dj] == edges[e.dst_key], "inner")
-        return lhs._with(joined, label=e.label, edge_label=e.label)
+        t = lhs._with(joined, label=e.label, edge_label=e.label)
+        t._edge_entered_from = "dst"
+        return t
+
+    def other_v(self) -> "Traversal":
+        """Edge → the endpoint NOT stepped in from (TraversalOps.scala:457-462
+        ``otherV``): after ``outE`` that is the head (inV), after ``inE`` the
+        tail (outV)."""
+        entered = getattr(self, "_edge_entered_from", None)
+        if entered == "src":
+            return self.in_v()
+        if entered == "dst":
+            return self.out_v()
+        raise ValueError("otherV requires the traversal to be on an edge entered via outE/inE")
 
     def in_v(self) -> "Traversal":
         """Edge → head vertex (TraversalOps.scala:457-462)."""

@@ -118,3 +118,14 @@ def remove_value(df: DataFrame, col: str, value) -> DataFrame:
 def remove_property(df: DataFrame, col: str) -> DataFrame:
     """removeProperty → null out the column (schema keeps the field)."""
     return df.withColumn(col, F.lit(None).cast(dict(df.dtypes)[col]))
+
+
+def validate_enum(df: DataFrame, col: str, allowed: list[str], reject: bool = True) -> DataFrame:
+    """Enum ↔ string write validation (Mapping.scala:77-85: enums store as
+    strings and re-parse through the enumeration, so invalid values fail).
+    ``reject=True`` drops invalid rows; ``reject=False`` nulls the value
+    (the lenient path).  A CHECK-constraint stand-in for columnar storage."""
+    ok = F.col(col).isin(allowed)
+    if reject:
+        return df.where(ok | F.col(col).isNull())
+    return df.withColumn(col, F.when(ok, F.col(col)).otherwise(F.lit(None).cast("string")))

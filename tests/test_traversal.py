@@ -289,3 +289,11 @@ def test_terminals(modern):
         p.has("name", "nobody").head()
     assert p.exists() and not p.has("name", "nobody").exists()
     assert p.get_count() == 4
+
+
+def test_other_v_directions(modern):
+    # outE → otherV = head (the software); inE → otherV = tail (the creator)
+    fwd = modern.V("person", ids=[1]).out_e("created").other_v()
+    assert [r["name"] for r in fwd.df.select("name").collect()] == ["lop"]
+    back = modern.V("software", ids=[5]).in_e("created").other_v()
+    assert [r["name"] for r in back.df.select("name").collect()] == ["josh"]

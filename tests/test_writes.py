@@ -77,3 +77,14 @@ def test_add_remove_value_and_property(spark):
     assert removed.collect()[0]["tags"] == ["b"]
     nulled = remove_property(df, "tags")
     assert nulled.collect()[0]["tags"] is None
+
+
+def test_validate_enum(spark):
+    from scalligraph_spark.writes import validate_enum
+
+    df = spark.createDataFrame([(1, "open"), (2, "bogus"), (3, None)], "k long, status string")
+    strict = validate_enum(df, "status", ["open", "closed"])
+    assert sorted(r["k"] for r in strict.collect()) == [1, 3]
+    lenient = validate_enum(df, "status", ["open", "closed"], reject=False)
+    got = {r["k"]: r["status"] for r in lenient.collect()}
+    assert got == {1: "open", 2: None, 3: None}
