@@ -25,6 +25,7 @@ from scalligraph_spark.operators.multimodal import (
 )
 from scalligraph_spark.operators.similarity import (
     brute_force_cosine_topk,
+    ivf_ann_topk,
     lsh_ann_topk,
     lsh_bucket_candidates,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "extract_features",
     "fake_media_from_documents",
     "frame_sample",
+    "ivf_ann_topk",
     "language_score",
     "lsh_ann_topk",
     "lsh_bucket_candidates",

@@ -169,6 +169,99 @@ def lsh_bucket_candidates(
     )
 
 
+def _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col, iters=5):
+    """Spherical k-means trained DRIVER-SIDE on a deterministic sample —
+    the standard IVF shape: the coarse quantizer trains on a bounded
+    sample (hash-ordered → reproducible), assignment runs distributed.
+    Returns unit-norm centroids as a (k, dim) float64 numpy array."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(vec_col, id_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int | None = None,
+    n_probe: int = 4,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k neighbors — the second scale path beside LSH.
+
+    Pipeline: spherical k-means coarse quantizer (trained on a
+    deterministic ≤``sample_rows`` sample, driver-side numpy) → every
+    vector lists into its nearest cell (one Arrow matmul, map-only) →
+    each query probes its ``n_probe`` nearest cells (candidates =
+    probe ⋈ cell-index equi-join, the only shuffle) → exact-cosine
+    re-rank → top k per query.
+
+    Scale: cells ≈ √N keeps cell lists ≈ √N rows; candidates per query ≈
+    n_probe·√N — subquadratic, with recall controlled by n_probe.
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    n = embeddings.count()
+    if n_centroids is None:
+        n_centroids = max(4, min(4096, int(math.sqrt(max(n, 4)))))
+    C = _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col)
+    n_probe = min(n_probe, n_centroids)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T  # (n, k_centroids)
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    cells = embeddings.select(F.col(id_col).alias("id"), probe_cells(F.col(vec_col)).alias("cells")).persist()
+    cells.count()
+    index = cells.select("id", F.col("cells")[0].alias("cell"))  # each vector lists in its nearest cell
+    probes = cells.select(F.col("id").alias("qid"), F.explode("cells").alias("cell"))
+    cands = (
+        probes.join(index, "cell")
+        .where(F.col("qid") != F.col("id"))
+        .select(F.col("qid").alias("id_a"), F.col("id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_double_norm2(F.col(vec_col))).alias("nrm")
+    )
+    scored = (
+        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_double_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc_nulls_last(), F.col("id_b").asc())
+    return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     k: int = 10,

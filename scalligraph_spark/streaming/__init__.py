@@ -88,6 +88,44 @@ def run_available_now(stream_df: DataFrame, query_name: str = "events_rollup") -
     return stream_df.sparkSession.table(query_name)
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    RUNNING event count / value total across micro-batches — state Spark's
+    built-in aggregations cannot express incrementally per update-batch
+    (windowed aggs re-emit windows; this emits the running total per user
+    per batch, the pub/sub EventSrv counter shape).
+
+    State layout: one (count, total) pair per user key, updated per Arrow
+    batch group; output mode "update" emits only users seen in the batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (the stateful-operator shape): built-in
     ``session_window`` keeps this JVM-side — no Python state machine needed

@@ -1407,6 +1407,19 @@ def similarity_lsh_q(spark, sf):
 
 
 @q(
+    "similarity_ivf_topk",
+    None,  # k-means cell assignment — no closed-form oracle; rows-only
+    "IVF ANN top-k: spherical k-means coarse quantizer (deterministic "
+    "sample training) → cell-list probe join → exact-cosine re-rank — the "
+    "second scale path beside LSH",
+)
+def similarity_ivf_topk_q(spark, sf):
+    from scalligraph_spark.operators import ivf_ann_topk
+
+    return ivf_ann_topk(cat_for(spark, sf).vertex_df("embeddings"), k=10)
+
+
+@q(
     "text_token_count",
     "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens, "
     "CAST(length(text) AS DOUBLE) / 4 AS est_bpe_tokens FROM documents",

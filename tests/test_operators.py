@@ -159,3 +159,19 @@ def test_multimodal_frame_sample_expansion(media):
         assert nos == list(range(len(nos))) and len(nos) >= 2
         chunks = [r["chunk"] for r in rows if r["media_id"] == mid]
         assert all(len(c) <= 16 for c in chunks)
+
+
+def test_ivf_ann_full_probe_equals_brute_force(vecs):
+    """With n_probe == n_centroids every cell is probed → IVF candidates
+    are all pairs and the top-k must equal the exact brute force."""
+    from scalligraph_spark.operators import ivf_ann_topk
+
+    rows = ivf_ann_topk(vecs, k=3, n_centroids=2, n_probe=2).collect()
+    mine = sorted((r["id_b"] for r in rows if r["id_a"] == 0))
+    exact = sorted(r["vec_id"] for r in brute_force_cosine_topk(vecs, query_id=0, k=3).collect())
+    assert mine == exact
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["id_a"], []).append(r["cosine"])
+    for sims in by_src.values():
+        assert sims == sorted(sims, reverse=True) and len(sims) <= 3

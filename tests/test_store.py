@@ -68,3 +68,23 @@ def test_migration_rewrite_cycle(spark, store, tmp_path):
     out = store.read(spark, "person")
     assert out.collect()[0]["status"] == "active"
     assert versions.get("person") == 1 and store.version("person") == 2
+
+
+def test_catalog_backed_by_store(spark, store):
+    """Full write→query loop: create entities into the store, traverse via
+    the catalog, rewrite (update), and see the new version on the next scan."""
+    from scalligraph_spark.catalog import GraphCatalog
+    from scalligraph_spark.traversal import P
+    from scalligraph_spark.writes import update_where, with_audit
+
+    rows = spark.createDataFrame([(1, "marko", 29), (2, "vadas", 27)], "pid long, name string, age long")
+    store.write("person", with_audit(rows, "person", "pid", "admin", "2026-01-01 00:00:00"))
+
+    cat = GraphCatalog(spark).add_store_vertex(store, "person", "_id", name_col="name")
+    assert cat.V("person").has("age", P.gt(28)).df.count() == 1
+
+    current = store.read(spark, "person")
+    store.write("person", update_where(current, F.col("age") < 28, {"age": F.lit(99)}, "fixer"))
+    t = cat.V("person").has("age", P.gt(28))
+    assert sorted(r["name"] for r in t.df.select("name").collect()) == ["marko", "vadas"]
+    assert store.version("person") == 2

@@ -59,3 +59,32 @@ def test_sessionize_batch_shape(spark, batch_events):
         sessions.sort()
         for (s1, e1), (s2, _) in zip(sessions, sessions[1:]):
             assert e1 <= s2  # no overlap
+
+
+def test_running_user_totals_stateful(spark, batch_events):
+    """applyInPandasWithState running totals must equal the batch groupBy
+    after the backlog drains."""
+    from scalligraph_spark.streaming import running_user_totals
+
+    stream = running_user_totals(event_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_df = spark.table("t_totals").toPandas()
+    # "update" mode may emit a user several times across micro-batches;
+    # the LAST emission per user carries the final running total
+    got = {}
+    for _, r in got_df.iterrows():
+        got[int(r["user_id"])] = (int(r["n_events"]), round(float(r["total_value"]), 6))
+    expected = {
+        int(r["user_id"]): (int(r["n"]), round(float(r["t"]), 6))
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("t"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
