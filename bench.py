@@ -36,9 +36,15 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_cosine_topk",
     "similarity_ann_topk",
+    "similarity_ivf_topk",
     "text_quality_tokens",
     "text_lang_fingerprint",
     "multimodal_features",
+    "graph_degrees",
+    "graph_connected_components",
+    "graph_pagerank",
+    "blob_chunk_roundtrip",
+    "streaming_windowed_rollup",
 ]
 
 

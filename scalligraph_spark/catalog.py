@@ -145,6 +145,27 @@ class GraphCatalog:
 
         return Traversal(self.edge_df(label), catalog=self, label=label, edge_label=label)
 
+    def VV(self):  # noqa: N802
+        """All-labels vertex scan (Graph.scala:26-28 ``graph.VV``): union of
+        every vertex table, null-padded, with a ``_label`` discriminator."""
+        from scalligraph_spark.traversal import Traversal
+
+        dfs = [
+            spec.loader().withColumn("_label", F.lit(label)) for label, spec in self.vertices.items()
+        ]
+        df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+        return Traversal(df, catalog=self, label=None)
+
+    def EE(self):  # noqa: N802
+        """All-labels edge scan (Graph.scala:29-32 ``graph.EE``)."""
+        from scalligraph_spark.traversal import Traversal
+
+        dfs = [
+            spec.loader().withColumn("_label", F.lit(label)) for label, spec in self.edges.items()
+        ]
+        df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+        return Traversal(df, catalog=self, label=None)
+
     def empty(self, label: str):
         """Empty traversal with a label's schema (Graph.scala:33)."""
         from scalligraph_spark.traversal import Traversal

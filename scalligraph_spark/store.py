@@ -70,12 +70,32 @@ class LabelStore:
         v = self.version(label) if version is None else version
         return os.path.join(self.root, label, f"v{v}")
 
-    def write(self, label: str, df: DataFrame) -> int:
+    def write(
+        self,
+        label: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        bucket_hint: tuple[int, list[str]] | None = None,
+    ) -> int:
         """Commit a new table version and flip the pointer (the atomic
-        'transaction' of the batch world)."""
+        'transaction' of the batch world).
+
+        ``partition_by`` → hive-style directory partitioning (partition
+        pruning on those columns); ``bucket_hint`` = (n, cols) →
+        pre-repartition by the bucket columns so same-key rows co-locate
+        in files (co-located joins without a metastore bucketing spec).
+        Both typically derive from the model's index hints
+        (Model.scala:16-19 basic/standard indexes → layout columns).
+        """
         new_v = self.version(label) + 1
         os.makedirs(os.path.join(self.root, label), exist_ok=True)
-        df.write.mode("overwrite").parquet(self.path(label, new_v))
+        if bucket_hint:
+            n, cols = bucket_hint
+            df = df.repartition(n, *[df[c] for c in cols])
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(label, new_v))
         self._set_version(label, new_v)
         return new_v
 

@@ -135,3 +135,12 @@ def test_render_stream_chunks(modern):
     chunks = list(render_stream(modern.V("person").df.select("name"), chunk_size=3))
     assert [len(c) for c in chunks] == [3, 1]
     assert {r["name"] for c in chunks for r in c} == {"marko", "vadas", "josh", "peter"}
+
+
+def test_vv_ee_all_label_scans(modern):
+    vv = modern.VV()
+    assert vv.df.count() == 6
+    assert {r["_label"] for r in vv.df.select("_label").collect()} == {"person", "software"}
+    ee = modern.EE()
+    assert ee.df.count() == 6  # 2 knows + 4 created
+    assert vv.has("_label", "person").df.count() == 4  # filter by label on the union

@@ -88,3 +88,16 @@ def test_catalog_backed_by_store(spark, store):
     t = cat.V("person").has("age", P.gt(28))
     assert sorted(r["name"] for r in t.df.select("name").collect()) == ["marko", "vadas"]
     assert store.version("person") == 2
+
+
+def test_partitioned_write_prunes(spark, store, tmp_path):
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "a", "y")], "k long, part string, v string"
+    )
+    store.write("pt", df, partition_by=["part"], bucket_hint=(2, ["k"]))
+    root = store.path("pt")
+    assert sorted(d for d in os.listdir(root) if d.startswith("part=")) == ["part=a", "part=b"]
+    back = store.read(spark, "pt")
+    assert back.where(F.col("part") == "a").count() == 2
