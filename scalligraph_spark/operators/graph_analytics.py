@@ -81,8 +81,15 @@ def connected_components(
         )
         if (i + 1) % checkpoint_every == 0:
             updated = updated.localCheckpoint(eager=True)  # cut iterative lineage
+        else:
+            # persist each superstep: the convergence probe below
+            # materializes it, so the next iteration (and the final
+            # result) reads the cache instead of replaying the whole
+            # superstep chain
+            updated = updated.persist()
+        prev, comp = comp, updated.drop("__changed")
         changed = updated.where(F.col("__changed")).limit(1).count()
-        comp = updated.drop("__changed")
+        prev.unpersist()
         if changed == 0:
             break
     return comp
