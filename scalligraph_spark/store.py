@@ -25,6 +25,27 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Metastore-backed bucketed label table
+    (``bucketBy(...).sortBy(...).saveAsTable``): equi-joins and
+    aggregations keyed on the bucket columns run with NO exchange — both
+    sides are already hash-co-located on disk.  This is the 100 TB answer
+    for hop joins between two fact-sized tables (customer⨝orders at
+    scale): pay the shuffle once at write time, never per query.
+    The bucket columns should come from the model's index hints
+    (Model.scala:16-19).  See tests/test_store.py for the plan proof."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.saveAsTable(table)
+
+
 class LabelStore:
     """Versioned parquet tables, one directory per label.
 

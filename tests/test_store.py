@@ -101,3 +101,65 @@ def test_partitioned_write_prunes(spark, store, tmp_path):
     assert sorted(d for d in os.listdir(root) if d.startswith("part=")) == ["part=a", "part=b"]
     back = store.read(spark, "pt")
     assert back.where(F.col("part") == "a").count() == 2
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """write_bucketed proof: a join on the bucket key between two bucketed
+    tables contains NO Exchange node — the shuffle was paid at write time."""
+    import contextlib
+    import io
+
+    from scalligraph_spark.store import write_bucketed
+
+    a = spark.range(0, 10000).withColumn("v", F.col("id") % 7)
+    b = spark.range(0, 10000).withColumn("w", F.col("id") % 5)
+    write_bucketed(a, "bk_a", 4, ["id"])
+    write_bucketed(b, "bk_b", 4, ["id"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the SMJ path
+        j = spark.table("bk_a").join(spark.table("bk_b"), "id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+        assert j.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_edge_model_write_and_traverse(spark, store):
+    """Edge-entity round trip: model schema → audit-stamped edge rows into
+    the store → registered as a catalog edge → hop traversal."""
+    from scalligraph_spark.catalog import EdgeSpec, GraphCatalog
+    from scalligraph_spark.model import EntityModel
+    from scalligraph_spark.writes import with_audit
+
+    m = EntityModel.edge("likes", "person", "thing", {"strength": "double"})
+    assert m.is_edge and [f.name for f in m.schema().fields[:8]] == [
+        "_id", "_label", "_created_by", "_created_at", "_updated_by", "_updated_at", "src_id", "dst_id",
+    ]
+    people = spark.createDataFrame([(1, "marko"), (2, "vadas")], "pid long, name string")
+    things = spark.createDataFrame([(10, "lop")], "tid long, tname string")
+    edges = spark.createDataFrame([(100, 1, 10, 0.9), (101, 2, 10, 0.2)], "eid long, src_id long, dst_id long, strength double")
+    store.write("person", people)
+    store.write("thing", things)
+    store.write("likes", with_audit(edges, "likes", "eid", "admin", "2026-01-01 00:00:00"))
+
+    cat = GraphCatalog(spark)
+    cat.add_store_vertex(store, "person", "pid", name_col="name")
+    cat.add_store_vertex(store, "thing", "tid")
+    cat.add_edge(
+        EdgeSpec(
+            label="likes", src_label="person", dst_label="thing",
+            loader=lambda: store.read(spark, "likes"),
+            src_key="src_id", dst_key="dst_id", src_join_col="pid", dst_join_col="tid",
+            kind="table",
+        )
+    )
+    from scalligraph_spark.traversal import P
+
+    t = cat.V("person").out_e("likes").has("strength", P.gte(0.5)).in_v()
+    assert [r["tname"] for r in t.df.select("tname").collect()] == ["lop"]
