@@ -70,9 +70,9 @@ def time_bucket(ts: Column, interval: int, unit: str) -> Column:
     """Floor a timestamp to the reference's bucket key (a timestamp).
 
     * s/m/h/d: ``t - t % (unit_ms * interval)`` (Aggregation.scala:425-427)
-    * w: Thursday-anchored weeks — epoch day 0 (1970-01-01) was a Thursday,
-      so the epoch is shifted +3 days before the modulo and back after
-      (Aggregation.scala:409-414)
+    * w: epoch shifted +3 days before the weekly modulo and back after
+      (Aggregation.scala:409-414) — epoch day 0 (1970-01-01) was a
+      Thursday, so the shift lands week BOUNDARIES on Mondays (ISO weeks)
     * M/y: calendar month / year starts (Aggregation.scala:417-424)
     """
     # parquet timestamps arrive as TIMESTAMP_NTZ; the session is pinned UTC
@@ -169,3 +169,29 @@ def sha256_hex(col: Column) -> Column:
 def json_get(col: Column, path: str) -> Column:
     """JSON field extraction (JsValue mapping, Mapping.scala:54,60)."""
     return F.get_json_object(col, f"$.{path}")
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation — salting for joins AQE's skew splitting cannot fix
+# (e.g. a broadcast-ineligible dimension with one hot key).
+# ---------------------------------------------------------------------------
+
+
+def salted_join(big, small, on: str, n_salts: int = 16, how: str = "inner"):
+    """Skew-safe equi-join: the skewed (big) side gets a random-ish salt
+    derived from a stable row hash; the small side replicates ``n_salts``×.
+    One hot key then spreads over ``n_salts`` reducers instead of one.
+
+    Use when AQE skew-join splitting is unavailable (non-shuffle stages)
+    or a single key dominates beyond what splitting can balance; AQE
+    (enabled in session.py) remains the first line of defense.
+    """
+    from functools import reduce
+
+    salt = (F.xxhash64(*[F.col(c) for c in big.columns]) % n_salts + n_salts) % n_salts
+    b = big.withColumn("__salt", salt.cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = b.join(s, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -1,0 +1,72 @@
+"""Physical-plan regression guards: the scale properties PERF.md claims
+must stay true — pushdown reaching the scan, dimension joins broadcasting,
+top-k compiling to TakeOrderedAndProject, semi/anti joins for
+exists-filters. A refactor that silently loses one of these fails here,
+not at 100 TB."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from scalligraph_spark.suite import SUITE
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = SUITE[name].spark(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: the scan schema must NOT include unreferenced columns
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_dimension_hops_broadcast(spark):
+    p = _plan(spark, "hop_two_chain")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # both dims must broadcast, never shuffle
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    p = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in p
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in _plan(spark, "filter_semi_join")
+    assert "LeftAnti" in _plan(spark, "filter_anti_join")
+
+
+def test_top_k_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "top_k")
+
+
+def test_unique_enforce_anti_joins(spark):
+    assert _plan(spark, "unique_enforce").count("LeftAnti") >= 1
+
+
+def test_scan_filter_pushdown_on_predicates(spark):
+    p = _plan(spark, "has_eq")
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_no_cartesian_products_in_window(spark):
+    """No window query may hide an accidental cross join (the intentional
+    broadcast-1-row cross joins in count_steps/scalar_aggs excepted)."""
+    for name in list(SUITE)[:50]:
+        if name in ("count_steps", "scalar_aggs", "select_keys_values", "qlang_sort_page", "page_with_total"):
+            continue  # deliberate broadcast scalar/cross shapes
+        if SUITE[name].sql is None:
+            continue  # hash-derived ops carry persisted stages; plans audited in PERF.md
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
