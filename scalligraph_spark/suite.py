@@ -1592,6 +1592,115 @@ def graph_pagerank(spark, sf):
 
 
 @q(
+    "events_sessionize",
+    f"""
+WITH o AS (
+  SELECT user_id, ts, value, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM o
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m
+)
+SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, user_id,
+       count(*) AS n_events, {dsum_expr('value')} AS total_value
+FROM s GROUP BY user_id, sid
+""",
+    "session windows per user (built-in session_window, 30-minute gap) vs the "
+    "gaps-and-islands SQL formulation — the stateful-sessionization differential test",
+)
+def events_sessionize(spark, sf):
+    from scalligraph_spark.streaming import sessionize
+
+    return sessionize(cat_for(spark, sf).vertex_df("events"), gap="30 minutes")
+
+
+@q(
+    "q7_volume_shipping",
+    f"""
+SELECT supp_nation, cust_nation, l_year, {dsum_expr('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) shipping GROUP BY supp_nation, cust_nation, l_year
+""",
+    "TPC-H Q7-shaped cross-nation volume: disjunctive nation pairing over the "
+    "supplier/customer hops, broadcast nation dims",
+)
+def q7_volume_shipping(spark, sf):
+    c = cat_for(spark, sf)
+    li = c.vertex_df("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31 00:00:00").cast("timestamp_ntz"))
+    )
+    n1 = c.vertex_df("nation").select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = c.vertex_df("nation").select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        c.vertex_df("supplier")
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c.vertex_df("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.vertex_df("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(dsum(vol).alias("revenue"))
+
+
+@q(
+    "q18_large_orders",
+    f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice, {dsum_expr('l.l_quantity')} AS sum_qty
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 270
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100
+""",
+    "TPC-H Q18-shaped large-order detection: grouped-HAVING semi-join through "
+    "the traversal filter surface + top-k",
+)
+def q18_large_orders(spark, sf):
+    c = cat_for(spark, sf)
+    big = (
+        c.vertex_df("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 270)
+        .select("l_orderkey")
+    )
+    t = (
+        c.V("orders")
+        .filter_(lambda x: Traversal(big.select(F.col("l_orderkey").alias("o_orderkey"))))
+        .in_("placed")
+        .as_("c", "c_name", "c_custkey")
+    )
+    joined = t.df.join(c.vertex_df("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        joined.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@q(
     "integrity_dangling_links",
     "SELECT o.o_orderkey FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL",
     "link integrity: FK rows without a target vertex — IntegrityCheckOps single-link check",
