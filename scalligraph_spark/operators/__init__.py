@@ -10,6 +10,7 @@ from scalligraph_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signature,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "lsh_bucket_candidates",
     "minhash_lsh_pairs",
     "minhash_signature",
+    "near_dup_clusters",
     "ngram_jaccard_pairs",
     "quality_score",
     "simhash_pairs",

@@ -204,6 +204,35 @@ def minhash_lsh_pairs(
     return cands.select("id_a", "id_b", est.alias("est_jaccard")).where(F.col("est_jaccard") >= threshold)
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end dedup decision: near-dup pairs → connected components →
+    one canonical document per cluster (the production shape — a corpus is
+    deduplicated by KEEPING `canonical_id` rows, not by consuming raw
+    pairs).
+
+    Pipeline: :func:`minhash_lsh_pairs` candidates → min-label-propagation
+    connected components over the pair graph → every document mapped to
+    its cluster's minimum id.  Documents with no near-dup partner are
+    their own singleton cluster.  Returns (doc_id, canonical_id, is_kept).
+    """
+    from scalligraph_spark.operators.graph_analytics import connected_components
+
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, threshold)
+    comp = connected_components(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    all_ids = docs.select(F.col(id_col).alias("doc_id"))
+    out = all_ids.join(comp.withColumnRenamed("vertex", "doc_id"), "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("canonical_id")
+    )
+    return out.withColumn("is_kept", F.col("doc_id") == F.col("canonical_id"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -1407,6 +1407,18 @@ def similarity_lsh_q(spark, sf):
 
 
 @q(
+    "dedup_clusters",
+    None,  # minhash pair graph is hash-derived → rows-only
+    "end-to-end dedup decision: minhash near-dup pairs → connected components → "
+    "one canonical doc per cluster (doc_id, canonical_id, is_kept)",
+)
+def dedup_clusters_q(spark, sf):
+    from scalligraph_spark.operators import near_dup_clusters
+
+    return near_dup_clusters(cat_for(spark, sf).vertex_df("documents"))
+
+
+@q(
     "similarity_ivf_topk",
     None,  # k-means cell assignment — no closed-form oracle; rows-only
     "IVF ANN top-k: spherical k-means coarse quantizer (deterministic "

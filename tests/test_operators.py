@@ -175,3 +175,15 @@ def test_ivf_ann_full_probe_equals_brute_force(vecs):
         by_src.setdefault(r["id_a"], []).append(r["cosine"])
     for sims in by_src.values():
         assert sims == sorted(sims, reverse=True) and len(sims) <= 3
+
+
+def test_near_dup_clusters_decision(docs):
+    """Pairs (1,2) identical and (1,3) near → one cluster {1,2,3} with
+    canonical 1; doc 4 is its own singleton."""
+    from scalligraph_spark.operators import near_dup_clusters
+
+    out = {r["doc_id"]: (r["canonical_id"], r["is_kept"]) for r in near_dup_clusters(docs, threshold=0.5).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)
