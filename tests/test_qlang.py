@@ -181,3 +181,53 @@ def test_custom_filter_grammar(modern):
         ]
     )
     assert sorted(r["name"] for r in t.df.select("name").collect()) == ["marko", "peter"]
+
+
+def test_field_agg_conditional_subagg_query(modern):
+    """Per-sub-aggregation _query prefilter (Aggregation.scala:369-394):
+    count only the people over 30 within each lang-less group."""
+    ex = QueryExecutor(modern)
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    t = ex.execute(
+        [
+            {"_name": "allPeople"},
+            {
+                "_name": "aggregation",
+                "_agg": "field",
+                "_field": "name",
+                "_select": [
+                    {"_agg": "count"},
+                    {"_agg": "count", "_name": "seniors", "_query": {"_gt": {"_field": "age", "_value": 30}}},
+                ],
+            },
+        ]
+    )
+    got = {r["name"]: (r["count"], r["seniors"]) for r in t.df.collect()}
+    assert got == {"marko": (1, 0), "vadas": (1, 0), "josh": (1, 1), "peter": (1, 1)}
+
+
+def test_field_agg_order_by_key(modern):
+    ex = QueryExecutor(modern)
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    t = ex.execute(
+        [
+            {"_name": "allPeople"},
+            {"_name": "aggregation", "_agg": "field", "_field": "name", "_order": ["-name"], "_size": 2},
+        ]
+    )
+    assert [r["name"] for r in t.df.collect()] == ["vadas", "peter"]
+
+
+def test_scalar_agg_with_prefilter_and_name(modern):
+    ex = QueryExecutor(modern)
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    t = ex.execute(
+        [
+            {"_name": "allPeople"},
+            {"_name": "aggregation", "_agg": "sum", "_field": "age",
+             "_query": {"_gt": {"_field": "age", "_value": 30}}},
+        ]
+    )
+    # display name defaults to <kind>_<field> (the step-level _name is the
+    # chain dispatch key, as in the reference; custom names ride _select)
+    assert t.df.collect()[0]["sum_age"] == 67  # josh 32 + peter 35
