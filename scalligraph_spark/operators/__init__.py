@@ -12,6 +12,7 @@ from scalligraph_spark.operators.dedup import (
     minhash_signature,
     near_dup_clusters,
     ngram_jaccard_pairs,
+    pairs_to_clusters,
     simhash_pairs,
 )
 from scalligraph_spark.operators.graph_analytics import (
@@ -26,6 +27,8 @@ from scalligraph_spark.operators.multimodal import (
 )
 from scalligraph_spark.operators.similarity import (
     brute_force_cosine_topk,
+    embedding_cosine_pairs,
+    embedding_cosine_pairs_lsh,
     ivf_ann_topk,
     lsh_ann_topk,
     lsh_bucket_candidates,
@@ -42,6 +45,8 @@ __all__ = [
     "connected_components",
     "degrees",
     "document_fingerprint",
+    "embedding_cosine_pairs",
+    "embedding_cosine_pairs_lsh",
     "pagerank",
     "exact_dedup",
     "extract_features",
@@ -55,6 +60,7 @@ __all__ = [
     "minhash_signature",
     "near_dup_clusters",
     "ngram_jaccard_pairs",
+    "pairs_to_clusters",
     "quality_score",
     "simhash_pairs",
     "token_count",

@@ -222,9 +222,18 @@ def near_dup_clusters(
     its cluster's minimum id.  Documents with no near-dup partner are
     their own singleton cluster.  Returns (doc_id, canonical_id, is_kept).
     """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, threshold)
+    return pairs_to_clusters(docs, pairs, id_col=id_col)
+
+
+def pairs_to_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cluster/canonical decision from ANY near-dup pair source — minhash,
+    simhash, n-gram Jaccard, or embedding-cosine pairs all share this tail:
+    (id_a, id_b) edges → min-label connected components → every document
+    mapped to its cluster's minimum id; pairless documents stay singleton.
+    Returns (doc_id, canonical_id, is_kept)."""
     from scalligraph_spark.operators.graph_analytics import connected_components
 
-    pairs = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, threshold)
     comp = connected_components(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     all_ids = docs.select(F.col(id_col).alias("doc_id"))
     out = all_ids.join(comp.withColumnRenamed("vertex", "doc_id"), "doc_id", "left").select(

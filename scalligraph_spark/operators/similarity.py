@@ -90,6 +90,99 @@ def brute_force_cosine_topk(
     )
 
 
+def _exact_rerank(pairs: DataFrame, embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Score candidate (id_a, id_b) pairs with the exact cosine by joining
+    back to the NARROW vector table twice by id — candidates shuffle as two
+    longs, never carrying the embeddings through the candidate join."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_double_norm2(F.col(vec_col))).alias("nrm")
+    )
+    return (
+        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_double_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
+        )
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: every (a < b) pair with
+    ``cosine(a, b) >= threshold``.
+
+    This is the verification-oracle / small-N baseline (quadratic by
+    definition — :func:`embedding_cosine_pairs_lsh` is the 100 TB path).
+    The plan is deliberately the same formulation a SQL oracle uses, kept
+    fully inside whole-stage codegen (no interpreted higher-order lambdas,
+    no Python):
+
+    * posexplode each vector once → (id, i, x) term rows,
+    * per-id squared norms = one decimal-summed aggregation over the terms,
+    * pair dot products = equi-join of the term table with itself on the
+      component index ``i`` (a.id < b.id) → per-term decimal product →
+      hash-aggregated decimal sum per (id_a, id_b),
+    * cosine = dot / (‖a‖·‖b‖), rounded to 12 decimals BEFORE the
+      threshold filter so engine and oracle agree at the boundary.
+
+    Decimal routing makes the sums order-independent, so the result is
+    bit-identical to a DuckDB oracle re-summing in another order (see
+    functions.dsum).
+    """
+    terms = embeddings.select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("i", "x"))
+    n2 = terms.groupBy("id").agg(
+        F.sum((F.col("x").cast("double") * F.col("x").cast("double")).cast(_PROD_DEC)).cast("double").alias("n2")
+    )
+    a, b = terms.alias("a"), terms.alias("b")
+    dots = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (F.col("a.x").cast("double") * F.col("b.x").cast("double")).cast(_PROD_DEC).alias("p"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("p").cast("double").alias("dot"))
+    )
+    return (
+        dots.join(n2.select(F.col("id").alias("id_a"), F.col("n2").alias("na")), "id_a")
+        .join(n2.select(F.col("id").alias("id_b"), F.col("n2").alias("nb")), "id_b")
+        .select("id_a", "id_b", F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 12).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    num_planes: int | None = None,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-accelerated — the scale path.
+
+    Random-hyperplane buckets prune the pair space (the collision
+    probability per plane is 1 − θ/π, so pairs above the cosine threshold
+    collide with high probability in at least one of the ``num_tables``
+    tables), then every surviving candidate is re-scored with the EXACT
+    cosine and filtered at ``threshold`` — so precision is exact; only
+    recall is approximate, and it grows with ``num_tables``
+    (OR-construction).  Feed the output to ``dedup.near_dup_clusters`` for
+    canonical-document selection.
+    """
+    pairs = lsh_bucket_candidates(
+        embeddings, num_planes=num_planes, num_tables=num_tables, id_col=id_col, vec_col=vec_col
+    )
+    return _exact_rerank(pairs, embeddings, id_col, vec_col).where(F.col("cosine") >= threshold)
+
+
 def _bucket_udf(num_planes: int, num_tables: int):
     """Arrow-vectorized bucket signatures: one numpy matmul per batch
     against seeded Gaussian hyperplanes → ``num_tables`` bucket ids per
@@ -290,20 +383,9 @@ def lsh_ann_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
-    vecs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_double_norm2(F.col(vec_col))).alias("nrm")
-    )
     # score each undirected pair ONCE, then mirror the scored rows — halves
     # the dot products vs scoring both directions
-    scored = (
-        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_double_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
-        )
-    )
+    scored = _exact_rerank(pairs, embeddings, id_col, vec_col)
     # persist + eager count: both union branches read the scored pairs —
     # a lazy persist would compute the whole candidate pipeline once per
     # branch inside the same job before the cache populates

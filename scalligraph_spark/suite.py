@@ -34,6 +34,8 @@ from scalligraph_spark.functions import davg_expr, dsum, davg, dsum_expr, time_b
 from scalligraph_spark.operators import (
     brute_force_cosine_topk,
     document_fingerprint,
+    embedding_cosine_pairs,
+    embedding_cosine_pairs_lsh,
     exact_dedup,
     extract_features,
     fake_media_from_documents,
@@ -1722,3 +1724,38 @@ def integrity_dangling_links(spark, sf):
 
     c = cat_for(spark, sf)
     return dangling_links(c.vertex_df("orders"), "o_custkey", c.vertex_df("customer"), "c_custkey").select("o_orderkey")
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+WITH terms AS (
+  SELECT vec_id AS id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+n2 AS (SELECT id, CAST(SUM(CAST(x * x AS DECIMAL(28,18))) AS DOUBLE) AS n2 FROM terms GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,18))) AS DOUBLE) AS dot
+  FROM terms a JOIN terms b ON a.i = b.i AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
+FROM dots JOIN n2 na ON na.id = id_a JOIN n2 nb ON nb.id = id_b
+WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) >= 0.35
+""",
+    "embedding-cosine near-dup pairs, EXACT all-pairs baseline (decimal-exact "
+    "oracle; the LSH variant below is the 100 TB path)",
+)
+def dedup_embedding_cosine_q(spark, sf):
+    return embedding_cosine_pairs(cat_for(spark, sf).vertex_df("embeddings"), threshold=0.35)
+
+
+@q(
+    "dedup_embedding_cosine_lsh",
+    None,  # hyperplane-hash candidate recall has no SQL equivalent → rows-only
+    "embedding-cosine near-dup pairs via LSH candidates + exact re-rank: "
+    "precision exact (same threshold on the same cosine), recall grows with "
+    "num_tables OR-construction — the subquadratic scale path",
+)
+def dedup_embedding_cosine_lsh_q(spark, sf):
+    return embedding_cosine_pairs_lsh(cat_for(spark, sf).vertex_df("embeddings"), threshold=0.35, num_tables=8)

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from scalligraph_spark.operators import (
     brute_force_cosine_topk,
     document_fingerprint,
+    embedding_cosine_pairs,
+    embedding_cosine_pairs_lsh,
     exact_dedup,
     extract_features,
     fake_media_from_documents,
@@ -187,3 +189,51 @@ def test_near_dup_clusters_decision(docs):
     assert out[2] == (1, False)
     assert out[3] == (1, False)
     assert out[4] == (4, True)
+
+
+def test_embedding_cosine_pairs_exact(vecs):
+    """Exact path: every pair above threshold, none below, a<b canonical."""
+    rows = {(r["id_a"], r["id_b"]): r["cosine"] for r in embedding_cosine_pairs(vecs, threshold=0.9).collect()}
+    assert all(a < b for a, b in rows)
+    assert (0, 1) in rows and rows[(0, 1)] > 0.99  # planted near-dup
+    assert (0, 4) in rows  # cos ≈ 0.97
+    assert (0, 2) not in rows and (0, 3) not in rows  # orthogonal / opposite
+    # threshold is applied to the ROUNDED cosine (oracle-boundary contract)
+    loose = embedding_cosine_pairs(vecs, threshold=0.0).collect()
+    assert all(r["cosine"] >= 0.0 for r in loose)
+
+
+def test_embedding_cosine_lsh_precision_and_recall(spark):
+    """LSH path: precision exact (threshold re-applied on exact cosine);
+    recall at a high threshold approaches 1 with enough tables."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((2 * i, base))
+        # planted near-dup: tiny perturbation → cosine ≈ 1
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(df, threshold=0.95).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in embedding_cosine_pairs_lsh(df, threshold=0.95, num_tables=8).collect()}
+    assert approx <= exact  # exact re-rank ⇒ no false positives
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    assert planted <= exact
+    # near-identical vectors collide in virtually every table
+    assert len(approx & planted) >= 54  # ≥90% recall on planted dups
+
+
+def test_embedding_cosine_pairs_feed_clusters(vecs):
+    """Embedding-cosine pairs compose with the shared cluster tail: {0,1,4}
+    cluster together (canonical 0); 2 and 3 stay singleton."""
+    from scalligraph_spark.operators.dedup import pairs_to_clusters
+
+    pairs = embedding_cosine_pairs(vecs, threshold=0.9).select("id_a", "id_b")
+    out = pairs_to_clusters(vecs, pairs, id_col="vec_id")
+    m = {r["doc_id"]: (r["canonical_id"], r["is_kept"]) for r in out.collect()}
+    assert m[0] == (0, True)
+    assert m[1] == (0, False)
+    assert m[4] == (0, False)
+    assert m[2] == (2, True) and m[3] == (3, True)
