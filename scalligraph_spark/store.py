@@ -134,6 +134,51 @@ class LabelStore:
             raise ValueError(f"no version {version} for label {label!r}; have {self.history(label)}")
         self._set_version(label, version)
 
+    def stats(self, label: str, version: int | None = None) -> tuple[int, int]:
+        """(n_data_files, total_bytes) of a version's directory — the
+        small-file health metric that drives :meth:`compact`."""
+        n = total = 0
+        for root, _, files in os.walk(self.path(label, version)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    total += os.path.getsize(os.path.join(root, f))
+        return n, total
+
+    def compact(
+        self,
+        spark: SparkSession,
+        label: str,
+        target_file_bytes: int = 128 << 20,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Delta-OPTIMIZE-style compaction: rewrite the current version's
+        many small files into ``ceil(bytes / target_file_bytes)`` right-sized
+        ones, committed as a NEW version (same snapshot/rollback guarantees
+        as any write — readers of the old version are undisturbed, and a
+        bad compaction is one :meth:`rollback` away).
+
+        Small files are the silent scale-killer of incremental pipelines:
+        every micro-batch append adds task-sized files, and a 100 TB scan
+        over millions of 1 MiB files pays per-file open/footer costs and
+        floods the driver with splits.  Compaction uses ``coalesce`` (a
+        NARROW dependency — no shuffle; each output file concatenates whole
+        input files); for re-clustering by key use
+        ``write(..., bucket_hint=...)`` instead, which pays the shuffle to
+        buy co-located joins.
+
+        No-op (returns the current version) when the table already meets
+        the target file count.
+        """
+        import math
+
+        v = self.version(label)
+        n_files, total = self.stats(label, v)
+        target = max(1, math.ceil(total / target_file_bytes))
+        if target >= n_files:
+            return v
+        return self.write(label, self.read(spark, label, v).coalesce(target), partition_by=partition_by)
+
     def vacuum(self, label: str, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` versions (never the current).
         Returns the versions removed."""

@@ -163,3 +163,31 @@ def test_edge_model_write_and_traverse(spark, store):
 
     t = cat.V("person").out_e("likes").has("strength", P.gte(0.5)).in_v()
     assert [r["tname"] for r in t.df.select("tname").collect()] == ["lop"]
+
+
+def test_compact_merges_small_files(spark, store):
+    """Compaction rewrites a fragmented version into few files as a NEW
+    version — same rows, old version intact for rollback."""
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    store.write("frag", df.repartition(16))  # 16 task-sized files
+    n_before, bytes_before = store.stats("frag")
+    assert n_before == 16
+
+    v = store.compact(spark, "frag")  # default 128 MiB target → 1 file
+    assert v == 2 and store.version("frag") == 2
+    n_after, bytes_after = store.stats("frag")
+    assert n_after == 1
+    got = store.read(spark, "frag")
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).collect()[0][0] == df.agg({"k": "sum"}).collect()[0][0]
+    # snapshot guarantees hold: v1 still readable, rollback works
+    assert store.read(spark, "frag", version=1).count() == 10_000
+    store.rollback("frag", 1)
+    assert store.version("frag") == 1
+
+
+def test_compact_noop_when_already_compact(spark, store):
+    store.write("tight", spark.range(100).coalesce(1))
+    assert store.stats("tight")[0] == 1
+    v = store.compact(spark, "tight")
+    assert v == 1 and store.version("tight") == 1  # no new version written
