@@ -126,6 +126,32 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def deduped_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated ``keys`` rows arriving within
+    the watermark — the streaming twin of ``operators.exact_dedup`` (an
+    at-least-once ingest in front of the corpus tables makes duplicate
+    events/documents a certainty; dedup must happen ON the stream or every
+    downstream count is inflated).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``keys`` and
+    evicts each entry once the watermark passes its first-seen event time —
+    bounded state on an unbounded stream, which plain ``dropDuplicates``
+    cannot guarantee (its state grows forever without a watermark).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        events.withColumn("__ts", ts)
+        .withWatermark("__ts", watermark)
+        .dropDuplicatesWithinWatermark(keys or ["event_id"])
+        .drop("__ts")
+    )
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (the stateful-operator shape): built-in
     ``session_window`` keeps this JVM-side — no Python state machine needed

@@ -88,3 +88,35 @@ def test_running_user_totals_stateful(spark, batch_events):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_deduped_stream_drops_repeats(spark, batch_events, tmp_path_factory):
+    """An at-least-once ingest (the same file delivered twice) must come out
+    of deduped_stream exactly once per event_id, matching batch distinct."""
+    import glob
+    import shutil
+
+    from scalligraph_spark.streaming import deduped_stream
+
+    sample = batch_events.limit(200)
+    staged = tmp_path_factory.mktemp("staged")
+    src = tmp_path_factory.mktemp("dup_src")
+    sample.coalesce(1).write.mode("overwrite").parquet(str(staged / "one"))
+    part = glob.glob(str(staged / "one" / "part-*.parquet"))[0]
+    shutil.copy(part, src / "delivery_1.parquet")  # duplicate delivery
+    shutil.copy(part, src / "delivery_2.parquet")
+
+    raw = spark.readStream.schema(sample.schema).parquet(str(src))
+    deduped = deduped_stream(raw, keys=["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup")
+    assert got.count() == 200  # 400 delivered rows → 200 unique events
+    assert got.select("event_id").distinct().count() == 200
+    assert set(got.columns) == set(sample.columns)  # __ts helper dropped
