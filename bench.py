@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine_lsh",
     "similarity_cosine_topk",
     "similarity_ann_topk",
     "similarity_ivf_topk",
