@@ -70,3 +70,22 @@ def test_no_cartesian_products_in_window(spark):
             continue  # hash-derived ops carry persisted stages; plans audited in PERF.md
         p = _plan(spark, name)
         assert "CartesianProduct" not in p, name
+
+
+def test_embedding_cosine_exact_stays_jvm_side(spark):
+    """The exact all-pairs path must be pure codegen: no Python evaluation
+    (no interpreted HOF lambdas, no Pandas UDF) anywhere in the plan, and
+    the pair dot products must partial-aggregate before the shuffle."""
+    p = _plan(spark, "dedup_embedding_cosine")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # partial agg before the exchange, final after (map-side combine)
+    assert p.count("HashAggregate") >= 2 and "Exchange" in p
+
+
+def test_embedding_cosine_lsh_narrow_candidate_join(spark):
+    """The LSH path ships only (id, table, bucket) through the candidate
+    self-join — the wide embedding arrays join back by id afterwards."""
+    p = _plan(spark, "dedup_embedding_cosine_lsh")
+    assert "ArrowEvalPython" in p  # the vectorized bucket-signature UDF
+    join_section = p.split("SortMergeJoin")[0] if "SortMergeJoin" in p else p
+    assert "embedding" not in join_section.split("Scan parquet")[0]
