@@ -25,6 +25,10 @@ from scalligraph_spark.operators.multimodal import (
     fake_media_from_documents,
     frame_sample,
 )
+from scalligraph_spark.operators.pipeline import (
+    clean_corpus,
+    corpus_stats,
+)
 from scalligraph_spark.operators.similarity import (
     brute_force_cosine_topk,
     embedding_cosine_pairs,
@@ -42,6 +46,8 @@ from scalligraph_spark.operators.text import (
 
 __all__ = [
     "brute_force_cosine_topk",
+    "clean_corpus",
+    "corpus_stats",
     "connected_components",
     "degrees",
     "document_fingerprint",

@@ -1,0 +1,69 @@
+"""Composed training-corpus pipeline: the end-to-end shape a pretraining
+data job actually runs — quality gate → exact dedup → (optional) near-dup
+removal → corpus accounting — built purely from the operator library so
+every stage keeps its individual scale properties (map-only scoring, hash
+-narrowed dedup shuffle, candidate-pruned near-dup join).
+
+This is deliberately a COMPOSITION, not new machinery: the engine's value
+at 100 TB is that these stages chain without materialization barriers —
+Catalyst sees one plan, pushes the quality filter below the dedup shuffle's
+column pruning, and the whole prefilter runs in the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scalligraph_spark.operators.dedup import pairs_to_clusters
+from scalligraph_spark.operators.text import quality_score
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Cleaned corpus: quality-gated, exactly-deduplicated documents.
+
+    Stages (all one Catalyst plan):
+
+    1. quality gate — map-only C4/Gopher-style score, keep ``>= min_quality``;
+       runs BEFORE any shuffle so rejected documents never ship anywhere,
+    2. exact dedup — keep the min-id row per ``md5(text)`` group
+       (one hash-partitioned window; the shuffle key is the 32-char hash,
+       never the document body),
+    3. optional near-dup removal — pass candidate pairs from ANY pair
+       source (minhash / simhash / embedding-cosine); survivors are each
+       cluster's canonical (min-id) member via ``pairs_to_clusters``.
+
+    Returns (id_col, n_tokens, quality) per kept document.
+    """
+    q = quality_score(docs, text_col, id_col).where(F.col("quality") >= min_quality)
+    kept = docs.select(id_col, text_col).join(q.select(id_col, "n_tokens", "quality"), id_col)
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(F.col(id_col).asc())
+    out = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "n_tokens", "quality")
+    )
+    if near_dup_pairs is not None:
+        canon = pairs_to_clusters(out, near_dup_pairs, id_col=id_col).where(F.col("is_kept"))
+        out = out.join(canon.select(F.col("doc_id").alias(id_col)), id_col)
+    return out
+
+
+def corpus_stats(clean: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus accounting over a :func:`clean_corpus` result:
+    document count, total tokens, decimal-routed mean quality (the numbers
+    a data card reports).  Single partial-aggregated reduce — no wide
+    shuffle at any scale."""
+    from scalligraph_spark.functions import davg
+
+    return clean.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        davg(F.col("quality")).alias("avg_quality"),
+    )

@@ -1759,3 +1759,60 @@ def dedup_embedding_cosine_q(spark, sf):
 )
 def dedup_embedding_cosine_lsh_q(spark, sf):
     return embedding_cosine_pairs_lsh(cat_for(spark, sf).vertex_df("embeddings"), threshold=0.35, num_tables=8)
+
+
+@q(
+    "pipeline_clean_corpus",
+    """
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS INT) AS n_tokens,
+         (CASE WHEN len(toks) >= 5 AND length(text) * 1.0 / len(toks) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           * (0.5 + 0.5 * CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len(toks)) AS quality
+  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+),
+kept AS (SELECT * FROM q WHERE quality >= 0.55)
+SELECT doc_id, n_tokens, quality FROM (
+  SELECT doc_id, n_tokens, quality,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM kept
+) WHERE rn = 1
+""",
+    "composed corpus pipeline: quality gate (map-only, pre-shuffle) → exact "
+    "dedup keeping min-id per content hash (one windowed shuffle on the hash)",
+)
+def pipeline_clean_corpus_q(spark, sf):
+    from scalligraph_spark.operators import clean_corpus
+
+    return clean_corpus(cat_for(spark, sf).vertex_df("documents"), min_quality=0.55)
+
+
+@q(
+    "pipeline_corpus_stats",
+    f"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS INT) AS n_tokens,
+         (CASE WHEN len(toks) >= 5 AND length(text) * 1.0 / len(toks) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           * (0.5 + 0.5 * CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len(toks)) AS quality
+  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+),
+kept AS (SELECT * FROM q WHERE quality >= 0.55),
+clean AS (
+  SELECT doc_id, n_tokens, quality FROM (
+    SELECT doc_id, n_tokens, quality,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       {davg_expr('quality')} AS avg_quality
+FROM clean
+""",
+    "corpus accounting over the cleaned corpus: doc count, token total, "
+    "decimal-routed mean quality (one partial-aggregated reduce)",
+)
+def pipeline_corpus_stats_q(spark, sf):
+    from scalligraph_spark.operators import clean_corpus, corpus_stats
+
+    return corpus_stats(clean_corpus(cat_for(spark, sf).vertex_df("documents"), min_quality=0.55))

@@ -237,3 +237,29 @@ def test_embedding_cosine_pairs_feed_clusters(vecs):
     assert m[1] == (0, False)
     assert m[4] == (0, False)
     assert m[2] == (2, True) and m[3] == (3, True)
+
+
+def test_clean_corpus_pipeline(spark):
+    """Quality gate drops the junk doc, exact dedup keeps min-id per
+    content, and the optional near-dup stage removes cluster non-canonicals."""
+    from scalligraph_spark.operators import clean_corpus, corpus_stats
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+    junk = "x y z"  # < 5 tokens → quality 0
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, junk)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in clean_corpus(docs, min_quality=0.5).collect()}
+    assert set(out) == {1, 3}  # 2 is an exact dup of 1; 4 fails the gate
+    assert out[1]["n_tokens"] == 15 and out[1]["quality"] >= 0.5
+
+    # near-dup stage: (1,3) pair collapses the cluster to canonical 1
+    pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    out2 = clean_corpus(docs, min_quality=0.5, near_dup_pairs=pairs)
+    assert [r["doc_id"] for r in out2.collect()] == [1]
+
+    stats = corpus_stats(out2).collect()[0]
+    assert stats["n_docs"] == 1 and stats["total_tokens"] == 15
+    assert abs(stats["avg_quality"] - out[1]["quality"]) < 1e-9
