@@ -22,7 +22,38 @@ import json
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Z-order (Morton) key over ``cols``: each column min–max-normalizes
+    into ``bits`` bits, then the bits interleave — rows close in the key
+    are close in EVERY dimension, so sorting files by it gives parquet
+    min/max footer stats that prune on any of the columns, not just the
+    first sort key (linear sort clusters only its leading column).
+
+    The min/max normalization constants come from one cheap aggregate
+    (layout time only, never query time); the interleave itself is
+    ``bits × len(cols)`` shift/or terms — pure codegen.
+    """
+    if not cols or bits * len(cols) > 63:
+        raise ValueError(f"need 1+ columns and bits*len(cols) <= 63, got {cols!r} × {bits}")
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    k, top = len(cols), (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(top), F.greatest(F.lit(0), ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast("long"))
+        )
+        for bi in range(bits):
+            z = z.bitwiseOR(F.shiftleft(F.shiftright(scaled, bi).bitwiseAND(F.lit(1)), bi * k + ci))
+    return z
 
 
 def write_bucketed(
@@ -97,6 +128,7 @@ class LabelStore:
         df: DataFrame,
         partition_by: list[str] | None = None,
         bucket_hint: tuple[int, list[str]] | None = None,
+        zorder_by: tuple[int, list[str]] | None = None,
     ) -> int:
         """Commit a new table version and flip the pointer (the atomic
         'transaction' of the batch world).
@@ -104,8 +136,12 @@ class LabelStore:
         ``partition_by`` → hive-style directory partitioning (partition
         pruning on those columns); ``bucket_hint`` = (n, cols) →
         pre-repartition by the bucket columns so same-key rows co-locate
-        in files (co-located joins without a metastore bucketing spec).
-        Both typically derive from the model's index hints
+        in files (co-located joins without a metastore bucketing spec);
+        ``zorder_by`` = (n, cols) → range-partition + sort on the Morton
+        key of the columns, so parquet footer min/max stats prune scans
+        filtered on ANY of them (multi-dimensional data skipping — the
+        100 TB answer when queries slice on two+ independent columns).
+        All typically derive from the model's index hints
         (Model.scala:16-19 basic/standard indexes → layout columns).
         """
         new_v = self.version(label) + 1
@@ -113,6 +149,15 @@ class LabelStore:
         if bucket_hint:
             n, cols = bucket_hint
             df = df.repartition(n, *[df[c] for c in cols])
+        if zorder_by:
+            n, cols = zorder_by
+            z = zorder_value(df, cols)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -191,3 +191,56 @@ def test_compact_noop_when_already_compact(spark, store):
     assert store.stats("tight")[0] == 1
     v = store.compact(spark, "tight")
     assert v == 1 and store.version("tight") == 1  # no new version written
+
+
+def test_zorder_layout_clusters_both_dims(spark, store):
+    """Z-ordered files must be clustered in BOTH dimensions (parquet
+    footer min/max ranges cover a fraction of each domain), where a linear
+    sort clusters only its leading column — the property multi-dimensional
+    data skipping depends on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 2654435761 % n).cast("long"))  # decorrelated from id
+        .withColumn("y", (F.col("id") * 40503 % n).cast("long"))
+    )
+
+    def coverage(label, col):
+        spans = []
+        for f in glob.glob(store.path(label) + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            spans.append((max(maxs) - min(mins)) / n)
+        return sum(spans) / len(spans), len(spans)
+
+    store.write("zz", df, zorder_by=(8, ["x", "y"]))
+    zx, nf = coverage("zz", "x")
+    zy, _ = coverage("zz", "y")
+    assert nf == 8
+    # each of the 8 z-ordered files covers a ~quadrant-sized slice of both
+    # domains (≈ 2^-ceil(log4 8) = ≤ 1/2 per dim, plus boundary slop)
+    assert zx < 0.7 and zy < 0.7
+
+    store.write("lin", df.repartitionByRange(8, "x").sortWithinPartitions("x"))
+    lx, _ = coverage("lin", "x")
+    ly, _ = coverage("lin", "y")
+    assert lx < 0.2  # leading sort column clusters tightly...
+    assert ly > 0.9  # ...but the second dimension is unclustered
+    # z-order beats linear on the non-leading dimension by a wide margin
+    assert zy < ly / 2
+
+
+def test_zorder_value_validation(spark):
+    from scalligraph_spark.store import zorder_value
+
+    df = spark.range(10).withColumn("x", F.col("id"))
+    with pytest.raises(ValueError):
+        zorder_value(df, [], bits=16)
+    with pytest.raises(ValueError):
+        zorder_value(df, ["id", "x"], bits=32)  # 64 bits > 63
