@@ -26,6 +26,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "events_funnel",
+    "temporal_asof_join",
     "hop_two_chain",
     "filter_semi_join",
     "qagg_field_subaggs",

@@ -37,6 +37,10 @@ from scalligraph_spark.operators.similarity import (
     lsh_ann_topk,
     lsh_bucket_candidates,
 )
+from scalligraph_spark.operators.temporal import (
+    as_of_join,
+    range_join,
+)
 from scalligraph_spark.operators.text import (
     document_fingerprint,
     language_score,
@@ -45,6 +49,7 @@ from scalligraph_spark.operators.text import (
 )
 
 __all__ = [
+    "as_of_join",
     "brute_force_cosine_topk",
     "clean_corpus",
     "corpus_stats",
@@ -68,6 +73,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pairs_to_clusters",
     "quality_score",
+    "range_join",
     "simhash_pairs",
     "token_count",
 ]

@@ -1,0 +1,121 @@
+"""Temporal joins Spark lacks as primitives: as-of join and range join.
+
+Both are re-expressed as compositions of built-in operators whose shuffle
+structure survives 100 TB:
+
+* as-of join — the classic "latest right row at or before each left row"
+  (market-data / sessionization staple).  NOT a sort-merge inequality
+  join (Spark would fall back to a broadcast-nested-loop); instead both
+  sides union into one stream and a running ``last(..., ignorenulls)``
+  window carries the most recent right payload forward — ONE shuffle on
+  the key, linear in rows.
+* range join — "right rows within [left_ts + lower, left_ts + upper]".
+  A naive theta join is a cross product per key; instead both sides
+  bucket into windows of the range width and equi-join on (key, bucket)
+  with the left side exploded into the (at most 2) covering buckets, then
+  the exact predicate filters — the classic bucketed-range-join rewrite,
+  candidates ≈ true matches × small constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the ``right`` row with the
+    same ``on`` key and the greatest ``right_ts`` <= ``left_ts`` (nulls if
+    none).  Matches DuckDB ``ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t``.
+
+    Plan shape: union both inputs (right rows sort before left rows at
+    equal timestamps, so a right row AT ``left_ts`` matches), one window
+    per key ordered by time carrying ``last(payload, ignorenulls=True)``
+    forward, keep the left rows.  The right payload travels as ONE struct
+    so a legitimately-null right column can't skip back to an older row.
+
+    Scale: one hash shuffle on ``on`` (the window), no join at all; a
+    hot key degrades to a single partition's sort — salt upstream if one
+    key dominates.  Ties on (key, right_ts) are broken by the LAST right
+    row in the union's sort, which is unspecified — pre-dedup the right
+    side if (key, ts) is not unique.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    out_names = {c: (c + rsuffix if c in left.columns else c) for c in right_cols + [right_ts]}
+
+    payload = F.struct(*[F.col(c) for c in [right_ts] + right_cols])
+    l2 = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__is_r"),
+        F.lit(None).cast(right.select(payload).schema[0].dataType).alias("__rp"),
+    )
+    r2 = right.select(
+        *[
+            F.col(on).alias(c) if c == on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__is_r"),
+        payload.alias("__rp"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l2.unionByName(r2).withColumn("__m", F.last("__rp", ignorenulls=True).over(w))
+    return carried.where(F.col("__is_r") == 0).select(
+        *left.columns,
+        *[F.col(f"__m.{c}").alias(out_names[c]) for c in [right_ts] + right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    right_cols: list[str] | None = None,
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """Inner range join: pairs where ``right_ts`` ∈ [``left_ts + lower``,
+    ``left_ts + upper``] for the same ``on`` key.  Timestamp columns must
+    be NUMERIC (cast timestamps to epoch seconds first) so the bucket
+    arithmetic stays exact.
+
+    The bucketed rewrite: bucket width = ``upper - lower`` (≥1); right
+    rows land in ``floor(rt / width)``; each left row's admissible window
+    spans at most two buckets, so the left side explodes ×2 into
+    (key, bucket) and equi-joins — Catalyst sees a plain equi-join
+    (shuffle-hash/SMJ, AQE-skew-splittable), never a nested-loop theta
+    join — then the exact range predicate filters candidates.
+    """
+    width = max(1, upper - lower)
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    out_names = {c: (c + rsuffix if c in left.columns else c) for c in right_cols + [right_ts]}
+
+    lb = F.floor((F.col(left_ts) + F.lit(lower)) / F.lit(width))
+    r2 = right.select(
+        F.col(on).alias("__k"),
+        F.floor(F.col(right_ts) / F.lit(width)).alias("__b"),
+        *[F.col(c).alias(out_names[c]) for c in [right_ts] + right_cols],
+    )
+    l2 = left.select(*left.columns, F.explode(F.array(lb, lb + 1)).alias("__b"))
+    rt = F.col(out_names[right_ts])
+    return (
+        l2.join(r2, (F.col(on) == F.col("__k")) & (l2["__b"] == r2["__b"]))
+        .where((rt >= F.col(left_ts) + F.lit(lower)) & (rt <= F.col(left_ts) + F.lit(upper)))
+        .select(*left.columns, *[F.col(out_names[c]) for c in [right_ts] + right_cols])
+    )

@@ -1816,3 +1816,59 @@ def pipeline_corpus_stats_q(spark, sf):
     from scalligraph_spark.operators import clean_corpus, corpus_stats
 
     return corpus_stats(clean_corpus(cat_for(spark, sf).vertex_df("documents"), min_quality=0.55))
+
+
+@q(
+    "temporal_asof_join",
+    """
+SELECT p.user_id, p.ts AS p_ts, p.event_id AS p_id, c.ts AS c_ts, c.event_id AS c_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    "as-of join: each purchase gains the user's most recent click at-or-"
+    "before it — union + running last() window, ONE shuffle on the key "
+    "(no inequality join; Spark's fallback would be a nested loop)",
+)
+def temporal_asof_join_q(spark, sf):
+    from scalligraph_spark.operators import as_of_join
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    return as_of_join(purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts")
+
+
+@q(
+    "temporal_range_join",
+    """
+WITH c AS (SELECT user_id, event_id AS c_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_es
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, event_id AS p_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_es
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.c_id, c.c_es, p.p_es, p.p_id
+FROM c JOIN p ON c.user_id = p.user_id AND p.p_es >= c.c_es AND p.p_es <= c.c_es + 3600
+""",
+    "range join: purchases within 1 h after each click — bucketed-range "
+    "rewrite (bucket = range width, left explodes x2, equi-join + exact "
+    "filter) so Catalyst runs an equi-join, never a theta nested loop",
+)
+def temporal_range_join_q(spark, sf):
+    from scalligraph_spark.operators import range_join
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    es = F.col("ts").cast("timestamp").cast("long")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), es.alias("c_es")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), es.alias("p_es")
+    )
+    return range_join(
+        clicks, purchases, on="user_id", left_ts="c_es", right_ts="p_es",
+        lower=0, upper=3600, right_cols=["p_id"],
+    )

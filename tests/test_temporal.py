@@ -1,0 +1,66 @@
+"""Temporal join tests: as-of semantics (incl. equal-timestamp and no-match
+rows), and the bucketed range join verified against a naive theta join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scalligraph_spark.operators import as_of_join, range_join
+
+
+def test_asof_basic_semantics(spark):
+    l = spark.createDataFrame([(1, 5, "a"), (1, 9, "b"), (2, 3, "c")], "k long, t long, v string")
+    r = spark.createDataFrame([(1, 4, "X"), (1, 7, "Y"), (2, 9, "Z")], "k long, t long, p string")
+    got = {(x["k"], x["t"]): (x["t_r"], x["p"]) for x in as_of_join(l, r, "k", "t", "t").collect()}
+    assert got == {(1, 5): (4, "X"), (1, 9): (7, "Y"), (2, 3): (None, None)}
+
+
+def test_asof_equal_timestamp_matches(spark):
+    """A right row exactly AT left_ts is admissible (l.t >= r.t)."""
+    l = spark.createDataFrame([(1, 5)], "k long, t long")
+    r = spark.createDataFrame([(1, 5, "now"), (1, 2, "old")], "k long, t long, p string")
+    row = as_of_join(l, r, "k", "t", "t").collect()[0]
+    assert (row["t_r"], row["p"]) == (5, "now")
+
+
+def test_asof_null_right_column_does_not_skip_back(spark):
+    """The payload travels as one struct: a null right column must NOT fall
+    back to an older right row's value."""
+    l = spark.createDataFrame([(1, 10)], "k long, t long")
+    r = spark.createDataFrame([(1, 3, "old"), (1, 8, None)], "k long, t long, p string")
+    row = as_of_join(l, r, "k", "t", "t").collect()[0]
+    assert row["t_r"] == 8 and row["p"] is None
+
+
+def test_asof_preserves_left_rows_and_columns(spark):
+    l = spark.createDataFrame([(1, 5, "keep"), (3, 1, "lone")], "k long, t long, v string")
+    r = spark.createDataFrame([(1, 4, 9.5)], "k long, t long, score double")
+    out = as_of_join(l, r, "k", "t", "t")
+    assert out.columns == ["k", "t", "v", "t_r", "score"]
+    assert out.count() == 2  # left join: unmatched key 3 survives
+
+
+def test_range_join_matches_naive_theta(spark):
+    """The bucketed rewrite must emit exactly the naive theta-join pairs,
+    across bucket boundaries and window widths."""
+    import random
+
+    rng = random.Random(5)
+    l = spark.createDataFrame(
+        [(rng.randint(0, 4), rng.randint(0, 500)) for _ in range(120)], "k long, lt long"
+    ).withColumn("lid", F.monotonically_increasing_id())
+    r = spark.createDataFrame(
+        [(rng.randint(0, 4), rng.randint(0, 500)) for _ in range(120)], "k long, rt long"
+    )
+    for lower, upper in [(0, 37), (5, 5), (-20, 10)]:
+        got = {
+            (x["k"], x["lt"], x["rt"])
+            for x in range_join(l, r, "k", "lt", "rt", lower=lower, upper=upper).collect()
+        }
+        naive = {
+            (x["k"], x["lt"], x["rt"])
+            for x in l.join(r.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2"))
+            .where((F.col("rt") >= F.col("lt") + lower) & (F.col("rt") <= F.col("lt") + upper))
+            .collect()
+        }
+        assert got == naive and len(naive) > 0
