@@ -28,6 +28,7 @@ from scalligraph_spark.operators.multimodal import (
 from scalligraph_spark.operators.pipeline import (
     clean_corpus,
     corpus_stats,
+    split_corpus,
 )
 from scalligraph_spark.operators.similarity import (
     brute_force_cosine_topk,
@@ -75,5 +76,6 @@ __all__ = [
     "quality_score",
     "range_join",
     "simhash_pairs",
+    "split_corpus",
     "token_count",
 ]

@@ -55,6 +55,42 @@ def clean_corpus(
     return out
 
 
+def split_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — the split a
+    training pipeline must be able to REPRODUCE: re-running on the same
+    corpus (or a superset) puts every document in the same split, because
+    membership is a pure function of (key, salt), not of RNG state, row
+    order, or partitioning (``randomSplit`` guarantees none of those).
+
+    Each key maps to a bucket in [0, 1) via ``xxhash64(key, salt)``; the
+    cumulative weight intervals assign the split.  Map-only — no shuffle,
+    no sampling pass.  Changing ``salt`` re-deals every document; adding
+    a split re-uses the tail interval only.
+
+    Returns the input plus a ``split`` column.
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError(f"weights must sum > 0, got {weights!r}")
+    # xxhash64 → [0, 1): shift to non-negative 63-bit range first
+    u = (F.shiftrightunsigned(F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), 1)) / F.lit(
+        float(1 << 63)
+    )
+    expr, acc = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn("split", expr)
+
+
 def corpus_stats(clean: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One-row corpus accounting over a :func:`clean_corpus` result:
     document count, total tokens, decimal-routed mean quality (the numbers

@@ -1872,3 +1872,18 @@ def temporal_range_join_q(spark, sf):
         clicks, purchases, on="user_id", left_ts="c_es", right_ts="p_es",
         lower=0, upper=3600, right_cols=["p_id"],
     )
+
+
+@q(
+    "pipeline_split_corpus",
+    None,  # xxhash64 bucket assignment has no DuckDB twin → rows-only
+    "deterministic train/val/test split by key hash (pure function of "
+    "(key, salt): reproducible across runs, row orders, partitionings; "
+    "map-only) — returns per-split document counts",
+)
+def pipeline_split_corpus_q(spark, sf):
+    from scalligraph_spark.operators import split_corpus
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    split = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("split")

@@ -263,3 +263,25 @@ def test_clean_corpus_pipeline(spark):
     stats = corpus_stats(out2).collect()[0]
     assert stats["n_docs"] == 1 and stats["total_tokens"] == 15
     assert abs(stats["avg_quality"] - out[1]["quality"]) < 1e-9
+
+
+def test_split_corpus_deterministic_and_stable(spark):
+    """Split membership is a pure function of (key, salt): identical across
+    runs, stable under subsetting, disjoint-exhaustive, ~proportional."""
+    from scalligraph_spark.operators import split_corpus
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in split_corpus(docs, w).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_corpus(docs.repartition(7), w).collect()}
+    assert a == b  # partitioning-independent
+    subset = {r["doc_id"]: r["split"] for r in split_corpus(docs.where("doc_id < 1000"), w).collect()}
+    assert all(a[k] == v for k, v in subset.items())  # superset-stable
+    from collections import Counter
+
+    n = Counter(a.values())
+    assert set(n) == {"train", "val", "test"} and sum(n.values()) == 5000
+    assert 0.75 < n["train"] / 5000 < 0.85 and 0.07 < n["val"] / 5000 < 0.13
+    # a different salt re-deals
+    c = {r["doc_id"]: r["split"] for r in split_corpus(docs, w, salt="v2").collect()}
+    assert any(a[k] != c[k] for k in a)
