@@ -31,6 +31,7 @@ def as_of_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     rsuffix: str = "_r",
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains the ``right`` row with the
     same ``on`` key and the greatest ``right_ts`` <= ``left_ts`` (nulls if
@@ -42,11 +43,16 @@ def as_of_join(
     forward, keep the left rows.  The right payload travels as ONE struct
     so a legitimately-null right column can't skip back to an older row.
 
-    Scale: one hash shuffle on ``on`` (the window), no join at all; a
-    hot key degrades to a single partition's sort — salt upstream if one
-    key dominates.  Ties on (key, right_ts) are broken by the LAST right
-    row in the union's sort, which is unspecified — pre-dedup the right
-    side if (key, ts) is not unique.
+    Scale: one hash shuffle on ``on`` (the window), no join at all.  A hot
+    key serializes into one partition's sort; pass ``bucket_width`` (in
+    ``ts`` units, NUMERIC ts required) to switch to the parallel-prefix
+    decomposition: windows run per (key, time-bucket) — bounded partitions
+    regardless of key skew — and only a per-bucket summary (one row per
+    (key, bucket) with right rows) goes through the per-key carry window,
+    with ``coalesce(within-bucket match, carried previous-bucket match)``
+    reassembling exact semantics.  Ties on (key, right_ts) are broken by
+    the LAST right row in the union's sort, which is unspecified —
+    pre-dedup the right side if (key, ts) is not unique.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     out_names = {c: (c + rsuffix if c in left.columns else c) for c in right_cols + [right_ts]}
@@ -67,12 +73,53 @@ def as_of_join(
         F.lit(1).alias("__is_r"),
         payload.alias("__rp"),
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = l2.unionByName(r2).withColumn("__m", F.last("__rp", ignorenulls=True).over(w))
+    unioned = l2.unionByName(r2)
+    if bucket_width is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = unioned.withColumn("__m", F.last("__rp", ignorenulls=True).over(w))
+    else:
+        payload_type = right.select(payload).schema[0].dataType
+        u = unioned.withColumn("__bk", F.floor(F.col("__t") / F.lit(bucket_width)))
+        # pass 1: running last WITHIN each (key, bucket) — partition size is
+        # bounded by rows-per-bucket, immune to key skew
+        w_in = (
+            Window.partitionBy(on, "__bk")
+            .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        u = u.withColumn("__m_in", F.last("__rp", ignorenulls=True).over(w_in))
+        # pass 2 (bucket-level, one row per (key, bucket) — tiny): each
+        # bucket's final right payload, carried forward to STRICTLY later
+        # buckets.  Left marker sorts before the same bucket's summary so a
+        # bucket never sees its own summary (its interior is already exact).
+        summary = (
+            u.where(F.col("__is_r") == 1)
+            .groupBy(on, "__bk")
+            .agg(F.max_by("__rp", F.struct(F.col("__t"))).alias("__bl"))
+            .withColumn("__is_s", F.lit(1))
+        )
+        lbuckets = (
+            u.select(on, "__bk")
+            .distinct()
+            .withColumn("__bl", F.lit(None).cast(payload_type))
+            .withColumn("__is_s", F.lit(0))
+        )
+        w_carry = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__bk").asc(), F.col("__is_s").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = (
+            lbuckets.unionByName(summary)
+            .withColumn("__c", F.last("__bl", ignorenulls=True).over(w_carry))
+            .where(F.col("__is_s") == 0)
+            .select(on, "__bk", "__c")
+        )
+        carried = u.join(carry, [on, "__bk"]).withColumn("__m", F.coalesce("__m_in", "__c"))
     return carried.where(F.col("__is_r") == 0).select(
         *left.columns,
         *[F.col(f"__m.{c}").alias(out_names[c]) for c in [right_ts] + right_cols],

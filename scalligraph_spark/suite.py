@@ -1887,3 +1887,33 @@ def pipeline_split_corpus_q(spark, sf):
     docs = cat_for(spark, sf).vertex_df("documents")
     split = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
     return split.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("split")
+
+
+@q(
+    "temporal_asof_join_bucketed",
+    """
+WITH c AS (SELECT user_id, event_id AS c_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_es
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, event_id AS p_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_es
+           FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.p_es, p.p_id, c.c_es, c.c_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_es >= c.c_es
+""",
+    "skew-proof as-of join (parallel-prefix decomposition: per-(key, "
+    "time-bucket) windows + tiny bucket-summary carry — bounded partitions "
+    "under any key skew), oracle-identical to the single-window form",
+)
+def temporal_asof_join_bucketed_q(spark, sf):
+    from scalligraph_spark.operators import as_of_join
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    es = F.col("ts").cast("timestamp").cast("long")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", es.alias("p_es"), F.col("event_id").alias("p_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", es.alias("c_es"), F.col("event_id").alias("c_id")
+    )
+    return as_of_join(
+        purchases, clicks, on="user_id", left_ts="p_es", right_ts="c_es", bucket_width=86_400
+    )

@@ -64,3 +64,23 @@ def test_range_join_matches_naive_theta(spark):
             .collect()
         }
         assert got == naive and len(naive) > 0
+
+
+def test_asof_bucketed_equals_plain(spark):
+    """The parallel-prefix (bucketed) decomposition must reproduce the
+    single-window as-of exactly, for any bucket width — including widths
+    smaller than gaps (empty buckets) and wider than the whole range."""
+    import random
+
+    rng = random.Random(17)
+    l = spark.createDataFrame(
+        [(rng.randint(0, 3), rng.randint(0, 1000)) for _ in range(300)], "k long, t long"
+    )
+    r = spark.createDataFrame(
+        [(rng.randint(0, 3), rng.randint(0, 1000), rng.random()) for _ in range(150)],
+        "k long, t long, x double",
+    )
+    plain = sorted(map(tuple, as_of_join(l, r, "k", "t", "t").collect()))
+    for width in (1, 7, 100, 10_000):
+        bucketed = sorted(map(tuple, as_of_join(l, r, "k", "t", "t", bucket_width=width).collect()))
+        assert bucketed == plain, f"width={width}"
