@@ -152,6 +152,46 @@ def deduped_stream(
     )
 
 
+def stream_funnel(
+    events: DataFrame,
+    first_type: str,
+    then_type: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream funnel join: every ``then_type`` event joined to the
+    same user's ``first_type`` events at most ``within`` earlier — the
+    streaming twin of ``operators.range_join``.
+
+    Both sides carry watermarks AND the join condition bounds event time
+    on both sides — that pair is what lets Spark EVICT join state (an
+    unbounded stream-stream join must otherwise buffer everything
+    forever).  State per side ≈ rows inside watermark + ``within``.
+    """
+    first = (
+        events.where(F.col("event_type") == first_type)
+        .select(
+            F.col("user_id").alias("f_user"),
+            F.col("ts").cast("timestamp").alias("f_ts"),
+            F.col("event_id").alias("f_id"),
+        )
+        .withWatermark("f_ts", watermark)
+    )
+    then = (
+        events.where(F.col("event_type") == then_type)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("t_ts"),
+            F.col("event_id").alias("t_id"),
+        )
+        .withWatermark("t_ts", watermark)
+    )
+    return then.join(
+        first,
+        F.expr(f"user_id = f_user AND t_ts >= f_ts AND t_ts <= f_ts + INTERVAL {within}"),
+    ).select("user_id", "f_id", "f_ts", "t_id", "t_ts")
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (the stateful-operator shape): built-in
     ``session_window`` keeps this JVM-side — no Python state machine needed

@@ -120,3 +120,37 @@ def test_deduped_stream_drops_repeats(spark, batch_events, tmp_path_factory):
     assert got.count() == 200  # 400 delivered rows → 200 unique events
     assert got.select("event_id").distinct().count() == 200
     assert set(got.columns) == set(sample.columns)  # __ts helper dropped
+
+
+def test_stream_funnel_matches_batch_range_join(spark, batch_events):
+    """Stream-stream join (click → purchase within 1h) must equal the
+    batch range_join on the drained backlog."""
+    from scalligraph_spark.operators import range_join
+    from scalligraph_spark.streaming import stream_funnel
+
+    out = stream_funnel(event_stream(spark, SF_DIR), "click", "purchase", within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["f_id"], r["t_id"]) for r in spark.table("t_funnel").collect()}
+
+    es = F.col("ts").cast("timestamp").cast("long")
+    clicks = batch_events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("f_id"), es.alias("f_es")
+    )
+    purchases = batch_events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("t_id"), es.alias("t_es")
+    )
+    expected = {
+        (r["user_id"], r["f_id"], r["t_id"])
+        for r in range_join(
+            clicks, purchases, on="user_id", left_ts="f_es", right_ts="t_es",
+            lower=0, upper=3600, right_cols=["t_id"],
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
