@@ -1917,3 +1917,76 @@ def temporal_asof_join_bucketed_q(spark, sf):
     return as_of_join(
         purchases, clicks, on="user_id", left_ts="p_es", right_ts="c_es", bucket_width=86_400
     )
+
+
+# -- driver window (explicit) -------------------------------------------------
+# The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
+# membership is pinned HERE, not by accident of registration order: one
+# consolidated representative per operator family, including this round's
+# new families (embedding-cosine dedup, temporal joins, corpus pipeline).
+# Everything else stays declared and is exact-checked by tools/check.py.
+_WINDOW = [
+    "scan_by_ids",
+    "union_all_forms",
+    "projection_steps",
+    "public_property_rename",
+    "has_bool_predicates",
+    "text_predicates",
+    "filter_semi_join",
+    "json_filter_grammar",
+    "filter_defined_any",
+    "hop_out_in",
+    "hop_two_chain",
+    "hop_edge_property_filter",
+    "select_as_bag",
+    "both_hop",
+    "count_steps",
+    "scalar_aggs",
+    "fold_collect",
+    "unfold_explode",
+    "select_keys_values",
+    "qagg_count",
+    "qagg_field_order_size",
+    "qagg_field_subaggs",
+    "qagg_time_day",
+    "qlang_sort_page",
+    "coalesce_branch",
+    "choose_branch",
+    "optional_left_join",
+    "scalar_hash_b64_json",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_cosine_topk",
+    "similarity_ann_topk",
+    "text_quality_tokens",
+    "text_lang_fingerprint",
+    "multimodal_features",
+    "temporal_asof_join_bucketed",
+    "temporal_range_join",
+    "pipeline_clean_corpus",
+    "pipeline_corpus_stats",
+    "writes_pipeline",
+    "unique_enforce",
+    "integrity_duplicates",
+    "auth_property",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "events_funnel",
+]
+
+
+def _pin_window() -> None:
+    assert len(_WINDOW) == 50, f"window must be exactly 50, got {len(_WINDOW)}"
+    missing = [n for n in _WINDOW if n not in SUITE]
+    assert not missing, f"window names not registered: {missing}"
+    ordered = {n: SUITE[n] for n in _WINDOW}
+    ordered.update({n: q for n, q in SUITE.items() if n not in ordered})
+    SUITE.clear()
+    SUITE.update(ordered)
+
+
+_pin_window()
