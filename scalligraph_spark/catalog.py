@@ -290,6 +290,10 @@ def tpch_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
     fk("contains", "orders", "lineitem", "dst", "l_orderkey", "l_orderkey", "o_orderkey", "l_orderkey")
     fk("of_part", "lineitem", "part", "src", "l_orderkey", "l_partkey", "l_orderkey", "p_partkey")
     fk("by_supplier", "lineitem", "supplier", "src", "l_orderkey", "l_suppkey", "l_orderkey", "s_suppkey")
+    # documents ↔ embeddings share their id space (vec_id == doc_id): the
+    # multimodal-corpus tables participate in the SAME traversal surface as
+    # the graph (V("documents").out("embeds") → embedding rows)
+    fk("embeds", "documents", "embeddings", "src", "doc_id", "doc_id", "doc_id", "vec_id")
     cat.add_edge(
         EdgeSpec(
             label="ordered_part",

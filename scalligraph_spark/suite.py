@@ -1919,6 +1919,22 @@ def temporal_asof_join_bucketed_q(spark, sf):
     )
 
 
+@q(
+    "hop_doc_embedding",
+    "SELECT e.vec_id, e.label FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id WHERE d.n_chars > 300",
+    "corpus tables on the graph surface: documents --embeds--> embeddings "
+    "FK hop (the LLM-pipeline tables traverse like any other vertex label)",
+)
+def hop_doc_embedding_q(spark, sf):
+    return (
+        cat_for(spark, sf)
+        .V("documents")
+        .has("n_chars", P.gt(300))
+        .out("embeds")
+        .df.select("vec_id", "label")
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
