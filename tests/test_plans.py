@@ -89,3 +89,26 @@ def test_embedding_cosine_lsh_narrow_candidate_join(spark):
     assert "ArrowEvalPython" in p  # the vectorized bucket-signature UDF
     join_section = p.split("SortMergeJoin")[0] if "SortMergeJoin" in p else p
     assert "embedding" not in join_section.split("Scan parquet")[0]
+
+
+def test_asof_join_is_window_not_join(spark):
+    """The plain as-of join must compile to a union + window — NO join
+    operator at all (Spark's own inequality-join fallback is a nested
+    loop)."""
+    p = _plan(spark, "temporal_asof_join")
+    assert "Window" in p
+    assert "Join" not in p
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketed range rewrite must give Catalyst an equi-join — never
+    a cartesian/broadcast-nested-loop theta join."""
+    p = _plan(spark, "temporal_range_join")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_asof_bucketed_no_nested_loop(spark):
+    p = _plan(spark, "temporal_asof_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" in p
