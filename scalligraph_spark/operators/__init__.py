@@ -27,6 +27,7 @@ from scalligraph_spark.operators.multimodal import (
 )
 from scalligraph_spark.operators.pipeline import (
     clean_corpus,
+    corpus_profile,
     corpus_stats,
     split_corpus,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "as_of_join",
     "brute_force_cosine_topk",
     "clean_corpus",
+    "corpus_profile",
     "corpus_stats",
     "connected_components",
     "degrees",

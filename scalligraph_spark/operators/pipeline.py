@@ -91,6 +91,46 @@ def split_corpus(
     return docs.withColumn("split", expr)
 
 
+def corpus_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    rsd: float = 0.02,
+    pct_accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group corpus profile with SKETCHED statistics — the 100 TB
+    answer where the exact versions are scale-killers: exact
+    ``count(distinct token)`` shuffles every token and exact percentiles
+    need a full sort, while HyperLogLog++ (``approx_count_distinct``,
+    relative error ``rsd``) and the positional-error percentile sketch
+    (``approx_percentile``, rank error ``n / pct_accuracy``) are one
+    mergeable sketch per partition — partial-aggregated like any sum.
+
+    Emits per ``group_col``: document count, total whitespace tokens,
+    approx distinct tokens (vocabulary size), and p50/p90/p99 of document
+    character length.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = docs.select(F.col(group_col), F.explode(toks).alias("__tok"))
+    vocab = exploded.groupBy(group_col).agg(
+        F.approx_count_distinct("__tok", rsd=rsd).alias("approx_vocab")
+    )
+    base = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+        F.percentile_approx(F.length(text_col), [0.5, 0.9, 0.99], pct_accuracy).alias("__pcts"),
+    )
+    return base.join(vocab, group_col).select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        "approx_vocab",
+        F.col("__pcts")[0].alias("p50_chars"),
+        F.col("__pcts")[1].alias("p90_chars"),
+        F.col("__pcts")[2].alias("p99_chars"),
+    )
+
+
 def corpus_stats(clean: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One-row corpus accounting over a :func:`clean_corpus` result:
     document count, total tokens, decimal-routed mean quality (the numbers

@@ -1935,6 +1935,19 @@ def hop_doc_embedding_q(spark, sf):
     )
 
 
+@q(
+    "pipeline_corpus_profile",
+    None,  # HLL++/percentile sketches have no bit-identical DuckDB twin → rows-only
+    "per-source corpus profile via mergeable sketches: HLL++ vocabulary, "
+    "approx_percentile length quantiles — partial-aggregated, no wide "
+    "shuffle (the exact versions ship every token / full-sort at scale)",
+)
+def pipeline_corpus_profile_q(spark, sf):
+    from scalligraph_spark.operators import corpus_profile
+
+    return corpus_profile(cat_for(spark, sf).vertex_df("documents")).orderBy("source")
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

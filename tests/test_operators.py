@@ -285,3 +285,38 @@ def test_split_corpus_deterministic_and_stable(spark):
     # a different salt re-deals
     c = {r["doc_id"]: r["split"] for r in split_corpus(docs, w, salt="v2").collect()}
     assert any(a[k] != c[k] for k in a)
+
+
+def test_corpus_profile_sketch_accuracy(spark):
+    """Sketched profile stays within documented error of exact values:
+    HLL++ rsd on vocabulary, rank error on percentiles."""
+    from scalligraph_spark.operators import corpus_profile
+
+    docs = (
+        spark.range(0, 2000)
+        .withColumn("source", F.concat(F.lit("s"), (F.col("id") % 2).cast("string")))
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("w"), (F.col("id") * 7 % 500).cast("string")),
+                F.concat(F.lit("w"), (F.col("id") * 13 % 500).cast("string")),
+                F.concat(F.lit("w"), (F.col("id") % 97).cast("string")),
+            ),
+        )
+        .drop("id")
+    )
+    prof = {r["source"]: r for r in corpus_profile(docs, rsd=0.02).collect()}
+    assert set(prof) == {"s0", "s1"}
+    for src, r in prof.items():
+        sub = docs.where(F.col("source") == src)
+        n = sub.count()
+        assert r["n_docs"] == n and r["total_tokens"] == 3 * n
+        exact_vocab = (
+            sub.select(F.explode(F.split("text", " ")).alias("t")).select("t").distinct().count()
+        )
+        assert abs(r["approx_vocab"] - exact_vocab) <= max(3, 0.1 * exact_vocab)
+        lengths = sorted(x[0] for x in sub.select(F.length("text")).collect())
+        # accuracy=10000 on n=1000 rows → exact ranks
+        assert r["p50_chars"] == lengths[int(0.5 * (n - 1))] or abs(r["p50_chars"] - lengths[n // 2]) <= 1
+        assert r["p99_chars"] <= lengths[-1] and r["p90_chars"] <= r["p99_chars"]
