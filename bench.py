@@ -41,6 +41,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_quality_tokens",
     "text_lang_fingerprint",
+    "pipeline_clean_corpus",
     "multimodal_features",
     "graph_degrees",
     "graph_connected_components",
