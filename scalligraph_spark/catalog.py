@@ -81,6 +81,7 @@ class GraphCatalog:
         self.spark = spark
         self.vertices: dict[str, VertexSpec] = {}
         self.edges: dict[str, EdgeSpec] = {}
+        self.stream_dir: str | None = None  # parquet dir for V_stream scans
 
     # -- registration -----------------------------------------------------
     def add_vertex(self, spec: VertexSpec) -> "GraphCatalog":
@@ -100,6 +101,28 @@ class GraphCatalog:
     def add_edge(self, spec: EdgeSpec) -> "GraphCatalog":
         self.edges[spec.label] = spec
         return self
+
+    def V_stream(self, label: str):
+        """Streaming scan of a registered parquet-backed vertex label: the
+        batch loader's schema drives ``readStream`` over the same files, so
+        any label participates in Structured Streaming pipelines (watermark
+        → window/dedup/join → sink) without re-declaring its schema.
+
+        Labels whose batch loader TRANSFORMS raw columns (events' ns→µs
+        timestamp conversion) need their dedicated stream constructor
+        (streaming.event_stream) — the raw file schema differs from the
+        loaded one.
+        """
+        if self.stream_dir is None:
+            raise ValueError("catalog has no stream_dir; set it to the parquet directory first")
+        if label == "events":
+            raise ValueError("events needs streaming.event_stream (raw ns schema differs from the loaded one)")
+        schema = self.vertex_df(label).schema
+        return (
+            self.spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{label}.parquet")
+            .parquet(self.stream_dir)
+        )
 
     def out_edges(self, src_label: str) -> list[EdgeSpec]:
         return [e for e in self.edges.values() if e.src_label == src_label]
@@ -244,6 +267,7 @@ def tpch_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
       ordered_part orders   → part      (edge table = lineitem, with props)
     """
     cat = GraphCatalog(spark)
+    cat.stream_dir = sf_dir
 
     def _load_events(spark=spark, sf_dir=sf_dir):
         # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read

@@ -320,3 +320,35 @@ def test_corpus_profile_sketch_accuracy(spark):
         # accuracy=10000 on n=1000 rows → exact ranks
         assert r["p50_chars"] == lengths[int(0.5 * (n - 1))] or abs(r["p50_chars"] - lengths[n // 2]) <= 1
         assert r["p99_chars"] <= lengths[-1] and r["p90_chars"] <= r["p99_chars"]
+
+
+def test_ivf_recall_scales_with_probes(spark):
+    """On the driver's isotropic embeddings (ANN's worst case — no cluster
+    structure) IVF recall@10 must grow with n_probe and clear deterministic
+    floors (measured: 0.50 at probe 4, 0.85 at probe 12; everything is
+    seed-frozen so these are stable)."""
+    from pyspark.sql import Window
+
+    from scalligraph_spark.operators import ivf_ann_topk
+    from scalligraph_spark.operators.similarity import embedding_cosine_pairs
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = embedding_cosine_pairs(emb, threshold=-2.0)
+    both = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    exact: dict = {}
+    for r in both.withColumn("rn", F.row_number().over(w)).where("rn <= 10").collect():
+        exact.setdefault(r["id_a"], set()).add(r["id_b"])
+
+    def recall(n_probe):
+        got: dict = {}
+        for r in ivf_ann_topk(emb, k=10, n_probe=n_probe).select("id_a", "id_b").collect():
+            got.setdefault(r["id_a"], set()).add(r["id_b"])
+        return sum(len(got.get(k, set()) & v) / len(v) for k, v in exact.items()) / len(exact)
+
+    r4, r12 = recall(4), recall(12)
+    assert r4 >= 0.45 and r12 >= 0.80
+    assert r12 > r4  # the probe knob buys recall

@@ -154,3 +154,34 @@ def test_stream_funnel_matches_batch_range_join(spark, batch_events):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_catalog_v_stream_matches_batch(spark):
+    """Any registered parquet label streams through the catalog with its
+    batch schema; draining the backlog equals the batch scan."""
+    import pytest as _pytest
+
+    from scalligraph_spark.catalog import tpch_catalog
+
+    cat = tpch_catalog(spark, SF_DIR)
+    s = cat.V_stream("documents")
+    assert s.isStreaming and s.schema == cat.vertex_df("documents").schema
+    q = (
+        s.groupBy("source")
+        .count()
+        .writeStream.format("memory")
+        .queryName("t_vstream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["source"]: r["count"] for r in spark.table("t_vstream").collect()}
+    expected = {
+        r["source"]: r["count"]
+        for r in cat.vertex_df("documents").groupBy("source").count().collect()
+    }
+    assert got == expected and len(got) > 0
+
+    with _pytest.raises(ValueError):
+        cat.V_stream("events")  # raw ns schema → dedicated constructor
