@@ -17,9 +17,12 @@ Layout (SURVEY.md §7.1):
   writes.py      create/update/delete with audit stamping    (§3.B.4)
   integrity.py   dedup + link integrity checks               (§2.11-adjacent)
   migrations.py  schema-versioned Operation set              (§3.B.5)
-  operators/     scale operators: dedup, similarity, multimodal
+  store.py       versioned label storage: snapshot swap, compaction, Z-order
+  blobs.py       chunked binary blob storage (FS/HDFS/S3)
+  operators/     scale operators: dedup, similarity, temporal joins,
+                 corpus pipeline, multimodal, graph analytics
   functions/     scalar function library (text, vectors, hashing)
-  streaming/     structured-streaming surface for event tables
+  streaming/     structured-streaming surface (windows, dedup, joins, state)
 """
 
 from scalligraph_spark.catalog import EdgeSpec, GraphCatalog, VertexSpec, tpch_catalog
