@@ -46,7 +46,9 @@ from scalligraph_spark.operators.temporal import (
 from scalligraph_spark.operators.text import (
     document_fingerprint,
     language_score,
+    ngram_counts,
     quality_score,
+    tfidf,
     token_count,
 )
 
@@ -73,11 +75,13 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signature",
     "near_dup_clusters",
+    "ngram_counts",
     "ngram_jaccard_pairs",
     "pairs_to_clusters",
     "quality_score",
     "range_join",
     "simhash_pairs",
     "split_corpus",
+    "tfidf",
     "token_count",
 ]

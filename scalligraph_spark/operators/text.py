@@ -80,6 +80,71 @@ def language_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k corpus n-gram counts — the classic corpus-statistics reduce
+    (LM vocabulary building, contamination fingerprints).
+
+    Map side emits (ngram, 1) via a per-row transform over token windows;
+    the ONLY shuffle is the count aggregation, which partial-aggregates
+    (map-side combine collapses each partition's duplicates first), then
+    top-k is a ``TakeOrderedAndProject`` — no global sort.  Ties break on
+    the n-gram string for determinism.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # sequence(1, 0) counts DOWN in Spark — docs shorter than n need an
+    # explicit empty window list
+    windows = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(windows, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def tfidf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 12,
+) -> DataFrame:
+    """Per-(document, term) TF-IDF with smoothed IDF
+    (``ln((N+1)/(df+1)) + 1``, the scikit-learn convention).
+
+    Two aggregations, both partial-aggregated: term frequency per (doc,
+    term) and document frequency per term; N is a broadcast scalar join.
+    tf and df are exact integers; the float idf product rounds to
+    ``round_to`` decimals so results compare bit-stably across engines.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    terms = docs.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("__n"))
+    idf = F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1)) + 1
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, round_to).alias("tfidf"),
+        )
+    )
+
+
 def document_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical fingerprint (OpenRefine-style): lowercase → strip
     non-alphanumerics → distinct sorted tokens → md5.  Catches

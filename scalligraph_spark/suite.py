@@ -43,9 +43,11 @@ from scalligraph_spark.operators import (
     lsh_ann_topk,
     lsh_bucket_candidates,
     minhash_lsh_pairs,
+    ngram_counts,
     ngram_jaccard_pairs,
     quality_score,
     simhash_pairs,
+    tfidf,
     token_count,
 )
 from scalligraph_spark.properties import PublicProperties
@@ -1946,6 +1948,45 @@ def pipeline_corpus_profile_q(spark, sf):
     from scalligraph_spark.operators import corpus_profile
 
     return corpus_profile(cat_for(spark, sf).vertex_df("documents")).orderBy("source")
+
+
+@q(
+    "text_ngram_counts",
+    """
+WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
+grams AS (
+  SELECT array_to_string(list_slice(t, i, i + 1), ' ') AS ngram
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT 100
+""",
+    "top-k corpus bigram counts: map-side-combined count agg + "
+    "TakeOrderedAndProject (LM vocabulary / contamination-fingerprint reduce)",
+)
+def text_ngram_counts_q(spark, sf):
+    return ngram_counts(cat_for(spark, sf).vertex_df("documents"), n=2, k=100)
+
+
+@q(
+    "text_tfidf",
+    """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       round(tf.tf * (ln((n.nd + 1) * 1.0 / (df.df + 1)) + 1), 12) AS tfidf
+FROM tf JOIN df USING (term), n
+""",
+    "per-(doc, term) TF-IDF with smoothed IDF (sklearn convention): two "
+    "partial-aggregated counts + a broadcast scalar join",
+)
+def text_tfidf_q(spark, sf):
+    return tfidf(cat_for(spark, sf).vertex_df("documents"))
 
 
 # -- driver window (explicit) -------------------------------------------------

@@ -352,3 +352,31 @@ def test_ivf_recall_scales_with_probes(spark):
     r4, r12 = recall(4), recall(12)
     assert r4 >= 0.45 and r12 >= 0.80
     assert r12 > r4  # the probe knob buys recall
+
+
+def test_ngram_counts_exact(spark):
+    from scalligraph_spark.operators import ngram_counts
+
+    d = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "q")],  # doc 3: no bigram
+        "doc_id long, text string",
+    )
+    got = {r["ngram"]: r["n_occurrences"] for r in ngram_counts(d, n=2, k=10).collect()}
+    assert got == {"a b": 3, "b a": 1, "b c": 1, "b x": 1}
+    top1 = ngram_counts(d, n=2, k=1).collect()
+    assert (top1[0]["ngram"], top1[0]["n_occurrences"]) == ("a b", 3)
+
+
+def test_tfidf_sklearn_convention(spark):
+    import math
+
+    from scalligraph_spark.operators import tfidf
+
+    d = spark.createDataFrame([(1, "a a b"), (2, "a c")], "doc_id long, text string")
+    got = {(r["doc_id"], r["term"]): r for r in tfidf(d).collect()}
+    # 'a' appears in both docs: idf = ln(3/3)+1 = 1
+    assert got[(1, "a")]["tf"] == 2 and got[(1, "a")]["df"] == 2
+    assert abs(got[(1, "a")]["tfidf"] - 2.0) < 1e-9
+    # 'b' only in doc 1: idf = ln(3/2)+1
+    assert abs(got[(1, "b")]["tfidf"] - (math.log(3 / 2) + 1)) < 1e-9
+    assert (2, "b") not in got
