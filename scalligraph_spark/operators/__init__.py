@@ -7,6 +7,7 @@ with Pandas UDFs only where Spark lacks the primitive.
 """
 
 from scalligraph_spark.operators.dedup import (
+    contamination_check,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signature,
@@ -56,6 +57,7 @@ __all__ = [
     "as_of_join",
     "brute_force_cosine_topk",
     "clean_corpus",
+    "contamination_check",
     "corpus_profile",
     "corpus_stats",
     "connected_components",

@@ -226,6 +226,53 @@ def near_dup_clusters(
     return pairs_to_clusters(docs, pairs, id_col=id_col)
 
 
+def contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination detection: flag (train doc, benchmark doc)
+    pairs where ≥ ``threshold`` of the benchmark doc's distinct word
+    ``n``-grams also appear in the train doc — the CONTAINMENT direction
+    (a benchmark question embedded in a much larger train document still
+    scores 1.0, where symmetric Jaccard would dilute it toward 0).
+
+    Shape: distinct n-grams per side (map-only), equi-join on the gram
+    (the only shuffle — candidates are pairs sharing ≥1 gram, not the
+    cross product), count shared grams per pair, normalize by the
+    benchmark doc's gram count.  At 100 TB the train side explodes to
+    (gram, id) pairs — shingle hashing (xxhash64 the gram) keeps the
+    shuffle narrow; here grams stay as strings for oracle parity.
+
+    Returns (train_id, bench_id, n_shared, bench_grams, containment).
+    """
+    def grams(df, out_id):
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        windows = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        g = F.array_distinct(F.transform(windows, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+        return df.select(F.col(id_col).alias(out_id), F.explode(g).alias("gram"))
+
+    tg = grams(train, "train_id")
+    bg = grams(bench, "bench_id")
+    sizes = bg.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_grams"))
+    shared = (
+        tg.join(bg, "gram")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes, "bench_id")
+        .withColumn("containment", (F.col("n_shared") / F.col("bench_grams")).cast("double"))
+        .where(F.col("containment") >= threshold)
+        .select("train_id", "bench_id", "n_shared", "bench_grams", "containment")
+    )
+
+
 def pairs_to_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Cluster/canonical decision from ANY near-dup pair source — minhash,
     simhash, n-gram Jaccard, or embedding-cosine pairs all share this tail:

@@ -1989,6 +1989,40 @@ def text_tfidf_q(spark, sf):
     return tfidf(cat_for(spark, sf).vertex_df("documents"))
 
 
+@q(
+    "dedup_contamination",
+    """
+WITH tg AS (
+  SELECT doc_id AS train_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents WHERE doc_id % 2 = 0)
+), bg AS (
+  SELECT doc_id AS bench_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents WHERE doc_id % 2 = 1)
+), sizes AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_grams FROM bg GROUP BY 1),
+shared AS (SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared FROM tg JOIN bg USING (gram) GROUP BY 1, 2)
+SELECT train_id, bench_id, n_shared, bench_grams,
+       CAST(n_shared * 1.0 / bench_grams AS DOUBLE) AS containment
+FROM shared JOIN sizes USING (bench_id)
+WHERE n_shared * 1.0 / bench_grams >= 0.5
+""",
+    "benchmark-contamination check: trigram CONTAINMENT of bench docs in "
+    "train docs (asymmetric — an embedded benchmark question scores 1.0 "
+    "where Jaccard dilutes); gram equi-join is the only shuffle",
+)
+def dedup_contamination_q(spark, sf):
+    from scalligraph_spark.operators import contamination_check
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return contamination_check(
+        docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1),
+        n=3, threshold=0.5,
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -380,3 +380,26 @@ def test_tfidf_sklearn_convention(spark):
     # 'b' only in doc 1: idf = ln(3/2)+1
     assert abs(got[(1, "b")]["tfidf"] - (math.log(3 / 2) + 1)) < 1e-9
     assert (2, "b") not in got
+
+
+def test_contamination_containment_direction(spark):
+    """An embedded benchmark doc scores containment 1.0 even inside a much
+    larger train doc (the case symmetric Jaccard dilutes); unrelated docs
+    don't pair at all."""
+    from scalligraph_spark.operators import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france"), (101, "totally novel holdout question here")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "padding words " * 20 + "what is the capital of france" + " trailing text"),
+            (2, "completely unrelated training document about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = contamination_check(train, bench, n=3, threshold=0.5).collect()
+    got = {(r["train_id"], r["bench_id"]): r["containment"] for r in rows}
+    assert got[(1, 100)] == 1.0  # fully embedded
+    assert (2, 100) not in got and (1, 101) not in got and (2, 101) not in got
