@@ -2029,6 +2029,11 @@ def dedup_contamination_q(spark, sf):
 # consolidated representative per operator family, including this round's
 # new families (embedding-cosine dedup, temporal joins, corpus pipeline).
 # Everything else stays declared and is exact-checked by tools/check.py.
+# Round 4: the three no-oracle entries (dedup_minhash_lsh, dedup_simhash,
+# similarity_ann_topk — DuckDB cannot express them, so their rows can never
+# hash-match) rotated OUT in favour of oracle-exact text_tfidf,
+# dedup_contamination, events_sessionize.  The LSH/SimHash/ANN paths remain
+# registered (rows-only) and pytest-verified.
 _WINDOW = [
     "scan_by_ids",
     "union_all_forms",
@@ -2060,11 +2065,11 @@ _WINDOW = [
     "scalar_hash_b64_json",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    "text_tfidf",
+    "dedup_contamination",
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
-    "similarity_ann_topk",
+    "events_sessionize",
     "text_quality_tokens",
     "text_lang_fingerprint",
     "multimodal_features",
