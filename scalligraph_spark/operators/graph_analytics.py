@@ -19,8 +19,23 @@ communication pattern GraphX/Pregel uses; AQE handles skewed hubs.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _cut_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Cut iterative lineage: ``localCheckpoint`` (executor-local, fast) by
+    default, or a RELIABLE ``checkpoint`` to ``checkpoint_dir`` when given —
+    localCheckpoint blocks are lost with the executor, so a real cluster run
+    of a long iteration should pass a durable dir (HDFS/S3)."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -43,17 +58,41 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 50,
     checkpoint_every: int = 3,
+    algorithm: str = "two_phase",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Connected components by min-label propagation (HashToMin shape):
-    every vertex starts as its own component (its id); each superstep each
-    vertex adopts the minimum component id among itself and its neighbors;
-    fixpoint when no label changes.
+    """Connected components → (vertex, component), component = min reachable
+    vertex id.  Undirected semantics; vertex set = ids appearing in edges.
 
-    Returns (vertex, component) with component = min vertex id reachable.
-    Undirected semantics: each edge propagates both ways.
+    Two algorithms, identical results:
+
+    * ``two_phase`` (default) — alternating large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14): each round is two join+agg passes over the edge set and the
+      edge set contracts toward star graphs in **O(log n) rounds regardless
+      of graph diameter**.  This is the 100 TB path: a path-shaped
+      100 TB component converges in ~2·log₂(n) rounds where min-label
+      needs `diameter` rounds.
+    * ``min_label`` — classic HashToMin label propagation, one join+agg per
+      superstep, O(diameter) supersteps.  Kept as the differential oracle
+      for the two-phase implementation (simple enough to trust by
+      inspection) and for tiny/star-shaped graphs where its per-round cost
+      is lower.
+
+    ``checkpoint_dir``: when set, lineage cuts use a RELIABLE
+    ``df.checkpoint`` into that directory (fault-tolerant on a cluster);
+    default is executor-local ``localCheckpoint`` (fast, but lost with an
+    executor — fine for local mode).
+
+    Raises a warning if ``max_iter`` is exhausted before the fixpoint —
+    silently-unconverged labels would poison downstream dedup decisions.
     """
+    if algorithm == "two_phase":
+        return _cc_two_phase(edges, src, dst, max_iter, checkpoint_dir)
+    if algorithm != "min_label":
+        raise ValueError(f"unknown algorithm {algorithm!r}: two_phase | min_label")
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -64,6 +103,8 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .persist()
     )
+    prev_cached = comp  # handle to the PERSISTED plan of the previous superstep
+    converged = False
     for i in range(max_iter):
         # neighbor minimum: for each vertex, min of its neighbors' labels
         nbr_min = (
@@ -80,18 +121,129 @@ def connected_components(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            updated = updated.localCheckpoint(eager=True)  # cut iterative lineage
+            updated = _cut_lineage(updated, checkpoint_dir)  # cut iterative lineage
         else:
             # persist each superstep: the convergence probe below
             # materializes it, so the next iteration (and the final
             # result) reads the cache instead of replaying the whole
             # superstep chain
             updated = updated.persist()
-        prev, comp = comp, updated.drop("__changed")
+        comp = updated.drop("__changed")
         changed = updated.where(F.col("__changed")).limit(1).count()
-        prev.unpersist()
+        # unpersist the PERSISTED handle from last iteration (unpersisting
+        # the derived `.drop()` plan would not release the cached blocks)
+        prev_cached.unpersist()
+        prev_cached = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components(min_label) hit max_iter={max_iter} before the "
+            "fixpoint — labels may span unmerged components (min-label needs "
+            "`diameter` supersteps; use algorithm='two_phase' for O(log n))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return comp
+
+
+def _cc_two_phase(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. SoCC'14 §3).
+
+    State = an edge set that contracts toward star graphs:
+
+    * **large-star**: every vertex `u` connects each strictly-LARGER
+      neighbor to `m(u) = min(Γ(u) ∪ {u})` — long chains hook high ids
+      directly onto low ids.
+    * **small-star**: orient edges so `u > v`; every `u` connects each
+      smaller-or-equal neighbor (and itself) to the minimum — flattens
+      partial trees into stars.
+
+    Both steps are one groupBy(min) + one equi-join on the vertex id —
+    the same shuffle pattern as a superstep, but the round count is
+    O(log n).  Fixpoint when the edge multiset stops changing (checked via
+    count + order-independent xxhash signature — two scalars per round, no
+    extra shuffle beyond the agg).  At the fixpoint every non-root points
+    straight at its component min.
+    """
+    verts = (
+        edges.select(F.col(src).alias("vertex"))
+        .unionByName(edges.select(F.col(dst).alias("vertex")))
+        .dropDuplicates(["vertex"])
+        .persist()
+    )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .persist()
+    )
+    prev_cached = e
+
+    def _signature(df: DataFrame):
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (sum(xxhash64) overflows long); edge set is deduped so xor
+        # cancellation of repeated rows cannot occur
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = _signature(e)
+    converged = False
+    for i in range(max_iter):
+        # -- large-star ---------------------------------------------------
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        # -- small-star ---------------------------------------------------
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).dropDuplicates(["u", "v"])
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        if (i + 1) % 2 == 0:
+            small = _cut_lineage(small, checkpoint_dir)
+        else:
+            small = small.persist()
+        new_sig = _signature(small)
+        prev_cached.unpersist()
+        prev_cached, e = small, small
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        warnings.warn(
+            f"connected_components(two_phase) hit max_iter={max_iter} before the "
+            "edge-set fixpoint — component labels may be incomplete",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # fixpoint edges are (vertex → component-min) stars; roots map to themselves
+    comp = verts.join(
+        e.select(F.col("u").alias("vertex"), F.col("v").alias("__ptr")), "vertex", "left"
+    ).select("vertex", F.coalesce("__ptr", F.col("vertex")).alias("component"))
     return comp
 
 
@@ -102,6 +254,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Classic iterative PageRank: rank(v) = (1-d) + d·Σ rank(u)/outdeg(u)
     over in-neighbors u (the GraphX formulation, ranks sum ≈ N).
@@ -134,5 +287,5 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _cut_lineage(ranks, checkpoint_dir)
     return ranks

@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from scalligraph_spark.operators.dedup import pairs_to_clusters
 from scalligraph_spark.operators.text import quality_score
 
 
@@ -36,8 +35,13 @@ def clean_corpus(
        (one hash-partitioned window; the shuffle key is the 32-char hash,
        never the document body),
     3. optional near-dup removal — pass candidate pairs from ANY pair
-       source (minhash / simhash / embedding-cosine); survivors are each
-       cluster's canonical (min-id) member via ``pairs_to_clusters``.
+       source (minhash / simhash / embedding-cosine); each near-dup
+       cluster keeps exactly one representative, chosen among the docs
+       that SURVIVED stages 1-2.  Components are computed over the raw
+       pair graph (so transitivity through a quality-rejected bridge doc
+       is preserved), but the canonical is the min *surviving* id per
+       component — a cluster whose raw min-id member was gated out still
+       keeps a representative instead of vanishing.
 
     Returns (id_col, n_tokens, quality) per kept document.
     """
@@ -50,8 +54,20 @@ def clean_corpus(
         .select(id_col, "n_tokens", "quality")
     )
     if near_dup_pairs is not None:
-        canon = pairs_to_clusters(out, near_dup_pairs, id_col=id_col).where(F.col("is_kept"))
-        out = out.join(canon.select(F.col("doc_id").alias(id_col)), id_col)
+        from scalligraph_spark.operators.graph_analytics import connected_components
+
+        comp = connected_components(
+            near_dup_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        labeled = out.join(
+            comp.withColumnRenamed("vertex", id_col), id_col, "left"
+        ).withColumn("__comp", F.coalesce("component", F.col(id_col)))
+        w2 = Window.partitionBy("__comp").orderBy(F.col(id_col).asc())
+        out = (
+            labeled.withColumn("__rn2", F.row_number().over(w2))
+            .where(F.col("__rn2") == 1)
+            .select(id_col, "n_tokens", "quality")
+        )
     return out
 
 

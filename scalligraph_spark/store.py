@@ -129,6 +129,7 @@ class LabelStore:
         partition_by: list[str] | None = None,
         bucket_hint: tuple[int, list[str]] | None = None,
         zorder_by: tuple[int, list[str]] | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Commit a new table version and flip the pointer (the atomic
         'transaction' of the batch world).
@@ -143,9 +144,23 @@ class LabelStore:
         100 TB answer when queries slice on two+ independent columns).
         All typically derive from the model's index hints
         (Model.scala:16-19 basic/standard indexes → layout columns).
+
+        Concurrent writers: each commit CLAIMS its version number with an
+        exclusive ``mkdir`` (atomic on POSIX and HDFS) and retries on
+        collision, so two writers can never target the same v-directory
+        (a bare read-increment-write of the pointer would lose one of the
+        two commits).  The pointer then only ever advances — a slower
+        writer holding a lower claimed number cannot retrograde a newer
+        commit.  Readers are snapshot-isolated by the pointer rename.
         """
-        new_v = self.version(label) + 1
         os.makedirs(os.path.join(self.root, label), exist_ok=True)
+        new_v = self.version(label) + 1
+        while True:
+            try:
+                os.mkdir(self.path(label, new_v))
+                break
+            except FileExistsError:
+                new_v += 1
         if bucket_hint:
             n, cols = bucket_hint
             df = df.repartition(n, *[df[c] for c in cols])
@@ -162,8 +177,22 @@ class LabelStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(label, new_v))
-        self._set_version(label, new_v)
+        if meta is not None:
+            with open(os.path.join(self.path(label, new_v), "_commit.json"), "w") as f:
+                json.dump(meta, f)
+        if new_v > self.version(label):  # monotonic pointer advance
+            self._set_version(label, new_v)
         return new_v
+
+    def commit_meta(self, label: str, version: int | None = None) -> dict:
+        """Commit metadata recorded by ``write(..., meta=...)`` for a
+        version ({} when none was recorded) — e.g. the streaming sink's
+        batch id for replay idempotence."""
+        p = os.path.join(self.path(label, version), "_commit.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
 
     def read(self, spark: SparkSession, label: str, version: int | None = None) -> DataFrame:
         """Snapshot read — pinned to the pointed-at (or requested) version;

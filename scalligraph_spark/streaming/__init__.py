@@ -54,8 +54,9 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Event-time tumbling-window rollup with late-data watermark: the
     streaming twin of the ``time`` aggregation (Aggregation.scala:401-428).
-    State for windows older than the watermark is evicted — bounded memory
-    on an unbounded stream."""
+    In ``append``/``update`` output modes, state for windows older than the
+    watermark is evicted — bounded memory on an unbounded stream (a
+    ``complete``-mode sink keeps all windows; see run_available_now)."""
     from scalligraph_spark.functions import dsum
 
     ts = F.col("ts").cast("timestamp")
@@ -73,19 +74,101 @@ def windowed_event_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str = "events_rollup") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str = "events_rollup",
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drain the current backlog through the streaming plan into an
-    in-memory sink and return the result table (the test/driver entry;
-    production would writeStream to parquet/Kafka with checkpointing)."""
+    in-memory sink and return the result table — a TEST/driver entry, not
+    the production path.
+
+    ``complete`` mode (default) re-emits every window including ones the
+    watermark has not yet closed — necessary for drain≡batch comparisons,
+    but it retains all window state for the query's lifetime, so it is only
+    bounded because the drain terminates with the backlog.  A long-running
+    production rollup must use ``append``/``update`` so watermark eviction
+    applies — see :func:`start_store_sink` / pass ``output_mode="append"``.
+    """
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def start_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    query_name: str = "events_sink",
+):
+    """PRODUCTION sink for a raw/deduped stream: append-mode parquet file
+    sink with a checkpoint — Spark's file sink records committed files in
+    its own log, so a restart with the same ``checkpoint_dir`` resumes at
+    the first unprocessed source file and never re-emits rows (exactly-once
+    for file sources → file sink).  This is the firehose path at 100 TB:
+    per-batch appends, no rewrite of existing data (compact later with
+    ``LabelStore.compact``-style OPTIMIZE).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_store_sink(
+    stream_df: DataFrame,
+    store,
+    label: str,
+    checkpoint_dir: str,
+    query_name: str = "store_sink",
+):
+    """Stream → versioned :class:`~scalligraph_spark.store.LabelStore`
+    commits via ``foreachBatch``: each micro-batch lands as a NEW table
+    version (current ∪ batch) with the batch id recorded in the commit
+    metadata, so a replayed batch after a crash-restart is detected and
+    skipped — foreachBatch is at-least-once, the batch-id check makes the
+    versioned commit idempotent (the same rescue Delta's txn log performs).
+
+    Scope: rollup/dimension tables whose current version is rewrite-sized
+    (windowed aggregates, session summaries).  A raw firehose should use
+    :func:`start_parquet_sink` — rewriting the full table per batch is the
+    wrong shape for append-only 100 TB data.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        cur_v = store.version(label)
+        if cur_v > 0:
+            last = store.commit_meta(label, cur_v).get("batch_id", -1)
+            if batch_id <= last:
+                return  # replayed batch after restart — already committed
+            # reads pin to cur_v while the write lands in a fresh v-dir —
+            # no read-own-write hazard
+            merged = store.read(batch_df.sparkSession, label, cur_v).unionByName(batch_df)
+        else:
+            merged = batch_df
+        store.write(label, merged, meta={"batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

@@ -190,6 +190,7 @@ class Traversal:
         bindings: dict[str, dict[str, str]] | None = None,
         hop_n: int = 0,
         group_key: str | None = None,
+        edge_entered_from: str | None = None,
     ):
         self.df = df
         self.catalog = catalog
@@ -198,6 +199,10 @@ class Traversal:
         self.bindings = bindings or {}
         self._hop_n = hop_n
         self._group_key = group_key  # set by group()/group_count() for selectKeys/Values
+        # which endpoint we stepped onto the edge from ("src" after outE,
+        # "dst" after inE) — consumed by other_v; survives intermediate
+        # steps (has/where/...) while we remain on the same edge
+        self._edge_entered_from = edge_entered_from
 
     # -- plumbing ---------------------------------------------------------
     def _with(self, df: DataFrame, **kw) -> "Traversal":
@@ -207,6 +212,11 @@ class Traversal:
         kw.setdefault("bindings", self.bindings)
         kw.setdefault("hop_n", self._hop_n)
         kw.setdefault("group_key", None)  # group context does not survive arbitrary steps
+        # entry direction is meaningful only while still on an edge
+        kw.setdefault(
+            "edge_entered_from",
+            self._edge_entered_from if kw["edge_label"] is not None else None,
+        )
         return Traversal(df, **kw)
 
     def _resolve(self, field: str | Column) -> Column:
@@ -534,9 +544,7 @@ class Traversal:
         lhs = self._rename_collisions(edges.columns)
         sj = f"__h{lhs._hop_n}__{e.src_join_col}" if f"__h{lhs._hop_n}__{e.src_join_col}" in lhs.df.columns else e.src_join_col
         joined = lhs.df.join(edges, lhs.df[sj] == edges[e.src_key], "inner")
-        t = lhs._with(joined, label=e.label, edge_label=e.label)
-        t._edge_entered_from = "src"
-        return t
+        return lhs._with(joined, label=e.label, edge_label=e.label, edge_entered_from="src")
 
     def in_e(self, edge_label: str) -> "Traversal":
         """Step onto in-edges (TraversalOps.scala:450-455)."""
@@ -545,15 +553,14 @@ class Traversal:
         lhs = self._rename_collisions(edges.columns)
         dj = f"__h{lhs._hop_n}__{e.dst_join_col}" if f"__h{lhs._hop_n}__{e.dst_join_col}" in lhs.df.columns else e.dst_join_col
         joined = lhs.df.join(edges, lhs.df[dj] == edges[e.dst_key], "inner")
-        t = lhs._with(joined, label=e.label, edge_label=e.label)
-        t._edge_entered_from = "dst"
-        return t
+        return lhs._with(joined, label=e.label, edge_label=e.label, edge_entered_from="dst")
 
     def other_v(self) -> "Traversal":
         """Edge → the endpoint NOT stepped in from (TraversalOps.scala:457-462
         ``otherV``): after ``outE`` that is the head (inV), after ``inE`` the
-        tail (outV)."""
-        entered = getattr(self, "_edge_entered_from", None)
+        tail (outV).  The entry direction is carried through intermediate
+        edge-property steps (``out_e('x').has(...).other_v()`` works)."""
+        entered = self._edge_entered_from
         if entered == "src":
             return self.in_v()
         if entered == "dst":

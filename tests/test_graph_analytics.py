@@ -54,3 +54,63 @@ def test_pagerank_modern_ranking(modern):
     assert abs(ranks[1] - 0.15) < 1e-12
     assert all(v > 0 for v in ranks.values())
     assert ranks[5] > ranks[2]  # ripple (fed by josh's split rank) > vadas
+
+
+def test_two_phase_path_graph_logn_rounds(spark):
+    """1,000-vertex path (diameter 999): large-star/small-star must converge
+    within ~2·log2(n) rounds — min-label would need ~999 supersteps.  A
+    max_iter budget of 25 (≈ 2.5·log2(1000)) with NO unconverged warning is
+    the convergence proof."""
+    import warnings
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(999)], "src long, dst long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        comp = connected_components(edges, algorithm="two_phase", max_iter=25)
+        rows = comp.collect()
+    assert len(rows) == 1000
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_two_phase_differential_vs_min_label(spark):
+    """Random multigraph: two-phase and min-label must produce identical
+    (vertex, component) labelings — min-label is simple enough to trust by
+    inspection, so it serves as the oracle for the contraction algorithm."""
+    import random
+
+    random.seed(11)
+    es = [(random.randrange(200), random.randrange(200)) for _ in range(260)]
+    edges = spark.createDataFrame(es, "src long, dst long")
+    a = {r["vertex"]: r["component"] for r in connected_components(edges, algorithm="two_phase").collect()}
+    b = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, algorithm="min_label", max_iter=60).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_min_label_warns_when_unconverged(spark):
+    """A long path with max_iter far below the diameter must raise the
+    unconverged RuntimeWarning instead of silently returning partial labels."""
+    import warnings
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(60)], "src long, dst long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(edges, algorithm="min_label", max_iter=3).collect()
+    assert any("max_iter" in str(x.message) for x in w)
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage cuts to reliable df.checkpoint —
+    results identical, checkpoint files land in the given directory."""
+    import os
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "src long, dst long")
+    ckpt = str(tmp_path / "ckpt")
+    comp = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == 13
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)

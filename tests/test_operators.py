@@ -403,3 +403,22 @@ def test_contamination_containment_direction(spark):
     got = {(r["train_id"], r["bench_id"]): r["containment"] for r in rows}
     assert got[(1, 100)] == 1.0  # fully embedded
     assert (2, 100) not in got and (1, 101) not in got and (2, 101) not in got
+
+
+def test_clean_corpus_keeps_representative_when_canonical_gated(spark):
+    """A near-dup cluster whose raw min-id member was removed by the quality
+    gate must still keep ONE representative: the canonical is chosen among
+    SURVIVORS (min surviving id per component), and transitivity through the
+    gated bridge doc is preserved."""
+    from scalligraph_spark.operators import clean_corpus
+
+    good_a = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    good_b = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, good_a), (3, good_b)],  # doc 1 fails the gate (<5 tokens)
+        "doc_id long, text string",
+    )
+    # pairs chain 1-2 and 1-3: docs 2 and 3 connect only THROUGH gated doc 1
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = [r["doc_id"] for r in clean_corpus(docs, min_quality=0.5, near_dup_pairs=pairs).collect()]
+    assert out == [2]  # min SURVIVING id of the {1,2,3} component

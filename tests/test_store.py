@@ -244,3 +244,26 @@ def test_zorder_value_validation(spark):
         zorder_value(df, [], bits=16)
     with pytest.raises(ValueError):
         zorder_value(df, ["id", "x"], bits=32)  # 64 bits > 63
+
+
+def test_concurrent_writers_never_share_a_version(spark, store):
+    """Two writers racing version+1: the exclusive v-dir mkdir serializes
+    the claim, so both commits land in DISTINCT versions (no lost update)
+    and the pointer ends at the higher one."""
+    df = spark.createDataFrame([(1,)], "k long")
+    store.write("t", df)
+    # simulate the race: writer B claims v2's directory before writer A
+    # commits — A must retry onto v3 instead of overwriting
+    import os
+
+    os.mkdir(store.path("t", 2))  # B's claim
+    v_a = store.write("t", spark.createDataFrame([(2,)], "k long"))
+    assert v_a == 3  # A skipped the claimed v2
+    assert store.version("t") == 3
+    assert store.history("t") == [1, 2, 3]
+
+
+def test_commit_meta_roundtrip(spark, store):
+    store.write("t", spark.createDataFrame([(1,)], "k long"), meta={"batch_id": 7})
+    assert store.commit_meta("t") == {"batch_id": 7}
+    assert store.commit_meta("t", 1) == {"batch_id": 7}

@@ -297,3 +297,16 @@ def test_other_v_directions(modern):
     assert [r["name"] for r in fwd.df.select("name").collect()] == ["lop"]
     back = modern.V("software", ids=[5]).in_e("created").other_v()
     assert [r["name"] for r in back.df.select("name").collect()] == ["josh"]
+
+
+def test_other_v_survives_intermediate_edge_steps(modern):
+    """The common Gremlin pattern outE(x).has(...).otherV(): the entry
+    direction must survive edge-property filters between the E-step and
+    otherV (it is traversal state, not an ad-hoc attribute)."""
+    fwd = modern.V("person", ids=[4]).out_e("created").has("weight", 1.0).other_v()
+    assert [r["name"] for r in fwd.df.select("name").collect()] == ["ripple"]
+    back = modern.V("software", ids=[3]).in_e("created").where(F.col("weight") > 0.3).other_v()
+    assert sorted(r["name"] for r in back.df.select("name").collect()) == ["josh", "marko"]
+    # off the edge the direction is cleared: otherV after inV must raise
+    with pytest.raises(ValueError):
+        modern.V("person", ids=[1]).out_e("created").in_v().other_v()
