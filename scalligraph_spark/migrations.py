@@ -2,11 +2,25 @@
 tables.
 
 Reference: migrations are an ordered list of operations replayed above the
-stored schema version — ``AddProperty | RemoveProperty | UpdateGraph |
-AddIndex | ReindexData | NoOperation`` (core/.../models/Operation.scala:12-131),
-with the per-model version persisted by the database
-(core/.../models/Database.scala:119-129) and applied page-by-page inside
-transactions (Operation.scala:42 — 100 elements per tx).
+stored schema version — all ten kinds ``AddVertexModel | AddEdgeModel |
+AddProperty | RemoveProperty | UpdateGraph | AddIndex | RemoveIndex |
+ReindexData | DBOperation | NoOperation``
+(core/.../models/Operation.scala:12-94), built through the ``Operations``
+chaining DSL (Operation.scala:96-131), with the per-schema version
+persisted by the database (core/.../models/Database.scala:119-129) and
+applied page-by-page inside transactions (Operation.scala:42 — 100
+elements per tx).
+
+Two tiers here mirror that split:
+
+* the per-DataFrame operation dataclasses + :class:`SchemaUpdater` — one
+  label's column-level evolution as pure ``DataFrame → DataFrame``
+  transforms (testable without storage);
+* :class:`Operations` — the schema-scoped DSL over a versioned
+  :class:`~scalligraph_spark.store.LabelStore`, covering the storage-level
+  kinds too (new label tables, index/layout registry, reindex-as-rewrite,
+  arbitrary store callbacks), replayed above the stored schema version
+  exactly like ``Operations.execute`` (Operation.scala:117-131).
 
 Spark re-expression: an operation is a DataFrame → DataFrame transform; a
 migration run rewrites the label table once (no paging — a distributed

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from scalligraph_spark.operators.buckets import salted_bucket_pairs
+
 
 def _tokens(text_col):
     return F.split(F.trim(text_col), r"\s+")
@@ -150,6 +152,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_rows: int | None = 8192,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, Jaccard-estimated ≥ t.
 
@@ -157,6 +160,11 @@ def minhash_lsh_pairs(
     (band, band_hash) buckets (the ONLY shuffle) → estimate similarity from
     full signatures → filter.  Rows per band = num_hashes / bands tunes the
     S-curve; 64/16 → r=4, catching J ≳ 0.5 with high probability.
+
+    ``max_bucket_rows`` bounds degenerate hot buckets (a corpus of millions
+    of identical documents lands in ONE band bucket) — see
+    :mod:`scalligraph_spark.operators.buckets`.  Buckets under the cap are
+    untouched, so normal-corpus results are identical to the uncapped join.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -184,16 +192,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bh")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = salted_bucket_pairs(banded, ["band", "bh"], max_bucket_rows)
     cands = pairs.join(
         sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")), "id_a"
     ).join(sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")), "id_b")
@@ -294,6 +293,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 12,
+    max_bucket_rows: int | None = 8192,
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs within a Hamming radius.
 
@@ -348,14 +348,9 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", "b.blk", "b.bkey")
-    a, b = blocks.alias("a"), blocks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    pairs = salted_bucket_pairs(blocks, ["blk", "bkey"], max_bucket_rows, carry_cols=["simhash"])
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )

@@ -165,6 +165,7 @@ def embedding_cosine_pairs_lsh(
     num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-accelerated — the scale path.
 
@@ -178,7 +179,7 @@ def embedding_cosine_pairs_lsh(
     canonical-document selection.
     """
     pairs = lsh_bucket_candidates(
-        embeddings, num_planes=num_planes, num_tables=num_tables, id_col=id_col, vec_col=vec_col
+        embeddings, num_planes=num_planes, num_tables=num_tables, id_col=id_col, vec_col=vec_col, n_rows=n_rows
     )
     return _exact_rerank(pairs, embeddings, id_col, vec_col).where(F.col("cosine") >= threshold)
 
@@ -223,6 +224,8 @@ def lsh_bucket_candidates(
     target_bucket_rows: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = 8192,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH candidate pairs — the 100 TB ANN path.
 
@@ -242,24 +245,24 @@ def lsh_bucket_candidates(
     Shape: bucket signatures are one Arrow-batched matmul (map-only); ONE
     self-join on (table, bucket) covers all hash tables; dedup keys on
     (id_a, id_b).
+
+    Auto-sizing needs the table's row count; pass ``n_rows`` (exact or
+    approximate) to skip the extra ``count()`` job over the table — at
+    100 TB that scan is a whole job per call.  ``max_bucket_rows`` salts
+    degenerate hot buckets so no single bucket ever goes quadratic (see
+    :mod:`scalligraph_spark.operators.buckets`).
     """
+    from scalligraph_spark.operators.buckets import salted_bucket_pairs
+
     if num_planes is None:
         import math
 
-        n = embeddings.count()  # one cheap metadata-ish job; amortized over the run
+        n = n_rows if n_rows is not None else embeddings.count()
         num_planes = max(4, min(28, math.ceil(math.log2(max(2.0, n / target_bucket_rows)))))
     udf = _bucket_udf(num_planes, num_tables)
     sigs = embeddings.select(F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("bks"))
     tb = sigs.select("id", F.posexplode("bks").alias("tbl", "bucket"))
-    a, b = tb.alias("a"), tb.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return salted_bucket_pairs(tb, ["tbl", "bucket"], max_bucket_rows)
 
 
 def _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col, iters=5):
@@ -296,6 +299,7 @@ def ivf_ann_topk(
     sample_rows: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k neighbors — the second scale path beside LSH.
 
@@ -307,7 +311,9 @@ def ivf_ann_topk(
     re-rank → top k per query.
 
     Scale: cells ≈ √N keeps cell lists ≈ √N rows; candidates per query ≈
-    n_probe·√N — subquadratic, with recall controlled by n_probe.
+    n_probe·√N — subquadratic, with recall controlled by n_probe.  Pass
+    ``n_rows`` (exact or approximate) to skip the auto-sizing ``count()``
+    job — at 100 TB that is an extra scan of the table per call.
     """
     import math
 
@@ -315,8 +321,8 @@ def ivf_ann_topk(
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
-    n = embeddings.count()
     if n_centroids is None:
+        n = n_rows if n_rows is not None else embeddings.count()
         n_centroids = max(4, min(4096, int(math.sqrt(max(n, 4)))))
     C = _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col)
     n_probe = min(n_probe, n_centroids)
@@ -362,6 +368,7 @@ def lsh_ann_topk(
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors per vector: LSH candidates → exact
     cosine re-rank → k best per id (both directions of each pair count).
@@ -382,6 +389,7 @@ def lsh_ann_topk(
         target_bucket_rows=max(16, 2 * k),
         id_col=id_col,
         vec_col=vec_col,
+        n_rows=n_rows,
     )
     # score each undirected pair ONCE, then mirror the scored rows — halves
     # the dot products vs scoring both directions
