@@ -157,3 +157,193 @@ class SchemaUpdater:
         out = self.migrate(df, store.get(self.label))
         store.set(self.label, self.target_version)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Schema-scoped tier: all ten Operation kinds over a versioned LabelStore
+# ---------------------------------------------------------------------------
+
+
+class LayoutRegistry:
+    """Persisted index/layout hints per label — the columnar analog of the
+    reference's index catalog (``db.addIndex`` / ``db.removeIndex``,
+    Operation.scala:62-66,79-82).  Stored as one JSON file next to the
+    label tables; :meth:`Operations.reindex_data` consumes it to rewrite
+    tables with the hinted physical layout."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _read(self) -> dict[str, list[list]]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _write(self, d: dict) -> None:
+        with open(self.path, "w") as f:
+            json.dump(d, f)
+
+    def add(self, label: str, kind: IndexType, cols: tuple[str, ...]) -> None:
+        d = self._read()
+        entry = [str(kind.value if isinstance(kind, IndexType) else kind), list(cols)]
+        hints = d.setdefault(label, [])
+        if entry not in hints:
+            hints.append(entry)
+        self._write(d)
+
+    def remove(self, label: str, kind: IndexType, cols: tuple[str, ...]) -> None:
+        d = self._read()
+        entry = [str(kind.value if isinstance(kind, IndexType) else kind), list(cols)]
+        d[label] = [h for h in d.get(label, []) if h != entry]
+        if not d[label]:
+            del d[label]
+        self._write(d)
+
+    def hints(self, label: str) -> list[tuple[IndexType, tuple[str, ...]]]:
+        return [(IndexType(k), tuple(cols)) for k, cols in self._read().get(label, [])]
+
+    def labels(self) -> list[str]:
+        return sorted(self._read())
+
+
+@dataclass
+class MigrationContext:
+    """What a schema-scoped operation executes against: the live session,
+    the versioned store, and the layout-hint registry (the reference's
+    ``Database`` handle, Operation.scala:14)."""
+
+    spark: object
+    store: object  # LabelStore
+    layout: LayoutRegistry
+
+
+class Operations:
+    """The reference's schema-migration DSL (``Operations``,
+    Operation.scala:96-131): chainable builders append ordered operations,
+    and :meth:`execute` replays the ones above the stored schema version,
+    advancing the version after each (Operation.scala:117-131).  All ten
+    Operation kinds are covered:
+
+    ==================  =====================================================
+    reference kind      Spark/store re-expression
+    ==================  =====================================================
+    AddVertexModel      commit an empty versioned table for the new label
+    AddEdgeModel        same, schema validated to carry src/dst key columns
+    AddProperty         table rewrite via the AddProperty dataclass
+    RemoveProperty      table rewrite via the RemoveProperty dataclass
+    UpdateGraph         whole-table distributed rewrite (no paging — the
+                        batch rewrite IS the transaction)
+    AddIndex            record a layout hint in the LayoutRegistry
+    RemoveIndex         drop the layout hint
+    ReindexData         rewrite every hinted table with its layout applied
+                        (bucket co-location; Operation.scala:69-71)
+    DBOperation         arbitrary callback on (spark, store)
+    NoOperation         version placeholder
+    ==================  =====================================================
+
+    Each table rewrite commits a NEW store version — a failed migration is
+    one ``store.rollback`` away, which is strictly stronger than the
+    reference's forward-only paged transactions.
+    """
+
+    def __init__(self, schema_name: str):
+        self.schema_name = schema_name
+        self._ops: list[tuple[str, Callable[[MigrationContext], None]]] = []
+
+    # -- builders (one per reference kind) ---------------------------------
+    def _add(self, info: str, fn: Callable[[MigrationContext], None]) -> "Operations":
+        self._ops.append((info, fn))
+        return self
+
+    def add_vertex_model(self, label: str, schema: str) -> "Operations":
+        def fn(ctx):
+            if ctx.store.version(label) == 0:
+                ctx.store.write(label, ctx.spark.createDataFrame([], schema))
+
+        return self._add(f"Add vertex model {label} to schema", fn)
+
+    def add_edge_model(self, label: str, schema: str, src_key: str = "src", dst_key: str = "dst") -> "Operations":
+        def fn(ctx):
+            df = ctx.spark.createDataFrame([], schema)
+            missing = {src_key, dst_key} - set(df.columns)
+            if missing:
+                raise ValueError(f"edge model {label!r} schema lacks key columns {sorted(missing)}")
+            if ctx.store.version(label) == 0:
+                ctx.store.write(label, df)
+
+        return self._add(f"Add edge model {label} to schema", fn)
+
+    def add_property(self, model: str, name: str, dtype, default=None) -> "Operations":
+        op = AddProperty(name, dtype, default)
+        return self._add(
+            f"Add property {name} to {model}",
+            lambda ctx: ctx.store.write(model, op.apply(ctx.store.read(ctx.spark, model))),
+        )
+
+    def remove_property(self, model: str, name: str) -> "Operations":
+        op = RemoveProperty(name)
+        return self._add(
+            f"Remove property {name} from {model}",
+            lambda ctx: ctx.store.write(model, op.apply(ctx.store.read(ctx.spark, model))),
+        )
+
+    def update_graph(self, comment: str, model: str, fn: Callable[[DataFrame], DataFrame]) -> "Operations":
+        op = UpdateGraph(fn, comment)
+        return self._add(
+            f"Update graph: {comment}",
+            lambda ctx: ctx.store.write(model, op.apply(ctx.store.read(ctx.spark, model))),
+        )
+
+    def add_index(self, model: str, kind: IndexType, *cols: str) -> "Operations":
+        return self._add(
+            f"Add index in {model} for properties: {', '.join(cols)}",
+            lambda ctx: ctx.layout.add(model, kind, tuple(cols)),
+        )
+
+    def remove_index(self, model: str, kind: IndexType, *cols: str) -> "Operations":
+        return self._add(
+            f"Remove index {model}:{','.join(cols)}",
+            lambda ctx: ctx.layout.remove(model, kind, tuple(cols)),
+        )
+
+    def reindex_data(self, n_buckets: int = 8) -> "Operations":
+        def fn(ctx):
+            for label in ctx.layout.labels():
+                hints = [
+                    (k, cols)
+                    for k, cols in ctx.layout.hints(label)
+                    if k in (IndexType.BASIC, IndexType.STANDARD, IndexType.UNIQUE) and cols
+                ]
+                if not hints or ctx.store.version(label) == 0:
+                    continue  # fulltext hints drive query behavior, not layout
+                df = ctx.store.read(ctx.spark, label)
+                ctx.store.write(label, df, bucket_hint=(n_buckets, list(hints[0][1])))
+
+        return self._add("Reindex all data", fn)
+
+    def db_operation(self, comment: str, fn: Callable[[object, object], None]) -> "Operations":
+        return self._add(f"Update database: {comment}", lambda ctx: fn(ctx.spark, ctx.store))
+
+    def noop(self) -> "Operations":
+        return self._add("No operation", lambda ctx: None)
+
+    # -- replay ------------------------------------------------------------
+    @property
+    def last_version(self) -> int:
+        return len(self._ops)
+
+    def execute(self, spark, store, versions: VersionStore) -> list[str]:
+        """Replay the operations above the stored schema version, advancing
+        it after each (Operation.scala:117-131).  Returns the ``info`` lines
+        of the operations that actually ran — empty when up to date."""
+        ctx = MigrationContext(spark, store, LayoutRegistry(os.path.join(store.root, "_layout.json")))
+        current = versions.get(self.schema_name)
+        executed: list[str] = []
+        for i, (info, fn) in enumerate(self._ops):
+            if i < current:
+                continue
+            fn(ctx)
+            versions.set(self.schema_name, i + 1)
+            executed.append(info)
+        return executed

@@ -90,25 +90,75 @@ class QueryExecutor:
         return None
 
     # -- chain fold (QueryExecutor.scala:149-160) -------------------------
+    def _apply_step(
+        self, current: Traversal | None, step: dict, auth: dict | None
+    ) -> tuple[Traversal, str]:
+        """One step of the fold → (new traversal, how the name resolved)."""
+        name = step.get("_name")
+        if name is None:
+            raise ValueError(f"step has no _name: {step!r}")
+        kind = GRAPH if current is None else (current.label or "*")
+        q = self._lookup(name, kind)
+        if q is not None:
+            src = self.catalog if current is None else current
+            return q.fn(src, step, auth), f"registered[{q.from_kind}]"
+        if current is None:
+            raise ValueError(f"no init query named {name!r}")
+        return self._builtin(current, name, step, auth), "builtin"
+
     def execute(self, chain: list[dict], auth: dict | None = None) -> Traversal:
-        state: Any = GRAPH
         current: Traversal | None = None
-        for i, step in enumerate(chain):
-            name = step.get("_name")
-            if name is None:
-                raise ValueError(f"step {i} has no _name: {step!r}")
-            kind = GRAPH if current is None else (current.label or "*")
-            q = self._lookup(name, GRAPH if current is None else kind)
-            if q is not None:
-                src = self.catalog if current is None else current
-                current = q.fn(src, step, auth)
-                continue
-            if current is None:
-                raise ValueError(f"no init query named {name!r}")
-            current = self._builtin(current, name, step, auth)
+        for step in chain:
+            current, _ = self._apply_step(current, step, auth)
         if current is None:
             raise ValueError("empty query chain")
         return current
+
+    def explain_chain(self, chain: list[dict], auth: dict | None = None, mode: str = "formatted") -> str:
+        """Query-chain pretty-printer — the TraversalPrinter analog
+        (core/.../traversal/TraversalPrinter.scala:25-196 prints the Gremlin
+        chain, strategies, profile and explain; SURVEY §4's debuggability
+        commitment).
+
+        One line per step — step name, how it resolved (registered query vs
+        builtin), the input → output kind, the output columns, and for
+        filter/sort steps the COMPILED Spark expression — followed by the
+        final Catalyst plan (``df.explain(mode)``), where pushed filters and
+        pruned scan schemas are visible.  Nothing executes: the dump is pure
+        plan construction, same as the fold itself.
+        """
+        import contextlib
+        import io
+        import json as _json
+
+        lines: list[str] = []
+        current: Traversal | None = None
+        for i, step in enumerate(chain):
+            before = GRAPH if current is None else (current.label or "value")
+            prev = current
+            current, how = self._apply_step(current, step, auth)
+            name = step["_name"]
+            spec = {k: v for k, v in step.items() if k != "_name"}
+            lines.append(
+                f"[{i}] {name} <{how}> :: {before} -> {current.label or 'value'}"
+                + (f"  {_json.dumps(spec, default=str)}" if spec else "")
+            )
+            if prev is not None:
+                props = self.props_for(prev.label)
+                if name == "filter":
+                    col = compile_filter(
+                        spec, props, auth, id_col=prev._id_col(), custom_ops=self.custom_filters
+                    )
+                    lines.append(f"      predicate: {col}")
+                elif name == "sort":
+                    lines.append(f"      sort: {', '.join(str(c) for c in compile_sort(step, props, auth))}")
+            lines.append(f"      columns: {current.df.columns}")
+        if current is None:
+            raise ValueError("empty query chain")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            current.df.explain(mode)
+        return "\n".join(lines) + "\n\nPhysical plan:\n" + buf.getvalue()
 
     def _builtin(self, t: Traversal, name: str, step: dict, auth) -> Traversal:
         props = self.props_for(t.label)

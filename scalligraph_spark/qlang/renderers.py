@@ -32,9 +32,40 @@ def _json_value(v: Any) -> Any:
     return v
 
 
-def render_rows(df: DataFrame) -> list[dict]:
-    """Traversal results → list of JSON objects (chunked-array analog)."""
-    return [{k: _json_value(v) for k, v in row.asDict(recursive=True).items()} for row in df.collect()]
+class RenderStats:
+    """Skip counter for lenient rendering (safeIterator analog)."""
+
+    def __init__(self):
+        self.skipped = 0
+
+
+def _convert_row(row, convert) -> dict:
+    d = {k: _json_value(v) for k, v in row.asDict(recursive=True).items()}
+    return convert(d) if convert is not None else d
+
+
+def render_rows(df: DataFrame, convert=None, lenient: bool = False, stats: RenderStats | None = None) -> list[dict]:
+    """Traversal results → list of JSON objects (chunked-array analog).
+
+    ``convert`` is the per-row domain conversion hook (the reference's
+    ``UMapping.toDomain`` applied during iteration).  With
+    ``lenient=True`` this is the safeIterator contract
+    (core/.../traversal/TraversalOps.scala:56-87): a row whose conversion
+    fails is SKIPPED (and counted on ``stats``) instead of aborting the
+    whole result — lenient reads over drifted data, which the reference
+    explicitly supports (NoValue defaults, models/Mapping.scala:179-186).
+    Strict mode (the default) raises on the first bad row.
+    """
+    out: list[dict] = []
+    for row in df.collect():
+        try:
+            out.append(_convert_row(row, convert))
+        except Exception:
+            if not lenient:
+                raise
+            if stats is not None:
+                stats.skipped += 1
+    return out
 
 
 def render_grouped(df: DataFrame, key: str) -> dict:
@@ -48,14 +79,23 @@ def render_grouped(df: DataFrame, key: str) -> dict:
     return out
 
 
-def render_stream(df: DataFrame, chunk_size: int = 1000):
+def render_stream(df: DataFrame, chunk_size: int = 1000, convert=None, lenient: bool = False, stats: RenderStats | None = None):
     """Streamed result chunks (IteratorOutput / chunked-JSON analog,
     traversal/IteratorOutput.scala:7-15, JanusDatabase.scala:191-209):
     yields lists of JSON objects via ``toLocalIterator`` — partitions are
-    fetched incrementally, so the driver never holds the full result."""
+    fetched incrementally, so the driver never holds the full result.
+    ``lenient`` skips (and counts) conversion failures mid-stream instead
+    of aborting — the safeIterator contract (TraversalOps.scala:56-87)."""
     chunk: list[dict] = []
     for row in df.toLocalIterator():
-        chunk.append({k: _json_value(v) for k, v in row.asDict(recursive=True).items()})
+        try:
+            chunk.append(_convert_row(row, convert))
+        except Exception:
+            if not lenient:
+                raise
+            if stats is not None:
+                stats.skipped += 1
+            continue
         if len(chunk) >= chunk_size:
             yield chunk
             chunk = []

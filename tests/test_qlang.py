@@ -231,3 +231,60 @@ def test_scalar_agg_with_prefilter_and_name(modern):
     # display name defaults to <kind>_<field> (the step-level _name is the
     # chain dispatch key, as in the reference; custom names ride _select)
     assert t.df.collect()[0]["sum_age"] == 67  # josh 32 + peter 35
+
+
+def test_explain_chain_pretty_printer(modern, tpch):
+    """TraversalPrinter analog (TraversalPrinter.scala:25-196): per-step
+    dump with compiled predicates + the final plan with pushed filters."""
+    ex = QueryExecutor(modern)
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    chain = [
+        {"_name": "allPeople"},
+        {"_name": "filter", "_gt": {"_field": "age", "_value": 28}},
+        {"_name": "sort", "_fields": [{"age": "incr"}]},
+        {"_name": "page", "from": 0, "to": 2},
+    ]
+    text = ex.explain_chain(chain)
+    # every step name appears, with its resolution kind
+    assert "[0] allPeople <registered[graph]>" in text
+    assert "[1] filter <builtin>" in text and "predicate:" in text and "age" in text
+    assert "[2] sort <builtin>" in text and "sort:" in text
+    assert "[3] page <builtin>" in text
+    assert "Physical plan:" in text
+    # the chain and the executed fold agree
+    assert ex.execute(chain).df.count() == 2
+
+    # pushed-filter evidence on a parquet-backed chain (SURVEY §4)
+    ex2 = QueryExecutor(tpch)
+    ex2.register_init("allOrders", lambda g, s, a: g.V("orders"))
+    text2 = ex2.explain_chain(
+        [{"_name": "allOrders"}, {"_name": "filter", "_gt": {"_field": "o_totalprice", "_value": 100000.0}}]
+    )
+    assert "PushedFilters" in text2 and "o_totalprice" in text2
+
+
+def test_render_lenient_skips_poisoned_rows(modern):
+    """safeIterator contract (TraversalOps.scala:56-87): lenient iteration
+    skips + counts rows whose domain conversion fails; strict mode raises."""
+    import pytest as _pytest
+
+    from scalligraph_spark.qlang.renderers import RenderStats, render_rows, render_stream
+
+    df = modern.V("person").df.select("name", "age")
+
+    def poison(d):
+        if d["name"] == "josh":
+            raise ValueError("bad row")
+        return d
+
+    with _pytest.raises(ValueError):
+        render_rows(df, convert=poison)
+
+    stats = RenderStats()
+    rows = render_rows(df, convert=poison, lenient=True, stats=stats)
+    assert stats.skipped == 1 and len(rows) == 3
+    assert all(r["name"] != "josh" for r in rows)
+
+    stats2 = RenderStats()
+    streamed = [r for ch in render_stream(df, chunk_size=2, convert=poison, lenient=True, stats=stats2) for r in ch]
+    assert stats2.skipped == 1 and len(streamed) == 3
