@@ -8,6 +8,12 @@ Each query executes end-to-end into the `noop` sink (full pipeline runs,
 nothing materializes driver-side), so the timing covers scan → shuffle →
 result production, not just a count shortcut.  One untimed warm-up query
 amortizes JVM/codegen startup so per-query numbers reflect steady state.
+
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_BENCH_REPS runs
+(default 3) — PERF.md records 53-58 s run-to-run variance for single
+shots, so medians are what's comparable across rounds.  The 26-query set
+below is pinned as the cross-round baseline (BENCH_r3); additions go at
+the END so earlier keys stay comparable.
 """
 
 from __future__ import annotations
@@ -64,15 +70,20 @@ def main() -> int:
     # warm-up: JVM JIT, parquet footer reads, codegen — untimed
     cat_for(spark, sf_dir).V("nation").count().df.collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = SUITE.get(name)
         if q is None:
             continue
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
+        print(f"# {name}: median {times[name]:.3f}s of {[round(s, 3) for s in samples]}", file=sys.stderr)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))

@@ -162,6 +162,27 @@ class GraphCatalog:
                 df = df.where(reduce(lambda a, b: a | b, conds))
         return Traversal(df, catalog=self, label=label)
 
+    def get(self, label: str, id_or_name):
+        """Resolve one element by id OR by its model's name column — the
+        ``ElementSrv.get(idOrName)`` fold (services/ElementSrv.scala:24-31,
+        ``EntityIdOrName`` EntityId.scala:6-38): an integer-like value
+        resolves through the id scan (index-backed in the reference,
+        id-folded parquet pruning here); anything else resolves by
+        ``name_col``.  Labels without a name column reject non-id lookups
+        (ElementSrv.getByName's default InternalError)."""
+        from scalligraph_spark.traversal import Traversal
+
+        spec = self.vertices[label]
+        is_id = isinstance(id_or_name, int) or (
+            isinstance(id_or_name, str) and id_or_name.lstrip("-").isdigit()
+        )
+        if is_id:
+            return self.V(label, ids=[int(id_or_name)])
+        if spec.name_col is None:
+            raise ValueError(f"entity {label!r} cannot be retrieved by its name")
+        df = spec.loader().where(F.col(spec.name_col) == F.lit(id_or_name))
+        return Traversal(df, catalog=self, label=label)
+
     def E(self, label: str):  # noqa: N802
         """Edge scan (Graph.scala:29-32)."""
         from scalligraph_spark.traversal import Traversal

@@ -114,6 +114,17 @@ class QueryExecutor:
             raise ValueError("empty query chain")
         return current
 
+    def parse_and_execute(self, chain, auth: dict | None = None) -> Traversal:
+        """Field-tier front door: validate the RAW chain through the
+        Field/FieldsParser tier (controllers/Fields.scala:12-95,
+        FieldsParser.scala:26-150) — accumulating every malformation as
+        reference-style attribute errors — then fold it.  Use this for
+        untrusted input; :meth:`execute` assumes a well-formed chain."""
+        from scalligraph_spark.fields import validate_chain
+
+        known = tuple(q.name for q in self._queries)
+        return self.execute(validate_chain(chain, known_queries=known), auth)
+
     def explain_chain(self, chain: list[dict], auth: dict | None = None, mode: str = "formatted") -> str:
         """Query-chain pretty-printer — the TraversalPrinter analog
         (core/.../traversal/TraversalPrinter.scala:25-196 prints the Gremlin

@@ -2023,6 +2023,28 @@ def dedup_contamination_q(spark, sf):
     )
 
 
+@q(
+    "get_by_name_or_id",
+    "SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS nm FROM customer "
+    "WHERE c_name = 'Customer#000000007' "
+    "UNION ALL "
+    "SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm FROM nation "
+    "WHERE n_nationkey = 7",
+    "ElementSrv.get(idOrName) fold: string resolves via the model's name "
+    "column, integer via the id scan — services/ElementSrv.scala:24-31, "
+    "EntityIdOrName EntityId.scala:6-38",
+)
+def get_by_name_or_id(spark, sf):
+    cat = cat_for(spark, sf)
+    a = cat.get("customer", "Customer#000000007").df.select(
+        F.col("c_custkey").cast("long").alias("k"), F.col("c_name").alias("nm")
+    )
+    b = cat.get("nation", 7).df.select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("nm")
+    )
+    return a.unionByName(b)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
@@ -2033,7 +2055,9 @@ def dedup_contamination_q(spark, sf):
 # similarity_ann_topk — DuckDB cannot express them, so their rows can never
 # hash-match) rotated OUT in favour of oracle-exact text_tfidf,
 # dedup_contamination, events_sessionize.  The LSH/SimHash/ANN paths remain
-# registered (rows-only) and pytest-verified.
+# registered (rows-only) and pytest-verified.  get_by_name_or_id (ElementSrv
+# id-or-name fold) replaces the second pipeline representative
+# pipeline_corpus_stats, which stays suite-checked post-window.
 _WINDOW = [
     "scan_by_ids",
     "union_all_forms",
@@ -2076,7 +2100,7 @@ _WINDOW = [
     "temporal_asof_join_bucketed",
     "temporal_range_join",
     "pipeline_clean_corpus",
-    "pipeline_corpus_stats",
+    "get_by_name_or_id",
     "writes_pipeline",
     "unique_enforce",
     "integrity_duplicates",

@@ -1,0 +1,125 @@
+"""Scaling-slope diagnostic: run scale-risk queries at sf0.1 and at a
+K×-replicated copy of it, and report the time ratio per query.
+
+The per-round bench (bench.py) runs one scale point; this tool answers the
+100 TB question — "what happens to each operator when the data grows K×?" —
+without needing driver-generated data beyond sf0.1.  A healthy operator
+shows ratio ≈ K (linear) or K·log K; a ratio ≫ K exposes a quadratic or
+superstep blowup.
+
+Replication is FK-consistent: fact-table keys offset by replica × 10^9
+(lineitem/orders/customer chains stay joinable inside each replica);
+dimension tables (nation/region/supplier/part) are shared, matching how a
+real deployment grows facts against stable dims.  Document TEXT is
+re-tokenized per replica (every token gets a replica suffix) so replicas are
+NOT near-duplicates of each other — near-dup pair volume scales linearly
+like a real corpus, instead of quadratically through cross-replica clones.
+Embeddings keep their values (extra true neighbors is the realistic ANN
+growth mode); the auto-sized plane/cell counts must absorb it.
+
+Usage: python tools/scale_bench.py [K]          (default K=3 ≈ sf0.3)
+Writes the scaled tables under /tmp/spark_graft_scale_sfK/ (reused if
+present) and prints one JSON report line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OFF = 1_000_000_000
+
+# (table, [key columns to offset]) — dims replicate once
+FACTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "supplier", "part"]
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "dedup_minhash_lsh",
+    "pipeline_clean_corpus",
+    "similarity_ivf_topk",
+    "similarity_ann_topk",
+    "graph_degrees",
+    "graph_connected_components",
+    "graph_pagerank",
+    "events_funnel",
+]
+
+
+def build_scaled(spark, src: str, dst: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst, exist_ok=True)
+    for t in DIMS:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    for t, keys in FACTS.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        parts = []
+        for r in range(k):
+            p = df
+            for c in keys:
+                p = p.withColumn(c, F.col(c) + F.lit(r * OFF))
+            if t == "documents" and r > 0:
+                # suffix every token → replicas share no shingles
+                p = p.withColumn("text", F.regexp_replace("text", r"(\S+)", f"$1x{r}"))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
+def run(spark, sf_dir: str, names) -> dict[str, float]:
+    from scalligraph_spark.suite import SUITE
+
+    times = {}
+    for name in names:
+        t0 = time.perf_counter()
+        SUITE[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {sf_dir}: {name}: {times[name]:.3f}s", file=sys.stderr)
+    return times
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = f"/tmp/spark_graft_scale_sf{k}"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from scalligraph_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(os.path.join(dst, "lineitem.parquet")):
+        print(f"# building {k}x replica at {dst}", file=sys.stderr)
+        build_scaled(spark, src, dst, k)
+
+    base = run(spark, src, QUERIES)
+    scaled = run(spark, dst, QUERIES)
+    report = {
+        "k": k,
+        "base_sec": base,
+        "scaled_sec": scaled,
+        "ratio": {n: (round(scaled[n] / base[n], 2) if base[n] else None) for n in base},
+    }
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
