@@ -31,6 +31,92 @@ def dangling_links(
     return child.join(p, child[fk_col] == F.col("__pk"), "left_anti")
 
 
+def _bloom_words(parent: DataFrame, parent_key: str, m_bits: int, k: int) -> DataFrame:
+    """Distributed Bloom filter as a (word index, 64-bit word) table: every
+    parent key sets ``k`` bit positions (xxhash64 seeded per hash), OR-folded
+    per 64-bit word.  ``m/64`` rows — orders of magnitude smaller than the
+    parent, usually broadcastable."""
+    positions = parent.select(
+        F.explode(
+            F.array(*[F.pmod(F.xxhash64(F.col(parent_key), F.lit(i)), F.lit(m_bits)) for i in range(k)])
+        ).alias("pos")
+    )
+    return (
+        positions.select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("word"))
+    )
+
+
+def dangling_links_bloom(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    parent_key: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Bloom-pruned dangling-FK audit — the 100 TB shape of
+    :func:`dangling_links`.
+
+    The reference iterates with a Guava Bloom filter
+    (core/.../services/IntegrityCheckOps.scala:404-469); relationally the
+    filter becomes a ``(word, bits)`` table (:func:`_bloom_words`) and the
+    membership probe becomes ``k`` BROADCAST equi-joins on the word index —
+    the 100 TB child is never shuffled, while the plain anti-join must
+    exchange both sides.  Bloom semantics give no false negatives for
+    membership, so a key whose ``k`` probes are not all set is DEFINITELY
+    dangling; those rows emit from the map-only probe.
+
+    * ``exact=True`` (default): bloom-positive rows (valid keys + an
+      ``fpp`` fraction of dangling ones) fall through to the exact
+      anti-join — same answer as :func:`dangling_links`, but the shuffled
+      anti-join input shrinks to the bloom-positive subset (a big win
+      exactly when the audit matters: many danglers).
+    * ``exact=False``: return only the definitely-dangling rows — a
+      map-only audit that misses at most ``fpp`` of the danglers, for the
+      "scan 100 TB nightly, zero shuffle" health check.
+
+    ``expected_items`` sizes the filter without a ``count()`` job over the
+    parent (same hint contract as the ANN auto-sizing).
+    """
+    import math
+
+    n = expected_items if expected_items is not None else parent.count()
+    n = max(n, 1)
+    m_bits = max(64, int(-n * math.log(max(min(fpp, 0.5), 1e-9)) / (math.log(2) ** 2)))
+    k = max(1, min(8, round(m_bits / n * math.log(2))))
+    words = _bloom_words(parent, parent_key, m_bits, k)
+    # broadcast when plausibly small (16 B/row heuristic; beyond that Spark
+    # would spill the broadcast anyway — let the planner shuffle instead)
+    if m_bits // 64 <= 16_000_000:
+        words = F.broadcast(words)
+
+    probed = child
+    hit_cols = []
+    for i in range(k):
+        probed = probed.withColumn(f"__pos{i}", F.pmod(F.xxhash64(F.col(fk_col), F.lit(i)), F.lit(m_bits)))
+        w = words.select(F.col("w").alias(f"__w{i}"), F.col("word").alias(f"__word{i}"))
+        probed = probed.join(w, (F.col(f"__pos{i}") / 64).cast("long") == F.col(f"__w{i}"), "left")
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos{i} % 64 AS INT))")
+        hit = F.col(f"__word{i}").isNotNull() & (F.col(f"__word{i}").bitwiseAND(mask) != 0)
+        hit_cols.append(hit)
+    maybe_present = hit_cols[0]
+    for h in hit_cols[1:]:
+        maybe_present = maybe_present & h
+    probed = probed.withColumn("__maybe", maybe_present)
+    drop = [c for i in range(k) for c in (f"__w{i}", f"__word{i}", f"__pos{i}")]
+    definite = probed.where(~F.col("__maybe")).drop("__maybe", *drop)
+    if not exact:
+        return definite
+    survivors = probed.where(F.col("__maybe")).drop("__maybe", *drop)
+    return definite.unionByName(dangling_links(survivors, fk_col, parent, parent_key))
+
+
 def duplicate_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Parallel-edge detection (IntegrityCheckOps.scala:367-399 self-join
     shape, expressed as the equivalent groupCount)."""

@@ -1,0 +1,58 @@
+"""Bloom-pruned dangling-link audit (IntegrityCheckOps.scala:404-469):
+exact mode must equal the plain anti-join; approximate mode must be
+map-only over the child (no child shuffle) and only ever report TRUE
+danglers (no false positives in the output direction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scalligraph_spark.integrity import dangling_links, dangling_links_bloom
+
+
+def _fixture(spark):
+    parent = spark.range(0, 500).select(F.col("id").alias("pk"))
+    # children reference 0..499 plus 40 planted danglers at 10_000+
+    child = spark.range(0, 2000).select(
+        F.col("id").alias("cid"),
+        F.when(F.col("id") % 50 == 0, F.col("id") + 10_000).otherwise(F.col("id") % 500).alias("fk"),
+    )
+    return parent, child
+
+
+def test_bloom_exact_equals_anti_join(spark):
+    parent, child = _fixture(spark)
+    plain = {r["cid"] for r in dangling_links(child, "fk", parent, "pk").collect()}
+    bloom = {r["cid"] for r in dangling_links_bloom(child, "fk", parent, "pk", expected_items=500).collect()}
+    assert bloom == plain and len(plain) == 40
+
+
+def test_bloom_approx_subset_and_mostly_complete(spark):
+    parent, child = _fixture(spark)
+    plain = {r["cid"] for r in dangling_links(child, "fk", parent, "pk").collect()}
+    approx = {r["cid"] for r in dangling_links_bloom(child, "fk", parent, "pk", expected_items=500, exact=False).collect()}
+    assert approx <= plain                      # never reports a valid link
+    assert len(approx) >= 0.9 * len(plain)      # misses at most ~fpp of danglers
+
+
+def test_bloom_probe_is_broadcast_no_child_shuffle(spark):
+    """The probe side must be broadcast hash joins — the child is never
+    exchanged in approximate mode (the point of the operator at 100 TB)."""
+    parent, child = _fixture(spark)
+    df = dangling_links_bloom(child, "fk", parent, "pk", expected_items=500, exact=False)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_bloom_null_fk_counts_as_dangling(spark):
+    parent = spark.range(0, 10).select(F.col("id").alias("pk"))
+    child = spark.createDataFrame([(1, 5), (2, None), (3, 99)], "cid long, fk long")
+    out = {r["cid"] for r in dangling_links_bloom(child, "fk", parent, "pk", expected_items=10).collect()}
+    assert out == {2, 3}
