@@ -87,8 +87,11 @@ class LabelStore:
         root/<label>/_current     # JSON {"version": 2}
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, event_srv=None):
         self.root = root
+        # optional commit notifications (EventSrv analog, eventsrv.py):
+        # every write publishes on topic "store:<label>"
+        self.event_srv = event_srv
         os.makedirs(root, exist_ok=True)
 
     # -- pointer management (atomic) --------------------------------------
@@ -182,6 +185,8 @@ class LabelStore:
                 json.dump(meta, f)
         if new_v > self.version(label):  # monotonic pointer advance
             self._set_version(label, new_v)
+        if self.event_srv is not None:
+            self.event_srv.publish(f"store:{label}", {"label": label, "version": new_v, "meta": meta or {}})
         return new_v
 
     def commit_meta(self, label: str, version: int | None = None) -> dict:

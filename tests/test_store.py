@@ -267,3 +267,30 @@ def test_commit_meta_roundtrip(spark, store):
     store.write("t", spark.createDataFrame([(1,)], "k long"), meta={"batch_id": 7})
     assert store.commit_meta("t") == {"batch_id": 7}
     assert store.commit_meta("t", 1) == {"batch_id": 7}
+
+
+def test_event_srv_commit_notifications(spark, tmp_path):
+    """EventSrv analog (services/EventSrv.scala:14-31): commits publish on
+    store:<label>; unsubscribe stops delivery; publish_ask collects replies."""
+    from scalligraph_spark.eventsrv import EventSrv
+    from scalligraph_spark.store import LabelStore
+
+    ev = EventSrv()
+    seen = []
+    handle = ev.subscribe("store:person", seen.append)
+    store = LabelStore(str(tmp_path / "evstore"), event_srv=ev)
+
+    df = spark.createDataFrame([(1, "marko")], "id long, name string")
+    v1 = store.write("person", df, meta={"who": "test"})
+    assert seen == [{"label": "person", "version": v1, "meta": {"who": "test"}}]
+
+    store.write("other", df)  # different topic — not delivered
+    assert len(seen) == 1
+
+    ev.unsubscribe("store:person", handle)
+    store.write("person", df)
+    assert len(seen) == 1
+
+    ev.subscribe("ping", lambda m: m * 2)
+    ev.subscribe("ping", lambda m: m + 1)
+    assert ev.publish_ask("ping", 10) == [20, 11]
