@@ -30,6 +30,8 @@ from scalligraph_spark.operators.pipeline import (
     clean_corpus,
     corpus_profile,
     corpus_stats,
+    pack_documents,
+    sample_mixture,
     split_corpus,
 )
 from scalligraph_spark.operators.similarity import (
@@ -83,6 +85,8 @@ __all__ = [
     "quality_score",
     "range_join",
     "simhash_pairs",
+    "pack_documents",
+    "sample_mixture",
     "split_corpus",
     "tfidf",
     "token_count",

@@ -159,3 +159,70 @@ def corpus_stats(clean: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         davg(F.col("quality")).alias("avg_quality"),
     )
+
+
+def pack_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing for training: assign every document to the
+    fixed-size context-window pack it starts in, under concatenate-and-
+    chunk semantics (documents concatenate in deterministic ``id`` order
+    and the stream chops every ``max_tokens``) — the standard pretraining
+    packing layout.
+
+    Pure window arithmetic: running token offset via an ordered prefix
+    sum, ``pack_id = floor(start_offset / max_tokens)``.  With
+    ``shard_col`` the prefix sum is PER SHARD (window partitioned → no
+    global sort): at 100 TB you pack within shards — each shard's packs
+    are independent, which is exactly how multi-worker training shards
+    data anyway.  Without it the window is global (one range-partitioned
+    sort) — fine to sf-scale and the oracle-comparable form.
+
+    Returns (id_col[, shard_col], n_tokens, start_offset, pack_id).
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.orderBy(F.col(id_col).asc()) if shard_col is None else Window.partitionBy(shard_col).orderBy(
+        F.col(id_col).asc()
+    )
+    running = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out_cols = [id_col] if shard_col is None else [id_col, shard_col]
+    return (
+        docs.select(*out_cols, n_tokens.alias("n_tokens"))
+        .withColumn("start_offset", (running - F.col("n_tokens")).cast("long"))
+        .withColumn("pack_id", F.floor(F.col("start_offset") / max_tokens))
+    )
+
+
+def sample_mixture(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic per-source downsampling — building a training MIXTURE
+    ("keep 100% of wiki, 30% of web, 5% of logs") the reproducible way:
+    membership is a pure function of (key, salt) exactly like
+    :func:`split_corpus`, so re-runs, re-orders and repartitions keep the
+    same rows, and the same document is kept or dropped consistently
+    across pipeline stages.
+
+    Map-only (no shuffle, no sampling pass); sources missing from
+    ``rates`` keep ``default_rate``.  Compose with :func:`split_corpus`
+    AFTER sampling so split proportions hold within the mixture.
+    """
+    u = (F.shiftrightunsigned(F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), 1)) / F.lit(
+        float(1 << 63)
+    )
+    rate = None
+    for src, r in rates.items():
+        rate = F.when(F.col(source_col) == src, float(r)) if rate is None else rate.when(
+            F.col(source_col) == src, float(r)
+        )
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(float(default_rate))
+    return docs.where(u < rate)

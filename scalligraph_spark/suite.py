@@ -2024,6 +2024,75 @@ def dedup_contamination_q(spark, sf):
 
 
 @q(
+    "pipeline_pack_documents",
+    """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+  CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+FROM t
+WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    "sequence packing: concatenate-and-chunk context-window assignment "
+    "(ordered prefix sum of token counts, pack = start_offset div window); "
+    "shard_col packs per-shard with no global sort at scale",
+)
+def pipeline_pack_documents_q(spark, sf):
+    from scalligraph_spark.operators import pack_documents
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return pack_documents(docs, max_tokens=2048)
+
+
+@q(
+    "pipeline_sample_mixture",
+    None,  # xxhash64 bucket assignment has no DuckDB twin → rows-only
+    "deterministic per-source mixture sampling (keep-rate per source as a "
+    "pure function of (key, salt) — reproducible across runs/partitionings, "
+    "map-only) — returns per-source kept counts",
+)
+def pipeline_sample_mixture_q(spark, sf):
+    from scalligraph_spark.operators import sample_mixture
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    mixed = sample_mixture(docs, {"web": 0.3, "wiki": 1.0}, default_rate=0.5)
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("source")
+
+
+@q(
+    "integrity_dangling_bloom",
+    """
+WITH child AS (
+  SELECT o_orderkey,
+         o_custkey + CASE WHEN o_orderkey % 97 = 0 THEN 1000000 ELSE 0 END AS fk
+  FROM orders
+)
+SELECT c.o_orderkey, c.fk FROM child c
+WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.fk)
+""",
+    "Bloom-pruned dangling-FK audit (IntegrityCheckOps.scala:404-469): "
+    "relational Bloom words broadcast to the probe — the child is never "
+    "shuffled; exact mode routes only bloom-positives through the anti-join",
+)
+def integrity_dangling_bloom_q(spark, sf):
+    from scalligraph_spark.integrity import dangling_links_bloom
+
+    cat = cat_for(spark, sf)
+    child = cat.vertex_df("orders").select(
+        "o_orderkey",
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 97 == 0, F.lit(1000000)).otherwise(F.lit(0))
+        ).alias("fk"),
+    )
+    parent = cat.vertex_df("customer")
+    return dangling_links_bloom(child, "fk", parent, "c_custkey").select("o_orderkey", "fk")
+
+
+@q(
     "get_by_name_or_id",
     "SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS nm FROM customer "
     "WHERE c_name = 'Customer#000000007' "

@@ -190,3 +190,63 @@ def immense_term_guard(
             )
             df = df.withColumn(f"_immense_{col}", F.coalesce(over, F.lit(False)))
     return df
+
+
+class WriteSession:
+    """One write transaction over a stored label table — the
+    ``db.tryTransaction`` analog (models/Database.scala:23-109, retry loop
+    JanusDatabase.scala:211-257).
+
+    Mutations accumulate as PLAN transforms over a snapshot pinned at
+    session start (``store.read`` pins the pointed-at version, so
+    concurrent commits cannot shift the base mid-session).  Nothing is
+    visible until :meth:`commit`, which writes ONE new table version and
+    flips the pointer — the batch world's atomic commit; open readers
+    keep their snapshot (isolation), and abandoning the session without
+    committing IS the rollback path.  The store's exclusive version claim
+    serializes concurrent writers, and its EventSrv hook publishes the
+    commit (``store:<label>``), so subscribers see exactly one event per
+    transaction regardless of how many mutations it batched.
+    """
+
+    def __init__(
+        self,
+        spark,
+        store,
+        label: str,
+        id_col: str,
+        created_by: str = "system",
+        at: str = "1970-01-01 00:00:00",
+        unique_keys: list[tuple[str, ...]] | None = None,
+    ):
+        self.store = store
+        self.label = label
+        self.id_col = id_col
+        self.created_by = created_by
+        self.at = at
+        self.unique_keys = unique_keys or []
+        self.df = store.read(spark, label)  # pinned snapshot
+
+    def create(self, new_rows: DataFrame) -> "WriteSession":
+        self.df = create_entities(
+            self.df, new_rows, self.label, self.id_col, self.created_by, self.at, self.unique_keys
+        )
+        return self
+
+    def update(self, cond: Column, updates: dict[str, Column]) -> "WriteSession":
+        self.df = update_where(self.df, cond, updates, self.created_by, self.at)
+        return self
+
+    def remove(self, cond: Column) -> "WriteSession":
+        self.df = remove_where(self.df, cond)
+        return self
+
+    def transform(self, fn) -> "WriteSession":
+        """Escape hatch for any df→df mutation (add_value, enum checks,
+        immense-term guards…) inside the same transaction."""
+        self.df = fn(self.df)
+        return self
+
+    def commit(self, meta: dict | None = None, **write_opts) -> int:
+        """Write the accumulated state as a new version; returns it."""
+        return self.store.write(self.label, self.df, meta=meta, **write_opts)

@@ -422,3 +422,37 @@ def test_clean_corpus_keeps_representative_when_canonical_gated(spark):
     pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
     out = [r["doc_id"] for r in clean_corpus(docs, min_quality=0.5, near_dup_pairs=pairs).collect()]
     assert out == [2]  # min SURVIVING id of the {1,2,3} component
+
+
+def test_pack_documents_contiguous_fill(spark):
+    """Concatenate-and-chunk packing: pack = floor(start_offset / window);
+    shard_col packs independently per shard (no global order)."""
+    from scalligraph_spark.operators import pack_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e f g", "s1"), (3, "h i", "s1"), (4, "j k l m n", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: r for r in pack_documents(docs, max_tokens=5).collect()}
+    assert [rows[i]["start_offset"] for i in (1, 2, 3, 4)] == [0, 3, 7, 9]
+    assert [rows[i]["pack_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+
+    sharded = {r["doc_id"]: r for r in pack_documents(docs, 5, shard_col="source").collect()}
+    assert sharded[4]["start_offset"] == 0 and sharded[4]["pack_id"] == 0  # s2 restarts
+
+
+def test_sample_mixture_deterministic_rates(spark):
+    from scalligraph_spark.operators import sample_mixture
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "web" if i % 2 == 0 else "wiki") for i in range(2000)],
+        "doc_id long, text string, source string",
+    )
+    a = sample_mixture(docs, {"web": 0.3, "wiki": 1.0})
+    b = sample_mixture(docs, {"web": 0.3, "wiki": 1.0})
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(r["doc_id"] for r in b.collect())
+    counts = {r["source"]: r["n"] for r in a.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["wiki"] == 1000                       # rate 1.0 keeps all
+    assert 200 <= counts["web"] <= 400                  # ~30% of 1000
+    # unlisted sources keep default_rate
+    assert sample_mixture(docs, {}, default_rate=0.0).count() == 0

@@ -88,3 +88,43 @@ def test_validate_enum(spark):
     lenient = validate_enum(df, "status", ["open", "closed"], reject=False)
     got = {r["k"]: r["status"] for r in lenient.collect()}
     assert got == {1: "open", 2: None, 3: None}
+
+
+def test_write_session_transaction(spark, tmp_path):
+    """tryTransaction analog: mutations batch invisibly over a pinned
+    snapshot; commit = one new version + one commit event; no commit = no
+    visible change (rollback)."""
+    from scalligraph_spark.eventsrv import EventSrv
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.writes import WriteSession
+
+    ev = EventSrv()
+    events = []
+    ev.subscribe("store:person", events.append)
+    store = LabelStore(str(tmp_path / "txstore"), event_srv=ev)
+    base = spark.createDataFrame(
+        [("1", "person", "seed", "marko", 29)],
+        "_id string, _label string, _created_by string, name string, age long",
+    )
+    store.write("person", base)
+    events.clear()
+
+    sess = (
+        WriteSession(spark, store, "person", id_col="pid", created_by="tester")
+        .create(spark.createDataFrame([(2, "vadas", 27), (3, "josh", 32)], "pid long, name string, age long"))
+        .update(F.col("name") == "marko", {"age": F.col("age") + 1})
+        .remove(F.col("name") == "josh")
+    )
+    # nothing visible before commit; snapshot pinned
+    assert store.read(spark, "person").count() == 1 and events == []
+
+    v = sess.commit(meta={"txn": "t1"})
+    assert len(events) == 1 and events[0]["version"] == v and events[0]["meta"] == {"txn": "t1"}
+    rows = {r["name"]: r for r in store.read(spark, "person").collect()}
+    assert set(rows) == {"marko", "vadas"}
+    assert rows["marko"]["age"] == 30 and rows["marko"]["_updated_by"] == "tester"
+    assert rows["vadas"]["_created_by"] == "tester"
+
+    # abandoned session = rollback: build one, never commit
+    WriteSession(spark, store, "person", id_col="pid").remove(F.lit(True))
+    assert store.read(spark, "person").count() == 2
