@@ -52,13 +52,21 @@ def salted_bucket_pairs(
     """
     keys = list(key_cols)
     if max_bucket_rows is not None:
-        sizes = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+        # only OVERSIZED buckets need a salt — on a healthy corpus that set
+        # is empty, so it broadcasts and the narrow relation is never
+        # shuffled for the merge; the sizes aggregate itself is map-side-
+        # combined over (key) and cheap
+        over = (
+            bucketed.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > max_bucket_rows)
+        )
         n_salts = F.ceil(F.col("__bn") / F.lit(max_bucket_rows)).cast("long")
         bucketed = (
-            bucketed.join(sizes, keys)
+            bucketed.join(F.broadcast(over), keys, "left")
             .withColumn(
                 "__salt",
-                F.when(F.col("__bn") <= max_bucket_rows, F.lit(0).cast("long")).otherwise(
+                F.when(F.col("__bn").isNull(), F.lit(0).cast("long")).otherwise(
                     F.pmod(F.xxhash64(F.col("id")), n_salts)
                 ),
             )
