@@ -16,7 +16,9 @@ Layout (SURVEY.md §7.1):
   qlang/         JSON query language (filters/sorts/aggs)    (§2.3/2.5/2.6, §3.A)
   writes.py      create/update/delete with audit stamping    (§3.B.4)
   integrity.py   dedup + link integrity checks               (§2.11-adjacent)
-  migrations.py  schema-versioned Operation set              (§3.B.5)
+  migrations.py  schema-versioned Operation set (all 10 kinds)  (§3.B.5)
+  fields.py      Field tree + FieldsParser validation tier    (§2.10)
+  eventsrv.py    pub/sub commit notifications                 (§2.9)
   store.py       versioned label storage: snapshot swap, compaction, Z-order
   blobs.py       chunked binary blob storage (FS/HDFS/S3)
   operators/     scale operators: dedup, similarity, temporal joins,
@@ -26,15 +28,24 @@ Layout (SURVEY.md §7.1):
 """
 
 from scalligraph_spark.catalog import EdgeSpec, GraphCatalog, VertexSpec, tpch_catalog
-from scalligraph_spark.migrations import SchemaUpdater, VersionStore
+from scalligraph_spark.eventsrv import EventSrv
+from scalligraph_spark.fields import AttributeCheckingError, FieldsParser, validate_chain
+from scalligraph_spark.migrations import Operations, SchemaUpdater, VersionStore
 from scalligraph_spark.model import AUDIT_COLUMNS, EntityModel, FieldSpec
 from scalligraph_spark.properties import PublicProperties, PublicProperty
 from scalligraph_spark.session import get_spark
 from scalligraph_spark.store import LabelStore
 from scalligraph_spark.traversal import P, SortBy, TextP, Traversal
+from scalligraph_spark.writes import WriteSession
 
 __all__ = [
     "AUDIT_COLUMNS",
+    "AttributeCheckingError",
+    "EventSrv",
+    "FieldsParser",
+    "Operations",
+    "WriteSession",
+    "validate_chain",
     "EdgeSpec",
     "EntityModel",
     "FieldSpec",

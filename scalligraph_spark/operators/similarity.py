@@ -300,6 +300,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    n_list: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k neighbors — the second scale path beside LSH.
 
@@ -314,6 +315,12 @@ def ivf_ann_topk(
     n_probe·√N — subquadratic, with recall controlled by n_probe.  Pass
     ``n_rows`` (exact or approximate) to skip the auto-sizing ``count()``
     job — at 100 TB that is an extra scan of the table per call.
+
+    ``n_list`` is the multi-assignment knob: each vector LISTS into its
+    ``n_list`` nearest cells (not just the nearest), so boundary vectors —
+    the classic IVF recall leak — are findable from either side of the
+    cell edge.  Storage/candidate volume grows ×n_list; recall is
+    monotone in both knobs.
     """
     import math
 
@@ -325,7 +332,8 @@ def ivf_ann_topk(
         n = n_rows if n_rows is not None else embeddings.count()
         n_centroids = max(4, min(4096, int(math.sqrt(max(n, 4)))))
     C = _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col)
-    n_probe = min(n_probe, n_centroids)
+    n_probe = min(max(n_probe, n_list), n_centroids)
+    n_list = min(n_list, n_centroids)
 
     @pandas_udf("array<int>")
     def probe_cells(v: pd.Series) -> pd.Series:
@@ -337,7 +345,8 @@ def ivf_ann_topk(
 
     cells = embeddings.select(F.col(id_col).alias("id"), probe_cells(F.col(vec_col)).alias("cells")).persist()
     cells.count()
-    index = cells.select("id", F.col("cells")[0].alias("cell"))  # each vector lists in its nearest cell
+    # each vector lists in its n_list nearest cells (multi-assignment)
+    index = cells.select("id", F.explode(F.slice("cells", 1, n_list)).alias("cell"))
     probes = cells.select(F.col("id").alias("qid"), F.explode("cells").alias("cell"))
     cands = (
         probes.join(index, "cell")

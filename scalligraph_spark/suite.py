@@ -2058,7 +2058,7 @@ def pipeline_sample_mixture_q(spark, sf):
     from scalligraph_spark.operators import sample_mixture
 
     docs = cat_for(spark, sf).vertex_df("documents")
-    mixed = sample_mixture(docs, {"web": 0.3, "wiki": 1.0}, default_rate=0.5)
+    mixed = sample_mixture(docs, {"src0": 1.0, "src1": 0.3}, default_rate=0.5)
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("source")
 
 

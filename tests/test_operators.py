@@ -456,3 +456,33 @@ def test_sample_mixture_deterministic_rates(spark):
     assert 200 <= counts["web"] <= 400                  # ~30% of 1000
     # unlisted sources keep default_rate
     assert sample_mixture(docs, {}, default_rate=0.0).count() == 0
+
+
+def test_ivf_multi_assignment_buys_recall(spark):
+    """n_list > 1 lists boundary vectors into neighboring cells — recall
+    at fixed n_probe must not drop and typically rises (the multi-probe
+    assignment knob, monotone like n_probe)."""
+    from pyspark.sql import Window
+
+    from scalligraph_spark.operators import ivf_ann_topk
+    from scalligraph_spark.operators.similarity import embedding_cosine_pairs
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = embedding_cosine_pairs(emb, threshold=-2.0)
+    both = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    exact: dict = {}
+    for r in both.withColumn("rn", F.row_number().over(w)).where("rn <= 10").collect():
+        exact.setdefault(r["id_a"], set()).add(r["id_b"])
+
+    def recall(n_list):
+        got: dict = {}
+        for r in ivf_ann_topk(emb, k=10, n_probe=4, n_list=n_list).select("id_a", "id_b").collect():
+            got.setdefault(r["id_a"], set()).add(r["id_b"])
+        return sum(len(got.get(k, set()) & v) / len(v) for k, v in exact.items()) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1 and r3 >= 0.6
