@@ -2114,6 +2114,146 @@ def get_by_name_or_id(spark, sf):
     return a.unionByName(b)
 
 
+@q(
+    "q6_forecast_revenue",
+    f"""
+SELECT {dsum_expr('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""",
+    "TPC-H Q6-shaped forecast-revenue: pure scan-aggregate — every filter "
+    "reaches the parquet scan (PushedFilters), no join, no wide shuffle",
+)
+def q6_forecast_revenue(spark, sf):
+    li = cat_for(spark, sf).vertex_df("lineitem")
+    d = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return d.agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@q(
+    "q4_priority_semi",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    "TPC-H Q4-shaped priority count: correlated EXISTS compiled to a "
+    "LEFT SEMI join (equi on the order key + residual date predicate) — "
+    "no row explosion from multi-line orders",
+)
+def q4_priority_semi(spark, sf):
+    c = cat_for(spark, sf)
+    orders = c.vertex_df("orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = c.vertex_df("lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li, (F.col("o_orderkey") == F.col("l_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi"
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@q(
+    "q10_returned_items",
+    f"""
+SELECT c_custkey, c_name, n_name, {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    "TPC-H Q10-shaped returned-item top customers: fact joins + broadcast "
+    "nation, decimal-routed revenue, deterministic tie-broken top-20 "
+    "(TakeOrderedAndProject)",
+)
+def q10_returned_items(spark, sf):
+    c = cat_for(spark, sf)
+    cust = c.vertex_df("customer")
+    orders = c.vertex_df("orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = c.vertex_df("lineitem").where(F.col("l_returnflag") == "R")
+    nat = c.vertex_df("nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "q14_promo_revenue",
+    f"""
+SELECT round(100.0 * {dsum_expr("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {dsum_expr('l_extendedprice * (1 - l_discount)')}, 6) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-03-01'
+""",
+    "TPC-H Q14-shaped promo revenue share: broadcast part join + one "
+    "conditional decimal aggregate — identical operands on both engines so "
+    "the division is bit-stable",
+)
+def q14_promo_revenue(spark, sf):
+    c = cat_for(spark, sf)
+    li = c.vertex_df("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = c.vertex_df("part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(F.lit(100.0) * dsum(promo) / dsum(rev), 6).alias("promo_revenue"))
+    )
+
+
+@q(
+    "q19_discounted_revenue",
+    f"""
+SELECT {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 AND l.l_quantity BETWEEN 10 AND 30)
+""",
+    "TPC-H Q19-shaped OR-of-ANDs predicate over a broadcast part join — "
+    "the disjunction stays a residual filter on one equi-join, never a "
+    "cartesian fallback",
+)
+def q19_discounted_revenue(spark, sf):
+    c = cat_for(spark, sf)
+    li = c.vertex_df("lineitem")
+    part = c.vertex_df("part")
+    cond1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & F.col("l_quantity").between(1, 20)
+    cond2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & F.col("l_quantity").between(10, 30)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond1 | cond2)
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -112,3 +112,36 @@ def test_asof_bucketed_no_nested_loop(spark):
     p = _plan(spark, "temporal_asof_join_bucketed")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "Window" in p
+
+
+def test_q6_all_filters_pushed(spark):
+    """Q6 is the pushdown litmus: every predicate must reach the scan and
+    the schema must prune to the 4 referenced columns."""
+    p = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters" in p and "l_shipdate" in p and "l_discount" in p and "l_quantity" in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_returnflag" not in read and "l_orderkey" not in read
+
+
+def test_q4_exists_is_semi_join(spark):
+    p = _plan(spark, "q4_priority_semi")
+    assert "LeftSemi" in p
+
+
+def test_q10_top20_take_ordered_broadcast_nation(spark):
+    p = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in p and "BroadcastHashJoin" in p
+
+
+def test_q19_no_cartesian(spark):
+    """The OR-of-ANDs must stay a residual on the partkey equi-join."""
+    p = _plan(spark, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_bucket_salt_merge_is_broadcast(spark):
+    """The hot-bucket salt merge must broadcast the oversized-buckets table
+    (empty on healthy corpora) — the banded relation is never reshuffled."""
+    p = _plan(spark, "dedup_minhash_lsh")
+    assert "BroadcastHashJoin" in p
