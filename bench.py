@@ -54,6 +54,10 @@ HEADLINE = [
     "graph_pagerank",
     "blob_chunk_roundtrip",
     "streaming_windowed_rollup",
+    # round-4 additions (append-only so the 26 keys above stay comparable)
+    "q6_forecast_revenue",
+    "integrity_dangling_bloom",
+    "pipeline_pack_documents",
 ]
 
 
