@@ -232,6 +232,7 @@ def contamination_check(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Benchmark-contamination detection: flag (train doc, benchmark doc)
     pairs where ≥ ``threshold`` of the benchmark doc's distinct word
@@ -242,9 +243,12 @@ def contamination_check(
     Shape: distinct n-grams per side (map-only), equi-join on the gram
     (the only shuffle — candidates are pairs sharing ≥1 gram, not the
     cross product), count shared grams per pair, normalize by the
-    benchmark doc's gram count.  At 100 TB the train side explodes to
-    (gram, id) pairs — shingle hashing (xxhash64 the gram) keeps the
-    shuffle narrow; here grams stay as strings for oracle parity.
+    benchmark doc's gram count.  ``hash_grams=True`` is the 100 TB path:
+    the train side explodes to (gram, id) pairs, so xxhash64-ing each
+    gram shuffles 8 bytes instead of the n-word string — identical
+    results (distinct-gram counts are preserved; a 64-bit collision
+    within one document's gram set is negligible and bounded).  Default
+    keeps string grams for byte-level oracle parity.
 
     Returns (train_id, bench_id, n_shared, bench_grams, containment).
     """
@@ -254,7 +258,10 @@ def contamination_check(
             F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
         ).otherwise(F.array().cast("array<int>"))
         g = F.array_distinct(F.transform(windows, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
-        return df.select(F.col(id_col).alias(out_id), F.explode(g).alias("gram"))
+        out = df.select(F.col(id_col).alias(out_id), F.explode(g).alias("gram"))
+        if hash_grams:
+            out = out.select(out_id, F.xxhash64("gram").alias("gram"))
+        return out
 
     tg = grams(train, "train_id")
     bg = grams(bench, "bench_id")

@@ -47,9 +47,15 @@ def clean_corpus(
     """
     q = quality_score(docs, text_col, id_col).where(F.col("quality") >= min_quality)
     kept = docs.select(id_col, text_col).join(q.select(id_col, "n_tokens", "quality"), id_col)
-    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(F.col(id_col).asc())
+    # hash BEFORE the dedup exchange and drop the text: the window shuffles
+    # (id, 32-char hash, 2 numerics) per row — the document body never
+    # leaves its scan stage (at 100 TB the text column IS the dataset)
+    narrow = kept.select(
+        id_col, F.md5(F.col(text_col).cast("binary")).alias("__h"), "n_tokens", "quality"
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
     out = (
-        kept.withColumn("__rn", F.row_number().over(w))
+        narrow.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select(id_col, "n_tokens", "quality")
     )

@@ -486,3 +486,26 @@ def test_ivf_multi_assignment_buys_recall(spark):
 
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1 and r3 >= 0.6
+
+
+def test_contamination_hash_grams_equivalent(spark):
+    """hash_grams=True (the narrow-shuffle scale path) must produce the
+    same containment pairs as string grams."""
+    from scalligraph_spark.operators import contamination_check
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated text about distributed query engines")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "quick brown fox jumps over"), (11, "nothing shared here at all certainly")],
+        "doc_id long, text string",
+    )
+    def rows(h):
+        return sorted(
+            (r["train_id"], r["bench_id"], r["n_shared"], r["bench_grams"], r["containment"])
+            for r in contamination_check(train, bench, n=3, threshold=0.5, hash_grams=h).collect()
+        )
+    a, b = rows(False), rows(True)
+    assert a == b and a  # same pairs, non-empty
