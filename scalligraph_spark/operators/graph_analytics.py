@@ -145,6 +145,12 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    # materialize, then release the edge cache and the terminal superstep —
+    # caches must not outlive the call
+    comp = _cut_lineage(comp, checkpoint_dir)
+    both.unpersist()
+    if prev_cached is not None:
+        prev_cached.unpersist()
     return comp
 
 
@@ -244,6 +250,12 @@ def _cc_two_phase(
     comp = verts.join(
         e.select(F.col("u").alias("vertex"), F.col("v").alias("__ptr")), "vertex", "left"
     ).select("vertex", F.coalesce("__ptr", F.col("vertex")).alias("component"))
+    # materialize the result, then free EVERY cache this call created —
+    # without this the terminal superstep + vertex caches outlive the call
+    # (executor memory leak across repeated invocations)
+    comp = _cut_lineage(comp, checkpoint_dir)
+    verts.unpersist()
+    prev_cached.unpersist()
     return comp
 
 
@@ -288,4 +300,8 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = _cut_lineage(ranks, checkpoint_dir)
+    # materialize, then release this call's caches (see connected_components)
+    ranks = _cut_lineage(ranks, checkpoint_dir)
+    e.unpersist()
+    verts.unpersist()
     return ranks
