@@ -41,6 +41,9 @@ from scalligraph_spark.operators.similarity import (
     ivf_ann_topk,
     lsh_ann_topk,
     lsh_bucket_candidates,
+    pq_encode,
+    pq_topk,
+    pq_train,
 )
 from scalligraph_spark.operators.temporal import (
     as_of_join,
@@ -86,6 +89,9 @@ __all__ = [
     "range_join",
     "simhash_pairs",
     "pack_documents",
+    "pq_encode",
+    "pq_topk",
+    "pq_train",
     "sample_mixture",
     "split_corpus",
     "tfidf",

@@ -413,3 +413,148 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc_nulls_last(), F.col("id_b").asc())
     return both.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+
+
+# -- product quantization (the compressed 100 TB path) -----------------------
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    nbits: int = 8,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+):
+    """Train product-quantization codebooks driver-side (same bounded-
+    deterministic-sample shape as the IVF quantizer): the vector splits
+    into ``m`` subspaces and each learns ``2**nbits`` k-means centroids
+    over L2-normalized sample vectors.  Returns a ``(m, 2**nbits, d/m)``
+    float64 numpy array.
+
+    Why PQ at 100 TB: an ANN scan over raw float32 embeddings moves
+    ``4·d`` bytes per row; over PQ codes it moves ``m`` bytes — 32× less
+    for d=64, m=8 — and the asymmetric-distance scorer is a table lookup
+    per subspace, no dot product.  Precision is restored by an exact
+    re-rank of the short candidate list (:func:`pq_topk`).
+    """
+    import numpy as np
+
+    k = 1 << nbits
+    rows = (
+        embeddings.select(vec_col, id_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, k, dsub))
+    rs = np.random.RandomState(1234)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rs.choice(len(S), size=min(k, len(S)), replace=len(S) < k)]
+        if len(C) < k:  # tiny corpus: pad with jittered repeats
+            C = np.vstack([C, C[rs.choice(len(C), k - len(C))] + rs.normal(0, 1e-6, (k - len(C), dsub))])
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-centroid codes — one Arrow
+    batch matmul per subspace, map-only.  Output (id, codes array<int>)
+    is the compressed index a 100 TB deployment persists instead of the
+    raw vectors."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = codebooks  # captured; identical on every worker (broadcast via closure)
+    m, k, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(M), m), dtype=np.int32)
+        for j in range(m):
+            S = M[:, j * dsub : (j + 1) * dsub]
+            # argmin ||s - c||² = argmax (s·c - ½||c||²) — one matmul
+            dots = S @ books[j].T - 0.5 * (books[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = dots.argmax(axis=1)
+        return pd.Series(list(codes))
+
+    return embeddings.select(F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 4,
+    nbits: int = 8,
+    refine: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+) -> DataFrame:
+    """Approximate top-k neighbors of one vector via a PQ asymmetric-
+    distance scan + exact re-rank.
+
+    Pipeline: codes (map-only, ``m`` bytes/row moves instead of ``4·d``)
+    → per-row approx inner product = ``Σ_j table_j[code_j]`` where
+    ``table_j = codebook_j · q_sub`` is an ``m × 2^nbits`` lookup built
+    once from the query (broadcast via closure, no shuffle) → top
+    ``refine`` candidates → exact cosine re-rank → top ``k``.  Precision
+    of the final scores is exact; only recall is approximate, controlled
+    by ``m``/``nbits``/``refine``.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col)
+    q_rows = embeddings.where(F.col(id_col) == query_id).select(vec_col).collect()
+    if not q_rows:
+        raise ValueError(f"query id {query_id} not found")
+    q = np.asarray(list(q_rows[0][0]), dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    mm, kk, dsub = codebooks.shape
+    tables = np.stack([codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(mm)])  # (m, 2^nbits)
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.vstack(codes.to_numpy())  # (n, m)
+        return pd.Series(tables[np.arange(mm)[None, :], C].sum(axis=1))
+
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    cands = (
+        codes.where(F.col("id") != query_id)
+        .select("id", adc(F.col("codes")).alias("approx_ip"))
+        .orderBy(F.col("approx_ip").desc(), F.col("id").asc())
+        .limit(refine)
+    )
+    refined = _exact_rerank(
+        cands.select(F.lit(query_id).alias("id_a"), F.col("id").alias("id_b")), embeddings, id_col, vec_col
+    )
+    return (
+        refined.select(F.col("id_b").alias(id_col), "cosine")
+        .orderBy(F.col("cosine").desc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -2115,6 +2115,21 @@ def get_by_name_or_id(spark, sf):
 
 
 @q(
+    "similarity_pq_topk",
+    None,  # k-means codebooks have no DuckDB twin → rows-only
+    "product-quantization ANN: PQ codes move m bytes/row instead of 4·d "
+    "(32× compression at d=64, m=8), asymmetric-distance table-lookup scan, "
+    "exact cosine re-rank of the short list — pytest proves full-refine ≡ "
+    "brute force and a recall floor at refine=32",
+)
+def similarity_pq_topk_q(spark, sf):
+    from scalligraph_spark.operators import pq_topk
+
+    emb = cat_for(spark, sf).vertex_df("embeddings")
+    return pq_topk(emb, query_id=7, k=10, m=8, refine=64)
+
+
+@q(
     "q6_forecast_revenue",
     f"""
 SELECT {dsum_expr('l_extendedprice * l_discount')} AS revenue

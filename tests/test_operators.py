@@ -509,3 +509,37 @@ def test_contamination_hash_grams_equivalent(spark):
         )
     a, b = rows(False), rows(True)
     assert a == b and a  # same pairs, non-empty
+
+
+def test_pq_full_refine_equals_brute_force(spark):
+    """PQ with refine >= N-1 re-ranks every vector exactly — the result
+    must EQUAL the brute-force top-k (differential exactness), and a short
+    refine list must still clear a recall floor (the compression path)."""
+    from scalligraph_spark.operators import brute_force_cosine_topk, pq_topk, pq_train
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    books = pq_train(emb, m=8)
+    exact = [(r["vec_id"], r["cosine"]) for r in brute_force_cosine_topk(emb, 3, k=10).collect()]
+    full = [(r["vec_id"], r["cosine"]) for r in pq_topk(emb, 3, k=10, refine=n, codebooks=books).collect()]
+    assert [i for i, _ in full] == [i for i, _ in exact]
+
+    short = {r["vec_id"] for r in pq_topk(emb, 3, k=10, refine=32, codebooks=books).collect()}
+    assert len(short & {i for i, _ in exact}) >= 7  # recall@10 >= 0.7 from a 32-candidate scan
+
+    # determinism: same codebooks, same result
+    again = [(r["vec_id"], r["cosine"]) for r in pq_topk(emb, 3, k=10, refine=n, codebooks=books).collect()]
+    assert again == full
+
+
+def test_pq_codes_shape_and_compression(spark):
+    from scalligraph_spark.operators import pq_encode, pq_train
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_train(emb, m=8, nbits=8)
+    assert books.shape == (8, 256, 8)  # d=64 → 8 subspaces of 8 dims
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 8 and all(0 <= c < 256 for c in r["codes"]) for r in codes)
+    assert len(codes) == emb.count()
