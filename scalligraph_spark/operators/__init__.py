@@ -33,6 +33,7 @@ from scalligraph_spark.operators.pipeline import (
     pack_documents,
     sample_mixture,
     split_corpus,
+    stratified_sample,
 )
 from scalligraph_spark.operators.similarity import (
     brute_force_cosine_topk,
@@ -94,6 +95,7 @@ __all__ = [
     "pq_train",
     "sample_mixture",
     "split_corpus",
+    "stratified_sample",
     "tfidf",
     "token_count",
 ]

@@ -232,3 +232,33 @@ def sample_mixture(
         )
     rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(float(default_rate))
     return docs.where(u < rate)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    salt: str = "strata-v1",
+) -> DataFrame:
+    """Deterministic fixed-quota sampling per stratum — "exactly N docs
+    per source/language/domain" for balanced evaluation sets, where
+    :func:`sample_mixture`'s rate-based sampling gives proportions, not
+    counts.
+
+    Rows rank within their stratum by ``xxhash64(key, salt)`` (a
+    reproducible shuffle — same corpus, same sample, regardless of row
+    order or partitioning) and the first ``n_per_stratum`` survive.  One
+    hash-partitioned window per stratum; strata with fewer rows keep
+    everything.  Adding documents to the corpus only swaps members whose
+    hash outranks an existing one — the sample is STABLE under appends,
+    unlike limit()/randomSplit.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)).asc(), F.col(key_col).asc()
+    )
+    return (
+        docs.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= n_per_stratum)
+        .drop("__rank")
+    )

@@ -2115,6 +2115,20 @@ def get_by_name_or_id(spark, sf):
 
 
 @q(
+    "pipeline_stratified_sample",
+    None,  # xxhash64 ranking has no DuckDB twin → rows-only
+    "fixed-quota per-stratum sampling (deterministic hash rank within "
+    "stratum, stable under corpus appends) — returns per-source kept counts",
+)
+def pipeline_stratified_sample_q(spark, sf):
+    from scalligraph_spark.operators import stratified_sample
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    out = stratified_sample(docs, "source", 5)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("source")
+
+
+@q(
     "similarity_pq_topk",
     None,  # k-means codebooks have no DuckDB twin → rows-only
     "product-quantization ANN: PQ codes move m bytes/row instead of 4·d "

@@ -543,3 +543,24 @@ def test_pq_codes_shape_and_compression(spark):
     codes = pq_encode(emb, books).collect()
     assert all(len(r["codes"]) == 8 and all(0 <= c < 256 for c in r["codes"]) for r in codes)
     assert len(codes) == emb.count()
+
+
+def test_stratified_sample_quotas_and_stability(spark):
+    from scalligraph_spark.operators import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", f"src{i % 3}") for i in range(90)] + [(1000, "rare", "src_rare")],
+        "doc_id long, text string, source string",
+    )
+    out = stratified_sample(docs, "source", 10)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"src0": 10, "src1": 10, "src2": 10, "src_rare": 1}  # short strata keep all
+
+    # deterministic, and stable under appends: the original sample only
+    # changes where a new doc's hash outranks a member
+    first = {r["doc_id"] for r in out.collect()}
+    again = {r["doc_id"] for r in stratified_sample(docs, "source", 10).collect()}
+    assert first == again
+    more = docs.unionByName(spark.createDataFrame([(2000, "new", "src0")], "doc_id long, text string, source string"))
+    second = {r["doc_id"] for r in stratified_sample(more, "source", 10).collect()}
+    assert len(first - second) <= 1  # at most the displaced member differs
