@@ -2283,6 +2283,404 @@ def q19_discounted_revenue(spark, sf):
     )
 
 
+@q(
+    "q2_min_cost_supplier",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ranked AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                            ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+  FROM part p
+  JOIN ps ON p.p_partkey = ps.l_partkey
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  WHERE p.p_size <= 5)
+SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+FROM ranked WHERE rn = 1
+ORDER BY s_acctbal DESC, p_partkey LIMIT 100
+""",
+    "TPC-H Q2-shaped best-supplier-per-part: the correlated scalar subquery "
+    "(supplier with max acctbal among those who ship the part) compiled to "
+    "ONE window rank over the distinct part-supplier pairs instead of a "
+    "per-row re-scan; part filter prunes before the join, supplier is "
+    "broadcast, deterministic suppkey tiebreak",
+)
+def q2_min_cost_supplier(spark, sf):
+    from pyspark.sql import Window
+
+    c = cat_for(spark, sf)
+    ps = c.vertex_df("lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = c.vertex_df("part").where(F.col("p_size") <= 5)
+    supp = c.vertex_df("supplier")
+    w = Window.partitionBy("p_partkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey"))
+        .limit(100)
+    )
+
+
+@q(
+    "q8_market_share",
+    f"""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round({dsum_expr("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {dsum_expr('l_extendedprice * (1 - l_discount)')}, 6) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+GROUP BY o_year
+""",
+    "TPC-H Q8-shaped national market share: seven-table star — every "
+    "dimension (part, supplier, customer, nation x2, region) broadcast so "
+    "the only exchange is the final per-year aggregate; the customer and "
+    "supplier nation roles join the same table twice under different "
+    "aliases; decimal-routed share division rounded on both engines",
+)
+def q8_market_share(spark, sf):
+    c = cat_for(spark, sf)
+    li = c.vertex_df("lineitem")
+    orders = c.vertex_df("orders")
+    cust = c.vertex_df("customer")
+    nat = c.vertex_df("nation")
+    reg = c.vertex_df("region").where(F.col("r_name") == "ASIA")
+    supp = c.vertex_df("supplier")
+    part = c.vertex_df("part").where(F.col("p_type") == "ECONOMY")
+    n1 = nat.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    n2 = nat.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(reg), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(dsum(nation_rev) / dsum(rev), 6).alias("mkt_share"))
+    )
+
+
+@q(
+    "q9_product_profit",
+    f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       {dsum_expr('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity')} AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY nation, o_year
+""",
+    "TPC-H Q9-shaped product-line profit by supplier nation and year "
+    "(supply cost modeled as 0.6 x retail price — no partsupp table in the "
+    "corpus): part-name LIKE prunes through a broadcast join before the "
+    "orders join, identical double operand order on both engines keeps the "
+    "decimal-routed profit bit-stable",
+)
+def q9_product_profit(spark, sf):
+    c = cat_for(spark, sf)
+    li = c.vertex_df("lineitem")
+    part = c.vertex_df("part").where(F.col("p_name").like("%red%"))
+    supp = c.vertex_df("supplier")
+    nat = c.vertex_df("nation")
+    orders = c.vertex_df("orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+@q(
+    "q12_priority_by_linestatus",
+    """
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+    "TPC-H Q12-shaped priority split (shipmode modeled by linestatus — no "
+    "shipmode column in the corpus): conditional counts over one equi-join, "
+    "ship-date filter pushed to the lineitem scan, count(CASE) instead of "
+    "sum(CASE) so both engines agg in BIGINT",
+)
+def q12_priority_by_linestatus(spark, sf):
+    c = cat_for(spark, sf)
+    orders = c.vertex_df("orders")
+    li = c.vertex_df("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+""",
+    "TPC-H Q13-shaped order-count distribution: outer join preserving "
+    "order-less customers (the join predicate carries the status filter so "
+    "filtered customers still count as zero), then a second aggregation "
+    "over the counts — the classic two-level group-by",
+)
+def q13_customer_distribution(spark, sf):
+    c = cat_for(spark, sf)
+    cust = c.vertex_df("customer")
+    orders = c.vertex_df("orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderstatus") != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q(
+    "q15_top_supplier",
+    f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {dsum_expr('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    "TPC-H Q15-shaped top supplier: the scalar max subquery becomes a "
+    "broadcast single-row cross join over the (persisted, tiny) per-supplier "
+    "revenue aggregate — equality on decimal-routed sums is exact on both "
+    "engines, so 'ties all returned' semantics match",
+)
+def q15_top_supplier(spark, sf):
+    c = cat_for(spark, sf)
+    li = c.vertex_df("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .persist()
+    )
+    rev.count()  # eager: reused by both the max and the join below
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = c.vertex_df("supplier")
+    return (
+        supp.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "q16_supplier_part_counts",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    "TPC-H Q16-shaped supplier diversity count (part-supplier pairs derived "
+    "from lineitem — no partsupp table): NOT IN compiled to a broadcast "
+    "LEFT ANTI join against the excluded suppliers, then count(DISTINCT) "
+    "per part attribute triple",
+)
+def q16_supplier_part_counts(spark, sf):
+    c = cat_for(spark, sf)
+    ps = c.vertex_df("lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = c.vertex_df("part").where(
+        (F.col("p_brand") != "Brand#3") & F.col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8)
+    )
+    bad_supp = c.vertex_df("supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    f"""
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DECIMAL(27,6)) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT round({dsum_expr('l_extendedprice')} / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#2'
+JOIN pq ON pq.pk = l.l_partkey
+WHERE CAST(l_quantity AS DECIMAL(27,6)) * 5 * cnt < sum_qty
+""",
+    "TPC-H Q17-shaped small-quantity revenue: the correlated per-part "
+    "average-quantity subquery becomes one pre-aggregate joined back by "
+    "part key, and the 'qty < 0.2 * avg' predicate is multiplied out to "
+    "'5 * qty * cnt < sum_qty' so NO cross-engine division happens inside "
+    "a filter — decimal comparisons are exact on both sides",
+)
+def q17_small_quantity_revenue(spark, sf):
+    c = cat_for(spark, sf)
+    li = c.vertex_df("lineitem")
+    part = c.vertex_df("part").where(F.col("p_brand") == "Brand#2")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("decimal(27,6)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pq, F.col("pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity").cast("decimal(27,6)") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(F.round(dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+SELECT s_name, count(*) AS numwait
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+""",
+    "TPC-H Q21-shaped waiting-supplier count (last shipper on multi-supplier "
+    "finished orders, shipdate modeling the receipt/commit lag — those "
+    "columns don't exist in the corpus): EXISTS -> LEFT SEMI and "
+    "NOT EXISTS -> LEFT ANTI with an inequality residual, both on the "
+    "order-key equi-condition, nation and supplier dims broadcast, "
+    "deterministic top-20",
+)
+def q21_waiting_suppliers(spark, sf):
+    c = cat_for(spark, sf)
+    supp = c.vertex_df("supplier")
+    nat = c.vertex_df("nation").where(F.col("n_name") == "NATION_3")
+    li = c.vertex_df("lineitem")
+    orders = c.vertex_df("orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(F.broadcast(supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    l2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"), F.col("l_shipdate").alias("sd3")
+    )
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")), "left_semi")
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3"))
+            & (F.col("sd3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@q(
+    "q22_idle_customers",
+    f"""
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DECIMAL(27,6)) AS sum_bal,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9))
+SELECT c_nationkey AS cntry, count(*) AS numcust, {dsum_expr('c_acctbal')} AS totacctbal
+FROM customer, pos
+WHERE c_nationkey IN (1, 3, 5, 7, 9)
+  AND CAST(c_acctbal AS DECIMAL(27,6)) * n_pos > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntry
+""",
+    "TPC-H Q22-shaped dormant high-balance customers (country code modeled "
+    "by nationkey — no phone column; 'no orders' tightened to 'no orders "
+    "since 2000' because every synthetic customer has some order): the "
+    "global-average scalar subquery is a broadcast single-row cross join "
+    "with the comparison multiplied out ('bal * n > sum' instead of "
+    "'bal > sum/n') so no division crosses engines; NOT EXISTS on filtered "
+    "orders -> LEFT ANTI join with the date filter pushed to the scan",
+)
+def q22_idle_customers(spark, sf):
+    c = cat_for(spark, sf)
+    nations = [1, 3, 5, 7, 9]
+    cust = c.vertex_df("customer").where(F.col("c_nationkey").isin(nations))
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("decimal(27,6)").alias("sum_bal"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    orders = (
+        c.vertex_df("orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast("decimal(27,6)") * F.col("n_pos") > F.col("sum_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal")).alias("totacctbal"))
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -145,3 +145,55 @@ def test_bucket_salt_merge_is_broadcast(spark):
     (empty on healthy corpora) — the banded relation is never reshuffled."""
     p = _plan(spark, "dedup_minhash_lsh")
     assert "BroadcastHashJoin" in p
+
+
+def test_q2_window_rank_not_per_row_subquery(spark):
+    """The correlated max-acctbal subquery must compile to ONE window rank
+    over the pair set, with part and supplier broadcast — no re-scan of
+    supplier per part row and no cartesian fallback."""
+    p = _plan(spark, "q2_min_cost_supplier")
+    assert "row_number" in p.lower()
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q8_seven_table_star_all_dims_broadcast(spark):
+    """Every dimension of the Q8 star (part, supplier, both nation roles,
+    region) broadcasts: the only SortMergeJoins allowed are the two
+    fact-fact joins (lineitem-orders, orders-customer)."""
+    p = _plan(spark, "q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 5
+    assert p.count("SortMergeJoin") <= 2
+
+
+def test_q13_left_outer_preserved(spark):
+    """The status filter must ride the join condition, not a pre-filter that
+    would drop order-less customers from the distribution."""
+    p = _plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in p
+
+
+def test_q15_scalar_max_is_broadcast_join(spark):
+    p = _plan(spark, "q15_top_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q16_not_in_is_anti_join(spark):
+    p = _plan(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in p
+
+
+def test_q21_exists_pair_semi_then_anti(spark):
+    """EXISTS -> LeftSemi and NOT EXISTS (with shipdate inequality residual)
+    -> LeftAnti, both keyed on the order-key equi-condition so neither
+    degrades to a nested loop."""
+    p = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q22_anti_join_date_filter_pushed(spark):
+    p = _plan(spark, "q22_idle_customers")
+    assert "LeftAnti" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
