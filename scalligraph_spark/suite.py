@@ -2681,6 +2681,96 @@ def q22_idle_customers(spark, sf):
     )
 
 
+@q(
+    "q11_important_stock",
+    f"""
+WITH sv AS (
+  SELECT l_partkey, {dsum_expr('l_extendedprice')} AS part_value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_1'
+  GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM(CAST(part_value AS DECIMAL(27,6))) AS DECIMAL(27,6)) AS total_value FROM sv)
+SELECT l_partkey AS p_key, part_value
+FROM sv, tot
+WHERE CAST(part_value AS DECIMAL(27,6)) * 1000 > total_value
+ORDER BY part_value DESC, p_key LIMIT 100
+""",
+    "TPC-H Q11-shaped important stock (stock value modeled by shipped "
+    "extended price — no partsupp table): per-part value for one nation's "
+    "suppliers, kept when above 1/1000 of the national total; the HAVING "
+    "scalar subquery is a broadcast single-row join and the fraction "
+    "comparison is multiplied out ('value * 1000 > total') so no division "
+    "crosses engines; deterministic top-100",
+)
+def q11_important_stock(spark, sf):
+    c = cat_for(spark, sf)
+    li = c.vertex_df("lineitem")
+    supp = c.vertex_df("supplier")
+    nat = c.vertex_df("nation").where(F.col("n_name") == "NATION_1")
+    sv = (
+        li.join(F.broadcast(supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice")).alias("part_value"))
+        .persist()
+    )
+    sv.count()  # eager: reused by the total and the filter below
+    tot = sv.agg(
+        F.sum(F.col("part_value").cast("decimal(27,6)")).cast("decimal(27,6)").alias("total_value")
+    )
+    return (
+        sv.join(F.broadcast(tot))
+        .where(F.col("part_value").cast("decimal(27,6)") * 1000 > F.col("total_value"))
+        .select(F.col("l_partkey").alias("p_key"), "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("p_key"))
+        .limit(100)
+    )
+
+
+@q(
+    "q20_excess_shippers",
+    """
+SELECT s_name, s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DECIMAL(27,6)) > 40)
+""",
+    "TPC-H Q20-shaped heavy shippers of a part family (availqty threshold "
+    "modeled by shipped quantity — no partsupp table): the nested IN chain "
+    "compiles to broadcast LEFT SEMI joins — part filter into lineitem, "
+    "per-(supplier, part) decimal quantity HAVING, then the qualifying "
+    "supplier set semi-joins supplier — never a subquery re-scan",
+)
+def q20_excess_shippers(spark, sf):
+    c = cat_for(spark, sf)
+    red_parts = c.vertex_df("part").where(F.col("p_name").like("red%")).select("p_partkey")
+    li = c.vertex_df("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    heavy = (
+        li.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("decimal(27,6)").alias("sum_qty"))
+        .where(F.col("sum_qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = c.vertex_df("supplier")
+    nat = c.vertex_df("nation").where(F.col("n_name") == "NATION_5")
+    return (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

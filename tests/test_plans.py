@@ -197,3 +197,15 @@ def test_q22_anti_join_date_filter_pushed(spark):
     p = _plan(spark, "q22_idle_customers")
     assert "LeftAnti" in p
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q11_fraction_is_broadcast_single_row(spark):
+    p = _plan(spark, "q11_important_stock")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p  # 1-row total join
+    assert "CartesianProduct" not in p
+
+
+def test_q20_nested_in_chain_is_semi_joins(spark):
+    p = _plan(spark, "q20_excess_shippers")
+    assert p.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
