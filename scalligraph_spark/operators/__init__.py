@@ -54,7 +54,9 @@ from scalligraph_spark.operators.text import (
     document_fingerprint,
     language_score,
     ngram_counts,
+    pii_redact,
     quality_score,
+    repetition_scores,
     tfidf,
     token_count,
 )
@@ -85,8 +87,10 @@ __all__ = [
     "near_dup_clusters",
     "ngram_counts",
     "ngram_jaccard_pairs",
+    "pii_redact",
     "pairs_to_clusters",
     "quality_score",
+    "repetition_scores",
     "range_join",
     "simhash_pairs",
     "pack_documents",

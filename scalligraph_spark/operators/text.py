@@ -153,3 +153,82 @@ def document_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = 
     toks = F.array_distinct(F.split(F.trim(cleaned), r"\s+"))
     canon = F.array_join(F.array_sort(toks), " ")
     return docs.select(F.col(id_col), F.md5(canon.cast("binary")).alias("fingerprint"))
+
+
+def repetition_scores(
+    docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition features over word n-grams.
+
+    Emits per document: ``total_grams``, ``distinct_grams``,
+    ``top_gram_count`` (occurrences of the most frequent n-gram),
+    ``dup_gram_fraction`` (1 − distinct/total — the 'duplicate n-gram
+    fraction' filter) and ``top_gram_fraction`` (top/total — the 'top
+    n-gram fraction' filter).  Rahman et al.'s Gopher rules drop documents
+    above ~0.2 dup-fraction; the thresholds stay with the caller.
+
+    Scale shape: grams are built row-locally from shifted array slices
+    (pure codegen — no UDF, no interpreted per-element lambda), then ONE
+    partial-aggregated two-level count keyed by (doc, gram) → doc.  The
+    gram shuffle carries (id, 8-byte xxhash64(gram)) — the gram text never
+    leaves the map stage, the same narrowing that keeps the MinHash band
+    join thin.  Fractions are double divisions of exactly-agreed integers,
+    so they hash-match across engines.  Documents with fewer than n tokens
+    have no n-grams and drop out (same semantics as the SQL mirror).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sz = F.size(toks)
+    # shifted zip: gram i = tokens[i..i+n-1], built by folding n array
+    # slices pairwise (zip_with is binary; arity is inferred from the lambda)
+    slices = [F.slice(toks, i + 1, sz - (n - 1)) for i in range(n)]
+    grams = slices[0]
+    for s in slices[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
+    exploded = docs.select(F.col(id_col), F.explode(grams).alias("gram")).select(
+        F.col(id_col), F.xxhash64("gram").alias("g")
+    )
+    per_gram = exploded.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("total_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.max("c").alias("top_gram_count"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "total_grams",
+        "distinct_grams",
+        "top_gram_count",
+        (1 - F.col("distinct_grams") / F.col("total_grams")).cast("double").alias("dup_gram_fraction"),
+        (F.col("top_gram_count") / F.col("total_grams")).cast("double").alias("top_gram_fraction"),
+    )
+
+
+# PII patterns: RE2-safe (no lookarounds/backrefs) so the same pattern text
+# runs on Spark (java.util.regex) and DuckDB (RE2) with identical matches.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", patterns: dict | None = None
+) -> DataFrame:
+    """Detect-and-mask PII spans (email / phone / IPv4 by default).
+
+    Emits per row: one ``n_<kind>`` match count per pattern and
+    ``redacted`` — the text with every span replaced by ``[<KIND>]``,
+    applied in deterministic pattern order so overlapping kinds resolve
+    identically everywhere.  Pure ``regexp_count``/``regexp_replace``
+    codegen: map-only, no UDF, column-pruned to (id, text) — the 100 TB
+    cost is one scan.  Patterns are RE2-compatible by contract
+    (PII_PATTERNS) so a DuckDB oracle replays them bit-identically.
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out = [F.col(id_col)]
+    red = F.col(text_col)
+    for kind, pat in patterns.items():
+        out.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}"))
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return df.select(*out, red.alias("redacted"))

@@ -2771,6 +2771,81 @@ def q20_excess_shippers(spark, sf):
     )
 
 
+@q(
+    "text_repetition_scores",
+    """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM toks, UNNEST(range(1, len(t)::BIGINT)) AS r(i)),
+per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS total_grams,
+       count(*) AS distinct_grams,
+       max(c) AS top_gram_count,
+       CAST(1 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS DOUBLE) AS dup_gram_fraction,
+       CAST(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS DOUBLE) AS top_gram_fraction
+FROM per_gram GROUP BY doc_id
+""",
+    "Gopher-style repetition filters: duplicate-bigram fraction and "
+    "top-bigram fraction per document — grams built row-locally from "
+    "shifted array slices (codegen, no UDF), then one two-level count "
+    "whose shuffle carries only (id, xxhash64(gram)); fractions are double "
+    "divisions of exactly-agreed integers",
+)
+def text_repetition_scores(spark, sf):
+    from scalligraph_spark.operators import repetition_scores
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return repetition_scores(docs, n=2)
+
+
+@q(
+    "text_pii_redaction",
+    """
+WITH seeded AS (
+  SELECT doc_id,
+         'user' || doc_id || '@mail.example.com ping 10.0.' || (doc_id % 256) ||
+         '.1 call 555-123-4567 ' || text AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')) AS n_phone,
+       len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '[PHONE]', 'g'),
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IPV4]', 'g') AS redacted
+FROM seeded
+""",
+    "PII detect-and-mask over a deterministically seeded corpus (the "
+    "synthetic docs carry no PII, so each doc gets a derived email / IPv4 / "
+    "phone prefix built from its id on BOTH engines): counts from the "
+    "original text, masks applied in fixed pattern order; patterns are "
+    "RE2-safe by contract so java.util.regex and RE2 agree span-for-span — "
+    "map-only, no UDF",
+)
+def text_pii_redaction(spark, sf):
+    from scalligraph_spark.operators import pii_redact
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("user"), F.col("doc_id").cast("string"), F.lit("@mail.example.com ping 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".1 call 555-123-4567 "), F.col("text"),
+        ).alias("text"),
+    )
+    out = pii_redact(seeded)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "redacted",
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -564,3 +564,52 @@ def test_stratified_sample_quotas_and_stability(spark):
     more = docs.unionByName(spark.createDataFrame([(2000, "new", "src0")], "doc_id long, text string, source string"))
     second = {r["doc_id"] for r in stratified_sample(more, "source", 10).collect()}
     assert len(first - second) <= 1  # at most the displaced member differs
+
+
+def test_repetition_scores_known_counts(spark):
+    """'a b a b a' has bigrams [a b, b a, a b, b a] → total 4, distinct 2,
+    top 2; a fully-unique doc scores zero on both fractions; a doc shorter
+    than n drops out (no bigrams), matching the SQL mirror."""
+    from scalligraph_spark.operators import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z"), (3, "solo")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(docs, n=2).collect()}
+    assert set(rows) == {1, 2}  # 'solo' has no bigrams
+    r1 = rows[1]
+    assert (r1["total_grams"], r1["distinct_grams"], r1["top_gram_count"]) == (4, 2, 2)
+    assert r1["dup_gram_fraction"] == 0.5 and r1["top_gram_fraction"] == 0.5
+    r2 = rows[2]
+    assert r2["dup_gram_fraction"] == 0.0 and r2["top_gram_count"] == 1
+
+
+def test_repetition_scores_trigrams(spark):
+    from scalligraph_spark.operators import repetition_scores
+
+    docs = spark.createDataFrame([(1, "a b c a b c a b c")], ["doc_id", "text"])
+    r = repetition_scores(docs, n=3).collect()[0]
+    # trigrams: abc bca cab abc bca cab abc → total 7, distinct 3, top 3
+    assert (r["total_grams"], r["distinct_grams"], r["top_gram_count"]) == (7, 3, 3)
+
+
+def test_pii_redact_planted_spans(spark):
+    from scalligraph_spark.operators import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org and alice@ex.io now"),
+            (2, "call 555-123-4567 or +1 212.555.0199 from 192.168.1.17"),
+            (3, "nothing sensitive here"),
+            (4, "weird 999.999.999.999 still masks; 1234.5.6.7 left alone"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["redacted"] == "mail [EMAIL] and [EMAIL] now"
+    assert rows[2]["n_phone"] == 2 and rows[2]["n_ipv4"] == 1
+    assert "[PHONE]" in rows[2]["redacted"] and "[IPV4]" in rows[2]["redacted"]
+    assert rows[3]["redacted"] == "nothing sensitive here"
+    # \b guards: 4-octet run masks even if out-of-range (value checks are a
+    # later tier); a 4-digit first octet fails the boundary and stays
+    assert rows[4]["n_ipv4"] == 1 and "1234.5.6.7" in rows[4]["redacted"]
