@@ -58,6 +58,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "integrity_dangling_bloom",
     "pipeline_pack_documents",
+    "q8_market_share",  # 7-table star, 5 broadcasts + 2 fact joins
+    "q21_waiting_suppliers",  # lineitem self-semi + self-anti
+    "text_repetition_scores",  # hashed-gram two-level agg
 ]
 
 

@@ -32,6 +32,7 @@ from scalligraph_spark.operators.pipeline import (
     corpus_stats,
     pack_documents,
     sample_mixture,
+    shuffle_shards,
     split_corpus,
     stratified_sample,
 )
@@ -98,6 +99,7 @@ __all__ = [
     "pq_topk",
     "pq_train",
     "sample_mixture",
+    "shuffle_shards",
     "split_corpus",
     "stratified_sample",
     "tfidf",

@@ -262,3 +262,28 @@ def stratified_sample(
         .where(F.col("__rank") <= n_per_stratum)
         .drop("__rank")
     )
+
+
+def shuffle_shards(
+    df: DataFrame, n_shards: int = 4, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the
+    training-order primitive: reading shards in (shard, pos) order replays
+    ONE fixed pseudorandom permutation of the corpus, bit-identical on any
+    cluster size, any input partitioning, any re-run.
+
+    Every row gets ``shuffle_key = md5('<seed>:<id>')`` (md5, not
+    xxhash64, so any engine — including the DuckDB oracle — derives the
+    identical permutation), ``shard = first-32-bits(key) mod n_shards``
+    and ``pos`` = rank of the key within its shard.  At 100 TB the only
+    exchange is the partition-by-shard window, which is exactly the write
+    layout (one output directory per shard, sorted by pos) — sharding and
+    shuffling cost a single shuffle, and incremental re-shuffles with a
+    new seed never touch the payload columns until the final join-back by
+    id.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")).cast("binary"))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+    keyed = df.select(F.col(id_col), key.alias("shuffle_key"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy(F.col("shuffle_key"), F.col(id_col))
+    return keyed.withColumn("pos", F.row_number().over(w))

@@ -2846,6 +2846,30 @@ def text_pii_redaction(spark, sf):
     )
 
 
+@q(
+    "pipeline_shuffle_shards",
+    """
+WITH keyed AS (
+  SELECT doc_id, md5('0:' || doc_id) AS shuffle_key,
+         CAST(CAST(('0x' || substr(md5('0:' || doc_id), 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+  FROM documents)
+SELECT doc_id, shuffle_key, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS INT) AS pos
+FROM keyed
+""",
+    "deterministic training-order shuffle + shard assignment: "
+    "md5-keyed permutation (portable — the oracle derives the identical "
+    "order), shard = first 32 key bits mod 4, pos = rank within shard; "
+    "one partition-by-shard window is the only exchange and doubles as "
+    "the write layout",
+)
+def pipeline_shuffle_shards(spark, sf):
+    from scalligraph_spark.operators import shuffle_shards
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return shuffle_shards(docs, n_shards=4, seed=0)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -613,3 +613,23 @@ def test_pii_redact_planted_spans(spark):
     # \b guards: 4-octet run masks even if out-of-range (value checks are a
     # later tier); a 4-digit first octet fails the boundary and stays
     assert rows[4]["n_ipv4"] == 1 and "1234.5.6.7" in rows[4]["redacted"]
+
+
+def test_shuffle_shards_is_partition_invariant_permutation(spark):
+    from scalligraph_spark.operators import shuffle_shards
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(97)], ["doc_id", "text"])
+    a = shuffle_shards(docs, n_shards=3, seed=1).collect()
+    b = shuffle_shards(docs.repartition(7), n_shards=3, seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-independent
+    assert len({r["doc_id"] for r in a}) == 97  # a permutation, nothing lost
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+    # a different seed yields a different permutation
+    c = shuffle_shards(docs, n_shards=3, seed=2).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in c} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in a
+    }
