@@ -2870,6 +2870,37 @@ def pipeline_shuffle_shards(spark, sf):
     return shuffle_shards(docs, n_shards=4, seed=0)
 
 
+@q(
+    "events_retention_cohorts",
+    """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+firsts AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, day_offset
+""",
+    "cohort retention triangle (the product-analytics classic): first-seen "
+    "day per user, then distinct active users per (cohort, day offset) — "
+    "two partial-aggregated group-bys and one equi-join on user_id, no "
+    "window, no UDF; at 100 TB the user-day dedup is the only wide stage "
+    "and it map-side combines",
+)
+def events_retention_cohorts(spark, sf):
+    ev = cat_for(spark, sf).vertex_df("events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
