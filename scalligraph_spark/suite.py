@@ -2901,6 +2901,24 @@ def events_retention_cohorts(spark, sf):
     )
 
 
+@q(
+    "qagg_cube_orders",
+    f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, {dsum_expr('o_totalprice')} AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "beyond-parity OLAP: native CUBE over (status, priority) — all four "
+    "grouping sets in ONE pass (Spark expands them inside the partial "
+    "aggregate, so the fact table is scanned once, not four times); the "
+    "reference has no grouping-sets surface at all (SURVEY §2.5 note)",
+)
+def qagg_cube_orders(spark, sf):
+    o = cat_for(spark, sf).vertex_df("orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

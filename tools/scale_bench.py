@@ -55,6 +55,11 @@ QUERIES = [
     "graph_connected_components",
     "graph_pagerank",
     "events_funnel",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "text_repetition_scores",
+    "pipeline_shuffle_shards",
+    "events_retention_cohorts",
 ]
 
 
