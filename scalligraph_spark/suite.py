@@ -2503,7 +2503,9 @@ def q15_top_supplier(spark, sf):
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
         .persist()
     )
-    rev.count()  # eager: reused by both the max and the join below
+    # eager: reused by both the max and the join below; the cache is
+    # supplier-cardinality-bounded (3 narrow columns), freed at session close
+    rev.count()
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     supp = c.vertex_df("supplier")
     return (
@@ -2715,7 +2717,9 @@ def q11_important_stock(spark, sf):
         .agg(dsum(F.col("l_extendedprice")).alias("part_value"))
         .persist()
     )
-    sv.count()  # eager: reused by the total and the filter below
+    # eager: reused by the total and the filter below; the cache is
+    # part-cardinality-bounded (2 narrow columns), freed at session close
+    sv.count()
     tot = sv.agg(
         F.sum(F.col("part_value").cast("decimal(27,6)")).cast("decimal(27,6)").alias("total_value")
     )
