@@ -9,6 +9,7 @@ with Pandas UDFs only where Spark lacks the primitive.
 from scalligraph_spark.operators.dedup import (
     contamination_check,
     exact_dedup,
+    incremental_dedup,
     minhash_lsh_pairs,
     minhash_signature,
     near_dup_clusters,
@@ -78,6 +79,7 @@ __all__ = [
     "exact_dedup",
     "extract_features",
     "fake_media_from_documents",
+    "incremental_dedup",
     "frame_sample",
     "ivf_ann_topk",
     "language_score",

@@ -361,3 +361,80 @@ def simhash_pairs(
         pairs.select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom: bool = True,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Classify a new ingest batch against an existing corpus — the daily-
+    crawl-increment operation — WITHOUT re-shuffling the corpus.
+
+    Returns the batch keyed by ``id_col`` with its content hash ``h`` and a
+    ``status``: ``dup_batch`` (an earlier batch row — smallest id — carries
+    the same text), ``dup_corpus`` (the text already exists in the corpus),
+    or ``new``.
+
+    Scale shape: the corpus contributes only distinct 16-byte md5 hashes
+    (at 100 TB these are precomputed column stats, never the text), and
+    with ``bloom=True`` the batch is first probed MAP-ONLY against a
+    broadcast relational Bloom filter (the same bit_or word table as
+    ``integrity.dangling_links_bloom``): on a mostly-novel increment,
+    almost nothing survives to the exact hash semi-join, so the corpus-
+    side shuffle vanishes.  Bloom positives are always verified exactly —
+    the result is identical with ``bloom`` on or off (pytest-proven), the
+    flag only prunes.  Within-batch ties resolve by smallest id, and the
+    surviving representative is itself still checked against the corpus.
+    """
+    from pyspark.sql import Window
+
+    from scalligraph_spark.integrity import _bloom_words
+
+    bh = batch.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("h"))
+    w = Window.partitionBy("h").orderBy(F.col(id_col))
+    bh = bh.withColumn("__rn", F.row_number().over(w))
+    firsts = bh.where(F.col("__rn") == 1).select(id_col, "h")
+
+    corpus_h = corpus.select(F.md5(F.col(text_col).cast("binary")).alias("h")).distinct()
+
+    candidates = firsts
+    if bloom:
+        import math
+
+        n = expected_items if expected_items is not None else corpus.count()
+        n = max(n, 1)
+        m_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)) // 64 * 64 + 64)
+        k = max(1, round(m_bits / n * math.log(2)))
+        words = _bloom_words(corpus_h, "h", m_bits, k)
+        probe = firsts
+        checks = []
+        for i in range(k):
+            pos = F.pmod(F.xxhash64(F.col("h"), F.lit(i)), F.lit(m_bits))
+            wi = (pos / 64).cast("long")
+            bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(h, {i}), {m_bits}) % 64 AS INT))")
+            wcol = words.withColumnRenamed("w", f"w{i}").withColumnRenamed("word", f"word{i}")
+            probe = probe.join(F.broadcast(wcol), wi == F.col(f"w{i}"), "left")
+            checks.append((F.coalesce(F.col(f"word{i}"), F.lit(0)).bitwiseAND(bit)) != 0)
+        import functools
+
+        maybe = probe.where(functools.reduce(lambda a, b: a & b, checks))
+        candidates = maybe.select(id_col, "h")
+
+    dup_corpus = candidates.join(corpus_h, "h", "left_semi").select(id_col)
+
+    return (
+        bh.join(dup_corpus.withColumnRenamed(id_col, "__dc"), F.col(id_col) == F.col("__dc"), "left")
+        .select(
+            F.col(id_col),
+            F.col("h"),
+            F.when(F.col("__rn") > 1, F.lit("dup_batch"))
+            .when(F.col("__dc").isNotNull(), F.lit("dup_corpus"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

@@ -2923,6 +2923,55 @@ def qagg_cube_orders(spark, sf):
     )
 
 
+@q(
+    "dedup_incremental",
+    """
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' novel token' AS text FROM documents WHERE doc_id % 10 = 4
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3 AND doc_id < 250),
+bh AS (SELECT doc_id, md5(text) AS h,
+              ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       FROM batch),
+ch AS (SELECT DISTINCT md5(text) AS h FROM documents)
+SELECT doc_id, h,
+       CASE WHEN rn > 1 THEN 'dup_batch'
+            WHEN h IN (SELECT h FROM ch) THEN 'dup_corpus'
+            ELSE 'new' END AS status
+FROM bh
+""",
+    "incremental (daily-crawl) dedup: a derived batch — exact corpus "
+    "copies, novel docs, and within-batch repeats, built identically on "
+    "both engines — classified as new / dup_corpus / dup_batch against "
+    "the documents corpus; the corpus contributes only distinct md5s, and "
+    "the scale path probes a broadcast relational Bloom map-only before "
+    "the exact semi-join (Bloom only prunes, so the result is oracle-"
+    "exact with it ON)",
+)
+def dedup_incremental(spark, sf):
+    from scalligraph_spark.operators import incremental_dedup
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    batch = (
+        docs.where(F.col("doc_id") % 10 == 3)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionAll(
+            docs.where(F.col("doc_id") % 10 == 4).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" novel token")).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.where((F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 250)).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_dedup(docs, batch, bloom=True)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -633,3 +633,49 @@ def test_shuffle_shards_is_partition_invariant_permutation(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in c} != {
         (r["doc_id"], r["shard"], r["pos"]) for r in a
     }
+
+
+def test_incremental_dedup_bloom_equals_exact(spark):
+    """The Bloom pre-filter may only PRUNE — classifications must be
+    identical with it on or off, across all three statuses and a tie
+    resolved by smallest batch id."""
+    from scalligraph_spark.operators import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus text {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (1001, "corpus text 7"),     # dup_corpus
+            (1002, "corpus text 7"),     # dup_batch (1001 is first)
+            (1003, "genuinely new doc"), # new
+            (1004, "also new"),          # new
+            (1005, "also new"),          # dup_batch
+            (1006, "corpus text 199"),   # dup_corpus
+        ],
+        ["doc_id", "text"],
+    )
+    on = {r["doc_id"]: r["status"] for r in incremental_dedup(corpus, batch, bloom=True).collect()}
+    off = {r["doc_id"]: r["status"] for r in incremental_dedup(corpus, batch, bloom=False).collect()}
+    assert on == off == {
+        1001: "dup_corpus", 1002: "dup_batch", 1003: "new",
+        1004: "new", 1005: "dup_batch", 1006: "dup_corpus",
+    }
+
+
+def test_incremental_dedup_bloom_probe_is_broadcast(spark):
+    """The corpus side of the Bloom probe must broadcast (word table,
+    m/64 rows) — the batch never shuffles for the probe."""
+    import contextlib
+    import io
+
+    from scalligraph_spark.operators import incremental_dedup
+
+    corpus = spark.createDataFrame([(i, f"t{i}") for i in range(50)], ["doc_id", "text"])
+    batch = spark.createDataFrame([(900, "t3"), (901, "zz")], ["doc_id", "text"])
+    df = incremental_dedup(corpus, batch, bloom=True, expected_items=50)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
