@@ -2972,6 +2972,31 @@ def dedup_incremental(spark, sf):
     return incremental_dedup(docs, batch, bloom=True)
 
 
+@q(
+    "qagg_percentiles",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS med_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    "exact percentile aggregation (median + p95 per return flag): linear-"
+    "interpolated exact quantiles agree bit-for-bit across engines because "
+    "both interpolate the same two sorted neighbors; at 100 TB the exact "
+    "form is a per-group sort — the scale path is the approx_percentile "
+    "sketch already used by pipeline_corpus_profile, with this entry as "
+    "its small-scale exactness baseline",
+)
+def qagg_percentiles(spark, sf):
+    li = cat_for(spark, sf).vertex_df("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("med_price"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
