@@ -61,6 +61,8 @@ HEADLINE = [
     "q8_market_share",  # 7-table star, 5 broadcasts + 2 fact joins
     "q21_waiting_suppliers",  # lineitem self-semi + self-anti
     "text_repetition_scores",  # hashed-gram two-level agg
+    "dedup_incremental",  # Bloom-pruned batch-vs-corpus classify
+    "qagg_percentiles",  # exact per-group quantile sort
 ]
 
 
