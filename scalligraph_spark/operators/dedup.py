@@ -371,6 +371,7 @@ def incremental_dedup(
     bloom: bool = True,
     fpp: float = 0.01,
     expected_items: int | None = None,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Classify a new ingest batch against an existing corpus — the daily-
     crawl-increment operation — WITHOUT re-shuffling the corpus.
@@ -390,6 +391,12 @@ def incremental_dedup(
     the result is identical with ``bloom`` on or off (pytest-proven), the
     flag only prunes.  Within-batch ties resolve by smallest id, and the
     surviving representative is itself still checked against the corpus.
+
+    ``corpus_hashes`` (a DataFrame with a distinct ``h`` md5 column)
+    short-circuits the corpus-side hashing entirely — the production
+    shape, where the hash column is maintained incrementally (each
+    batch's ``new`` rows append their already-computed ``h``) and the
+    100 TB text is never re-read per increment.
     """
     from pyspark.sql import Window
 
@@ -400,13 +407,16 @@ def incremental_dedup(
     bh = bh.withColumn("__rn", F.row_number().over(w))
     firsts = bh.where(F.col("__rn") == 1).select(id_col, "h")
 
-    corpus_h = corpus.select(F.md5(F.col(text_col).cast("binary")).alias("h")).distinct()
+    if corpus_hashes is not None:
+        corpus_h = corpus_hashes.select("h")
+    else:
+        corpus_h = corpus.select(F.md5(F.col(text_col).cast("binary")).alias("h")).distinct()
 
     candidates = firsts
     if bloom:
         import math
 
-        n = expected_items if expected_items is not None else corpus.count()
+        n = expected_items if expected_items is not None else corpus_h.count()
         n = max(n, 1)
         m_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)) // 64 * 64 + 64)
         k = max(1, round(m_bits / n * math.log(2)))

@@ -679,3 +679,23 @@ def test_incremental_dedup_bloom_probe_is_broadcast(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_precomputed_hashes(spark):
+    """corpus_hashes short-circuits corpus-side hashing: passing the
+    precomputed distinct-md5 column yields identical classifications."""
+    from pyspark.sql import functions as F
+
+    from scalligraph_spark.operators import incremental_dedup
+
+    corpus = spark.createDataFrame([(i, f"corpus text {i}") for i in range(50)], ["doc_id", "text"])
+    hashes = corpus.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct()
+    batch = spark.createDataFrame(
+        [(900, "corpus text 9"), (901, "never seen")], ["doc_id", "text"]
+    )
+    full = {r["doc_id"]: r["status"] for r in incremental_dedup(corpus, batch).collect()}
+    pre = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(corpus, batch, corpus_hashes=hashes, expected_items=50).collect()
+    }
+    assert full == pre == {900: "dup_corpus", 901: "new"}
