@@ -21,6 +21,7 @@ from scalligraph_spark.operators.graph_analytics import (
     connected_components,
     degrees,
     pagerank,
+    triangle_count,
 )
 from scalligraph_spark.operators.multimodal import (
     extract_features,
@@ -106,4 +107,5 @@ __all__ = [
     "stratified_sample",
     "tfidf",
     "token_count",
+    "triangle_count",
 ]

@@ -305,3 +305,51 @@ def pagerank(
     e.unpersist()
     verts.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts via the degree-ordered edge-iterator
+    algorithm (Suri & Vassilvitskii's MapReduce classic, also GraphX's
+    formulation): orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher, generate wedges only at each edge pair's
+    common LOW endpoint, and close them against the canonical edge set.
+
+    Why this survives 100 TB: naive wedge generation does Σ d(v)² work —
+    a single celebrity vertex with 10M neighbors yields 10¹⁴ wedges.
+    Degree-ordering caps every vertex's wedge fan-out at its ORIENTED
+    out-degree, bounding total wedge volume by O(m^{3/2}) regardless of
+    skew, with plain joins/aggregates only (no UDF): one narrow degree
+    aggregate, one broadcast-or-shuffle join to orient, one self-join to
+    build wedges, one equi-join to close.  Vertices in no triangle are
+    omitted (count 0).
+
+    Returns ``(vertex, n_triangles)``.
+    """
+    e = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("a"), F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    a_low = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ranked.select(
+        F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    o1 = oriented.select(F.col("lo"), F.col("hi").alias("x"))
+    o2 = oriented.select(F.col("lo"), F.col("hi").alias("y"))
+    wedges = o1.join(o2, "lo").where(F.col("x") < F.col("y"))
+    tri = wedges.join(e, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")))
+    return (
+        tri.select(F.explode(F.array("lo", "x", "y")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

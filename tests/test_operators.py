@@ -699,3 +699,34 @@ def test_incremental_dedup_precomputed_hashes(spark):
         for r in incremental_dedup(corpus, batch, corpus_hashes=hashes, expected_items=50).collect()
     }
     assert full == pre == {900: "dup_corpus", 901: "new"}
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 (4 vertices, all 4 triangles, each vertex in 3), a triangle with
+    a pendant edge, a triangle-free path, and robustness to duplicate and
+    reversed input edges."""
+    from scalligraph_spark.operators import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], ["src", "dst"]
+    )
+    assert sorted((r["vertex"], r["n_triangles"]) for r in triangle_count(k4).collect()) == [
+        (0, 3), (1, 3), (2, 3), (3, 3)
+    ]
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assert triangle_count(path).count() == 0
+    messy = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (2, 1), (3, 4), (4, 3)], ["src", "dst"])
+    assert sorted((r["vertex"], r["n_triangles"]) for r in triangle_count(messy).collect()) == [
+        (1, 1), (2, 1), (3, 1)
+    ]
+
+
+def test_triangle_count_skew_bounded_by_orientation(spark):
+    """A star (one hub, 50 spokes, no triangles) is the degree-skew
+    worst case: orientation points every edge AT the hub, so the hub
+    generates ZERO wedges — the naive d² blowup never happens and the
+    result is empty."""
+    from scalligraph_spark.operators import triangle_count
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 51)], ["src", "dst"])
+    assert triangle_count(star).count() == 0
