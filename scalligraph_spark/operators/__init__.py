@@ -20,6 +20,7 @@ from scalligraph_spark.operators.dedup import (
 from scalligraph_spark.operators.graph_analytics import (
     connected_components,
     degrees,
+    k_core,
     pagerank,
     triangle_count,
 )
@@ -81,6 +82,7 @@ __all__ = [
     "extract_features",
     "fake_media_from_documents",
     "incremental_dedup",
+    "k_core",
     "frame_sample",
     "ivf_ann_topk",
     "language_score",

@@ -353,3 +353,59 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex has
+    degree ≥ k (undirected), found by deterministic iterative peeling —
+    drop all vertices below k, recompute degrees on the induced subgraph,
+    repeat to fixpoint.  Returns ``(vertex, degree)`` with each survivor's
+    degree inside the core.
+
+    Scale shape: every round is one narrow degree aggregate over
+    (a, b) pairs plus two semi-joins to induce the subgraph — the edge
+    payload never widens, lineage is cut per round
+    (:func:`_cut_lineage`), and peeling converges in at most the
+    degeneracy-ordering depth (typically ≪ rounds on real graphs; the
+    loop also stops the moment no vertex was dropped).  Raises if
+    ``max_iter`` rounds pass without convergence, never returning a
+    silently-unpeeled core.
+    """
+    e = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("a"), F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = _cut_lineage(e, checkpoint_dir)
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("v")
+        # one job for both convergence counters (deg re-derives from the
+        # checkpointed edge set, so no lazy-cache double-compute race)
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n"), F.count(F.when(F.col("d") >= k, 1)).alias("nk")
+        ).collect()[0]
+        n_vertices, n_keep = row["n"], row["nk"]
+        if n_keep == n_vertices:
+            return deg.where(F.col("d") >= k).select(F.col("v").alias("vertex"), F.col("d").alias("degree"))
+        if n_keep == 0:
+            return deg.where(F.lit(False)).select(F.col("v").alias("vertex"), F.col("d").alias("degree"))
+        e2 = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        e = _cut_lineage(e2, checkpoint_dir)
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds (k={k})")

@@ -3033,6 +3033,23 @@ def graph_triangles(spark, sf):
     return triangle_count(pairs, src="id_a", dst="id_b")
 
 
+@q(
+    "graph_k_core",
+    None,  # iterative peeling fixpoint — no SQL twin; pytest proves known cores
+    "2-core of the embedding near-dup graph (vertices inside cyclic dup "
+    "structure, pendant pairs peeled away): deterministic iterative "
+    "peeling, one narrow degree aggregate + two semi-joins per round, "
+    "lineage cut per round, loop stops at fixpoint and RAISES rather than "
+    "returning a silently-unpeeled core",
+)
+def graph_k_core(spark, sf):
+    from scalligraph_spark.operators import embedding_cosine_pairs, k_core
+
+    emb = cat_for(spark, sf).vertex_df("embeddings")
+    pairs = embedding_cosine_pairs(emb, threshold=0.35)
+    return k_core(pairs, k=2, src="id_a", dst="id_b")
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -730,3 +730,20 @@ def test_triangle_count_skew_bounded_by_orientation(spark):
 
     star = spark.createDataFrame([(0, i) for i in range(1, 51)], ["src", "dst"])
     assert triangle_count(star).count() == 0
+
+
+def test_k_core_peeling(spark):
+    """K4 with a pendant tail: the 3-core is exactly the K4 (tail peels in
+    two rounds — removing the leaf re-exposes its neighbor), the 1-core
+    keeps everything, and an impossible k returns empty with the right
+    schema."""
+    from scalligraph_spark.operators import k_core
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 10), (10, 11)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert sorted((r["vertex"], r["degree"]) for r in k_core(df, 3).collect()) == [
+        (0, 3), (1, 3), (2, 3), (3, 3)
+    ]
+    assert k_core(df, 1).count() == 6
+    empty = k_core(df, 5)
+    assert empty.count() == 0 and empty.columns == ["vertex", "degree"]
