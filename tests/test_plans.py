@@ -209,3 +209,10 @@ def test_q20_nested_in_chain_is_semi_joins(spark):
     p = _plan(spark, "q20_excess_shippers")
     assert p.count("LeftSemi") >= 2
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_graph_triangles_all_joins_hashed(spark):
+    """Wedge build and closure are equi-joins — no cartesian fallback even
+    though the logical shape is a double self-join."""
+    p = _plan(spark, "graph_triangles")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
