@@ -299,8 +299,11 @@ def tpch_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
         # lossy at 1e18 ns magnitudes).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+        elif dt != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         return df
 
     loaders = {

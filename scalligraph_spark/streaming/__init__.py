@@ -20,31 +20,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet on-disk schema under nanosAsLong (ts is INT64 TIMESTAMP(NANOS))
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to timestamp_ntz regardless of the
+    on-disk encoding: INT64 TIMESTAMP(NANOS) read under nanosAsLong arrives as
+    bigint (ns → µs via exact integer `div`; double division is lossy at 1e18
+    ns magnitudes), timestamp[us] arrives ready-made."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    if dt != "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
 
 
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (readStream needs an explicit
-    schema; ns → timestamp conversion matches catalog._load_events exactly)."""
+    schema — taken from the parquet footer so either ts encoding works)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source needs a directory; events.parquet is a single file →
     # stream the parent dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return normalize_event_ts(raw)
 
 
 def windowed_event_counts(

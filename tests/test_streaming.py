@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from scalligraph_spark.streaming import (
     event_stream,
+    normalize_event_ts,
     run_available_now,
     sessionize,
     windowed_event_counts,
@@ -20,7 +21,7 @@ from tests.conftest import SF_DIR
 def batch_events(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return normalize_event_ts(df)
 
 
 def test_stream_is_streaming(spark):
