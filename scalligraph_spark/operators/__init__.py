@@ -56,10 +56,12 @@ from scalligraph_spark.operators.temporal import (
 )
 from scalligraph_spark.operators.text import (
     document_fingerprint,
+    duplicate_spans,
     language_score,
     ngram_counts,
     pii_redact,
     quality_score,
+    remove_duplicate_spans,
     repetition_scores,
     tfidf,
     token_count,
@@ -96,6 +98,8 @@ __all__ = [
     "pii_redact",
     "pairs_to_clusters",
     "quality_score",
+    "duplicate_spans",
+    "remove_duplicate_spans",
     "repetition_scores",
     "range_join",
     "simhash_pairs",

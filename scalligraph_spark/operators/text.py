@@ -232,3 +232,124 @@ def pii_redact(
         out.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}"))
         red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
     return df.select(*out, red.alias("redacted"))
+
+
+def _token_windows(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, g) for every k-token window: pos is the 0-based start index,
+    ``g`` the xxhash64 of the space-joined window.  Windows are built
+    row-locally from k shifted array slices folded with ``zip_with`` (pure
+    codegen — no UDF); the explode emits (id, pos, 8-byte hash) rows only,
+    so the shuffle never carries window text.  Documents shorter than k
+    tokens produce no windows (slice length clamps to 0)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sz = F.size(toks)
+    n_win = F.greatest(sz - F.lit(k - 1), F.lit(0))
+    slices = [F.slice(toks, i + 1, n_win) for i in range(k)]
+    grams = slices[0]
+    for s in slices[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
+    return docs.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram")).select(
+        F.col(id_col), F.col("pos"), F.xxhash64("gram").alias("g")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span statistics over fixed k-token windows —
+    the scalable Spark shape of ExactSubstr dedup (Lee et al. 2021, which
+    uses a suffix array; equal-length hashed windows give the same coverage
+    signal with only hash aggregations).
+
+    A window is *duplicated* when it occurs in >= ``min_doc_freq`` distinct
+    documents.  Emits per document: ``n_tokens``, ``dup_windows`` (number of
+    duplicated window starts), ``dup_tokens`` (tokens covered by the union
+    of duplicated windows) and ``dup_token_fraction``.
+
+    Scale shape: two hash aggregations and two equi hash joins — window
+    hashes group once ((g) -> distinct-doc count, no self-join, so a
+    boilerplate gram that appears a million times costs one count, never a
+    quadratic pair blowup), duplicated positions semi-join back by g, and
+    interval-union coverage is exact via explode(sequence(pos, pos+k-1))
+    + distinct, all on (id, int) rows.  No UDF anywhere.
+    """
+    win = _token_windows(docs, k, text_col, id_col)
+    dup_g = (
+        win.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .where(F.col("ndocs") >= min_doc_freq)
+        .select("g")
+    )
+    dpos = win.join(dup_g, "g", "left_semi")
+    per_win = dpos.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_windows"))
+    covered = dpos.select(
+        F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("p")
+    ).distinct()
+    per_cov = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_tokens"))
+    base = docs.select(F.col(id_col), F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"))
+    return (
+        base.join(per_win, id_col, "left")
+        .join(per_cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("dup_windows"), F.lit(0)).alias("dup_windows"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            (F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"))
+            .cast("double")
+            .alias("dup_token_fraction"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebuild each document without the tokens covered by cross-document
+    duplicated k-token windows (the removal half of ExactSubstr dedup).
+
+    Emits (id, n_tokens, kept_tokens, clean_text).  Token order is restored
+    by sorting (pos, token) structs inside the per-document aggregate —
+    deterministic under any partitioning, no window function, no UDF.  The
+    heavy side (covered positions) is the same bounded explode as
+    duplicate_spans; the rebuild joins tokens to covered positions on
+    (id, pos) — an equi hash anti-join.
+    """
+    win = _token_windows(docs, k, text_col, id_col)
+    dup_g = (
+        win.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .where(F.col("ndocs") >= min_doc_freq)
+        .select("g")
+    )
+    covered = (
+        win.join(dup_g, "g", "left_semi")
+        .select(F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("p"))
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("p", "tok")
+    )
+    kept = toks.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda s: s["tok"]),
+        ).alias("clean_text"),
+    )
+    base = docs.select(F.col(id_col), F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"))
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

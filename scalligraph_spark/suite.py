@@ -3050,6 +3050,72 @@ def graph_k_core(spark, sf):
     return k_core(pairs, k=2, src="id_a", dst="id_b")
 
 
+@q(
+    "text_duplicate_spans",
+    """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+win AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+        FROM toks, UNNEST(range(1, len(t)::BIGINT - 6)) AS r(i)),
+dupg AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+dpos AS (SELECT doc_id, pos FROM win SEMI JOIN dupg USING (g)),
+perwin AS (SELECT doc_id, count(*) AS dup_windows FROM dpos GROUP BY doc_id),
+cov AS (SELECT DISTINCT doc_id, p FROM dpos, UNNEST(range(pos, pos + 8)) AS s(p)),
+percov AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS INT) AS n_tokens,
+       COALESCE(perwin.dup_windows, 0) AS dup_windows,
+       COALESCE(percov.dup_tokens, 0) AS dup_tokens,
+       CAST(CAST(COALESCE(percov.dup_tokens, 0) AS DOUBLE) / len(t.t) AS DOUBLE) AS dup_token_fraction
+FROM toks t LEFT JOIN perwin USING (doc_id) LEFT JOIN percov USING (doc_id)
+""",
+    "ExactSubstr-style duplicated-span statistics over 8-token windows "
+    "(window duplicated when it occurs in >=2 distinct docs): windows from "
+    "shifted array slices (codegen), ONE distinct-doc count keyed by the "
+    "8-byte window hash — no self-join, so a million-fold boilerplate gram "
+    "costs one count, never a quadratic pair blowup — then exact "
+    "interval-union coverage via explode(sequence)+distinct on (id, int) "
+    "rows",
+)
+def text_duplicate_spans(spark, sf):
+    from scalligraph_spark.operators import duplicate_spans
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return duplicate_spans(docs, k=8, min_doc_freq=2)
+
+
+@q(
+    "text_remove_spans",
+    """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+win AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+        FROM toks, UNNEST(range(1, len(t)::BIGINT - 6)) AS r(i)),
+dupg AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT doc_id, p FROM (SELECT doc_id, pos FROM win SEMI JOIN dupg USING (g)),
+        UNNEST(range(pos, pos + 8)) AS s(p)),
+tok AS (SELECT doc_id, i AS p, t[i] AS tok
+        FROM toks, UNNEST(range(1, len(t)::BIGINT + 1)) AS r(i)),
+kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok ANTI JOIN cov
+         ON tok.doc_id = cov.doc_id AND tok.p = cov.p),
+rebuilt AS (SELECT doc_id, count(*) AS kept_tokens,
+                   string_agg(tok, ' ' ORDER BY p) AS clean_text
+            FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+       COALESCE(r.kept_tokens, 0) AS kept_tokens,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+""",
+    "Removal half of ExactSubstr dedup: rebuild each doc without tokens "
+    "covered by cross-doc duplicated 8-token windows; order restored by "
+    "sorting (pos, token) structs inside the per-doc aggregate — "
+    "deterministic under any partitioning, no window function, no UDF",
+)
+def text_remove_spans(spark, sf):
+    from scalligraph_spark.operators import remove_duplicate_spans
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return remove_duplicate_spans(docs, k=8, min_doc_freq=2)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

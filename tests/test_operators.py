@@ -747,3 +747,91 @@ def test_k_core_peeling(spark):
     assert k_core(df, 1).count() == 6
     empty = k_core(df, 5)
     assert empty.count() == 0 and empty.columns == ["vertex", "degree"]
+
+
+def test_duplicate_spans_interval_union(spark):
+    """Two docs sharing a 10-token run with k=4: duplicated window starts in
+    the run = 10-4+1 = 7 per doc, but interval-union coverage counts each
+    token ONCE → dup_tokens == 10, not 7*4.  A doc with no shared window and
+    a doc shorter than k both report zero."""
+    from scalligraph_spark.operators import duplicate_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3 a4"),
+            (2, f"b1 {shared} b2 b3 b4"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8"),
+            (4, "t1 t2"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in duplicate_spans(docs, k=4).collect()}
+    assert set(rows) == {1, 2, 3, 4}  # every doc reports, even without windows
+    assert rows[1]["dup_windows"] == 7 and rows[1]["dup_tokens"] == 10
+    assert rows[2]["dup_windows"] == 7 and rows[2]["dup_tokens"] == 10
+    assert rows[1]["n_tokens"] == 14 and rows[1]["dup_token_fraction"] == 10 / 14
+    assert rows[3]["dup_windows"] == 0 and rows[3]["dup_token_fraction"] == 0.0
+    assert rows[4]["dup_windows"] == 0 and rows[4]["n_tokens"] == 2
+
+
+def test_duplicate_spans_identical_docs_full_coverage(spark):
+    from scalligraph_spark.operators import duplicate_spans
+
+    text = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    for r in duplicate_spans(docs, k=8).collect():
+        assert r["dup_tokens"] == 20 and r["dup_token_fraction"] == 1.0
+
+
+def test_duplicate_spans_min_doc_freq(spark):
+    """min_doc_freq=3: a window shared by only two docs is not duplicated."""
+    from scalligraph_spark.operators import duplicate_spans
+
+    text = "p q r s t"
+    docs = spark.createDataFrame([(1, text), (2, text), (3, "x y z w v")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in duplicate_spans(docs, k=4, min_doc_freq=3).collect()}
+    assert all(r["dup_windows"] == 0 for r in rows.values())
+
+
+def test_remove_duplicate_spans_rebuild(spark):
+    """Removal keeps token order, drops exactly the covered run, and returns
+    an empty string for a fully-duplicated doc."""
+    from scalligraph_spark.operators import remove_duplicate_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3"),
+            (2, f"{shared} b1 b2"),
+            (3, shared),
+            (4, shared),
+            (5, "clean doc stays whole"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=8).collect()}
+    assert rows[1]["clean_text"] == "a1 a2 a3" and rows[1]["kept_tokens"] == 3
+    assert rows[2]["clean_text"] == "b1 b2"
+    assert rows[3]["clean_text"] == "" and rows[3]["kept_tokens"] == 0
+    assert rows[5]["clean_text"] == "clean doc stays whole"
+    for r in rows.values():  # kept + covered partition the tokens
+        assert r["kept_tokens"] <= r["n_tokens"]
+
+
+def test_remove_spans_partition_invariant(spark):
+    """The (pos, token) struct-sort rebuild is deterministic under any
+    partitioning of the token explode."""
+    from scalligraph_spark.operators import remove_duplicate_spans
+
+    shared = " ".join(f"c{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b {shared} u{i}c") for i in range(6)], ["doc_id", "text"]
+    )
+    one = {r["doc_id"]: r["clean_text"] for r in remove_duplicate_spans(docs, k=6).collect()}
+    other = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(docs.repartition(13), k=6).collect()
+    }
+    assert one == other
+    assert one[0] == "u0a u0b u0c"

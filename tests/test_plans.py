@@ -216,3 +216,14 @@ def test_graph_triangles_all_joins_hashed(spark):
     though the logical shape is a double self-join."""
     p = _plan(spark, "graph_triangles")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_duplicate_spans_all_joins_hashed(spark):
+    """The span-dedup semi-join and coverage join-back must stay hash
+    equi-joins on (g) / (id, pos) — never a nested loop, and the gram
+    group-by must be an aggregate (no self-join that a hot boilerplate
+    gram could turn quadratic)."""
+    for name in ("text_duplicate_spans", "text_remove_spans"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+        assert "HashJoin" in p and "HashAggregate" in p
