@@ -35,6 +35,7 @@ from scalligraph_spark.operators.pipeline import (
     corpus_stats,
     pack_documents,
     sample_mixture,
+    temperature_mixture,
     shuffle_shards,
     split_corpus,
     stratified_sample,
@@ -108,6 +109,7 @@ __all__ = [
     "pq_topk",
     "pq_train",
     "sample_mixture",
+    "temperature_mixture",
     "shuffle_shards",
     "split_corpus",
     "stratified_sample",

@@ -287,3 +287,50 @@ def shuffle_shards(
     keyed = df.select(F.col(id_col), key.alias("shuffle_key"), shard.alias("shard"))
     w = Window.partitionBy("shard").orderBy(F.col("shuffle_key"), F.col(id_col))
     return keyed.withColumn("pos", F.row_number().over(w))
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-based mixture resampling — reweight sources by
+    ``n_source^alpha`` (the multilingual/data-mixing alpha-sampling rule:
+    alpha=1 keeps natural proportions, alpha=0 equalizes sources, 0.3-0.7
+    up-weights small sources) and keep the LARGEST corpus consistent with
+    the target proportions: per-source keep-rate = target-share/size,
+    normalized so the binding source keeps 100%.
+
+    Membership is md5-deterministic per (salt, key) — the same portable
+    idiom as :func:`shuffle_shards`, so re-runs, repartitions and the
+    DuckDB oracle all keep the identical document set.  Scale shape: one
+    tiny per-source count (map-side combined), window math over the
+    handful of source rows, then a broadcast join + map-only filter — the
+    corpus itself is never shuffled.  Output keeps all document columns
+    plus ``rate`` (the source's keep probability).
+    """
+    n = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_total"))
+    everything = Window.partitionBy()  # the per-source frame is tiny by construction
+    rates = (
+        n.withColumn("w", F.pow(F.col("n_total").cast("double"), F.lit(float(alpha))))
+        .withColumn("p", F.col("w") / F.sum("w").over(everything))
+        .withColumn("ratio", F.col("p") / F.col("n_total"))
+        .withColumn("rate", F.col("ratio") / F.max("ratio").over(everything))
+        .select(source_col, "rate")
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return docs.join(F.broadcast(rates), source_col).where(frac < F.col("rate"))

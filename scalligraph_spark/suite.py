@@ -3116,6 +3116,42 @@ def text_remove_spans(spark, sf):
     return remove_duplicate_spans(docs, k=8, min_doc_freq=2)
 
 
+@q(
+    "pipeline_temperature_mixture",
+    """
+WITH n AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+r AS (SELECT source, n_total, pow(CAST(n_total AS DOUBLE), 0.5) AS w FROM n),
+p AS (SELECT source, n_total, w / sum(w) OVER () AS p FROM r),
+q AS (SELECT source, n_total, p / n_total AS ratio FROM p),
+rt AS (SELECT source, n_total, ratio / max(ratio) OVER () AS rate FROM q),
+kept AS (
+  SELECT d.source FROM documents d JOIN rt USING (source)
+  WHERE CAST(CAST(('0x' || substr(md5('temp-v1:' || d.doc_id), 1, 8)) AS BIGINT) AS DOUBLE)
+        / 4294967296.0 < rt.rate),
+k AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source)
+SELECT rt.source, rt.n_total, COALESCE(k.n_kept, 0) AS n_kept
+FROM rt LEFT JOIN k USING (source)
+""",
+    "temperature (alpha=0.5) mixture resampling: per-source keep-rates "
+    "derived from n^alpha target shares normalized so the binding source "
+    "keeps 100%; membership is the md5 idiom shuffle_shards established, "
+    "so both engines keep the identical doc set — integer outputs only "
+    "(the rate itself stays internal; libm pow may differ in the last "
+    "ulp between engines but a flip needs a doc hash within 1 ulp of the "
+    "boundary, ~2^-52 per doc)",
+)
+def pipeline_temperature_mixture(spark, sf):
+    from scalligraph_spark.operators import temperature_mixture
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    mixed = temperature_mixture(docs, alpha=0.5)
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    k = mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return n.join(k, "source", "left").select(
+        "source", "n_total", F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -835,3 +835,46 @@ def test_remove_spans_partition_invariant(spark):
     }
     assert one == other
     assert one[0] == "u0a u0b u0c"
+
+
+def test_temperature_mixture_alpha_one_keeps_everything(spark):
+    """alpha=1: target shares equal natural shares, so every source's rate
+    normalizes to 1.0 and no document is dropped."""
+    from scalligraph_spark.operators import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", "big" if i < 40 else "small") for i in range(50)],
+        ["doc_id", "text", "source"],
+    )
+    out = temperature_mixture(docs, alpha=1.0)
+    assert out.count() == 50
+    assert {r["rate"] for r in out.select("rate").distinct().collect()} == {1.0}
+
+
+def test_temperature_mixture_alpha_zero_equalizes(spark):
+    """alpha=0: uniform target shares → rate_s = n_min/n_s; the smallest
+    source keeps 100% and a source 4x its size keeps rate 0.25 exactly."""
+    from scalligraph_spark.operators import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", "big" if i < 40 else "small") for i in range(50)],
+        ["doc_id", "text", "source"],
+    )
+    out = temperature_mixture(docs, alpha=0.0)
+    rates = {r["source"]: r["rate"] for r in out.select("source", "rate").distinct().collect()}
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 0.25) < 1e-12
+    # the small source survives in full; the big one is genuinely thinned
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept["small"] == 10 and 0 < kept["big"] < 40
+
+
+def test_temperature_mixture_partition_invariant(spark):
+    from scalligraph_spark.operators import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", f"s{i % 3}") for i in range(60)], ["doc_id", "text", "source"]
+    )
+    a = {r["doc_id"] for r in temperature_mixture(docs, alpha=0.5).collect()}
+    b = {r["doc_id"] for r in temperature_mixture(docs.repartition(17), alpha=0.5).collect()}
+    assert a == b and a
