@@ -21,6 +21,7 @@ from scalligraph_spark.operators.graph_analytics import (
     connected_components,
     degrees,
     k_core,
+    label_propagation,
     pagerank,
     triangle_count,
 )
@@ -86,6 +87,7 @@ __all__ = [
     "fake_media_from_documents",
     "incremental_dedup",
     "k_core",
+    "label_propagation",
     "frame_sample",
     "ivf_ann_topk",
     "language_score",

@@ -409,3 +409,74 @@ def k_core(
         )
         e = _cut_lineage(e2, checkpoint_dir)
     raise RuntimeError(f"k_core did not converge in {max_iter} rounds (k={k})")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+    checkpoint_every: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection → (vertex,
+    community).  Undirected semantics; every vertex starts in its own
+    community (= its id) and each round adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label — fully
+    deterministic under any partitioning (GraphX's LPA breaks ties by
+    hashmap iteration order; this one is reproducible).
+
+    Like every synchronous LPA it can oscillate on bipartite-ish
+    structures, so the loop runs at most ``max_iter`` rounds (GraphX
+    semantics) but stops early at a fixpoint.
+
+    Scale shape per round: ONE message join (labels to neighbors) + a
+    two-level aggregate — groupBy (vertex, label) count, then
+    ``max_by(label, (count, -label))`` per vertex, which rides the same
+    hash partitioning as the first groupBy's key prefix.  No window
+    function, no self-join; lineage cut every ``checkpoint_every`` rounds
+    exactly like connected_components/pagerank.
+    """
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    labels = (
+        both.select(F.col("a").alias("vertex"))
+        .dropDuplicates(["vertex"])
+        .withColumn("community", F.col("vertex"))
+        .persist()
+    )
+    init_labels = labels
+    prev_cached = labels
+    for i in range(max_iter):
+        msgs = both.join(labels.withColumnRenamed("vertex", "b"), "b").select(
+            F.col("a").alias("vertex"), F.col("community").alias("lbl")
+        )
+        counts = msgs.groupBy("vertex", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        best = counts.groupBy("vertex").agg(
+            F.max_by("lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("new_community")
+        )
+        updated = labels.join(best, "vertex", "left").select(
+            "vertex",
+            F.coalesce("new_community", F.col("community")).alias("community"),
+            (F.coalesce("new_community", F.col("community")) != F.col("community")).alias("__changed"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            updated = _cut_lineage(updated, checkpoint_dir)
+        else:
+            updated = updated.persist()
+        n_changed = updated.where(F.col("__changed")).count()
+        if prev_cached is not labels:
+            prev_cached.unpersist()
+        prev_cached = updated
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    labels = _cut_lineage(labels, checkpoint_dir)
+    prev_cached.unpersist()
+    init_labels.unpersist()
+    both.unpersist()
+    return labels

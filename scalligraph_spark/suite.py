@@ -2924,6 +2924,34 @@ def qagg_cube_orders(spark, sf):
 
 
 @q(
+    "qagg_rollup_geo",
+    f"""
+SELECT r_name, n_name, count(*) AS n_cust, {dsum_expr('c_acctbal')} AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "beyond-parity OLAP: native ROLLUP over the region→nation geography "
+    "hierarchy — per-nation, per-region subtotal and grand total in ONE "
+    "pass over the fact side; both dimension joins broadcast (tiny "
+    "tables), totals decimal-routed so the three grouping levels "
+    "hash-match the oracle exactly",
+)
+def qagg_rollup_geo(spark, sf):
+    c = cat_for(spark, sf)
+    cust = c.vertex_df("customer")
+    nat = F.broadcast(c.vertex_df("nation").select("n_nationkey", "n_name", "n_regionkey"))
+    reg = F.broadcast(c.vertex_df("region").select("r_regionkey", "r_name"))
+    joined = cust.join(nat, cust.c_nationkey == nat.n_nationkey).join(
+        reg, nat.n_regionkey == reg.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"), dsum(F.col("c_acctbal")).alias("total_bal")
+    )
+
+
+@q(
     "dedup_incremental",
     """
 WITH batch AS (
@@ -3114,6 +3142,23 @@ def text_remove_spans(spark, sf):
 
     docs = cat_for(spark, sf).vertex_df("documents")
     return remove_duplicate_spans(docs, k=8, min_doc_freq=2)
+
+
+@q(
+    "graph_label_propagation",
+    None,  # iterative most-frequent-neighbor fixpoint — no SQL twin; pytest
+    "deterministic synchronous label-propagation communities over the "
+    "near-dup graph (most-frequent neighbor label, smallest-label "
+    "tie-break — reproducible where GraphX's hashmap-order tie-break is "
+    "not): one message join + two-level aggregate per round, max_by "
+    "instead of a window function, lineage cuts every 3 rounds",
+)
+def graph_label_propagation(spark, sf):
+    from scalligraph_spark.operators import embedding_cosine_pairs, label_propagation
+
+    emb = cat_for(spark, sf).vertex_df("embeddings")
+    pairs = embedding_cosine_pairs(emb, threshold=0.35)
+    return label_propagation(pairs, src="id_a", dst="id_b", max_iter=10)
 
 
 @q(

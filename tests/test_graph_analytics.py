@@ -114,3 +114,42 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     }
     assert set(comp.values()) == {0} and len(comp) == 13
     assert os.path.isdir(ckpt) and os.listdir(ckpt)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns each clique its
+    own community (the bridge can't outvote three intra-clique neighbors)
+    and the community label is the clique's min vertex id."""
+    from scalligraph_spark.operators import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], ["src", "dst"])
+    rows = {r["vertex"]: r["community"] for r in label_propagation(edges).collect()}
+    assert {rows[v] for v in range(4)} == {0}
+    assert {rows[v] for v in range(10, 14)} == {10}
+
+
+def test_label_propagation_deterministic_under_partitioning(spark):
+    from scalligraph_spark.operators import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)] + [(10 + i, 10 + (i + 1) % 5) for i in range(5)],
+        ["src", "dst"],
+    )
+    a = sorted((r["vertex"], r["community"]) for r in label_propagation(edges, max_iter=6).collect())
+    b = sorted(
+        (r["vertex"], r["community"])
+        for r in label_propagation(edges.repartition(7), max_iter=6).collect()
+    )
+    assert a == b
+
+
+def test_label_propagation_isolated_pair_keeps_min_label(spark):
+    from scalligraph_spark.operators import label_propagation
+
+    edges = spark.createDataFrame([(5, 9)], ["src", "dst"])
+    rows = {r["vertex"]: r["community"] for r in label_propagation(edges).collect()}
+    # a lone edge oscillates under pure sync LPA; smallest-label tie-break
+    # still yields a deterministic result for both endpoints
+    assert set(rows) == {5, 9} and rows[5] in (5, 9) and rows[9] in (5, 9)
