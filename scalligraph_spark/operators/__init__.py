@@ -59,6 +59,7 @@ from scalligraph_spark.operators.temporal import (
 from scalligraph_spark.operators.text import (
     document_fingerprint,
     duplicate_spans,
+    hashed_bow_score,
     language_score,
     ngram_counts,
     pii_redact,
@@ -102,6 +103,7 @@ __all__ = [
     "pairs_to_clusters",
     "quality_score",
     "duplicate_spans",
+    "hashed_bow_score",
     "remove_duplicate_spans",
     "repetition_scores",
     "range_join",

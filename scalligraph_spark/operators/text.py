@@ -353,3 +353,56 @@ def remove_duplicate_spans(
         F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def hashed_bow_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    dim: int = 1024,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "clf-v1",
+) -> DataFrame:
+    """Model-based quality scoring with a hashed bag-of-words linear
+    classifier — the fastText-shaped filter stage of pretraining pipelines
+    (a trained model's weights arrive as a (bucket, weight) table; this
+    operator is the SERVING side).
+
+    Each token hashes to a bucket via the portable md5 idiom
+    (first-32-bits(md5(salt:token)) mod dim — same value on any engine),
+    the document's raw score is ``bias + mean(weight[bucket(token)])``
+    (missing buckets contribute 0), and ``score = sigmoid(raw)``.
+
+    Scale shape: explode → (id, int bucket) rows only — token text never
+    shuffles; the weight table (dim rows) broadcast-joins; one partial-
+    aggregated mean per doc.  No UDF anywhere; at 100 TB the cost is one
+    scan + one narrow shuffle keyed by id.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("tok")).cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(dim)
+    )
+    feats = docs.select(F.col(id_col), F.explode(toks).alias("tok")).select(
+        F.col(id_col), bucket.alias("bucket")
+    )
+    per_doc = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("s"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    raw = F.lit(float(bias)) + F.col("s") / F.col("n_tokens")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        raw.cast("double").alias("raw_score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))).cast("double").alias("score"),
+    )

@@ -3145,6 +3145,47 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "text_classifier_score",
+    """
+WITH w AS (SELECT i AS bucket, CAST((i % 101) - 50 AS DOUBLE) AS weight FROM range(1024) t(i)),
+feats AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('clf-v1:' || tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents)),
+per_doc AS (
+  SELECT f.doc_id, sum(COALESCE(w.weight, 0)) AS s, count(*) AS n_tokens
+  FROM feats f LEFT JOIN w USING (bucket) GROUP BY f.doc_id)
+SELECT doc_id, n_tokens,
+       round(s / n_tokens, 12) AS raw_score,
+       round(1.0 / (1.0 + exp(-(s / n_tokens))), 12) AS score
+FROM per_doc
+""",
+    "model-based quality filter serving: hashed bag-of-words linear "
+    "classifier (fastText shape) with md5-portable feature buckets and a "
+    "broadcast (bucket, weight) table — integer-valued demo weights make "
+    "the per-doc sum exact on both engines, so the single mean division "
+    "is bit-identical and only the sigmoid's libm exp needs the round(12) "
+    "guard; explode ships (id, int bucket) only, token text never "
+    "shuffles",
+)
+def text_classifier_score(spark, sf):
+    from scalligraph_spark.operators import hashed_bow_score
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    weights = spark.range(1024).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 101) - 50).cast("double").alias("weight"),
+    )
+    out = hashed_bow_score(docs, weights, dim=1024)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("raw_score", 12).alias("raw_score"),
+        F.round("score", 12).alias("score"),
+    )
+
+
+@q(
     "graph_label_propagation",
     None,  # iterative most-frequent-neighbor fixpoint — no SQL twin; pytest
     "deterministic synchronous label-propagation communities over the "

@@ -878,3 +878,39 @@ def test_temperature_mixture_partition_invariant(spark):
     a = {r["doc_id"] for r in temperature_mixture(docs, alpha=0.5).collect()}
     b = {r["doc_id"] for r in temperature_mixture(docs.repartition(17), alpha=0.5).collect()}
     assert a == b and a
+
+
+def test_hashed_bow_score_single_bucket(spark):
+    """dim=1 collapses every token to bucket 0: raw = mean weight = w0 and
+    score = sigmoid(w0), exactly."""
+    import math
+
+    from scalligraph_spark.operators import hashed_bow_score
+
+    docs = spark.createDataFrame([(1, "x y z"), (2, "just one token here")], ["doc_id", "text"])
+    weights = spark.createDataFrame([(0, 2.0)], ["bucket", "weight"])
+    rows = {r["doc_id"]: r for r in hashed_bow_score(docs, weights, dim=1).collect()}
+    assert rows[1]["n_tokens"] == 3 and rows[1]["raw_score"] == 2.0
+    assert abs(rows[1]["score"] - 1.0 / (1.0 + math.exp(-2.0))) < 1e-15
+
+
+def test_hashed_bow_score_missing_buckets_are_zero(spark):
+    from scalligraph_spark.operators import hashed_bow_score
+
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    empty = spark.createDataFrame([], "bucket long, weight double")
+    r = hashed_bow_score(docs, empty, dim=64).collect()[0]
+    assert r["raw_score"] == 0.0 and r["score"] == 0.5
+
+
+def test_hashed_bow_score_bias_and_determinism(spark):
+    from scalligraph_spark.operators import hashed_bow_score
+
+    docs = spark.createDataFrame([(i, f"tok{i} tok{i+1} shared") for i in range(20)], ["doc_id", "text"])
+    weights = spark.createDataFrame([(b, float(b % 7) - 3.0) for b in range(64)], ["bucket", "weight"])
+    a = {(r["doc_id"], r["score"]) for r in hashed_bow_score(docs, weights, dim=64, bias=1.0).collect()}
+    b = {
+        (r["doc_id"], r["score"])
+        for r in hashed_bow_score(docs.repartition(9), weights, dim=64, bias=1.0).collect()
+    }
+    assert a == b and len(a) == 20
