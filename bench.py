@@ -63,6 +63,10 @@ HEADLINE = [
     "text_repetition_scores",  # hashed-gram two-level agg
     "dedup_incremental",  # Bloom-pruned batch-vs-corpus classify
     "qagg_percentiles",  # exact per-group quantile sort
+    # round-4 session-3 additions
+    "text_duplicate_spans",  # ExactSubstr window-hash count + interval union
+    "text_classifier_score",  # hashed-BoW broadcast-weights serving
+    "pipeline_temperature_mixture",  # alpha-resampling, md5 membership
 ]
 
 

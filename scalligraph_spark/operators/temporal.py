@@ -166,3 +166,74 @@ def range_join(
         .where((rt >= F.col(left_ts) + F.lit(lower)) & (rt <= F.col(left_ts) + F.lit(upper)))
         .select(*left.columns, *[F.col(out_names[c]) for c in [right_ts] + right_cols])
     )
+
+
+def scd2_from_observations(
+    obs: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from raw observations —
+    the warehouse pattern for attribute history: consecutive observations
+    of a key with IDENTICAL attributes collapse into one validity row;
+    any attribute change opens a new version.
+
+    Emits (key, *attrs, version, valid_from, valid_to) where ``version``
+    numbers the runs 1..n per key, ``valid_from`` is the run's first
+    observation timestamp and ``valid_to`` the next run's start (null for
+    the current version) — half-open intervals, so an as-of probe is
+    ``valid_from <= t AND (valid_to IS NULL OR t < valid_to)``.
+
+    Deterministic under ties: observations order by (ts, *attrs), and the
+    change flag uses null-safe comparison, so a null attribute value is a
+    version of its own, not a wildcard.  Scale shape: ONE shuffle keyed by
+    the dimension key drives every window (change detection, run
+    numbering, run collapse, valid_to lookahead all share the same
+    partitioning), and the run collapse is a groupBy on the same key
+    prefix — Catalyst reuses the exchange.  No UDF, no self-join.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc_nulls_first() for c in attr_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    # first row of each key has lag NULL → eqNullSafe false → changed true,
+    # which correctly opens version 1
+    runs = obs.select(key_col, ts_col, *attr_cols).withColumn(
+        "__new_run", changed.cast("int")
+    ).withColumn("version", F.sum("__new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    versions = runs.groupBy(key_col, "version").agg(
+        F.min(ts_col).alias("valid_from"),
+        *[F.first(c).alias(c) for c in attr_cols],
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col("valid_from").asc(), F.col("version").asc())
+    return versions.select(
+        key_col,
+        *attr_cols,
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Merge a batch of new observations into an existing SCD2 dimension.
+
+    Re-derivation, not row surgery: the current dimension's versions are
+    replayed as observations at their ``valid_from`` and unioned with the
+    update batch, then :func:`scd2_from_observations` rebuilds the
+    history.  Idempotent (re-merging the same batch is a no-op), handles
+    late/out-of-order updates (a backdated observation splits the older
+    run it lands in), and never needs a mutable upsert — the batch
+    engine's answer to MERGE INTO.
+    """
+    replay = dim.select(F.col(key_col), F.col("valid_from").alias(ts_col), *attr_cols)
+    fresh = updates.select(F.col(key_col), F.col(ts_col), *attr_cols)
+    return scd2_from_observations(replay.unionByName(fresh), key_col, ts_col, attr_cols)

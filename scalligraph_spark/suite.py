@@ -3145,6 +3145,51 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "temporal_scd2_history",
+    """
+WITH obs AS (SELECT o_custkey, o_orderdate AS ts, o_orderpriority FROM orders),
+runs AS (
+  SELECT o_custkey, ts, o_orderpriority,
+         CASE WHEN o_orderpriority IS DISTINCT FROM
+                   lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderpriority)
+              THEN 1 ELSE 0 END AS nr
+  FROM obs),
+runs2 AS (
+  SELECT o_custkey, ts, o_orderpriority,
+         CAST(sum(nr) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderpriority
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM runs),
+versions AS (
+  SELECT o_custkey, version, min(ts) AS valid_from, min(o_orderpriority) AS o_orderpriority
+  FROM runs2 GROUP BY o_custkey, version)
+SELECT o_custkey, o_orderpriority, version, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, version) AS valid_to
+FROM versions
+""",
+    "type-2 slowly-changing dimension built from raw observations "
+    "(customer's order-priority history): consecutive identical runs "
+    "collapse, any change opens a version, valid_to = next valid_from "
+    "(null = current) — ONE shuffle keyed by the dimension key drives "
+    "change detection, run numbering, collapse and the lookahead (all "
+    "windows share the partitioning, Catalyst reuses the exchange); "
+    "null-safe change test, (ts, attr) tie-break on both engines",
+)
+def temporal_scd2_history(spark, sf):
+    from scalligraph_spark.operators import scd2_from_observations
+
+    o = cat_for(spark, sf).vertex_df("orders")
+    obs = o.select("o_custkey", F.col("o_orderdate").alias("ts"), "o_orderpriority")
+    out = scd2_from_observations(obs, "o_custkey", "ts", ["o_orderpriority"])
+    return out.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("version").cast("long").alias("version"),
+        "valid_from",
+        "valid_to",
+    )
+
+
+@q(
     "text_classifier_score",
     """
 WITH w AS (SELECT i AS bucket, CAST((i % 101) - 50 AS DOUBLE) AS weight FROM range(1024) t(i)),

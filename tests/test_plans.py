@@ -227,3 +227,14 @@ def test_duplicate_spans_all_joins_hashed(spark):
         p = _plan(spark, name)
         assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
         assert "HashJoin" in p and "HashAggregate" in p
+
+
+def test_scd2_single_exchange(spark):
+    """All four window passes (change flag, run number, collapse,
+    valid_to lookahead) must share ONE hash exchange on the dimension
+    key — the exchange-reuse property the operator's docstring claims."""
+    p = _plan(spark, "temporal_scd2_history")
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
+    assert "CartesianProduct" not in p

@@ -84,3 +84,68 @@ def test_asof_bucketed_equals_plain(spark):
     for width in (1, 7, 100, 10_000):
         bucketed = sorted(map(tuple, as_of_join(l, r, "k", "t", "t", bucket_width=width).collect()))
         assert bucketed == plain, f"width={width}"
+
+
+def test_scd2_collapses_runs_and_chains_validity(spark):
+    """k=1 observes A,A,B,A: three versions (the repeat A collapses, the
+    return to A opens a NEW version); valid_to chains to the next
+    valid_from and the last version stays open (null)."""
+    from scalligraph_spark.operators import scd2_from_observations
+
+    obs = spark.createDataFrame(
+        [(1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "A"), (2, 15, "X")],
+        ["k", "ts", "attr"],
+    )
+    out = scd2_from_observations(obs, "k", "ts", ["attr"]).orderBy("k", "version").collect()
+    k1 = [r for r in out if r["k"] == 1]
+    assert [(r["attr"], r["version"], r["valid_from"], r["valid_to"]) for r in k1] == [
+        ("A", 1, 10, 30),
+        ("B", 2, 30, 40),
+        ("A", 3, 40, None),
+    ]
+    k2 = [r for r in out if r["k"] == 2]
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in k2] == [("X", 15, None)]
+
+
+def test_scd2_null_attr_is_its_own_version(spark):
+    from scalligraph_spark.operators import scd2_from_observations
+
+    obs = spark.createDataFrame(
+        [(1, 10, "A"), (1, 20, None), (1, 30, None), (1, 40, "A")], ["k", "ts", "attr"]
+    )
+    out = scd2_from_observations(obs, "k", "ts", ["attr"]).orderBy("version").collect()
+    assert [r["attr"] for r in out] == ["A", None, "A"]
+    assert [r["version"] for r in out] == [1, 2, 3]
+
+
+def test_scd2_merge_idempotent_and_backdated_split(spark):
+    from scalligraph_spark.operators import scd2_from_observations, scd2_merge
+
+    base = scd2_from_observations(
+        spark.createDataFrame([(1, 10, "A"), (1, 50, "B")], ["k", "ts", "attr"]), "k", "ts", ["attr"]
+    )
+    # re-merging the dimension's own versions changes nothing
+    again = scd2_merge(base, spark.createDataFrame([(1, 10, "A")], ["k", "ts", "attr"]), "k", "ts", ["attr"])
+    assert sorted((r["attr"], r["valid_from"], r["valid_to"]) for r in again.collect()) == sorted(
+        (r["attr"], r["valid_from"], r["valid_to"]) for r in base.collect()
+    )
+    # a backdated C at ts=30 splits the A-run: A[10,30) C[30,50) B[50,∞)
+    merged = scd2_merge(
+        base, spark.createDataFrame([(1, 30, "C")], ["k", "ts", "attr"]), "k", "ts", ["attr"]
+    )
+    rows = [(r["attr"], r["valid_from"], r["valid_to"]) for r in merged.orderBy("version").collect()]
+    assert rows == [("A", 10, 30), ("C", 30, 50), ("B", 50, None)]
+
+
+def test_scd2_multi_attr_change_detection(spark):
+    """Any ONE attribute changing opens a version; both attrs reported."""
+    from scalligraph_spark.operators import scd2_from_observations
+
+    obs = spark.createDataFrame(
+        [(1, 10, "A", 1), (1, 20, "A", 2), (1, 30, "A", 2)], ["k", "ts", "a1", "a2"]
+    )
+    out = scd2_from_observations(obs, "k", "ts", ["a1", "a2"]).orderBy("version").collect()
+    assert [(r["a1"], r["a2"], r["valid_from"], r["valid_to"]) for r in out] == [
+        ("A", 1, 10, 20),
+        ("A", 2, 20, None),
+    ]
