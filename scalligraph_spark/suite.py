@@ -86,6 +86,32 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         "orders",
         lambda t, s, a: t.out_e("ordered_part").has("l_quantity", P.gte(float(s.get("minQty", 45)))).in_v(),
     )
+
+    # LLM-pipeline operators surfaced as registered JSON-chain steps — the
+    # reference's extension mechanism (QueryExecutor.scala:28-29 custom
+    # queries) applied to the corpus operators, so a query-language user can
+    # drive the pipeline without touching the Python API.
+    def _quality_gate(t, s, a):
+        from scalligraph_spark.operators import quality_score
+
+        mq = float(s.get("minQuality", 0.5))
+        keep = quality_score(t.df).where(F.col("quality") >= mq).select("doc_id")
+        return t._with(t.df.join(keep, "doc_id", "left_semi"))
+
+    def _dedup_exact_step(t, s, a):
+        from scalligraph_spark.operators import exact_dedup
+
+        canon = exact_dedup(t.df).select(F.col("canonical_id").alias("doc_id"))
+        return t._with(t.df.join(canon, "doc_id", "left_semi"))
+
+    def _token_stats(t, s, a):
+        from scalligraph_spark.operators import token_count
+
+        return t._with(token_count(t.df), label=None)
+
+    ex.register("qualityGate", "documents", _quality_gate)
+    ex.register("dedupExact", "documents", _dedup_exact_step)
+    ex.register("tokenStats", "documents", _token_stats)
     return ex
 
 
@@ -3142,6 +3168,44 @@ def text_remove_spans(spark, sf):
 
     docs = cat_for(spark, sf).vertex_df("documents")
     return remove_duplicate_spans(docs, k=8, min_doc_freq=2)
+
+
+@q(
+    "qlang_llm_chain",
+    """
+WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+q AS (
+  SELECT doc_id, text FROM toks
+  WHERE (CASE WHEN len(t) >= 5 AND length(text) * 1.0 / len(t) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        * (0.5 + 0.5 * CAST(len(list_filter(t, x -> x IN ('the','a','of','to','and'))) AS DOUBLE) / len(t))
+        >= 0.5),
+canon AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text))
+SELECT q.doc_id,
+       CAST(len(string_split_regex(trim(q.text), '\\s+')) AS INT) AS n_tokens,
+       CAST(length(q.text) AS DOUBLE) / 4 AS est_bpe_tokens
+FROM q SEMI JOIN canon USING (doc_id)
+ORDER BY n_tokens DESC, q.doc_id ASC LIMIT 25
+""",
+    "the LLM pipeline driven ENTIRELY through the JSON query language: "
+    "chain all_documents → qualityGate(minQuality) → dedupExact → "
+    "tokenStats → sort → page, the custom steps registered exactly like "
+    "the reference's extension queries (QueryExecutor.scala:28-29) and "
+    "freely mixed with the built-in sort/page steps — proving a "
+    "query-language user can run the corpus operators with no Python API",
+)
+def qlang_llm_chain(spark, sf):
+    ex = executor_for(spark, sf)
+    t = ex.execute(
+        [
+            {"_name": "all_documents"},
+            {"_name": "qualityGate", "minQuality": 0.5},
+            {"_name": "dedupExact"},
+            {"_name": "tokenStats"},
+            {"_name": "sort", "_fields": [{"n_tokens": "decr"}, "+doc_id"]},
+            {"_name": "page", "from": 0, "to": 25},
+        ]
+    )
+    return t.df
 
 
 @q(
