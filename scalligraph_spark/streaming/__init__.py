@@ -296,3 +296,71 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "total_value",
         )
     )
+
+
+def start_dedup_sink(
+    stream_df: DataFrame,
+    store,
+    label: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_name: str = "dedup_sink",
+):
+    """Streaming ingest with EXACT dedup against everything already
+    committed — the crawl-firehose shape: each micro-batch is classified
+    by :func:`~scalligraph_spark.operators.dedup.incremental_dedup`
+    against an incrementally-maintained hash table, and only ``new``
+    documents land in the corpus.
+
+    Production scale shape: the corpus TEXT is never re-read per batch —
+    the classifier probes ``<label>__hashes``, a store table holding one
+    distinct 32-hex md5 per committed document (appended by this sink as
+    it commits, i.e. the hash column IS maintained incrementally), with
+    the broadcast Bloom pre-filter pruning the semi-join on mostly-novel
+    batches.  Batch-id idempotence as in :func:`start_store_sink`: a
+    replayed micro-batch after crash-restart is detected and skipped, so
+    at-least-once foreachBatch becomes an exactly-once versioned commit.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    hashes_label = f"{label}__hashes"
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        from scalligraph_spark.operators.dedup import incremental_dedup
+
+        spark = batch_df.sparkSession
+        cur_v = store.version(label)
+        if cur_v > 0:
+            last = store.commit_meta(label, cur_v).get("batch_id", -1)
+            if batch_id <= last:
+                return  # replayed batch — already committed
+        hv = store.version(hashes_label)
+        corpus_hashes = (
+            store.read(spark, hashes_label, hv) if hv > 0 else spark.createDataFrame([], "h string")
+        )
+        classified = incremental_dedup(
+            corpus=None,
+            batch=batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            corpus_hashes=corpus_hashes,
+        ).persist()
+        new_keys = classified.where(F.col("status") == "new").select(id_col, "h")
+        batch_new = batch_df.join(new_keys.select(id_col), id_col, "left_semi")
+        merged = (
+            store.read(spark, label, cur_v).unionByName(batch_new) if cur_v > 0 else batch_new
+        )
+        store.write(label, merged, meta={"batch_id": batch_id})
+        new_h = new_keys.select("h").distinct()
+        merged_h = corpus_hashes.unionByName(new_h) if hv > 0 else new_h
+        store.write(hashes_label, merged_h, meta={"batch_id": batch_id})
+        classified.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -271,3 +271,52 @@ def test_store_sink_versioned_commits_and_replay_idempotence(
     # committed id (1) → skipped, version unchanged
     assert store.version("events_rollup") == v_before
     assert store.read(spark, "events_rollup").count() == 120
+
+
+def test_dedup_sink_streams_only_new_documents(spark, tmp_path_factory):
+    """Streaming crawl ingest with exact dedup: batch 1 commits its unique
+    docs; batch 2 (overlapping content, fresh ids) commits only the novel
+    texts; the incrementally-maintained hash table matches the corpus; a
+    replayed batch id is a no-op."""
+    import glob
+    import shutil
+
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import start_dedup_sink
+
+    staged = tmp_path_factory.mktemp("dd_staged")
+    src = tmp_path_factory.mktemp("dd_src")
+    ckpt = str(tmp_path_factory.mktemp("dd_ckpt") / "cp")
+    store = LabelStore(str(tmp_path_factory.mktemp("dd_store")))
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")], ["doc_id", "text"]
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(str(staged / "a"))
+    shutil.copy(glob.glob(str(staged / "a" / "part-*.parquet"))[0], src / "f1.parquet")
+    schema = b1.schema
+
+    raw1 = spark.readStream.schema(schema).parquet(str(src))
+    start_dedup_sink(raw1, store, "corpus", ckpt).awaitTermination()
+    got1 = store.read(spark, "corpus")
+    # within-batch dup (doc 3) collapsed: min-id representative survives
+    assert sorted(r["doc_id"] for r in got1.collect()) == [1, 2]
+    assert store.read(spark, "corpus__hashes").count() == 2
+
+    # batch 2: one known text (new id), one novel text
+    b2 = spark.createDataFrame([(10, "alpha text"), (11, "gamma text")], ["doc_id", "text"])
+    b2.coalesce(1).write.mode("overwrite").parquet(str(staged / "b"))
+    shutil.copy(glob.glob(str(staged / "b" / "part-*.parquet"))[0], src / "f2.parquet")
+    raw2 = spark.readStream.schema(schema).parquet(str(src))
+    start_dedup_sink(raw2, store, "corpus", ckpt).awaitTermination()
+    got2 = store.read(spark, "corpus")
+    assert sorted(r["doc_id"] for r in got2.collect()) == [1, 2, 11]  # 10 was a corpus dup
+    assert store.read(spark, "corpus__hashes").count() == 3
+
+    # replay with a fresh checkpoint: batch 0 <= last committed id → no-op
+    v_before = store.version("corpus")
+    fresh = str(tmp_path_factory.mktemp("dd_ckpt2") / "cp")
+    raw3 = spark.readStream.schema(schema).parquet(str(src))
+    start_dedup_sink(raw3, store, "corpus", fresh).awaitTermination()
+    assert store.version("corpus") == v_before
+    assert store.read(spark, "corpus").count() == 3
