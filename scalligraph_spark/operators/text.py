@@ -8,7 +8,7 @@ map-only passes: no shuffle, no UDF, column-pruned to (id, text).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic marker-word sets for the language score (documents are
@@ -406,3 +406,76 @@ def hashed_bow_score(
         raw.cast("double").alias("raw_score"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))).cast("double").alias("score"),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    min_count: int = 1,
+    max_size: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build a deterministic token vocabulary — the tokenizer-prep step:
+    (token, count, token_id) with ids assigned by frequency rank
+    (count desc, token asc — fully deterministic, so two runs or two
+    engines emit the identical id assignment).
+
+    Scale shape: explode → ONE two-level count (map-side partial agg),
+    optional min-count filter, then the rank — a global sort over the
+    VOCABULARY (bounded, ~millions), never over the corpus.  ``max_size``
+    truncates to the top-N ids after ranking.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    ranked = counts.withColumn("token_id", F.row_number().over(w))
+    if max_size is not None:
+        ranked = ranked.where(F.col("token_id") <= max_size)
+    return ranked
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    oov_logprob: float = -20.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model scoring — the CCNet/KenLM-shaped fluency
+    filter: score each document by the mean log-probability of its tokens
+    under a unigram model (docs full of rare/garbage tokens score low and
+    get filtered).
+
+    ``vocab`` is a (token, count) table — typically :func:`build_vocab`
+    output trained on a reference corpus; None trains on ``docs`` itself
+    (self-scoring).  Out-of-vocabulary tokens get ``oov_logprob``.
+
+    Emits (id, n_tokens, mean_logprob).  Scale shape: the corpus explodes
+    to (id, token) once; the vocab side is an aggregate of the SAME
+    explode when self-scoring (Catalyst reuses the scan) plus one global
+    count; the per-token logprob join is a hash join keyed by token and
+    the final mean is a partial-aggregated groupBy id.  All built-ins —
+    ``ln`` stays in the JVM.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("token"))
+    if vocab is None:
+        vocab = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+    total = vocab.agg(F.sum("count").cast("double").alias("__total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (F.log(F.col("count") / F.col("__total"))).alias("logprob")
+    )
+    scored = (
+        exploded.join(lp, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.coalesce(F.col("logprob"), F.lit(float(oov_logprob)))).alias("mean_logprob"),
+        )
+    )
+    return scored

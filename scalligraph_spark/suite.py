@@ -3171,6 +3171,57 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "text_build_vocab",
+    """
+WITH counts AS (
+  SELECT tok AS token, count(*) AS count
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
+  GROUP BY tok HAVING count(*) >= 3)
+SELECT token, count,
+       CAST(row_number() OVER (ORDER BY count DESC, token ASC) AS INT) AS token_id
+FROM counts QUALIFY token_id <= 200
+""",
+    "deterministic vocabulary build (tokenizer prep): two-level token "
+    "count (map-side combined), min-count 3 gate, ids by (count desc, "
+    "token asc) rank — the global sort runs over the bounded VOCABULARY, "
+    "never the corpus; top-200 truncation",
+)
+def text_build_vocab(spark, sf):
+    from scalligraph_spark.operators import build_vocab
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    out = build_vocab(docs, min_count=3, max_size=200)
+    return out.select("token", "count", F.col("token_id").cast("int").alias("token_id"))
+
+
+@q(
+    "text_unigram_logprob",
+    """
+WITH exploded AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS count FROM exploded GROUP BY token),
+total AS (SELECT CAST(sum(count) AS DOUBLE) AS t FROM vocab),
+lp AS (SELECT token, ln(count / (SELECT t FROM total)) AS logprob FROM vocab)
+SELECT e.doc_id, count(*) AS n_tokens,
+       round(avg(COALESCE(lp.logprob, -20.0)), 6) AS mean_logprob
+FROM exploded e LEFT JOIN lp USING (token)
+GROUP BY e.doc_id
+""",
+    "unigram LM fluency scoring (CCNet/KenLM filter shape): mean token "
+    "log-probability under a self-trained unigram model — ln stays "
+    "JVM-side, the logprob join is hash-keyed by token, the mean is a "
+    "partial agg; round(6) guards the cross-engine ln/avg ulps (the "
+    "text_tfidf precedent)",
+)
+def text_unigram_logprob(spark, sf):
+    from scalligraph_spark.operators import unigram_logprob_score
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    out = unigram_logprob_score(docs)
+    return out.select("doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob"))
+
+
+@q(
     "qlang_llm_chain",
     """
 WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM documents),

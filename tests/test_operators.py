@@ -914,3 +914,51 @@ def test_hashed_bow_score_bias_and_determinism(spark):
         for r in hashed_bow_score(docs.repartition(9), weights, dim=64, bias=1.0).collect()
     }
     assert a == b and len(a) == 20
+
+
+def test_build_vocab_rank_and_truncation(spark):
+    from scalligraph_spark.operators import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d")], ["doc_id", "text"]
+    )
+    rows = {r["token"]: (r["count"], r["token_id"]) for r in build_vocab(docs).collect()}
+    # a and b tie at 3 → alphabetical tie-break gives a id 1
+    assert rows["a"] == (3, 1) and rows["b"] == (3, 2)
+    assert rows["c"] == (1, 3) or rows["c"][1] in (3, 4)
+    top = build_vocab(docs, max_size=2).collect()
+    assert sorted(r["token"] for r in top) == ["a", "b"]
+    gated = build_vocab(docs, min_count=2).collect()
+    assert sorted(r["token"] for r in gated) == ["a", "b"]
+
+
+def test_unigram_logprob_known_values(spark):
+    """Self-trained model over 'x x y': p(x)=2/3, p(y)=1/3; doc mean =
+    (2·ln(2/3) + ln(1/3)) / 3.  A doc of OOV tokens against an explicit
+    vocab gets exactly oov_logprob."""
+    import math
+
+    from scalligraph_spark.operators import build_vocab, unigram_logprob_score
+
+    docs = spark.createDataFrame([(1, "x x y")], ["doc_id", "text"])
+    r = unigram_logprob_score(docs).collect()[0]
+    expected = (2 * math.log(2 / 3) + math.log(1 / 3)) / 3
+    assert r["n_tokens"] == 3 and abs(r["mean_logprob"] - expected) < 1e-12
+
+    vocab = build_vocab(docs).select("token", "count")
+    oov_docs = spark.createDataFrame([(2, "zz qq")], ["doc_id", "text"])
+    r2 = unigram_logprob_score(oov_docs, vocab=vocab, oov_logprob=-9.5).collect()[0]
+    assert r2["mean_logprob"] == -9.5
+
+
+def test_unigram_logprob_filters_garbage(spark):
+    """A doc of corpus-common tokens outscores a doc of singletons — the
+    fluency-filter property."""
+    from scalligraph_spark.operators import unigram_logprob_score
+
+    common = " ".join(["the"] * 10)
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(5)] + [(99, "qzx wvu ptr")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob_score(docs).collect()}
+    assert rows[0] > rows[99]
