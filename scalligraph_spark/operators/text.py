@@ -479,3 +479,45 @@ def unigram_logprob_score(
         )
     )
     return scored
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-token gram, slide a window
+    of ``w`` consecutive gram hashes, keep the MINIMUM hash per window,
+    emit the distinct (id, fingerprint) set.  Guarantees every shared run
+    of at least ``w+k-1`` tokens between two documents shares at least
+    one fingerprint, while storing ~2/(w+1) of the grams — the classic
+    robust sub-document dedup/match signature.
+
+    Entirely row-local until the final distinct: gram hashes via the
+    portable md5 idiom applied INSIDE a ``transform`` lambda (no explode
+    of gram text), window minima by folding ``w`` shifted slices with
+    ``zip_with(least)`` — so the only shuffle carries (id, 8-byte
+    fingerprint) pairs.  Min-per-window (not the rightmost-min refinement)
+    keeps the selection order-free and engine-portable.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sz = F.size(toks)
+    n_grams = F.greatest(sz - F.lit(k - 1), F.lit(0))
+    g_slices = [F.slice(toks, i + 1, n_grams) for i in range(k)]
+    grams = g_slices[0]
+    for s in g_slices[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10).cast("long"),
+    )
+    docs = docs.select(F.col(id_col), hashes.alias("__h"))
+    n_win = F.greatest(F.size(F.col("__h")) - F.lit(w - 1), F.lit(0))
+    w_slices = [F.slice(F.col("__h"), i + 1, n_win) for i in range(w)]
+    mins = w_slices[0]
+    for s in w_slices[1:]:
+        mins = F.zip_with(mins, s, lambda a, b: F.least(a, b))
+    return docs.select(F.col(id_col), F.explode(mins).alias("fingerprint")).distinct()

@@ -3171,6 +3171,32 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "text_winnowing",
+    """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+grams AS (SELECT doc_id,
+                 list_transform(range(1, len(t)::BIGINT - 3),
+                                i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 8)) AS BIGINT)) AS h
+          FROM toks),
+wins AS (SELECT doc_id, list_min(h[i:i+3]) AS fingerprint
+         FROM grams, UNNEST(range(1, len(h)::BIGINT - 2)) AS r(i))
+SELECT DISTINCT doc_id, fingerprint FROM wins
+""",
+    "winnowing fingerprints (Schleimer et al. SIGMOD'03, the MOSS "
+    "scheme): min gram-hash per sliding window of 4, k=5-token grams — "
+    "any shared run of >= w+k-1 tokens shares a fingerprint while only "
+    "~2/(w+1) of grams are stored; entirely row-local (hashing inside a "
+    "transform lambda, window minima by zip_with(least) over shifted "
+    "slices) so the only shuffle is the final (id, 8-byte) distinct",
+)
+def text_winnowing(spark, sf):
+    from scalligraph_spark.operators import winnowing_fingerprints
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return winnowing_fingerprints(docs, k=5, w=4)
+
+
+@q(
     "text_build_vocab",
     """
 WITH counts AS (

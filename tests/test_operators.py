@@ -962,3 +962,39 @@ def test_unigram_logprob_filters_garbage(spark):
     )
     rows = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob_score(docs).collect()}
     assert rows[0] > rows[99]
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's contract: two docs sharing a run of >= w+k-1 tokens
+    share at least one fingerprint; fully-disjoint docs share none."""
+    from scalligraph_spark.operators import winnowing_fingerprints
+
+    shared = "g1 g2 g3 g4 g5 g6 g7 g8"  # w+k-1 = 4+5-1 = 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 {shared} b2 b3 b4 b5"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]  # shared run → shared fingerprint
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_density_and_short_docs(spark):
+    """Fingerprints per doc ≈ 2/(w+1) of grams (well under all grams);
+    docs shorter than k+w-1 tokens emit nothing."""
+    from scalligraph_spark.operators import winnowing_fingerprints
+
+    long_text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, long_text), (2, "too short here")], ["doc_id", "text"])
+    fps = winnowing_fingerprints(docs, k=5, w=4).collect()
+    n1 = sum(1 for r in fps if r["doc_id"] == 1)
+    n_grams = 100 - 5 + 1
+    assert 0 < n1 < n_grams * 0.75  # far below one-per-gram
+    assert all(r["doc_id"] != 2 for r in fps)

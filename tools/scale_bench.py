@@ -60,6 +60,11 @@ QUERIES = [
     "text_repetition_scores",
     "pipeline_shuffle_shards",
     "events_retention_cohorts",
+    # round-4 session-3 additions: the shapes that could superlinearize
+    "text_duplicate_spans",  # window-hash count + coverage explode
+    "temporal_scd2_history",  # single-exchange window stack
+    "text_classifier_score",  # explode + broadcast weight join
+    "text_unigram_logprob",  # token hash join + partial-agg mean
 ]
 
 
