@@ -3171,6 +3171,32 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
+       substr(text, CAST(i * 64 + 1 AS INT), 64) AS chunk_text
+FROM documents, UNNEST(range(0, (length(text) + 63) // 64)) AS r(i)
+WHERE doc_id % 3 = 2
+""",
+    "video 'frame' sampling through the Arrow mapInPandas 1-to-N "
+    "expansion shape (expansion INSIDE the batch iterator, never an "
+    "explode after a UDF): every 64-byte chunk of the video payloads "
+    "(fake media = utf-8 text bytes, kind by id mod 3) — the binary "
+    "chunk decodes back to text so the DuckDB oracle replays it with "
+    "substr, proving the batch plumbing byte-for-byte",
+)
+def multimodal_frame_sample(spark, sf):
+    from scalligraph_spark.operators import fake_media_from_documents, frame_sample
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    media = fake_media_from_documents(docs)
+    out = frame_sample(media, every_n_bytes=64)
+    return out.select(
+        "media_id", "frame_no", F.col("chunk").cast("string").alias("chunk_text")
+    )
+
+
+@q(
     "text_winnowing",
     """
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
