@@ -3171,6 +3171,43 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "events_anomaly_zscore",
+    f"""
+WITH stats AS (
+  SELECT event_type, {davg_expr('value')} AS mu, {dsum_expr('value * value')} AS s2,
+         COUNT(value) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.mu) / sqrt((s.s2 - n * s.mu * s.mu) / (n - 1)), 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE e.value IS NOT NULL
+  AND abs((e.value - s.mu) / sqrt((s.s2 - n * s.mu * s.mu) / (n - 1))) > 3
+""",
+    "per-event-type z-score anomaly flagging (|z| > 3): mean and "
+    "sum-of-squares via the decimal-exact aggregates so mu/sd are "
+    "bit-identical across engines (sample sd from the exact sums, one "
+    "IEEE sqrt), per-row z a deterministic double chain; the stats side "
+    "is a tiny broadcast join back onto the fact scan — two passes, no "
+    "window over the fact table",
+)
+def events_anomaly_zscore(spark, sf):
+    from scalligraph_spark.functions import davg, dsum
+
+    ev = cat_for(spark, sf).vertex_df("events").where(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        davg(F.col("value")).alias("mu"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+        F.count("value").alias("n"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    sd = F.sqrt((F.col("s2") - F.col("n") * F.col("mu") * F.col("mu")) / (F.col("n") - 1))
+    z = (F.col("value") - F.col("mu")) / sd
+    return joined.where(F.abs(z) > 3).select(
+        "event_id", "event_type", F.round(z, 6).alias("z")
+    )
+
+
+@q(
     "multimodal_frame_sample",
     """
 SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
