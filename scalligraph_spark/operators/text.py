@@ -521,3 +521,41 @@ def winnowing_fingerprints(
     for s in w_slices[1:]:
         mins = F.zip_with(mins, s, lambda a, b: F.least(a, b))
     return docs.select(F.col(id_col), F.explode(mins).alias("fingerprint")).distinct()
+
+
+def longest_duplicate_span(
+    docs: DataFrame,
+    k: int = 8,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Longest cross-document duplicated span per document, in tokens —
+    the headline number of an ExactSubstr audit ("this doc shares a
+    217-token run with the corpus").
+
+    A maximal run of ``r`` consecutive duplicated window starts covers
+    ``r + k - 1`` tokens.  Runs are found with the gaps-and-islands
+    rewrite (pos − row_number is constant within a consecutive run) —
+    one window partitioned by doc over the DUPLICATED positions only
+    (a small fraction of the corpus), then two tiny aggregates.  Docs
+    with no duplicated window report 0.
+    """
+    win = _token_windows(docs, k, text_col, id_col)
+    dup_g = (
+        win.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .where(F.col("ndocs") >= min_doc_freq)
+        .select("g")
+    )
+    dpos = win.join(dup_g, "g", "left_semi").select(F.col(id_col), "pos")
+    w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    islands = dpos.withColumn("__island", F.col("pos") - F.row_number().over(w))
+    runs = islands.groupBy(id_col, "__island").agg(F.count(F.lit(1)).alias("run"))
+    per_doc = runs.groupBy(id_col).agg((F.max("run") + F.lit(k - 1)).alias("longest_dup_span"))
+    base = docs.select(F.col(id_col), F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("longest_dup_span"), F.lit(0)).cast("long").alias("longest_dup_span"),
+    )

@@ -3171,6 +3171,35 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "text_longest_dup_span",
+    """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+win AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+        FROM toks, UNNEST(range(1, len(t)::BIGINT - 6)) AS r(i)),
+dupg AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+dpos AS (SELECT doc_id, pos FROM win SEMI JOIN dupg USING (g)),
+isl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM dpos),
+runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, island),
+per_doc AS (SELECT doc_id, max(run) + 7 AS longest FROM runs GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+       CAST(COALESCE(p.longest, 0) AS BIGINT) AS longest_dup_span
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+""",
+    "longest cross-doc duplicated span per document (the ExactSubstr "
+    "audit headline): maximal consecutive run of duplicated 8-token "
+    "window starts via the gaps-and-islands rewrite (pos - row_number "
+    "constant within a run) — the window runs over DUPLICATED positions "
+    "only, a small fraction of the corpus",
+)
+def text_longest_dup_span(spark, sf):
+    from scalligraph_spark.operators import longest_duplicate_span
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return longest_duplicate_span(docs, k=8, min_doc_freq=2)
+
+
+@q(
     "events_anomaly_zscore",
     f"""
 WITH stats AS (

@@ -998,3 +998,23 @@ def test_winnowing_density_and_short_docs(spark):
     n_grams = 100 - 5 + 1
     assert 0 < n1 < n_grams * 0.75  # far below one-per-gram
     assert all(r["doc_id"] != 2 for r in fps)
+
+
+def test_longest_duplicate_span_runs(spark):
+    """Two docs share a 10-token run (k=4 → 7 consecutive dup starts →
+    longest = 7+3 = 10) and separately a 4-token run (1 start → 4);
+    the maximum wins; a clean doc reports 0."""
+    from scalligraph_spark.operators import longest_duplicate_span
+
+    run10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    run4 = "p1 p2 p3 p4"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 {run10} a2 a3 a4 {run4} a5"),
+            (2, f"{run10} b1 b2 {run4}"),
+            (3, "u1 u2 u3 u4 u5 u6"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["longest_dup_span"] for r in longest_duplicate_span(docs, k=4).collect()}
+    assert rows[1] == 10 and rows[2] == 10 and rows[3] == 0
