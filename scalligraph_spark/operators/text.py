@@ -253,10 +253,26 @@ def _token_windows(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataF
     )
 
 
+def _dup_window_hashes(win: DataFrame, id_col: str, min_doc_freq: int, min_count: int | None):
+    """Hashes of duplicated windows: >= min_doc_freq distinct docs, OR (when
+    ``min_count`` is set) >= min_count total occurrences — the latter also
+    catches WITHIN-document repeats, Lee et al.'s any-substring-repeated
+    semantics.  Still one aggregate, never a self-join."""
+    agg = win.groupBy("g").agg(
+        F.count_distinct(F.col(id_col)).alias("ndocs"),
+        F.count(F.lit(1)).alias("ntotal"),
+    )
+    cond = F.col("ndocs") >= min_doc_freq
+    if min_count is not None:
+        cond = cond | (F.col("ntotal") >= min_count)
+    return agg.where(cond).select("g")
+
+
 def duplicate_spans(
     docs: DataFrame,
     k: int = 8,
     min_doc_freq: int = 2,
+    min_count: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -278,12 +294,7 @@ def duplicate_spans(
     + distinct, all on (id, int) rows.  No UDF anywhere.
     """
     win = _token_windows(docs, k, text_col, id_col)
-    dup_g = (
-        win.groupBy("g")
-        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
-        .where(F.col("ndocs") >= min_doc_freq)
-        .select("g")
-    )
+    dup_g = _dup_window_hashes(win, id_col, min_doc_freq, min_count)
     dpos = win.join(dup_g, "g", "left_semi")
     per_win = dpos.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_windows"))
     covered = dpos.select(
@@ -310,6 +321,7 @@ def remove_duplicate_spans(
     docs: DataFrame,
     k: int = 8,
     min_doc_freq: int = 2,
+    min_count: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -324,12 +336,7 @@ def remove_duplicate_spans(
     (id, pos) — an equi hash anti-join.
     """
     win = _token_windows(docs, k, text_col, id_col)
-    dup_g = (
-        win.groupBy("g")
-        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
-        .where(F.col("ndocs") >= min_doc_freq)
-        .select("g")
-    )
+    dup_g = _dup_window_hashes(win, id_col, min_doc_freq, min_count)
     covered = (
         win.join(dup_g, "g", "left_semi")
         .select(F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("p"))
@@ -527,6 +534,7 @@ def longest_duplicate_span(
     docs: DataFrame,
     k: int = 8,
     min_doc_freq: int = 2,
+    min_count: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -542,12 +550,7 @@ def longest_duplicate_span(
     with no duplicated window report 0.
     """
     win = _token_windows(docs, k, text_col, id_col)
-    dup_g = (
-        win.groupBy("g")
-        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
-        .where(F.col("ndocs") >= min_doc_freq)
-        .select("g")
-    )
+    dup_g = _dup_window_hashes(win, id_col, min_doc_freq, min_count)
     dpos = win.join(dup_g, "g", "left_semi").select(F.col(id_col), "pos")
     w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
     islands = dpos.withColumn("__island", F.col("pos") - F.row_number().over(w))

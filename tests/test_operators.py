@@ -1018,3 +1018,20 @@ def test_longest_duplicate_span_runs(spark):
     )
     rows = {r["doc_id"]: r["longest_dup_span"] for r in longest_duplicate_span(docs, k=4).collect()}
     assert rows[1] == 10 and rows[2] == 10 and rows[3] == 0
+
+
+def test_duplicate_spans_min_count_catches_self_repeats(spark):
+    """min_count=2 flags a window repeated WITHIN one document (Lee et
+    al.'s any-substring-repeated semantics); without it, a single-doc
+    repeat is invisible to the cross-doc criterion."""
+    from scalligraph_spark.operators import duplicate_spans
+
+    rep = "r1 r2 r3 r4"
+    docs = spark.createDataFrame(
+        [(1, f"{rep} x1 x2 {rep}"), (2, "c1 c2 c3 c4 c5 c6")], ["doc_id", "text"]
+    )
+    without = {r["doc_id"]: r["dup_windows"] for r in duplicate_spans(docs, k=4).collect()}
+    assert without[1] == 0  # cross-doc criterion alone sees nothing
+    with_mc = {r["doc_id"]: r for r in duplicate_spans(docs, k=4, min_count=2).collect()}
+    assert with_mc[1]["dup_windows"] == 2 and with_mc[1]["dup_tokens"] == 8
+    assert with_mc[2]["dup_windows"] == 0
