@@ -112,6 +112,15 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
     ex.register("qualityGate", "documents", _quality_gate)
     ex.register("dedupExact", "documents", _dedup_exact_step)
     ex.register("tokenStats", "documents", _token_stats)
+
+    def _ann_search(g, s, a):
+        from scalligraph_spark.operators import brute_force_cosine_topk
+
+        emb = g.V("embeddings").df
+        out = brute_force_cosine_topk(emb, query_id=int(s["queryId"]), k=int(s.get("k", 10)))
+        return Traversal(out, catalog=g, label=None)
+
+    ex.register_init("annSearch", _ann_search)
     return ex
 
 
@@ -3168,6 +3177,33 @@ def text_remove_spans(spark, sf):
 
     docs = cat_for(spark, sf).vertex_df("documents")
     return remove_duplicate_spans(docs, k=8, min_doc_freq=2)
+
+
+@q(
+    "qlang_ann_search",
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+terms AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS n2,
+         CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS qn2
+  FROM embeddings e, q, unnest(range(1, 65)) AS t(i)
+  WHERE e.vec_id != 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(dot / (sqrt(qn2) * sqrt(n2)), 12) AS cosine FROM terms
+ORDER BY cosine DESC, vec_id ASC LIMIT 5
+""",
+    "similarity search through the JSON query language: "
+    "[{_name: annSearch, queryId, k}] as a registered parameterized init "
+    "query (Query.initWithParam analog) — same decimal-exact cosine as "
+    "the Python API, typed params from the chain element",
+)
+def qlang_ann_search(spark, sf):
+    ex = executor_for(spark, sf)
+    t = ex.execute([{"_name": "annSearch", "queryId": 0, "k": 5}])
+    return t.df
 
 
 @q(
