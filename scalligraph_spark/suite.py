@@ -3180,6 +3180,64 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "events_session_transcripts",
+    """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM flagged)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript
+FROM sess GROUP BY user_id, session_no
+""",
+    "session transcripts (training-dialogue assembly shape): gap-based "
+    "sessionization via the lag-flag + running-sum rewrite (30 min gap, "
+    "(ts, event_id) tie-break) then the ORDERED per-session event-type "
+    "transcript — the same single exchange drives the lag, the session "
+    "numbering and the collapse, and the transcript is built by sorting "
+    "(ts, id, type) structs inside the aggregate (no second window)",
+)
+def events_session_transcripts(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    # compare in MICROSECONDS (unix_micros after the lossless UTC cast):
+    # a seconds-level cast would truncate 1800.6s gaps to 1800 and disagree
+    # with the oracle's INTERVAL comparison
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    new_s = (prev.isNull() | (us(F.col("ts")) - us(prev) > 1800 * 1_000_000)).cast("int")
+    sess = ev.withColumn("__new", new_s).withColumn(
+        "session_no",
+        F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("transcript"),
+    )
+
+
+@q(
     "qlang_ann_search",
     """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

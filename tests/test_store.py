@@ -294,3 +294,32 @@ def test_event_srv_commit_notifications(spark, tmp_path):
     ev.subscribe("ping", lambda m: m * 2)
     ev.subscribe("ping", lambda m: m + 1)
     assert ev.publish_ask("ping", 10) == [20, 11]
+
+
+def test_version_diff_added_removed_changed(spark, tmp_path):
+    from scalligraph_spark.store import LabelStore, version_diff
+
+    store = LabelStore(str(tmp_path / "vd"))
+    v1 = store.write(
+        "dim",
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "val"]),
+    )
+    v2 = store.write(
+        "dim",
+        spark.createDataFrame([(2, "b", 21), (3, "c", 30), (4, "d", 40)], ["k", "name", "val"]),
+    )
+    diff = {r["k"]: r["status"] for r in version_diff(spark, store, "dim", v1, v2, ["k"]).collect()}
+    # 1 removed, 2 changed (val 20→21), 3 unchanged (absent), 4 added
+    assert diff == {1: "removed", 2: "changed", 4: "added"}
+
+
+def test_version_diff_null_safety(spark, tmp_path):
+    """("a", null) vs ("an", "ull") must NOT collide; null→value is a
+    change."""
+    from scalligraph_spark.store import LabelStore, version_diff
+
+    store = LabelStore(str(tmp_path / "vd2"))
+    v1 = store.write("t", spark.createDataFrame([(1, "a", None), (2, "an", "ull")], ["k", "x", "y"]))
+    v2 = store.write("t", spark.createDataFrame([(1, "a", "filled"), (2, "an", "ull")], ["k", "x", "y"]))
+    diff = {r["k"]: r["status"] for r in version_diff(spark, store, "t", v1, v2, ["k"]).collect()}
+    assert diff == {1: "changed"}
