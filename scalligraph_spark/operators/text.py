@@ -562,3 +562,30 @@ def longest_duplicate_span(
         "n_tokens",
         F.coalesce(F.col("longest_dup_span"), F.lit(0)).cast("long").alias("longest_dup_span"),
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    lowercase: bool = True,
+    strip_controls: bool = True,
+    squash_whitespace: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic text normalization — the cheap cleanup pass before
+    hashing/dedup (inconsistent whitespace or case makes exact dedup miss
+    true duplicates): optional lowercase, control-character strip
+    (C0/C1 + DEL), and whitespace squash to single spaces with trim.
+
+    Map-only regexp/lower chain (codegen, pushdown-friendly); the pattern
+    set is RE2-safe so an external oracle replays it exactly.  Emits
+    (id, normalized).
+    """
+    c = F.col(text_col)
+    if strip_controls:
+        c = F.regexp_replace(c, r"[\x00-\x1f\x7f-\x9f]", " ")
+    if squash_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return docs.select(F.col(id_col), c.alias("normalized"))

@@ -3180,6 +3180,56 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "text_normalize",
+    """
+SELECT doc_id,
+       lower(trim(regexp_replace(
+         regexp_replace('  Tab' || chr(9) || 'here ' || text || '  ', '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g'),
+         '\\s+', ' ', 'g'))) AS normalized
+FROM documents
+""",
+    "deterministic text normalization (pre-dedup cleanup): control-char "
+    "strip → whitespace squash+trim → lowercase, seeded with a planted "
+    "tab + padding so the normalization provably fires on both engines — "
+    "map-only RE2-safe regexp chain",
+)
+def text_normalize(spark, sf):
+    from scalligraph_spark.operators import normalize_text
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    seeded = docs.select(
+        "doc_id", F.concat(F.lit("  Tab\there "), F.col("text"), F.lit("  ")).alias("text")
+    )
+    return normalize_text(seeded)
+
+
+@q(
+    "corpus_by_language",
+    f"""
+WITH toks AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+       {davg_expr('length(text) * 1.0 / len(t)')} AS avg_word_len
+FROM toks GROUP BY lang
+""",
+    "per-language corpus report (the data-card breakdown): doc counts, "
+    "token totals, decimal-exact mean word length — one partial-aggregated "
+    "group-by over the lang column, map-only feature derivation",
+)
+def corpus_by_language(spark, sf):
+    from scalligraph_spark.functions import davg
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+        davg(F.length("text") * F.lit(1.0) / F.size(toks)).alias("avg_word_len"),
+    )
+
+
+@q(
     "events_session_transcripts",
     """
 WITH flagged AS (

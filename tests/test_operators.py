@@ -1035,3 +1035,16 @@ def test_duplicate_spans_min_count_catches_self_repeats(spark):
     with_mc = {r["doc_id"]: r for r in duplicate_spans(docs, k=4, min_count=2).collect()}
     assert with_mc[1]["dup_windows"] == 2 and with_mc[1]["dup_tokens"] == 8
     assert with_mc[2]["dup_windows"] == 0
+
+
+def test_normalize_text_flags(spark):
+    from scalligraph_spark.operators import normalize_text
+
+    docs = spark.createDataFrame([(1, "  A\tB\x00C   D  ")], ["doc_id", "text"])
+    assert normalize_text(docs).collect()[0]["normalized"] == "a b c d"
+    kept_case = normalize_text(docs, lowercase=False).collect()[0]["normalized"]
+    assert kept_case == "A B C D"
+    raw_ws = normalize_text(docs, squash_whitespace=False, strip_controls=False).collect()[0][
+        "normalized"
+    ]
+    assert "\t" in raw_ws
