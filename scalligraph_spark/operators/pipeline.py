@@ -334,3 +334,28 @@ def temperature_mixture(
         / F.lit(4294967296.0)
     )
     return docs.join(F.broadcast(rates), source_col).where(frac < F.col("rate"))
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group — the generic per-group TakeOrdered primitive
+    (top documents per source by quality, top orders per customer by
+    price, top neighbors per query vector...).
+
+    ``order_cols``: Column expressions or names; pass explicit ``.desc()``
+    / ``.asc()`` columns for direction, and include a unique tie-break
+    column — ``row_number`` is deterministic only for total orders.
+
+    One hash exchange on the group key + a per-partition sort; the rank
+    predicate prunes to k rows per group BEFORE anything downstream, and
+    Spark's WindowGroupLimit pushes the limit into the sort at scale.
+    Emits the input columns plus ``rank_col``.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)

@@ -3180,6 +3180,35 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "orders_topk_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders)
+WHERE rank <= 3
+""",
+    "generic grouped top-k (top-3 orders per customer by price, "
+    "id tie-break): one hash exchange + per-partition sort; Spark's "
+    "WindowGroupLimit pushes the k-limit into the sort so only k rows "
+    "per group survive the exchange at scale",
+)
+def orders_topk_per_customer(spark, sf):
+    from scalligraph_spark.operators import grouped_topk
+
+    o = cat_for(spark, sf).vertex_df("orders")
+    out = grouped_topk(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("int").alias("rank"))
+
+
+@q(
     "text_normalize",
     """
 SELECT doc_id,

@@ -238,3 +238,11 @@ def test_scd2_single_exchange(spark):
 
     assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
     assert "CartesianProduct" not in p
+
+
+def test_grouped_topk_window_group_limit(spark):
+    """Per-group top-k must compile with WindowGroupLimit (only k rows per
+    group survive into the sort/exchange) — the property that makes the
+    shape viable at 100 TB."""
+    p = _plan(spark, "orders_topk_per_customer")
+    assert "WindowGroupLimit" in p
