@@ -359,3 +359,28 @@ def grouped_topk(
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     w = Window.partitionBy(*group_cols).orderBy(*cols)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove benchmark-contaminated documents from a training corpus —
+    the eval-hygiene stage: any doc whose n-gram containment of SOME
+    benchmark doc reaches ``threshold`` is dropped (the asymmetric
+    containment of :func:`~scalligraph_spark.operators.dedup.contamination_check`,
+    so an embedded benchmark question is caught even inside a long doc).
+
+    One anti-join on the contaminated id set; the heavy lifting (distinct
+    gram equi-join, the only wide shuffle) is the contamination check
+    itself.  Returns the surviving docs unchanged.
+    """
+    from scalligraph_spark.operators.dedup import contamination_check
+
+    hits = contamination_check(docs, benchmark, n=n, threshold=threshold, text_col=text_col, id_col=id_col)
+    bad = hits.select(F.col("train_id").alias(id_col)).distinct()
+    return docs.join(bad, id_col, "left_anti")

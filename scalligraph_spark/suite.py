@@ -3180,6 +3180,46 @@ def text_remove_spans(spark, sf):
 
 
 @q(
+    "pipeline_decontaminate",
+    """
+WITH tg AS (
+  SELECT doc_id AS train_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents WHERE doc_id % 2 = 0)
+), bg AS (
+  SELECT doc_id AS bench_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents WHERE doc_id % 2 = 1)
+), sizes AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_grams FROM bg GROUP BY 1),
+shared AS (SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared FROM tg JOIN bg USING (gram) GROUP BY 1, 2),
+bad AS (SELECT DISTINCT train_id FROM shared JOIN sizes USING (bench_id)
+        WHERE n_shared * 1.0 / bench_grams >= 0.5)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d ANTI JOIN bad ON d.doc_id = bad.train_id
+WHERE d.doc_id % 2 = 0
+""",
+    "decontamination (eval hygiene): drop every training doc whose "
+    "trigram containment of some benchmark doc reaches 0.5 — the "
+    "contamination check's gram equi-join is the only wide shuffle, then "
+    "one anti-join on the contaminated id set; survivors pass through "
+    "unchanged",
+)
+def pipeline_decontaminate(spark, sf):
+    from scalligraph_spark.operators import decontaminate
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    out = decontaminate(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        n=3,
+        threshold=0.5,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+@q(
     "orders_topk_per_customer",
     """
 SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank

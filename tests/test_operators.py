@@ -1048,3 +1048,18 @@ def test_normalize_text_flags(spark):
         "normalized"
     ]
     assert "\t" in raw_ws
+
+
+def test_decontaminate_drops_contaminated_only(spark):
+    from scalligraph_spark.operators import decontaminate
+
+    bench = spark.createDataFrame([(100, "q1 q2 q3 q4 q5")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words q1 q2 q3 q4 q5 closing words"),  # embeds the benchmark
+            (2, "totally unrelated training text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=3, threshold=0.5).collect()}
+    assert kept == {2}
