@@ -480,3 +480,64 @@ def label_propagation(
     init_labels.unpersist()
     both.unpersist()
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "vertex",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed vertex to every
+    reachable vertex within ``max_depth`` hops, following edge direction.
+
+    The relational Pregel frontier loop (the `repeat(out()).until(...)`
+    family of reference traversals, `core/.../traversal/TraversalOps.scala`
+    repeat/emit steps, computed set-at-a-time instead of per-traverser):
+
+    * ``dist``      — settled (vertex, dist) pairs; a vertex enters at its
+                      FIRST (minimal) depth and is never revisited;
+    * ``frontier``  — vertices settled in the previous round only;
+    * one superstep = frontier ⋈ edges (shuffle hash join on src) →
+      left-anti join against settled (drops revisits — this is what keeps
+      the loop linear in |E| instead of exploding on cycles) → union.
+
+    Each superstep shuffles only the FRONTIER (not the full settled set —
+    the anti join broadcasts nothing and streams settled by id), lineage is
+    cut per round, and the loop stops as soon as the frontier empties, so
+    supersteps = eccentricity(seeds), not ``max_depth``.  An external
+    oracle replays this as a recursive CTE with UNION-dedup + min().
+    """
+    seeds_d = seeds.select(F.col(seed_col).alias("vertex")).distinct()
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    dist = _cut_lineage(
+        seeds_d.select("vertex", F.lit(0).cast("long").alias("dist")).repartition("vertex"), checkpoint_dir
+    ).persist()
+    dist.count()
+    frontier = dist
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(e, frontier["vertex"] == e["__s"])
+            .select(F.col("__d").alias("vertex"))
+            .distinct()
+            .join(dist, "vertex", "left_anti")
+            .select("vertex", F.lit(depth).cast("long").alias("dist"))
+        )
+        nxt = _cut_lineage(nxt, checkpoint_dir).persist()
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_dist = _cut_lineage(dist.unionByName(nxt), checkpoint_dir).persist()
+        new_dist.count()
+        dist.unpersist()
+        if frontier is not dist:
+            frontier.unpersist()
+        dist, frontier = new_dist, nxt
+    if frontier is not dist:
+        frontier.unpersist()
+    return dist

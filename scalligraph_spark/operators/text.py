@@ -589,3 +589,65 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return docs.select(F.col(id_col), c.alias("normalized"))
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query-term list — the batch analog
+    of the reference's full-text index search (the JanusGraph mixed index
+    behind ``TextP``; `database/janusgraph/.../JanusDatabase.scala` index
+    queries rank by relevance, which BM25 is the standard scoring for).
+
+    Scale shape: per-term tf is computed row-locally from the token array
+    (JVM higher-order ``filter``, no explode ⇒ no (doc,term) shuffle at
+    all); corpus stats (N, Σdl, per-term df) reduce in ONE partial-agg pass
+    to a single broadcast row; the score is a fixed left-to-right sum of
+    per-term contributions, so float addition order is deterministic and an
+    external oracle replays it bit-stably.  The only global operator is the
+    final rank window — the semantic cost of total ranking; callers who
+    need bounded output should compose with ``grouped_topk``/``limit``.
+
+    idf is the Lucene/Robertson form ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (never negative); per-doc score rounds to ``round_to`` decimals before
+    ranking so rank ties break identically across engines (then by id).
+    Emits ``(id, dl, bm25, rank)`` for docs matching ≥1 term.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _eq(term):
+        # one-arg lambda: a two-parameter signature would make F.filter
+        # pass the element INDEX as the second argument
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [F.size(F.filter(toks, _eq(t))).alias(f"__tf{i}") for i, t in enumerate(query_terms)]
+    d = docs.select(F.col(id_col), F.size(toks).cast("long").alias("dl"), *tf_cols)
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("dl").cast("double").alias("__sumdl"),
+        *[
+            F.sum(F.when(F.col(f"__tf{i}") > 0, 1).otherwise(0)).cast("double").alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    avgdl = F.col("__sumdl") / F.col("__n")
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5)) / (F.col(f"__df{i}") + F.lit(0.5)))
+        contrib = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+        score = contrib if score is None else score + contrib
+    matched = sum((F.col(f"__tf{i}") for i in range(len(query_terms))), F.lit(0))
+    scored = (
+        d.crossJoin(F.broadcast(stats))
+        .where(matched > 0)
+        .select(F.col(id_col), F.col("dl"), F.round(score, round_to).alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return scored.select(id_col, "dl", "bm25", F.row_number().over(w).cast("long").alias("rank"))

@@ -3729,6 +3729,91 @@ def pipeline_temperature_mixture(spark, sf):
     )
 
 
+@q(
+    "text_bm25_search",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS dl,
+         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM d
+), scored AS (
+  SELECT doc_id, dl,
+         round(
+           ln(1e0 + (n - df0 + 0.5e0)/(df0 + 0.5e0)) * (tf0 * 2.2e0) / (tf0 + 1.2e0 * (0.25e0 + 0.75e0 * dl / (sumdl / n)))
+         + ln(1e0 + (n - df1 + 0.5e0)/(df1 + 0.5e0)) * (tf1 * 2.2e0) / (tf1 + 1.2e0 * (0.25e0 + 0.75e0 * dl / (sumdl / n)))
+         + ln(1e0 + (n - df2 + 0.5e0)/(df2 + 0.5e0)) * (tf2 * 2.2e0) / (tf2 + 1.2e0 * (0.25e0 + 0.75e0 * dl / (sumdl / n))), 6) AS bm25
+  FROM d CROSS JOIN s
+  WHERE tf0 + tf1 + tf2 > 0
+)
+SELECT doc_id, dl, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+""",
+    "BM25 ranked retrieval (Lucene idf form) for a fixed query — per-term tf "
+    "is row-local array arithmetic (no (doc,term) explode/shuffle), corpus "
+    "stats reduce to ONE broadcast row, score is a fixed-order float sum so "
+    "both engines add identically; rank ties break on rounded score then id",
+)
+def text_bm25_search_q(spark, sf):
+    from scalligraph_spark.operators import bm25_rank
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return bm25_rank(docs, ["spark", "merge", "window"], k1=1.2, b=0.75, round_to=6)
+
+
+@q(
+    "graph_bfs_distances",
+    """
+WITH RECURSIVE e AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(100 + n_nationkey AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(100 + c_nationkey AS BIGINT), CAST(1000 + c_custkey AS BIGINT) FROM customer
+  UNION ALL
+  SELECT CAST(1000 + o_custkey AS BIGINT), CAST(1000000 + o_orderkey AS BIGINT) FROM orders
+), seeds AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS vertex FROM region
+  UNION ALL SELECT CAST(1001 AS BIGINT)
+), bfs AS (
+  SELECT vertex, CAST(0 AS BIGINT) AS dist FROM seeds
+  UNION
+  SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.vertex WHERE b.dist < 10
+)
+SELECT vertex, min(dist) AS dist FROM bfs GROUP BY vertex
+""",
+    "multi-source BFS min-hop distances over the region→nation→customer→"
+    "order forest plus a customer seed (so min() across competing depths is "
+    "exercised) — relational Pregel frontier loop, oracle is a recursive CTE; "
+    "supersteps = seed eccentricity because the loop stops on empty frontier",
+)
+def graph_bfs_distances_q(spark, sf):
+    from scalligraph_spark.operators import bfs_distances
+
+    c = cat_for(spark, sf)
+    nat = c.vertex_df("nation")
+    cust = c.vertex_df("customer")
+    orders = c.vertex_df("orders")
+    edges = (
+        nat.select(F.col("n_regionkey").cast("long").alias("src"), (F.lit(100) + F.col("n_nationkey")).cast("long").alias("dst"))
+        .unionByName(cust.select((F.lit(100) + F.col("c_nationkey")).cast("long").alias("src"), (F.lit(1000) + F.col("c_custkey")).cast("long").alias("dst")))
+        .unionByName(orders.select((F.lit(1000) + F.col("o_custkey")).cast("long").alias("src"), (F.lit(1000000) + F.col("o_orderkey")).cast("long").alias("dst")))
+    )
+    seeds = (
+        c.vertex_df("region")
+        .select(F.col("r_regionkey").cast("long").alias("vertex"))
+        .unionByName(spark.range(1).select(F.lit(1001).cast("long").alias("vertex")))
+    )
+    return bfs_distances(edges, seeds, max_depth=10)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -153,3 +153,33 @@ def test_label_propagation_isolated_pair_keeps_min_label(spark):
     # a lone edge oscillates under pure sync LPA; smallest-label tie-break
     # still yields a deterministic result for both endpoints
     assert set(rows) == {5, 9} and rows[5] in (5, 9) and rows[9] in (5, 9)
+
+
+def test_bfs_distances_chain_with_cycle(spark):
+    """Path 1→2→3→4 plus a back-edge 4→1 (cycle must not loop forever or
+    inflate distances) and a disconnected vertex 99."""
+    from scalligraph_spark.operators import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1), (98, 99)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    d = {r["vertex"]: r["dist"] for r in bfs_distances(edges, seeds, max_depth=10).collect()}
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    """Two seeds; every vertex gets the MIN distance over seeds."""
+    from scalligraph_spark.operators import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (10,)], "vertex long")
+    d = {r["vertex"]: r["dist"] for r in bfs_distances(edges, seeds, max_depth=10).collect()}
+    assert d == {1: 0, 10: 0, 2: 1, 3: 2, 4: 1}
+
+
+def test_bfs_distances_max_depth_truncates(spark):
+    from scalligraph_spark.operators import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    d = {r["vertex"]: r["dist"] for r in bfs_distances(edges, seeds, max_depth=2).collect()}
+    assert d == {1: 0, 2: 1, 3: 2}

@@ -1063,3 +1063,41 @@ def test_decontaminate_drops_contaminated_only(spark):
     )
     kept = {r["doc_id"] for r in decontaminate(docs, bench, n=3, threshold=0.5).collect()}
     assert kept == {2}
+
+
+def test_bm25_rank_hand_computed(spark):
+    """Two-doc corpus, one query term — hand-checkable BM25 (k1=1.2 b=0.75):
+    doc 1 has the term twice in 4 tokens, doc 2 lacks it."""
+    import math
+
+    from scalligraph_spark.operators import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat fish"), (2, "bird fish worm snake")], "doc_id long, text string"
+    )
+    rows = bm25_rank(docs, ["cat"], round_to=6).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    r = rows[0]
+    assert r["rank"] == 1 and r["dl"] == 4
+    idf = math.log(1 + (2 - 1 + 0.5) / (1 + 0.5))
+    expected = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 4 / 4.0))
+    assert abs(r["bm25"] - round(expected, 6)) < 1e-9
+
+
+def test_bm25_rank_orders_by_tf_and_length(spark):
+    """Same tf, shorter doc scores higher (length normalization); higher tf
+    beats lower at equal length."""
+    from scalligraph_spark.operators import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark join join join join"),
+            (2, "spark spark"),
+            (3, "spark join scan filter agg sort"),
+            (4, "scan filter"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_rank(docs, ["spark"]).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [2, 1, 3]  # doc 4 unmatched
+    assert [r["rank"] for r in rows] == [1, 2, 3]
