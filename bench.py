@@ -67,6 +67,9 @@ HEADLINE = [
     "text_duplicate_spans",  # ExactSubstr window-hash count + interval union
     "text_classifier_score",  # hashed-BoW broadcast-weights serving
     "pipeline_temperature_mixture",  # alpha-resampling, md5 membership
+    # round-4 session-4 additions
+    "text_bm25_search",  # broadcast-stats ranked retrieval
+    "graph_bfs_distances",  # frontier-loop shortest paths
 ]
 
 

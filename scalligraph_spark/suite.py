@@ -3730,6 +3730,37 @@ def pipeline_temperature_mixture(spark, sf):
 
 
 @q(
+    "dedup_jaccard_prefix_join",
+    """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\\s+'))),
+                       i -> string_split_regex(trim(text), '\\s+')[i] || ' ' || string_split_regex(trim(text), '\\s+')[i+1])) AS sh
+  FROM documents
+), sizes AS (SELECT id, len(sh) AS sz FROM sh),
+ex AS (SELECT id, unnest(sh) AS shingle FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+""",
+    "EXACT Jaccard pairs via prefix filtering (AllPairs/PPJoin): identical "
+    "answer to the naive shingle self-join (the oracle IS the naive SQL) "
+    "but the join keyspace is only each set's prefix under a global hash "
+    "order + a size-ratio prune, then row-local array_intersect verify — "
+    "the candidate set shrinks before the shuffle, not after",
+)
+def dedup_jaccard_prefix_join_q(spark, sf):
+    from scalligraph_spark.operators import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(cat_for(spark, sf).vertex_df("documents"), n=2, threshold=0.2)
+
+
+@q(
     "text_bm25_search",
     """
 WITH d AS (

@@ -1101,3 +1101,34 @@ def test_bm25_rank_orders_by_tf_and_length(spark):
     rows = bm25_rank(docs, ["spark"]).orderBy("rank").collect()
     assert [r["doc_id"] for r in rows] == [2, 1, 3]  # doc 4 unmatched
     assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+def test_jaccard_prefix_join_equals_naive(spark):
+    """Prefix-filtered AllPairs join must return EXACTLY the naive
+    shingle-self-join answer, including on a corpus with a hot shingle
+    shared by every doc (the case prefix filtering exists to prune)."""
+    from scalligraph_spark.operators import jaccard_pairs_prefix, ngram_jaccard_pairs
+
+    rows = [
+        (1, "the hot gram alpha beta gamma delta"),
+        (2, "the hot gram alpha beta gamma epsilon"),
+        (3, "the hot gram zeta eta theta iota"),
+        (4, "the hot gram zeta eta theta kappa"),
+        (5, "unrelated words entirely different text here"),
+        (6, "the hot gram alpha beta gamma delta"),  # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.2, 0.5, 0.8):
+        naive = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in ngram_jaccard_pairs(docs, n=2, threshold=t).collect()}
+        pref = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in jaccard_pairs_prefix(docs, n=2, threshold=t).collect()}
+        assert pref == naive, f"t={t}: {pref ^ naive}"
+
+
+def test_jaccard_prefix_join_short_docs(spark):
+    """Docs shorter than the shingle width produce empty sets → no pairs,
+    matching the naive implementation."""
+    from scalligraph_spark.operators import jaccard_pairs_prefix
+
+    docs = spark.createDataFrame([(1, "one"), (2, "one"), (3, "a b a b")], "doc_id long, text string")
+    rows = jaccard_pairs_prefix(docs, n=2, threshold=0.2).collect()
+    assert rows == []
