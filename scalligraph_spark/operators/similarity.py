@@ -558,3 +558,57 @@ def pq_topk(
         .orderBy(F.col("cosine").desc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int | None = None,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    max_bucket_rows: int | None = 8192,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
+    clustering embeddings and pruning within clusters only.
+
+    Pipeline: spherical k-means coarse clustering (the same bounded-sample
+    driver-side quantizer IVF uses) → each vector assigns to its ONE
+    nearest cell (Arrow matmul, map-only) → within-cell pairs via the
+    salted bucket self-join (never all-pairs; candidates per cell are
+    bounded) → exact-cosine verify against ``threshold`` → connected
+    components → canonical = min id per semantic cluster.
+
+    Returns ``(id, canonical_id, is_kept)`` over every input vector;
+    pairless vectors stay singleton/kept.  Cross-cell near-duplicates are
+    invisible by construction — that is SemDeDup's documented recall
+    trade (cells ≈ √N makes the within-cell work subquadratic); raise
+    ``n_centroids`` down or the threshold up to trade recall vs cost.
+    Pass ``n_rows`` to skip the auto-sizing ``count()`` scan.
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from scalligraph_spark.operators.buckets import salted_bucket_pairs
+
+    if n_centroids is None:
+        n = n_rows if n_rows is not None else embeddings.count()
+        n_centroids = max(4, min(4096, int(math.sqrt(max(n, 4)))))
+    C = _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col)
+
+    @pandas_udf("int")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    cells = embeddings.select(F.col(id_col).alias("id"), nearest_cell(F.col(vec_col)).alias("cell"))
+    cand = salted_bucket_pairs(cells, ["cell"], max_bucket_rows)
+    dups = _exact_rerank(cand, embeddings, id_col, vec_col).where(F.col("cosine") >= threshold)
+    from scalligraph_spark.operators.dedup import pairs_to_clusters
+
+    out = pairs_to_clusters(embeddings.select(F.col(id_col)), dups, id_col=id_col)
+    return out.select(F.col("doc_id").alias(id_col), "canonical_id", "is_kept")

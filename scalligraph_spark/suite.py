@@ -3845,6 +3845,21 @@ def graph_bfs_distances_q(spark, sf):
     return bfs_distances(edges, seeds, max_depth=10)
 
 
+@q(
+    "dedup_semantic",
+    None,  # k-means quantizer has no DuckDB twin → rows-only
+    "SemDeDup semantic near-dup removal: spherical k-means cells → salted "
+    "within-cell pair join (never all-pairs) → exact-cosine verify → CC "
+    "canonical; returns per-vector keep decisions",
+)
+def dedup_semantic_q(spark, sf):
+    from scalligraph_spark.operators import semantic_dedup
+
+    emb = cat_for(spark, sf).vertex_df("embeddings")
+    out = semantic_dedup(emb, threshold=0.99, id_col="vec_id", vec_col="embedding")
+    return out.orderBy("vec_id")
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

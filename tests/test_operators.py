@@ -1132,3 +1132,42 @@ def test_jaccard_prefix_join_short_docs(spark):
     docs = spark.createDataFrame([(1, "one"), (2, "one"), (3, "a b a b")], "doc_id long, text string")
     rows = jaccard_pairs_prefix(docs, n=2, threshold=0.2).collect()
     assert rows == []
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Three planted semantic groups (identical or ~identical vectors) plus
+    orthogonal singletons: one canonical survives per group, singletons all
+    kept."""
+    import numpy as np
+
+    from scalligraph_spark.operators import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    base = rng.randn(3, 16)
+    vid = 0
+    # exact copies per group: identical vectors are GUARANTEED to land in
+    # the same k-means cell (near-copies can straddle a cell boundary when
+    # two of them seed adjacent centroids — SemDeDup's documented recall
+    # trade, not a collapse failure)
+    for g in range(3):
+        for _ in range(4):
+            rows.append((vid, [float(x) for x in base[g]]))
+            vid += 1
+    for _ in range(5):  # singletons, far apart
+        v = rng.randn(16) * 10
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, threshold=0.999, n_centroids=4, id_col="vec_id", vec_col="embedding").collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 17
+    # each planted group collapses to its min id
+    for g in range(3):
+        ids = list(range(g * 4, g * 4 + 4))
+        canons = {by_id[i]["canonical_id"] for i in ids}
+        assert canons == {ids[0]}, f"group {g}: {canons}"
+        assert sum(by_id[i]["is_kept"] for i in ids) == 1
+    # singletons untouched
+    for i in range(12, 17):
+        assert by_id[i]["is_kept"] and by_id[i]["canonical_id"] == i

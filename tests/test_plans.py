@@ -246,3 +246,19 @@ def test_grouped_topk_window_group_limit(spark):
     shape viable at 100 TB."""
     p = _plan(spark, "orders_topk_per_customer")
     assert "WindowGroupLimit" in p
+
+
+def test_bm25_no_explode_broadcast_stats(spark):
+    """BM25: per-term tf must stay row-local (no Generate/explode of a
+    (doc, term) stream) and the corpus-stats join must broadcast."""
+    p = _plan(spark, "text_bm25_search")
+    assert "Generate" not in p  # no explode anywhere
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_jaccard_prefix_join_hashed(spark):
+    """Prefix join: candidate + verify joins must be hash joins (equi keys
+    reached the planner), never a nested loop / cartesian product."""
+    p = _plan(spark, "dedup_jaccard_prefix_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
