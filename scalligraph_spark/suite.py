@@ -121,6 +121,17 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         return Traversal(out, catalog=g, label=None)
 
     ex.register_init("annSearch", _ann_search)
+
+    def _text_search(g, s, a):
+        from scalligraph_spark.operators import bm25_rank
+
+        docs = g.V("documents").df
+        out = bm25_rank(docs, [str(t) for t in s["terms"]])
+        if "k" in s:
+            out = out.where(F.col("rank") <= int(s["k"]))
+        return Traversal(out, catalog=g, label=None)
+
+    ex.register_init("textSearch", _text_search)
     return ex
 
 
@@ -3843,6 +3854,44 @@ def graph_bfs_distances_q(spark, sf):
         .unionByName(spark.range(1).select(F.lit(1001).cast("long").alias("vertex")))
     )
     return bfs_distances(edges, seeds, max_depth=10)
+
+
+@q(
+    "qlang_text_search",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS dl,
+         CAST(len(list_filter(toks, x -> x = 'filter')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+  FROM d
+), scored AS (
+  SELECT doc_id, dl,
+         round(
+           ln(1e0 + (n - df0 + 0.5e0)/(df0 + 0.5e0)) * (tf0 * 2.2e0) / (tf0 + 1.2e0 * (0.25e0 + 0.75e0 * dl / (sumdl / n)))
+         + ln(1e0 + (n - df1 + 0.5e0)/(df1 + 0.5e0)) * (tf1 * 2.2e0) / (tf1 + 1.2e0 * (0.25e0 + 0.75e0 * dl / (sumdl / n))), 6) AS bm25
+  FROM d CROSS JOIN s
+  WHERE tf0 + tf1 > 0
+), ranked AS (
+  SELECT doc_id, dl, bm25,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+""",
+    "full-text ranked search through the JSON query language: "
+    "[{_name: textSearch, terms: [...], k}] as a registered parameterized "
+    "init query — BM25 scoring identical to the Python API entry",
+)
+def qlang_text_search_q(spark, sf):
+    ex = executor_for(spark, sf)
+    t = ex.execute([{"_name": "textSearch", "terms": ["filter", "join"], "k": 10}])
+    return t.df
 
 
 @q(

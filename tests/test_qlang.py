@@ -288,3 +288,18 @@ def test_render_lenient_skips_poisoned_rows(modern):
     stats2 = RenderStats()
     streamed = [r for ch in render_stream(df, chunk_size=2, convert=poison, lenient=True, stats=stats2) for r in ch]
     assert stats2.skipped == 1 and len(streamed) == 3
+
+
+def test_textsearch_init_query(spark):
+    """[{_name: textSearch, terms, k}] — BM25 through the query language."""
+    from scalligraph_spark.suite import executor_for
+    from tests.conftest import SF_DIR
+
+    ex = executor_for(spark, SF_DIR)
+    t = ex.execute([{"_name": "textSearch", "terms": ["value", "table"], "k": 3}])
+    rows = t.df.collect()
+    assert len(rows) == 3
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+    # scores are non-increasing in rank
+    srt = sorted(rows, key=lambda r: r["rank"])
+    assert all(srt[i]["bm25"] >= srt[i + 1]["bm25"] for i in range(len(srt) - 1))
