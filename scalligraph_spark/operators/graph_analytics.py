@@ -503,41 +503,45 @@ def bfs_distances(
     * ``frontier``  — vertices settled in the previous round only;
     * one superstep = frontier ⋈ edges (shuffle hash join on src) →
       left-anti join against settled (drops revisits — this is what keeps
-      the loop linear in |E| instead of exploding on cycles) → union.
+      the loop linear in |E| instead of exploding on cycles).
 
-    Each superstep shuffles only the FRONTIER (not the full settled set —
-    the anti join broadcasts nothing and streams settled by id), lineage is
-    cut per round, and the loop stops as soon as the frontier empties, so
-    supersteps = eccentricity(seeds), not ``max_depth``.  An external
-    oracle replays this as a recursive CTE with UNION-dedup + min().
+    Settled vertices accumulate as a list of per-round frontier blocks —
+    disjoint by construction, each checkpointed once and NEVER rewritten
+    (re-materializing the full settled set per round would write O(V) per
+    superstep; here total checkpoint writes are O(V) across the whole
+    run).  The raw edge table is not pre-deduplicated: duplicate edges
+    only duplicate candidate rows, which the per-round ``distinct``
+    removes anyway, so a global edge dedup shuffle would be pure waste.
+    The loop stops as soon as the frontier empties, so supersteps =
+    eccentricity(seeds), not ``max_depth``.  An external oracle replays
+    this as a recursive CTE with UNION-dedup + min().
     """
-    seeds_d = seeds.select(F.col(seed_col).alias("vertex")).distinct()
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
-    dist = _cut_lineage(
-        seeds_d.select("vertex", F.lit(0).cast("long").alias("dist")).repartition("vertex"), checkpoint_dir
+    from functools import reduce
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    frontier = _cut_lineage(
+        seeds.select(F.col(seed_col).alias("vertex"))
+        .distinct()
+        .select("vertex", F.lit(0).cast("long").alias("dist")),
+        checkpoint_dir,
     ).persist()
-    dist.count()
-    frontier = dist
+    frontier.count()
+    settled = [frontier]
     depth = 0
     while depth < max_depth:
         depth += 1
+        settled_union = reduce(DataFrame.unionByName, settled)
         nxt = (
             frontier.join(e, frontier["vertex"] == e["__s"])
             .select(F.col("__d").alias("vertex"))
             .distinct()
-            .join(dist, "vertex", "left_anti")
+            .join(settled_union, "vertex", "left_anti")
             .select("vertex", F.lit(depth).cast("long").alias("dist"))
         )
         nxt = _cut_lineage(nxt, checkpoint_dir).persist()
         if nxt.count() == 0:
             nxt.unpersist()
             break
-        new_dist = _cut_lineage(dist.unionByName(nxt), checkpoint_dir).persist()
-        new_dist.count()
-        dist.unpersist()
-        if frontier is not dist:
-            frontier.unpersist()
-        dist, frontier = new_dist, nxt
-    if frontier is not dist:
-        frontier.unpersist()
-    return dist
+        settled.append(nxt)
+        frontier = nxt
+    return reduce(DataFrame.unionByName, settled)

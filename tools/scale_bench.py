@@ -65,6 +65,11 @@ QUERIES = [
     "temporal_scd2_history",  # single-exchange window stack
     "text_classifier_score",  # explode + broadcast weight join
     "text_unigram_logprob",  # token hash join + partial-agg mean
+    # round-4 session-4 additions
+    "text_bm25_search",  # map-local tf + broadcast stats (should be ~flat)
+    "graph_bfs_distances",  # frontier supersteps; rounds fixed by graph depth
+    "dedup_jaccard_prefix_join",  # prefix-pruned candidate join
+    "dedup_semantic",  # k-means cells + within-cell pairs
 ]
 
 
