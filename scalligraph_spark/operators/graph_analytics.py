@@ -545,3 +545,67 @@ def bfs_distances(
         settled.append(nxt)
         frontier = nxt
     return reduce(DataFrame.unionByName, settled)
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    seed_col: str = "vertex",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source weighted shortest paths: minimum path cost from any
+    seed over paths of at most ``max_hops`` edges (Bellman-Ford relaxation
+    supersteps — the GraphX/Pregel ShortestPaths formulation).
+
+    Per round: messages = CHANGED vertices ⋈ edges → per-target min
+    (partial-aggregated before the shuffle) → full-outer merge with the
+    running distances → the changed set is vertices whose cost improved.
+    The loop stops when no vertex improves, so rounds = longest useful
+    hop count, not ``max_hops``.  Unlike BFS the settled set cannot
+    accumulate as immutable blocks — relaxation REVISES costs — so the
+    distance table is re-checkpointed per round; that O(V)-per-round write
+    is inherent to Bellman-Ford on any Pregel system.
+
+    Non-negative weights assumed (standard SSSP contract; negative edges
+    would need max_hops full rounds without early exit to be correct).
+    Integer weights relax exactly; an external oracle replays bounded-hop
+    relaxation as a recursive CTE over path enumeration + min().
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"), F.col(weight).alias("__w"))
+    dist = _cut_lineage(
+        seeds.select(F.col(seed_col).alias("vertex")).distinct().select("vertex", F.lit(0).cast("long").alias("cost")),
+        checkpoint_dir,
+    ).persist()
+    dist.count()
+    changed = dist
+    rounds = 0
+    while rounds < max_hops:
+        rounds += 1
+        best = (
+            changed.join(e, changed["vertex"] == e["__s"])
+            .groupBy(F.col("__d").alias("vertex"))
+            .agg(F.min(F.col("cost") + F.col("__w")).alias("cand"))
+        )
+        merged = (
+            dist.join(best, "vertex", "full_outer")
+            .select(
+                "vertex",
+                F.least(F.col("cost"), F.col("cand")).alias("cost"),  # least() skips nulls
+                (F.col("cand").isNotNull() & (F.col("cost").isNull() | (F.col("cand") < F.col("cost")))).alias("__improved"),
+            )
+        )
+        merged = _cut_lineage(merged, checkpoint_dir).persist()
+        new_changed = merged.where(F.col("__improved")).select("vertex", "cost")
+        n_changed = new_changed.count()
+        if changed is not dist:
+            changed.unpersist()
+        dist.unpersist()
+        dist = merged.select("vertex", "cost")
+        changed = new_changed
+        if n_changed == 0:
+            break
+    return dist

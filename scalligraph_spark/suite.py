@@ -3895,6 +3895,70 @@ def qlang_text_search_q(spark, sf):
 
 
 @q(
+    "graph_sssp_weighted",
+    """
+WITH RECURSIVE e AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(100 + n_nationkey AS BIGINT) AS dst,
+         CAST(n_nationkey % 7 + 1 AS BIGINT) AS w FROM nation
+  UNION ALL
+  SELECT CAST(100 + c_nationkey AS BIGINT), CAST(1000 + c_custkey AS BIGINT),
+         CAST(c_custkey % 13 + 1 AS BIGINT) FROM customer
+  UNION ALL
+  SELECT CAST(1000 + o_custkey AS BIGINT), CAST(1000000 + o_orderkey AS BIGINT),
+         CAST(o_orderkey % 11 + 1 AS BIGINT) FROM orders
+), seeds AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS vertex FROM region
+  UNION ALL SELECT CAST(1001 AS BIGINT)
+), walk AS (
+  SELECT vertex, CAST(0 AS BIGINT) AS cost, 0 AS hops FROM seeds
+  UNION
+  SELECT e.dst, w.cost + e.w, w.hops + 1 FROM walk w JOIN e ON e.src = w.vertex WHERE w.hops < 6
+)
+SELECT vertex, min(cost) AS cost FROM walk GROUP BY vertex
+""",
+    "multi-source weighted shortest paths (Bellman-Ford relaxation "
+    "supersteps, GraphX ShortestPaths formulation) with integer weights "
+    "over the forest + a competing customer seed — min cost across "
+    "competing paths is exercised; oracle enumerates bounded-hop walks "
+    "recursively and takes min()",
+)
+def graph_sssp_weighted_q(spark, sf):
+    from scalligraph_spark.operators import sssp_weighted
+
+    c = cat_for(spark, sf)
+    nat = c.vertex_df("nation")
+    cust = c.vertex_df("customer")
+    orders = c.vertex_df("orders")
+    edges = (
+        nat.select(
+            F.col("n_regionkey").cast("long").alias("src"),
+            (F.lit(100) + F.col("n_nationkey")).cast("long").alias("dst"),
+            (F.col("n_nationkey") % 7 + 1).cast("long").alias("weight"),
+        )
+        .unionByName(
+            cust.select(
+                (F.lit(100) + F.col("c_nationkey")).cast("long").alias("src"),
+                (F.lit(1000) + F.col("c_custkey")).cast("long").alias("dst"),
+                (F.col("c_custkey") % 13 + 1).cast("long").alias("weight"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                (F.lit(1000) + F.col("o_custkey")).cast("long").alias("src"),
+                (F.lit(1000000) + F.col("o_orderkey")).cast("long").alias("dst"),
+                (F.col("o_orderkey") % 11 + 1).cast("long").alias("weight"),
+            )
+        )
+    )
+    seeds = (
+        c.vertex_df("region")
+        .select(F.col("r_regionkey").cast("long").alias("vertex"))
+        .unionByName(spark.range(1).select(F.lit(1001).cast("long").alias("vertex")))
+    )
+    return sssp_weighted(edges, seeds, max_hops=6)
+
+
+@q(
     "dedup_semantic",
     None,  # k-means quantizer has no DuckDB twin → rows-only
     "SemDeDup semantic near-dup removal: spherical k-means cells → salted "

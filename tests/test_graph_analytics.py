@@ -183,3 +183,40 @@ def test_bfs_distances_max_depth_truncates(spark):
     seeds = spark.createDataFrame([(1,)], "vertex long")
     d = {r["vertex"]: r["dist"] for r in bfs_distances(edges, seeds, max_depth=2).collect()}
     assert d == {1: 0, 2: 1, 3: 2}
+
+
+def test_sssp_weighted_relaxation(spark):
+    """Classic relaxation case: direct edge 1→3 (cost 10) loses to the
+    two-hop 1→2→3 (cost 1+2=3); cycle back-edge must not loop."""
+    from scalligraph_spark.operators import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 1), (2, 3, 2), (3, 1, 1)], "src long, dst long, weight long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    d = {r["vertex"]: r["cost"] for r in sssp_weighted(edges, seeds, max_hops=10).collect()}
+    assert d == {1: 0, 2: 1, 3: 3}
+
+
+def test_sssp_weighted_multi_source(spark):
+    from scalligraph_spark.operators import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (10, 2, 1), (2, 3, 1)], "src long, dst long, weight long"
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "vertex long")
+    d = {r["vertex"]: r["cost"] for r in sssp_weighted(edges, seeds, max_hops=10).collect()}
+    assert d == {1: 0, 10: 0, 2: 1, 3: 2}
+
+
+def test_sssp_weighted_hop_bound(spark):
+    """max_hops=1 allows only one relaxation round: the cheap 2-hop path
+    is invisible, the direct expensive edge wins."""
+    from scalligraph_spark.operators import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 1), (2, 3, 2)], "src long, dst long, weight long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    d = {r["vertex"]: r["cost"] for r in sssp_weighted(edges, seeds, max_hops=1).collect()}
+    assert d == {1: 0, 2: 1, 3: 10}
