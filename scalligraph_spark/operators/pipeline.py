@@ -221,9 +221,24 @@ def sample_mixture(
     Map-only (no shuffle, no sampling pass); sources missing from
     ``rates`` keep ``default_rate``.  Compose with :func:`split_corpus`
     AFTER sampling so split proportions hold within the mixture.
+
+    Membership is md5-deterministic per (salt, key) — the portable idiom
+    :func:`shuffle_shards` established, so re-runs, repartitions and an
+    external SQL oracle all keep the identical document set (xxhash64
+    would be marginally cheaper but exists in no other engine).
     """
-    u = (F.shiftrightunsigned(F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), 1)) / F.lit(
-        float(1 << 63)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
     )
     rate = None
     for src, r in rates.items():
@@ -246,16 +261,18 @@ def stratified_sample(
     :func:`sample_mixture`'s rate-based sampling gives proportions, not
     counts.
 
-    Rows rank within their stratum by ``xxhash64(key, salt)`` (a
+    Rows rank within their stratum by ``md5('<salt>:<key>')`` (a
     reproducible shuffle — same corpus, same sample, regardless of row
-    order or partitioning) and the first ``n_per_stratum`` survive.  One
-    hash-partitioned window per stratum; strata with fewer rows keep
-    everything.  Adding documents to the corpus only swaps members whose
-    hash outranks an existing one — the sample is STABLE under appends,
-    unlike limit()/randomSplit.
+    order or partitioning; hex-lexicographic order is portable to any
+    engine, which is what makes the membership oracle-checkable) and the
+    first ``n_per_stratum`` survive.  One hash-partitioned window per
+    stratum; strata with fewer rows keep everything.  Adding documents to
+    the corpus only swaps members whose hash outranks an existing one —
+    the sample is STABLE under appends, unlike limit()/randomSplit.
     """
     w = Window.partitionBy(strata_col).orderBy(
-        F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)).asc(), F.col(key_col).asc()
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")).cast("binary")).asc(),
+        F.col(key_col).asc(),
     )
     return (
         docs.withColumn("__rank", F.row_number().over(w))

@@ -1641,9 +1641,20 @@ def graph_connected_components(spark, sf):
 
 @q(
     "graph_pagerank",
-    None,  # iterative fixpoint — no closed-form SQL oracle; rows-only
-    "graph analytics: 10-iteration PageRank (rank = (1-d) + d·Σ rank/outdeg, "
-    "GraphX staticRank formulation) over the customer→orders export",
+    """
+WITH outdeg AS (SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS od FROM orders GROUP BY 1)
+SELECT CAST(cust AS BIGINT) AS vertex, (1e0 - 0.85e0) AS "rank" FROM outdeg
+UNION ALL
+SELECT CAST(1000000 + o_orderkey AS BIGINT),
+       (1e0 - 0.85e0) + 0.85e0 * ((1e0 - 0.85e0) / CAST(od AS DOUBLE))
+FROM orders JOIN outdeg ON o_custkey = cust
+""",
+    "graph analytics: 5-iteration PageRank (rank = (1-d) + d·Σ rank/outdeg, "
+    "GraphX staticRank formulation) over the customer→orders export.  On "
+    "this bipartite DAG the iteration reaches its fixpoint by round 2 and "
+    "each order has exactly ONE in-edge (the float sum has one term), so "
+    "the closed form replays bit-exactly — note (1-d) must be COMPUTED "
+    "as 1e0-0.85e0 in the oracle too (0.15 is not the same double)",
 )
 def graph_pagerank(spark, sf):
     from scalligraph_spark.operators import pagerank
@@ -2095,17 +2106,23 @@ def pipeline_pack_documents_q(spark, sf):
 
 @q(
     "pipeline_sample_mixture",
-    None,  # xxhash64 bucket assignment has no DuckDB twin → rows-only
+    """
+SELECT doc_id, source FROM documents
+WHERE CAST(CAST(('0x' || substr(md5('mix-v1:' || doc_id), 1, 8)) AS BIGINT) AS DOUBLE)
+      / 4294967296.0
+      < CASE source WHEN 'src0' THEN 1e0 WHEN 'src1' THEN 0.3e0 ELSE 0.5e0 END
+""",
     "deterministic per-source mixture sampling (keep-rate per source as a "
-    "pure function of (key, salt) — reproducible across runs/partitionings, "
-    "map-only) — returns per-source kept counts",
+    "pure function of (key, salt) via the portable md5 idiom — "
+    "reproducible across runs/partitionings/engines, map-only) — the "
+    "oracle verifies the EXACT kept membership, not just counts",
 )
 def pipeline_sample_mixture_q(spark, sf):
     from scalligraph_spark.operators import sample_mixture
 
     docs = cat_for(spark, sf).vertex_df("documents")
     mixed = sample_mixture(docs, {"src0": 1.0, "src1": 0.3}, default_rate=0.5)
-    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("source")
+    return mixed.select("doc_id", "source")
 
 
 @q(
@@ -2162,16 +2179,25 @@ def get_by_name_or_id(spark, sf):
 
 @q(
     "pipeline_stratified_sample",
-    None,  # xxhash64 ranking has no DuckDB twin → rows-only
-    "fixed-quota per-stratum sampling (deterministic hash rank within "
-    "stratum, stable under corpus appends) — returns per-source kept counts",
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('strata-v1:' || doc_id), doc_id) AS rnk
+  FROM documents
+)
+WHERE rnk <= 5
+""",
+    "fixed-quota per-stratum sampling (deterministic md5 hex-lex rank "
+    "within stratum — portable to any engine — stable under corpus "
+    "appends) — the oracle verifies the EXACT sampled membership",
 )
 def pipeline_stratified_sample_q(spark, sf):
     from scalligraph_spark.operators import stratified_sample
 
     docs = cat_for(spark, sf).vertex_df("documents")
     out = stratified_sample(docs, "source", 5)
-    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("source")
+    return out.select("doc_id", "source")
 
 
 @q(

@@ -111,6 +111,7 @@ def run(spark, sf_dir: str, names) -> dict[str, float]:
 
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    names = sys.argv[2:] or QUERIES  # optional subset: scale_bench.py K q1 q2 ...
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = f"/tmp/spark_graft_scale_sf{k}"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -124,8 +125,8 @@ def main() -> int:
         print(f"# building {k}x replica at {dst}", file=sys.stderr)
         build_scaled(spark, src, dst, k)
 
-    base = run(spark, src, QUERIES)
-    scaled = run(spark, dst, QUERIES)
+    base = run(spark, src, names)
+    scaled = run(spark, dst, names)
     report = {
         "k": k,
         "base_sec": base,
