@@ -89,19 +89,29 @@ def split_corpus(
     membership is a pure function of (key, salt), not of RNG state, row
     order, or partitioning (``randomSplit`` guarantees none of those).
 
-    Each key maps to a bucket in [0, 1) via ``xxhash64(key, salt)``; the
-    cumulative weight intervals assign the split.  Map-only — no shuffle,
-    no sampling pass.  Changing ``salt`` re-deals every document; adding
-    a split re-uses the tail interval only.
+    Each key maps to a bucket in [0, 1) via ``md5('<salt>:<key>')`` (the
+    portable idiom :func:`shuffle_shards` established — any engine derives
+    the identical assignment); the cumulative weight intervals assign the
+    split.  Map-only — no shuffle, no sampling pass.  Changing ``salt``
+    re-deals every document; adding a split re-uses the tail interval only.
 
     Returns the input plus a ``split`` column.
     """
     total = sum(weights.values())
     if total <= 0:
         raise ValueError(f"weights must sum > 0, got {weights!r}")
-    # xxhash64 → [0, 1): shift to non-negative 63-bit range first
-    u = (F.shiftrightunsigned(F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), 1)) / F.lit(
-        float(1 << 63)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
     )
     expr, acc = None, 0.0
     names = list(weights)

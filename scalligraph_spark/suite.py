@@ -1935,17 +1935,31 @@ def temporal_range_join_q(spark, sf):
 
 @q(
     "pipeline_split_corpus",
-    None,  # xxhash64 bucket assignment has no DuckDB twin → rows-only
-    "deterministic train/val/test split by key hash (pure function of "
-    "(key, salt): reproducible across runs, row orders, partitionings; "
-    "map-only) — returns per-split document counts",
+    """
+WITH u AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('split-v1:' || doc_id), 1, 8)) AS BIGINT) AS DOUBLE)
+         / 4294967296.0 AS frac
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN frac < 8e0 / (8e0 + 1e0 + 1e0) THEN 'train'
+            WHEN frac < 8e0 / (8e0 + 1e0 + 1e0) + 1e0 / (8e0 + 1e0 + 1e0) THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+""",
+    "deterministic train/val/test split by md5 key hash (pure function of "
+    "(key, salt): reproducible across runs, row orders, partitionings AND "
+    "engines; map-only) — the oracle verifies EXACT per-document "
+    "assignment, replaying the cumulative thresholds with the same IEEE "
+    "operation order (8/10 then +1/10 — never a folded 0.9 literal)",
 )
 def pipeline_split_corpus_q(spark, sf):
     from scalligraph_spark.operators import split_corpus
 
     docs = cat_for(spark, sf).vertex_df("documents")
-    split = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
-    return split.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("split")
+    split = split_corpus(docs, {"train": 8, "val": 1, "test": 1})
+    return split.select("doc_id", "split")
 
 
 @q(
