@@ -411,3 +411,51 @@ def decontaminate(
     hits = contamination_check(docs, benchmark, n=n, threshold=threshold, text_col=text_col, id_col=id_col)
     bad = hits.select(F.col("train_id").alias(id_col)).distinct()
     return docs.join(bad, id_col, "left_anti")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split long documents into fixed-size token-window chunks with
+    optional overlap — the long-document → context-window prep that
+    complements :func:`pack_documents` (packing concatenates SHORT docs;
+    chunking slices LONG ones; real pipelines run chunk → pack).
+
+    Chunk i covers tokens ``[i·stride, i·stride + max_tokens)`` with
+    ``stride = max_tokens − overlap``; the final chunk keeps the tail iff
+    it has at least ``min_tokens`` NEW tokens (a pure-overlap tail would
+    duplicate data).  Row-local: tokenize once, ``explode(sequence)`` over
+    chunk indices, ``slice`` + rejoin per chunk — no shuffle, no UDF; at
+    100 TB this is a map-only pass whose output feeds the packing window.
+
+    Returns ``(id, chunk_id, n_tokens, chunk_text)`` where chunk_id is
+    0-based and n_tokens is the chunk's actual token count.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
+    # number of chunks: 1 + ceil(max(0, n - max_tokens) / stride), but the
+    # last chunk must contribute >= min_tokens new tokens
+    n_chunks = (
+        F.lit(1)
+        + F.ceil((F.greatest(F.col("__n") - max_tokens, F.lit(0)) - F.lit(max(min_tokens - 1, 0))) / stride)
+    ).cast("int")
+    chunks = base.select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__t"), F.col("chunk_id") * stride + 1, max_tokens)
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -4013,6 +4013,32 @@ def dedup_semantic_q(spark, sf):
     return out.orderBy("vec_id")
 
 
+@q(
+    "pipeline_chunk_documents",
+    """
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+c AS (SELECT doc_id, tk,
+             CAST(1 + ceil(greatest(len(tk) - 40, 0) / 32.0) AS INT) AS nc
+      FROM t),
+e AS (SELECT doc_id, tk, unnest(range(0, greatest(nc, 1))) AS chunk_id FROM c)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 40)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 40), ' ') AS chunk_text
+FROM e
+""",
+    "long-document chunking into 40-token windows with 8-token overlap "
+    "(stride 32): row-local tokenize-once + explode(sequence) + slice — "
+    "map-only, no UDF; the chunk→pack composition is the standard "
+    "pretraining prep",
+)
+def pipeline_chunk_documents_q(spark, sf):
+    from scalligraph_spark.operators import chunk_documents
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return chunk_documents(docs, max_tokens=40, overlap=8)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

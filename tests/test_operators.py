@@ -1171,3 +1171,40 @@ def test_semantic_dedup_planted_groups(spark):
     # singletons untouched
     for i in range(12, 17):
         assert by_id[i]["is_kept"] and by_id[i]["canonical_id"] == i
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from scalligraph_spark.operators import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 16))),  # 15 tokens
+         (2, "a b c")],  # shorter than window -> 1 chunk
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, max_tokens=8, overlap=2).collect()
+    by = {(r["doc_id"], r["chunk_id"]): r for r in rows}
+    # doc 1, stride 6: chunks at 1-8, 7-14, 13-15
+    assert by[(1, 0)]["chunk_text"].split() == [f"t{i}" for i in range(1, 9)]
+    assert by[(1, 1)]["chunk_text"].split() == [f"t{i}" for i in range(7, 15)]
+    assert by[(1, 2)]["chunk_text"].split() == [f"t{i}" for i in range(13, 16)]
+    assert by[(1, 2)]["n_tokens"] == 3
+    assert by[(2, 0)]["chunk_text"] == "a b c" and len([k for k in by if k[0] == 2]) == 1
+
+
+def test_chunk_documents_min_tokens_drops_pure_overlap_tail(spark):
+    from scalligraph_spark.operators import chunk_documents
+
+    docs = spark.createDataFrame([(1, " ".join(f"t{i}" for i in range(1, 17)))], "doc_id long, text string")
+    # 16 tokens, window 8, stride 6: tail chunk at 13-16 has 2 NEW tokens
+    keep = chunk_documents(docs, max_tokens=8, overlap=2, min_tokens=1).collect()
+    assert len(keep) == 3
+    drop = chunk_documents(docs, max_tokens=8, overlap=2, min_tokens=3).collect()
+    assert len(drop) == 2
+
+
+def test_chunk_documents_exact_window_no_empty_tail(spark):
+    from scalligraph_spark.operators import chunk_documents
+
+    docs = spark.createDataFrame([(1, " ".join(f"t{i}" for i in range(1, 9)))], "doc_id long, text string")
+    rows = chunk_documents(docs, max_tokens=8, overlap=2).collect()
+    assert len(rows) == 1 and rows[0]["n_tokens"] == 8
