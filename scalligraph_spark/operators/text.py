@@ -651,3 +651,59 @@ def bm25_rank(
     )
     w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
     return scored.select(id_col, "dl", "bm25", F.row_number().over(w).cast("long").alias("rank"))
+
+
+def term_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 12,
+) -> DataFrame:
+    """Per-term distribution shift between two corpus snapshots — the
+    monitoring primitive for crawl-over-crawl drift: each term's
+    probability in corpus A vs corpus B plus its contribution to
+    ``KL(A‖B)`` under add-one smoothing over the joint vocabulary
+    (smoothing makes every term's probability positive in both corpora,
+    so the KL term is always finite — absent terms are the interesting
+    signal, not an error).
+
+    Scale shape: one map-side-combined token count per corpus, a
+    full-outer equi-join on term (the only wide shuffle, carrying
+    (term, count)), totals as ONE broadcast row.  Probabilities are
+    single divisions of exactly-agreed integers and the KL term is one
+    ln + one multiply, rounded to ``round_to`` — an external oracle
+    replays every value bit-stably.  Total drift = ``dsum(kl_contrib)``
+    for an order-independent exact sum.
+
+    Emits ``(term, n_a, n_b, p_a, p_b, kl_contrib)``.
+    """
+    def counts(d: DataFrame, out: str) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        return (
+            d.select(F.explode(toks).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca, cb = counts(docs_a, "n_a"), counts(docs_b, "n_b")
+    joined = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+    )
+    totals = joined.agg(
+        F.sum("n_a").cast("double").alias("__ta"),
+        F.sum("n_b").cast("double").alias("__tb"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    p_a = (F.col("n_a") + F.lit(1.0)) / (F.col("__ta") + F.col("__v"))
+    p_b = (F.col("n_b") + F.lit(1.0)) / (F.col("__tb") + F.col("__v"))
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "n_a",
+        "n_b",
+        F.round(p_a, round_to).alias("p_a"),
+        F.round(p_b, round_to).alias("p_b"),
+        F.round(p_a * F.log(p_a / p_b), round_to).alias("kl_contrib"),
+    )

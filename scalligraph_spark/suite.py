@@ -4039,6 +4039,37 @@ def pipeline_chunk_documents_q(spark, sf):
     return chunk_documents(docs, max_tokens=40, overlap=8)
 
 
+@q(
+    "text_term_drift",
+    """
+WITH ta AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents WHERE doc_id % 2 = 0),
+tb AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT term, CAST(count(*) AS BIGINT) AS n_a FROM ta GROUP BY term),
+cb AS (SELECT term, CAST(count(*) AS BIGINT) AS n_b FROM tb GROUP BY term),
+j AS (SELECT COALESCE(ca.term, cb.term) AS term, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta_, CAST(sum(n_b) AS DOUBLE) AS tb_,
+             CAST(count(*) AS DOUBLE) AS v FROM j)
+SELECT term, n_a, n_b,
+       round((n_a + 1e0) / (ta_ + v), 12) AS p_a,
+       round((n_b + 1e0) / (tb_ + v), 12) AS p_b,
+       round(((n_a + 1e0) / (ta_ + v))
+             * ln(((n_a + 1e0) / (ta_ + v)) / ((n_b + 1e0) / (tb_ + v))), 12) AS kl_contrib
+FROM j CROSS JOIN t
+""",
+    "crawl-over-crawl term drift: per-term probabilities in two corpus "
+    "snapshots + add-one-smoothed KL(A‖B) contributions — two map-side-"
+    "combined counts, one (term,count) full-outer join, ONE broadcast "
+    "totals row; every float is a single-op chain so both engines agree "
+    "bit-stably",
+)
+def text_term_drift_q(spark, sf):
+    from scalligraph_spark.operators import term_drift
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return term_drift(docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1))
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -1208,3 +1208,30 @@ def test_chunk_documents_exact_window_no_empty_tail(spark):
     docs = spark.createDataFrame([(1, " ".join(f"t{i}" for i in range(1, 9)))], "doc_id long, text string")
     rows = chunk_documents(docs, max_tokens=8, overlap=2).collect()
     assert len(rows) == 1 and rows[0]["n_tokens"] == 8
+
+
+def test_term_drift_hand_computed(spark):
+    """Corpus A: 'x x y', corpus B: 'x z' — joint vocab {x,y,z} (V=3),
+    totals 3 and 2; add-one smoothing gives every term finite KL."""
+    import math
+
+    from scalligraph_spark.operators import term_drift
+
+    a = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x z")], "doc_id long, text string")
+    rows = {r["term"]: r for r in term_drift(a, b).collect()}
+    assert set(rows) == {"x", "y", "z"}
+    pa_x, pb_x = (2 + 1.0) / (3 + 3), (1 + 1.0) / (2 + 3)
+    assert abs(rows["x"]["p_a"] - round(pa_x, 12)) < 1e-15
+    assert abs(rows["x"]["kl_contrib"] - round(pa_x * math.log(pa_x / pb_x), 12)) < 1e-12
+    assert rows["y"]["n_b"] == 0 and rows["z"]["n_a"] == 0
+    # term absent from B has positive contribution; absent from A negative
+    assert rows["y"]["kl_contrib"] > 0 > rows["z"]["kl_contrib"]
+
+
+def test_term_drift_identical_corpora_zero(spark):
+    from scalligraph_spark.operators import term_drift
+
+    a = spark.createDataFrame([(1, "p q r p")], "doc_id long, text string")
+    rows = term_drift(a, a).collect()
+    assert all(r["kl_contrib"] == 0.0 for r in rows)
