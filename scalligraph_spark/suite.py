@@ -4083,6 +4083,13 @@ def text_term_drift_q(spark, sf):
 # registered (rows-only) and pytest-verified.  get_by_name_or_id (ElementSrv
 # id-or-name fold) replaces the second pipeline representative
 # pipeline_corpus_stats, which stays suite-checked post-window.
+# Round-4 session-4: five slots whose families keep another representative
+# (both_hop→hop_out_in+hop_edge_property_filter; filter_defined_any→
+# json_filter_grammar; coalesce_branch→choose_branch; select_keys_values→
+# select_as_bag; unfold_explode→fold_collect) rotate out for the session's
+# new oracle-exact families: BFS + weighted SSSP (the first graph rows
+# under the driver hash gate), BM25 retrieval, document chunking, and
+# cross-corpus term drift.  Rotated-out entries stay suite-checked.
 _WINDOW = [
     "scan_by_ids",
     "union_all_forms",
@@ -4092,23 +4099,23 @@ _WINDOW = [
     "text_predicates",
     "filter_semi_join",
     "json_filter_grammar",
-    "filter_defined_any",
+    "text_bm25_search",
     "hop_out_in",
     "hop_two_chain",
     "hop_edge_property_filter",
     "select_as_bag",
-    "both_hop",
+    "graph_bfs_distances",
     "count_steps",
     "scalar_aggs",
     "fold_collect",
-    "unfold_explode",
-    "select_keys_values",
+    "text_term_drift",
+    "pipeline_chunk_documents",
     "qagg_count",
     "qagg_field_order_size",
     "qagg_field_subaggs",
     "qagg_time_day",
     "qlang_sort_page",
-    "coalesce_branch",
+    "graph_sssp_weighted",
     "choose_branch",
     "optional_left_join",
     "scalar_hash_b64_json",
