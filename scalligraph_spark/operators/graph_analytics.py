@@ -576,12 +576,12 @@ def sssp_weighted(
     relaxation as a recursive CTE over path enumeration + min().
     """
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"), F.col(weight).alias("__w"))
-    dist = _cut_lineage(
+    prev = _cut_lineage(
         seeds.select(F.col(seed_col).alias("vertex")).distinct().select("vertex", F.lit(0).cast("long").alias("cost")),
         checkpoint_dir,
     ).persist()
-    dist.count()
-    changed = dist
+    prev.count()
+    dist, changed = prev, prev
     rounds = 0
     while rounds < max_hops:
         rounds += 1
@@ -599,13 +599,14 @@ def sssp_weighted(
             )
         )
         merged = _cut_lineage(merged, checkpoint_dir).persist()
-        new_changed = merged.where(F.col("__improved")).select("vertex", "cost")
-        n_changed = new_changed.count()
-        if changed is not dist:
-            changed.unpersist()
-        dist.unpersist()
+        n_changed = merged.where(F.col("__improved")).limit(1).count()
+        # unpersist the PERSISTED handle from the previous round — dist is a
+        # derived Project over it, and unpersisting a derived plan would not
+        # release the cached blocks (the min_label CC leak class)
+        prev.unpersist()
+        prev = merged
         dist = merged.select("vertex", "cost")
-        changed = new_changed
+        changed = merged.where(F.col("__improved")).select("vertex", "cost")
         if n_changed == 0:
             break
     return dist

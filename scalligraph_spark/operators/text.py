@@ -619,6 +619,8 @@ def bm25_rank(
     ranking so rank ties break identically across engines (then by id).
     Emits ``(id, dl, bm25, rank)`` for docs matching ≥1 term.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
 
     def _eq(term):
