@@ -4070,6 +4070,34 @@ def text_term_drift_q(spark, sf):
     return term_drift(docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1))
 
 
+@q(
+    "graph_personalized_pagerank",
+    """
+WITH outdeg AS (SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS od FROM orders GROUP BY 1)
+SELECT CAST(cust AS BIGINT) AS vertex,
+       CASE WHEN cust % 100 = 0 THEN (1e0 - 0.85e0) ELSE 0e0 END AS "rank"
+FROM outdeg
+UNION ALL
+SELECT CAST(1000000 + o_orderkey AS BIGINT),
+       CASE WHEN o_custkey % 100 = 0
+            THEN 0e0 + 0.85e0 * ((1e0 - 0.85e0) / CAST(od AS DOUBLE))
+            ELSE 0e0 + 0.85e0 * 0e0 END
+FROM orders JOIN outdeg ON o_custkey = cust
+""",
+    "personalized PageRank: teleport mass lands only on the seed customers "
+    "(custkey % 100 == 0), every other vertex carries pure propagated mass "
+    "— same bipartite fixpoint argument as graph_pagerank, so the closed "
+    "form replays bit-exactly including the non-seed zeros",
+)
+def graph_personalized_pagerank_q(spark, sf):
+    from scalligraph_spark.operators import personalized_pagerank
+
+    orders = cat_for(spark, sf).vertex_df("orders")
+    edges = orders.select(F.col("o_custkey").alias("src"), (F.lit(1000000) + F.col("o_orderkey")).alias("dst"))
+    seeds = orders.where(F.col("o_custkey") % 100 == 0).select(F.col("o_custkey").alias("vertex"))
+    return personalized_pagerank(edges, seeds, iterations=5)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

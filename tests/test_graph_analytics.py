@@ -220,3 +220,18 @@ def test_sssp_weighted_hop_bound(spark):
     seeds = spark.createDataFrame([(1,)], "vertex long")
     d = {r["vertex"]: r["cost"] for r in sssp_weighted(edges, seeds, max_hops=1).collect()}
     assert d == {1: 0, 2: 1, 3: 10}
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """Two disjoint stars; seeding star A's hub puts ALL mass in star A —
+    star B vertices get exactly 0."""
+    from scalligraph_spark.operators import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 11), (1, 12), (2, 21), (2, 22)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    r = {row["vertex"]: row["rank"] for row in personalized_pagerank(edges, seeds, iterations=5).collect()}
+    assert r[1] > 0 and r[11] > 0 and r[12] > 0
+    assert r[2] == 0.0 and r[21] == 0.0 and r[22] == 0.0
+    assert abs(r[11] - 0.85 * (r[1] / 2)) < 1e-15  # leaf = d * hub/outdeg
