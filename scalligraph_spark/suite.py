@@ -132,6 +132,29 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         return Traversal(out, catalog=g, label=None)
 
     ex.register_init("textSearch", _text_search)
+
+    def _shortest_paths(g, s, a):
+        from scalligraph_spark.operators import bfs_distances
+
+        nat = g.V("nation").df
+        cust = g.V("customer").df
+        orders = g.V("orders").df
+        edges = (
+            nat.select(F.col("n_regionkey").cast("long").alias("src"), (F.lit(100) + F.col("n_nationkey")).cast("long").alias("dst"))
+            .unionByName(cust.select((F.lit(100) + F.col("c_nationkey")).cast("long").alias("src"), (F.lit(1000) + F.col("c_custkey")).cast("long").alias("dst")))
+            .unionByName(orders.select((F.lit(1000) + F.col("o_custkey")).cast("long").alias("src"), (F.lit(1000000) + F.col("o_orderkey")).cast("long").alias("dst")))
+        )
+        seeds = g.V("region").df.select(F.col("r_regionkey").cast("long").alias("vertex"))
+        extra = s.get("extraSeeds", [])
+        if extra:
+            sp = edges.sparkSession
+            seeds = seeds.unionByName(
+                sp.createDataFrame([(int(v),) for v in extra], "vertex long")
+            )
+        out = bfs_distances(edges, seeds, max_depth=int(s.get("maxDepth", 10)))
+        return Traversal(out, catalog=g, label=None)
+
+    ex.register_init("shortestPaths", _shortest_paths)
     return ex
 
 
@@ -4068,6 +4091,36 @@ def text_term_drift_q(spark, sf):
 
     docs = cat_for(spark, sf).vertex_df("documents")
     return term_drift(docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1))
+
+
+@q(
+    "qlang_shortest_paths",
+    """
+WITH RECURSIVE e AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(100 + n_nationkey AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(100 + c_nationkey AS BIGINT), CAST(1000 + c_custkey AS BIGINT) FROM customer
+  UNION ALL
+  SELECT CAST(1000 + o_custkey AS BIGINT), CAST(1000000 + o_orderkey AS BIGINT) FROM orders
+), seeds AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS vertex FROM region
+  UNION ALL SELECT CAST(1001 AS BIGINT)
+), bfs AS (
+  SELECT vertex, CAST(0 AS BIGINT) AS dist FROM seeds
+  UNION
+  SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.vertex WHERE b.dist < 10
+)
+SELECT vertex, min(dist) AS dist FROM bfs GROUP BY vertex
+""",
+    "graph analytics through the JSON query language: "
+    "[{_name: shortestPaths, extraSeeds, maxDepth}] as a registered "
+    "parameterized init query — identical result to the Python-API BFS "
+    "entry, proving the language surface composes over the analytics tier",
+)
+def qlang_shortest_paths_q(spark, sf):
+    ex = executor_for(spark, sf)
+    t = ex.execute([{"_name": "shortestPaths", "extraSeeds": [1001], "maxDepth": 10}])
+    return t.df
 
 
 @q(
