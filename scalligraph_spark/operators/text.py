@@ -709,3 +709,67 @@ def term_drift(
         F.round(p_b, round_to).alias("p_b"),
         F.round(p_a * F.log(p_a / p_b), round_to).alias("kl_contrib"),
     )
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 12,
+) -> DataFrame:
+    """Bigram language-model fluency scoring — the conditional upgrade of
+    :func:`unigram_logprob_score`: each document scores by the mean
+    ``ln P(w2|w1)`` of its adjacent token pairs under a self-trained
+    bigram model with add-one (Laplace) smoothing,
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)`` where ``c(w1·)`` counts
+    w1 as a bigram-FIRST token and ``V`` is the corpus vocabulary size.
+    Word-salad text scores low even when every individual token is common
+    — the signal a unigram model cannot see.
+
+    Determinism: every log-probability is a single division + single ln
+    of exactly-agreed integers, rounded to ``round_to``; the per-document
+    mean routes through DECIMAL (``davg``) so float addition order cannot
+    flip a bit.  Scale shape: one row-local bigram explode, two
+    map-side-combined counts + one broadcast scalar, a hash join keyed by
+    (w1, w2), and a partial-aggregated per-doc mean.
+
+    Emits ``(id, n_bigrams, mean_logprob)``; docs shorter than 2 tokens
+    have no bigrams and drop out.
+    """
+    from scalligraph_spark.functions import davg
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.expr(
+        "CASE WHEN size(__t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(__t) - 1), "
+        "i -> struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2)) END"
+    )
+    bi = (
+        docs.select(F.col(id_col), toks.alias("__t"))
+        .select(id_col, F.explode(pairs).alias("__p"))
+        .select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab_n = docs.select(F.explode(toks).alias("__tok")).agg(
+        F.countDistinct("__tok").alias("__v")
+    )
+    lp = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("__c2") + F.lit(1.0)) / (F.col("__c1") + F.col("__v"))), round_to
+            ).alias("__lp"),
+        )
+    )
+    return (
+        bi.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            davg(F.col("__lp")).alias("mean_logprob"),
+        )
+    )

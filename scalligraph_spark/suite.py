@@ -4151,6 +4151,37 @@ def graph_personalized_pagerank_q(spark, sf):
     return personalized_pagerank(edges, seeds, iterations=5)
 
 
+@q(
+    "text_bigram_logprob",
+    """
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       FROM t, unnest(range(1, CAST(len(tk) AS BIGINT))) AS r(i)
+       WHERE len(tk) >= 2),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)),
+lp AS (SELECT w1, w2, round(ln((c2 + 1e0) / (c1 + v)), 12) AS lp
+       FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(CAST((lp) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(lp) AS DOUBLE) AS mean_logprob
+FROM bi JOIN lp USING (w1, w2)
+GROUP BY doc_id
+""",
+    "bigram LM fluency scoring: mean ln P(w2|w1) with Laplace smoothing "
+    "under a self-trained bigram model — word salad scores low even when "
+    "every token is common.  Each logprob is one div + one ln of agreed "
+    "integers rounded at 12; the per-doc mean routes through DECIMAL "
+    "(davg) so float addition order cannot flip a bit",
+)
+def text_bigram_logprob_q(spark, sf):
+    from scalligraph_spark.operators import bigram_logprob_score
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return bigram_logprob_score(docs)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

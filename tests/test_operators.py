@@ -1235,3 +1235,25 @@ def test_term_drift_identical_corpora_zero(spark):
     a = spark.createDataFrame([(1, "p q r p")], "doc_id long, text string")
     rows = term_drift(a, a).collect()
     assert all(r["kl_contrib"] == 0.0 for r in rows)
+
+
+def test_bigram_logprob_fluency_signal(spark):
+    """A document repeating a common bigram scores higher than word salad
+    built from the SAME tokens in never-seen orders."""
+    from scalligraph_spark.operators import bigram_logprob_score
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(1, 6)]
+    rows.append((6, "mat the on sat cat the"))  # same unigrams, novel bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob_score(docs).collect()}
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["mean_logprob"] > out[6]["mean_logprob"]
+
+
+def test_bigram_logprob_short_docs_drop(spark):
+    from scalligraph_spark.operators import bigram_logprob_score
+
+    docs = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id long, text string")
+    out = {r["doc_id"] for r in bigram_logprob_score(docs).collect()}
+    assert out == {2}
