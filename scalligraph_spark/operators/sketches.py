@@ -1,0 +1,92 @@
+"""Mergeable frequency sketches: Count-Min.
+
+The engine already leans on Spark's built-in mergeable sketches (HLL++
+distinct counts, positional-error percentiles — see corpus_profile); this
+module adds the classic COUNT-MIN sketch for heavy-hitter / frequency
+estimation, the remaining member of the standard streaming-sketch trio.
+
+Why a sketch at 100 TB: exact per-item counts of a high-cardinality column
+shuffle one row per distinct item; a Count-Min sketch reduces to a fixed
+``depth × width`` table (a few KB) that is MERGEABLE across partitions,
+shards, or corpus snapshots by plain (d, bucket) addition — the same
+partial-aggregate shape as any sum, and the sketch of a union is the sum
+of the sketches.
+
+Hash buckets use the md5 idiom (`shuffle_shards` precedent): bucket =
+first-32-bits(md5('<salt>:<d>:<item>')) mod width — portable, so an
+external SQL oracle replays the sketch bit-for-bit.  Estimates carry the
+standard one-sided guarantee: est ≥ true, and est ≤ true + εN with
+probability 1-δ for width=⌈e/ε⌉, depth=⌈ln(1/δ)⌉.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(item_col, d_col, salt: str, width: int):
+    h = F.md5(F.concat_ws(":", F.lit(salt), d_col.cast("string"), item_col).cast("binary"))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width))
+
+
+def countmin_build(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Build a Count-Min sketch over ``df[col]`` → (d, bucket, count) rows
+    (≤ depth·width of them, regardless of input cardinality).
+
+    One explode(×depth) + one partial-aggregated count — the shuffle
+    carries (tiny-int, long) keys only.  Sketches built with the same
+    (width, depth, salt) merge by summing counts per (d, bucket).
+    """
+    e = df.select(F.col(col).alias("__item")).select(
+        "__item", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    )
+    return (
+        e.select("d", _bucket(F.col("__item"), F.col("d"), salt, width).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with identical (width, depth, salt):
+    sum counts per (d, bucket).  sketch(A ∪ B) ≡ merge(sketch(A), sketch(B))."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("count").cast("long").alias("count"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str = "item",
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Point-query frequencies: est(item) = min over rows d of
+    sketch[d][bucket_d(item)] (0 where the bucket is empty).
+
+    The probe set joins the ≤ depth·width sketch — broadcast-sized by
+    construction, so estimation is a map-side join at any corpus scale.
+    Emits (item, est_count); est ≥ true count always.
+    """
+    probes = (
+        items.select(F.col(col).alias("item"))
+        .distinct()
+        .select("item", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"))
+    )
+    probes = probes.select("item", "d", _bucket(F.col("item"), F.col("d"), salt, width).alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).cast("long").alias("est_count"))
+    )

@@ -4182,6 +4182,70 @@ def text_bigram_logprob_q(spark, sf):
     return bigram_logprob_score(docs)
 
 
+@q(
+    "events_hopping_windows",
+    """
+WITH e AS (SELECT epoch_us(ts) AS eus, value FROM events),
+x AS (SELECT make_timestamp((eus // 900000000 - i) * 900000000) AS window_start, value
+      FROM e, unnest(range(0, 4)) AS r(i))
+SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM x GROUP BY window_start
+""",
+    "hopping (sliding) window rollup: 1-hour windows every 15 minutes — "
+    "each event lands in exactly 4 overlapping epoch-aligned windows "
+    "(Spark F.window with slideDuration; the oracle replays the window "
+    "grid by integer-µs arithmetic); decimal-routed value sum",
+)
+def events_hopping_windows_q(spark, sf):
+    from scalligraph_spark.functions import dsum
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
+    "sketch_countmin_counts",
+    """
+WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS item FROM documents),
+e AS (SELECT item, i AS d FROM toks, unnest(range(0, 4)) AS r(i)),
+sk AS (SELECT d, CAST(CAST(('0x' || substr(md5('cms-v1:' || d || ':' || item), 1, 8)) AS BIGINT) % 1024 AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS count
+       FROM e GROUP BY 1, 2),
+probes AS (SELECT item, i AS d FROM (VALUES ('spark'), ('value'), ('the'), ('merge'), ('zzz-absent')) p(item),
+           unnest(range(0, 4)) r(i)),
+pb AS (SELECT item, d, CAST(CAST(('0x' || substr(md5('cms-v1:' || d || ':' || item), 1, 8)) AS BIGINT) % 1024 AS BIGINT) AS bucket
+       FROM probes)
+SELECT item, CAST(min(COALESCE(sk.count, 0)) AS BIGINT) AS est_count
+FROM pb LEFT JOIN sk ON pb.d = sk.d AND pb.bucket = sk.bucket
+GROUP BY item
+""",
+    "Count-Min sketch frequency estimation: depth×width mergeable table "
+    "(md5-portable buckets — the oracle replays the sketch bit-for-bit), "
+    "point queries = min over depth rows via a broadcast join; the third "
+    "member of the sketch trio beside HLL++ and approx-percentile",
+)
+def sketch_countmin_counts_q(spark, sf):
+    from scalligraph_spark.operators import countmin_build, countmin_estimate
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    toks = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("item"))
+    sketch = countmin_build(toks, "item")
+    probes = spark.createDataFrame(
+        [("spark",), ("value",), ("the",), ("merge",), ("zzz-absent",)], "item string"
+    )
+    return countmin_estimate(sketch, probes)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
