@@ -237,3 +237,45 @@ def scd2_merge(
     replay = dim.select(F.col(key_col), F.col("valid_from").alias(ts_col), *attr_cols)
     fresh = updates.select(F.col(key_col), F.col(ts_col), *attr_cols)
     return scd2_from_observations(replay.unionByName(fresh), key_col, ts_col, attr_cols)
+
+
+def rolling_features(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    n_prev: int = 5,
+    round_to: int = 12,
+) -> DataFrame:
+    """Per-key rolling features over the PREVIOUS ``n_prev`` events — the
+    feature-engineering primitive behind online anomaly scoring and
+    sessionized user baselines: for each event, how many prior events are
+    in the lookback frame and what was their mean value (the "baseline"
+    the current value deviates from).
+
+    One window specification — partition by key, order by (ts, tiebreak),
+    frame ``ROWS BETWEEN n PRECEDING AND 1 PRECEDING`` — shared by both
+    features, so Catalyst plans a SINGLE sort+window exchange.  The mean
+    routes through DECIMAL (order-independent sum of the frame) and the
+    first event of each key gets null (no history), matching SQL
+    semantics exactly.
+
+    Emits the key, tiebreak, value, ``n_prev_events``, ``prev_mean``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+        .rowsBetween(-n_prev, -1)
+    )
+    # davg unrolled per-window: each aggregate gets its own .over(w); the
+    # decimal sum keeps the frame mean independent of evaluation order
+    dec_sum = F.sum(F.col(value_col).cast("decimal(27,6)")).over(w).cast("double")
+    cnt = F.count(value_col).over(w)
+    return events.select(
+        key_col,
+        order_tiebreak,
+        value_col,
+        cnt.cast("long").alias("n_prev_events"),
+        F.round((dec_sum / cnt).cast("double"), round_to).alias("prev_mean"),
+    )

@@ -4246,6 +4246,29 @@ def sketch_countmin_counts_q(spark, sf):
     return countmin_estimate(sketch, probes)
 
 
+@q(
+    "events_rolling_features",
+    """
+SELECT user_id, event_id, value,
+       CAST(count(value) OVER w AS BIGINT) AS n_prev_events,
+       round(CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                  / count(value) OVER w AS DOUBLE), 12) AS prev_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+""",
+    "per-user rolling baseline over the previous 5 events (count + "
+    "decimal-routed mean): ONE sort+window exchange shared by both "
+    "features; first event per user gets null history — the "
+    "feature-engineering shape behind online anomaly scoring",
+)
+def events_rolling_features_q(spark, sf):
+    from scalligraph_spark.operators import rolling_features
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    return rolling_features(ev, n_prev=5)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

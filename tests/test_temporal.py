@@ -149,3 +149,25 @@ def test_scd2_multi_attr_change_detection(spark):
         ("A", 1, 10, 20),
         ("A", 2, 20, None),
     ]
+
+
+def test_rolling_features_baseline(spark):
+    """Hand-checkable rolling count/mean over previous 2 events per user."""
+    from scalligraph_spark.operators import rolling_features
+
+    rows = [
+        (1, 100, "2024-01-01 00:00:00", 10.0),
+        (2, 100, "2024-01-01 00:01:00", 20.0),
+        (3, 100, "2024-01-01 00:02:00", 30.0),
+        (4, 100, "2024-01-01 00:03:00", 40.0),
+        (5, 200, "2024-01-01 00:00:30", 7.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r["event_id"]: r for r in rolling_features(ev, n_prev=2).collect()}
+    assert out[1]["n_prev_events"] == 0 and out[1]["prev_mean"] is None
+    assert out[2]["n_prev_events"] == 1 and out[2]["prev_mean"] == 10.0
+    assert out[3]["n_prev_events"] == 2 and out[3]["prev_mean"] == 15.0
+    assert out[4]["n_prev_events"] == 2 and out[4]["prev_mean"] == 25.0  # frame slides off event 1
+    assert out[5]["n_prev_events"] == 0  # other user: no cross-key leakage
