@@ -70,6 +70,11 @@ QUERIES = [
     "graph_bfs_distances",  # frontier supersteps; rounds fixed by graph depth
     "dedup_jaccard_prefix_join",  # prefix-pruned candidate join
     "dedup_semantic",  # k-means cells + within-cell pairs
+    "text_bigram_logprob",  # bigram explode + two counts + hash join
+    "events_hopping_windows",  # 4x window explode + one agg
+    "sketch_countmin_counts",  # depth x explode + fixed-size agg
+    "events_rolling_features",  # one sort+window exchange
+    "graph_personalized_pagerank",  # superstep joins
 ]
 
 
