@@ -52,19 +52,24 @@ def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window rollup with late-data watermark: the
-    streaming twin of the ``time`` aggregation (Aggregation.scala:401-428).
-    In ``append``/``update`` output modes, state for windows older than the
+    """Event-time windowed rollup with late-data watermark: the streaming
+    twin of the ``time`` aggregation (Aggregation.scala:401-428).  Pass
+    ``slide`` for HOPPING windows (each event lands in window/slide
+    overlapping windows — the streaming twin of the batch
+    ``events_hopping_windows`` grid); default is tumbling.  In
+    ``append``/``update`` output modes, state for windows older than the
     watermark is evicted — bounded memory on an unbounded stream (a
     ``complete``-mode sink keeps all windows; see run_available_now)."""
     from scalligraph_spark.functions import dsum
 
     ts = F.col("ts").cast("timestamp")
+    win = F.window("__ts", window, slide) if slide else F.window("__ts", window)
     return (
         events.withColumn("__ts", ts)
         .withWatermark("__ts", watermark)
-        .groupBy(F.window("__ts", window).alias("win"), F.col("event_type"))
+        .groupBy(win.alias("win"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("count"), dsum(F.col("value")).alias("total"))
         .select(
             F.col("win.start").cast("timestamp_ntz").alias("window_start"),

@@ -262,3 +262,13 @@ def test_jaccard_prefix_join_hashed(spark):
     reached the planner), never a nested loop / cartesian product."""
     p = _plan(spark, "dedup_jaccard_prefix_join")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_rolling_features_single_exchange(spark):
+    """Both rolling features (count, decimal mean) must share ONE window
+    exchange on the user key."""
+    import re
+
+    p = _plan(spark, "events_rolling_features")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
+    assert "CartesianProduct" not in p

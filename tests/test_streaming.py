@@ -320,3 +320,26 @@ def test_dedup_sink_streams_only_new_documents(spark, tmp_path_factory):
     start_dedup_sink(raw3, store, "corpus", fresh).awaitTermination()
     assert store.version("corpus") == v_before
     assert store.read(spark, "corpus").count() == 3
+
+
+def test_hopping_windowed_counts_match_batch(spark, batch_events):
+    """Hopping (slide < window) streaming rollup drains to exactly the
+    batch hopping-window aggregation — each event in 4 windows."""
+    stream_result = run_available_now(
+        windowed_event_counts(
+            event_stream(spark, SF_DIR), window="1 day", watermark="1 day", slide="6 hours"
+        ),
+        query_name="t_hop_rollup",
+    )
+    got = {(r["window_start"], r["event_type"]): (r["count"], r["total"]) for r in stream_result.collect()}
+    expected_df = (
+        batch_events.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 day", "6 hours").alias("win"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("count"), F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total"))
+        .select(F.col("win.start").cast("timestamp_ntz").alias("ws"), "event_type", "count", "total")
+    )
+    expected = {(r["ws"], r["event_type"]): (r["count"], r["total"]) for r in expected_df.collect()}
+    assert got == expected
+    # sanity: hopping produces ~4x the windows of tumbling per event type
+    assert len(got) > len({k for k in got if k[0].hour == 0})
