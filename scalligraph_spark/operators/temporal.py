@@ -279,3 +279,44 @@ def rolling_features(
         cnt.cast("long").alias("n_prev_events"),
         F.round((dec_sum / cnt).cast("double"), round_to).alias("prev_mean"),
     )
+
+
+def ewma_features(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    alpha: float = 0.5,
+    n_prev: int = 4,
+    round_to: int = 12,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average of the PREVIOUS
+    ``n_prev`` values per key — recency-weighted upgrade of
+    :func:`rolling_features`'s flat mean (the streaming-analytics
+    baseline: recent behavior counts more than old behavior).
+
+    The recursive EWMA definition is order-dependent float arithmetic; the
+    truncated form is not: weights ``w_k = α·(1−α)^(k−1)`` for the k-th
+    most recent prior value are FIXED LITERALS, the numerator/denominator
+    are fixed-order sums over ``lag`` columns, and missing lags (fewer
+    than ``n_prev`` priors) drop out of both sums — so the result is a
+    pure deterministic expression any engine replays bit-for-bit
+    (``α = 0.5`` makes every weight an exact binary fraction).  All lags
+    share ONE window sort, same single-exchange shape as
+    rolling_features.  First event per key → null.
+
+    Emits the key, tiebreak, value, ``ewma_prev``.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+    weights = [alpha * (1.0 - alpha) ** (k - 1) for k in range(1, n_prev + 1)]
+    lags = [F.lag(F.col(value_col), k).over(w) for k in range(1, n_prev + 1)]
+    num = None
+    den = None
+    for wt, lg in zip(weights, lags):
+        term = F.coalesce(lg * F.lit(wt), F.lit(0.0))
+        mass = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    ewma = F.when(den > 0, F.round(num / den, round_to))
+    return events.select(key_col, order_tiebreak, value_col, ewma.alias("ewma_prev"))

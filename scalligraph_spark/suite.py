@@ -4269,6 +4269,42 @@ def events_rolling_features_q(spark, sf):
     return rolling_features(ev, n_prev=5)
 
 
+@q(
+    "events_ewma_baseline",
+    """
+WITH l AS (
+  SELECT user_id, event_id, value,
+         lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, value,
+       CASE WHEN (CASE WHEN l1 IS NOT NULL THEN 0.5e0 ELSE 0e0 END
+                  + CASE WHEN l2 IS NOT NULL THEN 0.25e0 ELSE 0e0 END
+                  + CASE WHEN l3 IS NOT NULL THEN 0.125e0 ELSE 0e0 END
+                  + CASE WHEN l4 IS NOT NULL THEN 0.0625e0 ELSE 0e0 END) > 0
+            THEN round((COALESCE(l1 * 0.5e0, 0e0) + COALESCE(l2 * 0.25e0, 0e0)
+                        + COALESCE(l3 * 0.125e0, 0e0) + COALESCE(l4 * 0.0625e0, 0e0))
+                       / (CASE WHEN l1 IS NOT NULL THEN 0.5e0 ELSE 0e0 END
+                          + CASE WHEN l2 IS NOT NULL THEN 0.25e0 ELSE 0e0 END
+                          + CASE WHEN l3 IS NOT NULL THEN 0.125e0 ELSE 0e0 END
+                          + CASE WHEN l4 IS NOT NULL THEN 0.0625e0 ELSE 0e0 END), 12)
+       END AS ewma_prev
+FROM l
+""",
+    "truncated EWMA baseline over the previous 4 events (alpha=0.5 — every "
+    "decay weight an exact binary fraction): fixed-order literal-weighted "
+    "lag sums renormalized over available history, ONE window sort — the "
+    "recency-weighted upgrade of the flat rolling mean, bit-replayable",
+)
+def events_ewma_baseline_q(spark, sf):
+    from scalligraph_spark.operators import ewma_features
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    return ewma_features(ev, alpha=0.5, n_prev=4)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

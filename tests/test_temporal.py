@@ -171,3 +171,39 @@ def test_rolling_features_baseline(spark):
     assert out[3]["n_prev_events"] == 2 and out[3]["prev_mean"] == 15.0
     assert out[4]["n_prev_events"] == 2 and out[4]["prev_mean"] == 25.0  # frame slides off event 1
     assert out[5]["n_prev_events"] == 0  # other user: no cross-key leakage
+
+
+def test_ewma_features_hand_computed(spark):
+    from scalligraph_spark.operators import ewma_features
+
+    rows = [
+        (1, 100, "2024-01-01 00:00:00", 10.0),
+        (2, 100, "2024-01-01 00:01:00", 20.0),
+        (3, 100, "2024-01-01 00:02:00", 40.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r["event_id"]: r["ewma_prev"] for r in ewma_features(ev, alpha=0.5, n_prev=4).collect()}
+    assert out[1] is None
+    assert out[2] == 10.0  # one prior -> renormalized to it exactly
+    # priors of 3: values 20 (w 0.5), 10 (w 0.25) -> (10+2.5)/0.75
+    assert abs(out[3] - round((20 * 0.5 + 10 * 0.25) / 0.75, 12)) < 1e-15
+
+
+def test_ewma_weights_recency(spark):
+    """Same flat mean, different order: EWMA must weight the recent value
+    more."""
+    from scalligraph_spark.operators import ewma_features
+
+    asc = [(i, 1, f"2024-01-01 00:0{i}:00", float(v)) for i, v in [(1, 10), (2, 90)]]
+    desc = [(i, 2, f"2024-01-01 00:0{i}:00", float(v)) for i, v in [(1, 90), (2, 10)]]
+    ev = spark.createDataFrame(asc + desc, "event_id long, user_id long, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    probe = spark.createDataFrame(
+        [(9, 1, "2024-01-01 00:09:00", 0.0), (9, 2, "2024-01-01 00:09:00", 0.0)],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["user_id"]: r["ewma_prev"] for r in ewma_features(ev.unionByName(probe), n_prev=4).collect() if r["event_id"] == 9}
+    assert out[1] > out[2]  # recent 90 beats recent 10
