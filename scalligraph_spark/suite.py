@@ -4305,6 +4305,34 @@ def events_ewma_baseline_q(spark, sf):
     return ewma_features(ev, alpha=0.5, n_prev=4)
 
 
+@q(
+    "source_jsonl_roundtrip",
+    "SELECT doc_id, lang, source, n_chars, text FROM documents",
+    "corpus ingest boundary: documents → deterministic md5-sharded JSONL "
+    "drop (sources.write_jsonl_shards) → lenient PERMISSIVE re-read with "
+    "explicit schema + corrupt-quarantine split; must reproduce the table "
+    "exactly (the jsonl.gz interchange path; safeIterator semantics at the "
+    "file boundary — TraversalOps.scala:56-87 applied to ingest)",
+)
+def source_jsonl_roundtrip_q(spark, sf):
+    import os as _os
+
+    from scalligraph_spark.sources import read_jsonl, split_corrupt, write_jsonl_shards
+
+    docs = cat_for(spark, sf).vertex_df("documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    path = f"/tmp/sgspark_jsonl_{_os.path.basename(sf.rstrip('/'))}"
+    write_jsonl_shards(docs, path, n_shards=8, id_col="doc_id")
+    back = read_jsonl(
+        spark,
+        path,
+        schema="doc_id bigint, lang string, source string, n_chars bigint, text string",
+    )
+    clean, _ = split_corrupt(back)
+    return clean.select("doc_id", "lang", "source", "n_chars", "text")
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
