@@ -20,6 +20,8 @@ Layout (SURVEY.md §7.1):
   fields.py      Field tree + FieldsParser validation tier    (§2.10)
   eventsrv.py    pub/sub commit notifications                 (§2.9)
   store.py       versioned label storage: snapshot swap, compaction, Z-order
+  stats.py       ANALYZE tier: one-pass column stats, stored row-count hints
+  sources.py     corpus ingest/export: JSONL/CSV/text, lenient quarantine
   blobs.py       chunked binary blob storage (FS/HDFS/S3)
   operators/     scale operators: dedup, similarity, temporal joins,
                  corpus pipeline, multimodal, graph analytics

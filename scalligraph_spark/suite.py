@@ -4333,6 +4333,41 @@ def source_jsonl_roundtrip_q(spark, sf):
     return clean.select("doc_id", "lang", "source", "n_chars", "text")
 
 
+@q(
+    "stats_analyze_columns",
+    """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer)
+SELECT 'c_custkey' AS column, n.n_rows,
+       CAST((SELECT count(*) - count(c_custkey) FROM customer) AS BIGINT) AS n_nulls,
+       CAST((SELECT count(DISTINCT c_custkey) FROM customer) AS BIGINT) AS ndv,
+       CAST((SELECT min(c_custkey) FROM customer) AS VARCHAR) AS min_value,
+       CAST((SELECT max(c_custkey) FROM customer) AS VARCHAR) AS max_value FROM n
+UNION ALL
+SELECT 'c_mktsegment', n.n_rows,
+       CAST((SELECT count(*) - count(c_mktsegment) FROM customer) AS BIGINT),
+       CAST((SELECT count(DISTINCT c_mktsegment) FROM customer) AS BIGINT),
+       CAST((SELECT min(c_mktsegment) FROM customer) AS VARCHAR),
+       CAST((SELECT max(c_mktsegment) FROM customer) AS VARCHAR) FROM n
+UNION ALL
+SELECT 'c_nationkey', n.n_rows,
+       CAST((SELECT count(*) - count(c_nationkey) FROM customer) AS BIGINT),
+       CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS BIGINT),
+       CAST((SELECT min(c_nationkey) FROM customer) AS VARCHAR),
+       CAST((SELECT max(c_nationkey) FROM customer) AS VARCHAR) FROM n
+""",
+    "ANALYZE-tier column statistics in ONE aggregate pass (row count, "
+    "nulls, exact NDV, min/max-as-string per column) — the CBO/planning "
+    "feed; approx mode swaps NDV to mergeable HLL++ for 100 TB, and "
+    "stats.analyze persists the result beside the store version so "
+    "auto-sized operators read metadata, not data",
+)
+def stats_analyze_columns_q(spark, sf):
+    from scalligraph_spark.stats import column_stats
+
+    cust = cat_for(spark, sf).vertex_df("customer")
+    return column_stats(cust, columns=["c_custkey", "c_mktsegment", "c_nationkey"], exact=True)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
