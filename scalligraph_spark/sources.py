@@ -84,9 +84,19 @@ def read_jsonl(
         return spark.read.option("mode", "PERMISSIVE").json(path)
     if not lenient:
         return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    return parse_json_lines(spark.read.text(path), schema)
+
+
+def parse_json_lines(lines: DataFrame, schema: T.StructType | str) -> DataFrame:
+    """Relational JSONL parse with quarantine over a ``value: string``
+    DataFrame — shared by batch (`read_jsonl`) and streaming
+    (`streaming.jsonl_doc_stream`) so both boundaries have IDENTICAL
+    lenient semantics.  Pure expressions (filter + from_json + projections):
+    works unchanged under Structured Streaming."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
     parsed = (
-        spark.read.text(path)
-        .filter(F.trim(F.col("value")) != "")  # the json source skips blank lines; match it
+        lines.filter(F.trim(F.col("value")) != "")  # the json source skips blank lines; match it
         .select(
             F.col("value"),
             F.from_json(

@@ -48,6 +48,30 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
+def jsonl_doc_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming ingest of the JSONL interchange format: file-source text
+    stream → the SAME relational lenient parse as batch
+    (`sources.parse_json_lines`), so a malformed line quarantines instead
+    of killing the stream — safeIterator semantics on a live firehose.
+
+    Returns ``(clean, corrupt)`` streaming DataFrames sharing one source;
+    route clean to `start_parquet_sink`/`start_store_sink` and corrupt to
+    a reject sink.  ``max_files_per_trigger`` bounds batch size when
+    draining a large backlog (admission control for the 100 TB catch-up)."""
+    from scalligraph_spark.sources import parse_json_lines, split_corrupt
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    lines = reader.text(path)
+    return split_corrupt(parse_json_lines(lines, schema))
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

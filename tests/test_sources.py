@@ -108,3 +108,22 @@ def test_read_text_lines(spark, tmp_path):
     (tmp_path / "a.txt").write_text("l1\nl2\nl3")
     df = read_text_docs(spark, str(tmp_path / "a.txt"), whole_files=False)
     assert sorted(r["text"] for r in df.collect()) == ["l1", "l2", "l3"]
+
+
+def test_jsonl_stream_ingest_quarantine(spark, tmp_path):
+    """Streaming twin of the lenient read: identical quarantine semantics
+    (shared parse_json_lines), clean and corrupt drains from one source."""
+    from scalligraph_spark.streaming import jsonl_doc_stream, run_available_now
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en"}\n'
+        "{broken line\n"
+        '{"doc_id": 2, "text": "fine", "lang": "fr"}\n'
+    )
+    clean, corrupt = jsonl_doc_stream(spark, str(src), DOCS_SCHEMA, max_files_per_trigger=1)
+    got_clean = run_available_now(clean, query_name="jsonl_clean", output_mode="append")
+    got_corrupt = run_available_now(corrupt, query_name="jsonl_corrupt", output_mode="append")
+    assert sorted(r["doc_id"] for r in got_clean.collect()) == [1, 2]
+    assert [r[CORRUPT_COL] for r in got_corrupt.collect()] == ["{broken line"]
