@@ -4368,6 +4368,28 @@ def stats_analyze_columns_q(spark, sf):
     return column_stats(cust, columns=["c_custkey", "c_mktsegment", "c_nationkey"], exact=True)
 
 
+@q(
+    "diag_key_skew",
+    """
+WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nkeys FROM c)
+SELECT l_suppkey, n_rows,
+       CAST(n_rows AS DOUBLE) / tot AS share,
+       CAST(n_rows * nkeys AS DOUBLE) / tot AS ratio_to_mean
+FROM c, t ORDER BY n_rows DESC, l_suppkey ASC LIMIT 20
+""",
+    "join-key skew profiler: top-k heaviest keys + ratio-to-mean (the "
+    "straggler predictor that decides plain shuffle vs AQE skew-split vs "
+    "salting) — one map-side-combined count agg, TakeOrderedAndProject "
+    "top-k, broadcast 1-row totals",
+)
+def diag_key_skew_q(spark, sf):
+    from scalligraph_spark.operators import key_skew_profile
+
+    li = cat_for(spark, sf).vertex_df("lineitem")
+    return key_skew_profile(li, ["l_suppkey"], k=20)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

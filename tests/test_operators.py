@@ -1257,3 +1257,25 @@ def test_bigram_logprob_short_docs_drop(spark):
     docs = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id long, text string")
     out = {r["doc_id"] for r in bigram_logprob_score(docs).collect()}
     assert out == {2}
+
+
+def test_key_skew_profile(spark):
+    from scalligraph_spark.operators import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("hot",)] * 8 + [("warm",)] * 3 + [("a",), ("b",), ("c",)],
+        "k string",
+    )
+    rows = key_skew_profile(df, ["k"], k=2).collect()
+    assert [(r["k"], r["n_rows"]) for r in rows] == [("hot", 8), ("warm", 3)]
+    # 5 distinct keys, 14 rows: mean 2.8 → hot ratio = 8*5/14
+    assert abs(rows[0]["ratio_to_mean"] - 8 * 5 / 14) < 1e-12
+    assert abs(rows[0]["share"] - 8 / 14) < 1e-12
+
+
+def test_key_skew_profile_topk_plan(spark):
+    from scalligraph_spark.operators import key_skew_profile
+
+    df = spark.range(100).withColumn("k", (F.col("id") % 7).cast("string"))
+    plan = key_skew_profile(df, ["k"], k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
