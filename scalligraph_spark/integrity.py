@@ -51,6 +51,37 @@ def _bloom_words(parent: DataFrame, parent_key: str, m_bits: int, k: int) -> Dat
     )
 
 
+def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: (m_bits, k) for ``n_items`` at ``fpp``."""
+    import math
+
+    n = max(n_items, 1)
+    m_bits = max(64, int(-n * math.log(max(min(fpp, 0.5), 1e-9)) / (math.log(2) ** 2)))
+    k = max(1, min(8, round(m_bits / n * math.log(2))))
+    return m_bits, k
+
+
+def bloom_probe(df: DataFrame, col: str, words: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """Probe ``df[col]`` against a ``(w, word)`` Bloom word table: returns
+    ``df`` plus a boolean ``__maybe`` column (no false negatives — False
+    means DEFINITELY absent).  The probe is ``k`` equi-joins on the word
+    index; with the word table broadcast these are map-only."""
+    probed = df
+    hit_cols = []
+    for i in range(k):
+        probed = probed.withColumn(f"__pos{i}", F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits)))
+        w = words.select(F.col("w").alias(f"__w{i}"), F.col("word").alias(f"__word{i}"))
+        probed = probed.join(w, (F.col(f"__pos{i}") / 64).cast("long") == F.col(f"__w{i}"), "left")
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos{i} % 64 AS INT))")
+        hit = F.col(f"__word{i}").isNotNull() & (F.col(f"__word{i}").bitwiseAND(mask) != 0)
+        hit_cols.append(hit)
+    maybe_present = hit_cols[0]
+    for h in hit_cols[1:]:
+        maybe_present = maybe_present & h
+    drop = [c for i in range(k) for c in (f"__w{i}", f"__word{i}", f"__pos{i}")]
+    return probed.withColumn("__maybe", maybe_present).drop(*drop)
+
+
 def dangling_links_bloom(
     child: DataFrame,
     fk_col: str,
@@ -84,36 +115,19 @@ def dangling_links_bloom(
     ``expected_items`` sizes the filter without a ``count()`` job over the
     parent (same hint contract as the ANN auto-sizing).
     """
-    import math
-
     n = expected_items if expected_items is not None else parent.count()
-    n = max(n, 1)
-    m_bits = max(64, int(-n * math.log(max(min(fpp, 0.5), 1e-9)) / (math.log(2) ** 2)))
-    k = max(1, min(8, round(m_bits / n * math.log(2))))
+    m_bits, k = bloom_params(n, fpp)
     words = _bloom_words(parent, parent_key, m_bits, k)
     # broadcast when plausibly small (16 B/row heuristic; beyond that Spark
     # would spill the broadcast anyway — let the planner shuffle instead)
     if m_bits // 64 <= 16_000_000:
         words = F.broadcast(words)
 
-    probed = child
-    hit_cols = []
-    for i in range(k):
-        probed = probed.withColumn(f"__pos{i}", F.pmod(F.xxhash64(F.col(fk_col), F.lit(i)), F.lit(m_bits)))
-        w = words.select(F.col("w").alias(f"__w{i}"), F.col("word").alias(f"__word{i}"))
-        probed = probed.join(w, (F.col(f"__pos{i}") / 64).cast("long") == F.col(f"__w{i}"), "left")
-        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos{i} % 64 AS INT))")
-        hit = F.col(f"__word{i}").isNotNull() & (F.col(f"__word{i}").bitwiseAND(mask) != 0)
-        hit_cols.append(hit)
-    maybe_present = hit_cols[0]
-    for h in hit_cols[1:]:
-        maybe_present = maybe_present & h
-    probed = probed.withColumn("__maybe", maybe_present)
-    drop = [c for i in range(k) for c in (f"__w{i}", f"__word{i}", f"__pos{i}")]
-    definite = probed.where(~F.col("__maybe")).drop("__maybe", *drop)
+    probed = bloom_probe(child, fk_col, words, m_bits, k)
+    definite = probed.where(~F.col("__maybe")).drop("__maybe")
     if not exact:
         return definite
-    survivors = probed.where(F.col("__maybe")).drop("__maybe", *drop)
+    survivors = probed.where(F.col("__maybe")).drop("__maybe")
     return definite.unionByName(dangling_links(survivors, fk_col, parent, parent_key))
 
 

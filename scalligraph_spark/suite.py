@@ -4390,6 +4390,29 @@ def diag_key_skew_q(spark, sf):
     return key_skew_profile(li, ["l_suppkey"], k=20)
 
 
+@q(
+    "join_bloom_prefiltered",
+    """
+SELECT l.l_orderkey, l.l_suppkey, l.l_quantity, s.s_name
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey = 3
+""",
+    "Bloom-prefiltered BIG⨝BIG equi-join: build-side keys condense to a "
+    "broadcast (word,bits) table, probe rows drop MAP-SIDE before the "
+    "exact join — bit-identical to the plain join (no false negatives), "
+    "exchange carries only match_fraction+fpp of the probe side (the "
+    "relational runtime bloom filter / semi-join pushdown)",
+)
+def join_bloom_prefiltered_q(spark, sf):
+    from scalligraph_spark.operators import bloom_prefiltered_join
+
+    cat = cat_for(spark, sf)
+    li = cat.vertex_df("lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    supp = cat.vertex_df("supplier").where(F.col("s_nationkey") == 3).select("s_suppkey", "s_name")
+    out = bloom_prefiltered_join(li, supp, "l_suppkey", "s_suppkey", how="inner")
+    return out.select("l_orderkey", "l_suppkey", "l_quantity", "s_name")
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -56,3 +56,34 @@ def test_bloom_null_fk_counts_as_dangling(spark):
     child = spark.createDataFrame([(1, 5), (2, None), (3, 99)], "cid long, fk long")
     out = {r["cid"] for r in dangling_links_bloom(child, "fk", parent, "pk", expected_items=10).collect()}
     assert out == {2, 3}
+
+
+def test_bloom_prefiltered_join_exact_equivalence(spark):
+    """bloom_prefiltered_join == plain join (no false negatives), for both
+    inner and left_semi; outer shapes are rejected."""
+    import pytest as _pytest
+
+    from scalligraph_spark.operators import bloom_prefiltered_join
+
+    probe = spark.createDataFrame([(i, f"p{i}") for i in range(200)], "k long, pv string")
+    build = spark.createDataFrame([(i * 3, f"b{i}") for i in range(30)], "bk long, bv string")
+
+    plain = probe.join(build, probe["k"] == build["bk"], "inner")
+    fast = bloom_prefiltered_join(probe, build, "k", "bk", how="inner", fpp=0.01)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, plain.collect()))
+
+    plain_semi = probe.join(build, probe["k"] == build["bk"], "left_semi")
+    fast_semi = bloom_prefiltered_join(probe, build, "k", "bk", how="left_semi")
+    assert sorted(map(tuple, fast_semi.collect())) == sorted(map(tuple, plain_semi.collect()))
+
+    with _pytest.raises(ValueError):
+        bloom_prefiltered_join(probe, build, "k", "bk", how="left")
+
+
+def test_bloom_prefiltered_join_expected_items_hint(spark):
+    from scalligraph_spark.operators import bloom_prefiltered_join
+
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    build = spark.createDataFrame([(i * 5,) for i in range(10)], "bk long")
+    out = bloom_prefiltered_join(probe, build, "k", "bk", expected_items=10)
+    assert out.count() == probe.join(build, probe["k"] == build["bk"]).count()
