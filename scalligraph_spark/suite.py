@@ -4413,6 +4413,37 @@ def join_bloom_prefiltered_q(spark, sf):
     return out.select("l_orderkey", "l_suppkey", "l_quantity", "s_name")
 
 
+@q(
+    "writes_upsert_merge",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END AS text,
+       CASE WHEN doc_id % 10 = 0 THEN 'rewrite' ELSE source END AS source
+FROM documents
+UNION ALL
+SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR), 'backfill'
+FROM documents WHERE doc_id % 100 = 7
+""",
+    "MERGE upsert as a batch rewrite: matched keys replaced by the batch, "
+    "unmatched batch rows insert, everything else survives — one anti "
+    "join (broadcast for small sync batches) + union",
+)
+def writes_upsert_merge_q(spark, sf):
+    from scalligraph_spark.writes import upsert
+
+    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "text", "source")
+    updates = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.upper("text").alias("text"), F.lit("rewrite").alias("source"))
+    )
+    inserts = docs.where(F.col("doc_id") % 100 == 7).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("backfill").alias("source"),
+    )
+    return upsert(docs, updates.unionByName(inserts), keys=["doc_id"])
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

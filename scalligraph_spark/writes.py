@@ -105,6 +105,35 @@ def remove_where(df: DataFrame, cond: Column) -> DataFrame:
     return df.where(~cond)
 
 
+def upsert(
+    current: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    updated_by: str | None = None,
+    at: str | None = None,
+) -> DataFrame:
+    """MERGE: batch rows replace same-key current rows, unmatched batch
+    rows insert, everything else survives — ``WHEN MATCHED THEN UPDATE /
+    WHEN NOT MATCHED THEN INSERT`` as a batch rewrite (the mutable-sync
+    shape for dimension feeds; for history-preserving merges use
+    ``operators.temporal.scd2_merge`` instead).
+
+    Plan: one ANTI join of current against the batch's key projection
+    (broadcast when the batch is small — the common sync case) + a union;
+    the 100 TB current table never shuffles on anything but the join key,
+    and with a store bucketed on the key the anti join is exchange-free.
+    ``updated_by``/``at`` stamp the audit envelope on the incoming rows
+    (matching ``update_where``'s contract).
+    """
+    incoming = batch
+    if updated_by is not None:
+        incoming = incoming.withColumn("_updated_by", F.lit(updated_by))
+        if at is not None:
+            incoming = incoming.withColumn("_updated_at", F.lit(at).cast("timestamp_ntz"))
+    survivors = current.join(batch.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+    return survivors.unionByName(incoming, allowMissingColumns=True)
+
+
 def add_value(df: DataFrame, col: str, value) -> DataFrame:
     """Multi-valued property addValue → array_union (Mapping.scala:147-168)."""
     return df.withColumn(col, F.array_union(F.col(col), F.array(F.lit(value))))

@@ -128,3 +128,29 @@ def test_write_session_transaction(spark, tmp_path):
     # abandoned session = rollback: build one, never commit
     WriteSession(spark, store, "person", id_col="pid").remove(F.lit(True))
     assert store.read(spark, "person").count() == 2
+
+
+def test_upsert_merge_semantics(spark):
+    from scalligraph_spark.writes import upsert
+
+    cur = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", None)], "id long, v string, _updated_by string"
+    )
+    batch = spark.createDataFrame([(2, "B2"), (4, "D4")], "id long, v string")
+    out = upsert(cur, batch, keys=["id"], updated_by="sync", at="2024-01-02 00:00:00")
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2]["v"] == "B2" and rows[2]["_updated_by"] == "sync"  # matched → replaced + stamped
+    assert rows[4]["v"] == "D4"  # unmatched batch → inserted
+    assert rows[1]["v"] == "a" and rows[1]["_updated_by"] is None  # untouched survives unstamped
+
+
+def test_upsert_dedups_batch_keys(spark):
+    from scalligraph_spark.writes import upsert
+
+    cur = spark.createDataFrame([(1, "a")], "id long, v string")
+    batch = spark.createDataFrame([(1, "x"), (1, "y")], "id long, v string")
+    out = upsert(cur, batch, keys=["id"])
+    # both batch rows land (last-write-wins needs an explicit dedup upstream);
+    # the current row is gone — no duplicate of id=1 from the survivor side
+    assert sorted(r["v"] for r in out.collect()) == ["x", "y"]
