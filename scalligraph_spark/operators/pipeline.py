@@ -459,3 +459,68 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def negative_pairs(
+    items: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    pool_size: int = 256,
+    salt: str = "neg-v1",
+    pool_salt: str = "negpool-v1",
+) -> DataFrame:
+    """Deterministic uniform negative sampling — the contrastive-training
+    staple (in-batch negatives / negative pairs for embedding training),
+    REPRODUCIBLE across re-runs: every (anchor, j) maps to the same
+    negative because the draw is a pure md5 function of (salt, id, j),
+    never RNG state or partitioning (same portability contract as
+    :func:`split_corpus` / :func:`shuffle_shards`).
+
+    Scale shape: a naive uniform draw needs a global row index — a full
+    sort at 100 TB.  Instead the candidate pool is the ``pool_size`` ids
+    with the smallest ``md5(pool_salt:id)`` (TakeOrderedAndProject — no
+    full sort; the md5 order makes the pool itself a uniform deterministic
+    sample), ranked by a window over just those rows and BROADCAST; each
+    anchor explodes k draws and equi-joins ``md5(salt:id:j) % pool_size``
+    against the pool rank map-side.  Self-pairs are filtered (those
+    anchors yield k-1 negatives; re-draw loops are not worth a second
+    shuffle at this approximation level).
+
+    Requires ``pool_size <= |items|`` (always true at training scale).
+    Output: ``(anchor_id, j, neg_id)``.
+    """
+    mh = F.md5(F.concat_ws(":", F.lit(pool_salt), F.col(id_col).cast("string")).cast("binary"))
+    pool = (
+        items.select(F.col(id_col).alias("neg_id"), mh.alias("__m"))
+        .orderBy("__m", "neg_id")
+        .limit(pool_size)
+    )
+    w = Window.orderBy("__m", "neg_id")
+    pool = pool.withColumn("rnk", (F.row_number().over(w) - 1).cast("long")).drop("__m")
+    anchors = items.select(
+        F.col(id_col).alias("anchor_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    )
+    idx = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("anchor_id").cast("string"), F.col("j").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(pool_size),
+    )
+    drawn = anchors.withColumn("__idx", idx).join(
+        F.broadcast(pool), F.col("__idx") == F.col("rnk"), "inner"
+    )
+    return (
+        drawn.where(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", F.col("j").cast("long").alias("j"), "neg_id")
+    )

@@ -4444,6 +4444,36 @@ def writes_upsert_merge_q(spark, sf):
     return upsert(docs, updates.unionByName(inserts), keys=["doc_id"])
 
 
+@q(
+    "pipeline_negative_pairs",
+    """
+WITH ranked AS (
+  SELECT vec_id AS neg_id,
+         md5('negpool-v1:' || CAST(vec_id AS VARCHAR)) AS m
+  FROM embeddings ORDER BY m, neg_id LIMIT 256
+), pool AS (
+  SELECT neg_id, row_number() OVER (ORDER BY m, neg_id) - 1 AS rnk FROM ranked
+), draws AS (
+  SELECT e.vec_id AS anchor_id, CAST(u.j AS BIGINT) AS j,
+         CAST(('0x' || substr(md5('neg-v1:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS idx
+  FROM embeddings e, unnest(range(4)) AS u(j)
+)
+SELECT anchor_id, j, neg_id
+FROM draws JOIN pool ON draws.idx = pool.rnk
+WHERE neg_id <> anchor_id
+""",
+    "deterministic uniform negative sampling for contrastive training: "
+    "md5-ordered top-N candidate pool (TakeOrdered, no full sort) "
+    "broadcast against per-anchor md5 draws — pure function of "
+    "(salt, id, j), reproducible across engines and re-runs",
+)
+def pipeline_negative_pairs_q(spark, sf):
+    from scalligraph_spark.operators import negative_pairs
+
+    emb = cat_for(spark, sf).vertex_df("embeddings")
+    return negative_pairs(emb, k=4, pool_size=256)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
@@ -4464,6 +4494,12 @@ def writes_upsert_merge_q(spark, sf):
 # new oracle-exact families: BFS + weighted SSSP (the first graph rows
 # under the driver hash gate), BM25 retrieval, document chunking, and
 # cross-corpus term drift.  Rotated-out entries stay suite-checked.
+# Round-4 session-5: five more dupes rotate out (hop_two_chain→hop_out_in+
+# hop_edge_property_filter; qagg_field_order_size→qagg_field_subaggs;
+# text_lang_fingerprint→text_quality_tokens; q5→q1+q3; events_funnel→
+# events_sessionize) for the session's new oracle-exact families: the
+# JSONL ingest/export boundary, the ANALYZE stats tier, the join-key skew
+# profiler, the Bloom-prefiltered join, and MERGE upsert.
 _WINDOW = [
     "scan_by_ids",
     "union_all_forms",
@@ -4475,7 +4511,7 @@ _WINDOW = [
     "json_filter_grammar",
     "text_bm25_search",
     "hop_out_in",
-    "hop_two_chain",
+    "source_jsonl_roundtrip",
     "hop_edge_property_filter",
     "select_as_bag",
     "graph_bfs_distances",
@@ -4485,7 +4521,7 @@ _WINDOW = [
     "text_term_drift",
     "pipeline_chunk_documents",
     "qagg_count",
-    "qagg_field_order_size",
+    "stats_analyze_columns",
     "qagg_field_subaggs",
     "qagg_time_day",
     "qlang_sort_page",
@@ -4501,7 +4537,7 @@ _WINDOW = [
     "similarity_cosine_topk",
     "events_sessionize",
     "text_quality_tokens",
-    "text_lang_fingerprint",
+    "diag_key_skew",
     "multimodal_features",
     "temporal_asof_join_bucketed",
     "temporal_range_join",
@@ -4513,8 +4549,8 @@ _WINDOW = [
     "auth_property",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "events_funnel",
+    "join_bloom_prefiltered",
+    "writes_upsert_merge",
 ]
 
 

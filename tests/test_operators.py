@@ -1279,3 +1279,22 @@ def test_key_skew_profile_topk_plan(spark):
     df = spark.range(100).withColumn("k", (F.col("id") % 7).cast("string"))
     plan = key_skew_profile(df, ["k"], k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
+
+
+def test_negative_pairs_deterministic_and_uniformish(spark):
+    from scalligraph_spark.operators import negative_pairs
+
+    items = spark.createDataFrame([(i,) for i in range(50)], "vec_id long")
+    a = negative_pairs(items, k=3, pool_size=16)
+    b = negative_pairs(items.repartition(7), k=3, pool_size=16)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # pure function of (salt, id, j) — partitioning-invariant
+    # every anchor draws k negatives minus self-collisions; no self pairs
+    assert all(anchor != neg for anchor, _, neg in ra)
+    per_anchor = {}
+    for anchor, j, _ in ra:
+        per_anchor.setdefault(anchor, set()).add(j)
+    assert all(js <= {0, 1, 2} and len(js) >= 2 for js in per_anchor.values())
+    # negatives hit a spread of the pool, not one candidate
+    assert len({neg for _, _, neg in ra}) >= 8
