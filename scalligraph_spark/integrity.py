@@ -41,7 +41,7 @@ def _bloom_words(parent: DataFrame, parent_key: str, m_bits: int, k: int) -> Dat
             F.array(*[F.pmod(F.xxhash64(F.col(parent_key), F.lit(i)), F.lit(m_bits)) for i in range(k)])
         ).alias("pos")
     )
-    return (
+    words = (
         positions.select(
             (F.col("pos") / 64).cast("long").alias("w"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
@@ -49,6 +49,12 @@ def _bloom_words(parent: DataFrame, parent_key: str, m_bits: int, k: int) -> Dat
         .groupBy("w")
         .agg(F.expr("bit_or(b)").alias("word"))
     )
+    # materialize ONCE: the probe is k separate joins against this table,
+    # and each would otherwise recompute the whole build (k scans of the
+    # build side — the exact cost the bloom exists to avoid)
+    words = words.persist()
+    words.count()
+    return words
 
 
 def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
