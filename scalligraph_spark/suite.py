@@ -155,6 +155,28 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         return Traversal(out, catalog=g, label=None)
 
     ex.register_init("shortestPaths", _shortest_paths)
+
+    def _key_skew(g, s, a):
+        from scalligraph_spark.operators import key_skew_profile
+
+        t = g.V(str(s["label"]))
+        keys = [str(c) for c in s["keys"]]
+        return Traversal(key_skew_profile(t.df, keys, k=int(s.get("k", 20))), catalog=g, label=None)
+
+    ex.register_init("keySkew", _key_skew)
+
+    def _analyze(g, s, a):
+        from scalligraph_spark.stats import column_stats
+
+        t = g.V(str(s["label"]))
+        cols = [str(c) for c in s["columns"]] if "columns" in s else None
+        return Traversal(
+            column_stats(t.df, columns=cols, exact=bool(s.get("exact", False))),
+            catalog=g,
+            label=None,
+        )
+
+    ex.register_init("analyze", _analyze)
     return ex
 
 
@@ -4472,6 +4494,51 @@ def pipeline_negative_pairs_q(spark, sf):
 
     emb = cat_for(spark, sf).vertex_df("embeddings")
     return negative_pairs(emb, k=4, pool_size=256)
+
+
+@q(
+    "qlang_key_skew",
+    """
+WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nkeys FROM c)
+SELECT o_custkey, n_rows,
+       CAST(n_rows AS DOUBLE) / tot AS share,
+       CAST(n_rows * nkeys AS DOUBLE) / tot AS ratio_to_mean
+FROM c, t ORDER BY n_rows DESC, o_custkey ASC LIMIT 10
+""",
+    "skew profiler through the JSON query language: {_name: keySkew, "
+    "label, keys, k} registered init query (QueryExecutor.scala:28-29 "
+    "extension mechanism over the diagnostics operator)",
+)
+def qlang_key_skew_q(spark, sf):
+    ex = executor_for(spark, sf)
+    return ex.execute([{"_name": "keySkew", "label": "orders", "keys": ["o_custkey"], "k": 10}]).df
+
+
+@q(
+    "qlang_analyze",
+    """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+SELECT 'o_orderstatus' AS column, n.n_rows,
+       CAST((SELECT count(*) - count(o_orderstatus) FROM orders) AS BIGINT) AS n_nulls,
+       CAST((SELECT count(DISTINCT o_orderstatus) FROM orders) AS BIGINT) AS ndv,
+       CAST((SELECT min(o_orderstatus) FROM orders) AS VARCHAR) AS min_value,
+       CAST((SELECT max(o_orderstatus) FROM orders) AS VARCHAR) AS max_value FROM n
+UNION ALL
+SELECT 'o_orderpriority', n.n_rows,
+       CAST((SELECT count(*) - count(o_orderpriority) FROM orders) AS BIGINT),
+       CAST((SELECT count(DISTINCT o_orderpriority) FROM orders) AS BIGINT),
+       CAST((SELECT min(o_orderpriority) FROM orders) AS VARCHAR),
+       CAST((SELECT max(o_orderpriority) FROM orders) AS VARCHAR) FROM n
+""",
+    "ANALYZE through the JSON query language: {_name: analyze, label, "
+    "columns, exact} registered init query over the stats tier",
+)
+def qlang_analyze_q(spark, sf):
+    ex = executor_for(spark, sf)
+    return ex.execute(
+        [{"_name": "analyze", "label": "orders", "columns": ["o_orderstatus", "o_orderpriority"], "exact": True}]
+    ).df
 
 
 # -- driver window (explicit) -------------------------------------------------

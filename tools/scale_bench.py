@@ -75,6 +75,13 @@ QUERIES = [
     "sketch_countmin_counts",  # depth x explode + fixed-size agg
     "events_rolling_features",  # one sort+window exchange
     "graph_personalized_pagerank",  # superstep joins
+    # round-4 session-5 additions
+    "source_jsonl_roundtrip",  # write + lenient re-read (map-only both ways)
+    "diag_key_skew",  # count agg + TakeOrdered
+    "join_bloom_prefiltered",  # bloom build (once) + map-side probes + join
+    "writes_upsert_merge",  # key anti join + union
+    "pipeline_negative_pairs",  # TakeOrdered pool + broadcast draw join
+    "stats_analyze_columns",  # one exact-distinct aggregate pass
 ]
 
 
