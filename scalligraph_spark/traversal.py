@@ -918,3 +918,11 @@ class Traversal:
 
     def explain(self, mode: str = "formatted"):
         return self.df.explain(mode)
+
+    def profile(self, all_metrics: bool = False) -> str:
+        """Execute and return per-operator runtime metrics (the
+        TraversalPrinter PROFILE analog — TraversalPrinter.scala:25-196);
+        see :mod:`scalligraph_spark.profiling`."""
+        from scalligraph_spark.profiling import profile
+
+        return profile(self.df, all_metrics=all_metrics)
