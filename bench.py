@@ -70,6 +70,12 @@ HEADLINE = [
     # round-4 session-4 additions
     "text_bm25_search",  # broadcast-stats ranked retrieval
     "graph_bfs_distances",  # frontier-loop shortest paths
+    # round-4 session-5 additions
+    "source_jsonl_roundtrip",  # sharded JSONL export + lenient re-read
+    "stats_analyze_columns",  # one-pass exact column stats
+    "diag_key_skew",  # heavy-key profiler (count agg + TakeOrdered)
+    "join_bloom_prefiltered",  # bloom build-once + map-side probe + join
+    "pipeline_negative_pairs",  # TakeOrdered pool + broadcast draws
 ]
 
 

@@ -22,6 +22,7 @@ Layout (SURVEY.md §7.1):
   store.py       versioned label storage: snapshot swap, compaction, Z-order
   stats.py       ANALYZE tier: one-pass column stats, stored row-count hints
   sources.py     corpus ingest/export: JSONL/CSV/text, lenient quarantine
+  profiling.py   runtime per-operator metrics (TraversalPrinter PROFILE)
   blobs.py       chunked binary blob storage (FS/HDFS/S3)
   operators/     scale operators: dedup, similarity, temporal joins,
                  corpus pipeline, multimodal, graph analytics
