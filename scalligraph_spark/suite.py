@@ -4541,6 +4541,24 @@ def qlang_analyze_q(spark, sf):
     ).df
 
 
+@q(
+    "text_bpe_tokenize",
+    None,  # BPE apply is an iterative per-word merge loop — no SQL twin; rows-only
+    "BPE tokenizer prep: ONE corpus aggregate (word frequencies) → "
+    "bounded-vocab driver merge training (TakeOrdered cap — the "
+    "sentencepiece/HF trainer architecture) → Arrow-batched map-only "
+    "encode with broadcast merge ranks + per-batch word cache; "
+    "determinism pinned by lexicographic tie-breaks (differential-tested "
+    "vs an independent naive trainer)",
+)
+def text_bpe_tokenize_q(spark, sf):
+    from scalligraph_spark.operators import encode_bpe, train_bpe
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    merges = train_bpe(docs, n_merges=40, max_words=20_000)
+    return encode_bpe(docs, merges).select("doc_id", "n_tokens", "tokens")
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
