@@ -77,6 +77,58 @@ def column_stats(df: DataFrame, columns: list[str] | None = None, exact: bool = 
     ).select("column", "n_rows", "n_nulls", "ndv", "min_value", "max_value")
 
 
+def column_sketches(df: DataFrame, columns: list[str] | None = None, lgk: int = 12) -> DataFrame:
+    """Mergeable column statistics: ``(column, n_rows, n_nulls,
+    ndv_sketch)`` with NDV as a DataSketches HLL sketch (binary).
+
+    This is the INCREMENTAL form of :func:`column_stats`: sketch each new
+    batch/partition as it lands, :func:`merge_sketches` unions them, and
+    :func:`sketch_estimates` reads NDV out — stats stay fresh at 100 TB
+    without ever rescanning history (counts/nulls are additive, HLL union
+    is the mergeable NDV; min/max need the typed exact pass of
+    :func:`column_stats`, which is why both tiers exist).
+    """
+    cols = columns or df.columns
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.hll_sketch_agg(F.col(c).cast("string"), lgk).alias(f"__sk_{c}"))
+    row = df.agg(*aggs)
+    stack_args: list = []
+    for c in cols:
+        stack_args += [F.lit(c), F.col("__n") - F.col(f"__nn_{c}"), F.col(f"__sk_{c}")]
+    return row.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(F.lit(len(cols)), *stack_args).alias("column", "n_nulls", "ndv_sketch"),
+    ).select("column", "n_rows", "n_nulls", "ndv_sketch")
+
+
+def merge_sketches(*sketch_dfs: DataFrame) -> DataFrame:
+    """Union per-batch sketch tables into one: counts add, HLL sketches
+    union (commutative/associative — any merge tree gives the same
+    estimate).  One tiny shuffle on the column name."""
+    if not sketch_dfs:
+        raise ValueError("need at least one sketch table")
+    allb = sketch_dfs[0]
+    for d in sketch_dfs[1:]:
+        allb = allb.unionByName(d)
+    return allb.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.hll_union_agg("ndv_sketch").alias("ndv_sketch"),
+    )
+
+
+def sketch_estimates(sketches: DataFrame) -> DataFrame:
+    """Read ``(column, n_rows, n_nulls, ndv)`` out of a sketch table."""
+    return sketches.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.hll_sketch_estimate("ndv_sketch").alias("ndv"),
+    )
+
+
 def analyze(
     spark: SparkSession,
     store,

@@ -4559,6 +4559,36 @@ def text_bpe_tokenize_q(spark, sf):
     return encode_bpe(docs, merges).select("doc_id", "n_tokens", "tokens")
 
 
+@q(
+    "stats_incremental_sketches",
+    """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents)
+SELECT 'lang' AS column, n.n_rows,
+       CAST((SELECT count(*) - count(lang) FROM documents) AS BIGINT) AS n_nulls,
+       CAST((SELECT count(DISTINCT lang) FROM documents) AS BIGINT) AS ndv FROM n
+UNION ALL
+SELECT 'source', n.n_rows,
+       CAST((SELECT count(*) - count(source) FROM documents) AS BIGINT),
+       CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT) FROM n
+""",
+    "incremental stats: per-batch HLL column sketches (documents split in "
+    "two batches) merged via hll_union_agg, estimates read out — the "
+    "never-rescan-history NDV path; exact at these cardinalities (HLL "
+    "list mode) so the DuckDB exact-distinct oracle must match",
+)
+def stats_incremental_sketches_q(spark, sf):
+    from scalligraph_spark.stats import column_sketches, merge_sketches, sketch_estimates
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    merged = merge_sketches(
+        column_sketches(b1, columns=["lang", "source"]),
+        column_sketches(b2, columns=["lang", "source"]),
+    )
+    return sketch_estimates(merged)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -82,3 +82,33 @@ def test_hint_feeds_auto_sized_operator(spark, tmp_path):
     assert hint == 64
     cand = lsh_bucket_candidates(store.read(spark, "emb"), n_rows=hint)
     assert cand.count() >= 0  # runs end-to-end with the hint
+
+
+def test_incremental_sketches_match_full_scan(spark):
+    """sketch(batch1) ⊎ sketch(batch2) == sketch(batch1 ∪ batch2): the
+    incremental path never rescans history.  HLL is exact at these
+    cardinalities, so estimates equal exact distinct counts."""
+    from scalligraph_spark.stats import column_sketches, merge_sketches, sketch_estimates
+
+    b1 = spark.createDataFrame([(i, f"c{i % 5}") for i in range(100)], "id long, cat string")
+    b2 = spark.createDataFrame([(i, f"c{i % 7}") for i in range(50, 200)], "id long, cat string")
+    merged = merge_sketches(column_sketches(b1), column_sketches(b2))
+    got = {r["column"]: r for r in sketch_estimates(merged).collect()}
+    assert got["id"]["n_rows"] == 250 and got["id"]["n_nulls"] == 0
+    assert got["id"]["ndv"] == 200  # |{0..199}| — overlap deduped by the union
+    assert got["cat"]["ndv"] == 7  # c0..c6
+    # full-scan equivalence
+    full = {r["column"]: r for r in sketch_estimates(column_sketches(b1.unionByName(b2))).collect()}
+    assert {k: (v["ndv"], v["n_nulls"]) for k, v in got.items()} == {
+        k: (v["ndv"], v["n_nulls"]) for k, v in full.items()
+    }
+
+
+def test_merge_sketches_order_insensitive(spark):
+    from scalligraph_spark.stats import column_sketches, merge_sketches, sketch_estimates
+
+    a = column_sketches(spark.createDataFrame([(1,), (2,)], "x long"))
+    b = column_sketches(spark.createDataFrame([(2,), (3,)], "x long"))
+    ab = sketch_estimates(merge_sketches(a, b)).collect()[0]
+    ba = sketch_estimates(merge_sketches(b, a)).collect()[0]
+    assert ab["ndv"] == ba["ndv"] == 3
