@@ -127,3 +127,24 @@ def test_jsonl_stream_ingest_quarantine(spark, tmp_path):
     got_corrupt = run_available_now(corrupt, query_name="jsonl_corrupt", output_mode="append")
     assert sorted(r["doc_id"] for r in got_clean.collect()) == [1, 2]
     assert [r[CORRUPT_COL] for r in got_corrupt.collect()] == ["{broken line"]
+
+
+def test_jsonl_roundtrip_hostile_text(spark, tmp_path):
+    """Embedded newlines/tabs/quotes/unicode/backslashes survive the
+    export→import cycle byte-for-byte (JSON escaping handles them)."""
+    hostile = [
+        (1, 'line one\nline two\r\nthree'),
+        (2, 'tab\there "quoted" back\\slash'),
+        (3, 'unicode: héllø 世界 🚀  ls  ps'),
+        (4, ''),
+        (5, ' leading and trailing '),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, text string")
+    path = str(tmp_path / "hostile")
+    write_jsonl_shards(df, path, n_shards=2, id_col="doc_id")
+    back, corrupt = split_corrupt(
+        read_jsonl(spark, path, schema="doc_id bigint, text string")
+    )
+    assert corrupt.collect() == []
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(hostile)
