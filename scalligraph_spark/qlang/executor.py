@@ -171,6 +171,16 @@ class QueryExecutor:
             current.df.explain(mode)
         return "\n".join(lines) + "\n\nPhysical plan:\n" + buf.getvalue()
 
+    def profile_chain(self, chain: list[dict], auth: dict | None = None) -> str:
+        """Runtime twin of :meth:`explain_chain` — the TraversalPrinter
+        PROFILE logger: EXECUTES the chain (distributed; nothing collected
+        driver-side) and returns per-operator metrics (output rows,
+        shuffle bytes, spill, peak memory) off the adaptive plan.  See
+        :mod:`scalligraph_spark.profiling` for reading the report."""
+        from scalligraph_spark.profiling import profile
+
+        return profile(self.execute(chain, auth).df)
+
     def _builtin(self, t: Traversal, name: str, step: dict, auth) -> Traversal:
         props = self.props_for(t.label)
         if name == "filter":

@@ -258,6 +258,25 @@ class LabelStore:
             return v
         return self.write(label, self.read(spark, label, v).coalesce(target), partition_by=partition_by)
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        label: str,
+        zorder_by: list[str],
+        n_files: int | None = None,
+    ) -> int:
+        """OPTIMIZE ZORDER analog: rewrite the current version re-clustered
+        on the Morton key of ``zorder_by`` (multi-dimensional data skipping
+        — parquet footer min/max prune on ANY of the columns), committed as
+        a new version.  Unlike :meth:`compact` (coalesce, no shuffle), this
+        PAYS a range-partition shuffle to buy query-time pruning — run it
+        when scan profiles show filters on these columns reading most
+        files.  ``n_files`` defaults to the current file count."""
+        v = self.version(label)
+        if n_files is None:
+            n_files = max(1, self.stats(label, v)[0])
+        return self.write(label, self.read(spark, label, v), zorder_by=(n_files, zorder_by))
+
     def vacuum(self, label: str, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` versions (never the current).
         Returns the versions removed."""

@@ -303,3 +303,11 @@ def test_textsearch_init_query(spark):
     # scores are non-increasing in rank
     srt = sorted(rows, key=lambda r: r["rank"])
     assert all(srt[i]["bm25"] >= srt[i + 1]["bm25"] for i in range(len(srt) - 1))
+
+
+def test_profile_chain_runtime_metrics(modern):
+    ex = QueryExecutor(modern)
+    ex.register_init("allPeople", lambda g, s, a: g.V("person"))
+    report = ex.profile_chain([{"_name": "allPeople"}, {"_name": "filter", "_gte": {"age": 30}}])
+    assert "numOutputRows=" in report
+    assert "Filter" in report

@@ -323,3 +323,22 @@ def test_version_diff_null_safety(spark, tmp_path):
     v2 = store.write("t", spark.createDataFrame([(1, "a", "filled"), (2, "an", "ull")], ["k", "x", "y"]))
     diff = {r["k"]: r["status"] for r in version_diff(spark, store, "t", v1, v2, ["k"]).collect()}
     assert diff == {1: "changed"}
+
+
+def test_optimize_zorder_new_version(spark, tmp_path):
+    """OPTIMIZE rewrites the current version z-ordered; rollback still
+    reaches the pre-optimize layout (same commit guarantees as any write)."""
+    from pyspark.sql import functions as F
+
+    store = LabelStore(str(tmp_path))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 1000).alias("b")
+    )
+    store.write("t", df)
+    v2 = store.optimize(spark, "t", zorder_by=["a", "b"], n_files=4)
+    assert v2 == 2 and store.version("t") == 2
+    back = store.read(spark, "t")
+    assert back.count() == 1000
+    assert sorted(r["a"] for r in back.collect()) == list(range(1000))
+    store.rollback("t", 1)
+    assert store.read(spark, "t").count() == 1000
