@@ -28,6 +28,45 @@ from pyspark.sql import functions as F
 from scalligraph_spark.integrity import _bloom_words, bloom_params, bloom_probe
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: the classic salting rewrite, bit-identical
+    to ``skewed.join(other, on, how)``.
+
+    When `key_skew_profile` shows one key with ratio_to_mean ≫ 100, a
+    plain shuffle join sends that key's every row to ONE reducer — a
+    straggler no cluster size fixes.  Salting splits the hot key across
+    ``salt_factor`` reducers: the skewed side gets a deterministic salt
+    ``xxhash64(row) % salt_factor``, the other side EXPLODES each row into
+    all salt values (its rows are small by assumption — dimension-ish or
+    post-aggregation), and the join runs on ``(key, salt)``.
+
+    Prefer AQE's skew-join splitting (on by default in session.py) when it
+    applies — it needs no data change; salting is the explicit fallback
+    for shapes AQE can't split (e.g. a skewed AGGREGATION feeding the
+    join, or sort-merge paths AQE declines).  ``how``: inner/left_semi —
+    shapes where duplicating `other` rows across salts cannot duplicate
+    output (each skewed row matches exactly its own salt).
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"salted join supports inner/left_semi, got {how!r}")
+    if salt_factor < 1:
+        raise ValueError("salt_factor must be >= 1")
+    salted_l = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_factor))
+    )
+    salted_r = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    joined = salted_l.join(salted_r, [on, "__salt"], how)
+    return joined.drop("__salt")
+
+
 def bloom_prefiltered_join(
     probe: DataFrame,
     build: DataFrame,

@@ -4589,6 +4589,34 @@ def stats_incremental_sketches_q(spark, sf):
     return sketch_estimates(merged)
 
 
+@q(
+    "join_salted_skew",
+    """
+SELECT o.o_orderkey, o.o_custkey, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 5000
+""",
+    "salting rewrite for skewed equi-joins, bit-identical to the plain "
+    "join: skewed side salts by xxhash64(row) % S, other side explodes "
+    "into all S salts, join runs on (key, salt) — the explicit fallback "
+    "when AQE skew-split can't apply (paired with diag_key_skew's "
+    "ratio-to-mean threshold)",
+)
+def join_salted_skew_q(spark, sf):
+    from scalligraph_spark.operators import salted_join
+
+    cat = cat_for(spark, sf)
+    orders = cat.vertex_df("orders").select("o_orderkey", "o_custkey")
+    cust = (
+        cat.vertex_df("customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    return salted_join(orders, cust, "o_custkey", salt_factor=8).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -87,3 +87,35 @@ def test_bloom_prefiltered_join_expected_items_hint(spark):
     build = spark.createDataFrame([(i * 5,) for i in range(10)], "bk long")
     out = bloom_prefiltered_join(probe, build, "k", "bk", expected_items=10)
     assert out.count() == probe.join(build, probe["k"] == build["bk"]).count()
+
+
+def test_salted_join_equivalence_and_distribution(spark):
+    from pyspark.sql import functions as F
+
+    from scalligraph_spark.operators import salted_join
+
+    # one hot key (90% of rows) + tail
+    skewed = spark.createDataFrame(
+        [(1, f"r{i}") for i in range(900)] + [(k, f"t{k}") for k in range(2, 102)],
+        "k long, payload string",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 102)], "k long, dv string")
+
+    plain = skewed.join(dim, "k", "inner")
+    fast = salted_join(skewed, dim, "k", salt_factor=8)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, plain.collect()))
+
+    semi = salted_join(skewed, dim, "k", salt_factor=4, how="left_semi")
+    assert semi.count() == skewed.join(dim, "k", "left_semi").count()
+
+    # the hot key's rows actually spread across salts
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(8))
+    )
+    n_salts = salted.where(F.col("k") == 1).select("__salt").distinct().count()
+    assert n_salts == 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(skewed, dim, "k", how="left")
