@@ -669,3 +669,141 @@ def personalized_pagerank(
     e.unpersist()
     verts.unpersist()
     return ranks
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph → ``(vertex,
+    scc)`` with ``scc`` = the component's minimum vertex id.
+
+    The forward-backward coloring algorithm (the standard distributed SCC
+    — GraphX's implementation has the same skeleton), all relational:
+
+    1. **trim** — vertices with no in-edge or no out-edge in the active
+       subgraph are singleton SCCs; peel repeatedly (kills DAG tails fast,
+       the common mass of real graphs).
+    2. **color** — propagate min vertex id along FORWARD edges to
+       fixpoint: ``color(v)`` = min id among vertices that reach ``v``.
+       Roots are vertices with ``color(v) == v``.
+    3. **backward reach** — from each root, walk REVERSED edges staying
+       inside the root's color class.  A vertex that got the root's color
+       forward (root reaches it) and reaches the root backward is in the
+       root's SCC — every color class resolves its root's SCC in the same
+       round, in parallel.
+    4. peel the found SCCs, repeat.
+
+    Each inner fixpoint is O(active diameter) supersteps; outer rounds are
+    bounded by the longest chain of SCCs not removed by trimming
+    (``max_rounds`` caps it; the function raises if the cap is hit with
+    vertices unresolved, never returns wrong labels).  Differentially
+    tested against an in-memory Tarjan on random graphs.
+    """
+    from functools import reduce
+
+    e = edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")).distinct()
+    e = _cut_lineage(e, checkpoint_dir).persist()
+    verts = e.select(F.col("s").alias("vertex")).union(e.select(F.col("d").alias("vertex"))).distinct()
+    verts = _cut_lineage(verts, checkpoint_dir).persist()
+    done_blocks: list[DataFrame] = []
+
+    for _ in range(max_rounds):
+        if verts.count() == 0:
+            break
+        # -- 1. trim singleton SCCs ------------------------------------
+        while True:
+            outs = e.select(F.col("s").alias("vertex")).distinct()
+            ins = e.select(F.col("d").alias("vertex")).distinct()
+            both = outs.join(ins, "vertex", "inner")
+            trivial = verts.join(both, "vertex", "left_anti")
+            trivial = _cut_lineage(trivial, checkpoint_dir).persist()
+            if trivial.count() == 0:
+                trivial.unpersist()
+                break
+            done_blocks.append(trivial.select("vertex", F.col("vertex").alias("scc")))
+            new_verts = _cut_lineage(verts.join(trivial, "vertex", "left_anti"), checkpoint_dir).persist()
+            new_verts.count()
+            verts.unpersist()
+            verts = new_verts
+            new_e = e.join(verts.select(F.col("vertex").alias("s")), "s", "left_semi").join(
+                verts.select(F.col("vertex").alias("d")), "d", "left_semi"
+            )
+            new_e = _cut_lineage(new_e.select("s", "d"), checkpoint_dir).persist()
+            new_e.count()
+            e.unpersist()
+            e = new_e
+        if verts.count() == 0:
+            break
+        # -- 2. forward min-id coloring to fixpoint --------------------
+        color = verts.select("vertex", F.col("vertex").alias("color")).persist()
+        color.count()
+        while True:
+            inc = (
+                e.join(color.select(F.col("vertex").alias("s"), F.col("color").alias("c_src")), "s")
+                .groupBy(F.col("d").alias("vertex"))
+                .agg(F.min("c_src").alias("c_in"))
+            )
+            new_color = (
+                color.join(inc, "vertex", "left")
+                .select("vertex", F.least(F.col("color"), F.coalesce(F.col("c_in"), F.col("color"))).alias("color"))
+            )
+            new_color = _cut_lineage(new_color, checkpoint_dir).persist()
+            changed = (
+                new_color.join(color.select("vertex", F.col("color").alias("old")), "vertex")
+                .where(F.col("color") != F.col("old"))
+                .count()
+            )
+            color.unpersist()
+            color = new_color
+            if changed == 0:
+                break
+        # -- 3. backward reach from roots within each color class ------
+        reached = color.where(F.col("color") == F.col("vertex")).persist()
+        reached.count()
+        blocks = [reached]
+        frontier = reached
+        while True:
+            step = (
+                e.join(frontier.select(F.col("vertex").alias("d"), "color"), "d")
+                .select(F.col("s").alias("vertex"), "color")
+                .distinct()
+                .join(color, ["vertex", "color"], "left_semi")  # stay inside the color class
+                .join(reduce(DataFrame.unionByName, blocks), "vertex", "left_anti")
+            )
+            step = _cut_lineage(step, checkpoint_dir).persist()
+            if step.count() == 0:
+                step.unpersist()
+                break
+            blocks.append(step)
+            frontier = step
+        found = reduce(DataFrame.unionByName, blocks).select("vertex", F.col("color").alias("scc"))
+        found = _cut_lineage(found, checkpoint_dir).persist()
+        found.count()
+        done_blocks.append(found)
+        color.unpersist()
+        # -- 4. peel ---------------------------------------------------
+        new_verts = _cut_lineage(verts.join(found, "vertex", "left_anti"), checkpoint_dir).persist()
+        new_verts.count()
+        verts.unpersist()
+        verts = new_verts
+        new_e = e.join(verts.select(F.col("vertex").alias("s")), "s", "left_semi").join(
+            verts.select(F.col("vertex").alias("d")), "d", "left_semi"
+        )
+        new_e = _cut_lineage(new_e.select("s", "d"), checkpoint_dir).persist()
+        new_e.count()
+        e.unpersist()
+        e = new_e
+    else:
+        if verts.count() > 0:
+            raise RuntimeError(
+                f"SCC did not resolve within max_rounds={max_rounds}; raise the cap"
+            )
+    e.unpersist()
+    verts.unpersist()
+    from functools import reduce as _r
+
+    return _r(DataFrame.unionByName, done_blocks)

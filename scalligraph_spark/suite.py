@@ -4617,6 +4617,40 @@ def join_salted_skew_q(spark, sf):
     )
 
 
+@q(
+    "graph_scc",
+    """
+WITH RECURSIVE g AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS s, CAST((n_nationkey * 3) % 25 AS BIGINT) AS d FROM nation
+),
+reach(s, t) AS (
+  SELECT s, d FROM g
+  UNION
+  SELECT r.s, g.d FROM reach r JOIN g ON r.t = g.s
+),
+verts AS (SELECT s AS vertex FROM g UNION SELECT d FROM g),
+mutual AS (SELECT a.s AS v, a.t AS w FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s)
+SELECT vertex, CAST(least(vertex, coalesce(min(w), vertex)) AS BIGINT) AS scc
+FROM verts LEFT JOIN mutual ON vertex = mutual.v
+GROUP BY vertex
+""",
+    "strongly connected components (forward-backward coloring: trim "
+    "singleton SCCs, forward min-id color fixpoint, backward reach from "
+    "roots inside each color class, peel and repeat) on the functional "
+    "graph v → 3v mod 25 — oracle replays via recursive transitive "
+    "closure + mutual-reachability min",
+)
+def graph_scc_q(spark, sf):
+    from scalligraph_spark.operators import strongly_connected_components
+
+    nat = cat_for(spark, sf).vertex_df("nation")
+    edges = nat.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") * 3) % 25).cast("long").alias("dst"),
+    )
+    return strongly_connected_components(edges)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

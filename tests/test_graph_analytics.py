@@ -235,3 +235,101 @@ def test_personalized_pagerank_seed_locality(spark):
     assert r[1] > 0 and r[11] > 0 and r[12] > 0
     assert r[2] == 0.0 and r[21] == 0.0 and r[22] == 0.0
     assert abs(r[11] - 0.85 * (r[1] / 2)) < 1e-15  # leaf = d * hub/outdeg
+
+
+def naive_tarjan(edge_list):
+    """Independent in-memory SCC (iterative Tarjan) → {vertex: min_id_of_scc}."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    verts = set()
+    for s, d in edge_list:
+        adj[s].append(d)
+        verts.add(s)
+        verts.add(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if pi < len(adj[v]):
+                pass
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    out = {}
+    for comp in sccs:
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+def test_scc_known_graph(spark):
+    from scalligraph_spark.operators import strongly_connected_components
+
+    # two cycles joined by a bridge + a tail: {0,1,2}, {3,4}, singles 5, 6
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (4, 5), (6, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vertex"]: r["scc"] for r in strongly_connected_components(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+
+
+def test_scc_matches_tarjan_random(spark):
+    import random
+
+    from scalligraph_spark.operators import strongly_connected_components
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(70)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vertex"]: r["scc"] for r in strongly_connected_components(df, max_rounds=40).collect()}
+    assert got == naive_tarjan(edges)
+
+
+def test_scc_pure_cycle_and_dag(spark):
+    from scalligraph_spark.operators import strongly_connected_components
+
+    cycle = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)], "src long, dst long")
+    got = {r["vertex"]: r["scc"] for r in strongly_connected_components(cycle).collect()}
+    assert got == {i: 0 for i in range(6)}
+
+    dag = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long")
+    got = {r["vertex"]: r["scc"] for r in strongly_connected_components(dag).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # all singletons (trim path)
