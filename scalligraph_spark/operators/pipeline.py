@@ -524,3 +524,42 @@ def negative_pairs(
         drawn.where(F.col("neg_id") != F.col("anchor_id"))
         .select("anchor_id", F.col("j").cast("long").alias("j"), "neg_id")
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    exact: bool = True,
+    tiebreak: list[str] | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Curriculum / difficulty bucketing: assign every row a quantile
+    bucket of ``col`` (1..n_buckets) — the sort-by-difficulty primitive of
+    curriculum training schedules and quality-tier mixing.
+
+    ``exact=True``: ``ntile`` over a global order — bit-exact equal-count
+    buckets, but ONE sort partition; the small-scale baseline (same
+    trade as every exact-rank operator here).  ``exact=False`` — the
+    100 TB path: ``approx_percentile`` computes n_buckets-1 boundary
+    values in one mergeable-sketch aggregate, broadcast back, and bucket
+    assignment is a map-only comparison; bucket populations are
+    approximately equal (sketch error), assignment of a given VALUE is
+    deterministic either way.
+
+    ``tiebreak`` (exact mode): extra order columns making the global order
+    total — without it, rows TIED on ``col`` at a bucket boundary get
+    nondeterministic bucket assignment.
+    """
+    if exact:
+        order = [F.col(col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+        return df.withColumn(out_col, F.ntile(n_buckets).over(Window.orderBy(*order)))
+    bounds = df.agg(
+        F.percentile_approx(col, [i / n_buckets for i in range(1, n_buckets)], 10_000).alias("bs")
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    # bucket = 1 + number of boundaries strictly below the value
+    expr = F.lit(1) + F.aggregate(
+        "bs", F.lit(0), lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0)
+    )
+    return out.withColumn(out_col, expr).drop("bs")

@@ -4651,6 +4651,25 @@ def graph_scc_q(spark, sf):
     return strongly_connected_components(edges)
 
 
+@q(
+    "pipeline_quantile_buckets",
+    """
+SELECT doc_id, n_chars,
+       CAST(ntile(5) OVER (ORDER BY n_chars ASC, doc_id ASC) AS INT) AS bucket
+FROM documents
+""",
+    "curriculum quantile bucketing: exact equal-count ntile with a total "
+    "order (tiebreak column pins boundary ties) — the sort-by-difficulty "
+    "primitive; approx mode swaps to broadcast percentile boundaries + "
+    "map-only assignment for 100 TB",
+)
+def pipeline_quantile_buckets_q(spark, sf):
+    from scalligraph_spark.operators import quantile_buckets
+
+    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "n_chars")
+    return quantile_buckets(docs, "n_chars", n_buckets=5, tiebreak=["doc_id"])
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -1298,3 +1298,21 @@ def test_negative_pairs_deterministic_and_uniformish(spark):
     assert all(js <= {0, 1, 2} and len(js) >= 2 for js in per_anchor.values())
     # negatives hit a spread of the pool, not one candidate
     assert len({neg for _, _, neg in ra}) >= 8
+
+
+def test_quantile_buckets_exact_and_approx(spark):
+    from scalligraph_spark.operators import quantile_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    exact = quantile_buckets(df, "v", n_buckets=4, tiebreak=["id"])
+    got = {r["id"]: r["bucket"] for r in exact.collect()}
+    assert got[0] == 1 and got[24] == 1 and got[25] == 2 and got[99] == 4
+    from collections import Counter
+
+    assert Counter(got.values()) == {1: 25, 2: 25, 3: 25, 4: 25}
+
+    approx = quantile_buckets(df, "v", n_buckets=4, exact=False)
+    ga = {r["id"]: r["bucket"] for r in approx.collect()}
+    # monotone in v and all buckets populated
+    assert all(ga[i] <= ga[i + 1] for i in range(99))
+    assert set(ga.values()) == {1, 2, 3, 4}
