@@ -563,3 +563,36 @@ def quantile_buckets(
         "bs", F.lit(0), lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0)
     )
     return out.withColumn(out_col, expr).drop("bs")
+
+
+def data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row dataset data card: the summary block a training-data drop
+    ships with (n_docs, token totals/means, language and source
+    distributions, length quantiles).
+
+    Deterministic output: the distribution maps are KEY-SORTED arrays of
+    (value, n_docs) structs — a JSON map would hash-order its keys and
+    break reproducible cards.  One pass for the scalars + one tiny agg per
+    distribution (partial-aggregated; the arrays are |distinct| long —
+    card-sized by definition).  Exact quantiles here (card numbers should
+    not wobble between runs); swap to approx_percentile when the corpus
+    is too big to sort — and at that point the card is still one row.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = docs.select(
+        "lang", "source", toks.alias("__nt"), F.length(F.col(text_col)).alias("__len")
+    )
+    scalars = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.min("__len").cast("long").alias("min_chars"),
+        F.max("__len").cast("long").alias("max_chars"),
+        F.percentile(F.col("__len"), F.lit(0.5)).alias("median_chars"),
+    )
+    langs = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.array_sort(F.collect_list(F.struct("lang", "n"))).alias("langs")
+    )
+    sources = base.groupBy("source").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.array_sort(F.collect_list(F.struct("source", "n"))).alias("sources")
+    )
+    return scalars.crossJoin(F.broadcast(langs)).crossJoin(F.broadcast(sources))

@@ -4670,6 +4670,39 @@ def pipeline_quantile_buckets_q(spark, sf):
     return quantile_buckets(docs, "n_chars", n_buckets=5, tiebreak=["doc_id"])
 
 
+@q(
+    "pipeline_data_card",
+    """
+WITH base AS (
+  SELECT lang, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+         CAST(length(text) AS BIGINT) AS l
+  FROM documents
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+         CAST(min(l) AS BIGINT) AS min_chars, CAST(max(l) AS BIGINT) AS max_chars,
+         quantile_cont(l, 0.5) AS median_chars
+  FROM base
+), lg AS (
+  SELECT list_sort(list({'lang': lang, 'n': n})) AS langs
+  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY lang)
+), sr AS (
+  SELECT list_sort(list({'source': source, 'n': n})) AS sources
+  FROM (SELECT source, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY source)
+)
+SELECT s.*, lg.langs, sr.sources FROM s, lg, sr
+""",
+    "one-row dataset data card: doc/token totals, exact length quantiles, "
+    "key-sorted language and source distributions as struct arrays "
+    "(reproducible — a JSON map would hash-order keys); one scalar pass + "
+    "two card-sized distribution aggs",
+)
+def pipeline_data_card_q(spark, sf):
+    from scalligraph_spark.operators import data_card
+
+    return data_card(cat_for(spark, sf).vertex_df("documents"))
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

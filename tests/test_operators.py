@@ -1316,3 +1316,21 @@ def test_quantile_buckets_exact_and_approx(spark):
     # monotone in v and all buckets populated
     assert all(ga[i] <= ga[i + 1] for i in range(99))
     assert set(ga.values()) == {1, 2, 3, 4}
+
+
+def test_data_card_values(spark):
+    from scalligraph_spark.operators import data_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web"),
+            (2, "four five", "fr", "web"),
+            (3, "six", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = data_card(docs).collect()[0]
+    assert card["n_docs"] == 3 and card["total_tokens"] == 6
+    assert card["min_chars"] == 3 and card["max_chars"] == 13
+    assert [(r["lang"], r["n"]) for r in card["langs"]] == [("en", 2), ("fr", 1)]
+    assert [(r["source"], r["n"]) for r in card["sources"]] == [("books", 1), ("web", 2)]
