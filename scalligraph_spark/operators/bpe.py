@@ -134,3 +134,17 @@ def encode_bpe(
 
     out = docs.withColumn(out_col, enc(F.col(text_col)))
     return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)).cast("long"))
+
+
+def merges_to_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenizer artifact → table ``(rank, left, right)`` for
+    LabelStore-versioned persistence (the trained tokenizer ships WITH the
+    data drop it encoded)."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank long, left string, right string"
+    )
+
+
+def merges_from_df(df: DataFrame) -> list[tuple[str, str]]:
+    """Load merges back in rank order (inverse of :func:`merges_to_df`)."""
+    return [(r["left"], r["right"]) for r in df.orderBy("rank").collect()]

@@ -94,3 +94,14 @@ def test_encode_vocab_cap_truncation(spark):
     assert merges == [("a", "a")]
     out = {r["doc_id"]: r["tokens"] for r in encode_bpe(docs, merges).collect()}
     assert out[0] == ["aa"] * 4 and out[1] == ["z", "z"]
+
+
+def test_merges_roundtrip_through_store(spark, tmp_path):
+    from scalligraph_spark.operators.bpe import merges_from_df, merges_to_df
+    from scalligraph_spark.store import LabelStore
+
+    merges = train_bpe(_docs(spark), n_merges=5)
+    store = LabelStore(str(tmp_path))
+    store.write("bpe_merges", merges_to_df(spark, merges))
+    back = merges_from_df(store.read(spark, "bpe_merges"))
+    assert back == merges
