@@ -178,20 +178,10 @@ def json_get(col: Column, path: str) -> Column:
 
 
 def salted_join(big, small, on: str, n_salts: int = 16, how: str = "inner"):
-    """Skew-safe equi-join: the skewed (big) side gets a random-ish salt
-    derived from a stable row hash; the small side replicates ``n_salts``×.
-    One hot key then spreads over ``n_salts`` reducers instead of one.
+    """Backwards-compatible alias for
+    :func:`scalligraph_spark.operators.joins.salted_join` (the canonical,
+    suite-verified implementation — pair it with
+    ``operators.diagnostics.key_skew_profile`` to decide when to salt)."""
+    from scalligraph_spark.operators.joins import salted_join as _sj
 
-    Use when AQE skew-join splitting is unavailable (non-shuffle stages)
-    or a single key dominates beyond what splitting can balance; AQE
-    (enabled in session.py) remains the first line of defense.
-    """
-    from functools import reduce
-
-    salt = (F.xxhash64(*[F.col(c) for c in big.columns]) % n_salts + n_salts) % n_salts
-    b = big.withColumn("__salt", salt.cast("int"))
-    s = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
-    out = b.join(s, on=[on, "__salt"], how=how)
-    return out.drop("__salt")
+    return _sj(big, small, on, salt_factor=n_salts, how=how)
