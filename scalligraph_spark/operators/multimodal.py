@@ -116,3 +116,39 @@ def fake_media_from_documents(docs: DataFrame) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
         F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta"),
     )
+
+
+def resize_media(media: DataFrame, target_w: int = 16, target_h: int = 4) -> DataFrame:
+    """STUB resize — nearest-neighbor BYTE sampling standing in for a real
+    image resample (PIL/opencv are not in this container; swap
+    ``_resize_stub`` for a real codec in prod — the Spark plumbing,
+    schema, and batch shape are the real thing).
+
+    Output payload is exactly ``target_w * target_h`` bytes sampled evenly
+    from the source (``src[(i * n) // target_n]``) — deterministic, so the
+    oracle replays it character-by-character with ``substr``.  Image rows
+    only; empty payloads pass through empty.
+    """
+    target_n = target_w * target_h
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("src_bytes", T.LongType(), False),
+            T.StructField("resized", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srcs, outs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload)
+                ids.append(mid)
+                srcs.append(n)
+                if n == 0:
+                    outs.append(b"")
+                else:
+                    outs.append(bytes(payload[(i * n) // target_n] for i in range(target_n)))
+            yield pd.DataFrame({"media_id": ids, "src_bytes": srcs, "resized": outs})
+
+    return media.where(F.col("kind") == "image").mapInPandas(run, schema=schema)

@@ -4703,6 +4703,28 @@ def pipeline_data_card_q(spark, sf):
     return data_card(cat_for(spark, sf).vertex_df("documents"))
 
 
+@q(
+    "multimodal_resize",
+    """
+SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS src_bytes,
+       array_to_string(
+         list_transform(range(0, 64), i -> substr(text, CAST((i * length(text)) // 64 + 1 AS INT), 1)),
+         '') AS resized_text
+FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+""",
+    "stub media resize through Arrow mapInPandas: nearest-neighbor byte "
+    "sampling to a fixed 16x4 target (deterministic fake codec — swap for "
+    "PIL in prod; the batch plumbing is real) — oracle replays the "
+    "sampling per character with substr",
+)
+def multimodal_resize_q(spark, sf):
+    from scalligraph_spark.operators import fake_media_from_documents, resize_media
+
+    docs = cat_for(spark, sf).vertex_df("documents").where(F.length("text") > 0)
+    out = resize_media(fake_media_from_documents(docs), target_w=16, target_h=4)
+    return out.select("media_id", "src_bytes", F.col("resized").cast("string").alias("resized_text"))
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
