@@ -272,3 +272,54 @@ def test_rolling_features_single_exchange(spark):
     p = _plan(spark, "events_rolling_features")
     assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
     assert "CartesianProduct" not in p
+
+
+def test_bloom_join_materializes_words_once(spark):
+    """The k Bloom probes must read the word table from cache, not
+    recompute the build aggregation k times (k scans of the build side)."""
+    p = _plan(spark, "join_bloom_prefiltered")
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+    assert "CartesianProduct" not in p
+
+
+def test_key_skew_take_ordered_no_full_sort(spark):
+    """Skew profiler: top-k via TakeOrderedAndProject; the only join is the
+    broadcast 1-row totals (a broadcast NLJ on one row is the correct
+    scalar-join plan, not a red flag)."""
+    p = _plan(spark, "diag_key_skew")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_negative_pairs_broadcast_pool(spark):
+    """Negative sampling: pool candidates come from TakeOrdered (no global
+    sort of the corpus) and the draw join broadcasts the pool."""
+    p = _plan(spark, "pipeline_negative_pairs")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_quantile_buckets_approx_no_global_sort(spark):
+    """Approx quantile bucketing must be map-only after one sketch agg —
+    no Sort, no shuffle of the data rows."""
+    from scalligraph_spark.operators import quantile_buckets
+    from scalligraph_spark.suite import cat_for
+
+    docs = cat_for(spark, SF_DIR).vertex_df("documents").select("doc_id", "n_chars")
+    df = quantile_buckets(docs, "n_chars", n_buckets=4, exact=False)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in p and "TakeOrdered" not in p
+
+
+def test_stats_single_aggregate_pass(spark):
+    """Column stats: one aggregate over one scan — no joins, no unions of
+    per-column jobs."""
+    p = _plan(spark, "stats_analyze_columns")
+    assert "Join" not in p.replace("JoinSelection", "")
+
+
+def test_upsert_anti_join_shape(spark):
+    p = _plan(spark, "writes_upsert_merge")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
