@@ -393,3 +393,46 @@ def start_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_stats_sink(
+    stream_df: DataFrame,
+    store,
+    label: str,
+    checkpoint_dir: str,
+    columns: list[str] | None = None,
+    query_name: str = "stats_sink",
+):
+    """Keep column statistics FRESH on a live stream: each micro-batch is
+    sketched (`stats.column_sketches` — counts, nulls, HLL NDV) and merged
+    into the stored sketch table as a new version — the incremental-stats
+    loop (`stats.merge_sketches`) running continuously, so planners and
+    auto-sized operators read near-real-time metadata while NEVER
+    rescanning history.  Batch-id idempotence matches `start_store_sink`:
+    a replayed batch after crash-restart is skipped, keeping the merge
+    exactly-once per batch.
+
+    Read back with ``stats.sketch_estimates(store.read(spark, label))``.
+    """
+    from scalligraph_spark.stats import column_sketches, merge_sketches
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = column_sketches(batch_df, columns=columns)
+        cur_v = store.version(label)
+        if cur_v > 0:
+            last = store.commit_meta(label, cur_v).get("batch_id", -1)
+            if batch_id <= last:
+                return
+            merged = merge_sketches(store.read(batch_df.sparkSession, label, cur_v), batch_sk)
+        else:
+            merged = batch_sk
+        store.write(label, merged, meta={"batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -343,3 +343,43 @@ def test_hopping_windowed_counts_match_batch(spark, batch_events):
     assert got == expected
     # sanity: hopping produces ~4x the windows of tumbling per event type
     assert len(got) > len({k for k in got if k[0].hour == 0})
+
+
+def test_stats_sink_incremental_equals_full(spark, tmp_path):
+    """Streamed per-batch sketches merged in the store == one full-scan
+    sketch of all the data; restart replay is a no-op."""
+    from scalligraph_spark.stats import column_sketches, sketch_estimates
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import start_stats_sink
+
+    src = tmp_path / "in"
+    src.mkdir()
+    import json as _json
+
+    with open(src / "a.json", "w") as f:
+        for i in range(80):
+            f.write(_json.dumps({"id": i, "cat": f"c{i % 6}"}) + "\n")
+    with open(src / "b.json", "w") as f:
+        for i in range(40, 160):
+            f.write(_json.dumps({"id": i, "cat": f"c{i % 9}"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("id long, cat string")
+        .option("maxFilesPerTrigger", "1")  # force 2 separate batches
+        .json(str(src))
+    )
+    store = LabelStore(str(tmp_path / "store"))
+    q = start_stats_sink(stream, store, "corpus_stats", str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert store.version("corpus_stats") == 2  # one merge-commit per batch
+
+    got = {r["column"]: r for r in sketch_estimates(store.read(spark, "corpus_stats")).collect()}
+    full = spark.read.schema("id long, cat string").json(str(src))
+    want = {r["column"]: r for r in sketch_estimates(column_sketches(full)).collect()}
+    assert got["id"]["n_rows"] == 200 and got["id"]["ndv"] == want["id"]["ndv"] == 160
+    assert got["cat"]["ndv"] == want["cat"]["ndv"]
+
+    # restart with same checkpoint: no new data -> no new version
+    q2 = start_stats_sink(stream, store, "corpus_stats", str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert store.version("corpus_stats") == 2
