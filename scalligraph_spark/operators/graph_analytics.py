@@ -807,3 +807,60 @@ def strongly_connected_components(
     from functools import reduce as _r
 
     return _r(DataFrame.unionByName, done_blocks)
+
+
+def topological_levels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_levels: int = 100,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """DAG layering: ``level(v)`` = length of the LONGEST path from any
+    source (vertex with no incoming edge) to ``v`` — the scheduling
+    depth used to batch dependency graphs (migration DAGs, pipeline
+    stages) into parallel waves.
+
+    Relational max-propagation fixpoint: ``level(d) ← max(level(d),
+    max over in-edges (level(s) + 1))`` converges in longest-path-length
+    supersteps on a DAG.  On a CYCLE the level keeps climbing — hitting
+    ``max_levels`` with changes still flowing raises instead of returning
+    wrong layers, so the operator doubles as cycle detection.
+    """
+    e = edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")).distinct()
+    e = _cut_lineage(e, checkpoint_dir).persist()
+    lvl = (
+        e.select(F.col("s").alias("vertex"))
+        .union(e.select(F.col("d").alias("vertex")))
+        .distinct()
+        .select("vertex", F.lit(0).cast("long").alias("level"))
+        .persist()
+    )
+    lvl.count()
+    for _ in range(max_levels):
+        inc = (
+            e.join(lvl.select(F.col("vertex").alias("s"), F.col("level").alias("ls")), "s")
+            .groupBy(F.col("d").alias("vertex"))
+            .agg((F.max("ls") + 1).alias("cand"))
+        )
+        new_lvl = (
+            lvl.join(inc, "vertex", "left")
+            .select("vertex", F.greatest(F.col("level"), F.coalesce(F.col("cand"), F.col("level"))).alias("level"))
+        )
+        new_lvl = _cut_lineage(new_lvl, checkpoint_dir).persist()
+        changed = (
+            new_lvl.join(lvl.select("vertex", F.col("level").alias("old")), "vertex")
+            .where(F.col("level") != F.col("old"))
+            .count()
+        )
+        lvl.unpersist()
+        lvl = new_lvl
+        if changed == 0:
+            e.unpersist()
+            return lvl
+    e.unpersist()
+    lvl.unpersist()
+    raise RuntimeError(
+        f"levels still changing after max_levels={max_levels}: graph has a cycle "
+        "(or raise the cap for a very deep DAG)"
+    )

@@ -4725,6 +4725,42 @@ def multimodal_resize_q(spark, sf):
     return out.select("media_id", "src_bytes", F.col("resized").cast("string").alias("resized_text"))
 
 
+@q(
+    "graph_topo_levels",
+    """
+WITH RECURSIVE g AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS s, CAST(n_nationkey + k AS BIGINT) AS d
+  FROM nation, unnest([1, 3]) AS u(k)
+  WHERE n_nationkey + k < 25
+),
+verts AS (SELECT s AS vertex FROM g UNION SELECT d FROM g),
+paths(v, len) AS (
+  SELECT vertex, 0 FROM verts
+  UNION
+  SELECT g.d, p.len + 1 FROM paths p JOIN g ON p.v = g.s
+)
+SELECT v AS vertex, CAST(max(len) AS BIGINT) AS level FROM paths GROUP BY v
+""",
+    "DAG layering: longest-path level from any source via relational "
+    "max-propagation fixpoint (scheduling waves for dependency graphs; "
+    "cycle → raises instead of wrong layers) — oracle replays via "
+    "recursive path enumeration + max",
+)
+def graph_topo_levels_q(spark, sf):
+    from scalligraph_spark.operators import topological_levels
+
+    nat = cat_for(spark, sf).vertex_df("nation")
+    edges = (
+        nat.select(
+            F.col("n_nationkey").cast("long").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(3))).alias("k"),
+        )
+        .select("src", (F.col("src") + F.col("k")).alias("dst"))
+        .where(F.col("dst") < 25)
+    )
+    return topological_levels(edges, max_levels=30)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

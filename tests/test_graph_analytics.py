@@ -333,3 +333,22 @@ def test_scc_pure_cycle_and_dag(spark):
     dag = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long")
     got = {r["vertex"]: r["scc"] for r in strongly_connected_components(dag).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # all singletons (trim path)
+
+
+def test_topological_levels_dag(spark):
+    from scalligraph_spark.operators import topological_levels
+
+    # diamond + tail: longest path wins (0→1→3 beats 0→3)
+    edges = spark.createDataFrame([(0, 1), (0, 2), (1, 3), (2, 3), (0, 3), (3, 4)], "src long, dst long")
+    got = {r["vertex"]: r["level"] for r in topological_levels(edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_topological_levels_cycle_raises(spark):
+    import pytest as _pytest
+
+    from scalligraph_spark.operators import topological_levels
+
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="cycle"):
+        topological_levels(cyc, max_levels=10)
