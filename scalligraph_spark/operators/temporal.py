@@ -320,3 +320,47 @@ def ewma_features(
         den = mass if den is None else den + mass
     ewma = F.when(den > 0, F.round(num / den, round_to))
     return events.select(key_col, order_tiebreak, value_col, ewma.alias("ewma_prev"))
+
+
+def resample_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    interval_s: int = 3600,
+    group_cols: list[str] | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-filled time-series resample: one row per ``interval_s`` bucket
+    over the observed [min, max] range — EMPTY buckets emit with count 0
+    (and null sum), the property every charting/forecasting consumer
+    needs and a plain groupBy can't give (absent groups produce no row).
+
+    Plan: one agg for the range, a generated bucket spine
+    (``sequence`` + explode — at 100 TB the spine is |range/interval| rows,
+    thousands, not data-sized), cross-joined with the distinct group keys
+    and LEFT-joined against the per-bucket aggregate.  With ``group_cols``
+    the spine × groups product stays broadcast-sized for dimension-like
+    groups (event types, sources).
+    """
+    ts = F.col(ts_col).cast("timestamp").cast("long")
+    bucket = (F.floor(ts / interval_s) * interval_s).cast("long")
+    base = events.withColumn("__b", bucket)
+    gcols = group_cols or []
+    counts = base.groupBy("__b", *gcols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *([F.sum(F.col(value_col)).alias("sum_value")] if value_col else []),
+    )
+    rng = base.agg(F.min("__b").alias("lo"), F.max("__b").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(interval_s))).alias("__b")
+    )
+    if gcols:
+        spine = spine.crossJoin(F.broadcast(base.select(*gcols).distinct()))
+    out = spine.join(counts, ["__b", *gcols], "left")
+    sel = [
+        F.timestamp_seconds(F.col("__b")).cast("timestamp_ntz").alias("bucket_start"),
+        *gcols,
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    ]
+    if value_col:
+        sel.append(F.col("sum_value"))
+    return out.select(*sel)

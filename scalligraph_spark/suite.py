@@ -4761,6 +4761,31 @@ def graph_topo_levels_q(spark, sf):
     return topological_levels(edges, max_levels=30)
 
 
+@q(
+    "events_resample_gapfill",
+    """
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bkt, event_type FROM events
+),
+c AS (SELECT bkt, event_type, CAST(count(*) AS BIGINT) AS n_events FROM b GROUP BY 1, 2),
+r AS (SELECT min(bkt) AS lo, max(bkt) AS hi FROM b),
+spine AS (SELECT unnest(range(lo, hi + 86400, 86400)) AS bkt FROM r),
+et AS (SELECT DISTINCT event_type FROM events)
+SELECT make_timestamp(spine.bkt * 1000000) AS bucket_start, et.event_type,
+       COALESCE(c.n_events, 0) AS n_events
+FROM spine CROSS JOIN et LEFT JOIN c ON spine.bkt = c.bkt AND et.event_type = c.event_type
+""",
+    "gap-filled per-type daily resample: generated bucket spine × distinct "
+    "types LEFT-joined against the per-bucket counts, so EMPTY buckets "
+    "emit 0 (the property groupBy can't give; charting/forecasting input)",
+)
+def events_resample_gapfill_q(spark, sf):
+    from scalligraph_spark.operators import resample_counts
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    return resample_counts(ev, ts_col="ts", interval_s=86400, group_cols=["event_type"])
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -207,3 +207,24 @@ def test_ewma_weights_recency(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = {r["user_id"]: r["ewma_prev"] for r in ewma_features(ev.unionByName(probe), n_prev=4).collect() if r["event_id"] == 9}
     assert out[1] > out[2]  # recent 90 beats recent 10
+
+
+def test_resample_counts_gap_fill(spark):
+    from scalligraph_spark.operators import resample_counts
+
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "a", 1.0),
+            ("2024-01-01 00:20:00", "a", 2.0),
+            ("2024-01-01 03:05:00", "a", 3.0),  # hours 1 and 2 are EMPTY
+            ("2024-01-01 00:30:00", "b", 4.0),
+        ],
+        "ts string, event_type string, value double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    out = resample_counts(ev, interval_s=3600, group_cols=["event_type"], value_col="value")
+    rows = {(str(r["bucket_start"]), r["event_type"]): (r["n_events"], r["sum_value"]) for r in out.collect()}
+    assert len(rows) == 8  # 4 hourly buckets x 2 types, gaps included
+    assert rows[("2024-01-01 00:00:00", "a")] == (2, 3.0)
+    assert rows[("2024-01-01 01:00:00", "a")] == (0, None)  # gap emits zero
+    assert rows[("2024-01-01 02:00:00", "b")] == (0, None)
+    assert rows[("2024-01-01 03:00:00", "a")] == (1, 3.0)
