@@ -4786,6 +4786,28 @@ def events_resample_gapfill_q(spark, sf):
     return resample_counts(ev, ts_col="ts", interval_s=86400, group_cols=["event_type"])
 
 
+@q(
+    "writes_immense_guard",
+    """
+SELECT doc_id, substr(text, 1, 200) AS text,
+       CAST(length(source) > 5 AS BOOLEAN) AS _immense_source
+FROM documents WHERE length(lang) <= 2
+""",
+    "immense-term write guard, all three strategies in one pass "
+    "(ImmenseTermProcessor.scala:16-60 truncate/delete/log with "
+    "per-column threshold overrides): text truncates at 200, rows with "
+    "oversized lang delete, oversized source flags — pure codegen",
+)
+def writes_immense_guard_q(spark, sf):
+    from scalligraph_spark.writes import immense_term_guard
+
+    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "text", "lang", "source")
+    out = immense_term_guard(
+        docs, {"text": "truncate(200)", "lang": "delete(2)", "source": "log(5)"}
+    )
+    return out.select("doc_id", "text", "_immense_source")
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
