@@ -4808,6 +4808,42 @@ def writes_immense_guard_q(spark, sf):
     return out.select("doc_id", "text", "_immense_source")
 
 
+@q(
+    "migrations_replay",
+    """
+SELECT c_custkey, c_name, upper(c_mktsegment) AS c_mktsegment,
+       CAST('migrated' AS VARCHAR) AS origin
+FROM customer
+""",
+    "schema-migration replay under the hash gate: AddProperty(default) → "
+    "UpdateGraph(uppercase rewrite) → RemoveProperty → NoOperation applied "
+    "in order above a from_version (Operation.scala:20-40 replay "
+    "semantics; partial replay = suffix of the op list)",
+)
+def migrations_replay_q(spark, sf):
+    from scalligraph_spark.migrations import (
+        AddProperty,
+        NoOperation,
+        RemoveProperty,
+        SchemaUpdater,
+        UpdateGraph,
+    )
+
+    cust = cat_for(spark, sf).vertex_df("customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    upd = SchemaUpdater(
+        "customer",
+        [
+            AddProperty("origin", "string", "migrated"),
+            UpdateGraph(lambda df: df.withColumn("c_mktsegment", F.upper("c_mktsegment")), "uppercase segment"),
+            RemoveProperty("c_acctbal"),
+            NoOperation(),
+        ],
+    )
+    return upd.migrate(cust, from_version=0)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
