@@ -4844,6 +4844,45 @@ def migrations_replay_q(spark, sf):
     return upd.migrate(cust, from_version=0)
 
 
+@q(
+    "store_version_diff",
+    """
+SELECT doc_id, 'removed' AS status FROM documents WHERE doc_id % 7 = 3
+UNION ALL
+SELECT doc_id, 'changed' FROM documents
+WHERE doc_id % 7 <> 3 AND doc_id % 10 = 0 AND upper(text) <> text
+UNION ALL
+SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 100 = 7
+""",
+    "change-data-feed over the versioned store: two committed versions "
+    "(v2 = deletes + uppercase rewrites + inserts on v1) diffed by "
+    "null-safe value hash — (keys, 8-byte hash) ship per row, never the "
+    "payload; value-identical rows are excluded",
+)
+def store_version_diff_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore, version_diff
+
+    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "text", "source")
+    root = f"/tmp/sgspark_diffstore_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    store.write("docs", docs)
+    v2 = (
+        docs.where(F.col("doc_id") % 7 != 3)
+        .withColumn("text", F.when(F.col("doc_id") % 10 == 0, F.upper("text")).otherwise(F.col("text")))
+        .unionByName(
+            docs.where(F.col("doc_id") % 100 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+            )
+        )
+    )
+    store.write("docs", v2)
+    return version_diff(spark, store, "docs", 1, 2, key_cols=["doc_id"])
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
