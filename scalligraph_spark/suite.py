@@ -4883,6 +4883,31 @@ def store_version_diff_q(spark, sf):
     return version_diff(spark, store, "docs", 1, 2, key_cols=["doc_id"])
 
 
+@q(
+    "dedup_edit_distance",
+    """
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND abs(length(a.text) - length(b.text)) <= 40
+WHERE levenshtein(a.text, b.text) <= 40
+""",
+    "EXACT edit-distance similarity join (typo/OCR-noise near-dups that "
+    "defeat shingle dedup): Ed-Join-style prefix-gram blocking (VLDB'08) — "
+    "one edit destroys ≤ q grams, so docs within distance d share a gram "
+    "among their first q·d+1 globally-ordered distinct gram hashes; "
+    "gram-poor docs ride length-band keys in the same self-join — then "
+    "built-in F.levenshtein verification with texts fetched by id "
+    "join-back (candidate join never ships bodies).  The |Δlen| ≤ d "
+    "predicate in the oracle is implied by levenshtein ≥ |Δlen|",
+)
+def dedup_edit_distance_q(spark, sf):
+    from scalligraph_spark.operators import edit_distance_pairs
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return edit_distance_pairs(docs, max_dist=40, blocking="qgram")
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
