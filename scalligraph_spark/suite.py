@@ -4884,6 +4884,59 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "store_mv_refresh",
+    """
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000, source, n_chars FROM documents WHERE doc_id % 100 = 7
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM v2 GROUP BY source
+""",
+    "incremental materialized-view maintenance (counting-algorithm IVM, "
+    "Gupta & Mumick '95) over the store's change-data-feed: the v1→v2 "
+    "diff's rows become ±1-weighted deltas, ONE aggregate over the churn "
+    "merges into the stored MV by full-outer join, zero-count groups drop "
+    "out — cost scales with churn, never table size.  The oracle is the "
+    "full recompute at v2 the refresh must equal bit-for-bit",
+)
+def store_mv_refresh_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore, aggregate_snapshot, refresh_aggregate
+
+    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "source", "n_chars")
+    root = f"/tmp/sgspark_mvstore_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    store.write("docs", docs)
+    v2 = (
+        docs.where(F.col("doc_id") % 7 != 3)
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 10 == 0, F.col("n_chars") + 1000).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 100 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "source", "n_chars"
+            )
+        )
+    )
+    store.write("docs", v2)
+    mv = aggregate_snapshot(store.read(spark, "docs", 1), ["source"], ["n_chars"])
+    return refresh_aggregate(
+        spark, store, "docs", mv, ["source"], ["n_chars"], 1, 2, key_cols=["doc_id"]
+    )
+
+
+@q(
     "dedup_edit_distance",
     """
 SELECT a.doc_id AS left_id, b.doc_id AS right_id,

@@ -342,3 +342,97 @@ def test_optimize_zorder_new_version(spark, tmp_path):
     assert sorted(r["a"] for r in back.collect()) == list(range(1000))
     store.rollback("t", 1)
     assert store.read(spark, "t").count() == 1000
+
+
+# -- incremental materialized-view maintenance --------------------------------
+
+
+def _mv_rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def mv_store(spark, tmp_path):
+    """v1 → v2 with every churn shape: delete, in-group update, a changed
+    row that MOVES groups, insert into an existing group, insert creating
+    a new group, and a delete that empties a whole group."""
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "mv_tables"))
+    v1 = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 20),
+            (3, "b", 30),
+            (4, "b", 40),
+            (5, "c", 50),  # group c will be emptied
+        ],
+        "k long, grp string, m long",
+    )
+    store.write("t", v1)
+    v2 = spark.createDataFrame(
+        [
+            (1, "a", 11),   # in-group update
+            (2, "d", 20),   # moved a → d
+            (3, "b", 30),   # untouched
+            # 4 deleted
+            # 5 deleted (group c gone)
+            (6, "b", 60),   # insert into existing group
+            (7, "e", 70),   # insert creating new group
+        ],
+        "k long, grp string, m long",
+    )
+    store.write("t", v2)
+    return store
+
+
+@pytest.mark.parametrize("strategy", ["delta", "group_rescan"])
+def test_refresh_equals_full_recompute(spark, mv_store, strategy):
+    from scalligraph_spark.store import aggregate_snapshot, refresh_aggregate
+
+    mv = aggregate_snapshot(mv_store.read(spark, "t", 1), ["grp"], ["m"])
+    got = refresh_aggregate(
+        spark, mv_store, "t", mv, ["grp"], ["m"], 1, 2, ["k"], strategy=strategy
+    )
+    want = aggregate_snapshot(mv_store.read(spark, "t", 2), ["grp"], ["m"])
+    assert _mv_rows(got) == _mv_rows(want)
+    # group c (emptied) must be gone; groups d/e (new) must be present
+    grps = {r.grp for r in got.collect()}
+    assert "c" not in grps and {"d", "e"} <= grps
+
+
+def test_group_rescan_maintains_minmax(spark, mv_store):
+    from scalligraph_spark.store import aggregate_snapshot, refresh_aggregate
+
+    mv = aggregate_snapshot(mv_store.read(spark, "t", 1), ["grp"], ["m"], minmax=True)
+    got = refresh_aggregate(
+        spark, mv_store, "t", mv, ["grp"], ["m"], 1, 2, ["k"],
+        strategy="group_rescan", minmax=True,
+    )
+    want = aggregate_snapshot(mv_store.read(spark, "t", 2), ["grp"], ["m"], minmax=True)
+    assert _mv_rows(got) == _mv_rows(want)
+
+
+def test_delta_refresh_rejects_minmax(spark, mv_store):
+    from scalligraph_spark.store import aggregate_snapshot, refresh_aggregate
+
+    mv = aggregate_snapshot(mv_store.read(spark, "t", 1), ["grp"], ["m"], minmax=True)
+    with pytest.raises(ValueError):
+        refresh_aggregate(
+            spark, mv_store, "t", mv, ["grp"], ["m"], 1, 2, ["k"], minmax=True
+        )
+
+
+def test_refresh_noop_on_identical_versions(spark, tmp_path):
+    from scalligraph_spark.store import LabelStore, aggregate_snapshot, refresh_aggregate
+
+    store = LabelStore(str(tmp_path / "noop_tables"))
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k long, grp string, m long")
+    store.write("t", df)
+    store.write("t", df)
+    mv = aggregate_snapshot(store.read(spark, "t", 1), ["grp"], ["m"])
+    for strategy in ("delta", "group_rescan"):
+        got = refresh_aggregate(
+            spark, store, "t", mv, ["grp"], ["m"], 1, 2, ["k"], strategy=strategy
+        )
+        assert _mv_rows(got) == _mv_rows(mv)
