@@ -523,3 +523,29 @@ def jaccard_pairs_prefix(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def duplication_weights(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Soft dedup: keep every copy but weight each document by the inverse
+    of its exact-duplicate group size (1/n), so repeated boilerplate
+    contributes one document's worth of gradient in expectation — the
+    loss-weighting alternative to dropping duplicates outright.
+
+    One hash aggregate (reusing :func:`exact_dedup`'s groups) + one
+    narrow join back on the 32-char content hash; bodies never shuffle
+    twice.  Output: (id, n_copies, weight).
+    """
+    groups = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        "content_hash", "n_copies"
+    )
+    hashed = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+    )
+    return hashed.join(groups, "content_hash").select(
+        F.col(id_col),
+        F.col("n_copies"),
+        F.round(F.lit(1.0) / F.col("n_copies"), 12).alias("weight"),
+    )

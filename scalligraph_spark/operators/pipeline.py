@@ -596,3 +596,60 @@ def data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.array_sort(F.collect_list(F.struct("source", "n"))).alias("sources")
     )
     return scalars.crossJoin(F.broadcast(langs)).crossJoin(F.broadcast(sources))
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weight,
+    token_budget: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-budget mixture planning: given target mixing weights per
+    source and a total training-token budget, emit one row per source with
+    its measured size and the repeat factor (epochs over that source) that
+    realizes the target mix — the planning step behind every "domain
+    weights" table in LLM pretraining recipes (e.g. the Pile / Llama
+    mixes): ``repeat_factor > 1`` means the source is up-sampled
+    (repeated), ``< 1`` down-sampled.
+
+    ``weight`` is a Column evaluated against the grouped source value (or
+    a plain dict, turned into a literal map lookup).  Target shares are
+    weights normalized over the sources actually present.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus (token
+    counting is a per-row expression), then arithmetic over the
+    card(sources)-sized result — the corpus is read once and never
+    shuffled.  Weight values should be small integers-in-doubles so the
+    normalizing sum is order-independent bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(weight, dict):
+        pairs = []
+        for k, v in weight.items():
+            pairs.append(F.lit(k))
+            pairs.append(F.lit(float(v)))
+        weight = F.element_at(F.create_map(*pairs), F.col(source_col))
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    everything = Window.partitionBy()  # card(sources) rows by construction
+    b = F.lit(float(token_budget))
+    w = weight.cast("double")
+    return (
+        per.withColumn("__w", w)
+        .withColumn("__tw", F.sum("__w").over(everything))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("__w") / F.col("__tw"), 12).alias("target_share"),
+            F.round(b * F.col("__w") / F.col("__tw"), 12).alias("expected_tokens"),
+            F.round((b * F.col("__w") / F.col("__tw")) / F.col("n_tokens"), 12).alias(
+                "repeat_factor"
+            ),
+        )
+    )

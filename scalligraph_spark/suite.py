@@ -4884,6 +4884,58 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "dedup_soft_weights",
+    """
+SELECT d.doc_id, g.n_copies, round(1.0 / g.n_copies, 12) AS weight
+FROM documents d JOIN (
+  SELECT md5(text) AS content_hash, count(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+) g ON md5(d.text) = g.content_hash
+""",
+    "soft dedup: every copy kept, loss weight 1/n per exact-duplicate "
+    "group (boilerplate contributes one doc's gradient in expectation) — "
+    "one hash aggregate + one 32-char-hash join back, bodies never "
+    "shuffle twice",
+)
+def dedup_soft_weights_q(spark, sf):
+    from scalligraph_spark.operators import duplication_weights
+
+    return duplication_weights(cat_for(spark, sf).vertex_df("documents"))
+
+
+@q(
+    "pipeline_mixture_plan",
+    """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1.0 ELSE 2.0 END AS DOUBLE) AS w
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(w) AS tw FROM per)
+SELECT source, n_docs, n_tokens,
+       round(w / tw, 12) AS target_share,
+       round(1000000.0 * w / tw, 12) AS expected_tokens,
+       round((1000000.0 * w / tw) / n_tokens, 12) AS repeat_factor
+FROM per, tot
+""",
+    "token-budget mixture planning (the domain-weights table behind LLM "
+    "pretraining mixes): one map-side-combined token-count aggregate, then "
+    "arithmetic over card(sources) rows — repeat_factor = how many epochs "
+    "of each source realize the target share within a 1M-token budget; "
+    "integer-valued double weights keep the normalizing sum "
+    "order-independent",
+)
+def pipeline_mixture_plan_q(spark, sf):
+    from scalligraph_spark.operators import mixture_plan
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    w = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(2.0))
+    return mixture_plan(docs, w, token_budget=1_000_000)
+
+
+@q(
     "store_mv_refresh",
     """
 WITH v2 AS (
@@ -4987,6 +5039,13 @@ def dedup_edit_distance_q(spark, sf):
 # events_sessionize) for the session's new oracle-exact families: the
 # JSONL ingest/export boundary, the ANALYZE stats tier, the join-key skew
 # profiler, the Bloom-prefiltered join, and MERGE upsert.
+# Round-4 session-6: two swaps for the session's new oracle-exact families —
+# dedup_ngram_jaccard→dedup_edit_distance (jaccard stays represented by
+# dedup_contamination in-window + dedup_jaccard_prefix_join suite-checked;
+# edit distance is a NEW dedup family: Ed-Join prefix-gram blocking +
+# banded levenshtein) and choose_branch→store_mv_refresh (branch family
+# keeps optional_left_join in-window + choose_* suite-checked; the store
+# tier gains its first window row: counting-algorithm IVM refresh).
 _WINDOW = [
     "scan_by_ids",
     "union_all_forms",
@@ -5013,11 +5072,11 @@ _WINDOW = [
     "qagg_time_day",
     "qlang_sort_page",
     "graph_sssp_weighted",
-    "choose_branch",
+    "store_mv_refresh",
     "optional_left_join",
     "scalar_hash_b64_json",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
     "text_tfidf",
     "dedup_contamination",
     "dedup_embedding_cosine",

@@ -1334,3 +1334,62 @@ def test_data_card_values(spark):
     assert card["min_chars"] == 3 and card["max_chars"] == 13
     assert [(r["lang"], r["n"]) for r in card["langs"]] == [("en", 2), ("fr", 1)]
     assert [(r["source"], r["n"]) for r in card["sources"]] == [("books", 1), ("web", 2)]
+
+
+# -- soft-dedup weights + mixture planning ------------------------------------
+
+
+def test_duplication_weights_inverse_group_size(spark):
+    from scalligraph_spark.operators import duplication_weights
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same"), (4, "unique"), (5, "pair"), (6, "pair")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.n_copies, r.weight) for r in duplication_weights(docs).collect()}
+    assert rows == {
+        1: (3, round(1 / 3, 12)),
+        2: (3, round(1 / 3, 12)),
+        3: (3, round(1 / 3, 12)),
+        4: (1, 1.0),
+        5: (2, 0.5),
+        6: (2, 0.5),
+    }
+    # effective corpus mass = number of distinct texts
+    assert abs(sum(w for _, w in rows.values()) - 3.0) < 1e-9
+
+
+def test_mixture_plan_dict_weights(spark):
+    from scalligraph_spark.operators import mixture_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "web"),      # 4 tokens
+            (2, "e f", "web"),          # 2 tokens
+            (3, "g h i j k l", "code"), # 6 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in mixture_plan(docs, {"web": 3.0, "code": 1.0}, 120).collect()}
+    web, code = got["web"], got["code"]
+    assert (web.n_docs, web.n_tokens) == (2, 6)
+    assert (code.n_docs, code.n_tokens) == (1, 6)
+    assert web.target_share == 0.75 and code.target_share == 0.25
+    assert web.expected_tokens == 90.0 and code.expected_tokens == 30.0
+    # 90 target tokens over a 6-token source = 15 epochs; 30 over 6 = 5
+    assert web.repeat_factor == 15.0 and code.repeat_factor == 5.0
+
+
+def test_mixture_plan_shares_sum_to_one(spark):
+    from pyspark.sql import functions as F
+    from scalligraph_spark.operators import mixture_plan
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("w1 w2 w3").alias("text"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("source"),
+    )
+    out = mixture_plan(docs, F.lit(1.0), 1000).collect()
+    assert len(out) == 7
+    assert abs(sum(r.target_share for r in out) - 1.0) < 1e-9
+    assert abs(sum(r.expected_tokens for r in out) - 1000.0) < 1e-6
