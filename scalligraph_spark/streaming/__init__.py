@@ -436,3 +436,54 @@ def start_stats_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_mv_sink(
+    stream_df: DataFrame,
+    store,
+    label: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    measure_cols: list[str],
+    query_name: str = "mv_sink",
+):
+    """Continuously-maintained materialized view on a live stream: each
+    micro-batch is aggregated once (`store.aggregate_snapshot` over the
+    batch only — churn-sized, never history) and merged into the stored MV
+    as a new version by group-wise addition — the append-only case of the
+    counting-algorithm IVM in `store.refresh_aggregate`, running forever.
+    Readers get a near-real-time grouped count/sum table with the store's
+    snapshot isolation; batch-id idempotence matches `start_store_sink`
+    (a crash-replayed batch is skipped, keeping the merge exactly-once).
+
+    Read back with ``store.read(spark, label)`` — columns are
+    ``group_cols + n_rows + sum_<m>``.
+    """
+    from pyspark.sql import functions as F
+
+    from scalligraph_spark.store import aggregate_snapshot
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_mv = aggregate_snapshot(batch_df, group_cols, measure_cols)
+        cur_v = store.version(label)
+        if cur_v > 0:
+            last = store.commit_meta(label, cur_v).get("batch_id", -1)
+            if batch_id <= last:
+                return
+            prev = store.read(batch_df.sparkSession, label, cur_v)
+            merged = prev.unionByName(batch_mv).groupBy(*group_cols).agg(
+                F.sum("n_rows").alias("n_rows"),
+                *[F.sum(f"sum_{m}").alias(f"sum_{m}") for m in measure_cols],
+            )
+        else:
+            merged = batch_mv
+        store.write(label, merged, meta={"batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

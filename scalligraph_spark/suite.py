@@ -177,6 +177,24 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         )
 
     ex.register_init("analyze", _analyze)
+
+    def _fuzzy_pairs(g, s, a):
+        from scalligraph_spark.operators import edit_distance_pairs
+
+        docs = g.V(str(s.get("label", "documents"))).df
+        return Traversal(
+            edit_distance_pairs(
+                docs,
+                max_dist=int(s["maxDist"]),
+                text_col=str(s.get("textCol", "text")),
+                id_col=str(s.get("idCol", "doc_id")),
+                blocking=str(s.get("blocking", "length")),
+            ),
+            catalog=g,
+            label=None,
+        )
+
+    ex.register_init("fuzzyPairs", _fuzzy_pairs)
     return ex
 
 
@@ -4494,6 +4512,25 @@ def pipeline_negative_pairs_q(spark, sf):
 
     emb = cat_for(spark, sf).vertex_df("embeddings")
     return negative_pairs(emb, k=4, pool_size=256)
+
+
+@q(
+    "qlang_fuzzy_pairs",
+    """
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND abs(length(a.text) - length(b.text)) <= 20
+WHERE levenshtein(a.text, b.text) <= 20
+""",
+    "edit-distance join through the JSON query language: {_name: "
+    "fuzzyPairs, label, maxDist, blocking} registered init query "
+    "(QueryExecutor.scala:28-29 extension mechanism over the fuzzy "
+    "operator; typo-tolerant dedup for query-language users)",
+)
+def qlang_fuzzy_pairs_q(spark, sf):
+    ex = executor_for(spark, sf)
+    return ex.execute([{"_name": "fuzzyPairs", "label": "documents", "maxDist": 20}]).df
 
 
 @q(

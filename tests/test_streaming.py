@@ -383,3 +383,41 @@ def test_stats_sink_incremental_equals_full(spark, tmp_path):
     q2 = start_stats_sink(stream, store, "corpus_stats", str(tmp_path / "ckpt"))
     q2.awaitTermination()
     assert store.version("corpus_stats") == 2
+
+
+def test_mv_sink_incremental_equals_full(spark, tmp_path):
+    """Streamed per-batch MV merges == one full-scan aggregate snapshot;
+    restart replay with the same checkpoint is a no-op."""
+    import json as _json
+
+    from scalligraph_spark.store import LabelStore, aggregate_snapshot
+    from scalligraph_spark.streaming import start_mv_sink
+
+    src = tmp_path / "mv_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(60):
+            f.write(_json.dumps({"id": i, "grp": f"g{i % 4}", "m": i * 10}) + "\n")
+    with open(src / "b.json", "w") as f:
+        for i in range(60, 150):
+            f.write(_json.dumps({"id": i, "grp": f"g{i % 5}", "m": i}) + "\n")
+
+    stream = (
+        spark.readStream.schema("id long, grp string, m long")
+        .option("maxFilesPerTrigger", "1")  # force 2 separate batches
+        .json(str(src))
+    )
+    store = LabelStore(str(tmp_path / "mv_store"))
+    q = start_mv_sink(stream, store, "live_mv", str(tmp_path / "mv_ckpt"), ["grp"], ["m"])
+    q.awaitTermination()
+    assert store.version("live_mv") == 2  # one merge-commit per batch
+
+    got = {tuple(r) for r in store.read(spark, "live_mv").collect()}
+    full = spark.read.schema("id long, grp string, m long").json(str(src))
+    want = {tuple(r) for r in aggregate_snapshot(full, ["grp"], ["m"]).collect()}
+    assert got == want
+
+    # restart with same checkpoint: no new data -> no new version
+    q2 = start_mv_sink(stream, store, "live_mv", str(tmp_path / "mv_ckpt"), ["grp"], ["m"])
+    q2.awaitTermination()
+    assert store.version("live_mv") == 2
