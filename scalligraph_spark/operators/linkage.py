@@ -1,0 +1,81 @@
+"""Record linkage / entity resolution: blocked candidate generation +
+weighted field-similarity scoring.
+
+The reference's integrity checks find EXACT duplicate entities by key
+(core/.../services/IntegrityCheckOps.scala:404-469); real master-data and
+training-metadata pipelines must also link *dirty* records — same entity,
+perturbed attributes (typos, reformatted phones, moved addresses).  This
+is the classic Fellegi–Sunter shape (JASA 1969) reduced to its
+deterministic core: block, compare fields, combine weighted similarities,
+threshold.
+
+Scale shape: ONE equi-join on the blocking keys (never all-pairs; pick
+keys so blocks are bounded — the same discipline as every LSH bucket join
+here), then per-pair similarity arithmetic entirely in JVM expressions —
+``F.levenshtein`` with a threshold bound for fuzzy fields, equality for
+exact fields.  Skewed blocks are the operator's known hazard; pass the
+block keys through :func:`~scalligraph_spark.operators.diagnostics.key_skew_profile`
+first and salt/split hot blocks upstream if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def link_records(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: list[str],
+    comparators: list[tuple[str, str, float]],
+    threshold: float,
+    left_id_col: str = "id",
+    right_id_col: str = "id",
+) -> DataFrame:
+    """Link records of ``left`` to records of ``right`` that agree on the
+    ``block_on`` keys and score ≥ ``threshold`` on the weighted field
+    similarities → (left_id, right_id, score).
+
+    ``comparators`` is a list of ``(column, kind, weight)``:
+
+    * ``kind="exact"`` — similarity 1.0 when equal (null-safe: two nulls
+      match), else 0.0.
+    * ``kind="edit"`` — normalized edit similarity
+      ``1 − levenshtein(l, r) / max(len(l), len(r))`` (1.0 when both
+      empty), the standard name/address comparator.
+
+    ``score = Σ wᵢ·simᵢ / Σ wᵢ``, rounded to 12 places so the score is
+    bit-stable across engines (weights should be small exact doubles).
+    Self-linkage: pass the same DataFrame as both sides and drop the
+    trivial diagonal afterwards with ``left_id < right_id``.
+    """
+    total_w = sum(w for _, _, w in comparators)
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in block_on]
+    joined = l.join(r, cond)
+    sims = []
+    for col, kind, w in comparators:
+        lc, rc = F.col(f"l.{col}"), F.col(f"r.{col}")
+        if kind == "exact":
+            sim = F.when(lc.eqNullSafe(rc), F.lit(1.0)).otherwise(F.lit(0.0))
+        elif kind == "edit":
+            mx = F.greatest(F.length(lc), F.length(rc))
+            sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+                F.lit(1.0) - F.levenshtein(lc, rc).cast("double") / mx
+            )
+        else:  # pragma: no cover - guarded API
+            raise ValueError(f"unknown comparator kind {kind!r}; use 'exact' or 'edit'")
+        sims.append(F.lit(float(w)) * sim)
+    score = F.round(
+        sum(sims[1:], sims[0]) / F.lit(float(total_w)), 12
+    )
+    return (
+        joined.select(
+            F.col(f"l.{left_id_col}").alias("left_id"),
+            F.col(f"r.{right_id_col}").alias("right_id"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

@@ -4921,6 +4921,59 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "link_customer_records",
+    """
+WITH dirty AS (
+  SELECT c_custkey + 5000000 AS d_key,
+         CASE WHEN c_custkey % 10 = 0 THEN c_name || 'X' ELSE c_name END AS d_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000000 ELSE c_acctbal END AS d_bal,
+         c_nationkey AS d_nat
+  FROM customer
+)
+SELECT * FROM (
+  SELECT l.c_custkey AS left_id, r.d_key AS right_id,
+         round((0.7 * (CASE WHEN greatest(length(l.c_name), length(r.d_name)) = 0 THEN 1.0
+                       ELSE 1.0 - CAST(levenshtein(l.c_name, r.d_name) AS DOUBLE)
+                                  / greatest(length(l.c_name), length(r.d_name)) END)
+              + 0.3 * (CASE WHEN l.c_acctbal = r.d_bal THEN 1.0 ELSE 0.0 END)) / 1.0,
+               12) AS score
+  FROM customer l JOIN dirty r ON l.c_nationkey = r.d_nat
+) WHERE score >= 0.9
+""",
+    "record linkage / entity resolution (Fellegi-Sunter deterministic "
+    "core): a dirtied clone of customer (typo'd names, shifted balances) "
+    "links back to the master by nation-blocked equi-join + weighted "
+    "field similarities (normalized edit sim on names, null-safe exact "
+    "on balances) — never all-pairs; blocks bounded by the key choice",
+)
+def link_customer_records_q(spark, sf):
+    from scalligraph_spark.operators import link_records
+
+    cust = cat_for(spark, sf).vertex_df("customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    dirty = cust.select(
+        (F.col("c_custkey") + 5000000).alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.concat(F.col("c_name"), F.lit("X"))
+        ).otherwise(F.col("c_name")).alias("c_name"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1000000
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_nationkey",
+    )
+    return link_records(
+        cust,
+        dirty,
+        block_on=["c_nationkey"],
+        comparators=[("c_name", "edit", 0.7), ("c_acctbal", "exact", 0.3)],
+        threshold=0.9,
+        left_id_col="c_custkey",
+        right_id_col="c_custkey",
+    )
+
+
+@q(
     "dedup_soft_weights",
     """
 SELECT d.doc_id, g.n_copies, round(1.0 / g.n_copies, 12) AS weight

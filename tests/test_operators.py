@@ -1393,3 +1393,49 @@ def test_mixture_plan_shares_sum_to_one(spark):
     assert len(out) == 7
     assert abs(sum(r.target_share for r in out) - 1.0) < 1e-9
     assert abs(sum(r.expected_tokens for r in out) - 1000.0) < 1e-6
+
+
+def test_link_records_weighted_scores(spark):
+    from scalligraph_spark.operators import link_records
+
+    left = spark.createDataFrame(
+        [(1, "alice smith", "NY"), (2, "bob jones", "NY"), (3, "carol", "SF")],
+        "id long, name string, city string",
+    )
+    right = spark.createDataFrame(
+        [(10, "alice smyth", "NY"),   # dist 1/11 to alice
+         (20, "robert jones", "NY"),  # far from bob
+         (30, "carol", "SF")],        # exact
+        "id long, name string, city string",
+    )
+    out = {
+        (r.left_id, r.right_id): r.score
+        for r in link_records(
+            left, right, ["city"], [("name", "edit", 1.0)], threshold=0.8
+        ).collect()
+    }
+    assert out == {(1, 10): round(1 - 1 / 11, 12), (3, 30): 1.0}
+    # blocking: carol never compared against NY records (no cross-block pairs)
+
+
+def test_link_records_exact_null_safe_and_self_link(spark):
+    from pyspark.sql import functions as F
+    from scalligraph_spark.operators import link_records
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", None), (3, "x", "p1")],
+        "id long, name string, phone string",
+    )
+    out = link_records(
+        df, df, ["name"], [("phone", "exact", 1.0)], threshold=0.9,
+    ).where(F.col("left_id") < F.col("right_id"))
+    got = {(r.left_id, r.right_id) for r in out.collect()}
+    assert got == {(1, 2)}  # null==null matches; null vs 'p1' does not
+
+
+def test_link_records_rejects_unknown_kind(spark):
+    from scalligraph_spark.operators import link_records
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(ValueError):
+        link_records(df, df, ["name"], [("name", "soundex", 1.0)], 0.5)
