@@ -79,3 +79,44 @@ def link_records(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def resolve_entities(
+    records: DataFrame,
+    block_on: list[str],
+    comparators: list[tuple[str, str, float]],
+    threshold: float,
+    id_col: str = "id",
+) -> DataFrame:
+    """End-to-end entity resolution within ONE table: self-link via
+    :func:`link_records`, drop the trivial diagonal, run the match pairs
+    through min-label connected components, and assign every record its
+    cluster's minimum id → (id, entity_id, is_canonical).
+
+    Transitivity is deliberate (A≈B and B≈C put A,C in one entity even if
+    A,C score under the threshold) — the standard ER closure; raise the
+    threshold if chaining is unwanted.  Scale shape: the linkage join is
+    the only data-sized shuffle; CC runs on the (usually tiny) match-pair
+    edge list.
+    """
+    from scalligraph_spark.operators.dedup import pairs_to_clusters
+
+    pairs = (
+        link_records(
+            records,
+            records,
+            block_on,
+            comparators,
+            threshold,
+            left_id_col=id_col,
+            right_id_col=id_col,
+        )
+        .where(F.col("left_id") < F.col("right_id"))
+        .select(F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b"))
+    )
+    out = pairs_to_clusters(records.select(F.col(id_col)), pairs, id_col=id_col)
+    return out.select(
+        F.col("doc_id").alias(id_col) if id_col != "doc_id" else F.col("doc_id"),
+        F.col("canonical_id").alias("entity_id"),
+        F.col("is_kept").alias("is_canonical"),
+    )

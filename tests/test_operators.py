@@ -1439,3 +1439,19 @@ def test_link_records_rejects_unknown_kind(spark):
     df = spark.createDataFrame([(1, "x")], "id long, name string")
     with pytest.raises(ValueError):
         link_records(df, df, ["name"], [("name", "soundex", 1.0)], 0.5)
+
+
+def test_resolve_entities_transitive_clusters(spark):
+    from scalligraph_spark.operators import resolve_entities
+
+    # A≈B (dist 1) and B≈C (dist 1) but A vs C dist 2 — transitivity must
+    # still put all three in one entity; D is an unrelated singleton.
+    df = spark.createDataFrame(
+        [(1, "smith", "NY"), (2, "smithh", "NY"), (3, "smithhh", "NY"), (4, "jones", "NY")],
+        "id long, name string, city string",
+    )
+    out = {r.id: (r.entity_id, r.is_canonical) for r in resolve_entities(
+        df, ["city"], [("name", "edit", 1.0)], threshold=0.8
+    ).collect()}
+    # sims: 1-2: 1-1/6=0.833 ok; 2-3: 1-1/7=0.857 ok; 1-3: 1-2/7=0.714 below
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
