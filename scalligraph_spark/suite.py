@@ -4974,6 +4974,72 @@ def link_customer_records_q(spark, sf):
 
 
 @q(
+    "link_resolve_entities",
+    """
+WITH RECURSIVE
+allrec AS (
+  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal, c_nationkey AS nat FROM customer
+  UNION ALL
+  SELECT c_custkey + 5000000,
+         CASE WHEN c_custkey % 10 = 0 THEN c_name || 'X' ELSE c_name END,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000000 ELSE c_acctbal END,
+         c_nationkey
+  FROM customer
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT a.id AS u, b.id AS v,
+           round((0.7 * (CASE WHEN greatest(length(a.name), length(b.name)) = 0 THEN 1.0
+                         ELSE 1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+                                    / greatest(length(a.name), length(b.name)) END)
+                + 0.3 * (CASE WHEN a.bal = b.bal THEN 1.0 ELSE 0.0 END)) / 1.0,
+                 12) AS score
+    FROM allrec a JOIN allrec b ON a.nat = b.nat AND a.id < b.id
+  ) WHERE score >= 0.9
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(id, r) AS (
+  SELECT id, id FROM allrec
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+)
+SELECT id AS c_custkey, min(r) AS entity_id,
+       (id = min(r)) AS is_canonical
+FROM reach GROUP BY id
+""",
+    "entity resolution end-to-end under the hash gate: master ∪ dirtied "
+    "clone self-linked (nation-blocked, weighted name/balance "
+    "similarities) → min-label connected components → canonical entity "
+    "ids; the oracle closes the match graph with a recursive CTE — "
+    "transitive chaining included",
+)
+def link_resolve_entities_q(spark, sf):
+    from scalligraph_spark.operators import resolve_entities
+
+    cust = cat_for(spark, sf).vertex_df("customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    dirty = cust.select(
+        (F.col("c_custkey") + 5000000).alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.concat(F.col("c_name"), F.lit("X"))
+        ).otherwise(F.col("c_name")).alias("c_name"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1000000
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_nationkey",
+    )
+    allrec = cust.unionByName(dirty)
+    return resolve_entities(
+        allrec,
+        block_on=["c_nationkey"],
+        comparators=[("c_name", "edit", 0.7), ("c_acctbal", "exact", 0.3)],
+        threshold=0.9,
+        id_col="c_custkey",
+    )
+
+
+@q(
     "dedup_soft_weights",
     """
 SELECT d.doc_id, g.n_copies, round(1.0 / g.n_copies, 12) AS weight
