@@ -76,6 +76,14 @@ HEADLINE = [
     "diag_key_skew",  # heavy-key profiler (count agg + TakeOrdered)
     "join_bloom_prefiltered",  # bloom build-once + map-side probe + join
     "pipeline_negative_pairs",  # TakeOrdered pool + broadcast draws
+    # round-4 session-6 additions (dedup_edit_distance and
+    # link_customer_records are bench-excluded: both are verification-bound
+    # on deliberately-stressy inputs — near-dup-dense corpus / weak
+    # nation-only blocking key — see PERF.md session-6 for their isolated
+    # numbers and the scale analysis)
+    "store_mv_refresh",  # counting-algorithm IVM vs the version diff
+    "dedup_soft_weights",  # 1/n loss weights, hash agg + hash join-back
+    "pipeline_mixture_plan",  # one-pass token counts -> repeat factors
 ]
 
 
