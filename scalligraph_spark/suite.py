@@ -4921,6 +4921,54 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "qagg_pivot_events",
+    f"""
+SELECT {time_bucket_sql('ts', 1, 'd')} AS day,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY 1
+""",
+    "PIVOT: day × event_type count matrix as columns — explicit pivot "
+    "value list keeps the schema static (one hash aggregate with "
+    "conditional counts underneath; no second pass to discover columns, "
+    "which at 100 TB would be an extra full scan)",
+)
+def qagg_pivot_events_q(spark, sf):
+    from scalligraph_spark.functions import time_bucket
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    return (
+        ev.withColumn("day", time_bucket(F.col("ts"), 1, "d"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+
+
+@q(
+    "events_unpivot_metrics",
+    """
+SELECT event_id, 'value' AS metric, CAST(value AS DOUBLE) AS amount FROM events
+UNION ALL
+SELECT event_id, 'user_id' AS metric, CAST(user_id AS DOUBLE) AS amount FROM events
+""",
+    "UNPIVOT/melt: wide per-event metrics to long (event, metric, amount) "
+    "triples — Spark's native unpivot, a map-only 1→k row expansion (no "
+    "shuffle; the long layout feeds metric-generic downstream aggs)",
+)
+def events_unpivot_metrics_q(spark, sf):
+    ev = cat_for(spark, sf).vertex_df("events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.col("user_id").cast("double").alias("user_id"),
+    ).unpivot(["event_id"], ["value", "user_id"], "metric", "amount")
+
+
+@q(
     "link_customer_records",
     """
 WITH dirty AS (
