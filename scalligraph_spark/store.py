@@ -439,3 +439,94 @@ def refresh_aggregate(
         untouched = mv.join(touched, group_cols, "left_anti")
         return untouched.unionByName(recomputed)
     raise ValueError(f"unknown strategy {strategy!r}; use 'delta' or 'group_rescan'")
+
+
+def refresh_join(
+    spark: SparkSession,
+    store: "LabelStore",
+    left_label: str,
+    right_label: str,
+    view: DataFrame,
+    on: list[str],
+    left_keys: list[str],
+    right_keys: list[str],
+    left_versions: tuple[int, int],
+    right_versions: tuple[int, int],
+) -> DataFrame:
+    """Incremental maintenance of an inner-join view ``left ⋈ right``
+    (both sides versioned label tables) — the join delta rule:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB      (multiset semantics)
+
+    where ``ΔX = X_new − X_old`` splits into inserts (+) and deletes (−):
+    deleted/changed-old rows retract their join partners, inserted/
+    changed-new rows add theirs.  Using ``B_new`` on the first term and
+    ``A_old`` on the second counts the ΔA⋈ΔB cross term exactly once.
+    Cost scales with churn × matched partners — the two full-table scans
+    of a recompute are replaced by two diff-semi-joined slices (at 100 TB
+    the slices partition-prune down to the touched keys).
+
+    ``view`` must be the materialized inner join at
+    ``(left v_old, right v_old)`` carrying the join keys plus any payload
+    columns present in the stored tables; the result is the view at
+    ``(left v_new, right v_new)``, bit-identical to a recompute.
+    Rows are matched for retraction by FULL VALUE (all view columns), so
+    duplicate join rows are retracted with multiset semantics — the
+    count-annotated merge keeps one physical row per distinct value with
+    an internal multiplicity during the merge only.
+    """
+    lo, ln = left_versions
+    ro, rn = right_versions
+    a_old = store.read(spark, left_label, lo)
+    a_new = store.read(spark, left_label, ln)
+    b_old = store.read(spark, right_label, ro)
+    b_new = store.read(spark, right_label, rn)
+
+    da = version_diff(spark, store, left_label, lo, ln, left_keys)
+    db = version_diff(spark, store, right_label, ro, rn, right_keys)
+    a_gone = a_old.join(
+        da.where(F.col("status").isin("removed", "changed")).select(left_keys),
+        left_keys,
+        "left_semi",
+    )
+    a_came = a_new.join(
+        da.where(F.col("status").isin("added", "changed")).select(left_keys),
+        left_keys,
+        "left_semi",
+    )
+    b_gone = b_old.join(
+        db.where(F.col("status").isin("removed", "changed")).select(right_keys),
+        right_keys,
+        "left_semi",
+    )
+    b_came = b_new.join(
+        db.where(F.col("status").isin("added", "changed")).select(right_keys),
+        right_keys,
+        "left_semi",
+    )
+
+    cols = view.columns
+    # ΔA ⋈ B_new (weight from ΔA side) ∪ A_old ⋈ ΔB (weight from ΔB side)
+    plus = (
+        a_came.join(b_new, on)
+        .select(*cols, F.lit(1).alias("__w"))
+        .unionByName(a_old.join(b_came, on).select(*cols, F.lit(1).alias("__w")))
+    )
+    minus = (
+        a_gone.join(b_new, on)
+        .select(*cols, F.lit(-1).alias("__w"))
+        .unionByName(a_old.join(b_gone, on).select(*cols, F.lit(-1).alias("__w")))
+    )
+    # merge with multiset semantics: per distinct row value, multiplicity =
+    # count(view) + Σ delta weights; re-emit that many copies.
+    merged = (
+        view.select(*cols, F.lit(1).alias("__w"))
+        .unionByName(plus)
+        .unionByName(minus)
+        .groupBy(*cols)
+        .agg(F.sum("__w").alias("__n"))
+        .where(F.col("__n") > 0)
+    )
+    return merged.select(
+        *cols, F.explode(F.expr("array_repeat(0, CAST(__n AS INT))")).alias("__dup")
+    ).drop("__dup")

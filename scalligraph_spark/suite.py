@@ -4921,6 +4921,88 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "store_join_refresh",
+    """
+WITH a2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000, source, n_chars FROM documents WHERE doc_id % 100 = 7
+),
+b2 AS (
+  SELECT vec_id AS doc_id,
+         CASE WHEN vec_id % 9 = 0 THEN label + 100 ELSE label END AS label
+  FROM embeddings WHERE vec_id % 5 <> 4
+  UNION ALL
+  SELECT vec_id + 1000000, label FROM embeddings WHERE vec_id % 50 = 13
+)
+SELECT a2.doc_id, a2.source, a2.n_chars, b2.label
+FROM a2 JOIN b2 USING (doc_id)
+""",
+    "incremental JOIN-view maintenance (delta rule ΔA⋈B_new ∪ A_old⋈ΔB, "
+    "multiset retract/insert merge): both sides churn — deletes, payload "
+    "rewrites, inserts — and the refreshed view must equal the v2 "
+    "recompute bit-for-bit; refresh cost scales with churn × matched "
+    "partners, never table size",
+)
+def store_join_refresh_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore, refresh_join
+
+    cat = cat_for(spark, sf)
+    docs = cat.vertex_df("documents").select("doc_id", "source", "n_chars")
+    emb = cat.vertex_df("embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    root = f"/tmp/sgspark_jvstore_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    store.write("A", docs)
+    store.write("B", emb)
+    a2 = (
+        docs.where(F.col("doc_id") % 7 != 3)
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 10 == 0, F.col("n_chars") + 1000).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 100 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "source", "n_chars"
+            )
+        )
+    )
+    b2 = (
+        emb.where(F.col("doc_id") % 5 != 4)
+        .withColumn(
+            "label",
+            F.when(F.col("doc_id") % 9 == 0, F.col("label") + 100).otherwise(
+                F.col("label")
+            ),
+        )
+        .unionByName(
+            emb.where(F.col("doc_id") % 50 == 13).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "label"
+            )
+        )
+    )
+    store.write("A", a2)
+    store.write("B", b2)
+    view = (
+        store.read(spark, "A", 1)
+        .join(store.read(spark, "B", 1), ["doc_id"])
+        .select("doc_id", "source", "n_chars", "label")
+    )
+    return refresh_join(
+        spark, store, "A", "B", view, ["doc_id"], ["doc_id"], ["doc_id"], (1, 2), (1, 2)
+    )
+
+
+@q(
     "qagg_pivot_events",
     f"""
 SELECT {time_bucket_sql('ts', 1, 'd')} AS day,

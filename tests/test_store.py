@@ -436,3 +436,93 @@ def test_refresh_noop_on_identical_versions(spark, tmp_path):
             spark, store, "t", mv, ["grp"], ["m"], 1, 2, ["k"], strategy=strategy
         )
         assert _mv_rows(got) == _mv_rows(mv)
+
+
+# -- incremental join-view maintenance ----------------------------------------
+
+
+@pytest.fixture()
+def join_store(spark, tmp_path):
+    """Two versioned tables with churn on BOTH sides: A row changed (its
+    join payload moves), A row deleted, A row inserted; B row changed
+    (fans out to several A rows), B row deleted, B row inserted."""
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "jv"))
+    a1 = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 10, "a2"), (3, 20, "a3"), (4, 30, "a4")],
+        "ak long, jk long, apay string",
+    )
+    b1 = spark.createDataFrame(
+        [(100, 10, "b1"), (200, 20, "b2"), (300, 40, "b3")],
+        "bk long, jk long, bpay string",
+    )
+    store.write("A", a1)
+    store.write("B", b1)
+    a2 = spark.createDataFrame(
+        [(1, 10, "a1x"),  # changed payload
+         (2, 10, "a2"),
+         # 3 deleted
+         (4, 40, "a4"),   # changed join key 30 -> 40 (now matches b3)
+         (5, 20, "a5")],  # inserted
+        "ak long, jk long, apay string",
+    )
+    b2 = spark.createDataFrame(
+        [(100, 10, "b1y"),  # changed payload (fans out to ak 1 and 2)
+         # 200 deleted
+         (300, 40, "b3"),
+         (400, 20, "b4")],  # inserted
+        "bk long, jk long, bpay string",
+    )
+    store.write("A", a2)
+    store.write("B", b2)
+    return store
+
+
+def test_refresh_join_equals_recompute(spark, join_store):
+    from scalligraph_spark.store import refresh_join
+
+    a1 = join_store.read(spark, "A", 1)
+    b1 = join_store.read(spark, "B", 1)
+    view = a1.join(b1, ["jk"]).select("jk", "ak", "apay", "bk", "bpay")
+    got = refresh_join(
+        spark, join_store, "A", "B", view, ["jk"],
+        ["ak"], ["bk"], (1, 2), (1, 2),
+    )
+    a2 = join_store.read(spark, "A", 2)
+    b2 = join_store.read(spark, "B", 2)
+    want = a2.join(b2, ["jk"]).select("jk", "ak", "apay", "bk", "bpay")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == want.count()  # multiset, not set, equality
+
+
+def test_refresh_join_noop_versions(spark, join_store):
+    from scalligraph_spark.store import refresh_join
+
+    a1 = join_store.read(spark, "A", 1)
+    b1 = join_store.read(spark, "B", 1)
+    view = a1.join(b1, ["jk"]).select("jk", "ak", "apay", "bk", "bpay")
+    got = refresh_join(
+        spark, join_store, "A", "B", view, ["jk"],
+        ["ak"], ["bk"], (1, 1), (1, 1),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, view.collect()))
+
+
+def test_refresh_join_duplicate_join_rows(spark, tmp_path):
+    """Multiset semantics: duplicate value-identical join rows retract one
+    copy per retraction, not all copies."""
+    from scalligraph_spark.store import LabelStore, refresh_join
+
+    store = LabelStore(str(tmp_path / "dup"))
+    a1 = spark.createDataFrame([(1, 10), (2, 10)], "ak long, jk long")
+    b1 = spark.createDataFrame([(100, 10), (200, 10)], "bk long, jk long")
+    store.write("A", a1)
+    store.write("B", b1)
+    a2 = spark.createDataFrame([(1, 10)], "ak long, jk long")  # delete ak=2
+    store.write("A", a2)
+    store.write("B", b1)
+    # view WITHOUT ak/bk payloads: 4 value-identical rows (jk only)
+    view = a1.join(b1, ["jk"]).select("jk")
+    got = refresh_join(spark, store, "A", "B", view, ["jk"], ["ak"], ["bk"], (1, 2), (1, 2))
+    assert got.count() == 2  # ak=1 × two b rows
