@@ -773,3 +773,52 @@ def bigram_logprob_score(
             davg(F.col("__lp")).alias("mean_logprob"),
         )
     )
+
+
+def cooccurrence_counts(
+    docs: DataFrame,
+    window: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Skip-gram co-occurrence matrix: (w_center, w_context, n) counts of
+    ordered token pairs within ±``window`` positions — the statistic
+    behind word2vec negative sampling tables, GloVe weighting, and PMI
+    collocation mining.
+
+    Scale shape: NOT a per-document token self-join (quadratic in doc
+    length).  Each (doc, pos, token) row is exploded once per offset
+    1..window and equi-joins the (doc, pos) grid — linear in
+    tokens × window — then both pair orientations emit from ONE struct
+    explode (no self-derived union) into a map-side-combined count.  The
+    shuffle carries (word, word) pairs, bounded by vocabulary², not
+    corpus size.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pos = docs.select(F.col(id_col).alias("__id"), F.posexplode(toks).alias("pos", "w"))
+    probe = pos.select(
+        "__id",
+        F.col("w").alias("w_left"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(window)))).alias("__d"),
+        "pos",
+    ).select("__id", "w_left", (F.col("pos") + F.col("__d")).alias("pos"))
+    hit = probe.join(
+        pos.select("__id", "pos", F.col("w").alias("w_right")), ["__id", "pos"]
+    )
+    both = hit.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("w_left").alias("w_center"), F.col("w_right").alias("w_context")
+                ),
+                F.struct(
+                    F.col("w_right").alias("w_center"), F.col("w_left").alias("w_context")
+                ),
+            )
+        ).alias("p")
+    )
+    return (
+        both.select("p.w_center", "p.w_context")
+        .groupBy("w_center", "w_context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -4921,6 +4921,38 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "text_cooccurrence",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos, t[i] AS w
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+),
+joined AS (
+  SELECT a.w AS w_center, b.w AS w_context
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
+)
+SELECT w_center, w_context, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT w_center, w_context FROM joined
+  UNION ALL
+  SELECT w_context, w_center FROM joined
+) GROUP BY 1, 2
+""",
+    "skip-gram co-occurrence matrix (word2vec/GloVe/PMI prep) within a "
+    "±2 window: offset-exploded (doc,pos) equi-join — linear in "
+    "tokens × window, never the per-doc quadratic self-join — both "
+    "orientations from one struct explode, map-side-combined count; "
+    "shuffle bounded by vocabulary², not corpus size",
+)
+def text_cooccurrence_q(spark, sf):
+    from scalligraph_spark.operators import cooccurrence_counts
+
+    return cooccurrence_counts(cat_for(spark, sf).vertex_df("documents"), window=2)
+
+
+@q(
     "store_join_refresh",
     """
 WITH a2 AS (

@@ -1455,3 +1455,39 @@ def test_resolve_entities_transitive_clusters(spark):
     ).collect()}
     # sims: 1-2: 1-1/6=0.833 ok; 2-3: 1-1/7=0.857 ok; 1-3: 1-2/7=0.714 below
     assert out == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
+
+
+def test_cooccurrence_counts_hand_window(spark):
+    from scalligraph_spark.operators import cooccurrence_counts
+
+    docs = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+    got = {(r.w_center, r.w_context): r.n for r in cooccurrence_counts(docs, window=2).collect()}
+    # positions: a0 b1 a2 c3; within +-2: (a0,b1) (a0,a2) (b1,a2) (b1,c3) (a2,c3)
+    # ordered both ways:
+    assert got == {
+        ("a", "b"): 2, ("b", "a"): 2,
+        ("a", "a"): 2,            # (a0,a2) both directions
+        ("b", "c"): 1, ("c", "b"): 1,
+        ("a", "c"): 1, ("c", "a"): 1,
+    }
+
+
+def test_cooccurrence_symmetry_and_mass(spark):
+    from pyspark.sql import functions as F
+    from scalligraph_spark.operators import cooccurrence_counts
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y"), (2, "z z y")], "doc_id long, text string"
+    )
+    out = cooccurrence_counts(docs, window=3)
+    # matrix is symmetric: n(a,b) == n(b,a)
+    a = {(r.w_center, r.w_context): r.n for r in out.collect()}
+    assert all(a[(c, w)] == n for (w, c), n in a.items())
+    # total mass = 2 * number of in-window position pairs
+    n_pairs = sum(
+        1
+        for toks in (["x", "y", "z", "x", "y"], ["z", "z", "y"])
+        for i in range(len(toks))
+        for j in range(i + 1, min(i + 4, len(toks)))
+    )
+    assert out.agg(F.sum("n")).collect()[0][0] == 2 * n_pairs
