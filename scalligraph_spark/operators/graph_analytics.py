@@ -864,3 +864,50 @@ def topological_levels(
         f"levels still changing after max_levels={max_levels}: graph has a cycle "
         "(or raise the cap for a very deep DAG)"
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int,
+    start_col: str = "vertex",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic 'random' walks for graph-embedding prep (DeepWalk /
+    node2vec corpus generation): from each start vertex, take ``length``
+    steps, at each step choosing the neighbor with the minimum
+    ``md5(walk|step|dst)`` — a portable hash draw, so the SAME walks come
+    out on any engine, partitioning, or rerun (the walk id doubles as the
+    seed; vary starts to vary walks).  Returns (walk, step, v) with
+    step 0 = the start vertex; a walk ends early only at a dead end.
+
+    Scale shape: ``length`` frontier equi-joins (frontier × out-degree
+    candidate rows each), neighbor choice by ``min_by`` over a
+    (hash, dst) struct — no window sort, no per-vertex collect; the
+    candidate stream is the only shuffle per step.  This is the batch
+    corpus-generation shape: at 100 TB you run millions of walks in one
+    pass because every join step carries ALL walks at once.
+    """
+    from functools import reduce
+
+    e = edges.select(F.col(src).alias("v"), F.col(dst).alias("__dst"))
+    cur = starts.select(F.col(start_col).alias("walk"), F.col(start_col).alias("v"))
+    rows = [cur.select("walk", F.lit(0).alias("step"), "v")]
+    for t in range(1, int(length) + 1):
+        cand = cur.join(e, "v")
+        h = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("walk").cast("string"),
+                F.lit(str(t)),
+                F.col("__dst").cast("string"),
+            )
+        )
+        cur = cand.groupBy("walk").agg(
+            F.min_by(
+                "__dst", F.struct(h.alias("h"), F.col("__dst").alias("d"))
+            ).alias("v")
+        )
+        rows.append(cur.select("walk", F.lit(t).alias("step"), "v"))
+    return reduce(lambda a, b: a.unionByName(b), rows)

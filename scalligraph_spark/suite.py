@@ -4921,6 +4921,52 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "graph_random_walks",
+    """
+WITH RECURSIVE
+n AS (SELECT count(*) AS c FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 11) % (SELECT c FROM n) FROM documents
+),
+walk(walk, step, v) AS (
+  SELECT doc_id, 0, doc_id FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT w.walk, w.step + 1,
+         (SELECT e.dst FROM edges e WHERE e.src = w.v
+          ORDER BY md5(concat_ws('|', CAST(w.walk AS VARCHAR), CAST(w.step + 1 AS VARCHAR), CAST(e.dst AS VARCHAR))), e.dst
+          LIMIT 1)
+  FROM walk w WHERE w.step < 6
+)
+SELECT walk, step, v FROM walk
+""",
+    "deterministic random walks for embedding-corpus generation "
+    "(DeepWalk/node2vec prep): md5(walk|step|dst) hash draws make the "
+    "walks portable across engines — the oracle replays them with a "
+    "recursive CTE + correlated min-hash choice; Spark side is `length` "
+    "frontier equi-joins with min_by(hash,dst) neighbor selection, all "
+    "walks advancing in one pass per step",
+)
+def graph_random_walks_q(spark, sf):
+    from scalligraph_spark.operators import random_walks
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 3 + 1) % n).alias("dst")
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 11) % n).alias("dst")
+        )
+    )
+    starts = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("vertex")
+    )
+    return random_walks(edges, starts, length=6)
+
+
+@q(
     "text_cooccurrence",
     """
 WITH toks AS (

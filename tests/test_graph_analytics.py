@@ -352,3 +352,48 @@ def test_topological_levels_cycle_raises(spark):
     cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
     with _pytest.raises(RuntimeError, match="cycle"):
         topological_levels(cyc, max_levels=10)
+
+
+def test_random_walks_python_replay(spark):
+    """Differential: the md5 draw replayed in pure Python gives the
+    identical walk sequence, and walks stop at dead ends."""
+    import hashlib
+
+    from scalligraph_spark.operators import random_walks
+
+    edge_list = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 6)]  # 6 is a dead end
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    starts = spark.createDataFrame([(1,), (5,)], "vertex long")
+    got = {(r.walk, r.step): r.v for r in random_walks(edges, starts, length=4).collect()}
+
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+    want = {}
+    for w in (1, 5):
+        v = w
+        want[(w, 0)] = v
+        for t in range(1, 5):
+            nbrs = adj.get(v)
+            if not nbrs:
+                break
+            v = min(
+                nbrs,
+                key=lambda d: (hashlib.md5(f"{w}|{t}|{d}".encode()).hexdigest(), d),
+            )
+            want[(w, t)] = v
+    assert got == want
+    assert (5, 2) not in got  # dead-ended after reaching 6 at step 1
+
+
+def test_random_walks_partition_invariance(spark):
+    from scalligraph_spark.operators import random_walks
+
+    edges = spark.createDataFrame(
+        [(i, (i * 5 + 2) % 40) for i in range(40)] + [(i, (i * 11 + 7) % 40) for i in range(40)],
+        "src long, dst long",
+    )
+    starts = spark.createDataFrame([(i,) for i in range(0, 40, 8)], "vertex long")
+    a = sorted(map(tuple, random_walks(edges, starts, 5).collect()))
+    b = sorted(map(tuple, random_walks(edges.repartition(7), starts.repartition(3), 5).collect()))
+    assert a == b and len(a) == 5 * 6
