@@ -822,3 +822,49 @@ def cooccurrence_counts(
         .groupBy("w_center", "w_context")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information collocations over the skip-gram
+    co-occurrence matrix: ``pmi(a,b) = ln(n_ab · N / (n_a · n_b))`` where
+    ``n_a`` are row marginals and ``N`` the total pair mass — the classic
+    collocation / phrase-mining statistic (word2vec's implicit matrix,
+    Levy & Goldberg NeurIPS'14).  ``min_count`` drops rare pairs before
+    the log (the standard noise gate).
+
+    Scale shape: the co-occurrence count is the only corpus-sized pass;
+    marginals are ONE map-side-combined re-aggregate of the (vocab²)
+    pair table joined back by word — broadcast-sized for real
+    vocabularies; ln stays JVM-side, rounded to 12 for cross-engine
+    stability.
+    """
+    pairs = cooccurrence_counts(docs, window=window, text_col=text_col, id_col=id_col)
+    marg = pairs.groupBy(F.col("w_center").alias("w")).agg(
+        F.sum("n").alias("n_w")
+    )
+    total = pairs.agg(F.sum("n").alias("__N"))
+    return (
+        pairs.where(F.col("n") >= min_count)
+        .join(marg.select(F.col("w").alias("w_center"), F.col("n_w").alias("n_a")), "w_center")
+        .join(marg.select(F.col("w").alias("w_context"), F.col("n_w").alias("n_b")), "w_context")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w_center",
+            "w_context",
+            "n",
+            F.round(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.col("__N")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                12,
+            ).alias("pmi"),
+        )
+    )

@@ -4921,6 +4921,48 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "text_pmi_collocations",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos, t[i] AS w
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+),
+joined AS (
+  SELECT a.w AS w_center, b.w AS w_context
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
+),
+pairs AS (
+  SELECT w_center, w_context, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT w_center, w_context FROM joined
+    UNION ALL
+    SELECT w_context, w_center FROM joined
+  ) GROUP BY 1, 2
+),
+marg AS (SELECT w_center AS w, CAST(sum(n) AS BIGINT) AS n_w FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM pairs)
+SELECT p.w_center, p.w_context, p.n,
+       round(ln(CAST(p.n AS DOUBLE) * tot.N / (CAST(a.n_w AS DOUBLE) * b.n_w)), 12) AS pmi
+FROM pairs p
+JOIN marg a ON a.w = p.w_center
+JOIN marg b ON b.w = p.w_context
+CROSS JOIN tot
+WHERE p.n >= 5
+""",
+    "PMI collocations (Levy & Goldberg: word2vec's implicit matrix): "
+    "ln(n_ab·N / n_a·n_b) over the skip-gram co-occurrence counts with a "
+    "min-count noise gate — marginals are one vocab²-sized re-aggregate "
+    "joined back by word, the total a single broadcast row",
+)
+def text_pmi_collocations_q(spark, sf):
+    from scalligraph_spark.operators import pmi_collocations
+
+    return pmi_collocations(cat_for(spark, sf).vertex_df("documents"), window=2, min_count=5)
+
+
+@q(
     "graph_random_walks",
     """
 WITH RECURSIVE

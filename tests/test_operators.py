@@ -1491,3 +1491,27 @@ def test_cooccurrence_symmetry_and_mass(spark):
         for j in range(i + 1, min(i + 4, len(toks)))
     )
     assert out.agg(F.sum("n")).collect()[0][0] == 2 * n_pairs
+
+
+def test_pmi_collocations_hand_math(spark):
+    import math
+
+    from scalligraph_spark.operators import pmi_collocations
+
+    # "a b" repeated: pairs (a,b) and (b,a) each 5 -> N=10, n_a=n_b=5
+    docs = spark.createDataFrame(
+        [(i, "a b") for i in range(5)], "doc_id long, text string"
+    )
+    got = {(r.w_center, r.w_context): (r.n, r.pmi) for r in
+           pmi_collocations(docs, window=2, min_count=5).collect()}
+    expect = round(math.log(5 * 10 / (5 * 5)), 12)  # ln(2)
+    assert got == {("a", "b"): (5, expect), ("b", "a"): (5, expect)}
+
+
+def test_pmi_min_count_gate(spark):
+    from scalligraph_spark.operators import pmi_collocations
+
+    docs = spark.createDataFrame([(1, "x y"), (2, "x y"), (3, "p q")], "doc_id long, text string")
+    out = pmi_collocations(docs, window=2, min_count=2)
+    kinds = {(r.w_center, r.w_context) for r in out.collect()}
+    assert kinds == {("x", "y"), ("y", "x")}  # (p,q) count 1 gated out
