@@ -37,34 +37,50 @@ def link_records(
     ``block_on`` keys and score ≥ ``threshold`` on the weighted field
     similarities → (left_id, right_id, score).
 
-    ``comparators`` is a list of ``(column, kind, weight)``:
+    ``comparators`` is a list of ``(column, kind, weight)`` — or
+    ``(column, "edit", weight, max_dist)`` to bound the edit comparator:
 
     * ``kind="exact"`` — similarity 1.0 when equal (null-safe: two nulls
       match), else 0.0.
     * ``kind="edit"`` — normalized edit similarity
       ``1 − levenshtein(l, r) / max(len(l), len(r))`` (1.0 when both
-      empty), the standard name/address comparator.
+      empty), the standard name/address comparator.  With a 4th element
+      ``max_dist``, verification uses the banded threshold levenshtein
+      (O(max_dist·L) early-abandon instead of the full O(L²) matrix) and
+      pairs past the bound score similarity 0 for this field.  That is
+      output-identical to the unbounded form whenever a capped pair
+      could not have reached ``threshold`` anyway, i.e. when
+      ``wᵢ·(1 − (max_dist+1)/L_max) + Σ_{j≠i} wⱼ < T·Σw`` for the
+      longest possible field value ``L_max`` — the caller owns that
+      bound (it is data-dependent); the verify-stage speedup on wide
+      blocks is ~L/max_dist.
 
     ``score = Σ wᵢ·simᵢ / Σ wᵢ``, rounded to 12 places so the score is
     bit-stable across engines (weights should be small exact doubles).
     Self-linkage: pass the same DataFrame as both sides and drop the
     trivial diagonal afterwards with ``left_id < right_id``.
     """
-    total_w = sum(w for _, _, w in comparators)
+    total_w = sum(c[2] for c in comparators)
     l = left.alias("l")
     r = right.alias("r")
     cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in block_on]
     joined = l.join(r, cond)
     sims = []
-    for col, kind, w in comparators:
+    for comp in comparators:
+        col, kind, w = comp[0], comp[1], comp[2]
+        cap = comp[3] if len(comp) > 3 else None
         lc, rc = F.col(f"l.{col}"), F.col(f"r.{col}")
         if kind == "exact":
             sim = F.when(lc.eqNullSafe(rc), F.lit(1.0)).otherwise(F.lit(0.0))
         elif kind == "edit":
             mx = F.greatest(F.length(lc), F.length(rc))
-            sim = F.when(mx == 0, F.lit(1.0)).otherwise(
-                F.lit(1.0) - F.levenshtein(lc, rc).cast("double") / mx
-            )
+            if cap is None:
+                dist = F.levenshtein(lc, rc).cast("double")
+            else:
+                banded = F.levenshtein(lc, rc, int(cap))
+                # −1 = past the bound → force sim to 0 via dist = mx
+                dist = F.when(banded < 0, mx).otherwise(banded).cast("double")
+            sim = F.when(mx == 0, F.lit(1.0)).otherwise(F.lit(1.0) - dist / mx)
         else:  # pragma: no cover - guarded API
             raise ValueError(f"unknown comparator kind {kind!r}; use 'exact' or 'edit'")
         sims.append(F.lit(float(w)) * sim)

@@ -5216,7 +5216,9 @@ def link_customer_records_q(spark, sf):
         cust,
         dirty,
         block_on=["c_nationkey"],
-        comparators=[("c_name", "edit", 0.7), ("c_acctbal", "exact", 0.3)],
+        # max_dist 3 is sound here: names are ≤ 19 chars, so a capped
+        # pair scores at most 0.7·(1 − 4/19) + 0.3 = 0.853 < 0.9 anyway
+        comparators=[("c_name", "edit", 0.7, 3), ("c_acctbal", "exact", 0.3)],
         threshold=0.9,
         left_id_col="c_custkey",
         right_id_col="c_custkey",
@@ -5283,7 +5285,7 @@ def link_resolve_entities_q(spark, sf):
     return resolve_entities(
         allrec,
         block_on=["c_nationkey"],
-        comparators=[("c_name", "edit", 0.7), ("c_acctbal", "exact", 0.3)],
+        comparators=[("c_name", "edit", 0.7, 3), ("c_acctbal", "exact", 0.3)],
         threshold=0.9,
         id_col="c_custkey",
     )

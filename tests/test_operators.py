@@ -1515,3 +1515,26 @@ def test_pmi_min_count_gate(spark):
     out = pmi_collocations(docs, window=2, min_count=2)
     kinds = {(r.w_center, r.w_context) for r in out.collect()}
     assert kinds == {("x", "y"), ("y", "x")}  # (p,q) count 1 gated out
+
+
+def test_link_records_edit_cap_output_identical(spark):
+    """Banded max_dist form == unbounded form when the cap satisfies the
+    soundness bound (here every sub-cap pair already fails threshold)."""
+    from scalligraph_spark.operators import link_records
+
+    left = spark.createDataFrame(
+        [(i, f"name{i:04d}", "B") for i in range(50)], "id long, name string, blk string"
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, f"name{i:04d}" + ("x" if i % 3 == 0 else ""), "B") for i in range(50)],
+        "id long, name string, blk string",
+    )
+    args = (left, right, ["blk"])
+    uncapped = link_records(*args, [("name", "edit", 1.0)], threshold=0.85)
+    capped = link_records(*args, [("name", "edit", 1.0, 2)], threshold=0.85)
+    got = sorted(map(tuple, capped.collect()))
+    assert got == sorted(map(tuple, uncapped.collect()))
+    # every clone matches its master (cross near-matches may also pass;
+    # the equality above is the property under test)
+    ids = {(a, b) for a, b, _ in got}
+    assert all((i, 1000 + i) in ids for i in range(50))
