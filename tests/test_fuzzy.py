@@ -142,3 +142,36 @@ def test_no_cartesian_in_plan(spark, corpus_df):
 def test_unknown_blocking_rejected(spark, corpus_df):
     with pytest.raises(ValueError):
         edit_distance_pairs(corpus_df, 5, blocking="nope")
+
+
+# -- property-based: random corpora vs the DP oracle --------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_corpus_strategy = st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=8),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus_strategy, d=st.integers(min_value=0, max_value=3))
+def test_property_qgram_blocking_never_loses_pairs(spark, texts, d):
+    """Tiny-alphabet strings maximize gram poverty and repetition — the
+    exact regime where an unsound prefix classification would drop pairs.
+    Both blockings must equal the all-pairs DP oracle for every corpus."""
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _oracle(rows, d)
+    for blocking in ("length", "qgram"):
+        got = {
+            (r.left_id, r.right_id, r.dist)
+            for r in edit_distance_pairs(df, d, blocking=blocking, q=3).collect()
+        }
+        assert got == want, (blocking, texts, d)
