@@ -289,25 +289,18 @@ class LabelStore:
         return victims
 
 
-def version_diff(
-    spark: SparkSession,
-    store: "LabelStore",
-    label: str,
-    v_old: int,
-    v_new: int,
-    key_cols: list[str],
-) -> DataFrame:
-    """Row-level diff between two committed versions — the change-data-feed
-    analog over the versioned store: (keys, status) with status ``added`` /
-    ``removed`` / ``changed`` (value-identical rows are excluded).
+def dataframe_diff(old: DataFrame, new: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Row-level diff between two DataFrames sharing a schema — (keys,
+    status) with status ``added`` / ``removed`` / ``changed``
+    (value-identical rows are excluded).  The raw form of
+    :func:`version_diff` for un-stored inputs: crawl increments, corpus
+    snapshots, reconciliation between pipelines.
 
     Change detection hashes the non-key columns per side (null-safe, with a
     column-separator so ("a", null) never collides with ("an", "ull")) so
     the full-outer join ships (keys, 8-byte hash) per row, never the
     payload — at 100 TB the diff costs two narrow scans + one equi join.
     """
-    old = store.read(spark, label, v_old)
-    new = store.read(spark, label, v_new)
     value_cols = [c for c in new.columns if c not in key_cols]
 
     def _vh(df: DataFrame, alias: str) -> DataFrame:
@@ -325,6 +318,22 @@ def version_diff(
         .when(F.col("__h_old") != F.col("__h_new"), "changed")
     )
     return joined.select(*key_cols, status.alias("status")).where(F.col("status").isNotNull())
+
+
+def version_diff(
+    spark: SparkSession,
+    store: "LabelStore",
+    label: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two committed versions — the change-data-feed
+    analog over the versioned store; see :func:`dataframe_diff` for the
+    mechanics and scale shape."""
+    return dataframe_diff(
+        store.read(spark, label, v_old), store.read(spark, label, v_new), key_cols
+    )
 
 
 def aggregate_snapshot(
