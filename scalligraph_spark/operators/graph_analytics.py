@@ -911,3 +911,108 @@ def random_walks(
         )
         rows.append(cur.select("walk", F.lit(t).alias("step"), "v"))
     return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+def bfs_distances_per_source(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "vertex",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Per-source multi-source BFS: (source, vertex, dist) minimum hop
+    distances from EACH seed separately (where :func:`bfs_distances`
+    reports the minimum over ALL seeds).  The state key is
+    (source, vertex), so all sources expand in the same superstep joins —
+    one frontier⋈edges per round for the whole seed set, the
+    all-sources-at-once shape centrality needs.  Frontier volume is
+    Σ_s |reach_s(round)|; bound the seed set, not the graph.
+    """
+    from functools import reduce
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    frontier = _cut_lineage(
+        seeds.select(F.col(seed_col).alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("vertex"), F.lit(0).cast("long").alias("dist")),
+        checkpoint_dir,
+    ).persist()
+    frontier.count()
+    settled = [frontier]
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        settled_union = reduce(DataFrame.unionByName, settled)
+        nxt = (
+            frontier.join(e, frontier["vertex"] == e["__s"])
+            .select("source", F.col("__d").alias("vertex"))
+            .distinct()
+            .join(settled_union, ["source", "vertex"], "left_anti")
+            .select("source", "vertex", F.lit(depth).cast("long").alias("dist"))
+        )
+        nxt = _cut_lineage(nxt, checkpoint_dir).persist()
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        settled.append(nxt)
+        frontier = nxt
+    return reduce(DataFrame.unionByName, settled)
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "vertex",
+) -> DataFrame:
+    """Closeness + harmonic centrality for each seed over its ≤max_depth
+    out-reachability: ``closeness = n_reached / Σ dist`` with ``n_reached``
+    the count of OTHER vertices reached (0 when nothing is reached) and
+    ``harmonic = Σ 1/dist`` — the standard influence scores, bounded-radius
+    so the cost is the BFS, not APSP.
+
+    Float determinism: both scores fold over the per-source
+    (dist, count) histogram in ascending dist order via ``F.aggregate``
+    on a sorted struct array — a fixed-order float sum, portable across
+    partitionings and engines; rounded to 12.
+    """
+    d = bfs_distances_per_source(edges, seeds, max_depth, src, dst, seed_col)
+    hist = d.where(F.col("dist") > 0).groupBy("source", "dist").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = hist.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dist").alias("d"), F.col("n").alias("n")))
+        ).alias("__h")
+    )
+    n_reached = F.aggregate("__h", F.lit(0).cast("long"), lambda acc, x: acc + x["n"])
+    sum_dist = F.aggregate(
+        "__h", F.lit(0).cast("long"), lambda acc, x: acc + x["d"] * x["n"]
+    )
+    harmonic = F.aggregate(
+        "__h",
+        F.lit(0.0),
+        lambda acc, x: acc + x["n"].cast("double") / x["d"],
+    )
+    out = per.select(
+        "source",
+        n_reached.alias("n_reached"),
+        sum_dist.alias("sum_dist"),
+        F.round(
+            F.when(
+                sum_dist > 0, n_reached.cast("double") / sum_dist
+            ).otherwise(F.lit(0.0)),
+            12,
+        ).alias("closeness"),
+        F.round(harmonic, 12).alias("harmonic"),
+    )
+    # seeds that reach nothing still get a row (scores 0)
+    allseeds = seeds.select(F.col(seed_col).alias("source")).distinct()
+    return (
+        allseeds.join(out, "source", "left")
+        .fillna({"n_reached": 0, "sum_dist": 0, "closeness": 0.0, "harmonic": 0.0})
+    )

@@ -4921,6 +4921,57 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "graph_distance_histogram",
+    """
+WITH RECURSIVE
+n AS (SELECT count(*) AS c FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 11) % (SELECT c FROM n) FROM documents
+),
+reach(source, vertex, dist) AS (
+  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+  UNION
+  SELECT r.source, e.dst, r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.vertex
+  WHERE r.dist < 4
+),
+md AS (SELECT source, vertex, min(dist) AS dist FROM reach GROUP BY 1, 2)
+SELECT source, CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n
+FROM md WHERE dist > 0 GROUP BY 1, 2
+""",
+    "per-source BFS distance histogram (the integer-exact core of "
+    "closeness/harmonic centrality): every seed expands in the SAME "
+    "superstep joins — (source, vertex) state, one frontier⋈edges per "
+    "round for the whole seed set — then a (source, dist) count; the "
+    "float centrality scores fold this histogram in fixed dist order "
+    "(closeness_centrality, pytest-verified)",
+)
+def graph_distance_histogram_q(spark, sf):
+    from scalligraph_spark.operators import bfs_distances_per_source
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 3 + 1) % n).alias("dst")
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 11) % n).alias("dst")
+        )
+    )
+    seeds = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("vertex")
+    )
+    d = bfs_distances_per_source(edges, seeds, max_depth=4)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("source", "dist")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
     "text_pmi_collocations",
     """
 WITH toks AS (

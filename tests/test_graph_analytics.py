@@ -397,3 +397,59 @@ def test_random_walks_partition_invariance(spark):
     a = sorted(map(tuple, random_walks(edges, starts, 5).collect()))
     b = sorted(map(tuple, random_walks(edges.repartition(7), starts.repartition(3), 5).collect()))
     assert a == b and len(a) == 5 * 6
+
+
+def test_per_source_bfs_vs_python(spark):
+    from collections import deque
+
+    from scalligraph_spark.operators import bfs_distances_per_source
+
+    edge_list = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (6, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (6,), (4,)], "vertex long")
+    got = {(r.source, r.vertex): r.dist for r in
+           bfs_distances_per_source(edges, seeds, max_depth=5).collect()}
+
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+    want = {}
+    for s in (1, 6, 4):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, []):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        want.update({(s, v): d for v, d in dist.items()})
+    assert got == want
+
+
+def test_closeness_centrality_hand_math(spark):
+    from scalligraph_spark.operators import closeness_centrality
+
+    # path 1->2->3; 4 isolated seed
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (3,), (4,)], "vertex long")
+    got = {r.source: (r.n_reached, r.sum_dist, r.closeness, r.harmonic)
+           for r in closeness_centrality(edges, seeds, max_depth=5).collect()}
+    assert got[1] == (2, 3, round(2 / 3, 12), round(1 + 0.5, 12))
+    assert got[3] == (0, 0, 0.0, 0.0)  # sink seed
+    assert got[4] == (0, 0, 0.0, 0.0)  # isolated seed still gets a row
+
+
+def test_closeness_fixed_order_fold_partition_invariant(spark):
+    from scalligraph_spark.operators import closeness_centrality
+
+    edges = spark.createDataFrame(
+        [(i, (i * 5 + 2) % 60) for i in range(60)]
+        + [(i, (i * 13 + 5) % 60) for i in range(60)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(i,) for i in range(0, 60, 12)], "vertex long")
+    a = sorted(map(tuple, closeness_centrality(edges, seeds, 4).collect()))
+    b = sorted(map(tuple,
+        closeness_centrality(edges.repartition(11), seeds.repartition(2), 4).collect()))
+    assert a == b
