@@ -612,3 +612,79 @@ def semantic_dedup(
 
     out = pairs_to_clusters(embeddings.select(F.col(id_col)), dups, id_col=id_col)
     return out.select(F.col("doc_id").alias(id_col), "canonical_id", "is_kept")
+
+
+def normalize_embeddings(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """L2-normalize every vector (map-only) — the storage/ANN prep that
+    turns cosine into dot product so downstream index probes skip the
+    per-row norm.  Norms route through the decimal sum (order-independent)
+    and each component rounds to 12, the module's cross-engine precision
+    convention; zero vectors pass through unchanged.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = F.sqrt(_decimal_norm2(F.col(vec_col)))
+    unit = F.when(n == 0, v).otherwise(
+        F.transform(v, lambda x: F.round(x / n, 12))
+    )
+    return embeddings.select(F.col(id_col), unit.alias("unit"))
+
+
+def quantize_int8(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale = max|vᵢ|,
+    ``q = floor(v·127/scale + 0.5)`` (round-half-up — identical on every
+    engine, unlike banker's rounding) → 1 byte per dimension instead of 4
+    through every scan and shuffle; dequantize as ``q·scale/127``.  The
+    cheap storage tier under PQ (`pq_encode` is the m-byte product-code
+    path; int8 keeps full dimensionality).  Map-only; zero vectors emit
+    zero codes.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        s == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x * 127 / s + 0.5).cast("int"))
+    )
+    return embeddings.select(
+        F.col(id_col), q.alias("q8"), F.round(s, 12).alias("scale")
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-class mean embedding (class prototypes: nearest-centroid
+    classification, few-shot retrieval, cluster drift monitoring).
+
+    Scale shape: posexplode to (label, dim, x) — dim·rows narrow rows —
+    ONE map-side-combined decimal-sum aggregate per (label, dim), then the
+    card(labels)-sized rebuild sorts each centroid's dims inside the row
+    (array_sort over structs, no extra shuffle).  Component means are
+    decimal-summed / count (order-independent) and rounded to 12.
+    """
+    terms = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "i", "x"
+        ),
+    )
+    per = terms.groupBy("label", "i").agg(
+        F.round(
+            (F.sum(F.col("x").cast(_PROD_DEC)).cast("double") / F.count("x")).cast(
+                "double"
+            ),
+            12,
+        ).alias("m"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m")))),
+            lambda p: p["m"],
+        ).alias("centroid"),
+        F.max("__n").alias("n_vectors"),
+    )

@@ -4921,6 +4921,58 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "similarity_quantize_int8",
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings
+),
+s AS (SELECT vec_id, xs, list_max(list_transform(xs, x -> abs(x))) AS s FROM v)
+SELECT vec_id,
+       CASE WHEN s = 0 THEN list_transform(xs, x -> 0)
+            ELSE list_transform(xs, x -> CAST(floor(x * 127 / s + 0.5) AS INTEGER)) END AS q8,
+       round(s, 12) AS scale
+FROM s
+""",
+    "symmetric per-vector int8 scalar quantization (1 byte/dim instead of "
+    "4 through every scan and shuffle; the cheap storage tier under PQ): "
+    "scale = max|v|, round-half-up codes — map-only, engine-portable "
+    "arithmetic, byte-identical codes on Spark and DuckDB",
+)
+def similarity_quantize_int8_q(spark, sf):
+    from scalligraph_spark.operators import quantize_int8
+
+    return quantize_int8(cat_for(spark, sf).vertex_df("embeddings"))
+
+
+@q(
+    "similarity_label_centroids",
+    """
+WITH terms AS (
+  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+per AS (
+  SELECT label, i,
+         round(CAST(SUM(CAST(x AS DECIMAL(28,18))) AS DOUBLE) / COUNT(x), 12) AS m,
+         COUNT(*) AS n
+  FROM terms GROUP BY 1, 2
+)
+SELECT label, list(m ORDER BY i) AS centroid, CAST(max(n) AS BIGINT) AS n_vectors
+FROM per GROUP BY label
+""",
+    "per-class mean embeddings (class prototypes for nearest-centroid "
+    "classification / drift monitoring): posexplode to narrow (label, "
+    "dim, x) rows, ONE map-side-combined decimal-sum aggregate, centroid "
+    "rebuilt by in-row struct sort — no second shuffle; component means "
+    "order-independent (decimal) and rounded to 12",
+)
+def similarity_label_centroids_q(spark, sf):
+    from scalligraph_spark.operators import label_centroids
+
+    return label_centroids(cat_for(spark, sf).vertex_df("embeddings"))
+
+
+@q(
     "graph_distance_histogram",
     """
 WITH RECURSIVE

@@ -1538,3 +1538,49 @@ def test_link_records_edit_cap_output_identical(spark):
     # the equality above is the property under test)
     ids = {(a, b) for a, b, _ in got}
     assert all((i, 1000 + i) in ids for i in range(50))
+
+
+# -- embedding storage ops ----------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from pyspark.sql import functions as F
+    from scalligraph_spark.operators import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    assert rows[1].q8 == [64, -127, 32, 0]  # 0.5*127 = 63.5 -> 64 (half-up)
+    assert rows[1].scale == 1.0
+    assert rows[2].q8 == [0, 0, 0, 0] and rows[2].scale == 0.0
+    # dequantization error bounded by scale/254 per component (half a step)
+    err = abs(rows[1].q8[0] * rows[1].scale / 127 - 0.5)
+    assert err <= rows[1].scale / 254 + 1e-12
+
+
+def test_normalize_embeddings_unit_norm(spark):
+    import math
+
+    from scalligraph_spark.operators import normalize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = {r.vec_id: r.unit for r in normalize_embeddings(emb).collect()}
+    assert rows[1] == [0.6, 0.8]
+    assert rows[2] == [0.0, 0.0]  # zero vector passes through
+    assert abs(math.hypot(*rows[1]) - 1.0) < 1e-9
+
+
+def test_label_centroids_hand_math(spark):
+    from scalligraph_spark.operators import label_centroids
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7), (2, [3.0, 6.0], 7), (3, [10.0, 0.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.label: (r.centroid, r.n_vectors) for r in label_centroids(emb).collect()}
+    assert rows[7] == ([2.0, 4.0], 2)
+    assert rows[8] == ([10.0, 0.0], 1)
