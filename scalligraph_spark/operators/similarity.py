@@ -688,3 +688,50 @@ def label_centroids(
         ).alias("centroid"),
         F.max("__n").alias("n_vectors"),
     )
+
+
+def classify_by_centroid(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: assign every vector the
+    label of its highest-cosine class prototype → (id, predicted_label,
+    cosine).  Pairs with :func:`label_centroids` for train→serve, and
+    doubles as the cluster-assignment step of drift monitoring.
+
+    Scale shape: the centroid table broadcasts (card(labels) rows); each
+    vector scores all prototypes in one map-side pass — no shuffle at
+    all; argmax via ``min_by`` over a (−cosine, label) struct so ties
+    break on the smaller label deterministically.  Cosines use the
+    module's decimal-dot + round(12) convention.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(label_col).alias("__lbl"),
+            F.col(centroid_col).alias("__c"),
+            _decimal_norm2(F.col(centroid_col)).alias("__cn"),
+        )
+    )
+    scored = embeddings.select(
+        F.col(id_col), F.col(vec_col), _decimal_norm2(F.col(vec_col)).alias("__vn")
+    ).crossJoin(c)
+    cos = F.round(
+        _decimal_dot(F.col(vec_col), F.col("__c"))
+        / (F.sqrt(F.col("__vn")) * F.sqrt(F.col("__cn"))),
+        12,
+    )
+    return (
+        scored.select(F.col(id_col), F.col("__lbl"), cos.alias("__cos"))
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("__lbl").alias("predicted_label"), F.col("__cos").alias("cosine")),
+                F.struct((-F.col("__cos")).alias("nc"), F.col("__lbl").alias("l")),
+            ).alias("__best")
+        )
+        .select(id_col, "__best.predicted_label", "__best.cosine")
+    )

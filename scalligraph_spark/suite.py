@@ -4973,6 +4973,48 @@ def similarity_label_centroids_q(spark, sf):
 
 
 @q(
+    "similarity_nearest_centroid",
+    """
+WITH terms AS (
+  SELECT vec_id AS id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+per AS (
+  SELECT label, i,
+         round(CAST(SUM(CAST(x AS DECIMAL(28,18))) AS DOUBLE) / COUNT(x), 12) AS m
+  FROM terms GROUP BY 1, 2
+),
+cn AS (SELECT label, CAST(SUM(CAST(m * m AS DECIMAL(28,18))) AS DOUBLE) AS n2 FROM per GROUP BY label),
+vn AS (SELECT id, CAST(SUM(CAST(x * x AS DECIMAL(28,18))) AS DOUBLE) AS n2 FROM terms GROUP BY id),
+dots AS (
+  SELECT t.id, p.label, CAST(SUM(CAST(t.x * p.m AS DECIMAL(28,18))) AS DOUBLE) AS dot
+  FROM terms t JOIN per p ON p.i = t.i GROUP BY t.id, p.label
+),
+cos AS (
+  SELECT d.id, d.label, round(d.dot / (sqrt(vn.n2) * sqrt(cn.n2)), 12) AS c
+  FROM dots d JOIN vn ON vn.id = d.id JOIN cn ON cn.label = d.label
+)
+SELECT id AS vec_id, label AS predicted_label, c AS cosine FROM (
+  SELECT id, label, c,
+         row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+  FROM cos
+) WHERE rn = 1
+""",
+    "nearest-centroid (Rocchio) classification against the class "
+    "prototypes from label_centroids: centroid table broadcasts, every "
+    "vector scores all prototypes map-side (ZERO shuffle in the scoring "
+    "pass), argmax cosine with smaller-label tiebreak — decimal-dot + "
+    "round(12) cosines identical to the oracle's window-rank replay",
+)
+def similarity_nearest_centroid_q(spark, sf):
+    from scalligraph_spark.operators import classify_by_centroid, label_centroids
+
+    emb = cat_for(spark, sf).vertex_df("embeddings")
+    cents = label_centroids(emb).select("label", "centroid")
+    return classify_by_centroid(emb, cents)
+
+
+@q(
     "graph_distance_histogram",
     """
 WITH RECURSIVE

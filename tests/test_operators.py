@@ -1584,3 +1584,28 @@ def test_label_centroids_hand_math(spark):
     rows = {r.label: (r.centroid, r.n_vectors) for r in label_centroids(emb).collect()}
     assert rows[7] == ([2.0, 4.0], 2)
     assert rows[8] == ([10.0, 0.0], 1)
+
+
+def test_classify_by_centroid_assigns_own_cluster(spark):
+    from scalligraph_spark.operators import classify_by_centroid, label_centroids
+
+    # two tight, well-separated clusters -> every vector classifies home
+    rows = [
+        (1, [1.0, 0.1], 0), (2, [1.0, -0.1], 0), (3, [0.9, 0.0], 0),
+        (4, [-0.1, 1.0], 1), (5, [0.1, 1.0], 1), (6, [0.0, 0.9], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = label_centroids(emb).select("label", "centroid")
+    got = {r.vec_id: r.predicted_label for r in classify_by_centroid(emb, cents).collect()}
+    assert got == {i: lbl for i, _, lbl in rows}
+
+
+def test_classify_by_centroid_tiebreak_smaller_label(spark):
+    from scalligraph_spark.operators import classify_by_centroid
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(5, [2.0, 0.0]), (3, [4.0, 0.0])], "label int, centroid array<double>"
+    )
+    out = classify_by_centroid(emb, cents).collect()[0]
+    assert out.predicted_label == 3 and out.cosine == 1.0
