@@ -4921,6 +4921,34 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "writes_mask_columns",
+    """
+SELECT c_custkey,
+       md5(c_name) AS c_name,
+       CASE WHEN length(c_mktsegment) <= 4 THEN repeat('*', length(c_mktsegment))
+            ELSE substr(c_mktsegment, 1, 2)
+                 || repeat('*', length(c_mktsegment) - 4)
+                 || substr(c_mktsegment, length(c_mktsegment) - 1, 2) END AS c_mktsegment,
+       CAST(NULL AS VARCHAR) AS c_acctbal
+FROM customer
+""",
+    "column-masking policies for governed exports: hash (referential "
+    "integrity kept — equal values mask equal, joins survive), partial "
+    "(first/last 2 chars), null redaction — map-only, whole-stage-codegen; "
+    "unknown columns/strategies raise instead of silently exporting clear",
+)
+def writes_mask_columns_q(spark, sf):
+    from scalligraph_spark.writes import mask_columns
+
+    cust = cat_for(spark, sf).vertex_df("customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    return mask_columns(
+        cust, {"c_name": "hash", "c_mktsegment": "partial", "c_acctbal": "null"}
+    )
+
+
+@q(
     "similarity_quantize_int8",
     """
 WITH v AS (

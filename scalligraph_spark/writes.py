@@ -279,3 +279,48 @@ class WriteSession:
     def commit(self, meta: dict | None = None, **write_opts) -> int:
         """Write the accumulated state as a new version; returns it."""
         return self.store.write(self.label, self.df, meta=meta, **write_opts)
+
+
+def mask_columns(df, policy: dict):
+    """Column-level masking policies for governed exports — the data-
+    governance sibling of :func:`immense_term_guard` (write-side content
+    policy) and the text-level ``pii_redact``:
+
+    * ``"hash"``    — md5 of the string form (referential integrity kept:
+      equal values mask equal, joins still work on the masked value)
+    * ``"null"``    — redact outright
+    * ``"partial"`` — keep the first 2 and last 2 characters, mask the
+      middle with ``*`` (strings of length ≤ 4 mask fully)
+
+    ``policy`` maps column name → strategy.  Map-only (no shuffle), plan
+    stays whole-stage-codegen; unknown columns or strategies raise rather
+    than silently exporting unmasked data.
+    """
+    from pyspark.sql import functions as F
+
+    for col, strategy in policy.items():
+        if col not in df.columns:
+            raise ValueError(f"mask_columns: no such column {col!r}")
+        c = F.col(col)
+        if strategy == "hash":
+            masked = F.md5(c.cast("string").cast("binary"))
+        elif strategy == "null":
+            masked = F.lit(None).cast("string")
+        elif strategy == "partial":
+            s = c.cast("string")
+            masked = F.when(s.isNull(), F.lit(None)).otherwise(
+                F.when(F.length(s) <= 4, F.repeat(F.lit("*"), F.length(s))).otherwise(
+                    F.concat(
+                        F.substring(s, 1, 2),
+                        F.repeat(F.lit("*"), F.length(s) - 4),
+                        F.substring(s, -2, 2),
+                    )
+                )
+            )
+        else:
+            raise ValueError(
+                f"mask_columns: unknown strategy {strategy!r} for {col!r}; "
+                "use 'hash', 'null', or 'partial'"
+            )
+        df = df.withColumn(col, masked)
+    return df

@@ -154,3 +154,35 @@ def test_upsert_dedups_batch_keys(spark):
     # both batch rows land (last-write-wins needs an explicit dedup upstream);
     # the current row is gone — no duplicate of id=1 from the survivor side
     assert sorted(r["v"] for r in out.collect()) == ["x", "y"]
+
+
+def test_mask_columns_strategies(spark):
+    from scalligraph_spark.writes import mask_columns
+
+    df = spark.createDataFrame(
+        [(1, "alice", "secretvalue", 9.5), (2, "alice", "abc", None)],
+        "id long, name string, token string, bal double",
+    )
+    out = {r.id: r for r in mask_columns(
+        df, {"name": "hash", "token": "partial", "bal": "null"}
+    ).collect()}
+    # hash: equal clear values -> equal masks (joins survive)
+    import hashlib
+    want = hashlib.md5(b"alice").hexdigest()
+    assert out[1].name == out[2].name == want
+    assert out[1].token == "se*******ue"
+    assert out[2].token == "***"
+    assert out[1].bal is None and out[2].bal is None
+    assert out[1].id == 1  # unmentioned columns untouched
+
+
+def test_mask_columns_rejects_unknown(spark):
+    import pytest as _pytest
+
+    from scalligraph_spark.writes import mask_columns
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with _pytest.raises(ValueError):
+        mask_columns(df, {"nope": "hash"})
+    with _pytest.raises(ValueError):
+        mask_columns(df, {"name": "rot13"})
