@@ -735,3 +735,60 @@ def classify_by_centroid(
         )
         .select(id_col, "__best.predicted_label", "__best.cosine")
     )
+
+
+def classification_report(
+    predictions: DataFrame,
+    truth: DataFrame,
+    id_col: str = "vec_id",
+    pred_col: str = "predicted_label",
+    true_col: str = "label",
+) -> DataFrame:
+    """Per-class precision/recall/F1 from (id, predicted) vs (id, true)
+    — the evaluation tail of :func:`classify_by_centroid` (or any
+    classifier serving through the engine).
+
+    One equi-join on id + two count aggregates over the (true, predicted)
+    confusion pairs; card(labels²) rows after the first aggregate, so
+    everything downstream is broadcast-sized.  Ratios are exact-integer
+    divisions rounded to 12; classes with zero predictions/support get
+    0.0 rather than null (the sklearn zero_division=0 convention).
+    """
+    joined = predictions.select(F.col(id_col), F.col(pred_col).alias("__p")).join(
+        truth.select(F.col(id_col), F.col(true_col).alias("__t")), id_col
+    )
+    conf = joined.groupBy("__t", "__p").agg(F.count(F.lit(1)).alias("n"))
+    support = conf.groupBy("__t").agg(F.sum("n").alias("support"))
+    predicted = conf.groupBy("__p").agg(F.sum("n").alias("n_predicted"))
+    tp = conf.where(F.col("__t") == F.col("__p")).select(
+        F.col("__t").alias("label"), F.col("n").alias("tp")
+    )
+    base = (
+        support.select(F.col("__t").alias("label"), "support")
+        .join(predicted.select(F.col("__p").alias("label"), "n_predicted"), "label", "full_outer")
+        .join(tp, "label", "left")
+        .fillna({"support": 0, "n_predicted": 0, "tp": 0})
+    )
+    precision = F.when(
+        F.col("n_predicted") > 0, F.col("tp") / F.col("n_predicted")
+    ).otherwise(F.lit(0.0))
+    recall = F.when(F.col("support") > 0, F.col("tp") / F.col("support")).otherwise(
+        F.lit(0.0)
+    )
+    f1 = F.when(
+        (F.col("__prec") + F.col("__rec")) > 0,
+        2 * F.col("__prec") * F.col("__rec") / (F.col("__prec") + F.col("__rec")),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.withColumn("__prec", precision)
+        .withColumn("__rec", recall)
+        .select(
+            "label",
+            "support",
+            "n_predicted",
+            "tp",
+            F.round("__prec", 12).alias("precision"),
+            F.round("__rec", 12).alias("recall"),
+            F.round(f1, 12).alias("f1"),
+        )
+    )

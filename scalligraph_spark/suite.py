@@ -4921,6 +4921,81 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "similarity_classification_report",
+    """
+WITH terms AS (
+  SELECT vec_id AS id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+per AS (
+  SELECT label, i,
+         round(CAST(SUM(CAST(x AS DECIMAL(28,18))) AS DOUBLE) / COUNT(x), 12) AS m
+  FROM terms GROUP BY 1, 2
+),
+cn AS (SELECT label, CAST(SUM(CAST(m * m AS DECIMAL(28,18))) AS DOUBLE) AS n2 FROM per GROUP BY label),
+vn AS (SELECT id, CAST(SUM(CAST(x * x AS DECIMAL(28,18))) AS DOUBLE) AS n2 FROM terms GROUP BY id),
+dots AS (
+  SELECT t.id, p.label, CAST(SUM(CAST(t.x * p.m AS DECIMAL(28,18))) AS DOUBLE) AS dot
+  FROM terms t JOIN per p ON p.i = t.i GROUP BY t.id, p.label
+),
+pred AS (
+  SELECT id, label AS p FROM (
+    SELECT d.id, d.label,
+           row_number() OVER (PARTITION BY d.id
+                              ORDER BY round(d.dot / (sqrt(vn.n2) * sqrt(cn.n2)), 12) DESC,
+                                       d.label ASC) AS rn
+    FROM dots d JOIN vn ON vn.id = d.id JOIN cn ON cn.label = d.label
+  ) WHERE rn = 1
+),
+conf AS (
+  SELECT e.label AS t, pred.p, CAST(count(*) AS BIGINT) AS n
+  FROM embeddings e JOIN pred ON pred.id = e.vec_id GROUP BY 1, 2
+),
+sup AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS support FROM conf GROUP BY 1),
+prd AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_predicted FROM conf GROUP BY 1),
+tp AS (SELECT t AS label, n AS tp FROM conf WHERE t = p)
+SELECT label,
+       coalesce(sup.support, 0) AS support,
+       coalesce(prd.n_predicted, 0) AS n_predicted,
+       coalesce(tp.tp, 0) AS tp,
+       round(CASE WHEN coalesce(prd.n_predicted, 0) > 0
+                  THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / prd.n_predicted ELSE 0.0 END, 12) AS precision,
+       round(CASE WHEN coalesce(sup.support, 0) > 0
+                  THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / sup.support ELSE 0.0 END, 12) AS recall,
+       round(CASE WHEN (CASE WHEN coalesce(prd.n_predicted, 0) > 0
+                             THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / prd.n_predicted ELSE 0.0 END
+                      + CASE WHEN coalesce(sup.support, 0) > 0
+                             THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / sup.support ELSE 0.0 END) > 0
+                  THEN 2 * (CASE WHEN coalesce(prd.n_predicted, 0) > 0
+                                 THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / prd.n_predicted ELSE 0.0 END)
+                         * (CASE WHEN coalesce(sup.support, 0) > 0
+                                 THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / sup.support ELSE 0.0 END)
+                         / ((CASE WHEN coalesce(prd.n_predicted, 0) > 0
+                                  THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / prd.n_predicted ELSE 0.0 END)
+                          + (CASE WHEN coalesce(sup.support, 0) > 0
+                                  THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / sup.support ELSE 0.0 END))
+                  ELSE 0.0 END, 12) AS f1
+FROM sup FULL OUTER JOIN prd USING (label) LEFT JOIN tp USING (label)
+""",
+    "per-class precision/recall/F1 for the nearest-centroid classifier "
+    "evaluated against its own training labels — confusion pairs from one "
+    "id equi-join + count aggregate, everything after is label²-sized; "
+    "sklearn zero_division=0 convention; exact-integer ratios rounded 12",
+)
+def similarity_classification_report_q(spark, sf):
+    from scalligraph_spark.operators import (
+        classification_report,
+        classify_by_centroid,
+        label_centroids,
+    )
+
+    emb = cat_for(spark, sf).vertex_df("embeddings")
+    cents = label_centroids(emb).select("label", "centroid")
+    preds = classify_by_centroid(emb, cents)
+    return classification_report(preds, emb.select("vec_id", "label"))
+
+
+@q(
     "writes_mask_columns",
     """
 SELECT c_custkey,

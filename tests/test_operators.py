@@ -1609,3 +1609,26 @@ def test_classify_by_centroid_tiebreak_smaller_label(spark):
     )
     out = classify_by_centroid(emb, cents).collect()[0]
     assert out.predicted_label == 3 and out.cosine == 1.0
+
+
+def test_classification_report_hand_confusion(spark):
+    from scalligraph_spark.operators import classification_report
+
+    preds = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")],
+        "vec_id long, predicted_label string",
+    )
+    truth = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "b"), (5, "c")],
+        "vec_id long, label string",
+    )
+    got = {r.label: r for r in classification_report(preds, truth).collect()}
+    # a: tp=1, predicted=2, support=1 -> p=0.5 r=1.0 f1=2/3
+    assert (got["a"].tp, got["a"].n_predicted, got["a"].support) == (1, 2, 1)
+    assert got["a"].precision == 0.5 and got["a"].recall == 1.0
+    assert got["a"].f1 == round(2 * 0.5 * 1.0 / 1.5, 12)
+    # b: tp=2, predicted=3, support=3
+    assert got["b"].precision == round(2 / 3, 12) and got["b"].recall == round(2 / 3, 12)
+    # c: never predicted -> zero_division=0 convention
+    assert (got["c"].tp, got["c"].n_predicted, got["c"].support) == (0, 0, 1)
+    assert got["c"].precision == 0.0 and got["c"].recall == 0.0 and got["c"].f1 == 0.0
