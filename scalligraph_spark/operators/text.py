@@ -868,3 +868,67 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Retrieval evaluation: MRR@k and nDCG@k per query from
+    (query, rank, relevance) rows — the scoring tail for BM25/ANN search
+    quality tracking.  ``dcg = Σ_{r≤k} (2^rel − 1)/log2(r + 1)``; the
+    ideal ranking sorts relevances descending.
+
+    Float determinism: both DCG folds run over rank-ordered (resp.
+    relevance-ordered) struct arrays via ``F.aggregate`` — fixed-order
+    float sums (the BM25 convention), portable across engines and
+    partitionings; outputs round to 12.  One groupBy per query; list
+    sizes are ≤ k, so per-row arrays are tiny regardless of corpus size.
+    """
+    within = ranked.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query"),
+        F.col(rank_col).cast("long").alias("r"),
+        F.col(rel_col).cast("long").alias("rel"),
+    )
+    per = within.groupBy("query").agg(
+        F.array_sort(F.collect_list(F.struct("r", "rel"))).alias("__h"),
+        F.min(F.when(F.col("rel") > 0, F.col("r"))).alias("__first_rel"),
+    )
+    gain = lambda rel, pos: (F.pow(F.lit(2.0), rel) - 1) / F.log2(pos + F.lit(1.0))
+    dcg = F.aggregate(
+        F.transform(F.col("__h"), lambda p: gain(p["rel"].cast("double"), p["r"].cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ideal_rels = F.reverse(F.array_sort(F.transform(F.col("__h"), lambda p: p["rel"])))
+    idcg = F.aggregate(
+        F.transform(
+            ideal_rels,
+            lambda x, i: gain(x.cast("double"), (i + 1).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = per.select(
+        "query",
+        F.round(
+            F.when(F.col("__first_rel").isNotNull(), F.lit(1.0) / F.col("__first_rel"))
+            .otherwise(F.lit(0.0)),
+            12,
+        ).alias("mrr"),
+        F.round(dcg, 12).alias("dcg"),
+        F.round(idcg, 12).alias("idcg"),
+    )
+    return out.select(
+        "query",
+        "mrr",
+        "dcg",
+        "idcg",
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(F.lit(0.0)),
+            12,
+        ).alias("ndcg"),
+    )

@@ -4921,6 +4921,71 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "text_ranking_metrics",
+    """
+WITH ranked AS (
+  SELECT source AS query,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS r,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+  FROM documents
+),
+w AS (SELECT query, r, rel FROM ranked WHERE r <= 10),
+per AS (
+  SELECT query,
+         list(CAST(rel AS DOUBLE) ORDER BY r ASC) AS rels_by_rank,
+         list(r ORDER BY r ASC) AS ranks,
+         list(CAST(rel AS DOUBLE) ORDER BY rel DESC, r ASC) AS rels_ideal,
+         min(CASE WHEN rel > 0 THEN r END) AS first_rel
+  FROM w GROUP BY query
+)
+SELECT query,
+       round(CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel ELSE 0.0 END, 12) AS mrr,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, len(ranks) + 1),
+           i -> (pow(2.0, rels_by_rank[i]) - 1) / log2(CAST(ranks[i] AS DOUBLE) + 1.0))),
+         (a, b) -> a + b), 12) AS dcg,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, len(rels_ideal) + 1),
+           i -> (pow(2.0, rels_ideal[i]) - 1) / log2(CAST(i AS DOUBLE) + 1.0))),
+         (a, b) -> a + b), 12) AS idcg,
+       round(CASE WHEN round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(rels_ideal) + 1),
+                 i -> (pow(2.0, rels_ideal[i]) - 1) / log2(CAST(i AS DOUBLE) + 1.0))),
+               (a, b) -> a + b), 12) > 0
+             THEN round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(ranks) + 1),
+                      i -> (pow(2.0, rels_by_rank[i]) - 1) / log2(CAST(ranks[i] AS DOUBLE) + 1.0))),
+                    (a, b) -> a + b), 12)
+                / round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(rels_ideal) + 1),
+                      i -> (pow(2.0, rels_ideal[i]) - 1) / log2(CAST(i AS DOUBLE) + 1.0))),
+                    (a, b) -> a + b), 12)
+             ELSE 0.0 END, 12) AS ndcg
+FROM per
+""",
+    "retrieval evaluation (MRR@10, nDCG@10): per-source length-ranked "
+    "doc lists scored against English-relevance labels — both DCG folds "
+    "are fixed-order float sums over rank-ordered (resp. "
+    "relevance-ordered) arrays, the BM25 determinism convention; one "
+    "groupBy per query, per-row arrays ≤ k",
+)
+def text_ranking_metrics_q(spark, sf):
+    from pyspark.sql import Window as W
+
+    from scalligraph_spark.operators import ranking_metrics
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    ranked = docs.select(
+        F.col("source").alias("query_id"),
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("rel"),
+    )
+    return ranking_metrics(ranked, k=10)
+
+
+@q(
     "similarity_classification_report",
     """
 WITH terms AS (

@@ -1632,3 +1632,31 @@ def test_classification_report_hand_confusion(spark):
     # c: never predicted -> zero_division=0 convention
     assert (got["c"].tp, got["c"].n_predicted, got["c"].support) == (0, 0, 1)
     assert got["c"].precision == 0.0 and got["c"].recall == 0.0 and got["c"].f1 == 0.0
+
+
+def test_ranking_metrics_hand_math(spark):
+    import math
+
+    from scalligraph_spark.operators import ranking_metrics
+
+    # query A: rels by rank [0, 1, 1]; query B: no relevant at all
+    rows = [("A", 1, 0), ("A", 2, 1), ("A", 3, 1), ("B", 1, 0), ("B", 2, 0)]
+    df = spark.createDataFrame(rows, "query_id string, rank int, rel int")
+    got = {r.query: r for r in ranking_metrics(df, k=10).collect()}
+    a = got["A"]
+    assert a.mrr == 0.5
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert a.dcg == round(dcg, 12) and a.idcg == round(idcg, 12)
+    assert a.ndcg == round(round(dcg, 12) / round(idcg, 12), 12)
+    b = got["B"]
+    assert (b.mrr, b.dcg, b.idcg, b.ndcg) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_ranking_metrics_perfect_ranking(spark):
+    from scalligraph_spark.operators import ranking_metrics
+
+    rows = [("Q", r, 1 if r <= 3 else 0) for r in range(1, 11)]
+    df = spark.createDataFrame(rows, "query_id string, rank int, rel int")
+    out = ranking_metrics(df, k=10).collect()[0]
+    assert out.mrr == 1.0 and out.ndcg == 1.0  # relevant docs already on top
