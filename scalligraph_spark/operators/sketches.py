@@ -90,3 +90,31 @@ def countmin_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+def countmin_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
+    """Estimate |A ⋈ B| on the sketched key from two Count-Min sketches
+    built with identical (width, depth, salt) — the AMS-style inner
+    product: per depth row ``Σ_bucket a[d][w]·b[d][w]``, then take the
+    MINIMUM over depths (each row over-counts by hash collisions, never
+    under-counts, so the min is the tightest one-sided bound:
+    est ≥ true join size, exact when no bucket collides).
+
+    This is how a planner prices a join WITHOUT scanning either table —
+    two (depth×width)-row tables equi-join on (d, bucket); cost is the
+    sketch size, not the data.  Returns one row: (est_join_size).
+    """
+    prod = a.select("d", "bucket", F.col("count").alias("__ca")).join(
+        b.select("d", "bucket", F.col("count").alias("__cb")), ["d", "bucket"]
+    )
+    per_depth = prod.groupBy("d").agg(
+        F.sum(F.col("__ca") * F.col("__cb")).alias("__ip")
+    )
+    # a depth row with zero overlapping buckets yields NO row after the
+    # inner join — its inner product is 0, and min(0, ...) = 0: union the
+    # full depth spine so absent rows count.
+    spine = a.sparkSession.range(depth).select(F.col("id").cast("int").alias("d"))
+    full = spine.join(per_depth, "d", "left").select(
+        F.coalesce("__ip", F.lit(0)).alias("__ip")
+    )
+    return full.agg(F.min("__ip").cast("long").alias("est_join_size"))

@@ -4921,6 +4921,38 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "sketch_join_size",
+    """
+WITH ea AS (SELECT o_custkey AS item, i AS d FROM orders, unnest(range(0, 4)) AS r(i)),
+ska AS (SELECT d, CAST(CAST(('0x' || substr(md5('cms-v1:' || d || ':' || item), 1, 8)) AS BIGINT) % 1024 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS count
+        FROM ea GROUP BY 1, 2),
+eb AS (SELECT c_custkey AS item, i AS d FROM customer, unnest(range(0, 4)) AS r(i)),
+skb AS (SELECT d, CAST(CAST(('0x' || substr(md5('cms-v1:' || d || ':' || item), 1, 8)) AS BIGINT) % 1024 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS count
+        FROM eb GROUP BY 1, 2),
+ip AS (SELECT ska.d, sum(ska.count * skb.count) AS p
+       FROM ska JOIN skb ON ska.d = skb.d AND ska.bucket = skb.bucket GROUP BY 1),
+spine AS (SELECT i AS d FROM unnest(range(0, 4)) AS r(i))
+SELECT CAST(min(COALESCE(ip.p, 0)) AS BIGINT) AS est_join_size
+FROM spine LEFT JOIN ip ON ip.d = spine.d
+""",
+    "sketch-based join-size estimation (AMS inner product of Count-Min "
+    "tables, min over depths — one-sided: est ≥ true, exact without "
+    "collisions): the planner prices orders⋈customer from two "
+    "depth×width tables without scanning either side — the same sketches "
+    "the incremental-stats tier already maintains",
+)
+def sketch_join_size_q(spark, sf):
+    from scalligraph_spark.operators import countmin_build, countmin_join_size
+
+    c = cat_for(spark, sf)
+    ska = countmin_build(c.vertex_df("orders"), "o_custkey", width=1024, depth=4)
+    skb = countmin_build(c.vertex_df("customer"), "c_custkey", width=1024, depth=4)
+    return countmin_join_size(ska, skb, depth=4)
+
+
+@q(
     "text_ranking_metrics",
     """
 WITH ranked AS (

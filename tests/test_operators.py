@@ -1660,3 +1660,33 @@ def test_ranking_metrics_perfect_ranking(spark):
     df = spark.createDataFrame(rows, "query_id string, rank int, rel int")
     out = ranking_metrics(df, k=10).collect()[0]
     assert out.mrr == 1.0 and out.ndcg == 1.0  # relevant docs already on top
+
+
+def test_countmin_join_size_one_sided_and_exact_when_wide(spark):
+    from scalligraph_spark.operators import countmin_build, countmin_join_size
+
+    a = spark.createDataFrame([(i % 10,) for i in range(100)], "k long")   # 10 each
+    b = spark.createDataFrame([(i % 20,) for i in range(40)], "k long")    # 2 each
+    true_size = a.join(b, "k").count()  # keys 0..9 match: 10*2*10 = 200
+    assert true_size == 200
+    # wide sketch: no collisions -> exact
+    ska = countmin_build(a, "k", width=4096, depth=4)
+    skb = countmin_build(b, "k", width=4096, depth=4)
+    est = countmin_join_size(ska, skb, depth=4).collect()[0].est_join_size
+    assert est == 200
+    # narrow sketch: collisions only inflate (one-sided)
+    ska2 = countmin_build(a, "k", width=4, depth=4)
+    skb2 = countmin_build(b, "k", width=4, depth=4)
+    est2 = countmin_join_size(ska2, skb2, depth=4).collect()[0].est_join_size
+    assert est2 >= 200
+
+
+def test_countmin_join_size_disjoint_keys(spark):
+    from scalligraph_spark.operators import countmin_build, countmin_join_size
+
+    a = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    b = spark.createDataFrame([(i + 1000,) for i in range(5)], "k long")
+    ska = countmin_build(a, "k", width=8192, depth=4)
+    skb = countmin_build(b, "k", width=8192, depth=4)
+    est = countmin_join_size(ska, skb, depth=4).collect()[0].est_join_size
+    assert est == 0  # wide enough that disjoint keys share no buckets
