@@ -364,3 +364,46 @@ def resample_counts(
     if value_col:
         sel.append(F.col("sum_value"))
     return out.select(*sel)
+
+
+def grouped_linear_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group closed-form OLS line fit — trend slopes for monitoring
+    (events-per-day drift, corpus growth, quality trajectories):
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``,
+    ``intercept = (Σy − slope·Σx)/n``.
+
+    ONE map-side-combined aggregate per group computes the five moment
+    sums; the fit itself is per-row arithmetic on the grouped result.
+    Sums route through DECIMAL (order-independent bit-exact), the final
+    divisions are IEEE-deterministic and round to 12.  Degenerate groups
+    (n < 2 or zero x-variance) report null slope/intercept rather than a
+    divide-by-zero.
+    """
+    dec = "decimal(28,6)"
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x.cast(dec)).cast("double").alias("__sx"),
+        F.sum(y.cast(dec)).cast("double").alias("__sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("__sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("__sxx"),
+    )
+    denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        (F.col("__n") >= 2) & (denom != 0),
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom,
+    )
+    return g.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n_points"),
+        F.round(slope, 12).alias("slope"),
+        F.round((F.col("__sy") - slope * F.col("__sx")) / F.col("__n"), 12).alias(
+            "intercept"
+        ),
+    )

@@ -4921,6 +4921,50 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "events_trend_fit",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(CAST(day AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(cnt AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(day AS DOUBLE) * CAST(cnt AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(day AS DOUBLE) * CAST(day AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_points,
+       round(CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 12) AS slope,
+       round((sy - (CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+                         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx) / n,
+             12) AS intercept
+FROM g
+""",
+    "per-group closed-form OLS trend fit (daily event-count slopes for "
+    "drift monitoring): ONE map-side-combined moment aggregate per group "
+    "— Σx Σy Σxy Σx² decimal-routed — then per-row arithmetic; degenerate "
+    "groups yield null instead of dividing by zero",
+)
+def events_trend_fit_q(spark, sf):
+    from scalligraph_spark.operators import grouped_linear_fit
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    daily = (
+        ev.withColumn(
+            "day", F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return grouped_linear_fit(daily, ["event_type"], "day", "cnt")
+
+
+@q(
     "sketch_join_size",
     """
 WITH ea AS (SELECT o_custkey AS item, i AS d FROM orders, unnest(range(0, 4)) AS r(i)),

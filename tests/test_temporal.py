@@ -228,3 +228,30 @@ def test_resample_counts_gap_fill(spark):
     assert rows[("2024-01-01 01:00:00", "a")] == (0, None)  # gap emits zero
     assert rows[("2024-01-01 02:00:00", "b")] == (0, None)
     assert rows[("2024-01-01 03:00:00", "a")] == (1, 3.0)
+
+
+def test_grouped_linear_fit_hand_math(spark):
+    from scalligraph_spark.operators import grouped_linear_fit
+
+    # g1: exact line y = 2x + 1; g2: flat; g3: single point (degenerate)
+    rows = (
+        [("g1", x, 2 * x + 1) for x in range(5)]
+        + [("g2", x, 7) for x in range(4)]
+        + [("g3", 10, 3)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in grouped_linear_fit(df, ["g"], "x", "y").collect()}
+    assert (got["g1"].slope, got["g1"].intercept) == (2.0, 1.0)
+    assert (got["g2"].slope, got["g2"].intercept) == (0.0, 7.0)
+    assert got["g3"].slope is None and got["g3"].intercept is None
+    assert got["g3"].n_points == 1
+
+
+def test_grouped_linear_fit_partition_invariance(spark):
+    from scalligraph_spark.operators import grouped_linear_fit
+
+    rows = [("a", i, (i * 37) % 11 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    one = grouped_linear_fit(df, ["g"], "x", "y").collect()[0]
+    two = grouped_linear_fit(df.repartition(13), ["g"], "x", "y").collect()[0]
+    assert (one.slope, one.intercept) == (two.slope, two.intercept)
