@@ -653,3 +653,74 @@ def mixture_plan(
             ),
         )
     )
+
+
+def impute_columns(
+    df: DataFrame,
+    columns: list[str],
+    strategy: str = "mean",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Null imputation for feature columns — the data-repair step before
+    training-table export:
+
+    * ``mean``   — decimal-routed mean (order-independent), rounded 12
+    * ``median`` — exact linear-interpolated percentile (bit-portable:
+      both engines interpolate the same two sorted neighbors)
+    * ``mode``   — most frequent non-null value, ties to the smallest
+      (deterministic where a hashmap argmax is not)
+
+    With ``group_cols`` the statistic is computed PER GROUP (per-language
+    medians, per-source modes…) and joined back broadcast-sized;
+    otherwise one global stats row cross-joins.  Groups that are entirely
+    null keep their nulls (no global fallback smuggled in).  Imputed
+    columns come back as doubles for mean/median; mode preserves the
+    column type.
+    """
+    gc = list(group_cols or [])
+    aggs = []
+    for c in columns:
+        if strategy == "mean":
+            aggs.append(
+                F.round(
+                    (F.sum(F.col(c).cast("decimal(27,6)")).cast("double") / F.count(c)),
+                    12,
+                ).alias(f"__fill_{c}")
+            )
+        elif strategy == "median":
+            aggs.append(F.percentile(F.col(c), 0.5).alias(f"__fill_{c}"))
+        elif strategy == "mode":
+            pass  # mode needs per-value counts; handled in its own block below
+        else:
+            raise ValueError(
+                f"impute_columns: unknown strategy {strategy!r}; "
+                "use 'mean', 'median', or 'mode'"
+            )
+    if strategy == "mode":
+        # mode needs its own per-value count aggregate per column
+        out = df
+        for c in columns:
+            counts = (
+                df.where(F.col(c).isNotNull())
+                .groupBy(*gc, c)
+                .agg(F.count(F.lit(1)).alias("__n"))
+            )
+            best = counts.groupBy(*gc).agg(
+                F.min_by(
+                    F.col(c), F.struct((-F.col("__n")).alias("nn"), F.col(c).alias("v"))
+                ).alias(f"__fill_{c}")
+            )
+            joined = (
+                out.join(F.broadcast(best), gc, "left") if gc else out.crossJoin(F.broadcast(best))
+            )
+            out = joined.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"__fill_{c}"))
+            ).drop(f"__fill_{c}")
+        return out
+    stats = df.groupBy(*gc).agg(*aggs) if gc else df.agg(*aggs)
+    joined = df.join(F.broadcast(stats), gc, "left") if gc else df.crossJoin(F.broadcast(stats))
+    for c in columns:
+        joined = joined.withColumn(
+            c, F.coalesce(F.col(c).cast("double"), F.col(f"__fill_{c}"))
+        ).drop(f"__fill_{c}")
+    return joined

@@ -1690,3 +1690,40 @@ def test_countmin_join_size_disjoint_keys(spark):
     skb = countmin_build(b, "k", width=8192, depth=4)
     est = countmin_join_size(ska, skb, depth=4).collect()[0].est_join_size
     assert est == 0  # wide enough that disjoint keys share no buckets
+
+
+# -- imputation ---------------------------------------------------------------
+
+
+def test_impute_mean_median_grouped(spark):
+    from scalligraph_spark.operators import impute_columns
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None), ("c", None)],
+        "g string, x double",
+    )
+    mean = {(r.g, r.x) for r in impute_columns(df, ["x"], "mean", ["g"]).collect()}
+    assert ("a", 2.0) in mean and ("b", 10.0) in mean
+    assert ("c", None) in mean  # all-null group keeps nulls
+    med = impute_columns(df, ["x"], "median", ["g"]).where("g = 'a'").collect()
+    assert sorted(r.x for r in med) == [1.0, 2.0, 3.0]
+
+
+def test_impute_mode_tiebreak_smallest(spark):
+    from scalligraph_spark.operators import impute_columns
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "b"), (3, "a"), (4, "a"), (5, "z"), (6, None)],
+        "id long, cat string",
+    )
+    out = {r.id: r.cat for r in impute_columns(df, ["cat"], "mode").collect()}
+    assert out[6] == "a"  # a and b tie at 2 -> smallest value wins
+    assert out[1] == "b"  # non-null untouched
+
+
+def test_impute_rejects_unknown_strategy(spark):
+    from scalligraph_spark.operators import impute_columns
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        impute_columns(df, ["x"], "zero_fill")
