@@ -724,3 +724,45 @@ def impute_columns(
             c, F.coalesce(F.col(c).cast("double"), F.col(f"__fill_{c}"))
         ).drop(f"__fill_{c}")
     return joined
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    split_col: str = "split",
+    train_split: str = "train",
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train→eval leakage audit: for every non-train split, count the
+    documents whose n-gram containment from ANY train document reaches
+    ``threshold`` (the :func:`~scalligraph_spark.operators.dedup.contamination_check`
+    criterion) — the release gate that catches benchmark answers leaking
+    into the training cut after all the upstream dedup ran per-corpus.
+
+    Returns one row per evaluated split: (split, n_docs, n_leaked,
+    leak_rate).  Shape: one contamination gram-join per report (train
+    side shared across splits), then a split-sized aggregate.
+    """
+    from scalligraph_spark.operators.dedup import contamination_check
+
+    train = docs.where(F.col(split_col) == train_split)
+    other = docs.where(F.col(split_col) != train_split)
+    hits = contamination_check(
+        train, other, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    ).select(F.col("bench_id").alias(id_col)).distinct()
+    per = other.join(hits.withColumn("__leaked", F.lit(1)), id_col, "left")
+    return (
+        per.groupBy(F.col(split_col).alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__leaked"), F.lit(0))).alias("n_leaked"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_leaked",
+            F.round(F.col("n_leaked") / F.col("n_docs"), 12).alias("leak_rate"),
+        )
+    )

@@ -4921,6 +4921,59 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "pipeline_split_leakage",
+    """
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST(CAST(('0x' || substr(md5('split-v1:' || doc_id), 1, 8)) AS BIGINT) AS DOUBLE)
+                   / 4294967296.0 < 8e0 / (8e0 + 1e0 + 1e0) THEN 'train'
+              WHEN CAST(CAST(('0x' || substr(md5('split-v1:' || doc_id), 1, 8)) AS BIGINT) AS DOUBLE)
+                   / 4294967296.0 < 9e0 / (8e0 + 1e0 + 1e0) THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tg AS (
+  SELECT doc_id AS train_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM s WHERE split = 'train')
+),
+bg AS (
+  SELECT doc_id AS bench_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM s WHERE split <> 'train')
+),
+sizes AS (SELECT bench_id, count(*) AS bench_grams FROM bg GROUP BY 1),
+shared AS (SELECT bench_id, max(cnt) AS best FROM (
+  SELECT train_id, bench_id, count(*) AS cnt FROM tg JOIN bg USING (gram) GROUP BY 1, 2
+) GROUP BY 1),
+leaked AS (
+  SELECT bench_id FROM shared JOIN sizes USING (bench_id)
+  WHERE best * 1.0 / bench_grams >= 0.5
+)
+SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN leaked.bench_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+       round(sum(CASE WHEN leaked.bench_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 12) AS leak_rate
+FROM s LEFT JOIN leaked ON leaked.bench_id = s.doc_id
+WHERE s.split <> 'train'
+GROUP BY s.split
+""",
+    "train→eval leakage audit (release gate): the 8/1/1 split replayed, "
+    "then per non-train split the fraction of docs whose trigram "
+    "containment from ANY train doc reaches 0.5 — one contamination "
+    "gram-join + a split-sized aggregate; catches benchmark answers that "
+    "survived per-corpus dedup into the training cut",
+)
+def pipeline_split_leakage_q(spark, sf):
+    from scalligraph_spark.operators import split_corpus, split_leakage_report
+
+    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "text")
+    s = split_corpus(docs, {"train": 8, "val": 1, "test": 1})
+    return split_leakage_report(s, n=3, threshold=0.5)
+
+
+@q(
     "pipeline_impute_values",
     """
 WITH base AS (

@@ -1727,3 +1727,22 @@ def test_impute_rejects_unknown_strategy(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError):
         impute_columns(df, ["x"], "zero_fill")
+
+
+def test_split_leakage_report_detects_planted_leak(spark):
+    from scalligraph_spark.operators import split_leakage_report
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "train"),
+        (2, "eta theta iota kappa lambda mu", "train"),
+        # val doc fully contained in train doc 1 -> leaked
+        (3, "alpha beta gamma delta", "val"),
+        # val doc with no shared trigrams -> clean
+        (4, "nu xi omicron pi rho sigma", "val"),
+        (5, "tau upsilon phi chi psi omega", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = {r.split: (r.n_docs, r.n_leaked, r.leak_rate) for r in
+           split_leakage_report(df).collect()}
+    assert got["val"] == (2, 1, 0.5)
+    assert got["test"] == (1, 0, 0.0)
