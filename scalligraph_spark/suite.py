@@ -195,6 +195,25 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         )
 
     ex.register_init("fuzzyPairs", _fuzzy_pairs)
+
+    def _trend_fit(g, s, a):
+        from scalligraph_spark.operators import grouped_linear_fit
+
+        t = g.V(str(s.get("label", "events"))).df
+        ts_col = str(s.get("tsCol", "ts"))
+        group = [str(c) for c in s.get("groupBy", ["event_type"])]
+        daily = (
+            t.withColumn(
+                "day", F.floor(F.col(ts_col).cast("timestamp").cast("long") / 86400)
+            )
+            .groupBy(*group, "day")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return Traversal(
+            grouped_linear_fit(daily, group, "day", "cnt"), catalog=g, label=None
+        )
+
+    ex.register_init("trendFit", _trend_fit)
     return ex
 
 
@@ -4512,6 +4531,40 @@ def pipeline_negative_pairs_q(spark, sf):
 
     emb = cat_for(spark, sf).vertex_df("embeddings")
     return negative_pairs(emb, k=4, pool_size=256)
+
+
+@q(
+    "qlang_trend_fit",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(CAST(day AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(cnt AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(day AS DOUBLE) * CAST(cnt AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(day AS DOUBLE) * CAST(day AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_points,
+       round(CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 12) AS slope,
+       round((sy - (CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+                         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx) / n,
+             12) AS intercept
+FROM g
+""",
+    "OLS trend fitting through the JSON query language: {_name: trendFit, "
+    "label, groupBy, tsCol} registered init query (QueryExecutor.scala:28-29 "
+    "extension surface over the temporal operator)",
+)
+def qlang_trend_fit_q(spark, sf):
+    ex = executor_for(spark, sf)
+    return ex.execute([{"_name": "trendFit", "label": "events", "groupBy": ["event_type"]}]).df
 
 
 @q(
