@@ -84,6 +84,11 @@ HEADLINE = [
     "store_mv_refresh",  # counting-algorithm IVM vs the version diff
     "dedup_soft_weights",  # 1/n loss weights, hash agg + hash join-back
     "pipeline_mixture_plan",  # one-pass token counts -> repeat factors
+    # round-4 session-6 late additions
+    "events_trend_fit",  # one moment-aggregate OLS per group
+    "sketch_join_size",  # CM inner product, sketch-sized cost
+    "pipeline_impute_values",  # stats agg + broadcast coalesce
+    "similarity_nearest_centroid",  # broadcast prototypes, map-side scoring
 ]
 
 
