@@ -766,3 +766,91 @@ def split_leakage_report(
             F.round(F.col("n_leaked") / F.col("n_docs"), 12).alias("leak_rate"),
         )
     )
+
+
+def weighted_draws(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "draws-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITH replacement — the sampling
+    table behind word2vec negative draws and importance-weighted corpus
+    replay: ``k`` md5-integer draws land in cumulative integer-weight
+    intervals, so P(key) ∝ weight with NO RNG state (identical draws on
+    any engine, partitioning, or rerun; vary ``salt`` for a fresh deal).
+
+    Integer-exact throughout: 60-bit hash mod Σw picks a position, the
+    interval [cum−w, cum) containing it picks the key.  The interval
+    table replicates into ~2·n fixed-width buckets so the draw lookup is
+    an EQUI-join (no nested-loop); the cumulative sum is one global
+    window here — at 100 TB compute it hierarchically per shard
+    (per-shard sums + a prefix over the shard totals) exactly like
+    :func:`pack_documents`'s note.  Returns (draw_id, key).
+    """
+    from pyspark.sql import Window
+
+    iv = (
+        df.select(F.col(key_col), F.col(weight_col).cast("long").alias("__w"))
+        .where(F.col("__w") > 0)
+        .withColumn("__hi", F.sum("__w").over(Window.orderBy(key_col)))
+        .withColumn("__lo", F.col("__hi") - F.col("__w"))
+    )
+    tot = iv.agg(F.max("__hi").alias("__W"), F.count(F.lit(1)).alias("__n"))
+    # the totals row derives FROM iv, so give each crossJoin its own
+    # renamed projection — joining a frame with its own aggregate trips
+    # Catalyst's ambiguity check otherwise
+    tot_iv = tot.select(F.col("__W").alias("__Wi"), F.col("__n").alias("__ni"))
+    tot_dr = tot.select(F.col("__W").alias("__Wd"), F.col("__n").alias("__nd"))
+    bwidth = F.greatest(F.floor(F.col("__Wi") / F.col("__ni")), F.lit(1))
+    ivb = (
+        iv.crossJoin(F.broadcast(tot_iv))
+        .withColumn("__B", bwidth)
+        .withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__lo") / F.col("__B")),
+                    F.floor((F.col("__hi") - 1) / F.col("__B")),
+                )
+            ),
+        )
+        .select(key_col, "__lo", "__hi", "__bk")
+    )
+    spark = df.sparkSession
+    t = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(salt), F.col("draw_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.col("__Wd"),
+    )
+    draws = (
+        spark.range(k)
+        .select(F.col("id").alias("draw_id"))
+        .crossJoin(F.broadcast(tot_dr))
+        .withColumn("__t", t)
+        .withColumn(
+            "__bk",
+            F.floor(
+                F.col("__t")
+                / F.greatest(F.floor(F.col("__Wd") / F.col("__nd")), F.lit(1))
+            ),
+        )
+        .select("draw_id", "__t", "__bk")
+    )
+    return (
+        draws.join(ivb, "__bk")
+        .where((F.col("__t") >= F.col("__lo")) & (F.col("__t") < F.col("__hi")))
+        .select("draw_id", key_col)
+    )

@@ -4974,6 +4974,73 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "pipeline_weighted_draws",
+    """
+WITH iv AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id) AS hi
+  FROM documents WHERE n_chars > 0
+),
+iv2 AS (SELECT doc_id, w, hi, hi - w AS lo FROM iv),
+tot AS (SELECT max(hi) AS W FROM iv2),
+draws AS (
+  SELECT j AS draw_id,
+         CAST(('0x' || substr(md5('draws-v1:' || j), 1, 15)) AS BIGINT) % (SELECT W FROM tot) AS t
+  FROM unnest(range(0, 100)) AS r(j)
+)
+SELECT d.draw_id, iv2.doc_id
+FROM draws d JOIN iv2 ON d.t >= iv2.lo AND d.t < iv2.hi
+""",
+    "deterministic weighted sampling with replacement (the word2vec "
+    "negative-sampling table draw): 100 md5-integer draws land in "
+    "cumulative length-weight intervals — P(doc) ∝ n_chars with no RNG "
+    "state; the interval lookup bucket-replicates into an equi-join "
+    "(never a nested loop), and the oracle replays the identical 60-bit "
+    "integer arithmetic",
+)
+def pipeline_weighted_draws_q(spark, sf):
+    from scalligraph_spark.operators import weighted_draws
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return weighted_draws(docs, "n_chars", k=100)
+
+
+@q(
+    "qagg_window_ranks",
+    """
+SELECT o_orderkey, o_orderpriority,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 12) AS prank,
+       round(cume_dist() OVER w, 12) AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+    "analytic window-function breadth in one pass: rank / dense_rank / "
+    "percent_rank / cume_dist / ntile share a single partition+sort "
+    "exchange (one Window node; the total-order tiebreak keeps every "
+    "function deterministic)",
+)
+def qagg_window_ranks_q(spark, sf):
+    from pyspark.sql import Window as W
+
+    o = cat_for(spark, sf).vertex_df("orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 12).alias("prank"),
+        F.round(F.cume_dist().over(w), 12).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@q(
     "pipeline_split_leakage",
     """
 WITH s AS (

@@ -1746,3 +1746,35 @@ def test_split_leakage_report_detects_planted_leak(spark):
            split_leakage_report(df).collect()}
     assert got["val"] == (2, 1, 0.5)
     assert got["test"] == (1, 0, 0.0)
+
+
+def test_weighted_draws_deterministic_and_proportional(spark):
+    import hashlib
+
+    from scalligraph_spark.operators import weighted_draws
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 9990), (4, 9)], "doc_id long, w long"
+    )
+    out = weighted_draws(df, "w", k=500, salt="t-v1")
+    rows = {r.draw_id: r.doc_id for r in out.collect()}
+    assert len(rows) == 500  # every draw resolves to exactly one key
+    assert 2 not in set(rows.values())  # zero-weight keys never drawn
+    # heavy key dominates ~99.9% of mass
+    n3 = sum(1 for v in rows.values() if v == 3)
+    assert n3 > 480
+    # python replay of the integer arithmetic matches exactly
+    iv = [(1, 0, 1), (3, 1, 9991), (4, 9991, 10000)]  # (key, lo, hi) by doc_id order
+    for j in (0, 17, 499):
+        t = int(hashlib.md5(f"t-v1:{j}".encode()).hexdigest()[:15], 16) % 10000
+        want = next(k for k, lo, hi in iv if lo <= t < hi)
+        assert rows[j] == want
+
+
+def test_weighted_draws_partition_invariance(spark):
+    from scalligraph_spark.operators import weighted_draws
+
+    df = spark.createDataFrame([(i, (i % 7) + 1) for i in range(300)], "doc_id long, w long")
+    a = sorted(map(tuple, weighted_draws(df, "w", 50).collect()))
+    b = sorted(map(tuple, weighted_draws(df.repartition(13), "w", 50).collect()))
+    assert a == b and len(a) == 50
