@@ -4974,6 +4974,35 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "writes_validate_rows",
+    """
+SELECT event_id, event_type, value, 'value_nonnegative' AS __rule
+FROM events WHERE NOT coalesce(value >= 0, FALSE)
+UNION ALL
+SELECT event_id, event_type, value, 'known_type' AS __rule
+FROM events WHERE NOT coalesce(event_type IN ('click','view','purchase','signup'), FALSE)
+""",
+    "declarative row-level CHECK constraints (dbt-test / Delta-constraint "
+    "analog): every rule is a boolean SQL expression, nulls fail, "
+    "violating rows quarantine with their rule name instead of aborting "
+    "the export — map-only, predicates evaluate in the scan stage; this "
+    "entry returns the violations side ('error' events fail known_type)",
+)
+def writes_validate_rows_q(spark, sf):
+    from scalligraph_spark.writes import validate_rows
+
+    ev = cat_for(spark, sf).vertex_df("events").select("event_id", "event_type", "value")
+    _valid, violations = validate_rows(
+        ev,
+        {
+            "value_nonnegative": "value >= 0",
+            "known_type": "event_type IN ('click','view','purchase','signup')",
+        },
+    )
+    return violations
+
+
+@q(
     "pipeline_weighted_draws",
     """
 WITH iv AS (

@@ -324,3 +324,33 @@ def mask_columns(df, policy: dict):
             )
         df = df.withColumn(col, masked)
     return df
+
+
+def validate_rows(df, rules: dict):
+    """Declarative row-level CHECK constraints before a write/export —
+    the dbt-test / Delta-constraint analog of the schema-level guards
+    above (validate_enum, unique enforcement, immense_term_guard):
+    ``rules`` maps rule name → boolean SQL expression string; a row
+    passes when EVERY rule holds (nulls count as failure — a constraint
+    that cannot be evaluated is not satisfied).
+
+    Returns ``(valid, violations)``: valid rows unchanged, and one row
+    per (row, failed rule) with the rule name in ``__rule`` — the same
+    quarantine-not-abort posture as the lenient JSONL ingest, so one bad
+    row never kills a 100 TB export.  Map-only on both branches (the
+    rule predicates evaluate in the scan stage; no shuffle)."""
+    from pyspark.sql import functions as F
+
+    if not rules:
+        raise ValueError("validate_rows: at least one rule required")
+    preds = {name: F.expr(sql) for name, sql in rules.items()}
+    all_ok = None
+    for p in preds.values():
+        ok = F.coalesce(p, F.lit(False))
+        all_ok = ok if all_ok is None else (all_ok & ok)
+    valid = df.where(all_ok)
+    viol = None
+    for name, p in preds.items():
+        bad = df.where(~F.coalesce(p, F.lit(False))).withColumn("__rule", F.lit(name))
+        viol = bad if viol is None else viol.unionByName(bad)
+    return valid, viol

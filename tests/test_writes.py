@@ -186,3 +186,30 @@ def test_mask_columns_rejects_unknown(spark):
         mask_columns(df, {"nope": "hash"})
     with _pytest.raises(ValueError):
         mask_columns(df, {"name": "rot13"})
+
+
+def test_validate_rows_split_and_null_semantics(spark):
+    from scalligraph_spark.writes import validate_rows
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "a"), (3, None, "b"), (4, 7.0, "zz")],
+        "id long, x double, cat string",
+    )
+    valid, viol = validate_rows(
+        df, {"x_pos": "x >= 0", "cat_known": "cat IN ('a','b')"}
+    )
+    assert {r.id for r in valid.collect()} == {1}  # null x fails the rule
+    v = {(r["id"], r["__rule"]) for r in viol.collect()}
+    assert v == {(2, "x_pos"), (3, "x_pos"), (4, "cat_known")}
+    # valid plus distinct violating ids covers the input exactly once
+    assert {r.id for r in valid.collect()} | {i for i, _ in v} == {1, 2, 3, 4}
+
+
+def test_validate_rows_requires_rules(spark):
+    import pytest as _pytest
+
+    from scalligraph_spark.writes import validate_rows
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        validate_rows(df, {})
