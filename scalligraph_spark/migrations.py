@@ -347,3 +347,30 @@ class Operations:
             versions.set(self.schema_name, i + 1)
             executed.append(info)
         return executed
+
+
+def schema_diff(old, new):
+    """Schema-evolution compatibility report between two StructTypes (or
+    DataFrames) — the pre-flight check before `SchemaUpdater` migrations
+    or a store overwrite: which columns were added / removed /
+    type-changed, and whether the change is backward-compatible for
+    readers of the OLD schema (additions are; removals and type changes
+    are not — the Avro/Delta compatibility rule for nullable additions).
+
+    Returns a plain dict (driver-side metadata — schemas are not data):
+    ``{added: [(name, type)], removed: [(name, type)],
+    changed: [(name, old_type, new_type)], backward_compatible: bool}``.
+    """
+    old_st = old.schema if hasattr(old, "schema") else old
+    new_st = new.schema if hasattr(new, "schema") else new
+    o = {f.name: f.dataType.simpleString() for f in old_st.fields}
+    n = {f.name: f.dataType.simpleString() for f in new_st.fields}
+    added = sorted((k, v) for k, v in n.items() if k not in o)
+    removed = sorted((k, v) for k, v in o.items() if k not in n)
+    changed = sorted((k, o[k], n[k]) for k in o.keys() & n.keys() if o[k] != n[k])
+    return {
+        "added": added,
+        "removed": removed,
+        "changed": changed,
+        "backward_compatible": not removed and not changed,
+    }

@@ -159,3 +159,20 @@ def test_edge_model_schema_validation(spark, tmp_path):
     ops = Operations("bad").add_edge_model("broken", "a long, b long")
     with _pytest.raises(ValueError, match="key columns"):
         ops.execute(spark, store, versions)
+
+
+def test_schema_diff_compatibility(spark):
+    from scalligraph_spark.migrations import schema_diff
+
+    old = spark.createDataFrame([(1, "x", 1.0)], "id long, name string, score double")
+    add_only = spark.createDataFrame([(1, "x", 1.0, True)], "id long, name string, score double, flag boolean")
+    d1 = schema_diff(old, add_only)
+    assert d1["added"] == [("flag", "boolean")] and d1["backward_compatible"]
+
+    breaking = spark.createDataFrame([(1, 2)], "id long, score int")
+    d2 = schema_diff(old, breaking)
+    assert d2["removed"] == [("name", "string")]
+    assert d2["changed"] == [("score", "double", "int")]
+    assert not d2["backward_compatible"]
+
+    assert schema_diff(old.schema, old.schema)["backward_compatible"]
