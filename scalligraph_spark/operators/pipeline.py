@@ -854,3 +854,101 @@ def weighted_draws(
         .where((F.col("__t") >= F.col("__lo")) & (F.col("__t") < F.col("__hi")))
         .select("draw_id", key_col)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    columns: list[str],
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Percentile clipping (winsorization) — the outlier guard before
+    scaling/training: each column clamps into its [p_low, p_high] exact
+    interpolated percentile interval, optionally per group.
+
+    One percentile aggregate (per group) broadcast back + a map-side
+    ``greatest(least(...))`` — no second data shuffle; at 100 TB swap the
+    exact percentile for ``approx_percentile`` upstream and pass the same
+    bounds.  Nulls pass through (clipping is not imputation — compose
+    with :func:`impute_columns` for that).
+    """
+    gc = list(group_cols or [])
+    aggs = []
+    for c in columns:
+        aggs.append(F.percentile(F.col(c), p_low).alias(f"__lo_{c}"))
+        aggs.append(F.percentile(F.col(c), p_high).alias(f"__hi_{c}"))
+    stats = df.groupBy(*gc).agg(*aggs) if gc else df.agg(*aggs)
+    out = df.join(F.broadcast(stats), gc, "left") if gc else df.crossJoin(F.broadcast(stats))
+    for c in columns:
+        clipped = F.greatest(
+            F.least(F.col(c).cast("double"), F.col(f"__hi_{c}")), F.col(f"__lo_{c}")
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(clipped)
+        ).drop(f"__lo_{c}", f"__hi_{c}")
+    return out
+
+
+def chi_square_drift(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square independence statistic over the (col_a, col_b)
+    contingency table — the categorical drift / association test (are
+    languages distributed independently of sources?): ``χ² = Σ_cells
+    (observed − expected)² / expected`` with ``expected = row_total ·
+    col_total / N``, plus degrees of freedom.
+
+    Shape: ONE count aggregate builds the contingency cells; marginals
+    re-aggregate the card(a)×card(b) cell table; the χ² sum folds the
+    cells in (a, b) sort order — a fixed-order float sum, deterministic
+    across engines and partitionings (rounded 12).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    rb = cells.groupBy("__b").agg(F.sum("__o").alias("__rb"))
+    tot = cells.agg(
+        F.sum("__o").alias("__N"),
+        F.countDistinct("__a").alias("__na"),
+        F.countDistinct("__b").alias("__nb"),
+    )
+    # the FULL grid, not just observed cells: a zero-observed cell still
+    # contributes (0 − e)²/e = e to the statistic
+    grid = ra.crossJoin(rb).join(cells, ["__a", "__b"], "left").select(
+        "__a", "__b", F.coalesce("__o", F.lit(0)).alias("__o"), "__ra", "__rb"
+    )
+    full = (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            "__a",
+            "__b",
+            (
+                F.pow(
+                    F.col("__o")
+                    - F.col("__ra") * F.col("__rb") / F.col("__N").cast("double"),
+                    F.lit(2.0),
+                )
+                / (F.col("__ra") * F.col("__rb") / F.col("__N").cast("double"))
+            ).alias("__t"),
+            "__na",
+            "__nb",
+        )
+    )
+    per = full.groupBy("__na", "__nb").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__a"), F.col("__b"), F.col("__t")))
+        ).alias("__cells")
+    )
+    chi2 = F.aggregate(
+        F.transform(F.col("__cells"), lambda s: s["__t"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per.select(
+        F.round(chi2, 12).alias("chi2"),
+        ((F.col("__na") - 1) * (F.col("__nb") - 1)).cast("long").alias("dof"),
+    )

@@ -4974,6 +4974,64 @@ def store_version_diff_q(spark, sf):
 
 
 @q(
+    "pipeline_winsorize",
+    """
+WITH s AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE greatest(least(CAST(e.value AS DOUBLE), s.hi), s.lo) END AS value
+FROM events e JOIN s ON s.event_type = e.event_type
+""",
+    "per-group percentile winsorization (outlier clipping before "
+    "scaling/training): exact interpolated [p5, p95] bounds broadcast "
+    "back + map-side clamp — one stats aggregate, no second data "
+    "shuffle; nulls pass through (clipping is not imputation)",
+)
+def pipeline_winsorize_q(spark, sf):
+    from scalligraph_spark.operators import winsorize
+
+    ev = cat_for(spark, sf).vertex_df("events").select("event_id", "event_type", "value")
+    return winsorize(ev, ["value"], 0.05, 0.95, ["event_type"])
+
+
+@q(
+    "pipeline_chi_square_drift",
+    """
+WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
+ra AS (SELECT lang, CAST(sum(o) AS BIGINT) AS raa FROM cells GROUP BY 1),
+rb AS (SELECT source, CAST(sum(o) AS BIGINT) AS rbb FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS N, count(DISTINCT lang) AS na, count(DISTINCT source) AS nb FROM cells),
+grid AS (
+  SELECT ra.lang, rb.source, COALESCE(c.o, 0) AS o, ra.raa, rb.rbb
+  FROM ra CROSS JOIN rb LEFT JOIN cells c ON c.lang = ra.lang AND c.source = rb.source
+),
+terms AS (
+  SELECT lang, source,
+         pow(o - raa * rbb / CAST(N AS DOUBLE), 2.0) / (raa * rbb / CAST(N AS DOUBLE)) AS t,
+         na, nb
+  FROM grid CROSS JOIN tot
+)
+SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l), (a, b) -> a + b), 12) AS chi2,
+       CAST((na - 1) * (nb - 1) AS BIGINT) AS dof
+FROM (SELECT na, nb, list(t ORDER BY lang, source) AS l FROM terms GROUP BY na, nb)
+""",
+    "Pearson chi-square independence over the lang × source contingency "
+    "table (categorical drift / association test): one count aggregate "
+    "builds the cells, marginals re-aggregate the card(a)×card(b) table, "
+    "the FULL grid includes zero-observed cells (each still contributes "
+    "its expectation), and the χ² fold runs in (a,b) sort order — a "
+    "fixed-order float sum",
+)
+def pipeline_chi_square_drift_q(spark, sf):
+    from scalligraph_spark.operators import chi_square_drift
+
+    return chi_square_drift(cat_for(spark, sf).vertex_df("documents"), "lang", "source")
+
+
+@q(
     "writes_validate_rows",
     """
 SELECT event_id, event_type, value, 'value_nonnegative' AS __rule

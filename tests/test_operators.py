@@ -1778,3 +1778,34 @@ def test_weighted_draws_partition_invariance(spark):
     a = sorted(map(tuple, weighted_draws(df, "w", 50).collect()))
     b = sorted(map(tuple, weighted_draws(df.repartition(13), "w", 50).collect()))
     assert a == b and len(a) == 50
+
+
+def test_winsorize_clips_to_percentiles(spark):
+    from pyspark.sql import functions as F
+    from scalligraph_spark.operators import winsorize
+
+    rows = [(i, float(i)) for i in range(1, 101)] + [(200, 1000.0), (201, -500.0), (202, None)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    lo, hi = df.agg(F.percentile("x", 0.05), F.percentile("x", 0.95)).first()
+    out = {r.id: r.x for r in winsorize(df, ["x"], 0.05, 0.95).collect()}
+    assert out[200] == hi and out[201] == lo
+    assert out[202] is None  # nulls pass through
+    assert out[50] == 50.0  # interior values untouched
+
+
+def test_chi_square_independent_and_dependent(spark):
+    from scalligraph_spark.operators import chi_square_drift
+
+    # perfectly independent 2x2 with equal counts -> chi2 = 0
+    ind = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 10,
+        "u string, v string",
+    )
+    r = chi_square_drift(ind, "u", "v").collect()[0]
+    assert r.chi2 == 0.0 and r.dof == 1
+    # perfect dependence (diagonal) -> chi2 = N, incl. ZERO-observed cells
+    dep = spark.createDataFrame(
+        [("a", "x")] * 15 + [("b", "y")] * 15, "u string, v string"
+    )
+    r2 = chi_square_drift(dep, "u", "v").collect()[0]
+    assert r2.chi2 == 30.0 and r2.dof == 1
