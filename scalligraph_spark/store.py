@@ -539,3 +539,77 @@ def refresh_join(
     return merged.select(
         *cols, F.explode(F.expr("array_repeat(0, CAST(__n AS INT))")).alias("__dup")
     ).drop("__dup")
+
+
+class SnapshotStore:
+    """Atomic MULTI-TABLE transactions over a :class:`LabelStore` — the
+    missing piece when a pipeline must publish several label tables
+    together (vertices + edges, facts + refreshed MV): per-label pointer
+    flips are individually atomic but a reader between two flips sees a
+    torn combination.
+
+    Design (the Delta/Iceberg root-manifest idea at file granularity):
+    ``commit(dfs)`` writes every label's NEW version directory first
+    (crash before publish leaves only unreferenced data), then publishes
+    ONE manifest json naming {label: version} and renames the
+    ``CURRENT`` pointer to it — readers that resolve versions through
+    :meth:`read` see the entire commit or none of it.  Per-label
+    pointers advance as each table lands, so legacy single-table readers
+    keep their own per-label atomicity but not the cross-table guarantee
+    — only snapshot-resolved reads get that.  Single-writer per store,
+    like ``LabelStore.write``'s claimed-version discipline.
+    """
+
+    def __init__(self, store: "LabelStore"):
+        self.store = store
+        self._dir = os.path.join(store.root, "_snapshots")
+        os.makedirs(self._dir, exist_ok=True)
+
+    def _current_path(self) -> str:
+        return os.path.join(self._dir, "CURRENT")
+
+    def current_id(self) -> int:
+        p = self._current_path()
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def manifest(self, snapshot_id: int | None = None) -> dict:
+        """{label: version} of a snapshot (default: current); {} before
+        the first commit."""
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid == 0:
+            return {}
+        with open(os.path.join(self._dir, f"s{sid}.json")) as f:
+            return json.load(f)
+
+    def commit(self, dfs: dict, meta: dict | None = None) -> int:
+        """Publish all ``{label: DataFrame}`` tables as one atomic
+        snapshot; unchanged labels carry forward from the previous
+        manifest.  Returns the new snapshot id."""
+        if not dfs:
+            raise ValueError("commit: at least one label required")
+        new_manifest = dict(self.manifest())
+        # data first, snapshot publication last: a crash mid-loop leaves
+        # version directories the manifest never references — snapshot
+        # readers can never observe a torn multi-table state
+        for label, df in dfs.items():
+            new_manifest[label] = self.store.write(label, df, meta=meta)
+        sid = self.current_id() + 1
+        mpath = os.path.join(self._dir, f"s{sid}.json")
+        with open(mpath, "w") as f:
+            json.dump(new_manifest, f)
+        tmp = self._current_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, self._current_path())  # the single atomic publish
+        return sid
+
+    def read(self, spark: SparkSession, label: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read a label AT a snapshot — all labels read through the same
+        snapshot id observe one consistent multi-table commit."""
+        m = self.manifest(snapshot_id)
+        if label not in m:
+            raise KeyError(f"label {label!r} not in snapshot {snapshot_id or self.current_id()}")
+        return self.store.read(spark, label, m[label])

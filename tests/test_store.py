@@ -526,3 +526,53 @@ def test_refresh_join_duplicate_join_rows(spark, tmp_path):
     view = a1.join(b1, ["jk"]).select("jk")
     got = refresh_join(spark, store, "A", "B", view, ["jk"], ["ak"], ["bk"], (1, 2), (1, 2))
     assert got.count() == 2  # ak=1 × two b rows
+
+
+# -- atomic multi-table snapshots ---------------------------------------------
+
+
+def test_snapshot_commit_all_or_nothing_view(spark, tmp_path):
+    from scalligraph_spark.store import LabelStore, SnapshotStore
+
+    store = LabelStore(str(tmp_path / "snap"))
+    snap = SnapshotStore(store)
+    v = spark.createDataFrame([(1, "a")], "id long, x string")
+    e = spark.createDataFrame([(1, 1)], "src long, dst long")
+    s1 = snap.commit({"vertices": v, "edges": e})
+    assert s1 == 1 and snap.manifest() == {"vertices": 1, "edges": 1}
+
+    # pin the old snapshot, then publish a new multi-table state
+    v2 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, x string")
+    e2 = spark.createDataFrame([(1, 1), (2, 1)], "src long, dst long")
+    s2 = snap.commit({"vertices": v2, "edges": e2})
+    assert s2 == 2
+    # snapshot-1 reads remain the CONSISTENT old pair even after s2
+    assert snap.read(spark, "vertices", 1).count() == 1
+    assert snap.read(spark, "edges", 1).count() == 1
+    assert snap.read(spark, "vertices").count() == 2
+    assert snap.read(spark, "edges").count() == 2
+
+
+def test_snapshot_carries_forward_unchanged_labels(spark, tmp_path):
+    from scalligraph_spark.store import LabelStore, SnapshotStore
+
+    store = LabelStore(str(tmp_path / "snap2"))
+    snap = SnapshotStore(store)
+    snap.commit({"a": spark.createDataFrame([(1,)], "k long"),
+                 "b": spark.createDataFrame([(2,)], "k long")})
+    snap.commit({"a": spark.createDataFrame([(1,), (3,)], "k long")})  # b untouched
+    m = snap.manifest()
+    assert m["a"] == 2 and m["b"] == 1  # b carried forward
+    assert snap.read(spark, "b").count() == 1
+
+
+def test_snapshot_empty_commit_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from scalligraph_spark.store import LabelStore, SnapshotStore
+
+    snap = SnapshotStore(LabelStore(str(tmp_path / "snap3")))
+    with _pytest.raises(ValueError):
+        snap.commit({})
+    with _pytest.raises(KeyError):
+        snap.read(spark, "nope")
