@@ -613,3 +613,30 @@ class SnapshotStore:
         if label not in m:
             raise KeyError(f"label {label!r} not in snapshot {snapshot_id or self.current_id()}")
         return self.store.read(spark, label, m[label])
+
+
+def safe_vacuum(store: "LabelStore", snap: "SnapshotStore", label: str, keep: int = 2) -> list[int]:
+    """Snapshot-aware vacuum: like :meth:`LabelStore.vacuum`, but never
+    removes a version ANY committed snapshot manifest still references —
+    plain vacuum only protects the per-label current pointer, so it could
+    tear time travel for snapshot readers pinned to an older manifest.
+    Returns the versions actually removed."""
+    import shutil
+
+    referenced = set()
+    for sid in range(1, snap.current_id() + 1):
+        try:
+            m = snap.manifest(sid)
+        except FileNotFoundError:
+            continue
+        if label in m:
+            referenced.add(m[label])
+    current = store.version(label)
+    victims = [
+        v
+        for v in store.history(label)[:-keep]
+        if v != current and v not in referenced
+    ]
+    for v in victims:
+        shutil.rmtree(store.path(label, v), ignore_errors=True)
+    return victims

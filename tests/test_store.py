@@ -576,3 +576,24 @@ def test_snapshot_empty_commit_rejected(spark, tmp_path):
         snap.commit({})
     with _pytest.raises(KeyError):
         snap.read(spark, "nope")
+
+
+def test_safe_vacuum_preserves_snapshot_referenced_versions(spark, tmp_path):
+    from scalligraph_spark.store import LabelStore, SnapshotStore, safe_vacuum
+
+    store = LabelStore(str(tmp_path / "sv"))
+    snap = SnapshotStore(store)
+    for i in range(4):  # v1..v4, snapshots s1..s4
+        snap.commit({"t": spark.createDataFrame([(j,) for j in range(i + 1)], "k long")})
+    # plain vacuum would delete v1/v2; safe vacuum must keep them because
+    # snapshots s1/s2 still reference them
+    removed = safe_vacuum(store, snap, "t", keep=1)
+    assert removed == []
+    assert snap.read(spark, "t", 1).count() == 1  # pinned snapshot still readable
+
+    # an UNREFERENCED version (direct write outside any snapshot) is fair game
+    store.write("t", spark.createDataFrame([(9,)], "k long"))  # v5, no manifest
+    snap.commit({"t": spark.createDataFrame([(1,), (2,)], "k long")})  # v6 = s5
+    removed2 = safe_vacuum(store, snap, "t", keep=1)
+    assert removed2 == [5]
+    assert snap.read(spark, "t", 4).count() == 4  # older snapshots intact
