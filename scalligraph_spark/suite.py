@@ -214,6 +214,14 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         )
 
     ex.register_init("trendFit", _trend_fit)
+
+    def _mask_columns(g, s, a):
+        from scalligraph_spark.writes import mask_columns
+
+        t = g.V(str(s["label"]))
+        return t._with(mask_columns(t.df, dict(s["policy"])), label=None)
+
+    ex.register_init("maskColumns", _mask_columns)
     return ex
 
 
@@ -4531,6 +4539,27 @@ def pipeline_negative_pairs_q(spark, sf):
 
     emb = cat_for(spark, sf).vertex_df("embeddings")
     return negative_pairs(emb, k=4, pool_size=256)
+
+
+@q(
+    "qlang_mask_columns",
+    """
+SELECT c_custkey,
+       md5(c_name) AS c_name,
+       CAST(NULL AS VARCHAR) AS c_mktsegment,
+       c_nationkey, c_acctbal
+FROM customer
+""",
+    "column-masking policies through the JSON query language: {_name: "
+    "maskColumns, label, policy} registered init query — a chain user "
+    "exports governed data without touching the Python API",
+)
+def qlang_mask_columns_q(spark, sf):
+    ex = executor_for(spark, sf)
+    return ex.execute(
+        [{"_name": "maskColumns", "label": "customer",
+          "policy": {"c_name": "hash", "c_mktsegment": "null"}}]
+    ).df
 
 
 @q(
