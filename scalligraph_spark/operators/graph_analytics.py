@@ -456,8 +456,12 @@ def label_propagation(
             F.col("a").alias("vertex"), F.col("community").alias("lbl")
         )
         counts = msgs.groupBy("vertex", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        # min_by over (−count, label): highest count wins, ties take the
+        # SMALLEST label — works for ANY orderable id type (string vertex
+        # ids included; a unary minus on the label itself would require
+        # numeric ids, which the rest of this module never assumes)
         best = counts.groupBy("vertex").agg(
-            F.max_by("lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("new_community")
+            F.min_by("lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))).alias("new_community")
         )
         updated = labels.join(best, "vertex", "left").select(
             "vertex",

@@ -195,9 +195,14 @@ def _bucket_udf(num_planes: int, num_tables: int):
     (dim, tables·planes) matmul is the same math fully vectorized.  The
     planes come from ``numpy.random.RandomState`` (the frozen legacy
     generator — bit-reproducible across platforms and workers), so every
-    executor derives identical matrices without shipping state.
+    executor derives identical matrices without shipping state.  The
+    matrix is memoized per dim in a closure dict once the first batch
+    reveals the dimensionality, so each deserialized UDF instance (≈ per
+    task) pays the RNG + hstack once, not once per Arrow batch.
     """
     from pyspark.sql.functions import pandas_udf
+
+    plane_memo: dict = {}
 
     @pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
@@ -205,9 +210,12 @@ def _bucket_udf(num_planes: int, num_tables: int):
 
         mat = np.vstack(v.to_numpy())  # (n, dim)
         dim = mat.shape[1]
-        planes = np.hstack(
-            [np.random.RandomState(7_000 + t).standard_normal((dim, num_planes)) for t in range(num_tables)]
-        )  # (dim, tables*planes)
+        planes = plane_memo.get(dim)
+        if planes is None:
+            planes = np.hstack(
+                [np.random.RandomState(7_000 + t).standard_normal((dim, num_planes)) for t in range(num_tables)]
+            )  # (dim, tables*planes)
+            plane_memo[dim] = planes
         signs = (mat.astype(np.float64) @ planes) > 0  # (n, tables*planes)
         weights = (1 << np.arange(num_planes)).astype(np.int64)
         per_table = [signs[:, t * num_planes : (t + 1) * num_planes] @ weights for t in range(num_tables)]

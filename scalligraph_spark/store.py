@@ -491,6 +491,31 @@ def refresh_join(
     b_old = store.read(spark, right_label, ro)
     b_new = store.read(spark, right_label, rn)
 
+    # the delta terms select view.columns straight off left ⋈ right, which
+    # silently requires every non-key VIEW column to name a column of
+    # exactly ONE side — a name living in both tables would be an
+    # ambiguous-column analysis error at best and wrong retraction
+    # matching at worst, and a name in neither can't be rebuilt at all.
+    # Fail loud up front naming the offenders (the view may PROJECT the
+    # join — carrying a subset of the payloads is fine).
+    l_payload = set(a_new.columns) - set(on)
+    r_payload = set(b_new.columns) - set(on)
+    view_payload = set(view.columns) - set(on)
+    ambiguous = sorted(view_payload & l_payload & r_payload)
+    if ambiguous:
+        raise ValueError(
+            f"refresh_join: view columns {ambiguous} exist in BOTH "
+            f"{left_label!r} and {right_label!r}; rename one side's payload "
+            "columns before materializing the view"
+        )
+    missing = sorted(view_payload - (l_payload | r_payload))
+    if missing:
+        raise ValueError(
+            f"refresh_join: view columns {missing} exist in neither "
+            f"{left_label!r} nor {right_label!r} (view must project join "
+            "keys + stored payload columns only)"
+        )
+
     da = version_diff(spark, store, left_label, lo, ln, left_keys)
     db = version_diff(spark, store, right_label, ro, rn, right_keys)
     a_gone = a_old.join(

@@ -347,9 +347,15 @@ def start_dedup_sink(
     distinct 32-hex md5 per committed document (appended by this sink as
     it commits, i.e. the hash column IS maintained incrementally), with
     the broadcast Bloom pre-filter pruning the semi-join on mostly-novel
-    batches.  Batch-id idempotence as in :func:`start_store_sink`: a
-    replayed micro-batch after crash-restart is detected and skipped, so
-    at-least-once foreachBatch becomes an exactly-once versioned commit.
+    batches.  Batch-id idempotence as in :func:`start_store_sink`, but
+    tracked PER TABLE: the sink commits two tables (the corpus, then its
+    ``__hashes`` sidecar), and a crash between the two leaves the sidecar
+    one batch behind.  A replayed batch therefore skips only the table(s)
+    whose OWN commit meta already records it and catches up the lagging
+    one — checking just the corpus table would return early and leave the
+    batch's hashes missing forever, silently re-admitting future
+    duplicates.  Classification replays identically because it reads the
+    sidecar at its pre-batch version in both runs.
 
     Returns the started StreamingQuery (caller awaits/stops)."""
     hashes_label = f"{label}__hashes"
@@ -359,11 +365,15 @@ def start_dedup_sink(
 
         spark = batch_df.sparkSession
         cur_v = store.version(label)
-        if cur_v > 0:
-            last = store.commit_meta(label, cur_v).get("batch_id", -1)
-            if batch_id <= last:
-                return  # replayed batch — already committed
         hv = store.version(hashes_label)
+        label_done = (
+            cur_v > 0 and store.commit_meta(label, cur_v).get("batch_id", -1) >= batch_id
+        )
+        hashes_done = (
+            hv > 0 and store.commit_meta(hashes_label, hv).get("batch_id", -1) >= batch_id
+        )
+        if label_done and hashes_done:
+            return  # replayed batch — both tables already committed
         corpus_hashes = (
             store.read(spark, hashes_label, hv) if hv > 0 else spark.createDataFrame([], "h string")
         )
@@ -375,14 +385,16 @@ def start_dedup_sink(
             corpus_hashes=corpus_hashes,
         ).persist()
         new_keys = classified.where(F.col("status") == "new").select(id_col, "h")
-        batch_new = batch_df.join(new_keys.select(id_col), id_col, "left_semi")
-        merged = (
-            store.read(spark, label, cur_v).unionByName(batch_new) if cur_v > 0 else batch_new
-        )
-        store.write(label, merged, meta={"batch_id": batch_id})
-        new_h = new_keys.select("h").distinct()
-        merged_h = corpus_hashes.unionByName(new_h) if hv > 0 else new_h
-        store.write(hashes_label, merged_h, meta={"batch_id": batch_id})
+        if not label_done:
+            batch_new = batch_df.join(new_keys.select(id_col), id_col, "left_semi")
+            merged = (
+                store.read(spark, label, cur_v).unionByName(batch_new) if cur_v > 0 else batch_new
+            )
+            store.write(label, merged, meta={"batch_id": batch_id})
+        if not hashes_done:
+            new_h = new_keys.select("h").distinct()
+            merged_h = corpus_hashes.unionByName(new_h) if hv > 0 else new_h
+            store.write(hashes_label, merged_h, meta={"batch_id": batch_id})
         classified.unpersist()
 
     return (

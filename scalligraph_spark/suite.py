@@ -219,7 +219,11 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         from scalligraph_spark.writes import mask_columns
 
         t = g.V(str(s["label"]))
-        return t._with(mask_columns(t.df, dict(s["policy"])), label=None)
+        salt = s.get("salt")
+        return t._with(
+            mask_columns(t.df, dict(s["policy"]), salt=str(salt) if salt is not None else None),
+            label=None,
+        )
 
     ex.register_init("maskColumns", _mask_columns)
     return ex

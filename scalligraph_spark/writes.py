@@ -281,7 +281,7 @@ class WriteSession:
         return self.store.write(self.label, self.df, meta=meta, **write_opts)
 
 
-def mask_columns(df, policy: dict):
+def mask_columns(df, policy: dict, salt: str | None = None):
     """Column-level masking policies for governed exports — the data-
     governance sibling of :func:`immense_term_guard` (write-side content
     policy) and the text-level ``pii_redact``:
@@ -295,6 +295,15 @@ def mask_columns(df, policy: dict):
     ``policy`` maps column name → strategy.  Map-only (no shuffle), plan
     stays whole-stage-codegen; unknown columns or strategies raise rather
     than silently exporting unmasked data.
+
+    ``salt`` hardens the ``hash`` strategy: an UNSALTED hash of low-entropy
+    PII (names, phones, account numbers) is trivially reversible by
+    dictionary/rainbow lookup.  With a caller-supplied secret the mask
+    becomes ``md5(salt ‖ value)`` — equal values still mask equal WITHIN
+    the export (joins keep working), but offline dictionary reversal needs
+    the secret.  Trade-off: the same value masks differently across
+    exports with different salts, so cross-export joins require reusing
+    one salt (at which point treat the salt like a key, not a config).
     """
     from pyspark.sql import functions as F
 
@@ -303,7 +312,10 @@ def mask_columns(df, policy: dict):
             raise ValueError(f"mask_columns: no such column {col!r}")
         c = F.col(col)
         if strategy == "hash":
-            masked = F.md5(c.cast("string").cast("binary"))
+            s = c.cast("string")
+            if salt is not None:
+                s = F.when(s.isNull(), s).otherwise(F.concat(F.lit(salt), s))
+            masked = F.md5(s.cast("binary"))
         elif strategy == "null":
             masked = F.lit(None).cast("string")
         elif strategy == "partial":

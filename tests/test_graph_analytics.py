@@ -453,3 +453,18 @@ def test_closeness_fixed_order_fold_partition_invariant(spark):
     b = sorted(map(tuple,
         closeness_centrality(edges.repartition(11), seeds.repartition(2), 4).collect()))
     assert a == b
+
+
+def test_label_propagation_string_vertex_ids(spark):
+    """Tie-breaking must not assume numeric ids: two string-keyed cliques
+    resolve to their lexicographically-smallest member, same as the
+    numeric contract (connected_components/bfs already accept any
+    orderable id type)."""
+    from scalligraph_spark.operators import label_propagation
+
+    c1 = [(a, b) for a in ["a", "b", "c", "d"] for b in ["a", "b", "c", "d"] if a < b]
+    c2 = [(a, b) for a in ["w", "x", "y", "z"] for b in ["w", "x", "y", "z"] if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [("d", "w")], ["src", "dst"])
+    rows = {r["vertex"]: r["community"] for r in label_propagation(edges).collect()}
+    assert {rows[v] for v in ["a", "b", "c", "d"]} == {"a"}
+    assert {rows[v] for v in ["w", "x", "y", "z"]} == {"w"}

@@ -597,3 +597,31 @@ def test_safe_vacuum_preserves_snapshot_referenced_versions(spark, tmp_path):
     removed2 = safe_vacuum(store, snap, "t", keep=1)
     assert removed2 == [5]
     assert snap.read(spark, "t", 4).count() == 4  # older snapshots intact
+
+
+def test_refresh_join_rejects_ambiguous_and_unknown_view_columns(spark, tmp_path):
+    """Overlapping payload names between the two stored tables (when the
+    view selects them) and view columns in neither table both fail loud
+    up front, naming the offenders — instead of an ambiguous-column
+    analysis error or silently-wrong retraction matching."""
+    import pytest as _pytest
+
+    from scalligraph_spark.store import LabelStore, refresh_join
+
+    store = LabelStore(str(tmp_path / "amb"))
+    a1 = spark.createDataFrame([(1, 10, "x")], "ak long, jk long, pay string")
+    b1 = spark.createDataFrame([(100, 10, "y")], "bk long, jk long, pay string")
+    store.write("A", a1)
+    store.write("B", b1)
+    store.write("A", a1)
+    store.write("B", b1)
+    bad_view = spark.createDataFrame([(10, 1, "x")], "jk long, ak long, pay string")
+    with _pytest.raises(ValueError, match="pay.*BOTH"):
+        refresh_join(spark, store, "A", "B", bad_view, ["jk"], ["ak"], ["bk"], (1, 2), (1, 2))
+    ghost_view = spark.createDataFrame([(10, "x")], "jk long, nosuch string")
+    with _pytest.raises(ValueError, match="nosuch.*neither"):
+        refresh_join(spark, store, "A", "B", ghost_view, ["jk"], ["ak"], ["bk"], (1, 2), (1, 2))
+    # projecting a SUBSET of payloads stays allowed (multiset view)
+    ok_view = spark.createDataFrame([(10, 1)], "jk long, ak long")
+    got = refresh_join(spark, store, "A", "B", ok_view, ["jk"], ["ak"], ["bk"], (1, 2), (1, 2))
+    assert got.count() == 1

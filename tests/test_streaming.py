@@ -421,3 +421,48 @@ def test_mv_sink_incremental_equals_full(spark, tmp_path):
     q2 = start_mv_sink(stream, store, "live_mv", str(tmp_path / "mv_ckpt"), ["grp"], ["m"])
     q2.awaitTermination()
     assert store.version("live_mv") == 2
+
+
+def test_dedup_sink_heals_torn_hash_sidecar(spark, tmp_path_factory):
+    """Crash-recovery contract: if a previous run committed the corpus but
+    crashed BEFORE the __hashes sidecar landed, the replayed batch must
+    skip the (already-committed) corpus write yet still catch up the
+    sidecar — otherwise future duplicates of those docs classify as 'new'
+    forever.  Simulated by pre-seeding the corpus table with the batch's
+    commit meta and no sidecar, then replaying batch 0."""
+    import glob
+    import shutil
+
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import start_dedup_sink
+
+    staged = tmp_path_factory.mktemp("torn_staged")
+    src = tmp_path_factory.mktemp("torn_src")
+    store = LabelStore(str(tmp_path_factory.mktemp("torn_store")))
+
+    b1 = spark.createDataFrame([(1, "alpha text"), (2, "beta text")], ["doc_id", "text"])
+    b1.coalesce(1).write.mode("overwrite").parquet(str(staged / "a"))
+    shutil.copy(glob.glob(str(staged / "a" / "part-*.parquet"))[0], src / "f1.parquet")
+
+    # torn state: corpus committed for batch 0, sidecar never written
+    store.write("corpus", b1, meta={"batch_id": 0})
+    assert store.version("corpus__hashes") == 0
+
+    ckpt = str(tmp_path_factory.mktemp("torn_ckpt") / "cp")
+    raw = spark.readStream.schema(b1.schema).parquet(str(src))
+    start_dedup_sink(raw, store, "corpus", ckpt).awaitTermination()
+
+    # corpus untouched (still version 1, same rows); sidecar caught up
+    assert store.version("corpus") == 1
+    assert sorted(r["doc_id"] for r in store.read(spark, "corpus").collect()) == [1, 2]
+    assert store.read(spark, "corpus__hashes").count() == 2
+
+    # and the healed sidecar now catches duplicates: replay a second batch
+    # whose texts duplicate batch 0 under fresh ids -> nothing new commits
+    b2 = spark.createDataFrame([(10, "alpha text"), (11, "beta text")], ["doc_id", "text"])
+    b2.coalesce(1).write.mode("overwrite").parquet(str(staged / "b"))
+    shutil.copy(glob.glob(str(staged / "b" / "part-*.parquet"))[0], src / "f2.parquet")
+    raw2 = spark.readStream.schema(b1.schema).parquet(str(src))
+    start_dedup_sink(raw2, store, "corpus", ckpt).awaitTermination()
+    assert sorted(r["doc_id"] for r in store.read(spark, "corpus").collect()) == [1, 2]
+    assert store.read(spark, "corpus__hashes").count() == 2

@@ -213,3 +213,23 @@ def test_validate_rows_requires_rules(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError):
         validate_rows(df, {})
+
+
+def test_mask_columns_salted_hash(spark):
+    """Salted hash: equal values still mask equal within one export, but
+    the mask is md5(salt || value) — not the raw-value rainbow-table hash —
+    and different salts produce different masks; nulls stay null."""
+    import hashlib
+
+    from scalligraph_spark.writes import mask_columns
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alice"), (3, None)], "id long, name string"
+    )
+    out = {r.id: r.name for r in mask_columns(df, {"name": "hash"}, salt="s3cret").collect()}
+    want = hashlib.md5(b"s3cretalice").hexdigest()
+    assert out[1] == out[2] == want
+    assert out[1] != hashlib.md5(b"alice").hexdigest()
+    assert out[3] is None
+    other = {r.id: r.name for r in mask_columns(df, {"name": "hash"}, salt="other").collect()}
+    assert other[1] != out[1]
