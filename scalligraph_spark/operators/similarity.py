@@ -309,6 +309,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     n_rows: int | None = None,
     n_list: int = 1,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate top-k neighbors — the second scale path beside LSH.
 
@@ -318,6 +319,14 @@ def ivf_ann_topk(
     each query probes its ``n_probe`` nearest cells (candidates =
     probe ⋈ cell-index equi-join, the only shuffle) → exact-cosine
     re-rank → top k per query.
+
+    ``centroids`` skips training entirely: pass a prebuilt (k, dim)
+    unit-row float64 array — normally
+    ``load_ann_index(...).centroids`` from a persisted
+    :mod:`~scalligraph_spark.operators.ann_index` artifact — and NO
+    sample/sizing job launches; repeated queries amortize one index
+    build, the reference's declared-index discipline
+    (models/Model.scala:16-19).
 
     Scale: cells ≈ √N keeps cell lists ≈ √N rows; candidates per query ≈
     n_probe·√N — subquadratic, with recall controlled by n_probe.  Pass
@@ -336,10 +345,14 @@ def ivf_ann_topk(
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
-    if n_centroids is None:
-        n = n_rows if n_rows is not None else embeddings.count()
-        n_centroids = max(4, min(4096, int(math.sqrt(max(n, 4)))))
-    C = _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        n_centroids = len(C)
+    else:
+        if n_centroids is None:
+            n = n_rows if n_rows is not None else embeddings.count()
+            n_centroids = max(4, min(4096, int(math.sqrt(max(n, 4)))))
+        C = _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col)
     n_probe = min(max(n_probe, n_list), n_centroids)
     n_list = min(n_list, n_centroids)
 
@@ -577,9 +590,16 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_rows: int | None = None,
     max_bucket_rows: int | None = 8192,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
     clustering embeddings and pruning within clusters only.
+
+    ``centroids`` skips the per-call quantizer training — pass
+    ``load_ann_index(...).centroids`` from a persisted
+    :mod:`~scalligraph_spark.operators.ann_index` artifact to reuse one
+    index build across repeated dedup passes (crawl increments hitting the
+    same cell structure also makes the decision stable across runs).
 
     Pipeline: spherical k-means coarse clustering (the same bounded-sample
     driver-side quantizer IVF uses) → each vector assigns to its ONE
@@ -602,10 +622,13 @@ def semantic_dedup(
 
     from scalligraph_spark.operators.buckets import salted_bucket_pairs
 
-    if n_centroids is None:
-        n = n_rows if n_rows is not None else embeddings.count()
-        n_centroids = max(4, min(4096, int(math.sqrt(max(n, 4)))))
-    C = _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        if n_centroids is None:
+            n = n_rows if n_rows is not None else embeddings.count()
+            n_centroids = max(4, min(4096, int(math.sqrt(max(n, 4)))))
+        C = _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col)
 
     @pandas_udf("int")
     def nearest_cell(v: pd.Series) -> pd.Series:

@@ -1576,6 +1576,31 @@ def similarity_ivf_topk_q(spark, sf):
 
 
 @q(
+    "similarity_indexed_ann",
+    None,  # k-means cells — no closed-form oracle; rows-only (pytest proves
+    # bit-identity with the per-call-trained path and a no-training guard)
+    "ANN through a PERSISTED index artifact: build the IVF quantizer once "
+    "into the versioned LabelStore, then query via load_ann_index → "
+    "ivf_ann_topk(centroids=…) with NO training/sampling job — the "
+    "reference's declared-index discipline (Model.scala:16-19, "
+    "JanusDatabase.scala:304-434) applied to the ANN tier",
+)
+def similarity_indexed_ann_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.operators import build_ivf_index, indexed_ann_topk
+    from scalligraph_spark.store import LabelStore
+
+    emb = cat_for(spark, sf).vertex_df("embeddings")
+    root = f"/tmp/sgspark_annix_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    build_ivf_index(store, "emb_ivf", emb, n_rows=emb.count())
+    return indexed_ann_topk(spark, store, "emb_ivf", emb, k=10)
+
+
+@q(
     "text_token_count",
     "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens, "
     "CAST(length(text) AS DOUBLE) / 4 AS est_bpe_tokens FROM documents",

@@ -1,0 +1,173 @@
+"""ANN index lifecycle: artifacts persist in the LabelStore, queries
+consult them WITHOUT launching any training/sampling job, and the indexed
+path is bit-identical to the per-call-trained path given the same
+training inputs.  Reference discipline: indexes are declared schema
+artifacts built once (models/Model.scala:16-19,
+JanusDatabase.scala:304-434), not per-query work."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).persist()
+
+
+@pytest.fixture()
+def store(tmp_path):
+    from scalligraph_spark.store import LabelStore
+
+    return LabelStore(str(tmp_path / "ixstore"))
+
+
+def _no_training(monkeypatch):
+    """Poison every training/sampling entry point: the indexed path must
+    never reach them."""
+    import scalligraph_spark.operators.similarity as sim
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("indexed ANN path launched a training job")
+
+    monkeypatch.setattr(sim, "_train_centroids", boom)
+    monkeypatch.setattr(sim, "pq_train", boom)
+
+
+def test_ivf_index_roundtrip_and_identical_results(spark, embeddings, store, monkeypatch):
+    from scalligraph_spark.operators import build_ivf_index, ivf_ann_topk, load_ann_index
+
+    baseline = sorted(map(tuple, ivf_ann_topk(embeddings, k=5, n_centroids=8).collect()))
+
+    v = build_ivf_index(store, "emb_ivf", embeddings, n_centroids=8)
+    assert v == 1
+    ix = load_ann_index(spark, store, "emb_ivf")
+    assert ix.kind == "ivf" and ix.centroids.shape[0] == 8
+    assert ix.meta["dim"] == ix.centroids.shape[1]
+
+    _no_training(monkeypatch)
+    got = sorted(
+        map(tuple, ivf_ann_topk(embeddings, k=5, centroids=ix.centroids).collect())
+    )
+    assert got == baseline
+
+
+def test_indexed_ann_topk_dispatch_no_training(spark, embeddings, store, monkeypatch):
+    from scalligraph_spark.operators import build_ivf_index, indexed_ann_topk
+
+    build_ivf_index(store, "emb_ivf", embeddings, n_centroids=8)
+    _no_training(monkeypatch)
+    out = indexed_ann_topk(spark, store, "emb_ivf", embeddings, k=3)
+    rows = out.collect()
+    assert rows and set(out.columns) == {"id_a", "id_b", "cosine"}
+    # top-k contract: at most 3 neighbors per query id
+    from collections import Counter
+
+    assert max(Counter(r["id_a"] for r in rows).values()) <= 3
+
+
+def test_pq_index_roundtrip_identical(spark, embeddings, store, monkeypatch):
+    import numpy as np
+
+    from scalligraph_spark.operators import build_pq_index, load_ann_index, pq_topk, pq_train
+
+    books = pq_train(embeddings, m=4, nbits=4)
+    baseline = sorted(map(tuple, pq_topk(embeddings, query_id=1, k=5, codebooks=books).collect()))
+
+    build_pq_index(store, "emb_pq", embeddings, m=4, nbits=4)
+    ix = load_ann_index(spark, store, "emb_pq")
+    assert ix.kind == "pq" and ix.codebooks.shape == books.shape
+    assert np.allclose(ix.codebooks, books)
+
+    _no_training(monkeypatch)
+    got = sorted(
+        map(tuple, pq_topk(embeddings, query_id=1, k=5, codebooks=ix.codebooks).collect())
+    )
+    assert got == baseline
+
+
+def test_lsh_index_pins_configuration(spark, embeddings, store, monkeypatch):
+    from scalligraph_spark.operators import (
+        build_lsh_index,
+        indexed_ann_topk,
+        load_ann_index,
+        lsh_ann_topk,
+    )
+
+    baseline = sorted(
+        map(tuple, lsh_ann_topk(embeddings, k=3, num_planes=6, num_tables=2).collect())
+    )
+    build_lsh_index(store, "emb_lsh", spark, num_planes=6, num_tables=2)
+    ix = load_ann_index(spark, store, "emb_lsh")
+    assert (ix.num_planes, ix.num_tables) == (6, 2)
+    _no_training(monkeypatch)
+    got = sorted(
+        map(tuple, indexed_ann_topk(spark, store, "emb_lsh", embeddings, k=3).collect())
+    )
+    assert got == baseline
+
+
+def test_semantic_dedup_with_prebuilt_centroids(spark, embeddings, store, monkeypatch):
+    from scalligraph_spark.operators import build_ivf_index, load_ann_index, semantic_dedup
+
+    baseline = sorted(
+        map(tuple, semantic_dedup(embeddings, threshold=0.9, n_centroids=8).collect())
+    )
+    build_ivf_index(store, "emb_ivf", embeddings, n_centroids=8)
+    ix = load_ann_index(spark, store, "emb_ivf")
+    _no_training(monkeypatch)
+    got = sorted(
+        map(tuple, semantic_dedup(embeddings, threshold=0.9, centroids=ix.centroids).collect())
+    )
+    assert got == baseline
+
+
+def test_index_rebuild_versions_and_rollback(spark, embeddings, store):
+    from scalligraph_spark.operators import build_ivf_index, load_ann_index
+
+    v1 = build_ivf_index(store, "emb_ivf", embeddings, n_centroids=4)
+    v2 = build_ivf_index(store, "emb_ivf", embeddings, n_centroids=8)
+    assert (v1, v2) == (1, 2)
+    old = load_ann_index(spark, store, "emb_ivf", version=1)
+    new = load_ann_index(spark, store, "emb_ivf")
+    assert old.centroids.shape[0] == 4 and new.centroids.shape[0] == 8
+    store.rollback("emb_ivf", 1)
+    assert load_ann_index(spark, store, "emb_ivf").centroids.shape[0] == 4
+
+
+def test_load_rejects_non_index_table(spark, store):
+    from scalligraph_spark.operators import load_ann_index
+
+    store.write("plain", spark.createDataFrame([(1,)], "x long"))
+    with pytest.raises(ValueError, match="not an ANN index"):
+        load_ann_index(spark, store, "plain")
+
+
+def test_migration_builds_index_exactly_once(spark, embeddings, store, tmp_path):
+    """Index build as a schema operation: executed once on first replay,
+    skipped (version-gated) on re-execute — the reference's
+    declared-index semantics through the migration tier."""
+    from scalligraph_spark.migrations import IndexType, Operations, VersionStore
+    from scalligraph_spark.operators import build_ivf_index
+
+    calls = []
+
+    def build(spark_, store_):
+        calls.append(1)
+        build_ivf_index(store_, "emb_ivf", embeddings, n_centroids=4)
+
+    ops = (
+        Operations("annschema")
+        .add_index("embeddings", IndexType.STANDARD, "embedding")
+        .db_operation("build ivf ann index", build)
+    )
+    versions = VersionStore(str(tmp_path / "versions.json"))
+    ran = ops.execute(spark, store, versions)
+    assert len(ran) == 2 and calls == [1]
+    assert store.version("emb_ivf") == 1
+    ran2 = ops.execute(spark, store, versions)
+    assert ran2 == [] and calls == [1]  # replay is a no-op
