@@ -89,6 +89,11 @@ HEADLINE = [
     "sketch_join_size",  # CM inner product, sketch-sized cost
     "pipeline_impute_values",  # stats agg + broadcast coalesce
     "similarity_nearest_centroid",  # broadcast prototypes, map-side scoring
+    # round-5 additions: the two round-4 bench exclusions return with their
+    # scale hazards ENFORCED instead of advisory —
+    "dedup_edit_distance_auto",  # auto-selected blocking (sampled gram stats), d=5
+    "link_customer_records",  # lossless (nation, balance) blocking + block-size guard
+    "similarity_indexed_ann",  # ANN through a persisted index artifact (no per-call training)
 ]
 
 

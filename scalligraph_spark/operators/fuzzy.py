@@ -153,13 +153,75 @@ def _qgram_prefix_candidates(
     )
 
 
+def estimate_blocking_candidates(
+    docs: DataFrame,
+    max_dist: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 3,
+    sample_rows: int = 2048,
+) -> dict:
+    """Sampled candidate-volume estimates for both blockings →
+    ``{"length": pairs, "qgram": pairs, "sample_rows": s}``.
+
+    One bounded job: a deterministic hash-ordered ≤``sample_rows`` sample
+    of ``(len, prefix-gram hashes)`` — the exact keys the blockings join
+    on — then pair counts per key family are summed driver-side
+    (Counters over ≤ s·(q·d+1) hashes).  Both estimates are SAMPLE-level
+    pair counts; candidate volume scales ~(N/s)² identically for both, so
+    the smaller sample estimate identifies the cheaper blocking without
+    knowing N, and scaling by (N/s)² predicts the absolute volume for the
+    fail-fast guard.  This is the enforcement the module docstring used to
+    delegate to the caller: a tiny-alphabet corpus (hot grams → quadratic
+    prefix join) now measurably loses to length banding, and vice versa on
+    long same-length template text.
+    """
+    from collections import Counter
+
+    prefix_n = q * max_dist + 1
+    w = max(max_dist, 1)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+        F.length(F.col(text_col)).alias("len"),
+    )
+    grams = F.when(
+        F.col("len") >= q,
+        F.expr(f"transform(sequence(1, len - {q} + 1), i -> substring(__t, i, {q}))"),
+    ).otherwise(F.expr("array()"))
+    oh = F.array_sort(F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))))
+    rows = (
+        base.select("len", F.slice(oh, 1, prefix_n).alias("pg"), "id")
+        .orderBy(F.xxhash64(F.col("id").cast("string")))
+        .limit(sample_rows)
+        .collect()
+    )
+    s = len(rows)
+    band = Counter((r["len"] or 0) // w for r in rows)
+    length_pairs = (
+        sum(c * (band.get(b - 1, 0) + c + band.get(b + 1, 0)) for b, c in band.items()) // 2
+    )
+    gram = Counter(h for r in rows for h in (r["pg"] or []))
+    qgram_pairs = sum(c * (c - 1) // 2 for c in gram.values())
+    # gram-poor docs additionally ride length-band keys in qgram mode
+    poor_band = Counter((r["len"] or 0) // w for r in rows if len(r["pg"] or []) < prefix_n)
+    qgram_pairs += (
+        sum(c * (poor_band.get(b - 1, 0) + c + poor_band.get(b + 1, 0)) for b, c in poor_band.items())
+        // 2
+    )
+    return {"length": length_pairs, "qgram": qgram_pairs, "sample_rows": s}
+
+
 def edit_distance_pairs(
     docs: DataFrame,
     max_dist: int,
     text_col: str = "text",
     id_col: str = "doc_id",
-    blocking: str = "length",
+    blocking: str = "auto",
     q: int = 3,
+    sample_rows: int = 2048,
+    max_candidates: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All unordered pairs with ``levenshtein(text_a, text_b) ≤ max_dist``
     → (left_id, right_id, dist), left_id < right_id.
@@ -169,7 +231,37 @@ def edit_distance_pairs(
     verified with the built-in ``F.levenshtein`` (JVM, codegen).  The
     candidate join ships (id, len[, gram-hash]) — never document bodies;
     texts join back by id for verification only.
+
+    ``blocking="auto"`` (the default) picks the cheaper strategy from
+    sampled gram/length statistics (:func:`estimate_blocking_candidates`,
+    one bounded job) — a caller can no longer silently run the qgram
+    prefix join on a tiny-alphabet corpus where hot grams degenerate it to
+    quadratic (both modes are exact, so auto-selection never changes the
+    result, only the plan).  ``max_candidates`` adds a fail-fast guard:
+    when the chosen blocking's estimate, scaled to the full corpus by
+    (N/s)², exceeds the cap, raise with the prediction instead of
+    launching a join that will melt at scale (pass ``n_rows`` to skip the
+    sizing ``count()``).
     """
+    est = None
+    if blocking == "auto" or max_candidates is not None:
+        est = estimate_blocking_candidates(
+            docs, max_dist, text_col=text_col, id_col=id_col, q=q, sample_rows=sample_rows
+        )
+    if blocking == "auto":
+        blocking = "length" if est["length"] <= est["qgram"] else "qgram"
+    if max_candidates is not None and est["sample_rows"] >= 2:
+        n = n_rows if n_rows is not None else docs.count()
+        scale = (n / est["sample_rows"]) ** 2
+        predicted = int(est[blocking] * scale)
+        if predicted > max_candidates:
+            raise ValueError(
+                f"edit_distance_pairs: {blocking!r} blocking predicts ~{predicted:,} "
+                f"candidate pairs (> max_candidates={max_candidates:,}) at n={n:,} "
+                f"(sample estimate {est[blocking]:,} over {est['sample_rows']} rows; "
+                f"other mode: {est['length' if blocking == 'qgram' else 'qgram']:,}). "
+                "Tighten max_dist, shard the corpus, or raise the cap."
+            )
     if blocking == "length":
         cand = _length_band_candidates(_ids_lens(docs, text_col, id_col), max_dist)
     elif blocking == "qgram":

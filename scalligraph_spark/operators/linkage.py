@@ -24,6 +24,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def check_block_sizes(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: list[str],
+    max_block_pairs: int,
+    oversize: str = "raise",
+) -> list[tuple]:
+    """Detect blocking keys whose candidate fan-out ``n_left × n_right``
+    exceeds ``max_block_pairs`` — the linkage twin of the LSH tier's
+    hot-bucket salting (buckets.py): a degenerate key (one nation, one
+    zip code) silently turns the 'never all-pairs' equi-join into exactly
+    all-pairs, and at 100 TB that is a melted cluster, not a slow query.
+
+    Unlike LSH buckets the candidate stream here is EXACT, so salting
+    cannot apply — the only safe reactions are to fail fast
+    (``oversize="raise"``) or to make the hazard loud
+    (``oversize="warn"``) so the caller picks a stronger key.  Cost: two
+    map-side-combined key-only aggregates + one equi-join over the
+    (usually tiny) distinct-key relations — never touches payloads.
+    Returns the offending ``(*keys, n_left, n_right, pairs)`` rows
+    (worst 5), empty when healthy.
+    """
+    lb = left.groupBy(*block_on).agg(F.count(F.lit(1)).alias("__nl"))
+    rb = right.groupBy(*block_on).agg(F.count(F.lit(1)).alias("__nr"))
+    offenders = (
+        lb.join(rb, block_on)
+        .withColumn("__pairs", F.col("__nl") * F.col("__nr"))
+        .where(F.col("__pairs") > max_block_pairs)
+        .orderBy(F.col("__pairs").desc(), *block_on)
+        .limit(5)
+        .collect()
+    )
+    if offenders:
+        desc = "; ".join(
+            f"{tuple(r[k] for k in block_on)}: {r['__nl']}x{r['__nr']}={r['__pairs']:,} pairs"
+            for r in offenders
+        )
+        msg = (
+            f"link_records: blocking key(s) {block_on} produce oversized blocks "
+            f"(> {max_block_pairs:,} candidate pairs): {desc}. Pick a stronger/"
+            "composite blocking key (see key_skew_profile), or raise max_block_pairs."
+        )
+        if oversize == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+    return [tuple(r) for r in offenders]
+
+
 def link_records(
     left: DataFrame,
     right: DataFrame,
@@ -32,6 +82,8 @@ def link_records(
     threshold: float,
     left_id_col: str = "id",
     right_id_col: str = "id",
+    max_block_pairs: int | None = None,
+    oversize: str = "raise",
 ) -> DataFrame:
     """Link records of ``left`` to records of ``right`` that agree on the
     ``block_on`` keys and score ≥ ``threshold`` on the weighted field
@@ -59,7 +111,15 @@ def link_records(
     bit-stable across engines (weights should be small exact doubles).
     Self-linkage: pass the same DataFrame as both sides and drop the
     trivial diagonal afterwards with ``left_id < right_id``.
+
+    ``max_block_pairs`` turns the module's blocking-key guidance into an
+    ENFORCED guard (:func:`check_block_sizes`): blocks whose left×right
+    fan-out exceeds the cap raise (``oversize="raise"``) or warn
+    (``"warn"``) BEFORE the scoring join launches — misuse becomes loud
+    instead of slow.
     """
+    if max_block_pairs is not None:
+        check_block_sizes(left, right, block_on, max_block_pairs, oversize)
     total_w = sum(c[2] for c in comparators)
     l = left.alias("l")
     r = right.alias("r")
@@ -103,6 +163,8 @@ def resolve_entities(
     comparators: list[tuple[str, str, float]],
     threshold: float,
     id_col: str = "id",
+    max_block_pairs: int | None = None,
+    oversize: str = "raise",
 ) -> DataFrame:
     """End-to-end entity resolution within ONE table: self-link via
     :func:`link_records`, drop the trivial diagonal, run the match pairs
@@ -126,6 +188,8 @@ def resolve_entities(
             threshold,
             left_id_col=id_col,
             right_id_col=id_col,
+            max_block_pairs=max_block_pairs,
+            oversize=oversize,
         )
         .where(F.col("left_id") < F.col("right_id"))
         .select(F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b"))

@@ -175,3 +175,59 @@ def test_property_qgram_blocking_never_loses_pairs(spark, texts, d):
             for r in edit_distance_pairs(df, d, blocking=blocking, q=3).collect()
         }
         assert got == want, (blocking, texts, d)
+
+
+# -- auto blocking selection (enforcement of the module's own advice) ---------
+
+
+def _tiny_alphabet_corpus():
+    """Spread-out lengths, one shared gram vocabulary ("aaa" everywhere):
+    the prefix join is quadratic in n, the length bands stay small."""
+    return [(i, "a" * (20 + 3 * i)) for i in range(40)]
+
+
+def _template_corpus():
+    """All docs the same length with diverse grams: every doc lands in ONE
+    length band (quadratic), while prefix grams barely collide."""
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    return [(i, "".join(rng.choice(alpha) for _ in range(60))) for i in range(40)]
+
+
+def test_auto_selects_length_on_tiny_alphabet(spark):
+    from scalligraph_spark.operators import estimate_blocking_candidates
+
+    df = spark.createDataFrame(_tiny_alphabet_corpus(), "doc_id long, text string")
+    est = estimate_blocking_candidates(df, max_dist=3)
+    assert est["length"] < est["qgram"]  # auto => length
+
+
+def test_auto_selects_qgram_on_same_length_diverse_grams(spark):
+    from scalligraph_spark.operators import estimate_blocking_candidates
+
+    df = spark.createDataFrame(_template_corpus(), "doc_id long, text string")
+    est = estimate_blocking_candidates(df, max_dist=3)
+    assert est["qgram"] < est["length"]  # auto => qgram
+
+
+def test_auto_result_identical_to_explicit_modes(spark, corpus_df):
+    for d in (1, 3):
+        auto = {
+            (r.left_id, r.right_id, r.dist)
+            for r in edit_distance_pairs(corpus_df, d).collect()  # default=auto
+        }
+        assert auto == _oracle(CORPUS, d)
+
+
+def test_max_candidates_fail_fast(spark):
+    """The guard predicts the blowup BEFORE launching the join and names
+    both modes' estimates; a generous cap lets the same call through."""
+    df = spark.createDataFrame(
+        [(i, "a" * 30) for i in range(50)], "doc_id long, text string"
+    )  # 50 identical docs: ~n²/2 candidates under ANY blocking
+    with pytest.raises(ValueError, match="candidate pairs"):
+        edit_distance_pairs(df, 2, max_candidates=100)
+    got = edit_distance_pairs(df, 2, max_candidates=10_000).collect()
+    assert len(got) == 50 * 49 // 2  # all-identical: every pair at dist 0

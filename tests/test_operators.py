@@ -1809,3 +1809,36 @@ def test_chi_square_independent_and_dependent(spark):
     )
     r2 = chi_square_drift(dep, "u", "v").collect()[0]
     assert r2.chi2 == 30.0 and r2.dof == 1
+
+
+def test_link_records_block_size_guard(spark):
+    """A degenerate single-value blocking key fails fast with the
+    predicted fan-out BEFORE the scoring join; 'warn' mode makes the same
+    hazard loud but still returns the (correct) result; a healthy key
+    passes the guard untouched."""
+    import warnings
+
+    import pytest as _pytest
+
+    from scalligraph_spark.operators import check_block_sizes, link_records
+
+    left = spark.createDataFrame(
+        [(i, "same", f"name{i}") for i in range(50)], "id long, blk string, name string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, "same", f"name{i}") for i in range(50)], "id long, blk string, name string"
+    )
+    comps = [("name", "exact", 1.0)]
+    with _pytest.raises(ValueError, match="oversized blocks"):
+        link_records(left, right, ["blk"], comps, 0.5, max_block_pairs=100)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = link_records(
+            left, right, ["blk"], comps, 0.5, max_block_pairs=100, oversize="warn"
+        ).collect()
+    assert any("oversized blocks" in str(x.message) for x in w)
+    assert len(out) == 50  # exact-name matches survive the warned run
+    # bounded key: guard silent, offender list empty
+    assert check_block_sizes(left, right, ["name"], max_block_pairs=100) == []
+    # guard off by default: degenerate key still runs (old behavior)
+    assert len(link_records(left, right, ["blk"], comps, 0.5).collect()) == 50
