@@ -1,11 +1,20 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed via Arrow-batched Pandas UDFs.
 
-The container has no image/audio codecs, so the *decode kernels* are
-deterministic fakes behind ``_decode_stub`` (clearly marked); everything
-Spark-side — schema, batch iteration, partitioning, output shapes — is real
-and tested (tests/test_operators.py).  Swapping the stub for PIL/ffmpeg is a
-one-function change that does not touch the plan.
+Decode tiers (pick with ``extract_features(decoder=...)``):
+
+* ``"real"`` — actual byte decoding: PIL when installed, else pure-stdlib
+  codecs (``_decode_png``: full spec-filter 8-bit PNG via zlib;
+  ``_decode_wav``: stdlib ``wave``), else the stub fallback.  Tested
+  against hand-built PNGs/WAVs byte-exactly (tests/test_operators.py).
+* ``"stub"`` — the deterministic fake (``_decode_stub``, clearly marked):
+  the cross-engine-replayable path the suite oracle verifies, and the
+  stand-in for codecs the container lacks (video/JPEG → ffmpeg/PIL in
+  prod).
+
+Everything Spark-side — schema, batch iteration, partitioning, output
+shapes — is identical across tiers; swapping decoders never touches the
+plan.
 
 Scale shape: ``mapInPandas`` streams Arrow batches; binary payloads never
 round-trip through Python row objects.  Partition sizing is controlled by
@@ -61,12 +70,184 @@ def _decode_stub(payload: bytes, kind: str) -> dict:
     }
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Decode + featurize media rows via Arrow-batched ``mapInPandas``."""
+# -- real codecs (stdlib-only fallbacks; PIL used when installed) -------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> dict | None:
+    """Minimal REAL PNG decoder — pure stdlib (zlib + struct), no PIL
+    needed: non-interlaced 8-bit gray/RGB/RGBA/gray+alpha, all five scanline
+    filters (None/Sub/Up/Average/Paeth per the PNG spec §9).  Returns
+    (width, height, 8-bin luminance histogram) or None when the payload is
+    not a supported PNG.  The luminance histogram (ITU-R BT.601 weights,
+    integer-truncated — identical on every platform) is the deterministic
+    stand-in for a model embedding; swap the feature fn, keep the decode.
+    """
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = b""
+    try:
+        while pos + 8 <= len(payload):
+            ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+            data = payload[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+                if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+                    return None
+                ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # len + type + data + crc
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(idat)
+    except Exception:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    prev = bytearray(stride)
+    hist = [0] * 8
+    off = 0
+    for _y in range(h):
+        f = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += stride + 1
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            return None
+        for x in range(0, stride, ch):
+            if ch >= 3:
+                lum = (299 * line[x] + 587 * line[x + 1] + 114 * line[x + 2]) // 1000
+            else:
+                lum = line[x]
+            hist[lum >> 5] += 1
+        prev = line
+    total = max(sum(hist), 1)
+    return {"n_bytes": len(payload), "width": w, "height": h, "feature": [v / total for v in hist]}
+
+
+def _decode_wav(payload: bytes) -> dict | None:
+    """Minimal REAL WAV decoder — stdlib ``wave``: frame count / channels /
+    sample width, plus an 8-bin absolute-amplitude histogram over the
+    first 4096 samples (16-bit PCM).  Returns None for non-WAV payloads.
+    ``width`` carries n_channels and ``height`` the sample width in bits —
+    the schema's typed-metadata slots for non-image media."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            nch, sw, rate, nframes = (
+                wf.getnchannels(),
+                wf.getsampwidth(),
+                wf.getframerate(),
+                wf.getnframes(),
+            )
+            frames = wf.readframes(min(nframes, 4096))
+    except Exception:
+        return None
+    hist = [0] * 8
+    if sw == 2:
+        n = len(frames) // 2
+        for (s,) in struct.iter_unpack("<h", frames[: 2 * n]):
+            hist[min(abs(s) >> 12, 7)] += 1
+    else:  # 8-bit unsigned PCM
+        for b in frames:
+            hist[b >> 5] += 1
+    total = max(sum(hist), 1)
+    return {
+        "n_bytes": len(payload),
+        "width": nch,
+        "height": sw * 8,
+        "feature": [v / total for v in hist],
+    }
+
+
+def _decode_real(payload: bytes, kind: str) -> dict:
+    """REAL decode path: PIL when installed (any format), else the
+    stdlib PNG/WAV decoders, else fall back to the clearly-fake stub so a
+    mixed corpus with unsupported payloads degrades loudly-documented
+    rather than crashing a 100 TB job (quarantine upstream if that
+    matters — `validate_rows` composes)."""
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image  # type: ignore
+
+        if kind == "image":
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            hist = [0] * 8
+            for px in img.getdata():
+                hist[px >> 5] += 1
+            total = max(sum(hist), 1)
+            return {
+                "n_bytes": len(payload),
+                "width": img.width,
+                "height": img.height,
+                "feature": [v / total for v in hist],
+            }
+    except ImportError:
+        pass
+    if kind == "image":
+        out = _decode_png(payload)
+        if out is not None:
+            return out
+    if kind == "audio":
+        out = _decode_wav(payload)
+        if out is not None:
+            return out
+    return _decode_stub(payload, kind)
+
+
+_DECODERS = {"stub": _decode_stub, "real": _decode_real}
+
+
+def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
+    """Decode + featurize media rows via Arrow-batched ``mapInPandas``.
+
+    ``decoder="stub"`` (default) keeps the deterministic fake — the
+    cross-engine-replayable path the suite oracle verifies.
+    ``decoder="real"`` decodes actual bytes: PIL when installed, else the
+    pure-stdlib PNG/WAV decoders (tests decode real tiny PNGs/WAVs
+    byte-exactly), falling back to the stub for unsupported payloads.
+    Either way the Spark shape is identical: binary stays in Arrow
+    batches, map-only, no shuffle."""
+    if decoder not in _DECODERS:
+        raise ValueError(f"unknown decoder {decoder!r}; use 'stub' or 'real'")
+    decode = _DECODERS[decoder]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            decoded = [decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
