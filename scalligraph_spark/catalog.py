@@ -39,6 +39,7 @@ class VertexSpec:
     id_col: str | tuple[str, ...]  # composite keys allowed (lineitem)
     loader: Callable[[], DataFrame]
     name_col: str | None = None
+    n_rows_hint: int | None = None  # stats-fed row count (see attach_stats)
 
     @property
     def id_cols(self) -> tuple[str, ...]:
@@ -76,6 +77,12 @@ class EdgeSpec:
 
 class GraphCatalog:
     """Label registry + scan entry points (Graph.scala:25-42 analog)."""
+
+    # hop joins auto-broadcast a vertex side the STATS TIER proves to be
+    # under this many rows — Spark's own byte-threshold needs a plannable
+    # size estimate, which a store-backed loader or a post-filter relation
+    # often lacks; a persisted ANALYZE stat is authoritative regardless
+    auto_broadcast_rows: int = 500_000
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -129,6 +136,42 @@ class GraphCatalog:
 
     def in_edges(self, dst_label: str) -> list[EdgeSpec]:
         return [e for e in self.edges.values() if e.dst_label == dst_label]
+
+    # -- stats-fed planning hints ------------------------------------------
+    def set_row_hint(self, label: str, n_rows: int | None) -> "GraphCatalog":
+        """Pin a row-count hint for a vertex label (None clears it)."""
+        self.vertices[label].n_rows_hint = n_rows
+        return self
+
+    def attach_stats(self, store, labels: list[str] | None = None) -> "GraphCatalog":
+        """Feed persisted ANALYZE stats (stats.analyze → ``_stats.json``)
+        into the hop planner: every named (default: all registered) vertex
+        label whose store table carries a stat gets its row count pinned —
+        a metadata read, never a job.  Hops to labels the stats prove
+        small then choose BroadcastHashJoin without hand-placed
+        ``F.broadcast`` hints (the reference's index-hint discipline,
+        Model.scala:16-19, applied to join planning)."""
+        from scalligraph_spark.stats import row_count_hint
+
+        for label in labels if labels is not None else list(self.vertices):
+            try:
+                hint = row_count_hint(store, label)
+            except FileNotFoundError:
+                hint = None
+            if hint is not None:
+                self.vertices[label].n_rows_hint = hint
+        return self
+
+    def hop_df(self, label: str) -> DataFrame:
+        """Vertex table as a hop-join side: broadcast-hinted when the
+        stats tier proves it small (``n_rows_hint`` ≤
+        ``auto_broadcast_rows``), else the plain scan — Catalyst/AQE keep
+        making the call when no stat exists."""
+        df = self.vertices[label].loader()
+        hint = self.vertices[label].n_rows_hint
+        if hint is not None and hint <= self.auto_broadcast_rows:
+            return F.broadcast(df)
+        return df
 
     # -- scans (Graph.scala:25-33) ----------------------------------------
     def vertex_df(self, label: str) -> DataFrame:

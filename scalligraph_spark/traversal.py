@@ -451,14 +451,14 @@ class Traversal:
             raise ValueError(f"edge {e.label} does not start at {self.label}")
         if e.kind == "fk" and e.fk_holder == "src":
             # lhs rows already carry the FK column → single join to dst
-            dst = self.catalog.vertex_df(e.dst_label)
+            dst = self.catalog.hop_df(e.dst_label)
             lhs = self._rename_collisions(dst.columns)
             fkc = f"__h{lhs._hop_n}__{e.dst_key}" if f"__h{lhs._hop_n}__{e.dst_key}" in lhs.df.columns else e.dst_key
             joined = lhs.df.join(dst, lhs.df[fkc] == dst[e.dst_join_col], "inner")
             return lhs._with(joined, label=e.dst_label, edge_label=None)
         if e.kind == "fk" and e.fk_holder == "dst":
             # dst table holds the FK back to src → single join
-            dst = self.catalog.vertex_df(e.dst_label)
+            dst = self.catalog.hop_df(e.dst_label)
             lhs = self._rename_collisions(dst.columns)
             sj = f"__h{lhs._hop_n}__{e.src_join_col}" if f"__h{lhs._hop_n}__{e.src_join_col}" in lhs.df.columns else e.src_join_col
             joined = lhs.df.join(dst, lhs.df[sj] == dst[e.src_key], "inner")
@@ -482,7 +482,7 @@ class Traversal:
     def _hop_in(self, e) -> "Traversal":
         if e.dst_label != self.label:
             raise ValueError(f"edge {e.label} does not end at {self.label}")
-        src = self.catalog.vertex_df(e.src_label)
+        src = self.catalog.hop_df(e.src_label)
         if e.kind == "fk" and e.fk_holder == "dst":
             lhs = self._rename_collisions(src.columns)
             fkc = f"__h{lhs._hop_n}__{e.src_key}" if f"__h{lhs._hop_n}__{e.src_key}" in lhs.df.columns else e.src_key
@@ -570,7 +570,7 @@ class Traversal:
     def in_v(self) -> "Traversal":
         """Edge → head vertex (TraversalOps.scala:457-462)."""
         e = self._edge_spec(self.edge_label)
-        dst = self.catalog.vertex_df(e.dst_label)
+        dst = self.catalog.hop_df(e.dst_label)
         lhs = self._rename_collisions(dst.columns)
         dk = f"__h{lhs._hop_n}__{e.dst_key}" if f"__h{lhs._hop_n}__{e.dst_key}" in lhs.df.columns else e.dst_key
         joined = lhs.df.join(dst, lhs.df[dk] == dst[e.dst_join_col], "inner")
@@ -579,7 +579,7 @@ class Traversal:
     def out_v(self) -> "Traversal":
         """Edge → tail vertex (TraversalOps.scala:457-462)."""
         e = self._edge_spec(self.edge_label)
-        src = self.catalog.vertex_df(e.src_label)
+        src = self.catalog.hop_df(e.src_label)
         lhs = self._rename_collisions(src.columns)
         sk = f"__h{lhs._hop_n}__{e.src_key}" if f"__h{lhs._hop_n}__{e.src_key}" in lhs.df.columns else e.src_key
         joined = lhs.df.join(src, lhs.df[sk] == src[e.src_join_col], "inner")

@@ -323,3 +323,66 @@ def test_upsert_anti_join_shape(spark):
     p = _plan(spark, "writes_upsert_merge")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_stats_fed_hop_auto_broadcast(spark, tmp_path):
+    """A persisted ANALYZE stat alone flips a hop join to
+    BroadcastHashJoin — no hand-placed F.broadcast, no Spark byte-estimate
+    (disabled via autoBroadcastJoinThreshold=-1 for the duration):
+    the store-backed dimension label proves itself small through the
+    stats tier, exactly the reference's declared-index-hint discipline
+    applied to join planning."""
+    import contextlib
+    import io
+
+    from scalligraph_spark.catalog import EdgeSpec, GraphCatalog, VertexSpec
+    from scalligraph_spark.stats import analyze
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "hintstore"))
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(20)], "d_id long, d_name string")
+    store.write("dim", dim)
+    fact = spark.createDataFrame([(i, i % 20) for i in range(500)], "f_id long, d_id long")
+    store.write("fact", fact)
+
+    def build_cat():
+        cat = GraphCatalog(spark)
+        cat.add_store_vertex(store, "fact", "f_id")
+        cat.add_store_vertex(store, "dim", "d_id")
+        cat.add_edge(
+            EdgeSpec(
+                label="has_dim", src_label="fact", dst_label="dim",
+                loader=lambda: store.read(spark, "fact"),
+                src_key="f_id", dst_key="d_id",
+                src_join_col="f_id", dst_join_col="d_id",
+                kind="fk", fk_holder="src",
+            )
+        )
+        return cat
+
+    def hop_plan(cat):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cat.V("fact").out("has_dim").df.explain("formatted")
+        return buf.getvalue()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # no stats: Spark cannot prove either side small -> no broadcast
+        assert "BroadcastHashJoin" not in hop_plan(build_cat())
+        # ANALYZE the dimension, feed the catalog: broadcast chosen
+        analyze(spark, store, "dim")
+        cat = build_cat().attach_stats(store)
+        assert cat.vertices["dim"].n_rows_hint == 20
+        assert "BroadcastHashJoin" in hop_plan(cat)
+        # results identical with and without the hint
+        a = sorted(map(tuple, build_cat().V("fact").out("has_dim").df.collect()))
+        b = sorted(map(tuple, cat.V("fact").out("has_dim").df.collect()))
+        assert a == b
+        # a BIG stat must NOT force a broadcast
+        cat2 = build_cat()
+        cat2.set_row_hint("dim", 10_000_000)
+        assert "BroadcastHashJoin" not in hop_plan(cat2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
