@@ -226,6 +226,20 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         )
 
     ex.register_init("maskColumns", _mask_columns)
+
+    def _at_snapshot(g, s, a):
+        # transaction-consistent pinned read (traversal/Graph.scala:11-43):
+        # a chain starting at snapshot N sees the multi-table state of
+        # commit N even while N+1..current exist — SnapshotStore manifests
+        # are the batch analog of the reference's transaction handle
+        from scalligraph_spark.store import LabelStore, SnapshotStore
+
+        snap = SnapshotStore(LabelStore(str(s["root"])))
+        sid = s.get("snapshot")
+        df = snap.read(g.spark, str(s["label"]), int(sid) if sid is not None else None)
+        return Traversal(df, catalog=g, label=None)
+
+    ex.register_init("atSnapshot", _at_snapshot)
     return ex
 
 
@@ -6167,6 +6181,50 @@ def dedup_edit_distance_q(spark, sf):
 
     docs = cat_for(spark, sf).vertex_df("documents")
     return edit_distance_pairs(docs, max_dist=40, blocking="qgram")
+
+
+@q(
+    "qlang_snapshot_read",
+    """
+SELECT source, CAST(count(*) AS BIGINT) AS count,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 7 <> 3 GROUP BY source
+""",
+    "snapshot time travel in the query language: an `atSnapshot` init "
+    "chain step reads a label PINNED to snapshot 1 while snapshot 2 "
+    "exists (SnapshotStore manifests — the reference's transaction-"
+    "consistent read, traversal/Graph.scala:11-43); the oracle recomputes "
+    "snapshot 1's contents, so any leakage from the newer commit "
+    "hash-mismatches",
+)
+def qlang_snapshot_read_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore, SnapshotStore
+
+    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "source", "n_chars")
+    root = f"/tmp/sgspark_snapq_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    snap = SnapshotStore(LabelStore(root))
+    snap.commit({"docs": docs.where(F.col("doc_id") % 7 != 3)})  # snapshot 1
+    snap.commit({"docs": docs.where(F.col("doc_id") % 5 != 0)})  # snapshot 2 (current)
+    ex = executor_for(spark, sf)
+    t = ex.execute(
+        [
+            {"_name": "atSnapshot", "root": root, "label": "docs", "snapshot": 1},
+            {
+                "_name": "aggregation",
+                "_agg": "field",
+                "_field": "source",
+                "_select": [
+                    {"_agg": "count"},
+                    {"_agg": "sum", "_field": "n_chars", "_name": "total_chars"},
+                ],
+            },
+        ]
+    )
+    return t.df.select("source", "count", "total_chars")
 
 
 @q(

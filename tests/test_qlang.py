@@ -311,3 +311,20 @@ def test_profile_chain_runtime_metrics(modern):
     report = ex.profile_chain([{"_name": "allPeople"}, {"_name": "filter", "_gte": {"age": 30}}])
     assert "numOutputRows=" in report
     assert "Filter" in report
+
+
+def test_at_snapshot_chain_step_pins_commit(spark, tmp_path):
+    """`atSnapshot` init step: pinned chain sees commit 1 even after
+    commit 2; omitting `snapshot` follows the current manifest."""
+    from scalligraph_spark.store import LabelStore, SnapshotStore
+    from scalligraph_spark.suite import executor_for
+
+    snap = SnapshotStore(LabelStore(str(tmp_path / "snapq")))
+    snap.commit({"t": spark.createDataFrame([(1,), (2,)], "k long")})
+    snap.commit({"t": spark.createDataFrame([(1,), (2,), (3,)], "k long")})
+    ex = executor_for(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "snapq")
+    pinned = ex.execute([{"_name": "atSnapshot", "root": root, "label": "t", "snapshot": 1}])
+    current = ex.execute([{"_name": "atSnapshot", "root": root, "label": "t"}])
+    assert sorted(r["k"] for r in pinned.df.collect()) == [1, 2]
+    assert sorted(r["k"] for r in current.df.collect()) == [1, 2, 3]
