@@ -6227,6 +6227,108 @@ def qlang_snapshot_read_q(spark, sf):
     return t.df.select("source", "count", "total_chars")
 
 
+# -- dialogue / chat-format pipeline ops --------------------------------------
+# A deterministic TURNS relation derived from documents (the engine's
+# dirty-clone convention): conv = doc_id % 50, turn = doc_id, role
+# alternates — identical derivation on both engines.
+
+_TURNS_SQL = """
+  SELECT doc_id % 50 AS conv_id, doc_id AS turn_no,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         text
+  FROM documents
+"""
+
+
+def _turns_df(spark, sf):
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return docs.select(
+        (F.col("doc_id") % 50).alias("conv_id"),
+        F.col("doc_id").alias("turn_no"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+
+
+@q(
+    "dialogue_turn_dedup",
+    f"""
+WITH turns AS ({_TURNS_SQL}),
+w AS (
+  SELECT conv_id, turn_no, role,
+         first_value(conv_id) OVER win AS first_conv_id,
+         first_value(turn_no) OVER win AS first_turn_no,
+         count(*) OVER (PARTITION BY md5(text), role) AS n
+  FROM turns
+  WINDOW win AS (PARTITION BY md5(text), role ORDER BY conv_id, turn_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, turn_no, role, first_conv_id, first_turn_no,
+       (n > 1 AND NOT (conv_id = first_conv_id AND turn_no = first_turn_no)) AS is_dup_turn
+FROM w
+""",
+    "turn-LEVEL exact dedup for chat corpora: boilerplate turns repeating "
+    "across conversations flag as duplicates of their min-(conv, turn) "
+    "canonical, separated by role — text hashes to md5 up front so the "
+    "group/join-back ships 32-hex, never bodies (dedup.exact_dedup at "
+    "turn granularity; the loss-mask / boilerplate-filter unit)",
+)
+def dialogue_turn_dedup_q(spark, sf):
+    from scalligraph_spark.operators import turn_dedup
+
+    return turn_dedup(_turns_df(spark, sf)).select(
+        "conv_id", "turn_no", "role", "first_conv_id", "first_turn_no", "is_dup_turn"
+    )
+
+
+@q(
+    "dialogue_role_token_stats",
+    f"""
+WITH turns AS ({_TURNS_SQL}),
+per AS (
+  SELECT role, count(*) AS n_turns,
+         sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens,
+         sum(length(text)) AS n_chars
+  FROM turns GROUP BY role
+)
+SELECT role, n_turns, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round(CAST(n_tokens AS DOUBLE) / n_turns, 12) AS avg_turn_tokens,
+       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 12) AS token_share
+FROM per
+""",
+    "role-aware token accounting: per-role turn/token/char volumes and "
+    "the token SHARE that drives loss-mask budgets and role-balanced "
+    "mixture_plan inputs — one map-side-combined aggregate, share via a "
+    "window over the card(roles)-sized result",
+)
+def dialogue_role_token_stats_q(spark, sf):
+    from scalligraph_spark.operators import role_token_stats
+
+    return role_token_stats(_turns_df(spark, sf))
+
+
+@q(
+    "dialogue_assemble",
+    f"""
+WITH turns AS ({_TURNS_SQL})
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_no, role, text) AS dialogue
+FROM turns GROUP BY conv_id
+""",
+    "chat-template rendering: ordered `role: text` transcript per "
+    "conversation in ONE aggregate (array_sort over (turn, role, text) "
+    "structs — total order, no second window) — the string the "
+    "tokenizer/packer consumes downstream",
+)
+def dialogue_assemble_q(spark, sf):
+    from scalligraph_spark.operators import assemble_dialogues
+
+    return assemble_dialogues(_turns_df(spark, sf))
+
+
 @q(
     "dedup_edit_distance_auto",
     """

@@ -1,0 +1,98 @@
+"""Dialogue/chat-format pipeline operators: turn-level dedup semantics,
+role-aware token accounting, deterministic transcript rendering, and the
+composition with mixture_plan the module promises."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.functions import col as F_col
+
+from scalligraph_spark.operators import assemble_dialogues, role_token_stats, turn_dedup
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    rows = [
+        # conv 1: greeting boilerplate + unique content
+        (1, 0, "user", "hello"),
+        (1, 1, "assistant", "how can I help"),
+        (1, 2, "user", "explain joins"),
+        # conv 2: same greeting pair (cross-conversation boilerplate)
+        (2, 0, "user", "hello"),
+        (2, 1, "assistant", "how can I help"),
+        (2, 2, "user", "explain shuffles"),
+        # conv 3: user quotes the assistant's canned line (role separation)
+        (3, 0, "user", "how can I help"),
+        # conv 3: retry echo within one conversation
+        (3, 1, "assistant", "try again"),
+        (3, 2, "assistant", "try again"),
+    ]
+    return spark.createDataFrame(rows, "conv_id long, turn_no long, role string, text string")
+
+
+def test_turn_dedup_corpus_scope_flags_boilerplate(spark, turns):
+    out = {(r.conv_id, r.turn_no): r for r in turn_dedup(turns).collect()}
+    # conv 2's greeting pair duplicates conv 1's (canonical = min conv/turn)
+    assert not out[(1, 0)].is_dup_turn and out[(2, 0)].is_dup_turn
+    assert (out[(2, 0)].first_conv_id, out[(2, 0)].first_turn_no) == (1, 0)
+    assert not out[(1, 1)].is_dup_turn and out[(2, 1)].is_dup_turn
+    # role separation: user quoting the assistant line is NOT a dup of it
+    assert not out[(3, 0)].is_dup_turn
+    # within-conversation echo flags in corpus scope too
+    assert not out[(3, 1)].is_dup_turn and out[(3, 2)].is_dup_turn
+    # unique turns untouched
+    assert not out[(1, 2)].is_dup_turn and not out[(2, 2)].is_dup_turn
+
+
+def test_turn_dedup_conversation_scope_and_role_off(spark, turns):
+    conv = {(r.conv_id, r.turn_no): r for r in turn_dedup(turns, scope="conversation").collect()}
+    # cross-conversation boilerplate is NOT a dup within-conversation
+    assert not conv[(2, 0)].is_dup_turn
+    # the retry echo still is
+    assert conv[(3, 2)].is_dup_turn
+    merged = {(r.conv_id, r.turn_no): r for r in turn_dedup(turns, by_role=False).collect()}
+    # without role separation the user's quote of the canned line IS a dup
+    assert merged[(3, 0)].is_dup_turn
+    with pytest.raises(ValueError):
+        turn_dedup(turns, scope="nope")
+
+
+def test_role_token_stats_hand_numbers(spark, turns):
+    out = {r.role: r for r in role_token_stats(turns).collect()}
+    # user: "hello"(1) "explain joins"(2) "hello"(1) "explain shuffles"(2)
+    #       "how can I help"(4) = 10 tokens over 5 turns
+    assert out["user"].n_turns == 5 and out["user"].n_tokens == 10
+    # assistant: "how can I help"(4) x2 + "try again"(2) x2 = 12 over 4
+    assert out["assistant"].n_turns == 4 and out["assistant"].n_tokens == 12
+    assert out["user"].token_share == round(10 / 22, 12)
+    assert out["assistant"].avg_turn_tokens == 3.0
+    assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-9
+
+
+def test_role_stats_feed_mixture_plan(spark, turns):
+    """The promised composition: roles as sources, measured shares →
+    repeat factors that realize a 50/50 role mix."""
+    from scalligraph_spark.operators import mixture_plan
+
+    as_docs = turns.select(F_col("role").alias("source"), F_col("text"))
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(as_docs, {"user": 0.5, "assistant": 0.5}, token_budget=220).collect()
+    }
+    # user holds 10 tokens, assistant 12; both targets are 110 tokens
+    assert plan["user"]["repeat_factor"] == round(110 / 10, 12)
+    assert plan["assistant"]["repeat_factor"] == round(110 / 12, 12)
+
+
+def test_assemble_dialogues_ordering_and_template(spark, turns):
+    out = {r.conv_id: r for r in assemble_dialogues(turns).collect()}
+    assert out[1].dialogue == "user: hello\nassistant: how can I help\nuser: explain joins"
+    assert out[1].n_turns == 3
+    # custom template + separator
+    out2 = {
+        r.conv_id: r
+        for r in assemble_dialogues(turns, template="<{role}> {text}", sep=" | ").collect()
+    }
+    assert out2[3].dialogue == "<user> how can I help | <assistant> try again | <assistant> try again"
+    with pytest.raises(ValueError):
+        assemble_dialogues(turns, template="no placeholders")
