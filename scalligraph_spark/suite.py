@@ -6385,6 +6385,17 @@ def dedup_edit_distance_auto_q(spark, sf):
 # banded levenshtein) and choose_branch→store_mv_refresh (branch family
 # keeps optional_left_join in-window + choose_* suite-checked; the store
 # tier gains its first window row: counting-algorithm IVM refresh).
+# Round 5: five swaps so the driver's hard signal covers this round's work —
+# dedup_edit_distance→dedup_edit_distance_auto (same operator, now with
+# ENFORCED blocking selection; the d=40 qgram variant stays suite-checked),
+# qagg_count→qagg_window_ranks (qagg family keeps field/time reps; window-
+# function breadth gains signal), text_tfidf→dialogue_turn_dedup (text
+# keeps bm25/term_drift/quality reps; the new dialogue tier gains its first
+# window row), scalar_hash_b64_json→qlang_snapshot_read (scalar funcs stay
+# suite+pytest-checked; snapshot time travel gains signal), and
+# dedup_contamination→link_customer_records (dedup keeps exact+embedding
+# reps; the rehabilitated bounded-block linkage gains signal).  All five
+# rotated-out entries remain registered and exact under tools/check.py.
 _WINDOW = [
     "scan_by_ids",
     "union_all_forms",
@@ -6405,7 +6416,7 @@ _WINDOW = [
     "fold_collect",
     "text_term_drift",
     "pipeline_chunk_documents",
-    "qagg_count",
+    "qagg_window_ranks",
     "stats_analyze_columns",
     "qagg_field_subaggs",
     "qagg_time_day",
@@ -6413,11 +6424,11 @@ _WINDOW = [
     "graph_sssp_weighted",
     "store_mv_refresh",
     "optional_left_join",
-    "scalar_hash_b64_json",
+    "qlang_snapshot_read",
     "dedup_exact",
-    "dedup_edit_distance",
-    "text_tfidf",
-    "dedup_contamination",
+    "dedup_edit_distance_auto",
+    "dialogue_turn_dedup",
+    "link_customer_records",
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
     "events_sessionize",
