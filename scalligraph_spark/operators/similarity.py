@@ -581,6 +581,104 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 64,
+    centroids=None,
+    codebooks=None,
+    m: int = 4,
+    nbits: int = 8,
+    n_centroids: int | None = None,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """IVF-PQ single-query top-k — the composed 100 TB ANN shape (the
+    standard FAISS ``IVFx,PQy`` index): the IVF coarse quantizer prunes
+    the SCAN (only the query's ``n_probe`` nearest cells are touched),
+    PQ codes prune the BYTES (``m`` bytes per candidate row move instead
+    of ``4·d``), and an exact-cosine re-rank of the top ``refine``
+    restores precision.
+
+    Pass persisted artifacts (``centroids=ix.centroids`` from an IVF
+    index, ``codebooks=ix.codebooks`` from a PQ index — see
+    :mod:`~scalligraph_spark.operators.ann_index`) and NO training or
+    sizing job launches; omitted artifacts train on the usual bounded
+    deterministic sample.
+
+    Plan shape: one broadcast-closure matmul assigns cells (map-only),
+    the cell filter prunes before encoding, the ADC scan is a per-row
+    table lookup, TakeOrdered keeps ``refine`` rows, and only those
+    ``refine`` ids join back to raw vectors.  No shuffle except the final
+    candidate join-backs on (id).
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        if n_centroids is None:
+            n = n_rows if n_rows is not None else embeddings.count()
+            n_centroids = max(4, min(4096, int(math.sqrt(max(n, 4)))))
+        C = _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, m=m, nbits=nbits, sample_rows=sample_rows, id_col=id_col, vec_col=vec_col
+        )
+    n_probe = min(n_probe, len(C))
+
+    q_rows = embeddings.where(F.col(id_col) == query_id).select(vec_col).collect()
+    if not q_rows:
+        raise ValueError(f"query id {query_id} not found")
+    q = np.asarray(list(q_rows[0][0]), dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probe_cells = set(int(c) for c in np.argsort(-(C @ q))[:n_probe])
+
+    @pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    in_cells = (
+        embeddings.withColumn("__cell", cell_of(F.col(vec_col)))
+        .where(F.col("__cell").isin(list(probe_cells)) & (F.col(id_col) != query_id))
+        .drop("__cell")
+    )
+    mm, kk, dsub = codebooks.shape
+    tables = np.stack([codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(mm)])
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        Cd = np.vstack(codes.to_numpy())
+        return pd.Series(tables[np.arange(mm)[None, :], Cd].sum(axis=1))
+
+    cands = (
+        pq_encode(in_cells, codebooks, id_col, vec_col)
+        .select("id", adc(F.col("codes")).alias("approx_ip"))
+        .orderBy(F.col("approx_ip").desc(), F.col("id").asc())
+        .limit(refine)
+    )
+    refined = _exact_rerank(
+        cands.select(F.lit(query_id).alias("id_a"), F.col("id").alias("id_b")),
+        embeddings,
+        id_col,
+        vec_col,
+    )
+    return (
+        refined.select(F.col("id_b").alias(id_col), "cosine")
+        .orderBy(F.col("cosine").desc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1615,6 +1615,43 @@ def similarity_indexed_ann_q(spark, sf):
 
 
 @q(
+    "similarity_ivfpq_topk",
+    None,  # k-means cells + PQ codes — no closed-form oracle; rows-only
+    # (pytest proves full-probe/full-refine ≡ the plain PQ scan)
+    "composed IVF-PQ single-query top-k through BOTH persisted artifacts "
+    "(the FAISS IVFx,PQy shape): IVF cells prune the SCAN (n_probe cells "
+    "touched), PQ codes prune the BYTES (m bytes/row through the ADC "
+    "lookup instead of 4·d), exact-cosine re-rank restores precision — "
+    "zero training jobs at query time",
+)
+def similarity_ivfpq_topk_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.operators import (
+        build_ivf_index,
+        build_pq_index,
+        ivfpq_topk,
+        load_ann_index,
+    )
+    from scalligraph_spark.store import LabelStore
+
+    emb = cat_for(spark, sf).vertex_df("embeddings")
+    root = f"/tmp/sgspark_ivfpq_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    n = emb.count()
+    build_ivf_index(store, "emb_ivf", emb, n_rows=n)
+    build_pq_index(store, "emb_pq", emb, m=4, nbits=8)
+    ivf = load_ann_index(spark, store, "emb_ivf")
+    pq = load_ann_index(spark, store, "emb_pq")
+    return ivfpq_topk(
+        emb, query_id=1, k=10, n_probe=4, refine=64,
+        centroids=ivf.centroids, codebooks=pq.codebooks,
+    )
+
+
+@q(
     "text_token_count",
     "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens, "
     "CAST(length(text) AS DOUBLE) / 4 AS est_bpe_tokens FROM documents",

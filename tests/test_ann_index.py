@@ -171,3 +171,45 @@ def test_migration_builds_index_exactly_once(spark, embeddings, store, tmp_path)
     assert store.version("emb_ivf") == 1
     ran2 = ops.execute(spark, store, versions)
     assert ran2 == [] and calls == [1]  # replay is a no-op
+
+
+def test_ivfpq_with_persisted_artifacts_no_training(spark, embeddings, store, monkeypatch):
+    """The composed IVF-PQ path through BOTH persisted artifacts: cell
+    pruning + ADC byte pruning + exact re-rank, zero training jobs; a
+    full probe (n_probe = all cells) with full refine must equal the
+    plain PQ scan with the same codebooks."""
+    from scalligraph_spark.operators import (
+        build_ivf_index,
+        build_pq_index,
+        ivfpq_topk,
+        load_ann_index,
+        pq_topk,
+    )
+
+    build_ivf_index(store, "emb_ivf", embeddings, n_centroids=8)
+    build_pq_index(store, "emb_pq", embeddings, m=4, nbits=4)
+    ivf = load_ann_index(spark, store, "emb_ivf")
+    pq = load_ann_index(spark, store, "emb_pq")
+
+    _no_training(monkeypatch)
+    n = embeddings.count()
+    full = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                embeddings, query_id=1, k=5, n_probe=8, refine=n,
+                centroids=ivf.centroids, codebooks=pq.codebooks,
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(tuple, pq_topk(embeddings, query_id=1, k=5, refine=n, codebooks=pq.codebooks).collect())
+    )
+    assert full == plain
+    # pruned probe still returns k rows with exact cosines attached
+    pruned = ivfpq_topk(
+        embeddings, query_id=1, k=5, n_probe=2, refine=32,
+        centroids=ivf.centroids, codebooks=pq.codebooks,
+    ).collect()
+    assert len(pruned) == 5
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in pruned)
