@@ -6264,6 +6264,59 @@ def qlang_snapshot_read_q(spark, sf):
     return t.df.select("source", "count", "total_chars")
 
 
+@q(
+    "qagg_rollup_events",
+    f"""
+SELECT event_type, user_id % 10 AS cohort,
+       CAST(GROUPING(event_type, user_id % 10) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n, {dsum_expr('value')} AS total_value
+FROM events GROUP BY ROLLUP(event_type, user_id % 10)
+""",
+    "hierarchical subtotals in ONE pass: GROUP BY ROLLUP(event_type, "
+    "cohort) — detail rows, per-type subtotals and the grand total come "
+    "out of a single Expand+hash-aggregate (grouping_id disambiguates "
+    "subtotal nulls from data nulls), instead of 3 scans unioned — the "
+    "standard OLAP reporting shape at 100 TB",
+)
+def qagg_rollup_events_q(spark, sf):
+    ev = cat_for(spark, sf).vertex_df("events")
+    return (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .rollup("event_type", "cohort")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select("event_type", "cohort", "gid", "n", "total_value")
+    )
+
+
+@q(
+    "qagg_cube_documents",
+    """
+SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY CUBE(lang, source)
+""",
+    "full cross-dimensional subtotals: GROUP BY CUBE(lang, source) — all "
+    "four grouping sets from one Expand+aggregate pass (per-lang, "
+    "per-source, per-pair, grand total), the slice-any-way corpus "
+    "reporting table",
+)
+def qagg_cube_documents_q(spark, sf):
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("lang", "source", "gid", "n", "total_chars")
+    )
+
+
 # -- dialogue / chat-format pipeline ops --------------------------------------
 # A deterministic TURNS relation derived from documents (the engine's
 # dirty-clone convention): conv = doc_id % 50, turn = doc_id, role
