@@ -63,10 +63,38 @@ class QueryExecutor:
         # query/Filter.scala:22-30): op name → fn(spec, props, auth) → Column
         self.custom_filters = custom_filters or {}
         self._queries: list[ParamQuery] = []
+        # label → fn(auth) → boolean Column (row-level security policies)
+        self._row_policies: dict[str, Callable[[dict | None], Any]] = {}
 
     def register_filter(self, op: str, fn) -> "QueryExecutor":
         self.custom_filters[op] = fn
         return self
+
+    def register_row_policy(self, label: str, fn) -> "QueryExecutor":
+        """Row-level security: ``fn(auth) → boolean Column`` gates every
+        REGISTERED query step whose result carries ``label`` — the
+        reference's organisation-scoped visibility (TheHive's
+        ``Traversal.visible(authContext)`` discipline: an element type's
+        rows are reachable only where the auth context proves membership).
+
+        The policy composes with auth-aware PROPERTIES (column-level,
+        properties.py:76-99): properties redact cell values, policies
+        remove whole rows.  It applies at step granularity — inits and
+        registered hops both pass through it, so a chain can never reach
+        an unauthorized row through an authorized label.  ``fn`` decides
+        the no-auth posture itself (return ``F.lit(False)`` to
+        deny-by-default).  The predicate is a plain Column, so Catalyst
+        pushes it into the scan like any filter — row-level security at
+        100 TB costs what the filter costs, not a post-scan pass.
+        """
+        self._row_policies[label] = fn
+        return self
+
+    def _apply_row_policy(self, t: Traversal, auth: dict | None) -> Traversal:
+        pol = self._row_policies.get(t.label)
+        if pol is None:
+            return t
+        return t._with(t.df.where(pol(auth)))
 
     # -- registration -----------------------------------------------------
     def register(self, name: str, from_kind: str, fn) -> "QueryExecutor":
@@ -101,7 +129,8 @@ class QueryExecutor:
         q = self._lookup(name, kind)
         if q is not None:
             src = self.catalog if current is None else current
-            return q.fn(src, step, auth), f"registered[{q.from_kind}]"
+            out = self._apply_row_policy(q.fn(src, step, auth), auth)
+            return out, f"registered[{q.from_kind}]"
         if current is None:
             raise ValueError(f"no init query named {name!r}")
         return self._builtin(current, name, step, auth), "builtin"

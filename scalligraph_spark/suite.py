@@ -240,6 +240,16 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         return Traversal(df, catalog=g, label=None)
 
     ex.register_init("atSnapshot", _at_snapshot)
+
+    # row-level security demo policy: customers are visible only inside
+    # the auth context's nation set; no auth → deny by default (the
+    # reference's organisation-scoped Traversal.visible discipline)
+    def _customer_policy(auth):
+        if not auth or "nations" not in auth:
+            return F.lit(False)
+        return F.col("c_nationkey").isin([int(n) for n in auth["nations"]])
+
+    ex.register_row_policy("customer", _customer_policy)
     return ex
 
 
