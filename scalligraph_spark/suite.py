@@ -66,10 +66,33 @@ def cat_for(spark: SparkSession, sf_dir: str) -> GraphCatalog:
     return _CATALOGS[key]
 
 
-def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
+def customer_nation_policy(auth):
+    """Row-level security demo policy: customers are visible only inside
+    the auth context's nation set; no auth -> deny by default (the
+    reference's organisation-scoped ``Traversal.visible(authContext)``
+    discipline, query/PublicProperty.scala:29-163)."""
+    if not auth or "nations" not in auth:
+        return F.lit(False)
+    return F.col("c_nationkey").isin([int(n) for n in auth["nations"]])
+
+
+def executor_for(
+    spark: SparkSession,
+    sf_dir: str,
+    with_row_policy: bool = False,
+    snapshot_root: str | None = None,
+) -> QueryExecutor:
     """The registered query surface (QueryExecutor.scala:17-171 analog):
     init queries per label + inter-entity hop queries with typed params
-    (the reference's ``seniorPeople``/``friends``, ModernQuery.scala:75-83)."""
+    (the reference's ``seniorPeople``/``friends``, ModernQuery.scala:75-83).
+
+    ``with_row_policy=True`` registers the demo customer row-level-security
+    policy (nation-scoped visibility, deny-by-default without auth) — OPT-IN
+    so chains that legitimately scan all customers are not silently gated
+    (the round-5 regression).  ``snapshot_root`` pins the ``atSnapshot``
+    step to one store root configured at construction: chains cannot name
+    arbitrary filesystem paths, and the returned traversal carries the real
+    label so registered row policies still apply to snapshot reads."""
     c = cat_for(spark, sf_dir)
     ex = QueryExecutor(c)
     for label in c.vertices:
@@ -231,25 +254,29 @@ def executor_for(spark: SparkSession, sf_dir: str) -> QueryExecutor:
         # transaction-consistent pinned read (traversal/Graph.scala:11-43):
         # a chain starting at snapshot N sees the multi-table state of
         # commit N even while N+1..current exist — SnapshotStore manifests
-        # are the batch analog of the reference's transaction handle
+        # are the batch analog of the reference's transaction handle.
+        # The root is fixed at executor construction (never chain-supplied):
+        # a query chain must not be able to read arbitrary paths, and the
+        # traversal keeps its label so row policies gate snapshot reads too.
         from scalligraph_spark.store import LabelStore, SnapshotStore
 
-        snap = SnapshotStore(LabelStore(str(s["root"])))
+        if snapshot_root is None:
+            raise ValueError(
+                "atSnapshot requires executor_for(..., snapshot_root=...) — "
+                "chain-supplied roots are rejected"
+            )
+        snap = SnapshotStore(LabelStore(snapshot_root))
         sid = s.get("snapshot")
-        df = snap.read(g.spark, str(s["label"]), int(sid) if sid is not None else None)
-        return Traversal(df, catalog=g, label=None)
+        label = str(s["label"])
+        # the executor fold applies any registered row policy for `label`
+        # to this init's result, so snapshot reads are policy-gated too
+        df = snap.read(g.spark, label, int(sid) if sid is not None else None)
+        return Traversal(df, catalog=g, label=label)
 
     ex.register_init("atSnapshot", _at_snapshot)
 
-    # row-level security demo policy: customers are visible only inside
-    # the auth context's nation set; no auth → deny by default (the
-    # reference's organisation-scoped Traversal.visible discipline)
-    def _customer_policy(auth):
-        if not auth or "nations" not in auth:
-            return F.lit(False)
-        return F.col("c_nationkey").isin([int(n) for n in auth["nations"]])
-
-    ex.register_row_policy("customer", _customer_policy)
+    if with_row_policy:
+        ex.register_row_policy("customer", customer_nation_policy)
     return ex
 
 
@@ -6256,10 +6283,10 @@ def qlang_snapshot_read_q(spark, sf):
     snap = SnapshotStore(LabelStore(root))
     snap.commit({"docs": docs.where(F.col("doc_id") % 7 != 3)})  # snapshot 1
     snap.commit({"docs": docs.where(F.col("doc_id") % 5 != 0)})  # snapshot 2 (current)
-    ex = executor_for(spark, sf)
+    ex = executor_for(spark, sf, snapshot_root=root)
     t = ex.execute(
         [
-            {"_name": "atSnapshot", "root": root, "label": "docs", "snapshot": 1},
+            {"_name": "atSnapshot", "label": "docs", "snapshot": 1},
             {
                 "_name": "aggregation",
                 "_agg": "field",
@@ -6272,6 +6299,28 @@ def qlang_snapshot_read_q(spark, sf):
         ]
     )
     return t.df.select("source", "count", "total_chars")
+
+
+@q(
+    "qlang_row_policy",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer "
+    "WHERE c_nationkey IN (1, 4, 9) AND c_acctbal >= 2000",
+    "row-level security through the query language: an auth context "
+    "granting nations {1,4,9} scans customers through the registered "
+    "nation-scoped policy (organisation visibility, "
+    "query/PublicProperty.scala:29-163) composed with a chain filter; "
+    "the policy is a plain Column so Catalyst pushes it into the scan",
+)
+def qlang_row_policy_q(spark, sf):
+    ex = executor_for(spark, sf, with_row_policy=True)
+    t = ex.execute(
+        [
+            {"_name": "all_customer"},
+            {"_name": "filter", "_gte": {"_field": "c_acctbal", "_value": 2000}},
+        ],
+        auth={"nations": [1, 4, 9]},
+    )
+    return t.df.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
 
 
 @q(

@@ -319,12 +319,20 @@ def test_at_snapshot_chain_step_pins_commit(spark, tmp_path):
     from scalligraph_spark.store import LabelStore, SnapshotStore
     from scalligraph_spark.suite import executor_for
 
-    snap = SnapshotStore(LabelStore(str(tmp_path / "snapq")))
+    root = str(tmp_path / "snapq")
+    snap = SnapshotStore(LabelStore(root))
     snap.commit({"t": spark.createDataFrame([(1,), (2,)], "k long")})
     snap.commit({"t": spark.createDataFrame([(1,), (2,), (3,)], "k long")})
-    ex = executor_for(spark, "/root/testdata/sf0.001")
-    root = str(tmp_path / "snapq")
-    pinned = ex.execute([{"_name": "atSnapshot", "root": root, "label": "t", "snapshot": 1}])
-    current = ex.execute([{"_name": "atSnapshot", "root": root, "label": "t"}])
+    ex = executor_for(spark, "/root/testdata/sf0.001", snapshot_root=root)
+    pinned = ex.execute([{"_name": "atSnapshot", "label": "t", "snapshot": 1}])
+    current = ex.execute([{"_name": "atSnapshot", "label": "t"}])
     assert sorted(r["k"] for r in pinned.df.collect()) == [1, 2]
     assert sorted(r["k"] for r in current.df.collect()) == [1, 2, 3]
+
+    # chains cannot name arbitrary filesystem roots: an executor built
+    # WITHOUT a snapshot_root rejects the step outright
+    import pytest as _pytest
+
+    ex_no_root = executor_for(spark, "/root/testdata/sf0.001")
+    with _pytest.raises(ValueError, match="snapshot_root"):
+        ex_no_root.execute([{"_name": "atSnapshot", "label": "t", "snapshot": 1}])
