@@ -6545,12 +6545,25 @@ def dedup_edit_distance_auto_q(spark, sf):
 # dedup_contamination→link_customer_records (dedup keeps exact+embedding
 # reps; the rehabilitated bounded-block linkage gains signal).  All five
 # rotated-out entries remain registered and exact under tools/check.py.
+# Round 6: six swaps so the window carries this round's work — the fixed
+# row-level-security feature enters as an auth-granted oracle row
+# (qlang_row_policy, replacing has_bool_predicates; bool predicates stay
+# represented by text_predicates/json_filter_grammar in-window), and five
+# round-5 oracle-exact families gain driver signal: OLAP grouping-sets
+# (qagg_rollup_events, qagg_cube_documents for union_all_forms,
+# projection_steps — branch keeps optional_left_join, projections keep
+# select_as_bag + public_property_rename), the dialogue tier's other two
+# entries (dialogue_assemble, dialogue_role_token_stats for count_steps,
+# temporal_range_join — aggs keep scalar_aggs/fold_collect, temporal keeps
+# asof+sessionize), and the join-view IVM refresh (store_join_refresh for
+# q3_shipping_priority — TPC-H keeps q1 + join_bloom_prefiltered).  All
+# six rotated-out entries remain registered and exact under tools/check.py.
 _WINDOW = [
     "scan_by_ids",
-    "union_all_forms",
-    "projection_steps",
+    "qlang_row_policy",
+    "qagg_rollup_events",
     "public_property_rename",
-    "has_bool_predicates",
+    "dialogue_assemble",
     "text_predicates",
     "filter_semi_join",
     "json_filter_grammar",
@@ -6560,7 +6573,7 @@ _WINDOW = [
     "hop_edge_property_filter",
     "select_as_bag",
     "graph_bfs_distances",
-    "count_steps",
+    "qagg_cube_documents",
     "scalar_aggs",
     "fold_collect",
     "text_term_drift",
@@ -6585,7 +6598,7 @@ _WINDOW = [
     "diag_key_skew",
     "multimodal_features",
     "temporal_asof_join_bucketed",
-    "temporal_range_join",
+    "dialogue_role_token_stats",
     "pipeline_clean_corpus",
     "get_by_name_or_id",
     "writes_pipeline",
@@ -6593,7 +6606,7 @@ _WINDOW = [
     "integrity_duplicates",
     "auth_property",
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    "store_join_refresh",
     "join_bloom_prefiltered",
     "writes_upsert_merge",
 ]
