@@ -40,6 +40,7 @@ class VertexSpec:
     loader: Callable[[], DataFrame]
     name_col: str | None = None
     n_rows_hint: int | None = None  # stats-fed row count (see attach_stats)
+    n_bytes_hint: int | None = None  # stats-fed on-disk bytes (see attach_stats)
 
     @property
     def id_cols(self) -> tuple[str, ...]:
@@ -83,6 +84,15 @@ class GraphCatalog:
     # size estimate, which a store-backed loader or a post-filter relation
     # often lacks; a persisted ANALYZE stat is authoritative regardless
     auto_broadcast_rows: int = 500_000
+    # ...AND under this estimated IN-MEMORY byte size: a row count alone
+    # would broadcast a 500k-row table of wide comment columns (hundreds
+    # of MB × every executor).  Estimated bytes = stats n_bytes (on-disk
+    # parquet) × PARQUET_EXPANSION when ANALYZE recorded it, else
+    # n_rows × a per-dtype schema width.  Same role as
+    # spark.sql.autoBroadcastJoinThreshold, sized for 1000-executor
+    # fan-out (broadcast cost = size × executors, so stay small).
+    auto_broadcast_bytes: int = 64 << 20
+    PARQUET_EXPANSION: int = 4  # decompressed/decoded ≈ 4× on-disk parquet
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -150,26 +160,74 @@ class GraphCatalog:
         a metadata read, never a job.  Hops to labels the stats prove
         small then choose BroadcastHashJoin without hand-placed
         ``F.broadcast`` hints (the reference's index-hint discipline,
-        Model.scala:16-19, applied to join planning)."""
-        from scalligraph_spark.stats import row_count_hint
+        Model.scala:16-19, applied to join planning).
+
+        Staleness: stats live WITH the store version they describe, so a
+        table that advanced past its last ANALYZE has no current-version
+        stats — this call then CLEARS the label's hints rather than keep
+        planning on the old version's numbers (a grown table must not
+        keep force-broadcasting)."""
+        from scalligraph_spark.stats import stats_for
 
         for label in labels if labels is not None else list(self.vertices):
             try:
-                hint = row_count_hint(store, label)
+                s = stats_for(store, label)
             except FileNotFoundError:
-                hint = None
-            if hint is not None:
-                self.vertices[label].n_rows_hint = hint
+                s = None
+            spec = self.vertices[label]
+            spec.n_rows_hint = None if s is None else int(s["n_rows"])
+            spec.n_bytes_hint = None if s is None or "n_bytes" not in s else int(s["n_bytes"])
         return self
+
+    def attach_parquet_stats(self, sf_dir: str, labels: list[str] | None = None) -> "GraphCatalog":
+        """Feed parquet FOOTER metadata (row count + on-disk size) into the
+        hop planner for plain-parquet labels — the file-format analog of
+        :meth:`attach_stats`: a metadata read, never a job.  Labels whose
+        file is missing are left unhinted."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        for label in labels if labels is not None else list(self.vertices):
+            p = os.path.join(sf_dir, f"{label}.parquet")
+            if not os.path.exists(p):
+                continue
+            spec = self.vertices[label]
+            meta = pq.ParquetFile(p).metadata
+            spec.n_rows_hint = meta.num_rows
+            spec.n_bytes_hint = os.path.getsize(p)
+        return self
+
+    # schema-width fallback when ANALYZE predates the n_bytes field —
+    # deliberately pessimistic for variable-width types
+    _DTYPE_WIDTH = {"string": 32, "binary": 128}
+
+    def _est_broadcast_bytes(self, label: str, df: DataFrame, n_rows: int) -> int:
+        spec = self.vertices[label]
+        if spec.n_bytes_hint is not None:
+            return spec.n_bytes_hint * self.PARQUET_EXPANSION
+        width = 0
+        for _, dt in df.dtypes:
+            if dt.startswith(("array", "map", "struct")):
+                width += 256
+            else:
+                width += self._DTYPE_WIDTH.get(dt, 8)
+        return n_rows * width
 
     def hop_df(self, label: str) -> DataFrame:
         """Vertex table as a hop-join side: broadcast-hinted when the
-        stats tier proves it small (``n_rows_hint`` ≤
-        ``auto_broadcast_rows``), else the plain scan — Catalyst/AQE keep
-        making the call when no stat exists."""
+        stats tier proves it small — BOTH ``n_rows_hint`` ≤
+        ``auto_broadcast_rows`` AND the estimated in-memory size ≤
+        ``auto_broadcast_bytes`` (row count alone would ship a wide
+        500k-row table to every executor) — else the plain scan, where
+        Catalyst/AQE keep making the call."""
         df = self.vertices[label].loader()
         hint = self.vertices[label].n_rows_hint
-        if hint is not None and hint <= self.auto_broadcast_rows:
+        if (
+            hint is not None
+            and hint <= self.auto_broadcast_rows
+            and self._est_broadcast_bytes(label, df, hint) <= self.auto_broadcast_bytes
+        ):
             return F.broadcast(df)
         return df
 
@@ -398,4 +456,9 @@ def tpch_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
             kind="table",
         )
     )
+    # stats-fed hop planning by default: parquet footers are authoritative
+    # row/byte counts at zero job cost, so every hop to a provably-small
+    # dimension picks BroadcastHashJoin even where Spark's own size
+    # estimate is unavailable (post-filter relations, store loaders)
+    cat.attach_parquet_stats(sf_dir)
     return cat

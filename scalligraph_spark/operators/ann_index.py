@@ -62,6 +62,25 @@ class AnnIndex:
     num_tables: int | None = None  # lsh
 
 
+class StaleAnnIndexWarning(UserWarning):
+    """A persisted ANN index was trained on an older corpus version than
+    the one it is being used against — recall silently degrades as the
+    corpus drifts.  Rebuild via :func:`reindex_ann` (the
+    ``JanusDatabase.reindex`` / ``ReindexData`` discipline)."""
+
+
+def _corpus_meta(corpus_store, corpus_label: str | None) -> dict:
+    """Training-corpus provenance stamped into the artifact meta: which
+    table version the quantizer/codebooks saw.  Empty when the corpus is
+    not store-tracked (plain parquet input)."""
+    if corpus_store is None or corpus_label is None:
+        return {}
+    return {
+        "corpus_label": str(corpus_label),
+        "corpus_version": int(corpus_store.version(corpus_label)),
+    }
+
+
 def _centroids_to_df(spark: SparkSession, C) -> DataFrame:
     rows = [(int(i), [float(x) for x in C[i]]) for i in range(len(C))]
     return spark.createDataFrame(rows, "cell int, centroid array<double>")
@@ -76,6 +95,8 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    corpus_store=None,
+    corpus_label: str | None = None,
 ) -> int:
     """Train the IVF coarse quantizer once (the same bounded deterministic
     sample + spherical k-means `ivf_ann_topk` used per call) and commit the
@@ -98,6 +119,7 @@ def build_ivf_index(
             "n_centroids": int(len(C)),
             "dim": int(C.shape[1]),
             "sample_rows": int(sample_rows),
+            **_corpus_meta(corpus_store, corpus_label),
         },
     )
 
@@ -111,6 +133,8 @@ def build_pq_index(
     sample_rows: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_store=None,
+    corpus_label: str | None = None,
 ) -> int:
     """Train PQ codebooks once (`pq_train`'s bounded deterministic sample)
     and commit them as store table ``name`` (one row per (subspace, code))
@@ -138,6 +162,7 @@ def build_pq_index(
             "nbits": int(nbits),
             "dsub": int(dsub),
             "sample_rows": int(sample_rows),
+            **_corpus_meta(corpus_store, corpus_label),
         },
     )
 
@@ -166,14 +191,39 @@ def build_lsh_index(
     )
 
 
-def load_ann_index(spark: SparkSession, store, name: str, version: int | None = None) -> AnnIndex:
+def load_ann_index(
+    spark: SparkSession,
+    store,
+    name: str,
+    version: int | None = None,
+    corpus_store=None,
+) -> AnnIndex:
     """Load a persisted index artifact into its queryable numpy form.
     Artifacts are broadcast-sized by construction (≤4096 × dim doubles),
-    so the collect here is bounded — this is metadata, not data."""
+    so the collect here is bounded — this is metadata, not data.
+
+    Freshness: when the artifact records its training-corpus version
+    (builders called with ``corpus_store``/``corpus_label``) and
+    ``corpus_store`` is passed here, a corpus that advanced past the
+    trained version raises :class:`StaleAnnIndexWarning` — centroids
+    trained on version N used against version N+k degrade recall
+    silently otherwise.  Refresh with :func:`reindex_ann`."""
+    import warnings
+
     import numpy as np
 
     v = store.version(name) if version is None else version
     meta = store.commit_meta(name, v)
+    if corpus_store is not None and "corpus_version" in meta:
+        cur = corpus_store.version(meta["corpus_label"])
+        if cur != meta["corpus_version"]:
+            warnings.warn(
+                f"ANN index {name!r} v{v} was trained on "
+                f"{meta['corpus_label']!r} v{meta['corpus_version']} but the "
+                f"corpus is now v{cur} — rebuild with reindex_ann()",
+                StaleAnnIndexWarning,
+                stacklevel=2,
+            )
     kind = meta.get("kind")
     df = store.read(spark, name, v)
     if kind == "ivf":
@@ -232,7 +282,57 @@ def indexed_ann_topk(
             vec_col=vec_col,
             **kwargs,
         )
-    raise ValueError(
-        f"index {name!r} has kind {ix.kind!r}; use pq_topk(..., codebooks=load_ann_index(...).codebooks) "
-        "for single-query PQ scans"
-    )
+    if ix.kind == "pq":
+        from scalligraph_spark.operators.similarity import pq_topk
+
+        if "query_id" not in kwargs:
+            raise ValueError(
+                "kind='pq' indexes serve single-query asymmetric-distance "
+                "scans: pass query_id=<vector id> (pq_topk contract)"
+            )
+        return pq_topk(
+            embeddings, k=k, id_col=id_col, vec_col=vec_col, codebooks=ix.codebooks, **kwargs
+        )
+    raise ValueError(f"index {name!r} has unknown kind {ix.kind!r}")
+
+
+def reindex_ann(
+    spark: SparkSession,
+    store,
+    name: str,
+    corpus_store,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Rebuild a persisted index against the CURRENT corpus version with
+    the parameters recorded in its own meta — the ``ReindexData`` /
+    ``JanusDatabase.reindex`` analog (JanusDatabase.scala:304-434): the
+    rebuild is a new artifact version, readers pinned to the old version
+    are undisturbed, and the freshness warning clears because the new
+    meta records the current corpus version.  Register it as a migration
+    ``db_operation`` to run exactly once per schema version."""
+    meta = store.commit_meta(name)
+    if "corpus_label" not in meta:
+        raise ValueError(
+            f"index {name!r} records no training corpus; rebuild it with the "
+            "matching build_*_index(..., corpus_store=, corpus_label=) instead"
+        )
+    emb = corpus_store.read(spark, meta["corpus_label"])
+    kind = meta.get("kind")
+    if kind == "ivf":
+        return build_ivf_index(
+            store, name, emb,
+            n_centroids=int(meta["n_centroids"]),
+            sample_rows=int(meta["sample_rows"]),
+            id_col=id_col, vec_col=vec_col,
+            corpus_store=corpus_store, corpus_label=meta["corpus_label"],
+        )
+    if kind == "pq":
+        return build_pq_index(
+            store, name, emb,
+            m=int(meta["m"]), nbits=int(meta["nbits"]),
+            sample_rows=int(meta["sample_rows"]),
+            id_col=id_col, vec_col=vec_col,
+            corpus_store=corpus_store, corpus_label=meta["corpus_label"],
+        )
+    raise ValueError(f"index {name!r} has kind {kind!r}; only ivf/pq retrain (lsh is configuration)")

@@ -59,9 +59,14 @@ def turn_dedup(
     """
     if scope not in ("corpus", "conversation"):
         raise ValueError(f"unknown scope {scope!r}; use 'corpus' or 'conversation'")
-    keys = [F.md5(F.col(text_col)).alias("__h")]
+    # null-safe keys: md5(NULL) is NULL and the join-back is a plain
+    # equi-join, so NULL-text (or NULL-role) turns would silently drop —
+    # coalesce to sentinels no real md5/role can collide with
+    keys = [F.coalesce(F.md5(F.col(text_col)), F.lit("__null__")).alias("__h")]
     if by_role:
-        keys.append(F.col(role_col).alias("__r"))
+        keys.append(
+            F.coalesce(F.col(role_col).cast("string"), F.lit("__null_role__")).alias("__r")
+        )
     if scope == "conversation":
         keys.append(F.col(conv_col).alias("__c"))
     hashed = turns.select(

@@ -215,7 +215,11 @@ def _decode_real(payload: bytes, kind: str) -> dict:
                 "height": img.height,
                 "feature": [v / total for v in hist],
             }
-    except ImportError:
+    except Exception:
+        # ImportError (no PIL) — but ALSO UnidentifiedImageError/OSError/
+        # ValueError on corrupt or unsupported payloads: a 100 TB corpus
+        # WILL contain broken bytes, and one bad row must degrade to the
+        # stdlib decoders / stub below, never crash the job
         pass
     if kind == "image":
         out = _decode_png(payload)

@@ -147,9 +147,17 @@ def analyze(
     v = store.version(label) if version is None else version
     df = store.read(spark, label, v)
     rows = column_stats(df, columns=columns, exact=exact).collect()
+    vdir = store.path(label, v)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(vdir)
+        for fn in fns
+        if not fn.startswith("_") and not fn.startswith(".")
+    )
     payload = {
         "version": v,
         "n_rows": rows[0]["n_rows"] if rows else df.count(),
+        "n_bytes": n_bytes,  # on-disk data bytes; feeds broadcast gating
         "exact": exact,
         "columns": {
             r["column"]: {

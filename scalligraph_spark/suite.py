@@ -136,6 +136,42 @@ def executor_for(
     ex.register("dedupExact", "documents", _dedup_exact_step)
     ex.register("tokenStats", "documents", _token_stats)
 
+    # dialogue tier as chain steps: a query-language user drives the chat
+    # pipeline (turns → dedup → stats/assembly) without the Python API —
+    # same extension surface as qualityGate/tokenStats above
+    # (QueryExecutor.scala:28-29)
+    def _turns_init(g, s, a):
+        return Traversal(_turns_df(g.spark, sf_dir), catalog=g, label="turns")
+
+    def _turn_dedup_step(t, s, a):
+        from scalligraph_spark.operators import turn_dedup
+
+        out = turn_dedup(
+            t.df,
+            scope=str(s.get("scope", "corpus")),
+            by_role=bool(s.get("byRole", True)),
+        )
+        if s.get("dropDups"):
+            out = out.where(~F.col("is_dup_turn")).drop(
+                "is_dup_turn", "first_conv_id", "first_turn_no"
+            )
+        return t._with(out, label="turns")
+
+    def _role_token_stats_step(t, s, a):
+        from scalligraph_spark.operators import role_token_stats
+
+        return t._with(role_token_stats(t.df), label=None)
+
+    def _assemble_step(t, s, a):
+        from scalligraph_spark.operators import assemble_dialogues
+
+        return t._with(assemble_dialogues(t.df), label=None)
+
+    ex.register_init("turns", _turns_init)
+    ex.register("turnDedup", "turns", _turn_dedup_step)
+    ex.register("roleTokenStats", "turns", _role_token_stats_step)
+    ex.register("assembleDialogues", "turns", _assemble_step)
+
     def _ann_search(g, s, a):
         from scalligraph_spark.operators import brute_force_cosine_topk
 
@@ -6476,6 +6512,45 @@ def dialogue_assemble_q(spark, sf):
     from scalligraph_spark.operators import assemble_dialogues
 
     return assemble_dialogues(_turns_df(spark, sf))
+
+
+@q(
+    "qlang_dialogue_chain",
+    f"""
+WITH turns AS ({_TURNS_SQL}),
+w AS (
+  SELECT conv_id, turn_no, role, text,
+         first_value(conv_id) OVER win AS fc,
+         first_value(turn_no) OVER win AS ft,
+         count(*) OVER (PARTITION BY md5(text), role) AS n
+  FROM turns
+  WINDOW win AS (PARTITION BY md5(text), role ORDER BY conv_id, turn_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+kept AS (
+  SELECT conv_id, turn_no, role, text FROM w
+  WHERE NOT (n > 1 AND NOT (conv_id = fc AND turn_no = ft))
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_no, role, text) AS dialogue
+FROM kept GROUP BY conv_id
+""",
+    "the chat pipeline THROUGH the query language: registered chain steps "
+    "turns → turnDedup(dropDups) → assembleDialogues compose boilerplate "
+    "removal with transcript rendering, no Python API in sight — the "
+    "reference's custom-query extension surface "
+    "(QueryExecutor.scala:28-29) covering dialogue data",
+)
+def qlang_dialogue_chain_q(spark, sf):
+    ex = executor_for(spark, sf)
+    t = ex.execute(
+        [
+            {"_name": "turns"},
+            {"_name": "turnDedup", "dropDups": True},
+            {"_name": "assembleDialogues"},
+        ]
+    )
+    return t.df
 
 
 @q(

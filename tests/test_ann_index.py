@@ -213,3 +213,87 @@ def test_ivfpq_with_persisted_artifacts_no_training(spark, embeddings, store, mo
     ).collect()
     assert len(pruned) == 5
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in pruned)
+
+
+def test_indexed_ann_topk_dispatches_all_three_kinds(spark, embeddings, store, monkeypatch):
+    """The dispatcher covers every persisted kind bit-identically to the
+    direct query ops, with training poisoned — including the PQ
+    single-query scan it used to refuse."""
+    from scalligraph_spark.operators import (
+        build_ivf_index,
+        build_lsh_index,
+        build_pq_index,
+        indexed_ann_topk,
+        ivf_ann_topk,
+        load_ann_index,
+        lsh_ann_topk,
+        pq_topk,
+        pq_train,
+    )
+
+    ivf_base = sorted(map(tuple, ivf_ann_topk(embeddings, k=3, n_centroids=8).collect()))
+    lsh_base = sorted(
+        map(tuple, lsh_ann_topk(embeddings, k=3, num_planes=6, num_tables=2).collect())
+    )
+    books = pq_train(embeddings, m=4, nbits=4)
+    pq_base = sorted(
+        map(tuple, pq_topk(embeddings, query_id=1, k=5, codebooks=books).collect())
+    )
+
+    build_ivf_index(store, "ix_ivf", embeddings, n_centroids=8)
+    build_pq_index(store, "ix_pq", embeddings, m=4, nbits=4)
+    build_lsh_index(store, "ix_lsh", spark, num_planes=6, num_tables=2)
+
+    _no_training(monkeypatch)
+    assert sorted(map(tuple, indexed_ann_topk(spark, store, "ix_ivf", embeddings, k=3).collect())) == ivf_base
+    assert sorted(map(tuple, indexed_ann_topk(spark, store, "ix_lsh", embeddings, k=3).collect())) == lsh_base
+    assert (
+        sorted(map(tuple, indexed_ann_topk(spark, store, "ix_pq", embeddings, k=5, query_id=1).collect()))
+        == pq_base
+    )
+    # PQ without a query vector is a contract error, not a silent full scan
+    with pytest.raises(ValueError, match="query_id"):
+        indexed_ann_topk(spark, store, "ix_pq", embeddings, k=5)
+
+
+def test_stale_index_warns_and_reindex_clears(spark, embeddings, store):
+    """Freshness guard: an index trained on corpus v1 used against corpus
+    v2 raises StaleAnnIndexWarning at load; reindex_ann rebuilds against
+    the current version with the meta-recorded parameters and the warning
+    clears (the ReindexData discipline)."""
+    import warnings
+
+    from scalligraph_spark.operators import (
+        StaleAnnIndexWarning,
+        build_ivf_index,
+        load_ann_index,
+        reindex_ann,
+    )
+
+    store.write("emb", embeddings)  # corpus v1, store-tracked
+    v = build_ivf_index(
+        store, "emb_ix", store.read(spark, "emb"),
+        n_centroids=8, corpus_store=store, corpus_label="emb",
+    )
+    ix = load_ann_index(spark, store, "emb_ix", corpus_store=store)
+    assert ix.meta["corpus_label"] == "emb" and ix.meta["corpus_version"] == 1
+
+    # corpus drifts to v2 -> the same load now warns
+    store.write("emb", embeddings.limit(50))
+    with pytest.warns(StaleAnnIndexWarning, match="v1 but the corpus is now v2"):
+        load_ann_index(spark, store, "emb_ix", corpus_store=store)
+
+    # rebuild: new artifact version, trained on v2, warning gone
+    v2 = reindex_ann(spark, store, "emb_ix", corpus_store=store)
+    assert v2 == v + 1
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", StaleAnnIndexWarning)
+        fresh = load_ann_index(spark, store, "emb_ix", corpus_store=store)
+    assert fresh.meta["corpus_version"] == 2
+    # readers pinned to the old artifact version are undisturbed
+    assert load_ann_index(spark, store, "emb_ix", version=v).centroids.shape[0] == 8
+
+    # an index with no recorded corpus cannot reindex blindly
+    build_ivf_index(store, "emb_ix_untracked", store.read(spark, "emb"), n_centroids=4)
+    with pytest.raises(ValueError, match="records no training corpus"):
+        reindex_ann(spark, store, "emb_ix_untracked", corpus_store=store)

@@ -96,3 +96,28 @@ def test_assemble_dialogues_ordering_and_template(spark, turns):
     assert out2[3].dialogue == "<user> how can I help | <assistant> try again | <assistant> try again"
     with pytest.raises(ValueError):
         assemble_dialogues(turns, template="no placeholders")
+
+
+def test_turn_dedup_retains_null_text_and_role(spark):
+    """md5(NULL) is NULL and the join-back is a plain equi-join, so
+    NULL-text/NULL-role turns used to vanish from the output — the
+    'every input turn' contract pins them retained, and NULL texts
+    dedup against each other like any other group."""
+    rows = [
+        (1, 0, "user", None),
+        (1, 1, None, "hi"),
+        (2, 0, "user", None),
+        (2, 1, "user", "hi"),
+    ]
+    turns = spark.createDataFrame(rows, "conv_id long, turn_no long, role string, text string")
+    out = {(r.conv_id, r.turn_no): r for r in turn_dedup(turns).collect()}
+    assert len(out) == 4, "null-text/null-role turns must not drop"
+    # the two NULL-text user turns form one group: (1,0) canonical, (2,0) dup
+    assert not out[(1, 0)].is_dup_turn and out[(2, 0)].is_dup_turn
+    assert (out[(2, 0)].first_conv_id, out[(2, 0)].first_turn_no) == (1, 0)
+    # 'hi' under role NULL vs role user: separated when by_role=True...
+    assert not out[(1, 1)].is_dup_turn and not out[(2, 1)].is_dup_turn
+    # ...and conflated when by_role=False
+    out2 = {(r.conv_id, r.turn_no): r for r in turn_dedup(turns, by_role=False).collect()}
+    assert len(out2) == 4
+    assert not out2[(1, 1)].is_dup_turn and out2[(2, 1)].is_dup_turn

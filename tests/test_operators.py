@@ -1980,3 +1980,20 @@ def test_extract_features_real_decoder_end_to_end(spark):
 
     with _pytest.raises(ValueError):
         extract_features(media, decoder="nope")
+
+
+def test_decode_real_corrupt_payload_degrades_to_stub():
+    """A corrupt/truncated image payload must fall through to the stub,
+    never raise out of the UDF — one bad row cannot crash a 100 TB job
+    (the decode chain catches broadly: PIL decode errors when PIL is
+    installed, and the stdlib PNG parser returns None on garbage)."""
+    from scalligraph_spark.operators.multimodal import _decode_real, _decode_stub
+
+    for payload in (
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 16,  # valid signature, garbage body
+        b"not an image at all",
+        b"",
+    ):
+        out = _decode_real(payload, "image")
+        assert out == _decode_stub(payload, "image")
+    assert _decode_real(b"RIFFgarbage", "audio") == _decode_stub(b"RIFFgarbage", "audio")

@@ -386,3 +386,73 @@ def test_stats_fed_hop_auto_broadcast(spark, tmp_path):
         assert "BroadcastHashJoin" not in hop_plan(cat2)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_hop_broadcast_gated_on_bytes_and_staleness(spark, tmp_path):
+    """Byte-aware broadcast gating + stat staleness: a row count under
+    the threshold must NOT force a broadcast when the stats prove the
+    table wide (rows x width = executors x OOM at scale), and hints must
+    CLEAR when the store advances past the analyzed version."""
+    import contextlib
+    import io
+
+    from scalligraph_spark.catalog import EdgeSpec, GraphCatalog
+    from scalligraph_spark.stats import analyze
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "bytestore"))
+    wide = spark.createDataFrame(
+        [(i, "x" * 2000) for i in range(50)], "d_id long, d_comment string"
+    )
+    store.write("dim", wide)
+    fact = spark.createDataFrame([(i, i % 50) for i in range(500)], "f_id long, d_id long")
+    store.write("fact", fact)
+
+    def build_cat():
+        cat = GraphCatalog(spark)
+        cat.add_store_vertex(store, "fact", "f_id")
+        cat.add_store_vertex(store, "dim", "d_id")
+        cat.add_edge(
+            EdgeSpec(
+                label="has_dim", src_label="fact", dst_label="dim",
+                loader=lambda: store.read(spark, "fact"),
+                src_key="f_id", dst_key="d_id",
+                src_join_col="f_id", dst_join_col="d_id",
+                kind="fk", fk_holder="src",
+            )
+        )
+        return cat
+
+    def hop_plan(cat):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cat.V("fact").out("has_dim").df.explain("formatted")
+        return buf.getvalue()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stats = analyze(spark, store, "dim")
+        assert stats["n_bytes"] > 0  # ANALYZE records on-disk data bytes
+        cat = build_cat().attach_stats(store)
+        assert cat.vertices["dim"].n_rows_hint == 50
+        assert cat.vertices["dim"].n_bytes_hint == stats["n_bytes"]
+        # 50 rows passes the row gate; broadcast because bytes are tiny too
+        assert "BroadcastHashJoin" in hop_plan(cat)
+        # shrink the byte threshold below the table size: row gate passes,
+        # byte gate refuses
+        cat.auto_broadcast_bytes = 1024
+        assert "BroadcastHashJoin" not in hop_plan(cat)
+        # schema-width fallback (stat without n_bytes, e.g. pre-upgrade):
+        cat3 = build_cat().attach_stats(store)
+        cat3.vertices["dim"].n_bytes_hint = None
+        assert cat3._est_broadcast_bytes("dim", store.read(spark, "dim"), 50) == 50 * 40
+        # staleness: the store advances -> current version has no stats ->
+        # attach_stats clears the hints instead of keeping version-1 numbers
+        store.write("dim", wide.limit(10))
+        cat4 = build_cat().attach_stats(store)
+        assert cat4.vertices["dim"].n_rows_hint is None
+        assert cat4.vertices["dim"].n_bytes_hint is None
+        assert "BroadcastHashJoin" not in hop_plan(cat4)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
