@@ -181,3 +181,65 @@ def assemble_dialogues(
             F.array_join(F.transform(F.col("__ts"), line), sep).alias("dialogue"),
         )
     )
+
+
+def pack_dialogues(
+    turns: DataFrame,
+    max_tokens: int,
+    role_weights: dict[str, float] | None = None,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Role-aware sequence packing for chat transcripts → one row per
+    conversation: ``(conv_id[, shard], n_raw_tokens, n_budget_tokens,
+    start_offset, pack_id)``.
+
+    ``pipeline.pack_documents`` charges every whitespace token equally;
+    a chat context window is budgeted differently — loss-masked roles
+    (user/system boilerplate) cost context but not loss, so a packing
+    plan balancing LEARNABLE tokens weights each turn's count by its
+    role (:func:`role_token_stats`' shares are the natural feed: weight
+    roles inversely to their observed share to balance them, or 0.25/1.0
+    style loss-mask discounts).  Per-turn budget = ``ceil(tokens ×
+    weight(role))`` — integral, so the running prefix sum stays exact
+    integer arithmetic (float prefix sums are order-dependent) — summed
+    per conversation, then conversations pack in ``conv_col`` order
+    under concatenate-and-chunk semantics exactly like
+    ``pack_documents``: ``pack_id = floor(start_offset / max_tokens)``.
+
+    Scale: one hash aggregate (conv totals) + one window prefix sum —
+    partitioned per shard when ``shard_col`` is given (no global sort at
+    100 TB; shards pack independently, matching multi-worker sharding).
+    Missing roles weigh 1.0.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    weight = F.lit(1.0)
+    if role_weights:
+        weight = reduce(
+            lambda acc, rw: F.when(F.col(role_col) == F.lit(rw[0]), F.lit(float(rw[1]))).otherwise(acc),
+            role_weights.items(),
+            weight,
+        )
+    budget = F.ceil(toks * weight).cast("long")
+    group = [conv_col] if shard_col is None else [conv_col, shard_col]
+    per_conv = turns.groupBy(*group).agg(
+        F.sum(toks).cast("long").alias("n_raw_tokens"),
+        F.sum(budget).cast("long").alias("n_budget_tokens"),
+    )
+    w = (
+        Window.orderBy(F.col(conv_col).asc())
+        if shard_col is None
+        else Window.partitionBy(shard_col).orderBy(F.col(conv_col).asc())
+    )
+    running = F.sum("n_budget_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_conv.withColumn(
+        "start_offset", (running - F.col("n_budget_tokens")).cast("long")
+    ).withColumn("pack_id", F.floor(F.col("start_offset") / max_tokens))

@@ -6515,6 +6515,47 @@ def dialogue_assemble_q(spark, sf):
 
 
 @q(
+    "dialogue_pack_budget",
+    f"""
+WITH turns AS ({_TURNS_SQL}),
+t AS (
+  SELECT conv_id,
+         len(string_split_regex(trim(text), '\\s+')) AS toks,
+         CAST(ceil(len(string_split_regex(trim(text), '\\s+')) *
+              CASE role WHEN 'user' THEN 0.25 ELSE 1.0 END) AS BIGINT) AS budget
+  FROM turns
+),
+per AS (
+  SELECT conv_id, CAST(sum(toks) AS BIGINT) AS n_raw_tokens,
+         CAST(sum(budget) AS BIGINT) AS n_budget_tokens
+  FROM t GROUP BY conv_id
+),
+offs AS (
+  SELECT conv_id, n_raw_tokens, n_budget_tokens,
+         CAST(sum(n_budget_tokens) OVER (ORDER BY conv_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_budget_tokens AS BIGINT) AS start_offset
+  FROM per
+)
+SELECT conv_id, n_raw_tokens, n_budget_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
+FROM offs
+""",
+    "role-aware packing: chat transcripts pack into 512-budget-token "
+    "context windows where loss-masked user turns cost 0.25x (ceil-"
+    "integral per turn, so the prefix sum is exact integer arithmetic) — "
+    "role_token_stats' budgeting purpose wired through to the packer "
+    "(concatenate-and-chunk semantics of pipeline.pack_documents)",
+)
+def dialogue_pack_budget_q(spark, sf):
+    from scalligraph_spark.operators import pack_dialogues
+
+    return pack_dialogues(
+        _turns_df(spark, sf), max_tokens=512, role_weights={"user": 0.25}
+    )
+
+
+@q(
     "qlang_dialogue_chain",
     f"""
 WITH turns AS ({_TURNS_SQL}),

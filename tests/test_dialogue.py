@@ -121,3 +121,46 @@ def test_turn_dedup_retains_null_text_and_role(spark):
     out2 = {(r.conv_id, r.turn_no): r for r in turn_dedup(turns, by_role=False).collect()}
     assert len(out2) == 4
     assert not out2[(1, 1)].is_dup_turn and out2[(2, 1)].is_dup_turn
+
+
+def test_pack_dialogues_role_budgets_and_shards(spark, turns):
+    """Role-aware packing: budget tokens = ceil(tokens x weight(role)),
+    conversations pack in conv order, pack boundaries follow the BUDGET
+    stream; per-shard windows pack independently; stats composition —
+    weights derived from role_token_stats shares change the plan."""
+    from scalligraph_spark.operators import pack_dialogues
+
+    out = {
+        r.conv_id: r
+        for r in pack_dialogues(
+            turns, max_tokens=8, role_weights={"user": 0.5}
+        ).collect()
+    }
+    # conv 1: user 'hello'(1x0.5 -> 1) + assistant 'how can I help'(4) +
+    # user 'explain joins'(2x0.5 -> 1) = 6 budget, 7 raw
+    assert (out[1].n_raw_tokens, out[1].n_budget_tokens) == (7, 6)
+    assert (out[1].start_offset, out[1].pack_id) == (0, 0)
+    # conv 2 starts at offset 6 -> still pack 0; conv 3 crosses into pack 1
+    assert out[2].start_offset == 6 and out[2].pack_id == 0
+    assert out[3].pack_id == out[3].start_offset // 8
+    # unweighted = pack_documents-style equal charging
+    flat = {r.conv_id: r for r in pack_dialogues(turns, max_tokens=8).collect()}
+    assert all(flat[c].n_budget_tokens == flat[c].n_raw_tokens for c in flat)
+    # shard-partitioned prefix sums: each shard's offsets start at 0
+    sharded = turns.withColumn("shard", F_col("conv_id") % 2)
+    packs = pack_dialogues(sharded, max_tokens=8, shard_col="shard").collect()
+    firsts = {}
+    for r in sorted(packs, key=lambda r: (r.shard, r.conv_id)):
+        firsts.setdefault(r.shard, r.start_offset)
+    assert all(v == 0 for v in firsts.values())
+
+
+def test_pack_dialogues_weights_from_role_token_stats(spark, turns):
+    """The stated composition: role_token_stats' observed shares invert
+    into balancing weights that feed pack_dialogues directly."""
+    from scalligraph_spark.operators import pack_dialogues, role_token_stats
+
+    stats = {r.role: r for r in role_token_stats(turns).collect()}
+    weights = {role: 1.0 / max(s.token_share, 1e-9) for role, s in stats.items()}
+    out = pack_dialogues(turns, max_tokens=64, role_weights=weights).collect()
+    assert all(r.n_budget_tokens >= r.n_raw_tokens for r in out)
