@@ -94,6 +94,14 @@ HEADLINE = [
     "dedup_edit_distance_auto",  # auto-selected blocking (sampled gram stats), d=5
     "link_customer_records",  # lossless (nation, balance) blocking + block-size guard
     "similarity_indexed_ann",  # ANN through a persisted index artifact (no per-call training)
+    # round-6 additions: the index lifecycle split into its two phases so
+    # the bench measures what the artifact amortizes — build (one-time
+    # training + store commit) vs query (load + probe, zero training jobs;
+    # similarity_indexed_ann above is now query-only over a prebuilt index)
+    "similarity_ann_index_build",
+    "qlang_row_policy",  # RLS predicate pushed into the scan
+    "dialogue_pack_budget",  # role-weighted packing prefix sums
+    "qlang_dialogue_chain",  # turns -> turnDedup -> assemble through qlang
 ]
 
 
@@ -107,8 +115,14 @@ def main() -> int:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM JIT, parquet footer reads, codegen — untimed
+    # warm-up: JVM JIT, parquet footer reads, codegen — untimed.  The ANN
+    # index build is also warm-up (its own cost is the separate
+    # similarity_ann_index_build key; similarity_indexed_ann must time the
+    # QUERY phase only, every rep)
     cat_for(spark, sf_dir).V("nation").count().df.collect()
+    from scalligraph_spark.suite import _ann_index_store
+
+    _ann_index_store(spark, sf_dir)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}

@@ -1662,29 +1662,65 @@ def similarity_ivf_topk_q(spark, sf):
     return ivf_ann_topk(cat_for(spark, sf).vertex_df("embeddings"), k=10)
 
 
+def _ann_index_store(spark, sf, rebuild: bool = False):
+    """Build-once-per-process IVF index for the sf's embeddings table —
+    the point of a persisted index is that queries do NOT pay training;
+    benching query time with a rebuild inside the timed entry hid the
+    amortization (round-5 verdict #4).  ``n_rows`` comes from the
+    catalog's parquet-footer hint: zero sizing jobs."""
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.operators import build_ivf_index
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_annix_{_os.path.basename(sf.rstrip('/'))}"
+    key = (root,)
+    if rebuild or key not in _ANN_INDEX_BUILT:
+        c = cat_for(spark, sf)
+        emb = c.vertex_df("embeddings")
+        _shutil.rmtree(root, ignore_errors=True)
+        build_ivf_index(
+            LabelStore(root), "emb_ivf", emb,
+            n_rows=c.vertices["embeddings"].n_rows_hint,
+        )
+        _ANN_INDEX_BUILT.add(key)
+    return LabelStore(root)
+
+
+_ANN_INDEX_BUILT: set = set()
+
+
 @q(
     "similarity_indexed_ann",
     None,  # k-means cells — no closed-form oracle; rows-only (pytest proves
     # bit-identity with the per-call-trained path and a no-training guard)
-    "ANN through a PERSISTED index artifact: build the IVF quantizer once "
-    "into the versioned LabelStore, then query via load_ann_index → "
-    "ivf_ann_topk(centroids=…) with NO training/sampling job — the "
-    "reference's declared-index discipline (Model.scala:16-19, "
-    "JanusDatabase.scala:304-434) applied to the ANN tier",
+    "ANN through a PERSISTED index artifact: the IVF quantizer is built "
+    "once into the versioned LabelStore (see similarity_ann_index_build), "
+    "then every query goes load_ann_index → ivf_ann_topk(centroids=…) "
+    "with NO training/sampling job — the reference's declared-index "
+    "discipline (Model.scala:16-19, JanusDatabase.scala:304-434) applied "
+    "to the ANN tier; this entry times the QUERY phase",
 )
 def similarity_indexed_ann_q(spark, sf):
-    import os as _os
-    import shutil as _shutil
+    from scalligraph_spark.operators import indexed_ann_topk
 
-    from scalligraph_spark.operators import build_ivf_index, indexed_ann_topk
-    from scalligraph_spark.store import LabelStore
-
+    store = _ann_index_store(spark, sf)
     emb = cat_for(spark, sf).vertex_df("embeddings")
-    root = f"/tmp/sgspark_annix_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    build_ivf_index(store, "emb_ivf", emb, n_rows=emb.count())
     return indexed_ann_topk(spark, store, "emb_ivf", emb, k=10)
+
+
+@q(
+    "similarity_ann_index_build",
+    None,  # k-means training — no closed-form oracle; rows-only
+    "the BUILD phase of the persisted-ANN lifecycle, benched separately "
+    "from the query phase: deterministic-sample spherical k-means + one "
+    "versioned store commit — the one-time cost the index amortizes over "
+    "every subsequent similarity_indexed_ann query",
+)
+def similarity_ann_index_build_q(spark, sf):
+    store = _ann_index_store(spark, sf, rebuild=True)
+    return store.read(spark, "emb_ivf")
 
 
 @q(
@@ -6384,6 +6420,59 @@ def qagg_rollup_events_q(spark, sf):
             dsum(F.col("value")).alias("total_value"),
         )
         .select("event_type", "cohort", "gid", "n", "total_value")
+    )
+
+
+@q(
+    "qagg_grouping_sets",
+    f"""
+SELECT event_type, user_id % 10 AS cohort,
+       CAST(GROUPING(event_type, user_id % 10) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n, {dsum_expr('value')} AS total_value
+FROM events GROUP BY GROUPING SETS ((event_type, user_id % 10), (user_id % 10), ())
+""",
+    "arbitrary NON-hierarchical grouping sets — (type, cohort), "
+    "(cohort), () but deliberately NOT (type): the combination ROLLUP "
+    "and CUBE cannot express — still ONE Expand+hash-aggregate pass, "
+    "completing the grouping-sets OLAP family",
+)
+def qagg_grouping_sets_q(spark, sf):
+    ev = cat_for(spark, sf).vertex_df("events").withColumn("cohort", F.col("user_id") % 10)
+    return (
+        ev.groupingSets(
+            [["event_type", "cohort"], ["cohort"], []], "event_type", "cohort"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select("event_type", "cohort", "gid", "n", "total_value")
+    )
+
+
+@q(
+    "events_json_extract_agg",
+    f"""
+SELECT event_type,
+       CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+    "semi-structured payload analytics: get_json_object pulls $.k out of "
+    "the props JSON string inside the scan projection (no UDF, no "
+    "explode), then one hash aggregate per event_type — JSON stays a "
+    "column-level detail, never a row explosion, which is what keeps "
+    "schema-on-read payloads cheap at 100 TB",
+)
+def events_json_extract_agg_q(spark, sf):
+    ev = cat_for(spark, sf).vertex_df("events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
     )
 
 
