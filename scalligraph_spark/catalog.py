@@ -192,10 +192,22 @@ class GraphCatalog:
             p = os.path.join(sf_dir, f"{label}.parquet")
             if not os.path.exists(p):
                 continue
+            # single file OR a Spark-written directory of part files —
+            # footer reads either way, no data scan
+            files = (
+                [p]
+                if os.path.isfile(p)
+                else [
+                    os.path.join(p, fn)
+                    for fn in os.listdir(p)
+                    if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+                ]
+            )
+            if not files:
+                continue
             spec = self.vertices[label]
-            meta = pq.ParquetFile(p).metadata
-            spec.n_rows_hint = meta.num_rows
-            spec.n_bytes_hint = os.path.getsize(p)
+            spec.n_rows_hint = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            spec.n_bytes_hint = sum(os.path.getsize(f) for f in files)
         return self
 
     # schema-width fallback when ANALYZE predates the n_bytes field —

@@ -456,3 +456,18 @@ def test_hop_broadcast_gated_on_bytes_and_staleness(spark, tmp_path):
         assert "BroadcastHashJoin" not in hop_plan(cat4)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_attach_parquet_stats_handles_file_and_directory(spark, tmp_path):
+    """Footer stats must read BOTH layouts: a single .parquet file (the
+    testdata shape) and a Spark-written directory of part files (any
+    scaled/production shape) — the scale bench broke on the latter."""
+    from scalligraph_spark.catalog import GraphCatalog, VertexSpec
+
+    ddir = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(i,) for i in range(100)], "k long").repartition(3).write.parquet(ddir)
+    cat = GraphCatalog(spark)
+    cat.add_vertex(VertexSpec("t", "k", lambda: spark.read.parquet(ddir)))
+    cat.attach_parquet_stats(str(tmp_path))
+    assert cat.vertices["t"].n_rows_hint == 100
+    assert cat.vertices["t"].n_bytes_hint > 0
