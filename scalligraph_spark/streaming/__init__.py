@@ -499,3 +499,41 @@ def start_mv_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_with_scd2(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static SCD2 enrichment: attach to each streaming event the
+    dimension version that was VALID AT the event's own time — the
+    warehouse lookup every event pipeline needs once dimensions change
+    (pricing tiers, user segments, model versions).
+
+    ``dim`` is a type-2 dimension (``operators.scd2_from_observations``
+    output: key, attrs, version, valid_from, valid_to half-open).  The
+    join condition is the as-of probe
+    ``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)`` — a
+    stream-static join, which Structured Streaming executes stateLESSly:
+    the static side is simply (re)read per micro-batch, so there is no
+    watermark requirement and no state store growth.  At scale the
+    dimension is the small side — Spark broadcasts it per batch, so
+    enrichment costs a map-side hash probe per event.
+
+    ``how="left"`` keeps events with no valid dimension version (nulls),
+    ``"inner"`` drops them.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    d = dim.select(
+        F.col(key).alias("__k"),
+        *[F.col(c) for c in dim.columns if c != key],
+    )
+    cond = (
+        (F.col("__k") == stream[key])
+        & (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (ts < F.col("valid_to")))
+    )
+    return stream.join(d, cond, how).drop("__k")

@@ -466,3 +466,50 @@ def test_dedup_sink_heals_torn_hash_sidecar(spark, tmp_path_factory):
     start_dedup_sink(raw2, store, "corpus", ckpt).awaitTermination()
     assert sorted(r["doc_id"] for r in store.read(spark, "corpus").collect()) == [1, 2]
     assert store.read(spark, "corpus__hashes").count() == 2
+
+
+def test_enrich_with_scd2_stream_static_asof(spark, tmp_path):
+    """Stream-static SCD2 enrichment: each streaming event picks up the
+    dimension version valid AT its event time; events before the first
+    version keep nulls under how='left' and drop under 'inner'."""
+    from scalligraph_spark.operators import scd2_from_observations
+    from scalligraph_spark.streaming import enrich_with_scd2, run_available_now
+
+    obs = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "bronze"),
+            (1, "2024-01-10 00:00:00", "gold"),
+            (2, "2024-01-05 00:00:00", "silver"),
+        ],
+        "user_id long, ts string, tier string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = scd2_from_observations(obs, "user_id", "ts", ["tier"])
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [
+            (100, 1, "2024-01-02 00:00:00"),  # bronze window
+            (101, 1, "2024-01-15 00:00:00"),  # gold (current, valid_to null)
+            (102, 2, "2024-01-04 00:00:00"),  # before user 2's first version
+            (103, 3, "2024-01-04 00:00:00"),  # unknown user
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+
+    stream = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(src)
+    got = run_available_now(
+        enrich_with_scd2(stream, dim, "user_id"),
+        query_name="scd2_left",
+        output_mode="append",  # stateless stream-static join: no aggregation state
+    )
+    rows = {r.event_id: r for r in got.collect()}
+    assert rows[100].tier == "bronze" and rows[100].version == 1
+    assert rows[101].tier == "gold" and rows[101].valid_to is None
+    assert rows[102].tier is None and rows[103].tier is None  # left keeps
+
+    inner = run_available_now(
+        enrich_with_scd2(stream, dim, "user_id", how="inner"),
+        query_name="scd2_inner",
+        output_mode="append",
+    )
+    assert sorted(r.event_id for r in inner.collect()) == [100, 101]
