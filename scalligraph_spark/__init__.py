@@ -39,7 +39,7 @@ from scalligraph_spark.properties import PublicProperties, PublicProperty
 from scalligraph_spark.session import get_spark
 from scalligraph_spark.store import LabelStore
 from scalligraph_spark.traversal import P, SortBy, TextP, Traversal
-from scalligraph_spark.writes import WriteSession
+from scalligraph_spark.writes import WriteConflictError, WriteSession, try_transaction
 
 __all__ = [
     "AUDIT_COLUMNS",
@@ -48,6 +48,8 @@ __all__ = [
     "FieldsParser",
     "Operations",
     "WriteSession",
+    "WriteConflictError",
+    "try_transaction",
     "validate_chain",
     "EdgeSpec",
     "EntityModel",

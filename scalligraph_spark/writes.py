@@ -254,6 +254,7 @@ class WriteSession:
         self.created_by = created_by
         self.at = at
         self.unique_keys = unique_keys or []
+        self.base_version = store.version(label)  # for conflict detection
         self.df = store.read(spark, label)  # pinned snapshot
 
     def create(self, new_rows: DataFrame) -> "WriteSession":
@@ -276,9 +277,73 @@ class WriteSession:
         self.df = fn(self.df)
         return self
 
-    def commit(self, meta: dict | None = None, **write_opts) -> int:
-        """Write the accumulated state as a new version; returns it."""
-        return self.store.write(self.label, self.df, meta=meta, **write_opts)
+    def commit(self, meta: dict | None = None, force: bool = False, **write_opts) -> int:
+        """Write the accumulated state as a new version; returns it.
+
+        Optimistic concurrency (the ``tryTransaction`` conflict check,
+        JanusDatabase.scala:211-257): the session's plan was built over
+        the snapshot pinned at session start, so if ANOTHER writer
+        committed since, blindly writing would silently erase their
+        commit (last-writer-wins).  Commit therefore verifies the label
+        still points at ``base_version`` and raises
+        :class:`WriteConflictError` otherwise — callers retry through
+        :func:`try_transaction`, which re-runs the mutation over the
+        fresh snapshot.  ``force=True`` opts out (bulk loads that OWN the
+        label).  Note the check is advisory-atomic like the rest of the
+        batch store: the exclusive version-claim in ``store.write``
+        serializes the physical commit; this check serializes the
+        LOGICAL read-modify-write.
+        """
+        if not force:
+            cur = self.store.version(self.label)
+            if cur != self.base_version:
+                raise WriteConflictError(
+                    f"label {self.label!r}: session based on v{self.base_version} "
+                    f"but store is at v{cur} — another writer committed; retry "
+                    "via try_transaction()"
+                )
+        v = self.store.write(self.label, self.df, meta=meta, **write_opts)
+        self.base_version = v  # further commits from this session chain on
+        return v
+
+
+class WriteConflictError(RuntimeError):
+    """A WriteSession commit found the label advanced past its pinned
+    snapshot — the optimistic-concurrency conflict signal
+    (JanusDatabase.scala:211-257's PermanentLockingException analog)."""
+
+
+def try_transaction(
+    spark,
+    store,
+    label: str,
+    mutate,
+    id_col: str,
+    retries: int = 5,
+    backoff: float = 0.05,
+    **session_kwargs,
+) -> int:
+    """Run ``mutate(session)`` with conflict retry — the
+    ``db.tryTransaction`` retry loop (models/Database.scala:23-109,
+    JanusDatabase.scala:211-257): build a session over the CURRENT
+    snapshot, apply the mutation plan, commit; on
+    :class:`WriteConflictError` back off exponentially and re-run the
+    mutation over the fresh snapshot (the mutation must be a pure
+    function of the session — side effects would double-apply).  Raises
+    the final conflict after ``retries`` exhausted attempts.
+    """
+    import time as _time
+
+    last: WriteConflictError | None = None
+    for attempt in range(retries):
+        session = WriteSession(spark, store, label, id_col, **session_kwargs)
+        mutate(session)
+        try:
+            return session.commit()
+        except WriteConflictError as e:
+            last = e
+            _time.sleep(backoff * (2**attempt))
+    raise last  # type: ignore[misc]
 
 
 def mask_columns(df, policy: dict, salt: str | None = None):

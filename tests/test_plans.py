@@ -471,3 +471,17 @@ def test_attach_parquet_stats_handles_file_and_directory(spark, tmp_path):
     cat.attach_parquet_stats(str(tmp_path))
     assert cat.vertices["t"].n_rows_hint == 100
     assert cat.vertices["t"].n_bytes_hint > 0
+
+
+def test_aqe_runtime_partition_coalescing_engages(spark):
+    """Runtime (not just conf) proof of the AQE posture: after execution,
+    the adaptive plan shows AQEShuffleRead coalescing the configured
+    shuffle partitions down to what the data actually needs — the
+    mechanism that replaces hand-tuned spark.sql.shuffle.partitions when
+    the same query runs at 100 TB."""
+    df = spark.createDataFrame([(i % 7, i) for i in range(1000)], "k long, v long")
+    agg = df.groupBy("k").sum("v")
+    agg.collect()  # materialize so AQE finalizes the plan
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan and "coalesced" in plan

@@ -3,6 +3,7 @@ updates, unique-key enforcement, multi-valued property mutation."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from scalligraph_spark.writes import (
@@ -233,3 +234,62 @@ def test_mask_columns_salted_hash(spark):
     assert out[3] is None
     other = {r.id: r.name for r in mask_columns(df, {"name": "hash"}, salt="other").collect()}
     assert other[1] != out[1]
+
+
+def test_write_session_detects_concurrent_commit(spark, tmp_path):
+    """Optimistic concurrency: a commit based on a stale snapshot raises
+    instead of silently erasing the interleaved writer's commit
+    (tryTransaction conflict check, JanusDatabase.scala:211-257)."""
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.writes import WriteConflictError, WriteSession
+
+    store = LabelStore(str(tmp_path / "occ"))
+    store.write("t", spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    s1 = WriteSession(spark, store, "t", "id")
+    s1.update(F.col("id") == 1, {"v": F.lit("mine")})
+    # interleaved writer commits first
+    store.write("t", spark.createDataFrame([(1, "theirs")], "id long, v string"))
+    with pytest.raises(WriteConflictError, match="based on v1 but store is at v2"):
+        s1.commit()
+    # the interleaved commit survived
+    assert store.read(spark, "t").collect()[0].v == "theirs"
+    # force=True is the explicit opt-out
+    assert s1.commit(force=True) == 3
+    # chained commits from one session do not self-conflict
+    s2 = WriteSession(spark, store, "t", "id")
+    s2.update(F.col("id") == 1, {"v": F.lit("x")})
+    v = s2.commit()
+    s2.update(F.col("id") == 1, {"v": F.lit("y")})
+    assert s2.commit() == v + 1
+
+
+def test_try_transaction_retries_to_success(spark, tmp_path):
+    """The retry loop re-runs the mutation over the FRESH snapshot, so a
+    conflicting concurrent commit is absorbed, not lost."""
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.writes import WriteConflictError, try_transaction
+
+    store = LabelStore(str(tmp_path / "occ2"))
+    store.write("t", spark.createDataFrame([(1, 0)], "id long, n long"))
+    calls = {"n": 0}
+
+    def mutate(session):
+        calls["n"] += 1
+        if calls["n"] == 1:  # simulate a racing writer during attempt 1
+            store.write("t", spark.createDataFrame([(1, 100)], "id long, n long"))
+        session.update(F.col("id") == 1, {"n": F.col("n") + 1})
+
+    try_transaction(spark, store, "t", mutate, "id", backoff=0.01)
+    assert calls["n"] == 2  # attempt 1 conflicted, attempt 2 committed
+    # increment applied ON TOP of the racing write (100 -> 101), not the
+    # stale pre-race snapshot (0 -> 1)
+    assert store.read(spark, "t").collect()[0].n == 101
+
+    # exhausted retries re-raise
+    def always_conflict(session):
+        store.write("t", spark.createDataFrame([(1, 0)], "id long, n long"))
+        session.update(F.col("id") == 1, {"n": F.lit(-1)})
+
+    with pytest.raises(WriteConflictError):
+        try_transaction(spark, store, "t", always_conflict, "id", retries=2, backoff=0.01)
