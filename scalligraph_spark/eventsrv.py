@@ -44,3 +44,91 @@ class EventSrv:
         """Deliver and collect every subscriber's reply
         (EventSrv.scala:23-26 ``publishAsk``)."""
         return [fn(message) for fn in list(self._subs.get(topic, ()))]
+
+
+class DurableEventSrv(EventSrv):
+    """Cross-process pub/sub over a shared filesystem — the closest batch
+    analog of the reference's CLUSTER-wide DistributedPubSub
+    (EventSrv.scala:14-31): the in-process tier above still delivers
+    synchronously to local subscribers, and every publish is ALSO
+    appended to a per-topic JSONL log under ``root`` that any other
+    process (another driver, a later job in the pipeline, a monitor)
+    can drain.
+
+    Design points for shared storage:
+
+    * **append-only logs** — one JSON line per event via a single
+      ``write`` on an ``O_APPEND`` descriptor (atomic for sane line
+      sizes on POSIX; on object stores, swap the transport for the
+      streaming source below).
+    * **consumer offsets** — ``poll(topic, consumer)`` returns events
+      past the consumer's committed byte offset and advances it
+      (at-least-once across crashes: offset commits AFTER the caller
+      gets the batch).
+    * **Spark-native tail** — the log directory doubles as a Structured
+      Streaming source: ``spark.readStream.schema(...).json(topic_dir)``
+      turns commit notifications into a stream any pipeline stage can
+      join — the engine's own machinery, no message broker.
+
+    Topic names may contain ``:`` (``store:<label>``); they map to
+    directory-safe names by replacing separators.
+    """
+
+    def __init__(self, root: str):
+        import os
+
+        super().__init__()
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _topic_dir(self, topic: str) -> str:
+        import os
+
+        d = os.path.join(self.root, topic.replace(":", "__").replace("/", "__"))
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _log(self, topic: str) -> str:
+        import os
+
+        return os.path.join(self._topic_dir(topic), "events.jsonl")
+
+    def publish(self, topic: str, message: Any) -> None:
+        import json
+        import os
+
+        line = (json.dumps({"topic": topic, "message": message}) + "\n").encode()
+        fd = os.open(self._log(topic), os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+        try:
+            os.write(fd, line)
+        finally:
+            os.close(fd)
+        super().publish(topic, message)
+
+    def poll(self, topic: str, consumer: str = "default", max_events: int | None = None) -> list:
+        """Drain events appended since this consumer's last committed
+        offset; returns the message payloads and advances the offset."""
+        import json
+        import os
+
+        log = self._log(topic)
+        off_path = os.path.join(self._topic_dir(topic), f"_offset.{consumer}")
+        offset = 0
+        if os.path.exists(off_path):
+            with open(off_path) as f:
+                offset = int(f.read().strip() or 0)
+        if not os.path.exists(log):
+            return []
+        out = []
+        with open(log, "rb") as f:
+            f.seek(offset)
+            for raw in f:
+                if not raw.endswith(b"\n"):
+                    break  # torn tail write: leave for the next poll
+                out.append(json.loads(raw)["message"])
+                offset += len(raw)
+                if max_events is not None and len(out) >= max_events:
+                    break
+        with open(off_path, "w") as f:
+            f.write(str(offset))
+        return out

@@ -625,3 +625,34 @@ def test_refresh_join_rejects_ambiguous_and_unknown_view_columns(spark, tmp_path
     ok_view = spark.createDataFrame([(10, 1)], "jk long, ak long")
     got = refresh_join(spark, store, "A", "B", ok_view, ["jk"], ["ak"], ["bk"], (1, 2), (1, 2))
     assert got.count() == 1
+
+
+def test_durable_eventsrv_cross_process_poll(spark, tmp_path):
+    """DurableEventSrv: store commits publish to an append-only topic log
+    a SECOND instance (another process in production) drains with its own
+    offset; per-consumer offsets are independent; in-process subscribers
+    still fire synchronously."""
+    from scalligraph_spark.eventsrv import DurableEventSrv
+    from scalligraph_spark.store import LabelStore
+
+    bus_a = DurableEventSrv(str(tmp_path / "bus"))
+    local = []
+    bus_a.subscribe("store:t", local.append)
+    store = LabelStore(str(tmp_path / "s"), event_srv=bus_a)
+    store.write("t", spark.createDataFrame([(1,)], "k long"))
+    store.write("t", spark.createDataFrame([(1,), (2,)], "k long"), meta={"who": "job2"})
+    assert [m["version"] for m in local] == [1, 2]  # in-process tier intact
+
+    bus_b = DurableEventSrv(str(tmp_path / "bus"))  # separate instance, same root
+    got = bus_b.poll("store:t", consumer="downstream")
+    assert [m["version"] for m in got] == [1, 2]
+    assert got[1]["meta"] == {"who": "job2"}
+    assert bus_b.poll("store:t", consumer="downstream") == []  # offset advanced
+    # an independent consumer starts from the beginning
+    assert len(bus_b.poll("store:t", consumer="monitor")) == 2
+    # new commits arrive on the next poll
+    store.write("t", spark.createDataFrame([(3,)], "k long"))
+    assert [m["version"] for m in bus_b.poll("store:t", consumer="downstream")] == [3]
+    # max_events bounds a drain
+    assert len(bus_b.poll("store:t", consumer="bounded", max_events=2)) == 2
+    assert len(bus_b.poll("store:t", consumer="bounded")) == 1
