@@ -39,6 +39,14 @@ from scalligraph_spark.properties import PublicProperties, PublicProperty
 from scalligraph_spark.session import get_spark
 from scalligraph_spark.store import LabelStore
 from scalligraph_spark.traversal import P, SortBy, TextP, Traversal
+from scalligraph_spark.auth import (
+    AuthContext,
+    AuthenticationError,
+    KeyAuthSrv,
+    MultiAuthSrv,
+    PasswordAuthSrv,
+    SessionAuthSrv,
+)
 from scalligraph_spark.writes import WriteConflictError, WriteSession, try_transaction
 
 __all__ = [
@@ -48,6 +56,12 @@ __all__ = [
     "FieldsParser",
     "Operations",
     "WriteSession",
+    "AuthContext",
+    "AuthenticationError",
+    "PasswordAuthSrv",
+    "KeyAuthSrv",
+    "SessionAuthSrv",
+    "MultiAuthSrv",
     "WriteConflictError",
     "try_transaction",
     "validate_chain",

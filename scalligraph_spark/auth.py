@@ -1,0 +1,258 @@
+"""Authentication tier — the batch-engine analog of the reference's
+pluggable auth stack (core/.../auth/AuthSrv.scala:45-77,
+MultiAuthSrv.scala:86-118, KeyAuthSrv.scala:11-27,
+SessionAuthSrv.scala, UserSrv.scala).
+
+The reference authenticates HTTP requests through an ordered provider
+chain and threads the resulting ``AuthContext`` into every traversal
+(organisation-scoped visibility).  This engine's query layer already
+consumes auth contexts (row policies + auth-aware properties take an
+``auth`` dict); this module supplies the producing side:
+
+* :class:`AuthContext` — who/where/what: user, organisation, permission
+  set, plus a ``data`` dict that surfaces policy feeds (e.g. the nation
+  grants the demo row policy reads).  ``to_auth()`` is the bridge into
+  ``QueryExecutor.execute(chain, auth=...)``.
+* :class:`PasswordAuthSrv` — user-table authentication with salted
+  PBKDF2 password hashes (stdlib ``hashlib.pbkdf2_hmac``; the
+  BasicAuthSrv analog).  The user table is a plain DataFrame/LabelStore
+  label, so user management gets versioning/audit like any other table.
+* :class:`KeyAuthSrv` — API-key authentication (``authByKey``
+  capability), constant-time compare.
+* :class:`SessionAuthSrv` — HMAC-signed expiring tokens
+  (``setSessionUser``/session renewal analog); the clock is an explicit
+  parameter so expiry is deterministic and testable.
+* :class:`MultiAuthSrv` — the ordered first-success provider chain;
+  every provider failing yields one aggregated
+  :class:`AuthenticationError` (the reference logs each failure and
+  returns a generic error, MultiAuthSrv.scala:73-99).
+
+Scale note: authentication is CONTROL PLANE — one driver-side lookup of
+one user row per session establishment, never a per-row operation.  The
+data-plane enforcement (row policies as pushdown-able Columns,
+auth-aware property redaction) already lives in qlang/executor.py and
+properties.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+import time
+from dataclasses import dataclass, field
+
+
+class AuthenticationError(RuntimeError):
+    """Authentication failed (deliberately unspecific, like the
+    reference's generic 'Authentication failure')."""
+
+
+class NotSupportedError(RuntimeError):
+    """This provider does not support the requested method
+    (AuthSrv.scala's NotSupportedError)."""
+
+
+@dataclass(frozen=True)
+class AuthContext:
+    """The reference's AuthContext (auth/package.scala): identity +
+    organisation + permissions, plus engine-specific policy feeds."""
+
+    user_id: str
+    user_name: str
+    organisation: str | None = None
+    permissions: frozenset[str] = frozenset()
+    data: dict = field(default_factory=dict)
+
+    def has_permission(self, p: str) -> bool:
+        return p in self.permissions
+
+    def to_auth(self) -> dict:
+        """The dict the query layer consumes: row policies and auth-aware
+        properties read keys from this (e.g. ``nations``); standard
+        identity fields ride along for audit stamping."""
+        return {
+            "user": self.user_id,
+            "userName": self.user_name,
+            "organisation": self.organisation,
+            "permissions": sorted(self.permissions),
+            **self.data,
+        }
+
+
+def hash_password(password: str, salt: str, iterations: int = 10_000) -> str:
+    """Salted PBKDF2-HMAC-SHA256 (stdlib).  Iterations are low by
+    production standards — tune up on a real deployment; the shape
+    (salted, iterated, constant-time verify) is the point."""
+    return hashlib.pbkdf2_hmac(
+        "sha256", password.encode(), salt.encode(), iterations
+    ).hex()
+
+
+class AuthSrv:
+    """Provider base (AuthSrv.scala:45-77): every method unsupported
+    until a subclass opts in; MultiAuthSrv skips NotSupportedError and
+    moves down the chain."""
+
+    name: str = "base"
+    capabilities: frozenset[str] = frozenset()
+
+    def authenticate(self, username: str, password: str, organisation: str | None = None) -> AuthContext:
+        raise NotSupportedError(f"{self.name}: password authentication not supported")
+
+    def authenticate_key(self, key: str, organisation: str | None = None) -> AuthContext:
+        raise NotSupportedError(f"{self.name}: key authentication not supported")
+
+    def authenticate_token(self, token: str) -> AuthContext:
+        raise NotSupportedError(f"{self.name}: session tokens not supported")
+
+
+def _user_row(users, username: str):
+    """One driver-side control-plane lookup; users is a DataFrame with at
+    least (user_id, user_name) plus provider-specific columns."""
+    rows = users.where(users["user_name"] == username).limit(2).collect()
+    if len(rows) != 1:
+        raise AuthenticationError("Authentication failure")
+    return rows[0]
+
+
+def _ctx_from_row(row, organisation: str | None) -> AuthContext:
+    orgs = list(row["organisations"] or []) if "organisations" in row.__fields__ else []
+    org = organisation or (orgs[0] if orgs else None)
+    if organisation is not None and orgs and organisation not in orgs:
+        raise AuthenticationError("Authentication failure")
+    perms = frozenset(row["permissions"] or []) if "permissions" in row.__fields__ else frozenset()
+    data = {}
+    if "policy_data" in row.__fields__ and row["policy_data"]:
+        data = json.loads(row["policy_data"])
+    return AuthContext(
+        user_id=str(row["user_id"]),
+        user_name=str(row["user_name"]),
+        organisation=org,
+        permissions=perms,
+        data=data,
+    )
+
+
+class PasswordAuthSrv(AuthSrv):
+    """User-table password authentication (BasicAuthSrv/LocalAuthSrv
+    analog).  Expects columns: user_id, user_name, password_hash, salt
+    [, organisations array, permissions array, policy_data json]."""
+
+    name = "password"
+    capabilities = frozenset({"changePassword"})
+
+    def __init__(self, users, iterations: int = 10_000):
+        self.users = users
+        self.iterations = iterations
+
+    def authenticate(self, username: str, password: str, organisation: str | None = None) -> AuthContext:
+        row = _user_row(self.users, username)
+        expect = row["password_hash"]
+        got = hash_password(password, row["salt"], self.iterations)
+        if not hmac.compare_digest(str(expect), got):
+            raise AuthenticationError("Authentication failure")
+        return _ctx_from_row(row, organisation)
+
+
+class KeyAuthSrv(AuthSrv):
+    """API-key authentication (KeyAuthSrv.scala:11-27, the ``authByKey``
+    capability).  Expects an ``api_key`` column; keys compare
+    constant-time."""
+
+    name = "key"
+    capabilities = frozenset({"authByKey"})
+
+    def __init__(self, users):
+        self.users = users
+
+    def authenticate_key(self, key: str, organisation: str | None = None) -> AuthContext:
+        rows = self.users.where(self.users["api_key"].isNotNull()).collect()
+        for row in rows:
+            if hmac.compare_digest(str(row["api_key"]), key):
+                return _ctx_from_row(row, organisation)
+        raise AuthenticationError("Authentication failure")
+
+
+class SessionAuthSrv(AuthSrv):
+    """HMAC-signed expiring session tokens (SessionAuthSrv analog).
+    ``issue`` after any successful authenticate; ``authenticate_token``
+    verifies signature + expiry.  ``clock`` is injectable so expiry is
+    deterministic under test."""
+
+    name = "session"
+    capabilities = frozenset({"sso"})
+
+    def __init__(self, secret: str, ttl_seconds: int = 3600, clock=time.time):
+        self.secret = secret.encode()
+        self.ttl = ttl_seconds
+        self.clock = clock
+
+    def _sign(self, payload: str) -> str:
+        return hmac.new(self.secret, payload.encode(), hashlib.sha256).hexdigest()
+
+    def issue(self, ctx: AuthContext) -> str:
+        payload = json.dumps(
+            {
+                "user_id": ctx.user_id,
+                "user_name": ctx.user_name,
+                "organisation": ctx.organisation,
+                "permissions": sorted(ctx.permissions),
+                "data": ctx.data,
+                "exp": int(self.clock()) + self.ttl,
+            },
+            sort_keys=True,
+        )
+        return payload.encode().hex() + "." + self._sign(payload)
+
+    def authenticate_token(self, token: str) -> AuthContext:
+        try:
+            body_hex, sig = token.rsplit(".", 1)
+            payload = bytes.fromhex(body_hex).decode()
+        except ValueError:
+            raise AuthenticationError("Authentication failure") from None
+        if not hmac.compare_digest(self._sign(payload), sig):
+            raise AuthenticationError("Authentication failure")
+        d = json.loads(payload)
+        if int(self.clock()) >= d["exp"]:
+            raise AuthenticationError("Authentication failure")
+        return AuthContext(
+            user_id=d["user_id"],
+            user_name=d["user_name"],
+            organisation=d["organisation"],
+            permissions=frozenset(d["permissions"]),
+            data=d["data"],
+        )
+
+
+class MultiAuthSrv(AuthSrv):
+    """Ordered first-success provider chain (MultiAuthSrv.scala:86-118):
+    NotSupportedError falls through silently; real failures are recorded
+    and surfaced as ONE generic AuthenticationError if every provider
+    fails."""
+
+    name = "multi"
+
+    def __init__(self, providers: list[AuthSrv]):
+        self.providers = list(providers)
+        self.capabilities = frozenset().union(*(p.capabilities for p in providers)) if providers else frozenset()
+
+    def _chain(self, call) -> AuthContext:
+        failures = []
+        for p in self.providers:
+            try:
+                return call(p)
+            except NotSupportedError:
+                continue
+            except AuthenticationError as e:
+                failures.append((p.name, e))
+        raise AuthenticationError("Authentication failure")
+
+    def authenticate(self, username: str, password: str, organisation: str | None = None) -> AuthContext:
+        return self._chain(lambda p: p.authenticate(username, password, organisation))
+
+    def authenticate_key(self, key: str, organisation: str | None = None) -> AuthContext:
+        return self._chain(lambda p: p.authenticate_key(key, organisation))
+
+    def authenticate_token(self, token: str) -> AuthContext:
+        return self._chain(lambda p: p.authenticate_token(token))

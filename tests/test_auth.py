@@ -1,0 +1,116 @@
+"""Auth tier: provider chain semantics (AuthSrv.scala:45-77,
+MultiAuthSrv.scala:86-118) and the bridge into the query layer's auth
+contexts (row policies + auth-aware properties)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from scalligraph_spark.auth import (
+    AuthContext,
+    AuthenticationError,
+    KeyAuthSrv,
+    MultiAuthSrv,
+    NotSupportedError,
+    PasswordAuthSrv,
+    SessionAuthSrv,
+    hash_password,
+)
+
+
+@pytest.fixture(scope="module")
+def users(spark):
+    rows = [
+        (
+            "u1", "alice", hash_password("s3cret", "salt1"), "salt1",
+            ["acme", "globex"], ["read", "write"], "k-alice",
+            json.dumps({"nations": [1, 4, 9]}),
+        ),
+        (
+            "u2", "bob", hash_password("hunter2", "salt2"), "salt2",
+            ["acme"], ["read"], None,
+            None,
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id string, user_name string, password_hash string, salt string, "
+        "organisations array<string>, permissions array<string>, api_key string, "
+        "policy_data string",
+    )
+
+
+def test_password_auth_success_and_failure(users):
+    srv = PasswordAuthSrv(users)
+    ctx = srv.authenticate("alice", "s3cret")
+    assert ctx.user_id == "u1" and ctx.organisation == "acme"
+    assert ctx.has_permission("write") and not ctx.has_permission("admin")
+    assert ctx.data == {"nations": [1, 4, 9]}
+    for bad in [("alice", "wrong"), ("nobody", "x")]:
+        with pytest.raises(AuthenticationError):
+            srv.authenticate(*bad)
+    # organisation scoping: member passes, non-member rejected
+    assert srv.authenticate("alice", "s3cret", organisation="globex").organisation == "globex"
+    with pytest.raises(AuthenticationError):
+        srv.authenticate("bob", "hunter2", organisation="globex")
+
+
+def test_key_auth(users):
+    srv = KeyAuthSrv(users)
+    assert srv.authenticate_key("k-alice").user_name == "alice"
+    with pytest.raises(AuthenticationError):
+        srv.authenticate_key("k-wrong")
+    with pytest.raises(NotSupportedError):
+        srv.authenticate("alice", "s3cret")
+
+
+def test_session_tokens_sign_and_expire():
+    now = [1000]
+    srv = SessionAuthSrv("topsecret", ttl_seconds=60, clock=lambda: now[0])
+    ctx = AuthContext("u1", "alice", "acme", frozenset({"read"}), {"nations": [2]})
+    token = srv.issue(ctx)
+    back = srv.authenticate_token(token)
+    assert back == ctx  # frozen dataclass round-trip
+    # tampering breaks the signature
+    with pytest.raises(AuthenticationError):
+        srv.authenticate_token(token[:-1] + ("0" if token[-1] != "0" else "1"))
+    with pytest.raises(AuthenticationError):
+        srv.authenticate_token("garbage")
+    # expiry via the injected clock
+    now[0] = 1061
+    with pytest.raises(AuthenticationError):
+        srv.authenticate_token(token)
+
+
+def test_multi_auth_first_success_chain(users):
+    now = [0]
+    session = SessionAuthSrv("s", clock=lambda: now[0])
+    multi = MultiAuthSrv([session, KeyAuthSrv(users), PasswordAuthSrv(users)])
+    assert "authByKey" in multi.capabilities and "sso" in multi.capabilities
+    # password falls through session+key (NotSupportedError) to the pw provider
+    assert multi.authenticate("bob", "hunter2").user_id == "u2"
+    assert multi.authenticate_key("k-alice").user_id == "u1"
+    token = session.issue(AuthContext("u9", "eve"))
+    assert multi.authenticate_token(token).user_id == "u9"
+    # all-fail aggregates to ONE generic failure
+    with pytest.raises(AuthenticationError, match="Authentication failure"):
+        multi.authenticate("alice", "wrong")
+    with pytest.raises(AuthenticationError):
+        MultiAuthSrv([]).authenticate("alice", "s3cret")
+
+
+def test_auth_context_drives_row_policy_end_to_end(spark, users):
+    """The full reference loop: authenticate → AuthContext → to_auth() →
+    policy-gated query sees exactly the granted nations."""
+    from scalligraph_spark.suite import executor_for
+
+    ctx = PasswordAuthSrv(users).authenticate("alice", "s3cret")
+    ex = executor_for(spark, "/root/testdata/sf0.001", with_row_policy=True)
+    got = ex.execute([{"_name": "all_customer"}], auth=ctx.to_auth())
+    nations = {r["c_nationkey"] for r in got.df.select("c_nationkey").distinct().collect()}
+    assert nations <= {1, 4, 9} and got.df.count() > 0
+    # bob has no nation grants in policy_data -> deny-by-default
+    bob = PasswordAuthSrv(users).authenticate("bob", "hunter2")
+    assert ex.execute([{"_name": "all_customer"}], auth=bob.to_auth()).df.count() == 0
