@@ -29,17 +29,27 @@ from scalligraph_spark.traversal import Traversal
 GRAPH = "graph"
 
 
+class AuthorizationError(PermissionError):
+    """The auth context lacks a permission a registered step requires —
+    authn succeeded, authz failed (the reference's Permission discipline,
+    auth/Permission.scala:9-33, checked in the query DSL)."""
+
+
 @dataclass
 class ParamQuery:
     """A registered named query (query/Query.scala:62-90 analog).
 
     ``from_kind``: ``GRAPH`` for init queries, a label for traversal-typed
-    steps, ``"*"`` for any traversal input.
+    steps, ``"*"`` for any traversal input.  ``permission``: when set, the
+    executing auth context must carry it (``auth["permissions"]``) or the
+    fold raises :class:`AuthorizationError` — row policies scope WHICH
+    rows, permissions scope WHICH OPERATIONS.
     """
 
     name: str
     from_kind: str
     fn: Callable[[Any, dict, dict | None], Traversal]
+    permission: str | None = None
 
 
 class QueryExecutor:
@@ -97,13 +107,13 @@ class QueryExecutor:
         return t._with(t.df.where(pol(auth)))
 
     # -- registration -----------------------------------------------------
-    def register(self, name: str, from_kind: str, fn) -> "QueryExecutor":
-        self._queries.append(ParamQuery(name, from_kind, fn))
+    def register(self, name: str, from_kind: str, fn, permission: str | None = None) -> "QueryExecutor":
+        self._queries.append(ParamQuery(name, from_kind, fn, permission))
         return self
 
-    def register_init(self, name: str, fn) -> "QueryExecutor":
+    def register_init(self, name: str, fn, permission: str | None = None) -> "QueryExecutor":
         """Init query: (catalog, params, auth) → Traversal."""
-        return self.register(name, GRAPH, fn)
+        return self.register(name, GRAPH, fn, permission)
 
     def props_for(self, label: str | None) -> PublicProperties:
         return self.properties.get(label) or PublicProperties()
@@ -128,6 +138,10 @@ class QueryExecutor:
         kind = GRAPH if current is None else (current.label or "*")
         q = self._lookup(name, kind)
         if q is not None:
+            if q.permission is not None and q.permission not in (auth or {}).get("permissions", ()):
+                raise AuthorizationError(
+                    f"step {name!r} requires permission {q.permission!r}"
+                )
             src = self.catalog if current is None else current
             out = self._apply_row_policy(q.fn(src, step, auth), auth)
             return out, f"registered[{q.from_kind}]"

@@ -121,3 +121,28 @@ def test_unpoliced_labels_unaffected(spark):
     ex = executor_for(spark, SF, with_row_policy=True)
     n = ex.execute([{"_name": "all_nation"}]).df.count()
     assert n == 25
+
+
+def test_permission_gated_registered_step(modern):
+    """Permissions scope OPERATIONS (row policies scope rows): a step
+    registered with permission='read:software' executes only for auth
+    contexts carrying it — authn vs authz kept distinct, and the auth
+    tier's AuthContext feeds it end-to-end."""
+    from scalligraph_spark.auth import AuthContext
+    from scalligraph_spark.qlang import AuthorizationError, QueryExecutor
+
+    ex = QueryExecutor(modern)
+    ex.register_init("people", lambda g, s, a: g.V("person"))
+    ex.register(
+        "created", "person", lambda t, s, a: t.out("created"),
+        permission="read:software",
+    )
+    chain = [{"_name": "people"}, {"_name": "created"}]
+    with pytest.raises(AuthorizationError, match="read:software"):
+        ex.execute(chain)
+    with pytest.raises(AuthorizationError):
+        ex.execute(chain, auth={"permissions": ["read:person"]})
+    ctx = AuthContext("u1", "alice", permissions=frozenset({"read:software"}))
+    assert ex.execute(chain, auth=ctx.to_auth()).df.count() == 4
+    # unpermissioned steps stay open
+    assert ex.execute([{"_name": "people"}]).df.count() == 4
