@@ -164,3 +164,45 @@ def test_pack_dialogues_weights_from_role_token_stats(spark, turns):
     weights = {role: 1.0 / max(s.token_share, 1e-9) for role, s in stats.items()}
     out = pack_dialogues(turns, max_tokens=64, role_weights=weights).collect()
     assert all(r.n_budget_tokens >= r.n_raw_tokens for r in out)
+
+
+def test_pack_dialogues_matches_python_replay_random(spark):
+    """Hypothesis differential: random turn tables + random role weights
+    vs a pure-Python replay of the budget/prefix-sum/pack arithmetic."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from scalligraph_spark.operators import pack_dialogues
+
+    texts = st.sampled_from(["a", "a b", "a b c d", "w x y z q r", "  spaced  out  "])
+    roles = st.sampled_from(["user", "assistant", "system"])
+    turn = st.tuples(st.integers(0, 5), roles, texts)
+    weights = st.dictionaries(roles, st.sampled_from([0.25, 0.5, 1.0, 2.0]), max_size=3)
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(turns=st.lists(turn, min_size=1, max_size=12), rw=weights, mt=st.integers(2, 16))
+    def run(turns, rw, mt):
+        rows = [(c, i, r, t) for i, (c, r, t) in enumerate(turns)]
+        df = spark.createDataFrame(rows, "conv_id long, turn_no long, role string, text string")
+        got = {r.conv_id: r for r in pack_dialogues(df, max_tokens=mt, role_weights=rw).collect()}
+        # python replay
+        per = {}
+        for c, _, r, t in rows:
+            toks = len(t.strip().split())
+            w = rw.get(r, 1.0)
+            raw, bud = per.get(c, (0, 0))
+            per[c] = (raw + toks, bud + math.ceil(toks * w))
+        off = 0
+        for c in sorted(per):
+            raw, bud = per[c]
+            assert (got[c].n_raw_tokens, got[c].n_budget_tokens) == (raw, bud), c
+            assert got[c].start_offset == off and got[c].pack_id == off // mt, c
+            off += bud
+
+    run()

@@ -293,3 +293,42 @@ def test_try_transaction_retries_to_success(spark, tmp_path):
 
     with pytest.raises(WriteConflictError):
         try_transaction(spark, store, "t", always_conflict, "id", retries=2, backoff=0.01)
+
+
+def test_qlang_mutation_step_with_permission_and_occ(spark, tmp_path, modern):
+    """The reference's controller loop, end-to-end in the engine: an auth
+    context from the auth tier authorizes a permission-gated REGISTERED
+    mutation step, which runs a WriteSession transaction (conflict-checked
+    commit) and returns the committed state as a traversal."""
+    import pytest as _pytest
+
+    from scalligraph_spark.auth import AuthContext
+    from scalligraph_spark.qlang import AuthorizationError, QueryExecutor
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.traversal import Traversal
+    from scalligraph_spark.writes import WriteSession
+
+    store = LabelStore(str(tmp_path / "mut"))
+    store.write("person", spark.createDataFrame([(1, "marko")], "person_id long, name string"))
+
+    def create_person(g, s, a):
+        sess = WriteSession(spark, store, "person", "person_id",
+                            created_by=(a or {}).get("user", "anonymous"))
+        sess.create(spark.createDataFrame([(int(s["id"]), str(s["name"]))],
+                                          "person_id long, name string"))
+        sess.commit()
+        return Traversal(store.read(spark, "person"), catalog=g, label="person")
+
+    ex = QueryExecutor(modern)
+    ex.register_init("createPerson", create_person, permission="write:person")
+
+    with _pytest.raises(AuthorizationError, match="write:person"):
+        ex.execute([{"_name": "createPerson", "id": 2, "name": "vadas"}])
+    assert store.version("person") == 1  # nothing committed on authz failure
+
+    ctx = AuthContext("u1", "alice", permissions=frozenset({"write:person"}))
+    t = ex.execute([{"_name": "createPerson", "id": 2, "name": "vadas"}], auth=ctx.to_auth())
+    assert t.df.count() == 2 and store.version("person") == 2
+    # audit stamping carries the authenticated user
+    created = {r.name: r for r in store.read(spark, "person").collect()}
+    assert created["vadas"]._created_by == "u1"
