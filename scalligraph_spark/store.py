@@ -566,6 +566,12 @@ def refresh_join(
     ).drop("__dup")
 
 
+class SnapshotConflictError(RuntimeError):
+    """A concurrent SnapshotStore.commit claimed this snapshot id first —
+    the multi-table twin of writes.WriteConflictError: retry against the
+    fresh current manifest instead of publishing a stale carry-forward."""
+
+
 class SnapshotStore:
     """Atomic MULTI-TABLE transactions over a :class:`LabelStore` — the
     missing piece when a pipeline must publish several label tables
@@ -612,18 +618,36 @@ class SnapshotStore:
     def commit(self, dfs: dict, meta: dict | None = None) -> int:
         """Publish all ``{label: DataFrame}`` tables as one atomic
         snapshot; unchanged labels carry forward from the previous
-        manifest.  Returns the new snapshot id."""
+        manifest.  Returns the new snapshot id.
+
+        Concurrent committers: the manifest id is CLAIMED exclusively
+        (``O_EXCL`` create of ``s<id>.json``, same discipline as the
+        label store's version-directory claim).  A loser raced a commit
+        that landed after its carried-forward base manifest was read, so
+        its carry-forward could silently resurrect stale table versions
+        — it gets :class:`SnapshotConflictError` and must re-run
+        (re-reading the new current manifest), never a clobbered or torn
+        snapshot."""
         if not dfs:
             raise ValueError("commit: at least one label required")
-        new_manifest = dict(self.manifest())
+        base = self.current_id()
+        new_manifest = dict(self.manifest(base) if base else {})
         # data first, snapshot publication last: a crash mid-loop leaves
         # version directories the manifest never references — snapshot
         # readers can never observe a torn multi-table state
         for label, df in dfs.items():
             new_manifest[label] = self.store.write(label, df, meta=meta)
-        sid = self.current_id() + 1
+        sid = base + 1
         mpath = os.path.join(self._dir, f"s{sid}.json")
-        with open(mpath, "w") as f:
+        try:
+            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"snapshot s{sid} already committed by a concurrent writer "
+                f"(this commit carried forward from s{base}) — re-run the "
+                "commit against the new current manifest"
+            ) from None
+        with os.fdopen(fd, "w") as f:
             json.dump(new_manifest, f)
         tmp = self._current_path() + ".tmp"
         with open(tmp, "w") as f:

@@ -656,3 +656,37 @@ def test_durable_eventsrv_cross_process_poll(spark, tmp_path):
     # max_events bounds a drain
     assert len(bus_b.poll("store:t", consumer="bounded", max_events=2)) == 2
     assert len(bus_b.poll("store:t", consumer="bounded")) == 1
+
+
+def test_snapshot_commit_conflict_detected(spark, tmp_path):
+    """Two committers racing from the same base manifest: the second
+    raises instead of clobbering the first's manifest or resurrecting
+    stale carried-forward versions."""
+    from scalligraph_spark.store import LabelStore, SnapshotConflictError, SnapshotStore
+
+    snap = SnapshotStore(LabelStore(str(tmp_path / "ss")))
+    df1 = spark.createDataFrame([(1,)], "k long")
+    snap.commit({"a": df1, "b": df1})
+
+    # simulate the race: both writers read base s1; writer X lands s2
+    snap2 = SnapshotStore(LabelStore(str(tmp_path / "ss")))
+    import scalligraph_spark.store as st
+
+    orig_current = snap.current_id
+    base_seen = snap.current_id()  # = 1
+    snap2.commit({"a": spark.createDataFrame([(2,)], "k long")})  # X lands s2
+    # writer Y still believes base is 1 -> claims s2 -> conflict
+    snap.current_id = lambda: base_seen
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(SnapshotConflictError, match="s2 already committed"):
+            snap.commit({"b": spark.createDataFrame([(9,)], "k long")})
+    finally:
+        snap.current_id = orig_current
+    # X's snapshot intact; retry from the fresh manifest succeeds as s3
+    assert snap.read(spark, "a").collect()[0].k == 2
+    sid = snap.commit({"b": spark.createDataFrame([(9,)], "k long")})
+    assert sid == 3
+    assert snap.read(spark, "a", 3).collect()[0].k == 2  # carry-forward is FRESH
+    assert snap.read(spark, "b", 3).collect()[0].k == 9
