@@ -690,3 +690,31 @@ def test_snapshot_commit_conflict_detected(spark, tmp_path):
     assert sid == 3
     assert snap.read(spark, "a", 3).collect()[0].k == 2  # carry-forward is FRESH
     assert snap.read(spark, "b", 3).collect()[0].k == 9
+
+
+def test_durable_eventsrv_topic_is_streaming_source(spark, tmp_path):
+    """The docstring's Spark-native tail: a topic log drains through
+    Structured Streaming as a json source — commit notifications become
+    a stream without a broker."""
+    from scalligraph_spark.eventsrv import DurableEventSrv
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import run_available_now
+
+    bus = DurableEventSrv(str(tmp_path / "bus"))
+    store = LabelStore(str(tmp_path / "s"), event_srv=bus)
+    for i in range(3):
+        store.write("t", spark.createDataFrame([(i,)], "k long"))
+
+    topic_dir = bus._topic_dir("store:t")
+    stream = (
+        spark.readStream.schema(
+            "topic string, message struct<label string, version long, meta map<string,string>>"
+        )
+        .json(topic_dir)
+    )
+    got = run_available_now(
+        stream.selectExpr("message.label AS label", "message.version AS version"),
+        query_name="bus_tail",
+        output_mode="append",
+    )
+    assert sorted((r.label, r.version) for r in got.collect()) == [("t", 1), ("t", 2), ("t", 3)]
