@@ -6452,6 +6452,35 @@ def qagg_grouping_sets_q(spark, sf):
 
 
 @q(
+    "qagg_having_filter",
+    """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS count
+FROM customer GROUP BY c_mktsegment
+HAVING count(*) >= 30 ORDER BY count DESC, c_mktsegment ASC
+""",
+    "HAVING through chain composition: filter and sort steps AFTER an "
+    "aggregation step operate on the aggregate's result columns — the "
+    "fold needs no dedicated HAVING operator because post-agg steps "
+    "compile against the grouped relation (one Exchange total)",
+)
+def qagg_having_filter_q(spark, sf):
+    ex = executor_for(spark, sf)
+    return ex.execute(
+        [
+            {"_name": "all_customer"},
+            {
+                "_name": "aggregation",
+                "_agg": "field",
+                "_field": "c_mktsegment",
+                "_select": [{"_agg": "count"}],
+            },
+            {"_name": "filter", "_gte": {"_field": "count", "_value": 30}},
+            {"_name": "sort", "_fields": ["-count", "+c_mktsegment"]},
+        ]
+    ).df
+
+
+@q(
     "events_json_extract_agg",
     f"""
 SELECT event_type,

@@ -72,3 +72,56 @@ def test_salted_join_matches_plain_join(spark):
     plain = big.join(small, "k").groupBy("k").count().collect()
     salted = salted_join(big, small, on="k", n_salts=8).groupBy("k").count().collect()
     assert sorted((r["k"], r["count"]) for r in salted) == sorted((r["k"], r["count"]) for r in plain)
+
+
+def test_time_bucket_fuzz_vs_python_replay(spark):
+    """Hypothesis differential for the bucket compiler: random epochs x
+    random (interval, unit) vs a pure-Python replay of the reference's
+    epoch-modulo / Thursday-shift arithmetic (Aggregation.scala:401-427).
+    Calendar M/y are checked against datetime truncation."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from scalligraph_spark.functions import THREE_DAYS_MS, _UNIT_MS, ONE_WEEK_MS, time_bucket
+
+    epochs = st.integers(min_value=0, max_value=4_102_444_800)  # 1970..2100
+    spec = st.one_of(
+        st.tuples(st.integers(1, 48), st.sampled_from(["s", "m", "h", "d", "w"])),
+        st.tuples(st.just(1), st.sampled_from(["M", "y"])),
+    )
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(secs=st.lists(epochs, min_size=1, max_size=8), iv=spec)
+    def run(secs, iv):
+        interval, unit = iv
+        df = spark.createDataFrame(
+            [(dt.datetime.utcfromtimestamp(s),) for s in secs], "ts timestamp_ntz"
+        )
+        got = [
+            r[0] for r in df.select(time_bucket(F.col("ts"), interval, unit)).collect()
+        ]
+        for s, g in zip(secs, got):
+            ms = s * 1000
+            if unit in _UNIT_MS:
+                want_ms = ms - ms % (_UNIT_MS[unit] * interval)
+            elif unit == "w":
+                sh = ms + THREE_DAYS_MS
+                want_ms = sh - sh % (ONE_WEEK_MS * interval) - THREE_DAYS_MS
+            elif unit == "M":
+                d = dt.datetime.utcfromtimestamp(s)
+                want_ms = int(d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+                              .replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+            else:  # y
+                d = dt.datetime.utcfromtimestamp(s)
+                want_ms = int(d.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+                              .replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+            got_ms = int(g.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+            assert got_ms == want_ms, (s, interval, unit)
+
+    run()

@@ -485,3 +485,16 @@ def test_aqe_runtime_partition_coalescing_engages(spark):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan isFinalPlan=true" in plan
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """qagg_grouping_sets' one-pass claim: the plan is ONE Expand feeding
+    hash aggregates — not a union of per-set scans."""
+    from scalligraph_spark.suite import SUITE
+
+    df = SUITE["qagg_grouping_sets"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan  # not compiled as N scans unioned
+    # one logical aggregation pass: partial+final pair over the Expand
+    assert "HashAggregate" in plan
