@@ -355,3 +355,30 @@ def test_generator_emitted_registered_and_policy_paths():
     assert _SEEN["hop"] >= 40
     assert _SEEN["auth_granted"] > 0 and _SEEN["auth_denied"] > 0
     assert _SEEN["pre_filter"] > 0 and _SEEN["post_filter"] > 0
+
+
+# -- malformed-chain robustness ------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(garbage=st.recursive(
+    st.one_of(st.none(), st.booleans(), st.integers(), st.text(max_size=8)),
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=3),
+        st.dictionaries(st.sampled_from(["_name", "_agg", "_field", "from", "to", "x"]), inner, max_size=4),
+    ),
+    max_leaves=8,
+))
+def test_malformed_chains_fail_cleanly(executor, garbage):
+    """Garbage chains must surface as clean ValueError/KeyError/TypeError
+    from the parse/validate tier — never an opaque Py4J/analysis blowup
+    from deep inside a launched Spark job, and never a silent empty
+    result for structurally invalid input."""
+    chain = garbage if isinstance(garbage, list) else [garbage]
+    try:
+        t = executor.execute(chain)
+        # a chain that somehow parses must still be a real traversal
+        assert t.df is not None
+    except (ValueError, KeyError, TypeError, AttributeError):
+        pass  # the clean, documented failure modes
