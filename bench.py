@@ -102,6 +102,9 @@ HEADLINE = [
     "qlang_row_policy",  # RLS predicate pushed into the scan
     "dialogue_pack_budget",  # role-weighted packing prefix sums
     "qlang_dialogue_chain",  # turns -> turnDedup -> assemble through qlang
+    "qagg_grouping_sets",  # one Expand pass for non-hierarchical sets
+    "events_json_extract_agg",  # get_json_object in the scan projection
+    "qagg_having_filter",  # post-agg filter/sort composition
 ]
 
 
