@@ -537,3 +537,67 @@ def enrich_with_scd2(
         & (F.col("valid_to").isNull() | (ts < F.col("valid_to")))
     )
     return stream.join(d, cond, how).drop("__k")
+
+
+def start_index_maintenance_sink(
+    stream_df: DataFrame,
+    store,
+    corpus_label: str,
+    index_name: str,
+    checkpoint_dir: str,
+    rebuild_growth: float = 0.2,
+    query_name: str = "index_maintenance",
+):
+    """Streaming ingest + ANN-index freshness automation: each micro-batch
+    appends to the corpus label (batch-id idempotent, like
+    :func:`start_store_sink`) and then REBUILDS the persisted ANN index
+    when the corpus has grown past ``rebuild_growth`` (fractional rows)
+    since the version the index was trained on — the automated form of the
+    reference's ``ReindexData`` maintenance (JanusDatabase.scala:304-434):
+    declared indexes stay fresh without an operator watching
+    ``StaleAnnIndexWarning`` by hand.
+
+    Growth is measured from the stats/footer-free row counts recorded in
+    commit meta (one ``count`` per committed batch, amortized into the
+    commit itself), so the decision launches no extra scan.  A rebuild is
+    just a new index version — concurrent readers pinned to the old
+    artifact are undisturbed, and a crash between corpus commit and
+    rebuild self-heals on the next batch (the growth check re-fires).
+
+    The index must have been built with ``corpus_store``/``corpus_label``
+    provenance (otherwise there is no trained-version anchor to measure
+    growth from — build_*_index raises via reindex_ann's contract).
+    """
+    from scalligraph_spark.operators.ann_index import reindex_ann
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur_v = store.version(corpus_label)
+        if cur_v > 0:
+            meta = store.commit_meta(corpus_label, cur_v)
+            if batch_id <= meta.get("batch_id", -1):
+                return  # replayed batch
+            merged = store.read(spark, corpus_label, cur_v).unionByName(batch_df)
+            prev_rows = int(meta.get("n_rows", 0))
+        else:
+            merged = batch_df
+            prev_rows = 0
+        n_rows = merged.count()
+        store.write(corpus_label, merged, meta={"batch_id": batch_id, "n_rows": n_rows})
+        # freshness check: rows at index-training time vs rows now
+        ix_meta = store.commit_meta(index_name)
+        trained_v = ix_meta.get("corpus_version")
+        if trained_v is None:
+            return  # index not provenance-tracked (or not built yet)
+        trained_rows = int(store.commit_meta(corpus_label, trained_v).get("n_rows", 0) or prev_rows)
+        if trained_rows == 0 or (n_rows - trained_rows) / trained_rows >= rebuild_growth:
+            reindex_ann(spark, store, index_name, corpus_store=store)
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -513,3 +513,55 @@ def test_enrich_with_scd2_stream_static_asof(spark, tmp_path):
         output_mode="append",
     )
     assert sorted(r.event_id for r in inner.collect()) == [100, 101]
+
+
+def test_index_maintenance_sink_rebuilds_on_growth(spark, tmp_path):
+    """Streaming corpus ingest auto-refreshes the persisted ANN index
+    past the growth threshold: small batches leave the index version
+    alone, a large batch triggers reindex_ann, and the rebuilt artifact
+    records the new corpus version (no StaleAnnIndexWarning after)."""
+    import warnings
+
+    from scalligraph_spark.operators import (
+        StaleAnnIndexWarning,
+        build_ivf_index,
+        load_ann_index,
+    )
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import start_index_maintenance_sink
+
+    def emb_rows(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(lo, hi)],
+            "vec_id long, embedding array<float>",
+        )
+
+    store = LabelStore(str(tmp_path / "ixm"))
+    store.write("emb", emb_rows(0, 100), meta={"batch_id": -1, "n_rows": 100})
+    build_ivf_index(store, "emb_ix", store.read(spark, "emb"), n_centroids=4,
+                    corpus_store=store, corpus_label="emb")
+    assert store.version("emb_ix") == 1
+
+    src = str(tmp_path / "in")
+    emb_rows(100, 110).write.parquet(src)  # +10% < 20% threshold
+    q = start_index_maintenance_sink(
+        spark.readStream.schema("vec_id long, embedding array<float>").parquet(src),
+        store, "emb", "emb_ix", str(tmp_path / "ck1"), rebuild_growth=0.2,
+        query_name="ixm1",
+    )
+    q.awaitTermination()
+    assert store.version("emb_ix") == 1  # below threshold: no rebuild
+    assert store.version("emb") == 2
+
+    emb_rows(110, 160).write.mode("append").parquet(src)  # now well past 20%
+    q2 = start_index_maintenance_sink(
+        spark.readStream.schema("vec_id long, embedding array<float>").parquet(src),
+        store, "emb", "emb_ix", str(tmp_path / "ck1"), rebuild_growth=0.2,
+        query_name="ixm2",
+    )
+    q2.awaitTermination()
+    assert store.version("emb_ix") == 2  # rebuilt
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", StaleAnnIndexWarning)
+        ix = load_ann_index(spark, store, "emb_ix", corpus_store=store)
+    assert ix.meta["corpus_version"] == store.version("emb")
