@@ -39,6 +39,7 @@ from scalligraph_spark.properties import PublicProperties, PublicProperty
 from scalligraph_spark.session import get_spark
 from scalligraph_spark.store import LabelStore
 from scalligraph_spark.traversal import P, SortBy, TextP, Traversal
+from scalligraph_spark.config import ApplicationConfig, BadConfigurationError
 from scalligraph_spark.auth import (
     AuthContext,
     AuthenticationError,
@@ -57,6 +58,8 @@ __all__ = [
     "Operations",
     "WriteSession",
     "AuthContext",
+    "ApplicationConfig",
+    "BadConfigurationError",
     "AuthenticationError",
     "PasswordAuthSrv",
     "KeyAuthSrv",

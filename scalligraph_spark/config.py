@@ -1,0 +1,153 @@
+"""Runtime application configuration — the batch analog of the
+reference's DB-backed ``ApplicationConfig``
+(services/config/ApplicationConfig.scala:19-100, ConfigItem.scala):
+typed, validated config items whose values live IN the database, are
+overridable at runtime, and notify subscribers on change.
+
+Spark-first shape: the override set is one tiny versioned LabelStore
+table (``_config``: path → JSON value), so runtime configuration gets
+what every other table gets — atomic commits, history, rollback, and
+time travel ("what was the retention window during last Tuesday's
+run?").  Each ``set`` publishes ``config:<path>`` through the EventSrv
+(DurableEventSrv makes that cross-process), mirroring the reference's
+ConfigActor invalidation bus.
+
+``ignore_db=True`` reproduces ``ignoreDatabaseConfiguration``: stored
+overrides are bypassed and every item serves its default (the escape
+hatch when a bad stored value wedges startup).
+
+This is CONTROL PLANE: the table is a handful of rows, reads are one
+driver-side lookup memoized per store version — never a per-row
+data-plane operation.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+
+class BadConfigurationError(ValueError):
+    """Validation rejected a config value (the reference's
+    BadConfigurationError)."""
+
+
+class ConfigItem:
+    """One typed item (ConfigItem.scala): ``get()`` returns the stored
+    override if present else the default, through ``map_fn``;
+    ``set(value)`` validates, persists, and notifies."""
+
+    def __init__(self, app: "ApplicationConfig", path: str, description: str,
+                 default: Any, validation: Callable[[Any], Any] | None,
+                 map_fn: Callable[[Any], Any] | None):
+        self.app = app
+        self.path = path
+        self.description = description
+        self.default = default
+        self.validation = validation
+        self.map_fn = map_fn
+
+    def get(self) -> Any:
+        raw = self.app._stored().get(self.path, self.default) if not self.app.ignore_db else self.default
+        return self.map_fn(raw) if self.map_fn else raw
+
+    def get_default(self) -> Any:
+        return self.map_fn(self.default) if self.map_fn else self.default
+
+    def set(self, value: Any, auth: dict | None = None) -> None:
+        self.app._set(self.path, value, self.validation, auth)
+
+    def reset(self, auth: dict | None = None) -> None:
+        self.app._unset(self.path, auth)
+
+
+class ApplicationConfig:
+    LABEL = "_config"
+
+    def __init__(self, spark, store, event_srv=None, ignore_db: bool = False):
+        self.spark = spark
+        self.store = store
+        self.event_srv = event_srv
+        self.ignore_db = ignore_db
+        self.items: dict[str, ConfigItem] = {}
+        self._cache: tuple[int, dict] | None = None  # (store version, values)
+
+    # -- item registry (ApplicationConfig.scala:34-63) ---------------------
+    def item(self, path: str, description: str, default: Any = None) -> ConfigItem:
+        return self.validated_map_item(path, description, default, None, None)
+
+    def validated_item(self, path: str, description: str, default: Any,
+                       validation: Callable[[Any], Any]) -> ConfigItem:
+        return self.validated_map_item(path, description, default, validation, None)
+
+    def map_item(self, path: str, description: str, default: Any,
+                 map_fn: Callable[[Any], Any]) -> ConfigItem:
+        return self.validated_map_item(path, description, default, None, map_fn)
+
+    def validated_map_item(self, path, description, default, validation, map_fn) -> ConfigItem:
+        if path in self.items:
+            return self.items[path]
+        it = ConfigItem(self, path, description, default, validation, map_fn)
+        self.items[path] = it
+        return it
+
+    def list_items(self) -> list[dict]:
+        """The config UI feed: every registered item with its current and
+        default values (ApplicationConfig.scala ``list``)."""
+        return [
+            {
+                "path": p,
+                "description": it.description,
+                "value": it.get(),
+                "default": it.get_default(),
+                "overridden": p in self._stored() and not self.ignore_db,
+            }
+            for p, it in sorted(self.items.items())
+        ]
+
+    # -- storage -----------------------------------------------------------
+    def _stored(self) -> dict:
+        v = self.store.version(self.LABEL)
+        if v == 0:
+            return {}
+        if self._cache is not None and self._cache[0] == v:
+            return self._cache[1]
+        rows = self.store.read(self.spark, self.LABEL, v).collect()
+        vals = {r["path"]: json.loads(r["value"]) for r in rows}
+        self._cache = (v, vals)
+        return vals
+
+    def _write(self, vals: dict, auth: dict | None) -> None:
+        rows = [(p, json.dumps(v)) for p, v in sorted(vals.items())]
+        df = self.spark.createDataFrame(rows or [("", "null")], "path string, value string")
+        if not rows:
+            df = df.where("path <> ''")
+        self.store.write(
+            self.LABEL, df,
+            meta={"set_by": (auth or {}).get("user", "system")},
+        )
+        self._cache = None
+
+    def _set(self, path: str, value: Any, validation, auth: dict | None) -> None:
+        if validation is not None:
+            try:
+                value = validation(value)
+            except BadConfigurationError:
+                raise
+            except Exception as e:
+                raise BadConfigurationError(f"{path}: {e}") from e
+        json.dumps(value)  # must be JSON-serializable (storage contract)
+        vals = dict(self._stored())
+        vals[path] = value
+        self._write(vals, auth)
+        if self.event_srv is not None:
+            self.event_srv.publish(f"config:{path}", {"path": path, "value": value})
+
+    def _unset(self, path: str, auth: dict | None) -> None:
+        vals = dict(self._stored())
+        if path not in vals:
+            return
+        del vals[path]
+        self._write(vals, auth)
+        if self.event_srv is not None:
+            self.event_srv.publish(f"config:{path}", {"path": path, "value": None})

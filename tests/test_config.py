@@ -1,0 +1,82 @@
+"""Runtime application config over the versioned store — the
+ApplicationConfig/ConfigItem analog (services/config/*.scala): typed
+validated items, stored overrides, change notifications, the
+ignoreDatabaseConfiguration escape hatch, and version history."""
+
+from __future__ import annotations
+
+import pytest
+
+from scalligraph_spark.config import ApplicationConfig, BadConfigurationError
+from scalligraph_spark.eventsrv import EventSrv
+from scalligraph_spark.store import LabelStore
+
+
+@pytest.fixture()
+def app(spark, tmp_path):
+    return ApplicationConfig(spark, LabelStore(str(tmp_path / "cfg")), event_srv=EventSrv())
+
+
+def test_defaults_overrides_and_reset(app):
+    retention = app.item("vacuum.keep", "versions kept by safe_vacuum", default=2)
+    assert retention.get() == 2
+    retention.set(5, auth={"user": "alice"})
+    assert retention.get() == 5
+    # provenance in the commit meta, history in the store
+    assert app.store.commit_meta(app.LABEL)["set_by"] == "alice"
+    retention.reset()
+    assert retention.get() == 2
+    # resetting an unset path is a no-op, not an error
+    retention.reset()
+
+
+def test_validation_and_map(app):
+    def positive(v):
+        if not isinstance(v, int) or v <= 0:
+            raise BadConfigurationError("must be a positive int")
+        return v
+
+    keep = app.validated_item("keep", "d", 1, positive)
+    with pytest.raises(BadConfigurationError, match="positive"):
+        keep.set(-3)
+    assert keep.get() == 1  # rejected set leaves the value untouched
+    keep.set(7)
+    assert keep.get() == 7
+    ms = app.map_item("window", "d", "30s", lambda s: int(s.rstrip("s")) * 1000)
+    assert ms.get() == 30_000
+    ms.set("5s")
+    assert ms.get() == 5_000
+    # non-JSON values are a storage-contract error
+    with pytest.raises(TypeError):
+        app.item("bad", "d").set(object())
+
+
+def test_change_notification_and_registry(app):
+    seen = []
+    app.event_srv.subscribe("config:limits.pageSize", seen.append)
+    item = app.item("limits.pageSize", "max rows per page", 100)
+    item.set(250)
+    assert seen == [{"path": "limits.pageSize", "value": 250}]
+    listing = {e["path"]: e for e in app.list_items()}
+    assert listing["limits.pageSize"]["value"] == 250
+    assert listing["limits.pageSize"]["overridden"] is True
+    assert listing["limits.pageSize"]["default"] == 100
+    # re-registering the same path returns the SAME item (registry)
+    assert app.item("limits.pageSize", "dup", 1) is item
+
+
+def test_ignore_db_and_cross_instance_persistence(spark, tmp_path):
+    store = LabelStore(str(tmp_path / "cfg2"))
+    a = ApplicationConfig(spark, store)
+    a.item("x", "d", 1).set(42)
+    # a second instance over the same store sees the override
+    b = ApplicationConfig(spark, store)
+    assert b.item("x", "d", 1).get() == 42
+    # ignore_db serves defaults even with overrides stored
+    c = ApplicationConfig(spark, store, ignore_db=True)
+    assert c.item("x", "d", 1).get() == 1
+    # the override history is versioned: rollback restores the old value
+    a.item("x", "d", 1).set(43)
+    store.rollback(a.LABEL, store.version(a.LABEL) - 1)
+    fresh = ApplicationConfig(spark, store)
+    assert fresh.item("x", "d", 1).get() == 42
