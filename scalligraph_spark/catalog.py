@@ -243,6 +243,23 @@ class GraphCatalog:
             return F.broadcast(df)
         return df
 
+    # -- SQL surface -------------------------------------------------------
+    def create_views(self, prefix: str = "") -> "GraphCatalog":
+        """Register every vertex label as a session temp view
+        (``prefix<label>``) so plain ``spark.sql`` works against the
+        catalog — the escape hatch for users who want ANSI SQL instead of
+        the traversal/JSON surfaces.  Views are lazy references to the
+        SAME loader DataFrames (store-backed labels keep read-your-commits
+        semantics: the view re-resolves the current version per query)."""
+        for label in self.vertices:
+            self.vertex_df(label).createOrReplaceTempView(f"{prefix}{label}")
+        return self
+
+    def sql(self, query: str, prefix: str = "") -> DataFrame:
+        """One-shot SQL over the catalog's labels (views auto-registered)."""
+        self.create_views(prefix)
+        return self.spark.sql(query)
+
     # -- scans (Graph.scala:25-33) ----------------------------------------
     def vertex_df(self, label: str) -> DataFrame:
         return self.vertices[label].loader()

@@ -310,3 +310,17 @@ def test_other_v_survives_intermediate_edge_steps(modern):
     # off the edge the direction is cleared: otherV after inV must raise
     with pytest.raises(ValueError):
         modern.V("person", ids=[1]).out_e("created").in_v().other_v()
+
+
+def test_catalog_sql_surface(tpch):
+    """create_views/sql: ANSI SQL straight over the catalog's labels —
+    views re-resolve loaders per query (store-backed labels keep
+    read-your-commits)."""
+    got = tpch.sql(
+        "SELECT n_name, count(*) AS n FROM customer c JOIN nation n "
+        "ON c.c_nationkey = n.n_nationkey GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3"
+    ).collect()
+    assert len(got) == 3 and got[0]["n"] >= got[-1]["n"]
+    # prefixed views avoid clobbering user temp views
+    tpch.create_views(prefix="g_")
+    assert tpch.spark.sql("SELECT count(*) AS c FROM g_nation").collect()[0]["c"] == 25
