@@ -149,3 +149,76 @@ def orphan_vertices(vertices: DataFrame, vkey: str, edges: DataFrame, edge_key: 
     """Vertices with no incident edge on the given side (multi-link audit)."""
     e = edges.select(F.col(edge_key).alias("__ek")).dropDuplicates(["__ek"])
     return vertices.join(e, vertices[vkey] == F.col("__ek"), "left_anti")
+
+
+def resolve_duplicates(
+    vertices: DataFrame,
+    keys: list[str],
+    id_col: str,
+    order_col: str | None = None,
+    keep: str = "first",
+    edges: list[tuple[DataFrame, list[str]]] | None = None,
+):
+    """Duplicate RESOLUTION, not just detection — the reference's
+    ``IntegrityCheckOps.resolve`` (IntegrityCheckOps.scala:485-493):
+    per duplicate group pick one canonical entity with an
+    ``EntitySelector`` (``keep='first'|'last'`` by ``order_col``, the
+    first/lastCreatedEntity family, IntegrityCheckOps.scala:44-53; ties
+    break on ``id_col``), re-point every edge endpoint from the losers
+    to the winner (``copyEdge`` analog), and drop the losers.
+
+    Returns ``{"vertices", "edges", "remap", "report"}``:
+    ``vertices`` keeps exactly one row per key group, ``edges`` is the
+    input list with each named endpoint column rewritten through the
+    loser→winner remap, ``remap`` is the (loser_id, winner_id) table,
+    and ``report`` the reference's ``Map("duplicate" -> n)`` counter.
+
+    Scale: winner selection is ONE hash aggregate on ``keys``
+    (min/max_by over (order, id) structs — no window sort); the remap
+    table is |losers| rows and joins each edge table once per endpoint
+    column (broadcast when small).  Null keys are never grouped as
+    duplicates of each other (SQL GROUP BY would — but two entities
+    with UNKNOWN keys are not provably the same entity).
+    """
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    oc = order_col or id_col
+    nn = vertices
+    for k in keys:
+        nn = nn.where(F.col(k).isNotNull())
+    # alias the struct fields: when order_col defaults to id_col the
+    # unaliased struct would carry two same-named fields (ambiguous extract)
+    pick = F.struct(F.col(oc).alias("o"), F.col(id_col).alias("i"))
+    agg = F.min(pick) if keep == "first" else F.max(pick)
+    winners = nn.groupBy(*keys).agg(
+        agg.alias("__w"), F.count(F.lit(1)).alias("__n")
+    ).select(*keys, F.col("__w.i").alias("__winner"), "__n")
+    remap = (
+        nn.join(winners, keys)
+        .where(F.col(id_col) != F.col("__winner"))
+        .select(F.col(id_col).alias("loser_id"), F.col("__winner").alias("winner_id"))
+    )
+    clean = vertices.join(
+        remap.select(F.col("loser_id").alias(id_col)), id_col, "left_anti"
+    )
+    fixed_edges = []
+    for edf, endpoint_cols in edges or []:
+        out = edf
+        for c in endpoint_cols:
+            out = (
+                out.join(
+                    F.broadcast(remap.select(F.col("loser_id").alias(c), "winner_id")),
+                    c,
+                    "left",
+                )
+                .withColumn(c, F.coalesce(F.col("winner_id"), F.col(c)))
+                .drop("winner_id")
+            )
+        fixed_edges.append(out)
+    n_groups = winners.where(F.col("__n") > 1).count()
+    return {
+        "vertices": clean,
+        "edges": fixed_edges,
+        "remap": remap,
+        "report": {"duplicate": n_groups},
+    }

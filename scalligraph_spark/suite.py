@@ -6452,6 +6452,30 @@ def qagg_grouping_sets_q(spark, sf):
 
 
 @q(
+    "integrity_resolve_duplicates",
+    """
+WITH w AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS winner
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+)
+SELECT doc_id AS loser_id, winner AS winner_id FROM w WHERE doc_id <> winner
+""",
+    "duplicate RESOLUTION (IntegrityCheckOps.scala:485-493, not just "
+    "detection): firstCreated-selector winner per natural-key group "
+    "(lang, source — the unique-property duplicate shape the reference "
+    "resolves), losers remapped — the (loser, winner) table that "
+    "re-points edges and drops duplicates; ONE hash aggregate picks "
+    "winners (min_by struct, no window sort)",
+)
+def integrity_resolve_duplicates_q(spark, sf):
+    from scalligraph_spark.integrity import resolve_duplicates
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    out = resolve_duplicates(docs, ["lang", "source"], id_col="doc_id", keep="first")
+    return out["remap"]
+
+
+@q(
     "qagg_having_filter",
     """
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS count

@@ -119,3 +119,40 @@ def test_salted_join_equivalence_and_distribution(spark):
 
     with _pytest.raises(ValueError):
         salted_join(skewed, dim, "k", how="left")
+
+
+def test_resolve_duplicates_repoints_edges_and_drops_losers(spark):
+    """IntegrityCheckOps.resolve analog: firstCreated wins per key group,
+    edges re-point loser→winner, losers drop, report counts groups."""
+    from scalligraph_spark.integrity import resolve_duplicates
+
+    people = spark.createDataFrame(
+        [
+            (1, "alice", 100),  # winner (earliest created)
+            (2, "alice", 200),  # loser
+            (5, "alice", 300),  # loser
+            (3, "bob", 150),
+            (4, None, 50),      # null key: never grouped
+            (6, None, 60),
+        ],
+        "pid long, name string, created long",
+    )
+    knows = spark.createDataFrame(
+        [(2, 3), (3, 5), (1, 4)], "src long, dst long"
+    )
+    out = resolve_duplicates(
+        people, ["name"], id_col="pid", order_col="created",
+        keep="first", edges=[(knows, ["src", "dst"])],
+    )
+    assert sorted(r.pid for r in out["vertices"].collect()) == [1, 3, 4, 6]
+    assert {(r.loser_id, r.winner_id) for r in out["remap"].collect()} == {(2, 1), (5, 1)}
+    assert sorted((r.src, r.dst) for r in out["edges"][0].collect()) == [(1, 3), (1, 4), (3, 1)]
+    assert out["report"] == {"duplicate": 1}
+
+    # lastCreated selector flips the winner; ties break on id
+    out2 = resolve_duplicates(people, ["name"], id_col="pid", order_col="created", keep="last")
+    assert {(r.loser_id, r.winner_id) for r in out2["remap"].collect()} == {(1, 5), (2, 5)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        resolve_duplicates(people, ["name"], id_col="pid", keep="middle")
