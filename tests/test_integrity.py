@@ -156,3 +156,49 @@ def test_resolve_duplicates_repoints_edges_and_drops_losers(spark):
 
     with _pytest.raises(ValueError, match="keep"):
         resolve_duplicates(people, ["name"], id_col="pid", keep="middle")
+
+
+def test_resolve_duplicates_matches_python_replay_random(spark):
+    """Hypothesis differential: random vertex/edge tables vs a pure-Python
+    replay of winner selection (order, id) and edge remapping."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from scalligraph_spark.integrity import resolve_duplicates
+
+    keys = st.sampled_from(["a", "b", "c", None])
+    row = st.tuples(keys, st.integers(0, 9))  # (key, order)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    @given(rows=st.lists(row, min_size=1, max_size=10),
+           edges=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=6),
+           keep=st.sampled_from(["first", "last"]))
+    def run(rows, edges, keep):
+        vid = [(i, k, o) for i, (k, o) in enumerate(rows)]
+        vdf = spark.createDataFrame(vid, "vid long, k string, o long")
+        edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        if not edges:
+            edf = edf.where("src < 0")
+        out = resolve_duplicates(vdf, ["k"], id_col="vid", order_col="o",
+                                 keep=keep, edges=[(edf, ["src", "dst"])])
+        # python replay
+        groups: dict = {}
+        for i, k, o in vid:
+            if k is not None:
+                groups.setdefault(k, []).append((o, i))
+        remap = {}
+        for members in groups.values():
+            w = min(members) if keep == "first" else max(members)
+            for _, i in members:
+                if i != w[1]:
+                    remap[i] = w[1]
+        assert {(r.loser_id, r.winner_id) for r in out["remap"].collect()} == set(remap.items())
+        assert sorted(r.vid for r in out["vertices"].collect()) == sorted(
+            i for i, _, _ in vid if i not in remap
+        )
+        got_edges = sorted((r.src, r.dst) for r in out["edges"][0].collect())
+        want_edges = sorted((remap.get(s, s), remap.get(d, d)) for s, d in edges)
+        assert got_edges == want_edges
+
+    run()
