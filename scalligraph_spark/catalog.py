@@ -166,10 +166,16 @@ class GraphCatalog:
         table that advanced past its last ANALYZE has no current-version
         stats — this call then CLEARS the label's hints rather than keep
         planning on the old version's numbers (a grown table must not
-        keep force-broadcasting)."""
+        keep force-broadcasting).  Clearing applies only to labels the
+        store actually tracks (``store.version(label) > 0``): labels
+        backed by plain parquet keep whatever footer hints
+        :meth:`attach_parquet_stats` gave them — those describe a file
+        that cannot have drifted under a store version pointer."""
         from scalligraph_spark.stats import stats_for
 
         for label in labels if labels is not None else list(self.vertices):
+            if store.version(label) == 0:
+                continue  # not a store table: leave footer/manual hints alone
             try:
                 s = stats_for(store, label)
             except FileNotFoundError:

@@ -62,9 +62,13 @@ class DurableEventSrv(EventSrv):
       sizes on POSIX; on object stores, swap the transport for the
       streaming source below).
     * **consumer offsets** — ``poll(topic, consumer)`` returns events
-      past the consumer's committed byte offset and advances it
-      (at-least-once across crashes: offset commits AFTER the caller
-      gets the batch).
+      past the consumer's committed byte offset; the commit happens
+      AFTER the batch is processed — implicitly at the start of the
+      NEXT ``poll`` from the same instance, or explicitly via
+      :meth:`ack`.  A consumer that crashes between poll and
+      processing therefore sees the batch again on restart
+      (at-least-once; idempotent handling is the consumer's job, as
+      with any replayed log).
     * **Spark-native tail** — the log directory doubles as a Structured
       Streaming source: ``spark.readStream.schema(...).json(topic_dir)``
       turns commit notifications into a stream any pipeline stage can
@@ -79,6 +83,9 @@ class DurableEventSrv(EventSrv):
 
         super().__init__()
         self.root = root
+        # offsets read-but-not-yet-committed, keyed (topic, consumer):
+        # in-memory ONLY, so a crash before ack/next-poll redelivers
+        self._pending: dict[tuple[str, str], int] = {}
         os.makedirs(root, exist_ok=True)
 
     def _topic_dir(self, topic: str) -> str:
@@ -105,14 +112,35 @@ class DurableEventSrv(EventSrv):
             os.close(fd)
         super().publish(topic, message)
 
+    def _off_path(self, topic: str, consumer: str) -> str:
+        import os
+
+        return os.path.join(self._topic_dir(topic), f"_offset.{consumer}")
+
+    def ack(self, topic: str, consumer: str = "default") -> None:
+        """Commit the offset of the batch returned by the last ``poll``
+        — the explicit form of the implicit ack the next ``poll``
+        performs.  Call it after processing when the consumer will not
+        poll again soon (otherwise a crash would redeliver the already-
+        processed batch, which at-least-once permits but wastes work)."""
+        key = (topic, consumer)
+        pend = self._pending.pop(key, None)
+        if pend is not None:
+            with open(self._off_path(topic, consumer), "w") as f:
+                f.write(str(pend))
+
     def poll(self, topic: str, consumer: str = "default", max_events: int | None = None) -> list:
-        """Drain events appended since this consumer's last committed
-        offset; returns the message payloads and advances the offset."""
+        """Drain events appended since this consumer's last COMMITTED
+        offset.  The returned batch is committed only at the next
+        ``poll`` (or an explicit :meth:`ack`), so a consumer that
+        crashes after poll but before processing gets the batch again
+        on restart — at-least-once, not at-most-once."""
         import json
         import os
 
+        self.ack(topic, consumer)  # previous batch survived processing
         log = self._log(topic)
-        off_path = os.path.join(self._topic_dir(topic), f"_offset.{consumer}")
+        off_path = self._off_path(topic, consumer)
         offset = 0
         if os.path.exists(off_path):
             with open(off_path) as f:
@@ -129,6 +157,6 @@ class DurableEventSrv(EventSrv):
                 offset += len(raw)
                 if max_events is not None and len(out) >= max_events:
                     break
-        with open(off_path, "w") as f:
-            f.write(str(offset))
+        if out:
+            self._pending[(topic, consumer)] = offset
         return out

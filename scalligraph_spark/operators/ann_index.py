@@ -119,6 +119,8 @@ def build_ivf_index(
             "n_centroids": int(len(C)),
             "dim": int(C.shape[1]),
             "sample_rows": int(sample_rows),
+            "id_col": str(id_col),
+            "vec_col": str(vec_col),
             **_corpus_meta(corpus_store, corpus_label),
         },
     )
@@ -162,6 +164,8 @@ def build_pq_index(
             "nbits": int(nbits),
             "dsub": int(dsub),
             "sample_rows": int(sample_rows),
+            "id_col": str(id_col),
+            "vec_col": str(vec_col),
             **_corpus_meta(corpus_store, corpus_label),
         },
     )
@@ -301,8 +305,8 @@ def reindex_ann(
     store,
     name: str,
     corpus_store,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ) -> int:
     """Rebuild a persisted index against the CURRENT corpus version with
     the parameters recorded in its own meta — the ``ReindexData`` /
@@ -310,13 +314,21 @@ def reindex_ann(
     rebuild is a new artifact version, readers pinned to the old version
     are undisturbed, and the freshness warning clears because the new
     meta records the current corpus version.  Register it as a migration
-    ``db_operation`` to run exactly once per schema version."""
+    ``db_operation`` to run exactly once per schema version.
+
+    Column names default to the ones recorded at build time (the builders
+    stamp ``id_col``/``vec_col`` into the commit meta), so automated
+    rebuilds — the streaming index-maintenance sink in particular — work
+    for indexes built over non-default column names without re-supplying
+    them."""
     meta = store.commit_meta(name)
     if "corpus_label" not in meta:
         raise ValueError(
             f"index {name!r} records no training corpus; rebuild it with the "
             "matching build_*_index(..., corpus_store=, corpus_label=) instead"
         )
+    id_col = id_col if id_col is not None else meta.get("id_col", "vec_id")
+    vec_col = vec_col if vec_col is not None else meta.get("vec_col", "embedding")
     emb = corpus_store.read(spark, meta["corpus_label"])
     kind = meta.get("kind")
     if kind == "ivf":

@@ -56,6 +56,14 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     return z
 
 
+class VersionConflictError(RuntimeError):
+    """``store.write(..., expected_version=N)`` found v(N+1) already
+    claimed — another writer committed over the same base.  The physical
+    (directory-level) face of the optimistic-concurrency conflict;
+    ``writes.WriteConflictError`` is the session-level face and
+    subclasses this so either can be caught."""
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -133,6 +141,7 @@ class LabelStore:
         bucket_hint: tuple[int, list[str]] | None = None,
         zorder_by: tuple[int, list[str]] | None = None,
         meta: dict | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Commit a new table version and flip the pointer (the atomic
         'transaction' of the batch world).
@@ -155,15 +164,38 @@ class LabelStore:
         two commits).  The pointer then only ever advances — a slower
         writer holding a lower claimed number cannot retrograde a newer
         commit.  Readers are snapshot-isolated by the pointer rename.
+
+        ``expected_version`` turns the claim into a compare-and-swap for
+        optimistic concurrency (the ``tryTransaction`` commit check,
+        JanusDatabase.scala:211-257): the write targets EXACTLY
+        ``expected_version + 1`` and raises :class:`VersionConflictError`
+        if that directory is already claimed — it never rolls forward to
+        the next free slot, so two sessions based on the same snapshot
+        can never both commit (the second would silently erase the
+        first's rows).  The ``os.mkdir`` of the v-dir is the CAS: atomic
+        on POSIX and HDFS, no lock service needed.  A crashed writer can
+        leave a claimed-but-empty v-dir; ``vacuum`` clears those
+        (directories above the pointer with no ``_SUCCESS``).
         """
         os.makedirs(os.path.join(self.root, label), exist_ok=True)
-        new_v = self.version(label) + 1
-        while True:
+        if expected_version is not None:
+            new_v = expected_version + 1
             try:
                 os.mkdir(self.path(label, new_v))
-                break
             except FileExistsError:
-                new_v += 1
+                raise VersionConflictError(
+                    f"label {label!r}: v{new_v} already claimed — session based "
+                    f"on v{expected_version} lost the commit race; retry over a "
+                    "fresh snapshot"
+                ) from None
+        else:
+            new_v = self.version(label) + 1
+            while True:
+                try:
+                    os.mkdir(self.path(label, new_v))
+                    break
+                except FileExistsError:
+                    new_v += 1
         if bucket_hint:
             n, cols = bucket_hint
             df = df.repartition(n, *[df[c] for c in cols])
@@ -278,12 +310,22 @@ class LabelStore:
         return self.write(label, self.read(spark, label, v), zorder_by=(n_files, zorder_by))
 
     def vacuum(self, label: str, keep: int = 2) -> list[int]:
-        """Drop all but the newest ``keep`` versions (never the current).
+        """Drop all but the newest ``keep`` versions (never the current),
+        plus aborted commit claims — v-dirs ABOVE the pointer with no
+        ``_SUCCESS`` marker, left by a writer that claimed a version then
+        crashed before finishing (these would otherwise make every
+        subsequent CAS commit of the same base spuriously conflict).
+        Like old-version removal, must not run concurrently with writers.
         Returns the versions removed."""
         import shutil
 
         current = self.version(label)
         victims = [v for v in self.history(label)[:-keep] if v != current]
+        victims += [
+            v
+            for v in self.history(label)
+            if v > current and not os.path.exists(os.path.join(self.path(label, v), "_SUCCESS"))
+        ]
         for v in victims:
             shutil.rmtree(self.path(label, v), ignore_errors=True)
         return victims

@@ -525,18 +525,27 @@ def enrich_with_scd2(
 
     ``how="left"`` keeps events with no valid dimension version (nulls),
     ``"inner"`` drops them.
+
+    Column-name safety: every dimension column is internally renamed
+    before the join and the join condition references only qualified /
+    renamed columns, so a stream and dimension sharing names (both carry
+    ``ts``, or an attribute column) can neither raise an
+    ambiguous-reference error nor silently duplicate output columns.
+    Dimension attributes whose names collide with stream columns come
+    back prefixed ``dim_``.
     """
-    ts = F.col(ts_col).cast("timestamp")
-    d = dim.select(
-        F.col(key).alias("__k"),
-        *[F.col(c) for c in dim.columns if c != key],
-    )
+    ts = stream[ts_col].cast("timestamp")
+    d_cols = [c for c in dim.columns if c != key]
+    d = dim.select(F.col(key).alias("__k"), *[F.col(c).alias(f"__d_{c}") for c in d_cols])
     cond = (
-        (F.col("__k") == stream[key])
-        & (F.col("valid_from") <= ts)
-        & (F.col("valid_to").isNull() | (ts < F.col("valid_to")))
+        (d["__k"] == stream[key])
+        & (d["__d_valid_from"] <= ts)
+        & (d["__d_valid_to"].isNull() | (ts < d["__d_valid_to"]))
     )
-    return stream.join(d, cond, how).drop("__k")
+    out = stream.join(d, cond, how).drop("__k")
+    for c in d_cols:
+        out = out.withColumnRenamed(f"__d_{c}", f"dim_{c}" if c in stream.columns else c)
+    return out
 
 
 def start_index_maintenance_sink(
@@ -547,6 +556,8 @@ def start_index_maintenance_sink(
     checkpoint_dir: str,
     rebuild_growth: float = 0.2,
     query_name: str = "index_maintenance",
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ):
     """Streaming ingest + ANN-index freshness automation: each micro-batch
     appends to the corpus label (batch-id idempotent, like
@@ -591,7 +602,9 @@ def start_index_maintenance_sink(
             return  # index not provenance-tracked (or not built yet)
         trained_rows = int(store.commit_meta(corpus_label, trained_v).get("n_rows", 0) or prev_rows)
         if trained_rows == 0 or (n_rows - trained_rows) / trained_rows >= rebuild_growth:
-            reindex_ann(spark, store, index_name, corpus_store=store)
+            # id/vec column names default to the ones stamped in the index's
+            # own build meta, so non-default-named corpora rebuild correctly
+            reindex_ann(spark, store, index_name, corpus_store=store, id_col=id_col, vec_col=vec_col)
 
     return (
         stream_df.writeStream.foreachBatch(_commit)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .store import VersionConflictError
+
 
 def with_audit(
     df: DataFrame,
@@ -284,17 +286,22 @@ class WriteSession:
         JanusDatabase.scala:211-257): the session's plan was built over
         the snapshot pinned at session start, so if ANOTHER writer
         committed since, blindly writing would silently erase their
-        commit (last-writer-wins).  Commit therefore verifies the label
-        still points at ``base_version`` and raises
-        :class:`WriteConflictError` otherwise — callers retry through
-        :func:`try_transaction`, which re-runs the mutation over the
-        fresh snapshot.  ``force=True`` opts out (bulk loads that OWN the
-        label).  Note the check is advisory-atomic like the rest of the
-        batch store: the exclusive version-claim in ``store.write``
-        serializes the physical commit; this check serializes the
-        LOGICAL read-modify-write.
+        commit (last-writer-wins).  Commit therefore claims EXACTLY
+        ``base_version + 1`` through ``store.write(expected_version=...)``
+        — the ``os.mkdir`` of that v-dir is an atomic compare-and-swap,
+        so two sessions based on the same snapshot can never both land
+        even if their commits interleave (a bare check-then-write would
+        let both pass the version check concurrently and the second
+        writer silently erase the first — the lost update the feature
+        exists to prevent).  Raises :class:`WriteConflictError`; callers
+        retry through :func:`try_transaction`, which re-runs the mutation
+        over the fresh snapshot.  ``force=True`` opts out (bulk loads
+        that OWN the label) and rolls forward to the next free version.
         """
         if not force:
+            # cheap advisory pre-check: fail before the Spark write job
+            # when the label has visibly advanced (the CAS below is what
+            # actually serializes racing commits)
             cur = self.store.version(self.label)
             if cur != self.base_version:
                 raise WriteConflictError(
@@ -302,15 +309,24 @@ class WriteSession:
                     f"but store is at v{cur} — another writer committed; retry "
                     "via try_transaction()"
                 )
-        v = self.store.write(self.label, self.df, meta=meta, **write_opts)
+            try:
+                v = self.store.write(
+                    self.label, self.df, meta=meta, expected_version=self.base_version, **write_opts
+                )
+            except VersionConflictError as e:
+                raise WriteConflictError(str(e)) from None
+        else:
+            v = self.store.write(self.label, self.df, meta=meta, **write_opts)
         self.base_version = v  # further commits from this session chain on
         return v
 
 
-class WriteConflictError(RuntimeError):
+class WriteConflictError(VersionConflictError):
     """A WriteSession commit found the label advanced past its pinned
     snapshot — the optimistic-concurrency conflict signal
-    (JanusDatabase.scala:211-257's PermanentLockingException analog)."""
+    (JanusDatabase.scala:211-257's PermanentLockingException analog).
+    Session-level face of :class:`~scalligraph_spark.store.VersionConflictError`
+    (the store's directory-claim CAS); catching either works."""
 
 
 def try_transaction(

@@ -297,3 +297,27 @@ def test_stale_index_warns_and_reindex_clears(spark, embeddings, store):
     build_ivf_index(store, "emb_ix_untracked", store.read(spark, "emb"), n_centroids=4)
     with pytest.raises(ValueError, match="records no training corpus"):
         reindex_ann(spark, store, "emb_ix_untracked", corpus_store=store)
+
+
+def test_reindex_defaults_to_built_column_names(spark, embeddings, store):
+    """An index built over NON-default column names rebuilds without
+    re-supplying them: the builders stamp id_col/vec_col into the commit
+    meta and reindex_ann defaults from it — the automated maintenance
+    sink path, which cannot know per-index column names."""
+    from scalligraph_spark.operators import build_ivf_index, load_ann_index, reindex_ann
+
+    renamed = embeddings.withColumnRenamed("vec_id", "doc_pk").withColumnRenamed(
+        "embedding", "vec"
+    )
+    store.write("corpus", renamed)
+    build_ivf_index(
+        store, "ix", store.read(spark, "corpus"),
+        n_centroids=4, id_col="doc_pk", vec_col="vec",
+        corpus_store=store, corpus_label="corpus",
+    )
+    assert load_ann_index(spark, store, "ix").meta["id_col"] == "doc_pk"
+    store.write("corpus", renamed.limit(40))  # drift
+    v2 = reindex_ann(spark, store, "ix", corpus_store=store)  # no col args
+    fresh = load_ann_index(spark, store, "ix", corpus_store=store)
+    assert fresh.version == v2 and fresh.meta["vec_col"] == "vec"
+    assert fresh.meta["corpus_version"] == 2

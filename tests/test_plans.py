@@ -473,6 +473,37 @@ def test_attach_parquet_stats_handles_file_and_directory(spark, tmp_path):
     assert cat.vertices["t"].n_bytes_hint > 0
 
 
+def test_attach_stats_preserves_footer_hints_for_non_store_labels(spark, tmp_path):
+    """attach_stats' staleness-clear must only touch labels the store
+    actually tracks: a plain-parquet label just hinted by
+    attach_parquet_stats keeps its footer hints when attach_stats runs
+    afterwards (the tpch_catalog + store mixed-catalog shape)."""
+    from scalligraph_spark.catalog import GraphCatalog, VertexSpec
+    from scalligraph_spark.stats import analyze
+    from scalligraph_spark.store import LabelStore
+
+    ddir = str(tmp_path / "plain.parquet")
+    spark.createDataFrame([(i,) for i in range(100)], "k long").write.parquet(ddir)
+    store = LabelStore(str(tmp_path / "s"))
+    store.write("stored", spark.createDataFrame([(1,)], "k long"))
+    analyze(spark, store, "stored")
+
+    cat = GraphCatalog(spark)
+    cat.add_vertex(VertexSpec("plain", "k", lambda: spark.read.parquet(ddir)))
+    cat.add_store_vertex(store, "stored", "k")
+    cat.attach_parquet_stats(str(tmp_path))
+    assert cat.vertices["plain"].n_rows_hint == 100
+    cat.attach_stats(store)  # must not clear the footer hints above
+    assert cat.vertices["plain"].n_rows_hint == 100
+    assert cat.vertices["plain"].n_bytes_hint > 0
+    assert cat.vertices["stored"].n_rows_hint == 1
+    # stored label staleness-clear still applies
+    store.write("stored", spark.createDataFrame([(1,), (2,)], "k long"))
+    cat.attach_stats(store)
+    assert cat.vertices["stored"].n_rows_hint is None
+    assert cat.vertices["plain"].n_rows_hint == 100  # still untouched
+
+
 def test_aqe_runtime_partition_coalescing_engages(spark):
     """Runtime (not just conf) proof of the AQE posture: after execution,
     the adaptive plan shows AQEShuffleRead coalescing the configured

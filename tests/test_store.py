@@ -658,6 +658,39 @@ def test_durable_eventsrv_cross_process_poll(spark, tmp_path):
     assert len(bus_b.poll("store:t", consumer="bounded")) == 1
 
 
+def test_durable_eventsrv_at_least_once_redelivery(tmp_path):
+    """At-least-once: the offset commits AFTER processing (next poll or
+    explicit ack), so a consumer that crashes between poll and
+    processing sees the batch again on restart — polling must not be
+    the commit."""
+    from scalligraph_spark.eventsrv import DurableEventSrv
+
+    root = str(tmp_path / "bus")
+    bus = DurableEventSrv(root)
+    bus.publish("jobs", {"n": 1})
+    bus.publish("jobs", {"n": 2})
+
+    # crash-after-poll: batch polled but never processed (no ack, no
+    # second poll) — a fresh instance (restart) must redeliver it
+    assert [m["n"] for m in bus.poll("jobs", consumer="c")] == [1, 2]
+    restarted = DurableEventSrv(root)
+    assert [m["n"] for m in restarted.poll("jobs", consumer="c")] == [1, 2]
+
+    # explicit ack commits: a later restart does NOT redeliver
+    restarted.ack("jobs", consumer="c")
+    assert DurableEventSrv(root).poll("jobs", consumer="c") == []
+
+    # implicit ack on next poll from the same instance: sequential
+    # drain loop sees each event exactly once
+    bus2 = DurableEventSrv(root)
+    bus2.publish("jobs", {"n": 3})
+    assert [m["n"] for m in bus2.poll("jobs", consumer="c")] == [3]
+    bus2.publish("jobs", {"n": 4})
+    assert [m["n"] for m in bus2.poll("jobs", consumer="c")] == [4]
+    # ...but the LAST batch before a crash (never acked) redelivers
+    assert [m["n"] for m in DurableEventSrv(root).poll("jobs", consumer="c")] == [4]
+
+
 def test_snapshot_commit_conflict_detected(spark, tmp_path):
     """Two committers racing from the same base manifest: the second
     raises instead of clobbering the first's manifest or resurrecting

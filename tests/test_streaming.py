@@ -515,6 +515,50 @@ def test_enrich_with_scd2_stream_static_asof(spark, tmp_path):
     assert sorted(r.event_id for r in inner.collect()) == [100, 101]
 
 
+def test_enrich_with_scd2_tolerates_shared_column_names(spark, tmp_path):
+    """Column-name collision safety: a dimension that carries columns
+    with the SAME names as the stream (here ts and an attr) must neither
+    raise an ambiguous-reference error nor duplicate output columns —
+    colliding dim attrs come back prefixed dim_."""
+    from scalligraph_spark.streaming import enrich_with_scd2, run_available_now
+
+    # hand-built SCD2 dim that also carries its own `ts` and `source` attrs
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-01-01 00:00:00", "dimload", 1, "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+            (1, "gold", "2024-01-10 00:00:00", "dimload", 2, "2024-01-10 00:00:00", None),
+        ],
+        "user_id long, tier string, ts string, source string, version int, valid_from string, valid_to string",
+    ).select(
+        "user_id", "tier",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "source", "version",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+
+    src = str(tmp_path / "ev2")
+    spark.createDataFrame(
+        [(100, 1, "2024-01-02 00:00:00", "app")],
+        "event_id long, user_id long, ts string, source string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, source string"
+    ).parquet(src)
+
+    got = run_available_now(
+        enrich_with_scd2(stream, dim, "user_id"),
+        query_name="scd2_collide",
+        output_mode="append",
+    )
+    assert len(got.columns) == len(set(got.columns))  # no duplicate names
+    row = got.collect()[0]
+    assert row.tier == "bronze" and row.version == 1
+    # stream's own columns win the plain names; dim's collide -> dim_ prefix
+    assert row.source == "app" and row.dim_source == "dimload"
+    assert row.ts != row.dim_ts
+
+
 def test_index_maintenance_sink_rebuilds_on_growth(spark, tmp_path):
     """Streaming corpus ingest auto-refreshes the persisted ANN index
     past the growth threshold: small batches leave the index version

@@ -264,6 +264,40 @@ def test_write_session_detects_concurrent_commit(spark, tmp_path):
     assert s2.commit() == v + 1
 
 
+def test_write_session_cas_catches_toctou_interleave(spark, tmp_path):
+    """The lost-update window a bare check-then-write leaves open: a racing
+    writer has CLAIMED the next version (mkdir v2) but not yet flipped the
+    pointer, so the advisory pre-check still passes — the directory-claim
+    CAS in store.write(expected_version=...) must catch it anyway."""
+    import os
+
+    from scalligraph_spark.store import LabelStore, VersionConflictError
+    from scalligraph_spark.writes import WriteConflictError, WriteSession
+
+    store = LabelStore(str(tmp_path / "cas"))
+    store.write("t", spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    s1 = WriteSession(spark, store, "t", "id")
+    s1.update(F.col("id") == 1, {"v": F.lit("mine")})
+    # racing writer mid-commit: v2 claimed, pointer still at v1
+    os.mkdir(store.path("t", 2))
+    assert store.version("t") == 1  # pre-check alone would NOT see the race
+    with pytest.raises(WriteConflictError, match="lost the commit race"):
+        s1.commit()
+
+    # store-level CAS surface: stale expected_version raises directly
+    with pytest.raises(VersionConflictError):
+        store.write("t", spark.createDataFrame([(1, "x")], "id long, v string"), expected_version=1)
+
+    # the aborted/in-flight claim (no _SUCCESS, above pointer) is vacuumable,
+    # after which a fresh session commits cleanly at the reclaimed slot
+    assert 2 in store.vacuum("t")
+    s2 = WriteSession(spark, store, "t", "id")
+    s2.update(F.col("id") == 1, {"v": F.lit("retried")})
+    assert s2.commit() == 2
+    assert store.read(spark, "t").collect()[0].v == "retried"
+
+
 def test_try_transaction_retries_to_success(spark, tmp_path):
     """The retry loop re-runs the mutation over the FRESH snapshot, so a
     conflicting concurrent commit is absorbed, not lost."""
