@@ -105,6 +105,9 @@ HEADLINE = [
     "qagg_grouping_sets",  # one Expand pass for non-hierarchical sets
     "events_json_extract_agg",  # get_json_object in the scan projection
     "qagg_having_filter",  # post-agg filter/sort composition
+    # round-7 additions
+    "pipeline_pack_documents_sharded",  # partitioned-window packing (100 TB shape)
+    "dialogue_pack_budget_sharded",  # per-shard role-weighted packing
 ]
 
 

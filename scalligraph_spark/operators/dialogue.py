@@ -191,6 +191,7 @@ def pack_dialogues(
     role_col: str = "role",
     text_col: str = "text",
     shard_col: str | None = None,
+    warn_rows: int = 5_000_000,
 ) -> DataFrame:
     """Role-aware sequence packing for chat transcripts → one row per
     conversation: ``(conv_id[, shard], n_raw_tokens, n_budget_tokens,
@@ -212,11 +213,18 @@ def pack_dialogues(
     Scale: one hash aggregate (conv totals) + one window prefix sum —
     partitioned per shard when ``shard_col`` is given (no global sort at
     100 TB; shards pack independently, matching multi-worker sharding).
-    Missing roles weigh 1.0.
+    Without a shard the global window warns past ``warn_rows`` estimated
+    input rows (``pipeline.GlobalWindowWarning`` — plan-statistics
+    estimate, no job).  Missing roles weigh 1.0.
     """
     from functools import reduce
 
     from pyspark.sql import Window
+
+    from scalligraph_spark.operators.pipeline import _warn_if_global_window
+
+    if shard_col is None:
+        _warn_if_global_window(turns, "pack_dialogues", warn_rows)
 
     toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     weight = F.lit(1.0)

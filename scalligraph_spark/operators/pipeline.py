@@ -18,6 +18,45 @@ from pyspark.sql import functions as F
 from scalligraph_spark.operators.text import quality_score
 
 
+class GlobalWindowWarning(UserWarning):
+    """A packer was called without ``shard_col`` on an input the plan
+    statistics estimate LARGE: the unsharded path compiles to a single
+    globally-ordered window — one partition holds the whole prefix sum
+    at execution time, which is the shape that dies at 100 TB.  Pass
+    ``shard_col`` (shards pack independently, exactly how multi-worker
+    training shards data) or raise ``warn_rows`` if the global order is
+    genuinely required at this size."""
+
+
+def _warn_if_global_window(df: DataFrame, op: str, warn_rows: int) -> None:
+    """Emit :class:`GlobalWindowWarning` when Catalyst's own plan
+    statistics (a metadata read — parquet footers / relation sizes, never
+    a job) estimate more than ``warn_rows`` input rows."""
+    import warnings
+
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        # str() of the scala BigInt is its decimal form — no long overflow
+        if rc.isDefined():
+            est = int(str(rc.get()))
+        else:
+            size = int(str(stats.sizeInBytes()))
+            if size >= (1 << 60):  # Long.MaxValue-ish sentinel: size UNKNOWN
+                return  # don't cry wolf on un-estimable plans
+            est = size // 128
+    except Exception:  # plan stats unavailable: stay silent, never fail the op
+        return
+    if est > warn_rows:
+        warnings.warn(
+            f"{op}: no shard_col and the input is estimated at ~{est:,} rows "
+            f"(> {warn_rows:,}) — the global-ordered window prefix sum runs in "
+            "ONE partition at execution time; pass shard_col to pack per shard",
+            GlobalWindowWarning,
+            stacklevel=3,
+        )
+
+
 def clean_corpus(
     docs: DataFrame,
     min_quality: float = 0.5,
@@ -183,6 +222,7 @@ def pack_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_col: str | None = None,
+    warn_rows: int = 5_000_000,
 ) -> DataFrame:
     """Sequence packing for training: assign every document to the
     fixed-size context-window pack it starts in, under concatenate-and-
@@ -195,11 +235,16 @@ def pack_documents(
     ``shard_col`` the prefix sum is PER SHARD (window partitioned → no
     global sort): at 100 TB you pack within shards — each shard's packs
     are independent, which is exactly how multi-worker training shards
-    data anyway.  Without it the window is global (one range-partitioned
-    sort) — fine to sf-scale and the oracle-comparable form.
+    data anyway.  Without it the window is global — the whole prefix sum
+    lands in ONE partition at execution time, fine to sf-scale and the
+    oracle-comparable form, but past ``warn_rows`` estimated input rows
+    a :class:`GlobalWindowWarning` fires (plan-statistics estimate, no
+    job launched).
 
     Returns (id_col[, shard_col], n_tokens, start_offset, pack_id).
     """
+    if shard_col is None:
+        _warn_if_global_window(docs, "pack_documents", warn_rows)
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     w = Window.orderBy(F.col(id_col).asc()) if shard_col is None else Window.partitionBy(shard_col).orderBy(
         F.col(id_col).asc()

@@ -6759,6 +6759,73 @@ def dedup_edit_distance_auto_q(spark, sf):
     return edit_distance_pairs(docs, max_dist=5, blocking="auto")
 
 
+@q(
+    "pipeline_pack_documents_sharded",
+    """
+WITH t AS (
+  SELECT doc_id, source, CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+  CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+  CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+FROM t
+WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    "sequence packing, SHARDED (the 100 TB shape): prefix sum windowed "
+    "PER SHARD (partitioned window — every shard packs independently and "
+    "in parallel, exactly how multi-worker training shards data), vs the "
+    "unsharded twin's single global-ordered window that one-partitions "
+    "at scale; the unsharded path now warns past a plan-stats row "
+    "threshold (GlobalWindowWarning)",
+)
+def pipeline_pack_documents_sharded_q(spark, sf):
+    from scalligraph_spark.operators import pack_documents
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    return pack_documents(docs, max_tokens=2048, shard_col="source")
+
+
+@q(
+    "dialogue_pack_budget_sharded",
+    f"""
+WITH turns AS ({_TURNS_SQL}),
+t AS (
+  SELECT conv_id, conv_id % 4 AS shard,
+         len(string_split_regex(trim(text), '\\s+')) AS toks,
+         CAST(ceil(len(string_split_regex(trim(text), '\\s+')) *
+              CASE role WHEN 'user' THEN 0.25 ELSE 1.0 END) AS BIGINT) AS budget
+  FROM turns
+),
+per AS (
+  SELECT conv_id, shard, CAST(sum(toks) AS BIGINT) AS n_raw_tokens,
+         CAST(sum(budget) AS BIGINT) AS n_budget_tokens
+  FROM t GROUP BY conv_id, shard
+),
+offs AS (
+  SELECT conv_id, shard, n_raw_tokens, n_budget_tokens,
+         CAST(sum(n_budget_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_budget_tokens AS BIGINT) AS start_offset
+  FROM per
+)
+SELECT conv_id, shard, n_raw_tokens, n_budget_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
+FROM offs
+""",
+    "role-aware packing, SHARDED: per-conversation budget totals pack "
+    "within training shards (partitioned window prefix sum — no global "
+    "sort), the scale twin of dialogue_pack_budget",
+)
+def dialogue_pack_budget_sharded_q(spark, sf):
+    from scalligraph_spark.operators import pack_dialogues
+
+    turns = _turns_df(spark, sf).withColumn("shard", F.col("conv_id") % 4)
+    return pack_dialogues(
+        turns, max_tokens=512, role_weights={"user": 0.25}, shard_col="shard"
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -441,6 +441,54 @@ def test_pack_documents_contiguous_fill(spark):
     assert sharded[4]["start_offset"] == 0 and sharded[4]["pack_id"] == 0  # s2 restarts
 
 
+def test_pack_global_window_warns_at_scale_and_sharded_plan_partitions(spark, tmp_path):
+    """Scale-shape honesty for the packers: (a) the unsharded path WARNS
+    when plan statistics estimate the input above the threshold (the
+    global-ordered window one-partitions at 100 TB), silently proceeds
+    below it; (b) the sharded plan's window is genuinely PARTITIONED
+    (partial, per-shard sort), not a single global sort."""
+    import warnings
+
+    import pytest as _pytest
+
+    from scalligraph_spark.operators import GlobalWindowWarning, pack_dialogues, pack_documents
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"tok{i} tok tok", f"s{i % 4}") for i in range(1000)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+
+    # (a) warning fires above the threshold...
+    with _pytest.warns(GlobalWindowWarning, match="ONE partition"):
+        pack_documents(docs, max_tokens=128, warn_rows=10)
+    turns = docs.select(
+        (F.col("doc_id") % 7).alias("conv_id"), F.lit("user").alias("role"), "text"
+    )
+    with _pytest.warns(GlobalWindowWarning, match="pass shard_col"):
+        pack_dialogues(turns, max_tokens=128, warn_rows=10)
+    # ...not below it, and never on the sharded path
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", GlobalWindowWarning)
+        pack_documents(docs, max_tokens=128)  # default 5M threshold
+        pack_documents(docs, max_tokens=128, shard_col="source", warn_rows=10)
+        pack_dialogues(turns, max_tokens=128, shard_col="conv_id", warn_rows=10)
+
+    # (b) sharded plan: window exchange is hash-on-shard, sort is per-partition
+    plan = (
+        pack_documents(docs, max_tokens=128, shard_col="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(source" in plan
+    assert "rangepartitioning" not in plan  # the global-sort shape is absent
+    global_plan = (
+        pack_documents(docs, max_tokens=128)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" in global_plan  # and THIS is why the warning exists
+
+
 def test_sample_mixture_deterministic_rates(spark):
     from scalligraph_spark.operators import sample_mixture
 
