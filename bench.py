@@ -108,6 +108,8 @@ HEADLINE = [
     # round-7 additions
     "pipeline_pack_documents_sharded",  # partitioned-window packing (100 TB shape)
     "dialogue_pack_budget_sharded",  # per-shard role-weighted packing
+    "graph_cc_skewed",  # two-phase CC under a 10%-of-edges Zipf hub
+    "graph_pagerank_skewed",  # hot-reduce-key rank-mass aggregation
 ]
 
 

@@ -6826,6 +6826,80 @@ def dialogue_pack_budget_sharded_q(spark, sf):
     )
 
 
+def _zipf_edges(spark, sf):
+    """Deterministic power-law edge table for skew benchmarks: every
+    document links to one of ~1000 hub vertices whose popularity is
+    Zipf(1)-distributed — hub rank r receives ln(1+1/r)/ln(1000) of all
+    edges, so rank 1 alone holds ~10% (the hub-adjacency skew the
+    JanusGraph partitioned-vertex machinery exists for,
+    JanusDatabase.scala ids.block-size).  Rank = floor(1000^u) with u the
+    md5-uniform of the doc id — the repo's portable determinism idiom, so
+    DuckDB reproduces the graph bit-for-bit."""
+    docs = cat_for(spark, sf).vertex_df("documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("zipf-v1"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rank = F.floor(F.pow(F.lit(1000.0), h / F.lit(4294967296.0)))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("src"),
+        (F.lit(1000000000) + rank).cast("long").alias("dst"),
+    )
+
+
+_ZIPF_EDGES_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS src,
+       CAST(1000000000 + floor(pow(1000.0,
+            (CAST(('0x' || substr(md5('zipf-v1:' || doc_id), 1, 8)) AS BIGINT)) / 4294967296.0))
+            AS BIGINT) AS dst
+FROM documents
+"""
+
+
+@q(
+    "graph_cc_skewed",
+    f"""
+WITH e AS ({_ZIPF_EDGES_SQL}),
+comp AS (SELECT dst, min(src) AS c FROM e GROUP BY dst)
+SELECT CAST(e.src AS BIGINT) AS vertex, CAST(comp.c AS BIGINT) AS component
+FROM e JOIN comp USING (dst)
+UNION ALL
+SELECT CAST(dst AS BIGINT), CAST(c AS BIGINT) FROM comp
+""",
+    "connected components on a Zipf-skewed hub graph (max hub ~10% of all "
+    "edges): measures the two-phase CC under the hub-adjacency skew that "
+    "near-uniform TPC-H graphs never exercise — AQE skew-join + the "
+    "large-star contraction must keep the hot key from single-reducing. "
+    "Oracle is closed-form: star components label as min member id",
+)
+def graph_cc_skewed_q(spark, sf):
+    from scalligraph_spark.operators import connected_components
+
+    return connected_components(_zipf_edges(spark, sf))
+
+
+@q(
+    "graph_pagerank_skewed",
+    None,  # iterative float sums over thousands-of-term hubs: no hash-exact
+    # SQL twin (each hub's rank sums O(10^3) doubles whose partial-agg
+    # order Spark does not pin) — closed-form differential pytest instead
+    # (test_graph_analytics: rank(hub) = 0.15 + 0.85·0.15·indeg exactly on
+    # this dangling-hub star graph)
+    "5-iteration PageRank on the same Zipf-skewed hub graph: the "
+    "rank-mass aggregation groups by dst, so the 10% hub is the hot "
+    "reduce key — the skew bench twin of graph_pagerank",
+)
+def graph_pagerank_skewed_q(spark, sf):
+    from scalligraph_spark.operators import pagerank
+
+    return pagerank(_zipf_edges(spark, sf), iterations=5)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

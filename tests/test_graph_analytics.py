@@ -468,3 +468,27 @@ def test_label_propagation_string_vertex_ids(spark):
     rows = {r["vertex"]: r["community"] for r in label_propagation(edges).collect()}
     assert {rows[v] for v in ["a", "b", "c", "d"]} == {"a"}
     assert {rows[v] for v in ["w", "x", "y", "z"]} == {"w"}
+
+
+def test_pagerank_skewed_hub_graph_matches_closed_form(spark):
+    """Differential for the rows-only graph_pagerank_skewed bench entry:
+    on the Zipf hub star graph (docs outdeg=1, hubs dangling) the
+    fixpoint is closed-form by iteration 2 — rank(doc) = 1-d and
+    rank(hub) = (1-d) + d·(1-d)·indeg.  Float-tolerance compare because
+    hub in-sums have thousands of equal terms whose partial-agg tree
+    order Spark does not pin (this is exactly why the suite entry has no
+    hash-exact SQL oracle)."""
+    from scalligraph_spark.suite import _zipf_edges, cat_for  # noqa: F401
+
+    import __spark_entry__  # ensure suite registered
+
+    edges = _zipf_edges(spark, "/root/testdata/sf0.001")
+    indeg = {r["dst"]: r["n"] for r in edges.groupBy("dst").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # skew sanity: this IS a power-law graph — the max hub holds >= 5% of
+    # all edges (Zipf(1) over 1000 hubs gives rank 1 ~ 10%)
+    n_edges = sum(indeg.values())
+    assert max(indeg.values()) / n_edges >= 0.05
+    got = {r["vertex"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    for v, r in got.items():
+        want = 0.15 + 0.85 * 0.15 * indeg[v] if v >= 1000000000 else 0.15
+        assert abs(r - want) <= 1e-9 * max(1.0, abs(want)), (v, r, want)
