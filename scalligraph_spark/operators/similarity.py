@@ -90,6 +90,78 @@ def brute_force_cosine_topk(
     )
 
 
+def exact_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a SET of query ids — the multi-query ground
+    truth an ANN recall measurement compares against
+    (:func:`ann_recall_at_k`).  ``queries`` is a one-column id frame; the
+    query-vector block broadcasts (recall evaluation SAMPLES queries —
+    keep it bounded), similarity computes fully JVM-side against one
+    corpus scan, then one per-query window top-k.  Scoring and
+    tie-breaking (round-12 cosine desc, id asc) match
+    :func:`ivf_ann_topk`/:func:`lsh_ann_topk` exactly, so set
+    differences measure CANDIDATE misses, never scoring drift.
+    Returns (id_a=query, id_b=neighbor, cosine)."""
+    from pyspark.sql import Window
+
+    qv = (
+        embeddings.join(F.broadcast(queries.select(F.col(id_col))), id_col)
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("qv"),
+            F.sqrt(_double_norm2(F.col(vec_col))).alias("qn"),
+        )
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_double_norm2(F.col(vec_col))).alias("nb"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qv))
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_double_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nb")), 12).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc_nulls_last(), F.col("id_b").asc())
+    return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+
+
+def ann_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "id_a",
+    item_col: str = "id_b",
+) -> DataFrame:
+    """recall@k per query of an approximate top-k result against the
+    exact one: |approx ∩ exact| / |exact| over the neighbor SETS — the
+    first quality number an ANN user asks, measured instead of asserted.
+    Both inputs are (query, item[, score]) top-k frames (already ≤ k rows
+    per query); the intersection is one semi-join on (query, item) — at
+    any scale this costs two narrow top-k frames, never touching vectors.
+    Returns (query, n_exact, n_hit, recall)."""
+    a = approx.select(F.col(query_col).alias("query"), F.col(item_col).alias("item"))
+    e = exact.select(F.col(query_col).alias("query"), F.col(item_col).alias("item"))
+    hits = e.join(a, ["query", "item"], "left_semi").groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    base = e.groupBy("query").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(hits, "query", "left").select(
+        "query",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 12).alias("recall"),
+    )
+
+
 def _exact_rerank(pairs: DataFrame, embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Score candidate (id_a, id_b) pairs with the exact cosine by joining
     back to the NARROW vector table twice by id — candidates shuffle as two

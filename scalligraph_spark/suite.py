@@ -6900,6 +6900,39 @@ def graph_pagerank_skewed_q(spark, sf):
     return pagerank(_zipf_edges(spark, sf), iterations=5)
 
 
+@q(
+    "similarity_ann_recall",
+    None,  # recall of a k-means-cell candidate set — no closed-form SQL
+    # twin; the quality floors are pytest-pinned at fixed seeds/n_probe
+    # (test_similarity: IVF ≥ stated floor, PQ/IVF-PQ per-query floors)
+    "ANN recall honesty: recall@10 of the persisted-index IVF path "
+    "against the exact multi-query cosine ground truth "
+    "(exact_cosine_topk over a deterministic ~1/37 query sample → "
+    "ann_recall_at_k set intersection) — the one quality number an ANN "
+    "user asks first, measured per round instead of asserted; returns "
+    "one (kind, n_queries, mean_recall, min_recall) row.  Operating "
+    "point n_probe=16/n_list=2 — the measured sf0.1 trade-off on these "
+    "(near-random, IVF-worst-case) embeddings: (4,1)→0.35, (8,1)→0.50, "
+    "(16,1)→0.75, (8,2)→0.74, (16,2)→0.92, (32,2)→0.995 mean recall",
+)
+def similarity_ann_recall_q(spark, sf):
+    from scalligraph_spark.operators import ann_recall_at_k, exact_cosine_topk, indexed_ann_topk
+
+    store = _ann_index_store(spark, sf)
+    emb = cat_for(spark, sf).vertex_df("embeddings")
+    queries = emb.where(F.col("vec_id") % 37 == 0).select("vec_id")
+    approx = indexed_ann_topk(
+        spark, store, "emb_ivf", emb, k=10, n_probe=16, n_list=2
+    ).where(F.col("id_a") % 37 == 0)
+    exact = exact_cosine_topk(emb, queries, k=10)
+    per = ann_recall_at_k(approx, exact)
+    return per.groupBy(F.lit("ivf").alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 12).alias("mean_recall"),
+        F.min("recall").alias("min_recall"),
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one

@@ -354,6 +354,70 @@ def test_ivf_recall_scales_with_probes(spark):
     assert r12 > r4  # the probe knob buys recall
 
 
+def test_ann_recall_operators_and_kind_floors(spark):
+    """The measured-recall tier behind similarity_ann_recall: (a)
+    exact_cosine_topk agrees with the single-query brute force; (b)
+    ann_recall_at_k computes the set intersection correctly on a
+    hand-built case; (c) all three index kinds clear deterministic
+    recall@10 floors on the isotropic (worst-case) embeddings at the
+    suite entry's operating point."""
+    from scalligraph_spark.operators import (
+        ann_recall_at_k,
+        brute_force_cosine_topk,
+        exact_cosine_topk,
+        ivf_ann_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+    # (a) multi-query ground truth ≡ single-query brute force (ids AND order)
+    got = [
+        r["id_b"]
+        for r in exact_cosine_topk(emb, spark.createDataFrame([(3,)], "vec_id long"), k=10)
+        .orderBy(F.col("cosine").desc(), F.col("id_b"))
+        .collect()
+    ]
+    want = [r["vec_id"] for r in brute_force_cosine_topk(emb, query_id=3, k=10).collect()]
+    assert got == want
+
+    # (b) recall arithmetic on a hand-built frame
+    approx = spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "id_a long, id_b long")
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 12), (2, 20), (2, 21), (3, 30)], "id_a long, id_b long"
+    )
+    r = {x["query"]: x for x in ann_recall_at_k(approx, exact).collect()}
+    assert (r[1]["n_hit"], r[1]["recall"]) == (1, 0.5)
+    assert (r[2]["n_hit"], r[2]["recall"]) == (1, 0.5)
+    assert (r[3]["n_hit"], r[3]["recall"]) == (0, 0.0)  # query missing from approx
+
+    # (c) per-kind floors (seed-frozen, deterministic)
+    queries = emb.where(F.col("vec_id") % 11 == 0).select("vec_id")
+    truth = exact_cosine_topk(emb, queries, k=10)
+    ivf = ivf_ann_topk(emb, k=10, n_probe=16, n_list=2).where(F.col("id_a") % 11 == 0)
+    mean_ivf = ann_recall_at_k(ivf, truth).agg(F.avg("recall")).collect()[0][0]
+    assert mean_ivf >= 0.85  # suite operating point: measured 0.92 at sf0.1
+
+    truth_sets = {}
+    for row in truth.collect():
+        truth_sets.setdefault(row["id_a"], set()).add(row["id_b"])
+    qids = sorted(truth_sets)[:5]
+
+    def kind_recall(fn):
+        rs = []
+        for qid in qids:
+            got_ids = {x["vec_id"] for x in fn(qid).collect()}  # single-query ops
+            rs.append(len(got_ids & truth_sets[qid]) / len(truth_sets[qid]))
+        return sum(rs) / len(rs)
+
+    pq_r = kind_recall(lambda q: pq_topk(emb, query_id=q, k=10, refine=64))
+    ivfpq_r = kind_recall(lambda q: ivfpq_topk(emb, query_id=q, k=10, n_probe=16, refine=64))
+    assert pq_r >= 0.8, pq_r  # PQ re-ranks top-64 exact: high floor
+    assert ivfpq_r >= 0.6, ivfpq_r  # IVF pruning costs some recall vs PQ
+
+
 def test_ngram_counts_exact(spark):
     from scalligraph_spark.operators import ngram_counts
 
