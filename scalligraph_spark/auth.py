@@ -167,7 +167,21 @@ class KeyAuthSrv(AuthSrv):
         self.users = users
 
     def authenticate_key(self, key: str, organisation: str | None = None) -> AuthContext:
-        rows = self.users.where(self.users["api_key"].isNotNull()).collect()
+        """Keyed lookup, not a table drain: the candidate row is selected
+        by a SHA-256 digest equality pushed into the scan (comparing
+        digests leaks nothing about the key bytes themselves), then the
+        actual key compares constant-time on the single candidate — the
+        full-collect of every API-key row is gone while the
+        constant-time property is kept where it matters."""
+        from pyspark.sql import functions as F
+
+        digest = hashlib.sha256(key.encode()).hexdigest()
+        rows = (
+            self.users.where(self.users["api_key"].isNotNull())
+            .where(F.sha2(F.col("api_key").cast("string"), 256) == digest)
+            .limit(2)
+            .collect()
+        )
         for row in rows:
             if hmac.compare_digest(str(row["api_key"]), key):
                 return _ctx_from_row(row, organisation)

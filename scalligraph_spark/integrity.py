@@ -18,6 +18,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class LazyReport:
+    """Dict-shaped report whose counters are THUNKS: the counting job
+    launches on first access and caches — a resolution caller consuming
+    only the remap/vertices frames pays zero extra Spark jobs, matching
+    the module's otherwise action-free operator convention.  Reads like
+    the reference's eager ``Map("duplicate" -> n)``
+    (IntegrityCheckOps.scala:485-493) once accessed."""
+
+    def __init__(self, thunks: dict):
+        self._thunks = thunks
+        self._cache: dict = {}
+
+    def __getitem__(self, key):
+        if key not in self._cache:
+            self._cache[key] = self._thunks[key]()
+        return self._cache[key]
+
+    def __iter__(self):
+        return iter(self._thunks)
+
+    def __len__(self):
+        return len(self._thunks)
+
+    def keys(self):
+        return self._thunks.keys()
+
+    def items(self):
+        return [(k, self[k]) for k in self._thunks]
+
+    def __eq__(self, other):
+        if isinstance(other, (dict, LazyReport)):
+            return dict(self.items()) == dict(
+                other.items() if hasattr(other, "items") else other
+            )
+        return NotImplemented
+
+    def __repr__(self):
+        shown = {k: self._cache.get(k, "<unevaluated>") for k in self._thunks}
+        return f"LazyReport({shown})"
+
+
 def find_duplicates(df: DataFrame, keys: list[str]) -> DataFrame:
     """Duplicate groups on a property set → (keys..., n>1)."""
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
@@ -171,7 +212,10 @@ def resolve_duplicates(
     ``vertices`` keeps exactly one row per key group, ``edges`` is the
     input list with each named endpoint column rewritten through the
     loser→winner remap, ``remap`` is the (loser_id, winner_id) table,
-    and ``report`` the reference's ``Map("duplicate" -> n)`` counter.
+    and ``report`` the reference's ``Map("duplicate" -> n)`` counter —
+    as a LAZY mapping: the counting job launches on first access, so a
+    caller consuming only ``remap``/``vertices`` pays no extra scan
+    (everything this function returns is action-free until used).
 
     Scale: winner selection is ONE hash aggregate on ``keys``
     (min/max_by over (order, id) structs — no window sort); the remap
@@ -215,10 +259,11 @@ def resolve_duplicates(
                 .drop("winner_id")
             )
         fixed_edges.append(out)
-    n_groups = winners.where(F.col("__n") > 1).count()
     return {
         "vertices": clean,
         "edges": fixed_edges,
         "remap": remap,
-        "report": {"duplicate": n_groups},
+        "report": LazyReport(
+            {"duplicate": lambda: winners.where(F.col("__n") > 1).count()}
+        ),
     }

