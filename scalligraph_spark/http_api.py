@@ -1,0 +1,174 @@
+"""Stdlib HTTP front door for the query executor — the ScalligraphRouter
+analog.
+
+Reference: the Play router exposes ``POST /api/v${version}/query``, folds
+the body's ``query`` chain through the versioned executor, streams the
+result as a chunked JSON array with an ``X-Total`` header when the query
+computed a total (ScalligraphRouter.scala:74-85,
+QueryExecutor.scala:40-45, IteratorOutput), and maps every engine error
+to a typed JSON body + status through a central handler
+(ErrorHandler.scala:28-51, Errors.scala:6-40).
+
+Spark re-expression: ``http.server.ThreadingHTTPServer`` over the same
+``parse_and_execute`` fold the embedded API uses — the HTTP layer adds
+transport, auth-header handling and the error-shape contract, nothing
+else.  Chain validation still happens in the Field tier
+(fields.validate_chain), so malformed chains come back as the
+reference's accumulated ``AttributeCheckingError`` JSON
+(``{"type": ..., "message": ..., "errors": [...]}``), not a stack trace.
+
+Auth: ``Authorization: Bearer <api-key>`` resolves through any AuthSrv
+with ``authenticate_key`` (KeyAuthSrv / MultiAuthSrv); the resulting
+AuthContext feeds the executor — permission-gated registered queries and
+row policies then apply exactly as in-process (401 on a bad key, 403 on
+a missing permission).  Without an ``auth_srv`` the server runs open
+(embedded/trusted deployments), passing ``auth=None``.
+
+This is a front door for the DRIVER process: Spark stays the execution
+engine; handler threads only build plans and iterate results.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from scalligraph_spark.fields import AttributeCheckingError
+from scalligraph_spark.qlang.executor import AuthorizationError
+
+
+def _error_body(exc: BaseException) -> tuple[int, dict]:
+    """ErrorHandler.toErrorResult analog: exception → (status, typed JSON)."""
+    from scalligraph_spark.auth import AuthenticationError
+
+    if isinstance(exc, AttributeCheckingError):
+        return 400, {
+            "type": "AttributeCheckingError",
+            "message": str(exc),
+            "errors": [
+                {"name": e.name, "type": e.type, "message": str(e)} for e in exc.errors
+            ],
+        }
+    if isinstance(exc, AuthenticationError):
+        return 401, {"type": "AuthenticationError", "message": str(exc)}
+    if isinstance(exc, AuthorizationError):
+        return 403, {"type": "AuthorizationError", "message": str(exc)}
+    if isinstance(exc, (ValueError, KeyError, TypeError)):
+        return 400, {"type": "BadRequest", "message": str(exc)}
+    return 500, {"type": type(exc).__name__, "message": str(exc)}
+
+
+class QueryServer:
+    """One executor behind ``POST /api/v1/query``.
+
+    ``serve(port=0)`` binds (port 0 = ephemeral, read ``.port``) and
+    handles requests on daemon threads until :meth:`close`.  Body:
+    ``{"query": [<chain steps>]}``.  Response: JSON array of result
+    rows; when the chain computed a rich-page total (a ``total`` column,
+    executor page/withTotal contract) the value moves to the ``X-Total``
+    response header — the reference's streamed-output contract
+    (QueryExecutor.scala:45) — and leaves the row bodies.
+    """
+
+    def __init__(self, executor, auth_srv=None, api_version: int = 1):
+        self.executor = executor
+        self.auth_srv = auth_srv
+        self.path = f"/api/v{api_version}/query"
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- request handling --------------------------------------------------
+    def _auth_from_headers(self, headers) -> dict | None:
+        if self.auth_srv is None:
+            return None
+        from scalligraph_spark.auth import AuthenticationError
+
+        header = headers.get("Authorization", "")
+        if not header.startswith("Bearer "):
+            raise AuthenticationError("Authentication failure")
+        ctx = self.auth_srv.authenticate_key(header[len("Bearer ") :])
+        return ctx.to_auth()
+
+    def _run_query(self, body: bytes, headers) -> tuple[int, dict[str, str], bytes]:
+        from scalligraph_spark.qlang.renderers import render_rows
+
+        try:
+            payload = json.loads(body.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            status, err = 400, {"type": "BadRequest", "message": f"invalid JSON body: {e}"}
+            return status, {}, json.dumps(err).encode()
+        try:
+            auth = self._auth_from_headers(headers)
+            if not isinstance(payload, dict) or "query" not in payload:
+                raise ValueError('body must be a JSON object with a "query" chain')
+            result = self.executor.parse_and_execute(payload["query"], auth)
+            rows = render_rows(result.df)
+            extra_headers: dict[str, str] = {}
+            if rows and "total" in rows[0]:
+                # richPage contract: the limited-count total rides every row
+                # (broadcast crossJoin); the transport hoists it to X-Total
+                extra_headers["X-Total"] = str(rows[0]["total"])
+                for r in rows:
+                    r.pop("total", None)
+            return 200, extra_headers, json.dumps(rows, default=str).encode()
+        except BaseException as e:  # every engine error maps to a typed body
+            status, err = _error_body(e)
+            return status, {}, json.dumps(err).encode()
+
+    # -- server lifecycle --------------------------------------------------
+    def serve(self, host: str = "127.0.0.1", port: int = 0) -> "QueryServer":
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet: no stderr per request
+                pass
+
+            def _send(self, status: int, headers: dict[str, str], body: bytes) -> None:
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in headers.items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path != server.path:
+                    self._send(
+                        404,
+                        {},
+                        json.dumps({"type": "NotFound", "message": self.path}).encode(),
+                    )
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                status, headers, body = server._run_query(self.rfile.read(n), self.headers)
+                self._send(status, headers, body)
+
+            def do_GET(self):
+                self._send(
+                    404, {}, json.dumps({"type": "NotFound", "message": self.path}).encode()
+                )
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    @property
+    def port(self) -> int:
+        assert self._httpd is not None, "serve() first"
+        return self._httpd.server_address[1]
+
+    def close(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def __enter__(self) -> "QueryServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

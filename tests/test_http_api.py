@@ -1,0 +1,130 @@
+"""HTTP front door: a JSON chain round-trips over a REAL socket through
+the same parse_and_execute fold the embedded API uses, with the
+reference's error shapes (ScalligraphRouter.scala:74-85,
+ErrorHandler.scala:28-51) — typed JSON errors, accumulated Field-tier
+validation, X-Total for rich pages, Bearer-key auth → 401/403."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _post(port, chain=None, body=None, headers=None, path="/api/v1/query"):
+    data = body if body is not None else json.dumps({"query": chain}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, headers=headers or {}, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, dict(resp.headers), json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    srv = QueryServer(executor_for(spark, SF_DIR)).serve()
+    yield srv
+    srv.close()
+
+
+def test_query_chain_roundtrip_over_socket(server):
+    status, headers, rows = _post(
+        server.port,
+        chain=[
+            {"_name": "all_customer"},
+            {"_name": "filter", "_is": {"_field": "c_mktsegment", "_value": "BUILDING"}},
+            {"_name": "sort", "_fields": [{"c_custkey": "incr"}]},
+            {"_name": "limit", "n": 3},
+        ],
+    )
+    assert status == 200 and headers["Content-Type"] == "application/json"
+    assert len(rows) == 3
+    assert [r["c_custkey"] for r in rows] == sorted(r["c_custkey"] for r in rows)
+    assert all(r["c_mktsegment"] == "BUILDING" for r in rows)
+
+
+def test_rich_page_total_moves_to_x_total_header(server):
+    status, headers, rows = _post(
+        server.port,
+        chain=[
+            {"_name": "all_customer"},
+            {"_name": "sort", "_fields": [{"c_custkey": "incr"}]},
+            {"_name": "page", "from": 0, "to": 5, "withTotal": True},
+        ],
+    )
+    assert status == 200
+    assert len(rows) == 5 and all("total" not in r for r in rows)
+    assert int(headers["X-Total"]) == 150  # sf0.001 customer count
+
+
+def test_malformed_chain_returns_accumulated_field_errors(server):
+    status, _, err = _post(
+        server.port,
+        chain=[
+            {"_name": "noSuchQuery"},
+            {"_name": "limit", "n": "three"},
+        ],
+    )
+    assert status == 400 and err["type"] == "AttributeCheckingError"
+    kinds = {(e["name"], e["type"]) for e in err["errors"]}
+    assert ("[0]._name", "UnknownAttributeError") in kinds
+    assert any(name == "[1].n" for name, _ in kinds)  # bad number accumulated too
+
+
+def test_error_shapes_bad_json_wrong_path_missing_query(server):
+    status, _, err = _post(server.port, body=b"{not json")
+    assert (status, err["type"]) == (400, "BadRequest")
+    status, _, err = _post(server.port, chain=[{"_name": "all_customer"}], path="/api/v9/query")
+    assert (status, err["type"]) == (404, "NotFound")
+    status, _, err = _post(server.port, body=json.dumps({"q": []}).encode())
+    assert (status, err["type"]) == (400, "BadRequest")
+
+
+def test_bearer_auth_and_permission_gate(spark):
+    from scalligraph_spark.auth import KeyAuthSrv
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    users = spark.createDataFrame(
+        [
+            ("u1", "alice", "k-alice", "acme", ["read:customer"]),
+            ("u2", "bob", "k-bob", "acme", []),
+        ],
+        "user_id string, user_name string, api_key string, organisation string, permissions array<string>",
+    )
+    ex = executor_for(spark, SF_DIR)
+    ex.register_init(
+        "gatedCustomers",
+        lambda g, s, a: g.V("customer"),
+        permission="read:customer",
+    )
+    with QueryServer(ex, auth_srv=KeyAuthSrv(users)).serve() as srv:
+        chain = [{"_name": "gatedCustomers"}, {"_name": "count"}]
+        # no/bad key -> 401 AuthenticationError
+        status, _, err = _post(srv.port, chain=chain)
+        assert (status, err["type"]) == (401, "AuthenticationError")
+        status, _, err = _post(
+            srv.port, chain=chain, headers={"Authorization": "Bearer k-wrong"}
+        )
+        assert (status, err["type"]) == (401, "AuthenticationError")
+        # authenticated but unpermitted -> 403 AuthorizationError
+        status, _, err = _post(
+            srv.port, chain=chain, headers={"Authorization": "Bearer k-bob"}
+        )
+        assert (status, err["type"]) == (403, "AuthorizationError")
+        assert "read:customer" in err["message"]
+        # permitted -> the count comes back
+        status, _, rows = _post(
+            srv.port, chain=chain, headers={"Authorization": "Bearer k-alice"}
+        )
+        assert status == 200 and rows[0]["count"] == 150
