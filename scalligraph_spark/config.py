@@ -64,6 +64,8 @@ class ConfigItem:
 class ApplicationConfig:
     LABEL = "_config"
 
+    TOPIC = "config"  # aggregate change feed (per-path topics also fire)
+
     def __init__(self, spark, store, event_srv=None, ignore_db: bool = False):
         self.spark = spark
         self.store = store
@@ -71,6 +73,7 @@ class ApplicationConfig:
         self.ignore_db = ignore_db
         self.items: dict[str, ConfigItem] = {}
         self._cache: tuple[int, dict] | None = None  # (store version, values)
+        self._listeners: dict[str, list[Callable[[dict], Any]]] = {}
 
     # -- item registry (ApplicationConfig.scala:34-63) ---------------------
     def item(self, path: str, description: str, default: Any = None) -> ConfigItem:
@@ -140,8 +143,7 @@ class ApplicationConfig:
         vals = dict(self._stored())
         vals[path] = value
         self._write(vals, auth)
-        if self.event_srv is not None:
-            self.event_srv.publish(f"config:{path}", {"path": path, "value": value})
+        self._notify({"path": path, "value": value})
 
     def _unset(self, path: str, auth: dict | None) -> None:
         vals = dict(self._stored())
@@ -149,5 +151,45 @@ class ApplicationConfig:
             return
         del vals[path]
         self._write(vals, auth)
+        self._notify({"path": path, "value": None})
+
+    # -- change propagation (the ConfigActor/eventSrv invalidation loop,
+    # services/config/ApplicationConfig.scala:19-100) ----------------------
+    def _notify(self, event: dict) -> None:
         if self.event_srv is not None:
-            self.event_srv.publish(f"config:{path}", {"path": path, "value": None})
+            # per-path topic for targeted subscribers + aggregate feed so
+            # OTHER processes can poll without knowing every path upfront
+            self.event_srv.publish(f"config:{event['path']}", event)
+            self.event_srv.publish(self.TOPIC, event)
+        for fn in self._listeners.get(event["path"], ()):
+            fn(event)
+
+    def on_change(self, path: str, fn: Callable[[dict], Any]) -> "ApplicationConfig":
+        """Local invalidation hook: ``fn({"path", "value"})`` fires when
+        the item changes — immediately for same-process sets, and from
+        :meth:`poll_changes` for overrides committed by ANOTHER process."""
+        self._listeners.setdefault(path, []).append(fn)
+        return self
+
+    def poll_changes(self, consumer: str = "default") -> list[dict]:
+        """Drain config-change events other processes committed (the
+        cross-process half of the reference's ConfigActor invalidation
+        bus, made pull-based for the batch world): requires a
+        DurableEventSrv (anything with ``poll``).  Each drained event
+        invalidates the local cache and fires :meth:`on_change`
+        listeners; returns the events.  Item reads are ALREADY
+        version-fresh without polling (the cache keys on the store
+        version, one pointer-file stat) — polling exists for the
+        listeners and for discovering WHAT changed."""
+        if self.event_srv is None or not hasattr(self.event_srv, "poll"):
+            raise ValueError(
+                "poll_changes needs a DurableEventSrv-style event_srv "
+                "(cross-process topic logs with per-consumer offsets)"
+            )
+        events = self.event_srv.poll(self.TOPIC, consumer=consumer)
+        if events:
+            self._cache = None
+        for ev in events:
+            for fn in self._listeners.get(ev.get("path"), ()):
+                fn(ev)
+        return events

@@ -80,3 +80,46 @@ def test_ignore_db_and_cross_instance_persistence(spark, tmp_path):
     store.rollback(a.LABEL, store.version(a.LABEL) - 1)
     fresh = ApplicationConfig(spark, store)
     assert fresh.item("x", "d", 1).get() == 42
+
+
+def test_cross_process_change_propagation(spark, tmp_path):
+    """The ConfigActor invalidation loop across processes: an override
+    committed in session A reaches session B — B's poll drains the
+    durable change feed, invalidates its cache, and fires its local
+    on_change listeners; reads were already version-fresh.  Both
+    directions, per-consumer offsets, reset propagates too."""
+    from scalligraph_spark.eventsrv import DurableEventSrv
+
+    store_root, bus_root = str(tmp_path / "cfg3"), str(tmp_path / "bus")
+    # two "processes": separate config + bus instances over shared roots
+    a = ApplicationConfig(spark, LabelStore(store_root), event_srv=DurableEventSrv(bus_root))
+    b = ApplicationConfig(spark, LabelStore(store_root), event_srv=DurableEventSrv(bus_root))
+    item_a = a.item("retention.days", "d", 30)
+    item_b = b.item("retention.days", "d", 30)
+    seen_b: list = []
+    b.on_change("retention.days", seen_b.append)
+
+    item_a.set(90)
+    assert item_b.get() == 90  # reads are version-fresh without polling
+    events = b.poll_changes(consumer="b")
+    assert events == [{"path": "retention.days", "value": 90}]
+    assert seen_b == [{"path": "retention.days", "value": 90}]
+    assert b.poll_changes(consumer="b") == []  # drained
+
+    # reverse direction + reset; A's consumer offset is independent of B's
+    item_b.reset()
+    got = a.poll_changes(consumer="a")
+    assert {(e["path"], e["value"]) for e in got} == {
+        ("retention.days", 90),  # A sees its own earlier publish too
+        ("retention.days", None),
+    }
+    assert item_a.get() == 30
+
+    # a bare in-process EventSrv cannot poll: explicit error
+    import pytest as _pytest
+
+    from scalligraph_spark.eventsrv import EventSrv
+
+    plain = ApplicationConfig(spark, LabelStore(store_root), event_srv=EventSrv())
+    with _pytest.raises(ValueError, match="DurableEventSrv"):
+        plain.poll_changes()
