@@ -6990,12 +6990,29 @@ def similarity_ann_recall_q(spark, sf):
 # asof+sessionize), and the join-view IVM refresh (store_join_refresh for
 # q3_shipping_priority — TPC-H keeps q1 + join_bloom_prefiltered).  All
 # six rotated-out entries remain registered and exact under tools/check.py.
+# Round 7: eight swaps so the window carries the round-6/7 oracle-exact
+# work — HAVING composition (qagg_having_filter for fold_collect; aggs
+# keep scalar_aggs/qagg_field_subaggs), GROUPING SETS (qagg_grouping_sets
+# for qagg_cube_documents; OLAP keeps qagg_rollup_events), JSON payload
+# analytics (events_json_extract_agg for select_as_bag; projections keep
+# public_property_rename), duplicate RESOLUTION (integrity_resolve_
+# duplicates for text_term_drift; text keeps bm25/quality, integrity
+# keeps integrity_duplicates), the dialogue chain through qlang
+# (qlang_dialogue_chain for dialogue_assemble — the chain ENDS in
+# assemble, so assembly stays window-executed), and the round-7 scale
+# twins: sharded packing (pipeline_pack_documents_sharded for
+# store_mv_refresh; store keeps store_join_refresh;
+# dialogue_pack_budget_sharded for dialogue_role_token_stats; dialogue
+# keeps dialogue_turn_dedup + the chain) and the Zipf-skew CC
+# (graph_cc_skewed for graph_sssp_weighted; graph keeps
+# graph_bfs_distances).  All eight rotated-out entries remain registered
+# and exact under tools/check.py.
 _WINDOW = [
     "scan_by_ids",
     "qlang_row_policy",
     "qagg_rollup_events",
     "public_property_rename",
-    "dialogue_assemble",
+    "qlang_dialogue_chain",
     "text_predicates",
     "filter_semi_join",
     "json_filter_grammar",
@@ -7003,20 +7020,20 @@ _WINDOW = [
     "hop_out_in",
     "source_jsonl_roundtrip",
     "hop_edge_property_filter",
-    "select_as_bag",
+    "events_json_extract_agg",
     "graph_bfs_distances",
-    "qagg_cube_documents",
+    "qagg_grouping_sets",
     "scalar_aggs",
-    "fold_collect",
-    "text_term_drift",
+    "qagg_having_filter",
+    "integrity_resolve_duplicates",
     "pipeline_chunk_documents",
     "qagg_window_ranks",
     "stats_analyze_columns",
     "qagg_field_subaggs",
     "qagg_time_day",
     "qlang_sort_page",
-    "graph_sssp_weighted",
-    "store_mv_refresh",
+    "graph_cc_skewed",
+    "pipeline_pack_documents_sharded",
     "optional_left_join",
     "qlang_snapshot_read",
     "dedup_exact",
@@ -7030,7 +7047,7 @@ _WINDOW = [
     "diag_key_skew",
     "multimodal_features",
     "temporal_asof_join_bucketed",
-    "dialogue_role_token_stats",
+    "dialogue_pack_budget_sharded",
     "pipeline_clean_corpus",
     "get_by_name_or_id",
     "writes_pipeline",
