@@ -30,8 +30,10 @@ engine; handler threads only build plans and iterate results.
 
 from __future__ import annotations
 
+import itertools
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from scalligraph_spark.fields import AttributeCheckingError
@@ -71,10 +73,13 @@ class QueryServer:
     (QueryExecutor.scala:45) — and leaves the row bodies.
     """
 
-    def __init__(self, executor, auth_srv=None, api_version: int = 1):
+    def __init__(self, executor, auth_srv=None, api_version: int = 1, access_log=None):
         self.executor = executor
         self.auth_srv = auth_srv
         self.path = f"/api/v{api_version}/query"
+        # AccessLogFilter analog (AccessLogFilter.scala:16-36): called with
+        # one record per request; every response also carries Request-Time
+        self.access_log = access_log
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -90,8 +95,10 @@ class QueryServer:
         ctx = self.auth_srv.authenticate_key(header[len("Bearer ") :])
         return ctx.to_auth()
 
-    def _run_query(self, body: bytes, headers) -> tuple[int, dict[str, str], bytes]:
-        from scalligraph_spark.qlang.renderers import render_rows
+    def _run_query(self, body: bytes, headers):
+        """→ (status, headers, body bytes) or (status, headers, chunk
+        iterator) when the request opts into streaming (``chunkSize``)."""
+        from scalligraph_spark.qlang.renderers import render_rows, render_stream
 
         try:
             payload = json.loads(body.decode("utf-8"))
@@ -103,8 +110,30 @@ class QueryServer:
             if not isinstance(payload, dict) or "query" not in payload:
                 raise ValueError('body must be a JSON object with a "query" chain')
             result = self.executor.parse_and_execute(payload["query"], auth)
+            if payload.get("chunkSize"):
+                # streamed result: toLocalIterator-backed chunks (the
+                # IteratorOutput / chunked-JSON analog) — the driver never
+                # holds the full result; X-Total still leads as a header,
+                # peeked from the first chunk before any byte of body
+                chunks = render_stream(result.df, chunk_size=int(payload["chunkSize"]))
+                first = next(chunks, [])
+                extra_headers = {}
+                if first and "total" in first[0]:
+                    extra_headers["X-Total"] = str(first[0]["total"])
+
+                def stream_chunks():
+                    sep = b""
+                    yield b"["
+                    for chunk in itertools.chain([first] if first else [], chunks):
+                        for r in chunk:
+                            r.pop("total", None)
+                            yield sep + json.dumps(r, default=str).encode()
+                            sep = b","
+                    yield b"]"
+
+                return 200, extra_headers, stream_chunks()
             rows = render_rows(result.df)
-            extra_headers: dict[str, str] = {}
+            extra_headers = {}
             if rows and "total" in rows[0]:
                 # richPage contract: the limited-count total rides every row
                 # (broadcast crossJoin); the transport hoists it to X-Total
@@ -121,33 +150,69 @@ class QueryServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
+
             def log_message(self, *a):  # quiet: no stderr per request
                 pass
 
-            def _send(self, status: int, headers: dict[str, str], body: bytes) -> None:
+            def _send(self, status: int, headers: dict[str, str], body, t0: float) -> None:
+                """Body is bytes (Content-Length) or an iterator of byte
+                fragments (Transfer-Encoding: chunked — the reference's
+                Results.Ok.chunked streamed output).  Every response
+                carries Request-Time, and one access-log record fires
+                per request (AccessLogFilter.scala:16-36)."""
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
                 for k, v in headers.items():
                     self.send_header(k, v)
-                self.end_headers()
-                self.wfile.write(body)
+                n_bytes = 0
+                if isinstance(body, bytes):
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header("Request-Time", str(int((time.monotonic() - t0) * 1000)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    n_bytes = len(body)
+                else:
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.send_header("Request-Time", str(int((time.monotonic() - t0) * 1000)))
+                    self.end_headers()
+                    for frag in body:
+                        if frag:
+                            self.wfile.write(b"%x\r\n%s\r\n" % (len(frag), frag))
+                            n_bytes += len(frag)
+                    self.wfile.write(b"0\r\n\r\n")
+                if server.access_log is not None:
+                    server.access_log(
+                        {
+                            "remote": self.client_address[0],
+                            "method": self.command,
+                            "path": self.path,
+                            "status": status,
+                            "ms": int((time.monotonic() - t0) * 1000),
+                            "bytes": n_bytes,
+                        }
+                    )
 
             def do_POST(self):
+                t0 = time.monotonic()
                 if self.path != server.path:
                     self._send(
                         404,
                         {},
                         json.dumps({"type": "NotFound", "message": self.path}).encode(),
+                        t0,
                     )
                     return
                 n = int(self.headers.get("Content-Length", 0))
                 status, headers, body = server._run_query(self.rfile.read(n), self.headers)
-                self._send(status, headers, body)
+                self._send(status, headers, body, t0)
 
             def do_GET(self):
                 self._send(
-                    404, {}, json.dumps({"type": "NotFound", "message": self.path}).encode()
+                    404,
+                    {},
+                    json.dumps({"type": "NotFound", "message": self.path}).encode(),
+                    time.monotonic(),
                 )
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)

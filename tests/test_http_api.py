@@ -128,3 +128,45 @@ def test_bearer_auth_and_permission_gate(spark):
             srv.port, chain=chain, headers={"Authorization": "Bearer k-alice"}
         )
         assert status == 200 and rows[0]["count"] == 150
+
+
+def test_streamed_chunked_response_and_access_log(spark):
+    """Transport completion: chunkSize streams the result as a chunked
+    JSON array (toLocalIterator-backed — the IteratorOutput analog) with
+    X-Total peeked into the headers BEFORE any body byte; every response
+    carries Request-Time; one access-log record fires per request
+    (AccessLogFilter analog)."""
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    records = []
+    with QueryServer(executor_for(spark, SF_DIR), access_log=records.append).serve() as srv:
+        body = json.dumps(
+            {
+                "query": [
+                    {"_name": "all_customer"},
+                    {"_name": "sort", "_fields": [{"c_custkey": "incr"}]},
+                    {"_name": "page", "from": 0, "to": 10, "withTotal": True},
+                ],
+                "chunkSize": 3,  # forces multiple transfer chunks
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/v1/query", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.headers["X-Total"] == "150"
+            assert resp.headers["Transfer-Encoding"] == "chunked"
+            assert "Content-Length" not in resp.headers
+            assert int(resp.headers["Request-Time"]) >= 0
+            rows = json.loads(resp.read())
+        assert len(rows) == 10 and all("total" not in r for r in rows)
+        assert [r["c_custkey"] for r in rows] == list(range(10))
+
+        # buffered responses carry Request-Time too, and errors are logged
+        status, headers, _ = _post(srv.port, chain=[{"_name": "nope"}])
+        assert status == 400 and int(headers["Request-Time"]) >= 0
+
+    assert [r["status"] for r in records] == [200, 400]
+    assert records[0]["method"] == "POST" and records[0]["path"] == "/api/v1/query"
+    assert records[0]["bytes"] > 0 and records[0]["ms"] >= 0
