@@ -73,13 +73,26 @@ class QueryServer:
     (QueryExecutor.scala:45) — and leaves the row bodies.
     """
 
-    def __init__(self, executor, auth_srv=None, api_version: int = 1, access_log=None):
+    def __init__(
+        self,
+        executor,
+        auth_srv=None,
+        api_version: int = 1,
+        access_log=None,
+        session_srv=None,
+    ):
         self.executor = executor
         self.auth_srv = auth_srv
         self.path = f"/api/v{api_version}/query"
+        self.login_path = f"/api/v{api_version}/login"
         # AccessLogFilter analog (AccessLogFilter.scala:16-36): called with
         # one record per request; every response also carries Request-Time
         self.access_log = access_log
+        # SessionAuthSrv for the login flow: POST /login authenticates
+        # credentials through auth_srv and issues an HMAC session token;
+        # Bearer headers then accept tokens OR api keys (the reference's
+        # session-cookie + key dual transport)
+        self.session_srv = session_srv
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -87,13 +100,53 @@ class QueryServer:
     def _auth_from_headers(self, headers) -> dict | None:
         if self.auth_srv is None:
             return None
-        from scalligraph_spark.auth import AuthenticationError
+        from scalligraph_spark.auth import AuthenticationError, NotSupportedError
 
         header = headers.get("Authorization", "")
         if not header.startswith("Bearer "):
             raise AuthenticationError("Authentication failure")
-        ctx = self.auth_srv.authenticate_key(header[len("Bearer ") :])
-        return ctx.to_auth()
+        bearer = header[len("Bearer ") :]
+        # session token first (issued by /login), then API key — one
+        # generic failure either way (MultiAuthSrv discipline)
+        for srv, call in (
+            (self.session_srv, "authenticate_token"),
+            (self.auth_srv, "authenticate_token"),
+            (self.auth_srv, "authenticate_key"),
+        ):
+            if srv is None:
+                continue
+            try:
+                return getattr(srv, call)(bearer).to_auth()
+            except (NotSupportedError, AuthenticationError):
+                continue
+        raise AuthenticationError("Authentication failure")
+
+    def _run_login(self, body: bytes) -> tuple[int, dict[str, str], bytes]:
+        """Credential login → HMAC session token (the reference's
+        authRoutes/session flow): authenticate through auth_srv, issue
+        through session_srv; the token then rides Bearer headers."""
+        try:
+            payload = json.loads(body.decode("utf-8"))
+            user, password = payload["user"], payload["password"]
+        except Exception:
+            return 400, {}, json.dumps(
+                {"type": "BadRequest", "message": 'login body needs "user" and "password"'}
+            ).encode()
+        try:
+            if self.auth_srv is None or self.session_srv is None:
+                raise ValueError("login requires auth_srv and session_srv")
+            ctx = self.auth_srv.authenticate(user, password, payload.get("organisation"))
+            return 200, {}, json.dumps(
+                {
+                    "token": self.session_srv.issue(ctx),
+                    "user": ctx.user_name,
+                    "organisation": ctx.organisation,
+                    "permissions": sorted(ctx.permissions),
+                }
+            ).encode()
+        except BaseException as e:
+            status, err = _error_body(e)
+            return status, {}, json.dumps(err).encode()
 
     def _run_query(self, body: bytes, headers):
         """→ (status, headers, body bytes) or (status, headers, chunk
@@ -195,16 +248,17 @@ class QueryServer:
 
             def do_POST(self):
                 t0 = time.monotonic()
-                if self.path != server.path:
-                    self._send(
+                n = int(self.headers.get("Content-Length", 0))
+                if self.path == server.path:
+                    status, headers, body = server._run_query(self.rfile.read(n), self.headers)
+                elif self.path == server.login_path:
+                    status, headers, body = server._run_login(self.rfile.read(n))
+                else:
+                    status, headers, body = (
                         404,
                         {},
                         json.dumps({"type": "NotFound", "message": self.path}).encode(),
-                        t0,
                     )
-                    return
-                n = int(self.headers.get("Content-Length", 0))
-                status, headers, body = server._run_query(self.rfile.read(n), self.headers)
                 self._send(status, headers, body, t0)
 
             def do_GET(self):

@@ -170,3 +170,61 @@ def test_streamed_chunked_response_and_access_log(spark):
     assert [r["status"] for r in records] == [200, 400]
     assert records[0]["method"] == "POST" and records[0]["path"] == "/api/v1/query"
     assert records[0]["bytes"] > 0 and records[0]["ms"] >= 0
+
+
+def test_login_flow_issues_session_token_that_authorizes_queries(spark):
+    """The reference's session flow over the wire: POST /login with
+    credentials -> HMAC session token; the token rides Bearer headers
+    into /query where permissions apply; bad credentials and tampered
+    tokens 401."""
+    from scalligraph_spark.auth import PasswordAuthSrv, SessionAuthSrv, hash_password
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    users = spark.createDataFrame(
+        [("u1", "alice", hash_password("s3cret", "pep"), "pep", ["read:customer"])],
+        "user_id string, user_name string, password_hash string, salt string, permissions array<string>",
+    )
+    ex = executor_for(spark, SF_DIR)
+    ex.register_init("gated", lambda g, s, a: g.V("customer"), permission="read:customer")
+    srv = QueryServer(
+        ex,
+        auth_srv=PasswordAuthSrv(users),
+        session_srv=SessionAuthSrv(secret="test-secret", ttl_seconds=3600),
+    ).serve()
+    try:
+        # login -> token + identity payload
+        status, _, out = _post(
+            srv.port,
+            body=json.dumps({"user": "alice", "password": "s3cret"}).encode(),
+            path="/api/v1/login",
+        )
+        assert status == 200 and out["user"] == "alice"
+        assert out["permissions"] == ["read:customer"]
+        token = out["token"]
+
+        # the session token authorizes a permission-gated query
+        status, _, rows = _post(
+            srv.port,
+            chain=[{"_name": "gated"}, {"_name": "count"}],
+            headers={"Authorization": f"Bearer {token}"},
+        )
+        assert status == 200 and rows[0]["count"] == 150
+
+        # bad password / tampered token / malformed body
+        status, _, err = _post(
+            srv.port,
+            body=json.dumps({"user": "alice", "password": "wrong"}).encode(),
+            path="/api/v1/login",
+        )
+        assert (status, err["type"]) == (401, "AuthenticationError")
+        status, _, err = _post(
+            srv.port,
+            chain=[{"_name": "gated"}, {"_name": "count"}],
+            headers={"Authorization": f"Bearer {token[:-4]}beef"},
+        )
+        assert (status, err["type"]) == (401, "AuthenticationError")
+        status, _, err = _post(srv.port, body=b'{"user": "alice"}', path="/api/v1/login")
+        assert (status, err["type"]) == (400, "BadRequest")
+    finally:
+        srv.close()
