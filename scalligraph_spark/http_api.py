@@ -144,7 +144,7 @@ class QueryServer:
                     "permissions": sorted(ctx.permissions),
                 }
             ).encode()
-        except BaseException as e:
+        except Exception as e:
             status, err = _error_body(e)
             return status, {}, json.dumps(err).encode()
 
@@ -194,7 +194,7 @@ class QueryServer:
                 for r in rows:
                     r.pop("total", None)
             return 200, extra_headers, json.dumps(rows, default=str).encode()
-        except BaseException as e:  # every engine error maps to a typed body
+        except Exception as e:  # every engine error maps to a typed body
             status, err = _error_body(e)
             return status, {}, json.dumps(err).encode()
 

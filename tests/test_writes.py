@@ -298,6 +298,41 @@ def test_write_session_cas_catches_toctou_interleave(spark, tmp_path):
     assert store.read(spark, "t").collect()[0].v == "retried"
 
 
+def test_concurrent_try_transactions_lose_no_updates(spark, tmp_path):
+    """TRUE concurrency proof for the CAS: N threads each run
+    try_transaction incrementing the same counter row with no external
+    coordination — every increment must land (final value == N).  Under
+    the old check-then-write this loses updates whenever two commits
+    interleave between check and write; the directory-claim CAS
+    serializes them into retries instead."""
+    import threading
+
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.writes import try_transaction
+
+    store = LabelStore(str(tmp_path / "race"))
+    store.write("counter", spark.createDataFrame([(1, 0)], "id long, n long"))
+    n_threads, errors = 6, []
+
+    def bump():
+        try:
+            try_transaction(
+                spark, store, "counter",
+                lambda s: s.update(F.col("id") == 1, {"n": F.col("n") + 1}),
+                "id", retries=20, backoff=0.05,
+            )
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=bump) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert store.read(spark, "counter").collect()[0].n == n_threads  # zero lost
+
+
 def test_try_transaction_retries_to_success(spark, tmp_path):
     """The retry loop re-runs the mutation over the FRESH snapshot, so a
     conflicting concurrent commit is absorbed, not lost."""
