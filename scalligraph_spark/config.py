@@ -61,6 +61,50 @@ class ConfigItem:
         self.app._unset(self.path, auth)
 
 
+class ContextConfigItem:
+    """A config item whose value can be overridden PER CONTEXT — the
+    reference's ``ContextConfigItem``/``ConfigContext`` tier
+    (services/config/ContextConfigItem.scala:14-50): TheHive uses it for
+    per-organisation settings that fall back to the global value.
+
+    Resolution order for ``get(context)``: context-scoped stored value →
+    the GLOBAL stored override for the same path → the default.  Values
+    store in the same versioned ``_config`` label under a
+    context-qualified key (``path#context``), so per-context overrides
+    get the identical history/rollback/notification treatment."""
+
+    def __init__(self, app: "ApplicationConfig", path: str, description: str,
+                 default: Any, validation: Callable[[Any], Any] | None,
+                 map_fn: Callable[[Any], Any] | None):
+        self.app = app
+        self.path = path
+        self.description = description
+        self.default = default
+        self.validation = validation
+        self.map_fn = map_fn
+
+    def _key(self, context: str) -> str:
+        return f"{self.path}#{context}"
+
+    def get(self, context: str) -> Any:
+        if self.app.ignore_db:
+            raw = self.default
+        else:
+            stored = self.app._stored()
+            raw = stored.get(self._key(context), stored.get(self.path, self.default))
+        return self.map_fn(raw) if self.map_fn else raw
+
+    def set(self, context: str, value: Any, auth: dict | None = None) -> None:
+        self.app._set(self._key(context), value, self.validation, auth)
+
+    def set_global(self, value: Any, auth: dict | None = None) -> None:
+        """The shared fallback every context without an override sees."""
+        self.app._set(self.path, value, self.validation, auth)
+
+    def reset(self, context: str, auth: dict | None = None) -> None:
+        self.app._unset(self._key(context), auth)
+
+
 class ApplicationConfig:
     LABEL = "_config"
 
@@ -94,19 +138,49 @@ class ApplicationConfig:
         self.items[path] = it
         return it
 
+    def context_item(self, path: str, description: str, default: Any = None,
+                     validation: Callable[[Any], Any] | None = None,
+                     map_fn: Callable[[Any], Any] | None = None) -> ContextConfigItem:
+        """Per-context item (ContextConfigItem.scala analog): ``get(ctx)``
+        resolves context override → global override → default; registered
+        in the same registry keyed by its base path."""
+        key = f"{path}@context"
+        if key in self.items:
+            return self.items[key]  # type: ignore[return-value]
+        it = ContextConfigItem(self, path, description, default, validation, map_fn)
+        self.items[key] = it  # type: ignore[assignment]
+        return it
+
     def list_items(self) -> list[dict]:
         """The config UI feed: every registered item with its current and
-        default values (ApplicationConfig.scala ``list``)."""
-        return [
-            {
-                "path": p,
-                "description": it.description,
-                "value": it.get(),
-                "default": it.get_default(),
-                "overridden": p in self._stored() and not self.ignore_db,
-            }
-            for p, it in sorted(self.items.items())
-        ]
+        default values (ApplicationConfig.scala ``list``).  Context items
+        list their global fallback plus which contexts carry overrides."""
+        out = []
+        for p, it in sorted(self.items.items()):
+            if isinstance(it, ContextConfigItem):
+                prefix = f"{it.path}#"
+                out.append(
+                    {
+                        "path": it.path,
+                        "description": it.description,
+                        "value": self._stored().get(it.path, it.default) if not self.ignore_db else it.default,
+                        "default": it.default,
+                        "contexts": sorted(
+                            k[len(prefix):] for k in self._stored() if k.startswith(prefix)
+                        ) if not self.ignore_db else [],
+                    }
+                )
+                continue
+            out.append(
+                {
+                    "path": p,
+                    "description": it.description,
+                    "value": it.get(),
+                    "default": it.get_default(),
+                    "overridden": p in self._stored() and not self.ignore_db,
+                }
+            )
+        return out
 
     # -- storage -----------------------------------------------------------
     def _stored(self) -> dict:

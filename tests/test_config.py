@@ -123,3 +123,46 @@ def test_cross_process_change_propagation(spark, tmp_path):
     plain = ApplicationConfig(spark, LabelStore(store_root), event_srv=EventSrv())
     with _pytest.raises(ValueError, match="DurableEventSrv"):
         plain.poll_changes()
+
+
+def test_context_config_items_resolve_context_then_global_then_default(spark, tmp_path):
+    """ContextConfigItem tier: per-organisation overrides resolve
+    context value -> global override -> default; contexts are isolated;
+    reset falls back; validation applies; list_items reports which
+    contexts carry overrides; cross-process polling sees the change."""
+    import pytest as _pytest
+
+    from scalligraph_spark.eventsrv import DurableEventSrv
+
+    store_root, bus_root = str(tmp_path / "cfgc"), str(tmp_path / "busc")
+    app = ApplicationConfig(spark, LabelStore(store_root), event_srv=DurableEventSrv(bus_root))
+
+    def positive(v):
+        if not isinstance(v, int) or v <= 0:
+            raise BadConfigurationError(f"must be positive int, got {v!r}")
+        return v
+
+    quota = app.context_item("limits.quota", "per-org quota", 100, validation=positive)
+    assert app.context_item("limits.quota", "dup", 1) is quota  # registry identity
+
+    assert quota.get("acme") == 100  # default
+    quota.set_global(200)
+    assert quota.get("acme") == 200 and quota.get("globex") == 200  # global fallback
+    quota.set("acme", 500)
+    assert quota.get("acme") == 500  # context override wins
+    assert quota.get("globex") == 200  # other contexts untouched
+    quota.reset("acme")
+    assert quota.get("acme") == 200  # falls back to global
+    with _pytest.raises(BadConfigurationError):
+        quota.set("acme", -1)
+
+    quota.set("acme", 300)
+    listing = {e["path"]: e for e in app.list_items()}
+    assert listing["limits.quota"]["contexts"] == ["acme"]
+    assert listing["limits.quota"]["value"] == 200  # the global fallback
+
+    # cross-process: another session observes the context override
+    other = ApplicationConfig(spark, LabelStore(store_root), event_srv=DurableEventSrv(bus_root))
+    assert other.context_item("limits.quota", "d", 100).get("acme") == 300
+    paths = {e["path"] for e in other.poll_changes(consumer="other")}
+    assert "limits.quota#acme" in paths
