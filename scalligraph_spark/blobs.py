@@ -29,6 +29,41 @@ def content_hash(df: DataFrame, payload_col: str = "payload", alias: str = "sha2
     return df.withColumn(alias, F.sha2(F.col(payload_col), 256))
 
 
+def multi_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    algorithms: tuple[str, ...] = ("sha256", "sha1", "md5"),
+) -> DataFrame:
+    """Multi-algorithm content hashing in ONE projection — the
+    ``Hasher(algorithms*)`` analog (utils/Hash.scala:17-40): attachment
+    rows carry every configured digest (TheHive stores
+    sha256+sha1+md5 per attachment for IOC matching against feeds that
+    key on any of them).  All digests are JVM builtin expressions over
+    the same payload scan — one pass, no UDF, map-only.
+
+    Supported: md5, sha1, sha224/sha256/sha384/sha512 (SHA-2 family via
+    ``F.sha2``), crc32, xxh64 (xxhash64 as hex — the cheap non-crypto
+    option for partition-local dedup).
+    """
+    out = df
+    for alg in algorithms:
+        a = alg.lower()
+        if a == "md5":
+            col = F.md5(F.col(payload_col))
+        elif a == "sha1":
+            col = F.sha1(F.col(payload_col))
+        elif a in ("sha224", "sha256", "sha384", "sha512"):
+            col = F.sha2(F.col(payload_col), int(a[3:]))
+        elif a == "crc32":
+            col = F.crc32(F.col(payload_col)).cast("string")
+        elif a == "xxh64":
+            col = F.hex(F.xxhash64(F.col(payload_col)))
+        else:
+            raise ValueError(f"unsupported hash algorithm {alg!r}")
+        out = out.withColumn(a, col)
+    return out
+
+
 def chunk_blobs(
     blobs: DataFrame,
     id_col: str = "blob_id",

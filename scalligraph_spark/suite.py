@@ -1857,6 +1857,24 @@ def blob_chunk_roundtrip(spark, sf):
 
 
 @q(
+    "blob_multi_hash",
+    "SELECT doc_id AS blob_id, sha256(text) AS sha256, md5(text) AS md5 FROM documents",
+    "multi-algorithm content addressing in one projection: every "
+    "configured digest (sha256+sha1+md5 in the reference's Hasher) "
+    "computed JVM-side over a single payload scan — utils/Hash.scala:17-40, "
+    "StorageSrv.scala:31-46 (DuckDB oracle covers its md5/sha256 pair; "
+    "sha1/crc32/xxh64 are pytest-pinned against hashlib/zlib)",
+)
+def blob_multi_hash(spark, sf):
+    from scalligraph_spark.blobs import multi_hash
+
+    docs = cat_for(spark, sf).vertex_df("documents").select(
+        F.col("doc_id").alias("blob_id"), F.col("text").cast("binary").alias("payload")
+    )
+    return multi_hash(docs, algorithms=("sha256", "md5")).select("blob_id", "sha256", "md5")
+
+
+@q(
     "streaming_windowed_rollup",
     f"SELECT {time_bucket_sql('ts', 1, 'd')} AS window_start, event_type, "
     f"count(*) AS count, {dsum_expr('value')} AS total FROM events GROUP BY 1, 2",

@@ -4,12 +4,16 @@ addressing, and the parquet-backed store round trip."""
 from __future__ import annotations
 
 import hashlib
+import zlib
+
+import pytest
 
 from scalligraph_spark.blobs import (
     CHUNK_SIZE,
     assemble_blobs,
     chunk_blobs,
     content_hash,
+    multi_hash,
     read_blob_store,
     write_blob_store,
 )
@@ -48,6 +52,37 @@ def test_content_hash_addressing(spark):
     hashed = {r["blob_id"]: r["sha256"] for r in content_hash(df).collect()}
     for bid, payload in _payloads():
         assert hashed[bid] == hashlib.sha256(payload).hexdigest()
+
+
+def test_multi_hash_matches_stdlib(spark):
+    df = spark.createDataFrame(_payloads(), "blob_id long, payload binary")
+    rows = {
+        r["blob_id"]: r
+        for r in multi_hash(
+            df, algorithms=("sha256", "sha1", "md5", "sha512", "crc32")
+        ).collect()
+    }
+    for bid, payload in _payloads():
+        r = rows[bid]
+        assert r["sha256"] == hashlib.sha256(payload).hexdigest()
+        assert r["sha1"] == hashlib.sha1(payload).hexdigest()
+        assert r["md5"] == hashlib.md5(payload).hexdigest()
+        assert r["sha512"] == hashlib.sha512(payload).hexdigest()
+        assert r["crc32"] == str(zlib.crc32(payload))
+
+
+def test_multi_hash_xxh64_deterministic(spark):
+    df = spark.createDataFrame(_payloads(), "blob_id long, payload binary")
+    a = {r["blob_id"]: r["xxh64"] for r in multi_hash(df, algorithms=("xxh64",)).collect()}
+    b = {r["blob_id"]: r["xxh64"] for r in multi_hash(df, algorithms=("xxh64",)).collect()}
+    assert a == b
+    assert len(set(a.values())) == len(a)  # distinct payloads → distinct digests
+
+
+def test_multi_hash_rejects_unknown_algorithm(spark):
+    df = spark.createDataFrame(_payloads(), "blob_id long, payload binary")
+    with pytest.raises(ValueError, match="unsupported hash algorithm"):
+        multi_hash(df, algorithms=("blake9",))
 
 
 def test_blob_store_roundtrip(spark, tmp_path):
