@@ -111,6 +111,11 @@ HEADLINE = [
     "graph_cc_skewed",  # two-phase CC under a 10%-of-edges Zipf hub
     "graph_pagerank_skewed",  # hot-reduce-key rank-mass aggregation
     "similarity_ann_recall",  # recall@10 of IVF vs exact ground truth
+    # round-7 session-10 additions: the summary-statistics tier
+    "stats_grouped_quantiles",  # exact per-group percentile_cont, one agg pass
+    "stats_corr_matrix",  # p² co-moments in one pass, shuffle independent of rows
+    "stats_frequent_items",  # exact heavy hitters, count agg + 1-row broadcast
+    "pipeline_sample_per_key",  # deterministic k-per-group reservoir, map-side WindowGroupLimit
 ]
 
 

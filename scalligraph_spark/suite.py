@@ -6951,6 +6951,96 @@ def similarity_ann_recall_q(spark, sf):
     )
 
 
+@q(
+    "stats_grouped_quantiles",
+    "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 12) AS q_0_5, "
+    "round(quantile_cont(l_quantity, 0.9), 12) AS q_0_9, "
+    "round(quantile_cont(l_quantity, 0.99), 12) AS q_0_99 "
+    "FROM lineitem GROUP BY l_returnflag",
+    "per-group exact quantiles (linear interpolation, percentile_cont "
+    "semantics) in one aggregation pass — the exact twin of the "
+    "approx-sketch default mode (percentile_approx: mergeable GK sketch, "
+    "bounded memory per group — the 100 TB path, equivalence pytest-pinned "
+    "within rank tolerance)",
+)
+def stats_grouped_quantiles_q(spark, sf):
+    from scalligraph_spark.operators import grouped_quantiles
+
+    li = cat_for(spark, sf).vertex_df("lineitem")
+    gq = grouped_quantiles(li, ["l_returnflag"], "l_quantity", (0.5, 0.9, 0.99), mode="exact")
+    return gq.select(
+        "l_returnflag",
+        *[F.round(F.col(c), 12).alias(c) for c in ("q_0_5", "q_0_9", "q_0_99")],
+    )
+
+
+@q(
+    "stats_corr_matrix",
+    "WITH c AS (SELECT corr(l_quantity, l_extendedprice) AS c0, "
+    "corr(l_quantity, l_discount) AS c1, corr(l_quantity, l_tax) AS c2, "
+    "corr(l_extendedprice, l_discount) AS c3, corr(l_extendedprice, l_tax) AS c4, "
+    "corr(l_discount, l_tax) AS c5 FROM lineitem) "
+    "SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, round(c0, 12) AS corr FROM c "
+    "UNION ALL SELECT 'l_quantity', 'l_discount', round(c1, 12) FROM c "
+    "UNION ALL SELECT 'l_quantity', 'l_tax', round(c2, 12) FROM c "
+    "UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c3, 12) FROM c "
+    "UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c4, 12) FROM c "
+    "UNION ALL SELECT 'l_discount', 'l_tax', round(c5, 12) FROM c",
+    "pairwise Pearson correlation matrix (long-format upper triangle) in "
+    "ONE aggregation pass: every pair's co-moments are partial-aggregated "
+    "map-side, so the shuffle is p² doubles regardless of row count — the "
+    "feature-correlation screen a mixture/curation pipeline runs before "
+    "weighting columns",
+)
+def stats_corr_matrix_q(spark, sf):
+    from scalligraph_spark.operators import corr_matrix
+
+    li = cat_for(spark, sf).vertex_df("lineitem")
+    cm = corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return cm.select("col_x", "col_y", F.round(F.col("corr"), 12).alias("corr"))
+
+
+@q(
+    "stats_frequent_items",
+    "SELECT lang AS value, count(*) AS n, "
+    "round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 12) AS share "
+    "FROM documents GROUP BY lang "
+    "HAVING count(*)::DOUBLE / (SELECT count(*) FROM documents) > 0.13",
+    "exact heavy hitters above a support share: count-per-value plus a "
+    "1-row broadcast total — exactness needs no sketch because a count "
+    "aggregate map-side-combines (one row per value per partition no "
+    "matter how hot the value), unlike the Count-Min tier which answers "
+    "point queries without the shuffle at all",
+)
+def stats_frequent_items_q(spark, sf):
+    from scalligraph_spark.operators import frequent_items
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    fi = frequent_items(docs, "lang", 0.13)
+    return fi.select("value", "n", F.round(F.col("share"), 12).alias("share"))
+
+
+@q(
+    "pipeline_sample_per_key",
+    "SELECT lang, doc_id, source FROM ("
+    "  SELECT lang, doc_id, source, row_number() OVER ("
+    "    PARTITION BY lang ORDER BY "
+    "    CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id"
+    "  ) AS rk FROM documents) t WHERE rk <= 7",
+    "deterministic exactly-k-per-group sampling: reservoir order is a "
+    "salted md5 of the row id (seedable, engine-portable), applied as a "
+    "partitioned window — hash-partitioned on the group with NO global "
+    "sort, pruned to ≤ k rows per group before anything downstream; the "
+    "exact-count complement of stratified_sample's per-stratum fractions "
+    "(the 'k examples per source' shape of eval-set construction)",
+)
+def pipeline_sample_per_key_q(spark, sf):
+    from scalligraph_spark.operators import sample_exact_per_key
+
+    docs = cat_for(spark, sf).vertex_df("documents").select("lang", "doc_id", "source")
+    return sample_exact_per_key(docs, ["lang"], ["doc_id"], 7)
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
