@@ -53,6 +53,33 @@ def test_query_chain_roundtrip_over_socket(server):
     assert all(r["c_mktsegment"] == "BUILDING" for r in rows)
 
 
+def test_concurrent_clients_share_one_session(server):
+    """ThreadingHTTPServer + one SparkSession: 8 simultaneous chains must
+    all succeed with per-request-correct results (Spark schedules
+    concurrent actions from multiple driver threads; nothing in the
+    handler may share mutable per-request state)."""
+    import concurrent.futures
+
+    segments = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD"] * 2
+
+    def one(seg):
+        status, _, rows = _post(
+            server.port,
+            chain=[
+                {"_name": "all_customer"},
+                {"_name": "filter", "_is": {"_field": "c_mktsegment", "_value": seg}},
+                {"_name": "limit", "n": 5},
+            ],
+        )
+        return status, seg, rows
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(one, segments))
+    for status, seg, rows in results:
+        assert status == 200
+        assert rows and all(r["c_mktsegment"] == seg for r in rows)
+
+
 def test_rich_page_total_moves_to_x_total_header(server):
     status, headers, rows = _post(
         server.port,
