@@ -112,6 +112,8 @@ HEADLINE = [
     "graph_pagerank_skewed",  # hot-reduce-key rank-mass aggregation
     "similarity_ann_recall",  # recall@10 of IVF vs exact ground truth
     # round-7 session-10 additions: the summary-statistics tier
+    "text_index_build",  # one-time (term,doc_id) shuffle + term-sorted commit
+    "text_indexed_search",  # pushed-down posting-list BM25, zero corpus scans
     "stats_grouped_quantiles",  # exact per-group percentile_cont, one agg pass
     "stats_corr_matrix",  # p² co-moments in one pass, shuffle independent of rows
     "stats_frequent_items",  # exact heavy hitters, count agg + 1-row broadcast

@@ -638,14 +638,23 @@ def bm25_rank(
             for i in range(len(query_terms))
         ],
     )
+    return _bm25_score_and_rank(d, stats, len(query_terms), k1, b, round_to, id_col)
+
+
+def _bm25_score_and_rank(d, stats, n_terms, k1, b, round_to, id_col):
+    """Shared BM25 scoring tail: ``d`` carries (id, dl, __tf0..__tfN-1),
+    ``stats`` is a 1-row frame (__n, __sumdl, __df0..__dfN-1).  Both
+    :func:`bm25_rank` (per-query full scan) and the persisted-index query
+    path (text_index.py) reduce to this EXACT expression tree, so their
+    scores are bit-identical — the float sum is fixed left-to-right."""
     avgdl = F.col("__sumdl") / F.col("__n")
     score = None
-    for i in range(len(query_terms)):
+    for i in range(n_terms):
         tf = F.col(f"__tf{i}").cast("double")
         idf = F.log(F.lit(1.0) + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5)) / (F.col(f"__df{i}") + F.lit(0.5)))
         contrib = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
         score = contrib if score is None else score + contrib
-    matched = sum((F.col(f"__tf{i}") for i in range(len(query_terms))), F.lit(0))
+    matched = sum((F.col(f"__tf{i}") for i in range(n_terms)), F.lit(0))
     scored = (
         d.crossJoin(F.broadcast(stats))
         .where(matched > 0)

@@ -1,0 +1,230 @@
+"""Persisted inverted-index artifacts: build the text index once, search
+many times.
+
+The reference's ENTIRE fulltext read path is index-backed: every model
+declares fulltext/standard index hints (core/.../models/Model.scala:16-19),
+the database materialises them as Lucene-backed mixed indexes
+(database/janusgraph/.../JanusDatabase.scala:304-434 ``addIndex`` /
+``reindex``), and ``TextP`` predicates then CONSULT the index instead of
+scanning vertices.  The engine's :func:`~scalligraph_spark.operators.text.bm25_rank`
+reproduces the scoring but recomputes tokenisation + corpus statistics on
+EVERY query — a full corpus scan per search, which is the one thing an
+index exists to avoid at 100 TB.  This module closes that gap with the
+same lifecycle discipline as the ANN tier (ann_index.py):
+
+* :func:`build_text_index` tokenises once and commits TWO versioned store
+  tables — postings ``(term, doc_id, tf, dl)`` and per-term document
+  frequencies ``(term, df)`` — plus corpus stats (n_docs, sum_dl) in the
+  commit meta.  The postings commit is term-sorted (range-partitioned + sorted), so parquet
+  footer min/max stats prune the scan down to the row groups containing
+  the query's terms: search cost scales with POSTING-LIST length, not
+  corpus size (the inverted-index contract).
+* :func:`load_text_index` reads the artifact back (lazily — postings stay
+  a DataFrame; only meta is driver-side) and warns via
+  :class:`StaleTextIndexWarning` when the corpus version has advanced past
+  the indexed one.
+* :func:`indexed_bm25_topk` answers a query from the index with NO corpus
+  scan and NO tokenisation: filter postings to the query terms (pushed to
+  the scan), rebuild the per-doc tf row, and score through the SAME
+  expression tree as ``bm25_rank`` (``_bm25_score_and_rank``) — results
+  are bit-identical to the full-scan path by construction.
+* :func:`reindex_text` rebuilds against the current corpus version with
+  the parameters recorded in the artifact's own meta (the ``ReindexData``
+  / ``JanusDatabase.reindex`` discipline) — a new version; readers pinned
+  to the old one are undisturbed.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StaleTextIndexWarning(UserWarning):
+    """A persisted text index was built on an older corpus version than the
+    one it is being used against — new/changed documents are invisible to
+    search until :func:`reindex_text` runs."""
+
+
+@dataclass
+class TextIndex:
+    """A loaded text-index artifact: lazy postings/terms DataFrames plus
+    the driver-side corpus stats from the commit meta."""
+
+    version: int
+    meta: dict = field(default_factory=dict)
+    postings: DataFrame | None = None  # (term, doc_id, tf, dl)
+    terms: DataFrame | None = None  # (term, df)
+
+    @property
+    def n_docs(self) -> int:
+        return int(self.meta["n_docs"])
+
+    @property
+    def sum_dl(self) -> int:
+        return int(self.meta["sum_dl"])
+
+
+def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    # ONE shuffle on (term, doc_id) — the canonical index-build cost, paid
+    # at build time instead of per query.  dl rides along via first()
+    # (constant within a doc).
+    return exploded.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def build_text_index(
+    store,
+    name: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sort_files: int = 16,
+    corpus_store=None,
+    corpus_label: str | None = None,
+) -> int:
+    """Tokenise the corpus once and commit postings + term frequencies as
+    versioned store tables ``name`` / ``name__terms`` → returns the
+    postings version.  The postings table is range-partitioned + sorted on ``term`` so query-term filters prune to the relevant row
+    groups — the on-disk analog of a posting list."""
+    n, sumdl = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("long").alias("sumdl"),
+    ).first()
+    post = _postings(docs, text_col, id_col)
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    meta = {
+        "kind": "bm25_inverted",
+        "n_docs": int(n),
+        "sum_dl": int(sumdl),
+        "text_col": str(text_col),
+        "id_col": str(id_col),
+        "sort_files": int(sort_files),
+    }
+    if corpus_store is not None and corpus_label is not None:
+        meta["corpus_label"] = str(corpus_label)
+        meta["corpus_version"] = int(corpus_store.version(corpus_label))
+    store.write(f"{name}__terms", dfreq, meta={"kind": "bm25_terms"})
+    return store.write(name, post, sort_by=(sort_files, ["term"]), meta=meta)
+
+
+def load_text_index(
+    spark: SparkSession,
+    store,
+    name: str,
+    corpus_store=None,
+) -> TextIndex:
+    """Read the artifact back (postings/terms stay lazy DataFrames).  Pass
+    ``corpus_store`` to check freshness: if the corpus label the index was
+    built from has advanced, a :class:`StaleTextIndexWarning` fires."""
+    meta = store.commit_meta(name)
+    if (
+        corpus_store is not None
+        and "corpus_label" in meta
+        and int(corpus_store.version(meta["corpus_label"])) != int(meta["corpus_version"])
+    ):
+        warnings.warn(
+            f"text index {name!r} was built on {meta['corpus_label']!r} "
+            f"v{meta['corpus_version']}, but the corpus is now "
+            f"v{corpus_store.version(meta['corpus_label'])} — search misses newer "
+            "documents; rebuild via reindex_text",
+            StaleTextIndexWarning,
+            stacklevel=2,
+        )
+    return TextIndex(
+        version=int(store.version(name)),
+        meta=dict(meta),
+        postings=store.read(spark, name),
+        terms=store.read(spark, f"{name}__terms"),
+    )
+
+
+def indexed_bm25_topk(
+    index: TextIndex,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 search THROUGH the persisted index: no corpus scan, no
+    tokenisation, no stats job.  The postings filter (``term IN
+    query_terms``) is pushed into the term-sorted parquet scan, so cost is
+    the matched posting lists; df/n/avgdl come from the terms table (a
+    broadcastable handful of rows) and the commit meta.  The scoring tail
+    is the SAME expression tree as :func:`bm25_rank`
+    (``_bm25_score_and_rank``), so output is bit-identical to the
+    full-scan path on the indexed corpus version.
+
+    Output ``(doc_id, dl, bm25, rank)`` — ``bm25_rank`` column contract.
+    """
+    from scalligraph_spark.operators.text import _bm25_score_and_rank
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    id_col = str(index.meta.get("id_col", "doc_id"))
+    p = index.postings.where(F.col("term").isin(list(query_terms)))
+    # per-doc tf vector reconstructed from the matched postings (docs with
+    # no matching term never enter — same visible set as the scan path)
+    d = p.groupBy(F.col("doc_id").alias(id_col), "dl").agg(
+        *[
+            F.coalesce(F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0))
+            .cast("int")
+            .alias(f"__tf{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    t = index.terms.where(F.col("term").isin(list(query_terms)))
+    stats = t.agg(
+        F.lit(float(index.n_docs)).alias("__n"),
+        F.lit(float(index.sum_dl)).alias("__sumdl"),
+        *[
+            F.coalesce(F.max(F.when(F.col("term") == q, F.col("df"))), F.lit(0))
+            .cast("double")
+            .alias(f"__df{i}")
+            for i, q in enumerate(query_terms)
+        ],
+    )
+    return _bm25_score_and_rank(d, stats, len(query_terms), k1, b, round_to, id_col)
+
+
+def reindex_text(
+    spark: SparkSession,
+    store,
+    name: str,
+    corpus_store,
+    text_col: str | None = None,
+    id_col: str | None = None,
+) -> int:
+    """Rebuild a persisted text index against the CURRENT corpus version
+    with the parameters recorded in its own meta — a new artifact version
+    (readers pinned to the old one are undisturbed); the freshness warning
+    clears because the new meta records the current corpus version."""
+    meta = store.commit_meta(name)
+    if "corpus_label" not in meta:
+        raise ValueError(
+            f"text index {name!r} records no training corpus; rebuild it with "
+            "build_text_index(..., corpus_store=, corpus_label=) instead"
+        )
+    text_col = text_col if text_col is not None else meta.get("text_col", "text")
+    id_col = id_col if id_col is not None else meta.get("id_col", "doc_id")
+    docs = corpus_store.read(spark, meta["corpus_label"])
+    return build_text_index(
+        store,
+        name,
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        sort_files=int(meta.get("sort_files", 16)),
+        corpus_store=corpus_store,
+        corpus_label=meta["corpus_label"],
+    )

@@ -140,6 +140,7 @@ class LabelStore:
         partition_by: list[str] | None = None,
         bucket_hint: tuple[int, list[str]] | None = None,
         zorder_by: tuple[int, list[str]] | None = None,
+        sort_by: tuple[int, list[str]] | None = None,
         meta: dict | None = None,
         expected_version: int | None = None,
     ) -> int:
@@ -208,6 +209,14 @@ class LabelStore:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
+        if sort_by:
+            # linear clustering: range-partition + sort on the columns
+            # themselves — the 1-D layout (works for strings, where the
+            # Morton key cannot); parquet footer min/max stats then prune
+            # scans filtered on the LEADING sort column (an inverted
+            # index's posting-list locality, store-side)
+            n, cols = sort_by
+            df = df.repartitionByRange(n, *[F.col(c) for c in cols]).sortWithinPartitions(*cols)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)

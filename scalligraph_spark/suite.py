@@ -4108,9 +4108,10 @@ def dedup_jaccard_prefix_join_q(spark, sf):
     return jaccard_pairs_prefix(cat_for(spark, sf).vertex_df("documents"), n=2, threshold=0.2)
 
 
-@q(
-    "text_bm25_search",
-    """
+# shared by text_bm25_search (full-scan path) and text_indexed_search (the
+# persisted-inverted-index path) — indexed_bm25_topk reduces to the SAME
+# scoring expression tree as bm25_rank, so one oracle covers both
+_BM25_ORACLE = """
 WITH d AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS dl,
@@ -4136,7 +4137,12 @@ WITH d AS (
 SELECT doc_id, dl, bm25,
        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
 FROM scored
-""",
+"""
+
+
+@q(
+    "text_bm25_search",
+    _BM25_ORACLE,
     "BM25 ranked retrieval (Lucene idf form) for a fixed query — per-term tf "
     "is row-local array arithmetic (no (doc,term) explode/shuffle), corpus "
     "stats reduce to ONE broadcast row, score is a fixed-order float sum so "
@@ -4147,6 +4153,65 @@ def text_bm25_search_q(spark, sf):
 
     docs = cat_for(spark, sf).vertex_df("documents")
     return bm25_rank(docs, ["spark", "merge", "window"], k1=1.2, b=0.75, round_to=6)
+
+
+def _text_index_store(spark, sf, rebuild: bool = False):
+    """Build-once-per-process inverted index for the sf's documents table —
+    same amortization discipline as _ann_index_store: queries must not pay
+    tokenisation or stats jobs, so the build happens once (its own cost is
+    the separate text_index_build bench key)."""
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.operators import build_text_index
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_txtix_{_os.path.basename(sf.rstrip('/'))}"
+    key = (root,)
+    if rebuild or key not in _TEXT_INDEX_BUILT:
+        docs = cat_for(spark, sf).vertex_df("documents")
+        _shutil.rmtree(root, ignore_errors=True)
+        build_text_index(LabelStore(root), "docs_ix", docs)
+        _TEXT_INDEX_BUILT.add(key)
+    return LabelStore(root)
+
+
+_TEXT_INDEX_BUILT: set = set()
+
+
+@q(
+    "text_indexed_search",
+    _BM25_ORACLE,
+    "BM25 search THROUGH the persisted inverted index (the reference's "
+    "ACTUAL read path: TextP predicates consult the Lucene mixed index, "
+    "JanusDatabase.scala:304-434, instead of scanning vertices): the "
+    "query's term filter is pushed into the term-sorted postings scan "
+    "(PushedFilters In(term,…)), df/n/avgdl come from the artifact, and "
+    "the scoring tail is bm25_rank's own expression tree — bit-identical "
+    "output (same oracle as text_bm25_search), zero corpus scans, zero "
+    "tokenisation at query time",
+)
+def text_indexed_search_q(spark, sf):
+    from scalligraph_spark.operators import indexed_bm25_topk, load_text_index
+
+    store = _text_index_store(spark, sf)
+    ix = load_text_index(spark, store, "docs_ix")
+    return indexed_bm25_topk(ix, ["spark", "merge", "window"], k1=1.2, b=0.75, round_to=6)
+
+
+@q(
+    "text_index_build",
+    None,  # build-phase artifact commit: postings row order/layout is the
+    # product, not a relation DuckDB can hash-compare; the QUERY path has
+    # the oracle (text_indexed_search)
+    "the BUILD phase of the persisted text-index lifecycle, benched "
+    "separately from the query phase: one (term, doc_id) shuffle + "
+    "term-sorted versioned store commit — the one-time cost the index "
+    "amortizes over every subsequent text_indexed_search query",
+)
+def text_index_build_q(spark, sf):
+    store = _text_index_store(spark, sf, rebuild=True)
+    return store.read(spark, "docs_ix")
 
 
 @q(

@@ -1,0 +1,146 @@
+"""Persisted inverted-index lifecycle: bit-parity with the full-scan BM25
+path, term pushdown into the postings scan, corpus-drift staleness, and
+meta-recorded-column rebuilds."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import warnings
+
+import pytest
+
+from scalligraph_spark.operators import (
+    StaleTextIndexWarning,
+    bm25_rank,
+    build_text_index,
+    indexed_bm25_topk,
+    load_text_index,
+    reindex_text,
+)
+from scalligraph_spark.store import LabelStore
+
+
+def _corpus(spark):
+    rows = [
+        (0, "spark merge window spark"),
+        (1, "merge sort table window window window"),
+        (2, "the quick brown fox"),
+        (3, "spark spark spark"),
+        (4, "window"),
+        (5, "table scan only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return LabelStore(str(tmp_path / "txtix"))
+
+
+def test_indexed_search_bit_identical_to_scan_path(spark, store):
+    docs = _corpus(spark)
+    build_text_index(store, "ix", docs)
+    ix = load_text_index(spark, store, "ix")
+    for terms in (["spark", "merge", "window"], ["window"], ["absentterm", "spark"]):
+        a = sorted(tuple(r) for r in indexed_bm25_topk(ix, terms).collect())
+        b = sorted(tuple(r) for r in bm25_rank(docs, terms).collect())
+        assert a == b, terms
+
+
+def test_query_requires_terms(spark, store):
+    build_text_index(store, "ix", _corpus(spark))
+    ix = load_text_index(spark, store, "ix")
+    with pytest.raises(ValueError, match="non-empty"):
+        indexed_bm25_topk(ix, [])
+
+
+def test_term_filter_pushed_to_postings_scan(spark, store):
+    build_text_index(store, "ix", _corpus(spark))
+    ix = load_text_index(spark, store, "ix")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed_bm25_topk(ix, ["spark", "window"]).explain("formatted")
+    plan = buf.getvalue()
+    assert "In(term, [spark,window])" in plan  # pushed, not post-scan filtered
+
+
+def test_stale_warning_fires_and_reindex_clears(spark, store, tmp_path):
+    corpus_store = LabelStore(str(tmp_path / "corpus"))
+    corpus_store.write("documents", _corpus(spark))
+    docs = corpus_store.read(spark, "documents")
+    build_text_index(store, "ix", docs, corpus_store=corpus_store, corpus_label="documents")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", StaleTextIndexWarning)
+        load_text_index(spark, store, "ix", corpus_store=corpus_store)  # fresh: silent
+
+    extra = spark.createDataFrame([(6, "new spark doc")], "doc_id long, text string")
+    corpus_store.write("documents", _corpus(spark).union(extra))
+    with pytest.warns(StaleTextIndexWarning, match="rebuild via reindex_text"):
+        load_text_index(spark, store, "ix", corpus_store=corpus_store)
+
+    reindex_text(spark, store, "ix", corpus_store)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", StaleTextIndexWarning)
+        ix = load_text_index(spark, store, "ix", corpus_store=corpus_store)
+    # the rebuilt index sees the new document
+    got = {r["doc_id"] for r in indexed_bm25_topk(ix, ["spark"]).collect()}
+    assert 6 in got
+
+
+def test_reindex_defaults_to_meta_recorded_columns(spark, store, tmp_path):
+    """An index built over non-default column names must rebuild without
+    re-supplying them (the ANN-tier round-6 lesson, applied here from the
+    start)."""
+    corpus_store = LabelStore(str(tmp_path / "corpus"))
+    renamed = _corpus(spark).withColumnRenamed("doc_id", "k").withColumnRenamed("text", "body")
+    corpus_store.write("docs2", renamed)
+    build_text_index(
+        store, "ix2", corpus_store.read(spark, "docs2"),
+        text_col="body", id_col="k",
+        corpus_store=corpus_store, corpus_label="docs2",
+    )
+    corpus_store.write("docs2", renamed)  # advance the corpus version
+    v = reindex_text(spark, store, "ix2", corpus_store)  # no columns passed
+    assert v == 2
+    ix = load_text_index(spark, store, "ix2", corpus_store=corpus_store)
+    out = indexed_bm25_topk(ix, ["spark"])
+    assert out.columns[0] == "k"  # id column name survives the round trip
+    assert out.count() > 0
+
+
+def test_reindex_without_corpus_provenance_raises(spark, store):
+    build_text_index(store, "ix3", _corpus(spark))
+    with pytest.raises(ValueError, match="records no training corpus"):
+        reindex_text(spark, store, "ix3", store)
+
+
+def test_store_sort_by_layout_roundtrip(spark, tmp_path):
+    """store.write(sort_by=…): linear clustering for string keys (the
+    Morton path casts to double and cannot express them) — data must
+    round-trip exactly and land range-partitioned on the sort column."""
+    st = LabelStore(str(tmp_path / "s"))
+    df = spark.range(0, 1000).selectExpr("id", "concat('t', lpad(cast(id % 50 as string), 3, '0')) as term")
+    st.write("t", df, sort_by=(4, ["term"]))
+    back = st.read(spark, "t")
+    assert back.count() == 1000
+    assert sorted(r["id"] for r in back.collect()) == list(range(1000))
+    # range partitioning: each file covers a disjoint term range
+    import os
+
+    root = st.path("t", 1)
+    parts = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    assert len(parts) > 1
+    import duckdb
+
+    ranges = []
+    con = duckdb.connect()
+    for f in parts:
+        lo, hi = con.execute(
+            f"select min(term), max(term) from '{os.path.join(root, f)}'"
+        ).fetchone()
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint (or touching) term ranges
