@@ -111,9 +111,10 @@ HEADLINE = [
     "graph_cc_skewed",  # two-phase CC under a 10%-of-edges Zipf hub
     "graph_pagerank_skewed",  # hot-reduce-key rank-mass aggregation
     "similarity_ann_recall",  # recall@10 of IVF vs exact ground truth
-    # round-7 session-10 additions: the summary-statistics tier
+    # round-7 session-10 additions: text-index lifecycle + summary statistics
     "text_index_build",  # one-time (term,doc_id) shuffle + term-sorted commit
     "text_indexed_search",  # pushed-down posting-list BM25, zero corpus scans
+    "text_index_term_filter",  # TextP via vocabulary filter + posting semi-join
     "stats_grouped_quantiles",  # exact per-group percentile_cont, one agg pass
     "stats_corr_matrix",  # p² co-moments in one pass, shuffle independent of rows
     "stats_frequent_items",  # exact heavy hitters, count agg + 1-row broadcast

@@ -197,6 +197,64 @@ def indexed_bm25_topk(
     return _bm25_score_and_rank(d, stats, len(query_terms), k1, b, round_to, id_col)
 
 
+def matching_terms(index: TextIndex, mode: str, pattern: str) -> DataFrame:
+    """Vocabulary rows whose term matches the predicate — the index-side
+    half of a ``TextP`` evaluation (``TextP.startsWith`` etc. against the
+    Lucene mixed index, JanusDatabase.scala index queries).  The terms
+    table is vocabulary-sized (≪ corpus), and ``prefix`` compiles to
+    ``StringStartsWith`` which pushes into its parquet scan.
+
+    Modes: ``term`` (exact), ``prefix``, ``suffix``, ``contains``,
+    ``regex`` (Java regex via ``rlike``).
+    """
+    t = F.col("term")
+    if mode == "term":
+        cond = t == pattern
+    elif mode == "prefix":
+        cond = t.startswith(pattern)
+    elif mode == "suffix":
+        cond = t.endswith(pattern)
+    elif mode == "contains":
+        cond = t.contains(pattern)
+    elif mode == "regex":
+        cond = t.rlike(pattern)
+    else:
+        raise ValueError(f"mode must be term/prefix/suffix/contains/regex, got {mode!r}")
+    return index.terms.where(cond)
+
+
+def docs_with_matching_term(index: TextIndex, mode: str, pattern: str) -> DataFrame:
+    """Distinct doc ids containing ≥1 TOKEN matching the predicate — the
+    posting-list union for a ``TextP`` term query.  Plan shape: vocabulary
+    filter (tiny, broadcast) → semi-join into the term-sorted postings →
+    distinct doc_id.  Token-level semantics: ``contains`` means "some
+    token contains the pattern", not "the raw text contains it across
+    token boundaries" (the tokenised-index contract, same as Lucene)."""
+    terms = matching_terms(index, mode, pattern).select("term")
+    return (
+        index.postings.join(F.broadcast(terms), "term", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def index_text_filter(
+    index: TextIndex,
+    docs: DataFrame,
+    mode: str,
+    pattern: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Filter a document table through the index instead of scanning its
+    text: ``has("text", TextP.startsWith(p))`` answered as a semi-join
+    against the matching posting lists — the text column is never read,
+    never tokenised.  ``id_col`` defaults to the column the index was
+    built over."""
+    id_col = id_col if id_col is not None else str(index.meta.get("id_col", "doc_id"))
+    ids = docs_with_matching_term(index, mode, pattern).withColumnRenamed("doc_id", id_col)
+    return docs.join(ids, id_col, "left_semi")
+
+
 def reindex_text(
     spark: SparkSession,
     store,

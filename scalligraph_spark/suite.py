@@ -4200,6 +4200,27 @@ def text_indexed_search_q(spark, sf):
 
 
 @q(
+    "text_index_term_filter",
+    r"SELECT doc_id, lang, source FROM documents "
+    r"WHERE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t LIKE 'wind%')) > 0",
+    "TextP through the index: has(text, TextP.startsWith('wind')) answered "
+    "as a vocabulary filter (StringStartsWith pushed into the tiny terms "
+    "scan) → broadcast semi-join into the term-sorted postings → distinct "
+    "doc ids → semi-join back to the table — the text column is never "
+    "read or tokenised at query time, the reference's index-consulting "
+    "TextP evaluation (JanusDatabase.scala mixed-index queries) instead "
+    "of the traversal tier's full-scan TextP filter",
+)
+def text_index_term_filter_q(spark, sf):
+    from scalligraph_spark.operators import index_text_filter, load_text_index
+
+    store = _text_index_store(spark, sf)
+    ix = load_text_index(spark, store, "docs_ix")
+    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "lang", "source")
+    return index_text_filter(ix, docs, "prefix", "wind")
+
+
+@q(
     "text_index_build",
     None,  # build-phase artifact commit: postings row order/layout is the
     # product, not a relation DuckDB can hash-compare; the QUERY path has

@@ -65,6 +65,49 @@ def test_term_filter_pushed_to_postings_scan(spark, store):
     assert "In(term, [spark,window])" in plan  # pushed, not post-scan filtered
 
 
+def test_index_text_filter_matches_scan_semantics(spark, store):
+    """Every predicate mode must select exactly the docs whose TOKEN set
+    matches — differential against a literal Python tokenisation."""
+    from scalligraph_spark.operators import index_text_filter
+
+    docs = _corpus(spark)
+    build_text_index(store, "ix", docs)
+    ix = load_text_index(spark, store, "ix")
+    data = {r["doc_id"]: r["text"].strip().split() for r in docs.collect()}
+    cases = [
+        ("term", "spark", lambda t: t == "spark"),
+        ("prefix", "wi", lambda t: t.startswith("wi")),
+        ("suffix", "ble", lambda t: t.endswith("ble")),
+        ("contains", "or", lambda t: "or" in t),
+        ("regex", "^s.*k$", lambda t: t.startswith("s") and t.endswith("k")),
+    ]
+    for mode, pat, pred in cases:
+        got = {r["doc_id"] for r in index_text_filter(ix, docs, mode, pat).collect()}
+        expect = {d for d, toks in data.items() if any(pred(t) for t in toks)}
+        assert got == expect, (mode, pat)
+
+
+def test_matching_terms_rejects_unknown_mode(spark, store):
+    from scalligraph_spark.operators import matching_terms
+
+    build_text_index(store, "ix", _corpus(spark))
+    ix = load_text_index(spark, store, "ix")
+    with pytest.raises(ValueError, match="mode must be"):
+        matching_terms(ix, "soundex", "x")
+
+
+def test_prefix_predicate_pushes_into_terms_scan(spark, store):
+    from scalligraph_spark.operators import docs_with_matching_term
+
+    build_text_index(store, "ix", _corpus(spark))
+    ix = load_text_index(spark, store, "ix")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        docs_with_matching_term(ix, "prefix", "wi").explain("formatted")
+    plan = buf.getvalue()
+    assert "StringStartsWith(term,wi)" in plan
+
+
 def test_stale_warning_fires_and_reindex_clears(spark, store, tmp_path):
     corpus_store = LabelStore(str(tmp_path / "corpus"))
     corpus_store.write("documents", _corpus(spark))
