@@ -558,10 +558,11 @@ def start_index_maintenance_sink(
     query_name: str = "index_maintenance",
     id_col: str | None = None,
     vec_col: str | None = None,
+    text_col: str | None = None,
 ):
-    """Streaming ingest + ANN-index freshness automation: each micro-batch
+    """Streaming ingest + index freshness automation: each micro-batch
     appends to the corpus label (batch-id idempotent, like
-    :func:`start_store_sink`) and then REBUILDS the persisted ANN index
+    :func:`start_store_sink`) and then REBUILDS the persisted index
     when the corpus has grown past ``rebuild_growth`` (fractional rows)
     since the version the index was trained on — the automated form of the
     reference's ``ReindexData`` maintenance (JanusDatabase.scala:304-434):
@@ -575,11 +576,17 @@ def start_index_maintenance_sink(
     artifact are undisturbed, and a crash between corpus commit and
     rebuild self-heals on the next batch (the growth check re-fires).
 
+    The index kind is read from its own commit meta: ANN artifacts
+    (ivf/pq/lsh) rebuild through :func:`reindex_ann`, inverted text
+    indexes (``bm25_inverted``) through :func:`reindex_text` — one sink
+    maintains either family.
+
     The index must have been built with ``corpus_store``/``corpus_label``
     provenance (otherwise there is no trained-version anchor to measure
-    growth from — build_*_index raises via reindex_ann's contract).
+    growth from — the reindex contract raises).
     """
     from scalligraph_spark.operators.ann_index import reindex_ann
+    from scalligraph_spark.operators.text_index import reindex_text
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -602,9 +609,12 @@ def start_index_maintenance_sink(
             return  # index not provenance-tracked (or not built yet)
         trained_rows = int(store.commit_meta(corpus_label, trained_v).get("n_rows", 0) or prev_rows)
         if trained_rows == 0 or (n_rows - trained_rows) / trained_rows >= rebuild_growth:
-            # id/vec column names default to the ones stamped in the index's
-            # own build meta, so non-default-named corpora rebuild correctly
-            reindex_ann(spark, store, index_name, corpus_store=store, id_col=id_col, vec_col=vec_col)
+            # column names default to the ones stamped in the index's own
+            # build meta, so non-default-named corpora rebuild correctly
+            if ix_meta.get("kind") == "bm25_inverted":
+                reindex_text(spark, store, index_name, corpus_store=store, text_col=text_col, id_col=id_col)
+            else:
+                reindex_ann(spark, store, index_name, corpus_store=store, id_col=id_col, vec_col=vec_col)
 
     return (
         stream_df.writeStream.foreachBatch(_commit)

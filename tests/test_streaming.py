@@ -609,3 +609,46 @@ def test_index_maintenance_sink_rebuilds_on_growth(spark, tmp_path):
         warnings.simplefilter("error", StaleAnnIndexWarning)
         ix = load_ann_index(spark, store, "emb_ix", corpus_store=store)
     assert ix.meta["corpus_version"] == store.version("emb")
+
+
+def test_index_maintenance_sink_handles_text_indexes(spark, tmp_path):
+    """The same maintenance sink keeps an INVERTED TEXT index fresh: kind
+    dispatch comes from the artifact's own commit meta (bm25_inverted →
+    reindex_text), and the rebuilt index sees streamed-in documents."""
+    import warnings
+
+    from scalligraph_spark.operators import (
+        StaleTextIndexWarning,
+        build_text_index,
+        docs_with_matching_term,
+        load_text_index,
+    )
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import start_index_maintenance_sink
+
+    def doc_rows(lo, hi, word="alpha"):
+        return spark.createDataFrame(
+            [(i, f"{word} common text {i}") for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    store = LabelStore(str(tmp_path / "txm"))
+    store.write("docs", doc_rows(0, 50), meta={"batch_id": -1, "n_rows": 50})
+    build_text_index(store, "docs_ix", store.read(spark, "docs"),
+                     corpus_store=store, corpus_label="docs")
+    assert store.version("docs_ix") == 1
+
+    src = str(tmp_path / "in")
+    doc_rows(50, 90, word="zeta").write.parquet(src)  # +80% > 20% threshold
+    q = start_index_maintenance_sink(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, "docs", "docs_ix", str(tmp_path / "ck"), rebuild_growth=0.2,
+        query_name="txm1",
+    )
+    q.awaitTermination()
+    assert store.version("docs_ix") == 2  # rebuilt through reindex_text
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", StaleTextIndexWarning)
+        ix = load_text_index(spark, store, "docs_ix", corpus_store=store)
+    hits = {r["doc_id"] for r in docs_with_matching_term(ix, "term", "zeta").collect()}
+    assert hits == set(range(50, 90))  # streamed docs are searchable
