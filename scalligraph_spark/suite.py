@@ -7201,6 +7201,17 @@ def pipeline_sample_per_key_q(spark, sf):
 # (graph_cc_skewed for graph_sssp_weighted; graph keeps
 # graph_bfs_distances).  All eight rotated-out entries remain registered
 # and exact under tools/check.py.
+# Round-7 session-10: three swaps so the window carries the session's new
+# oracle-exact families — the persisted text index enters twice
+# (text_indexed_search for text_bm25_search: SAME oracle, strictly more
+# surface — store artifact + pushed posting scan + shared scoring tree;
+# the scan path stays suite-exact.  text_index_term_filter for
+# hop_edge_property_filter: hop family keeps hop_out_in) and the
+# summary-statistics tier gains its first row (stats_grouped_quantiles
+# for qagg_time_day; the qagg family keeps field_subaggs, window_ranks,
+# rollup, grouping_sets, having — five reps was the most duplicated
+# family in the window).  All rotated-out entries remain registered and
+# exact under tools/check.py.
 _WINDOW = [
     "scan_by_ids",
     "qlang_row_policy",
@@ -7210,10 +7221,10 @@ _WINDOW = [
     "text_predicates",
     "filter_semi_join",
     "json_filter_grammar",
-    "text_bm25_search",
+    "text_indexed_search",
     "hop_out_in",
     "source_jsonl_roundtrip",
-    "hop_edge_property_filter",
+    "text_index_term_filter",
     "events_json_extract_agg",
     "graph_bfs_distances",
     "qagg_grouping_sets",
@@ -7224,7 +7235,7 @@ _WINDOW = [
     "qagg_window_ranks",
     "stats_analyze_columns",
     "qagg_field_subaggs",
-    "qagg_time_day",
+    "stats_grouped_quantiles",
     "qlang_sort_page",
     "graph_cc_skewed",
     "pipeline_pack_documents_sharded",
