@@ -119,6 +119,7 @@ HEADLINE = [
     "stats_corr_matrix",  # p² co-moments in one pass, shuffle independent of rows
     "stats_frequent_items",  # exact heavy hitters, count agg + 1-row broadcast
     "pipeline_sample_per_key",  # deterministic k-per-group reservoir, map-side WindowGroupLimit
+    "quality_constraint_report",  # all aggregate constraints in ONE scan + stack
 ]
 
 

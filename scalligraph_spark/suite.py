@@ -7127,6 +7127,83 @@ def pipeline_sample_per_key_q(spark, sf):
     return sample_exact_per_key(docs, ["lang"], ["doc_id"], 7)
 
 
+@q(
+    "quality_constraint_report",
+    """
+WITH m AS (
+  SELECT 'completeness' AS "check", 'o_custkey' AS "column",
+         round(count(o_custkey)::DOUBLE / count(*)::DOUBLE, 12) AS metric,
+         CAST(1.0 AS DOUBLE) AS threshold
+  FROM orders
+  UNION ALL
+  SELECT 'uniqueness', 'o_orderkey',
+         round(count(DISTINCT o_orderkey)::DOUBLE / count(*)::DOUBLE, 12), CAST(1.0 AS DOUBLE)
+  FROM orders
+  UNION ALL
+  SELECT 'in_range', 'o_totalprice',
+         round(sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000 THEN 1 ELSE 0 END)::DOUBLE
+               / count(o_totalprice)::DOUBLE, 12), CAST(0.5 AS DOUBLE)
+  FROM orders
+  UNION ALL
+  SELECT 'in_set', 'o_orderstatus',
+         round(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)::DOUBLE
+               / count(o_orderstatus)::DOUBLE, 12), CAST(1.0 AS DOUBLE)
+  FROM orders
+  UNION ALL
+  SELECT 'matches', 'o_orderpriority',
+         round(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END)::DOUBLE
+               / count(o_orderpriority)::DOUBLE, 12), CAST(1.0 AS DOUBLE)
+  FROM orders
+  UNION ALL
+  SELECT 'row_count', '*', round(count(*)::DOUBLE, 12), CAST(1.0 AS DOUBLE) FROM orders
+  UNION ALL
+  SELECT 'referential', 'o_custkey->c_custkey',
+         round((SELECT count(*) FROM orders o WHERE o.o_custkey IN (SELECT c_custkey FROM customer))::DOUBLE
+               / (SELECT count(o_custkey) FROM orders)::DOUBLE, 12), CAST(1.0 AS DOUBLE)
+)
+SELECT "check", "column", metric, threshold, metric >= threshold AS passed FROM m
+""",
+    "dataset-level constraint audit (the Deequ / dbt-test / Delta-"
+    "expectations shape, completing the validation stack above "
+    "writes.validate_rows row quarantine and the integrity tier's "
+    "structural checks): completeness, key uniqueness, bounds, "
+    "set-membership, regex and row-count metrics ALL computed in ONE "
+    "aggregation pass (1-row result unpivoted with stack), plus one "
+    "left-join pass per referential constraint, unioned into a lazy "
+    "(check, column, metric, threshold, passed) report a promotion gate "
+    "filters on — the in_range check is deliberately failing (threshold "
+    "0.5 over a 0-1000 price band) so both report polarities are "
+    "hash-verified",
+)
+def quality_constraint_report_q(spark, sf):
+    from scalligraph_spark.operators import (
+        completeness,
+        in_range,
+        in_set,
+        matches,
+        referential,
+        row_count,
+        run_quality_checks,
+        uniqueness,
+    )
+
+    c = cat_for(spark, sf)
+    orders = c.vertex_df("orders")
+    customer = c.vertex_df("customer")
+    return run_quality_checks(
+        orders,
+        [
+            completeness("o_custkey", 1.0),
+            uniqueness("o_orderkey", 1.0),
+            in_range("o_totalprice", 0, 1000, 0.5),
+            in_set("o_orderstatus", ["O", "F", "P"], 1.0),
+            matches("o_orderpriority", "^[1-5]-", 1.0),
+            row_count(1),
+            referential("o_custkey", customer, "c_custkey", 1.0),
+        ],
+    )
+
+
 # -- driver window (explicit) -------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 entries only.  Window
 # membership is pinned HERE, not by accident of registration order: one
