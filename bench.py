@@ -120,6 +120,7 @@ HEADLINE = [
     "stats_frequent_items",  # exact heavy hitters, count agg + 1-row broadcast
     "pipeline_sample_per_key",  # deterministic k-per-group reservoir, map-side WindowGroupLimit
     "quality_constraint_report",  # all aggregate constraints in ONE scan + stack
+    "temporal_forward_fill",  # LOCF via one partitioned window
 ]
 
 

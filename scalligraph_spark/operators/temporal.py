@@ -366,6 +366,44 @@ def resample_counts(
     return out.select(*sel)
 
 
+def forward_fill(
+    df: DataFrame,
+    order_cols: list[str],
+    cols: list[str],
+    group_cols: list[str] | None = None,
+    backfill: bool = False,
+) -> DataFrame:
+    """LOCF (last-observation-carried-forward) imputation: null values in
+    ``cols`` take the most recent non-null value within their group, in
+    ``order_cols`` order — the standard gap-fill for sensor/metric series
+    (pairs with :func:`resample_counts`, whose empty buckets emit null
+    values).  ``backfill=True`` additionally fills LEADING nulls from the
+    first following observation (next-observation-carried-backward).
+
+    Plan shape: one partitioned window per direction
+    (``last(ignorenulls)`` over unbounded-preceding; the backfill pass is
+    ``first(ignorenulls)`` over unbounded-following on the SAME window
+    exchange — Spark reuses the hash partitioning, so backfill costs a
+    sort, not a second shuffle).  Never a global sort: with no
+    ``group_cols`` the caller accepts a single-partition window, the same
+    documented trade-off as unsharded packing.
+    """
+    if not cols:
+        raise ValueError("forward_fill: at least one column to fill")
+    gcols = group_cols or []
+    base = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    order = [F.col(c) for c in order_cols]
+    fwd = base.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.last(F.col(c), ignorenulls=True).over(fwd)))
+    if backfill:
+        bwd = base.orderBy(*order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        for c in cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.first(F.col(c), ignorenulls=True).over(bwd)))
+    return out
+
+
 def grouped_linear_fit(
     df: DataFrame,
     group_cols: list[str],

@@ -7128,6 +7128,37 @@ def pipeline_sample_per_key_q(spark, sf):
 
 
 @q(
+    "temporal_forward_fill",
+    """
+SELECT event_id, event_type,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 12) AS value
+FROM (SELECT event_id, event_type, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events)
+""",
+    "LOCF forward-fill (last-observation-carried-forward) over a metric "
+    "series with deterministic synthetic gaps (every 7th event nulled): "
+    "nulls take the most recent non-null value within their event_type, "
+    "ordered by (ts, event_id) — ONE partitioned window "
+    "(last(ignorenulls)), hash-partitioned on the group, no global sort; "
+    "pairs with resample_counts whose empty buckets emit null values",
+)
+def temporal_forward_fill_q(spark, sf):
+    from scalligraph_spark.operators import forward_fill
+
+    ev = cat_for(spark, sf).vertex_df("events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    filled = forward_fill(ev, ["ts", "event_id"], ["value"], ["event_type"])
+    return filled.select("event_id", "event_type", F.round(F.col("value"), 12).alias("value"))
+
+
+@q(
     "quality_constraint_report",
     """
 WITH m AS (

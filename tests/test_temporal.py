@@ -255,3 +255,51 @@ def test_grouped_linear_fit_partition_invariance(spark):
     one = grouped_linear_fit(df, ["g"], "x", "y").collect()[0]
     two = grouped_linear_fit(df.repartition(13), ["g"], "x", "y").collect()[0]
     assert (one.slope, one.intercept) == (two.slope, two.intercept)
+
+
+def test_forward_fill_locf_and_backfill(spark):
+    from scalligraph_spark.operators import forward_fill
+
+    rows = [
+        ("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, None), ("a", 5, 50.0),
+        ("b", 1, 7.0), ("b", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    locf = {(r["g"], r["t"]): r["v"] for r in forward_fill(df, ["t"], ["v"], ["g"]).collect()}
+    assert locf[("a", 1)] is None  # leading null: nothing to carry
+    assert locf[("a", 3)] == 10.0 and locf[("a", 4)] == 10.0
+    assert locf[("a", 5)] == 50.0 and locf[("b", 2)] == 7.0
+
+    both = {(r["g"], r["t"]): r["v"] for r in
+            forward_fill(df, ["t"], ["v"], ["g"], backfill=True).collect()}
+    assert both[("a", 1)] == 10.0  # leading null backfilled from next obs
+    assert both[("a", 3)] == 10.0  # forward fill wins where both exist
+
+
+def test_forward_fill_backfill_shares_one_exchange(spark):
+    """Backfill reverses the frame on the SAME window partitioning — one
+    hash exchange total, the docstring's claim."""
+    import contextlib
+    import io
+    import re
+
+    from scalligraph_spark.operators import forward_fill
+
+    df = spark.createDataFrame([("a", 1, None)], "g string, t long, v double")
+    out = forward_fill(df, ["t"], ["v"], ["g"], backfill=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) <= 1
+    assert "rangepartitioning" not in plan
+
+
+def test_forward_fill_requires_columns(spark):
+    from scalligraph_spark.operators import forward_fill
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, t long, v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one column"):
+        forward_fill(df, ["t"], [], ["g"])
