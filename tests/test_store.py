@@ -751,3 +751,4 @@ def test_durable_eventsrv_topic_is_streaming_source(spark, tmp_path):
         output_mode="append",
     )
     assert sorted((r.label, r.version) for r in got.collect()) == [("t", 1), ("t", 2), ("t", 3)]
+
