@@ -404,6 +404,57 @@ def forward_fill(
     return out
 
 
+def time_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Linear (time-weighted) interpolation: a null value takes
+    ``prev + (next - prev) · Δt_frac`` from the nearest non-null
+    observations on either side, within its group in ``ts_col`` order —
+    the metrics-store upgrade over LOCF when the series is smooth.
+    Leading/trailing nulls (no observation on one side) stay null;
+    compose with :func:`forward_fill` (``backfill=True``) to close them.
+
+    Plan shape: both bracketing observations come from the SAME
+    partitioned window (``last(ignorenulls)`` over unbounded-preceding
+    and ``first(ignorenulls)`` over unbounded-following share one hash
+    exchange, like forward_fill's backfill pass) — never a self-join on
+    "nearest non-null", which is the quadratic trap this operator
+    exists to avoid.
+    """
+    if not cols:
+        raise ValueError("time_interpolate: at least one column to fill")
+    gcols = group_cols or []
+    base = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    # millisecond epoch: a bare cast("long") truncates sub-second precision
+    # and skews the Δt fraction
+    ts = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    # explicit tiebreak keeps ROWS-frame neighbors deterministic when two
+    # observations share a timestamp (the frame is positional)
+    order = [ts] + [F.col(c) for c in (tiebreak_cols or [])]
+    fwd = base.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bwd = base.orderBy(*order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    out = df
+    for c in cols:
+        v = F.col(c)
+        obs = F.when(v.isNotNull(), F.struct(ts.alias("t"), v.alias("v")))
+        prev = F.last(obs, ignorenulls=True).over(fwd)
+        nxt = F.first(obs, ignorenulls=True).over(bwd)
+        frac = (ts - prev["t"]) / (nxt["t"] - prev["t"])
+        lerp = prev["v"] + (nxt["v"] - prev["v"]) * frac
+        out = out.withColumn(
+            c,
+            F.when(v.isNotNull(), v)
+            .when(prev.isNull() | nxt.isNull(), F.lit(None))
+            .when(nxt["t"] == prev["t"], prev["v"])
+            .otherwise(lerp),
+        )
+    return out
+
+
 def grouped_linear_fit(
     df: DataFrame,
     group_cols: list[str],

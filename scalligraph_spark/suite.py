@@ -7159,6 +7159,55 @@ def temporal_forward_fill_q(spark, sf):
 
 
 @q(
+    "temporal_interpolate",
+    """
+WITH g AS (
+  SELECT event_id, event_type, ts, epoch_ms(ts)::BIGINT AS t,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+), w AS (
+  SELECT event_id, event_type, t, v,
+         last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt,
+         first_value(v IGNORE NULLS) OVER wf AS nv
+  FROM g
+  WINDOW wp AS (PARTITION BY event_type ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY t, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, event_type,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pt IS NULL OR nt IS NULL THEN NULL
+                  WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv) * (t - pt)::DOUBLE / (nt - pt)::DOUBLE
+             END, 9) AS value
+FROM w
+""",
+    "linear time-weighted interpolation over the same deterministic gap "
+    "pattern as temporal_forward_fill: a null takes prev + (next−prev)·Δt "
+    "from the bracketing non-null observations, BOTH found on one "
+    "partitioned window (last/first ignorenulls structs share the hash "
+    "exchange) — never a nearest-neighbor self-join; leading/trailing "
+    "nulls stay null (compose with forward_fill to close them)",
+)
+def temporal_interpolate_q(spark, sf):
+    from scalligraph_spark.operators import time_interpolate
+
+    ev = cat_for(spark, sf).vertex_df("events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    filled = time_interpolate(ev, "ts", ["value"], ["event_type"], tiebreak_cols=["event_id"])
+    # round(9): the lerp is pure float arithmetic whose last ulp can land
+    # on either side of a 1e-12 rounding boundary between engines
+    return filled.select("event_id", "event_type", F.round(F.col("value"), 9).alias("value"))
+
+
+@q(
     "quality_constraint_report",
     """
 WITH m AS (
