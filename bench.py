@@ -157,6 +157,12 @@ def main() -> int:
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
         print(f"# {name}: median {times[name]:.3f}s of {[round(s, 3) for s in samples]}", file=sys.stderr)
+        # one small self-contained JSON line per key on stdout: the driver
+        # keeps only a 2000-char stdout tail, so a single 70-key JSON dict
+        # no longer fits — per-key lines + a size-capped summary below make
+        # truncation degrade gracefully (the tail always ends with a
+        # parseable summary plus the newest per-key lines)
+        print(json.dumps({"q": name, "sec": times[name]}, separators=(",", ":")), flush=True)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
@@ -169,7 +175,21 @@ def main() -> int:
         "queries": times,
         "sf": sf,
     }
-    print(json.dumps(out))
+    # full result for local PERF tracking (never truncated)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    # final stdout line: complete JSON guaranteed to fit in the driver's
+    # 2000-char tail — cap the queries dict, newest HEADLINE keys first
+    # (those are the ones a round-over-round comparison needs most)
+    budget = 1500
+    capped: dict[str, float] = {}
+    for name in reversed(list(times)):
+        capped[name] = times[name]
+        if len(json.dumps(capped, separators=(",", ":"))) > budget:
+            del capped[name]
+            break
+    summary = dict(out, queries=capped, n_queries=len(times), queries_omitted=len(times) - len(capped))
+    print(json.dumps(summary, separators=(",", ":")))
     return 0
 
 

@@ -158,45 +158,53 @@ class LabelStore:
         All typically derive from the model's index hints
         (Model.scala:16-19 basic/standard indexes → layout columns).
 
-        Concurrent writers: each commit CLAIMS its version number with an
-        exclusive ``mkdir`` (atomic on POSIX and HDFS) and retries on
-        collision, so two writers can never target the same v-directory
-        (a bare read-increment-write of the pointer would lose one of the
-        two commits).  The pointer then only ever advances — a slower
-        writer holding a lower claimed number cannot retrograde a newer
-        commit.  Readers are snapshot-isolated by the pointer rename.
+        Concurrent writers: each commit writes into a PRIVATE staging
+        directory (``.staging-<uuid>`` — Spark only ever touches this
+        path) and PUBLISHES with one atomic ``os.rename(staging, v{N})``.
+        ``rename`` onto an existing populated directory fails
+        (``ENOTEMPTY``/``EEXIST``), and every published v-dir is
+        populated (Spark's ``_SUCCESS`` at minimum), so exactly one of
+        two racing publishes for the same slot wins — the rename IS the
+        claim, and nothing can un-make it mid-commit (the earlier
+        ``mkdir``-as-claim design was racy: Spark's ``mode("overwrite")``
+        deletes the target before rewriting it, silently releasing the
+        claim while the write is in flight).  Rename-as-publish also
+        means readers can never observe a torn v-dir: a version either
+        doesn't exist yet or is complete.  The pointer then only ever
+        advances — a slower writer holding a lower number cannot
+        retrograde a newer commit.
 
-        ``expected_version`` turns the claim into a compare-and-swap for
-        optimistic concurrency (the ``tryTransaction`` commit check,
+        ``expected_version`` turns the publish into a compare-and-swap
+        for optimistic concurrency (the ``tryTransaction`` commit check,
         JanusDatabase.scala:211-257): the write targets EXACTLY
         ``expected_version + 1`` and raises :class:`VersionConflictError`
-        if that directory is already claimed — it never rolls forward to
-        the next free slot, so two sessions based on the same snapshot
-        can never both commit (the second would silently erase the
-        first's rows).  The ``os.mkdir`` of the v-dir is the CAS: atomic
-        on POSIX and HDFS, no lock service needed.  A crashed writer can
-        leave a claimed-but-empty v-dir; ``vacuum`` clears those
-        (directories above the pointer with no ``_SUCCESS``).
+        if that slot is already taken (a cheap pre-check before paying
+        the Spark job, then the rename itself as the authoritative CAS)
+        — it never rolls forward to the next free slot, so two sessions
+        based on the same snapshot can never both commit (the second
+        would silently erase the first's rows).  Without
+        ``expected_version`` the publish rolls forward: on collision the
+        already-written staging dir is simply renamed at the next slot
+        (no Spark re-run).  A crashed writer leaves only an orphan
+        staging dir; ``vacuum`` reclaims those after a TTL.
         """
-        os.makedirs(os.path.join(self.root, label), exist_ok=True)
+        import errno
+        import shutil
+        import uuid
+
+        label_dir = os.path.join(self.root, label)
+        os.makedirs(label_dir, exist_ok=True)
         if expected_version is not None:
             new_v = expected_version + 1
-            try:
-                os.mkdir(self.path(label, new_v))
-            except FileExistsError:
+            if os.path.exists(self.path(label, new_v)):
                 raise VersionConflictError(
                     f"label {label!r}: v{new_v} already claimed — session based "
                     f"on v{expected_version} lost the commit race; retry over a "
                     "fresh snapshot"
-                ) from None
+                )
         else:
-            new_v = self.version(label) + 1
-            while True:
-                try:
-                    os.mkdir(self.path(label, new_v))
-                    break
-                except FileExistsError:
-                    new_v += 1
+            h = self.history(label)
+            new_v = (h[-1] if h else self.version(label)) + 1
         if bucket_hint:
             n, cols = bucket_hint
             df = df.repartition(n, *[df[c] for c in cols])
@@ -217,13 +225,34 @@ class LabelStore:
             # index's posting-list locality, store-side)
             n, cols = sort_by
             df = df.repartitionByRange(n, *[F.col(c) for c in cols]).sortWithinPartitions(*cols)
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(self.path(label, new_v))
-        if meta is not None:
-            with open(os.path.join(self.path(label, new_v), "_commit.json"), "w") as f:
-                json.dump(meta, f)
+        staging = os.path.join(label_dir, f".staging-{uuid.uuid4().hex}")
+        try:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(staging)
+            if meta is not None:
+                # meta lands in staging so the rename publishes data+meta
+                # as one atomic unit
+                with open(os.path.join(staging, "_commit.json"), "w") as f:
+                    json.dump(meta, f)
+            while True:
+                try:
+                    os.rename(staging, self.path(label, new_v))
+                    break
+                except OSError as e:
+                    if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                        raise
+                    if expected_version is not None:
+                        raise VersionConflictError(
+                            f"label {label!r}: v{new_v} already claimed — session "
+                            f"based on v{expected_version} lost the commit race; "
+                            "retry over a fresh snapshot"
+                        ) from None
+                    new_v += 1  # roll forward: re-publish, never re-write
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         if new_v > self.version(label):  # monotonic pointer advance
             self._set_version(label, new_v)
         if self.event_srv is not None:
@@ -318,25 +347,47 @@ class LabelStore:
             n_files = max(1, self.stats(label, v)[0])
         return self.write(label, self.read(spark, label, v), zorder_by=(n_files, zorder_by))
 
-    def vacuum(self, label: str, keep: int = 2) -> list[int]:
-        """Drop all but the newest ``keep`` versions (never the current),
-        plus aborted commit claims — v-dirs ABOVE the pointer with no
-        ``_SUCCESS`` marker, left by a writer that claimed a version then
-        crashed before finishing (these would otherwise make every
-        subsequent CAS commit of the same base spuriously conflict).
-        Like old-version removal, must not run concurrently with writers.
-        Returns the versions removed."""
+    def vacuum(self, label: str, keep: int = 2, staging_ttl_seconds: float = 3600.0) -> list[int]:
+        """Drop all but the newest ``keep`` COMMITTED versions (never the
+        current), plus aborted commit claims — v-dirs above the pointer
+        with no ``_SUCCESS`` marker (impossible under rename-publish, but
+        a legacy ``mkdir``-claim crash or a simulated racer leaves them,
+        and they make every CAS commit of that base spuriously conflict)
+        — plus orphan ``.staging-*`` dirs older than
+        ``staging_ttl_seconds`` (a crashed writer's private scratch; the
+        TTL keeps an IN-FLIGHT writer's staging safe — its publish is a
+        rename, so vacuum can never see a half-published v-dir).
+
+        The ``keep`` window counts only committed versions: aborted
+        above-pointer claims must not occupy keep slots, else real
+        history gets reclaimed beyond the intended depth (e.g. history
+        [1..5], pointer 3, 4-5 aborted, keep=2 must keep v2+v3, not
+        delete v2).  Returns the versions removed."""
         import shutil
+        import time
 
         current = self.version(label)
-        victims = [v for v in self.history(label)[:-keep] if v != current]
-        victims += [
-            v
-            for v in self.history(label)
-            if v > current and not os.path.exists(os.path.join(self.path(label, v), "_SUCCESS"))
-        ]
+
+        def _committed(v: int) -> bool:
+            return v <= current or os.path.exists(os.path.join(self.path(label, v), "_SUCCESS"))
+
+        history = self.history(label)
+        committed = [v for v in history if _committed(v)]
+        victims = [v for v in committed[:-keep] if v != current]
+        victims += [v for v in history if v > current and not _committed(v)]
         for v in victims:
             shutil.rmtree(self.path(label, v), ignore_errors=True)
+        label_dir = os.path.join(self.root, label)
+        now = time.time()
+        if os.path.isdir(label_dir):
+            for name in os.listdir(label_dir):
+                p = os.path.join(label_dir, name)
+                if (
+                    name.startswith(".staging-")
+                    and os.path.isdir(p)
+                    and now - os.path.getmtime(p) > staging_ttl_seconds
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
         return victims
 
 

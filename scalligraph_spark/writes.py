@@ -288,8 +288,10 @@ class WriteSession:
         committed since, blindly writing would silently erase their
         commit (last-writer-wins).  Commit therefore claims EXACTLY
         ``base_version + 1`` through ``store.write(expected_version=...)``
-        — the ``os.mkdir`` of that v-dir is an atomic compare-and-swap,
-        so two sessions based on the same snapshot can never both land
+        — the atomic staging-dir→v-dir ``os.rename`` publish is the
+        compare-and-swap (Spark never touches the final path, so the
+        claim cannot be un-made mid-commit), so two sessions based on
+        the same snapshot can never both land
         even if their commits interleave (a bare check-then-write would
         let both pass the version check concurrently and the second
         writer silently erase the first — the lost update the feature
