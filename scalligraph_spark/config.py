@@ -118,6 +118,12 @@ class ApplicationConfig:
         self.items: dict[str, ConfigItem] = {}
         self._cache: tuple[int, dict] | None = None  # (store version, values)
         self._listeners: dict[str, list[Callable[[dict], Any]]] = {}
+        # stamps published events so poll_changes can tell this process's
+        # own sets (already dispatched synchronously in _notify) from
+        # other processes' commits — without it listeners double-fire
+        import uuid
+
+        self._instance_id = uuid.uuid4().hex
 
     # -- item registry (ApplicationConfig.scala:34-63) ---------------------
     def item(self, path: str, description: str, default: Any = None) -> ConfigItem:
@@ -159,11 +165,14 @@ class ApplicationConfig:
         for p, it in sorted(self.items.items()):
             if isinstance(it, ContextConfigItem):
                 prefix = f"{it.path}#"
+                raw = self._stored().get(it.path, it.default) if not self.ignore_db else it.default
                 out.append(
                     {
                         "path": it.path,
                         "description": it.description,
-                        "value": self._stored().get(it.path, it.default) if not self.ignore_db else it.default,
+                        # same resolution as get(): the UI feed must show
+                        # the MAPPED value, not the raw stored global
+                        "value": it.map_fn(raw) if it.map_fn else raw,
                         "default": it.default,
                         "contexts": sorted(
                             k[len(prefix):] for k in self._stored() if k.startswith(prefix)
@@ -232,9 +241,13 @@ class ApplicationConfig:
     def _notify(self, event: dict) -> None:
         if self.event_srv is not None:
             # per-path topic for targeted subscribers + aggregate feed so
-            # OTHER processes can poll without knowing every path upfront
+            # OTHER processes can poll without knowing every path upfront;
+            # only the aggregate copy carries the instance-id stamp (it is
+            # what poll_changes drains — the stamp stops it re-firing the
+            # synchronous listener dispatch below; per-path subscribers
+            # keep the clean payload)
             self.event_srv.publish(f"config:{event['path']}", event)
-            self.event_srv.publish(self.TOPIC, event)
+            self.event_srv.publish(self.TOPIC, dict(event, _src=self._instance_id))
         for fn in self._listeners.get(event["path"], ()):
             fn(event)
 
@@ -249,9 +262,11 @@ class ApplicationConfig:
         """Drain config-change events other processes committed (the
         cross-process half of the reference's ConfigActor invalidation
         bus, made pull-based for the batch world): requires a
-        DurableEventSrv (anything with ``poll``).  Each drained event
-        invalidates the local cache and fires :meth:`on_change`
-        listeners; returns the events.  Item reads are ALREADY
+        DurableEventSrv (anything with ``poll``).  Each drained FOREIGN
+        event invalidates the local cache and fires :meth:`on_change`
+        listeners (this process's own sets already did both
+        synchronously in ``_notify``, so they are returned but not
+        re-dispatched); returns the events.  Item reads are ALREADY
         version-fresh without polling (the cache keys on the store
         version, one pointer-file stat) — polling exists for the
         listeners and for discovering WHAT changed."""
@@ -261,9 +276,14 @@ class ApplicationConfig:
                 "(cross-process topic logs with per-consumer offsets)"
             )
         events = self.event_srv.poll(self.TOPIC, consumer=consumer)
-        if events:
+        # this process's own sets already invalidated the cache and fired
+        # listeners synchronously in _notify — re-dispatching them here
+        # would double-fire every local listener and spuriously drop the
+        # cache; they are still RETURNED (the drain is a complete log)
+        foreign = [ev for ev in events if ev.get("_src") != self._instance_id]
+        if foreign:
             self._cache = None
-        for ev in events:
+        for ev in foreign:
             for fn in self._listeners.get(ev.get("path"), ()):
-                fn(ev)
-        return events
+                fn({k: v for k, v in ev.items() if k != "_src"})
+        return [{k: v for k, v in ev.items() if k != "_src"} for ev in events]

@@ -166,3 +166,48 @@ def test_context_config_items_resolve_context_then_global_then_default(spark, tm
     assert other.context_item("limits.quota", "d", 100).get("acme") == 300
     paths = {e["path"] for e in other.poll_changes(consumer="other")}
     assert "limits.quota#acme" in paths
+
+
+def test_poll_changes_skips_own_events(spark, tmp_path):
+    """A same-process set fires on_change synchronously in _notify; the
+    later poll_changes drain must NOT re-dispatch that same event (the
+    listener would double-fire and the cache would be needlessly
+    dropped).  Own events are still returned — the drain is a complete
+    log — just not re-dispatched; foreign events dispatch normally."""
+    from scalligraph_spark.eventsrv import DurableEventSrv
+
+    store_root, bus_root = str(tmp_path / "cfg"), str(tmp_path / "bus")
+    a = ApplicationConfig(spark, LabelStore(store_root), event_srv=DurableEventSrv(bus_root))
+    b = ApplicationConfig(spark, LabelStore(store_root), event_srv=DurableEventSrv(bus_root))
+    item = a.item("retention.days", "d", 30)
+    b.item("retention.days", "d", 30)
+    seen_a: list = []
+    a.on_change("retention.days", seen_a.append)
+
+    item.set(90)
+    assert seen_a == [{"path": "retention.days", "value": 90}]  # sync fire
+    drained = a.poll_changes(consumer="a")
+    assert drained == [{"path": "retention.days", "value": 90}]  # returned
+    assert seen_a == [{"path": "retention.days", "value": 90}]  # NOT refired
+
+    # a foreign commit still dispatches on drain, exactly once
+    b.item("retention.days", "d", 30).set(120)
+    a.poll_changes(consumer="a")
+    assert seen_a[-1] == {"path": "retention.days", "value": 120}
+    assert len(seen_a) == 2
+
+
+def test_list_items_applies_map_fn_to_context_items(spark, tmp_path):
+    """The UI feed must show a ContextConfigItem through the same map_fn
+    its get() applies — raw-vs-mapped disagreement between list_items
+    and programmatic reads is a lying console."""
+    app = ApplicationConfig(spark, LabelStore(str(tmp_path / "cfg")), event_srv=EventSrv())
+    win = app.context_item("window", "per-org window", "30s",
+                           map_fn=lambda s: int(s.rstrip("s")) * 1000)
+    listing = {e["path"]: e for e in app.list_items()}
+    assert listing["window"]["value"] == 30000  # mapped default
+
+    win.set_global("45s")
+    listing = {e["path"]: e for e in app.list_items()}
+    assert listing["window"]["value"] == 45000  # mapped stored global
+    assert win.get("acme") == 45000  # agrees with get()
