@@ -113,6 +113,7 @@ HEADLINE = [
     "similarity_ann_recall",  # recall@10 of IVF vs exact ground truth
     # round-7 session-10 additions: text-index lifecycle + summary statistics
     "text_index_build",  # one-time (term,doc_id) shuffle + term-sorted commit
+    "text_index_extend",  # delta-segment append: cost ∝ batch, not corpus
     "text_indexed_search",  # pushed-down posting-list BM25, zero corpus scans
     "text_index_term_filter",  # TextP via vocabulary filter + posting semi-join
     "stats_grouped_quantiles",  # exact per-group percentile_cont, one agg pass

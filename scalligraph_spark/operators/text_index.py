@@ -49,6 +49,16 @@ class StaleTextIndexWarning(UserWarning):
     search until :func:`reindex_text` runs."""
 
 
+class MissingTextIndexWarning(UserWarning):
+    """A text index was DECLARED for a query surface but no committed
+    artifact exists — the query falls back to a full corpus scan.  The
+    reference never scans when a mixed index is declared
+    (JanusDatabase.scala:476-485 routes every TextP through the index);
+    the batch analog degrades gracefully but loudly, because at 100 TB
+    the scan path is the difference between posting-length and
+    corpus-length cost."""
+
+
 @dataclass
 class TextIndex:
     """A loaded text-index artifact: lazy postings/terms DataFrames plus
@@ -114,8 +124,101 @@ def build_text_index(
     if corpus_store is not None and corpus_label is not None:
         meta["corpus_label"] = str(corpus_label)
         meta["corpus_version"] = int(corpus_store.version(corpus_label))
-    store.write(f"{name}__terms", dfreq, meta={"kind": "bm25_terms"})
+    meta["segments"] = []  # delta segments appended by extend_text_index
+    # the full meta rides on BOTH commits: the terms table is rewritten by
+    # every index mutation (build/extend/compact — it is vocabulary-sized,
+    # cheap), so its commit meta is the authoritative, always-fresh copy;
+    # the postings copy keeps old artifacts loadable
+    store.write(f"{name}__terms", dfreq, meta=dict(meta, kind="bm25_terms"))
     return store.write(name, post, sort_by=(sort_files, ["term"]), meta=meta)
+
+
+def extend_text_index(
+    spark: SparkSession,
+    store,
+    name: str,
+    new_docs: DataFrame,
+    corpus_store=None,
+) -> int:
+    """Incremental (append-only) index maintenance: fold a batch of NEW
+    documents into the index for the cost of the BATCH, not the corpus —
+    the Lucene segment discipline applied to the versioned store, and the
+    text-index face of ``refresh_aggregate``'s churn-sized IVM rule.
+
+    * the batch's postings land as a fresh SEGMENT label
+      (``name__seg<k>``, term-sorted like the base, so query-term
+      pushdown prunes each segment the same way) — the base postings are
+      never rewritten;
+    * the terms table re-aggregates old df + the batch's df (vocabulary-
+      sized — tiny relative to postings);
+    * n_docs / sum_dl / the segment list / the corpus version update in
+      the terms commit meta, so staleness clears and ``load_text_index``
+      reads base ∪ segments transparently.
+
+    Append-only contract: ``new_docs`` must be documents the index has
+    NOT seen (updates/deletes need :func:`reindex_text` — same rule as
+    Lucene: segments are immutable, mutation is rewrite).  Run
+    :func:`compact_text_index` when the segment count grows — many tiny
+    segments re-introduce the small-files cost the sorted base avoids.
+
+    Returns the new segment count."""
+    meta = _index_meta(store, name)
+    text_col = str(meta.get("text_col", "text"))
+    id_col = str(meta.get("id_col", "doc_id"))
+    segments = list(meta.get("segments", []))
+    seg_label = f"{name}__seg{len(segments) + 1}"
+
+    n, sumdl = new_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("long").alias("sumdl"),
+    ).first()
+    post = _postings(new_docs, text_col, id_col)
+    n_files = max(1, int(meta.get("sort_files", 16)) // 4)  # batch ≪ corpus
+    store.write(seg_label, post, sort_by=(n_files, ["term"]), meta={"kind": "bm25_segment"})
+
+    # df re-aggregate: old vocabulary ∪ batch vocabulary, summed — the
+    # only non-delta-sized piece, and it is vocabulary-sized by design
+    delta_df = store.read(spark, seg_label).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    merged = (
+        store.read(spark, f"{name}__terms")
+        .unionByName(delta_df)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    segments.append(seg_label)
+    meta = dict(
+        meta,
+        n_docs=int(meta["n_docs"]) + int(n),
+        sum_dl=int(meta["sum_dl"]) + int(sumdl or 0),
+        segments=segments,
+    )
+    if corpus_store is not None and "corpus_label" in meta:
+        meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
+    store.write(f"{name}__terms", merged, meta=dict(meta, kind="bm25_terms"))
+    return len(segments)
+
+
+def compact_text_index(spark: SparkSession, store, name: str) -> int:
+    """Merge every delta segment back into the base postings table (one
+    term-sorted rewrite of existing postings — NO retokenisation, the
+    Lucene segment-merge): queries go back to one pruned scan.  The old
+    segment labels stay on disk for pinned readers — drop them with
+    ``store.drop(seg)`` once retention allows.  Returns the new base
+    version."""
+    ix = load_text_index(spark, store, name)
+    meta = dict(ix.meta, segments=[])
+    store.write(f"{name}__terms", ix.terms, meta=dict(meta, kind="bm25_terms"))
+    return store.write(name, ix.postings, sort_by=(int(meta.get("sort_files", 16)), ["term"]), meta=meta)
+
+
+def _index_meta(store, name: str) -> dict:
+    """Authoritative index meta: the terms commit if it carries the full
+    record (anything built/extended since segments exist), else the
+    postings commit (pre-segment artifacts)."""
+    tmeta = store.commit_meta(f"{name}__terms")
+    return tmeta if "n_docs" in tmeta else store.commit_meta(name)
 
 
 def load_text_index(
@@ -124,10 +227,13 @@ def load_text_index(
     name: str,
     corpus_store=None,
 ) -> TextIndex:
-    """Read the artifact back (postings/terms stay lazy DataFrames).  Pass
-    ``corpus_store`` to check freshness: if the corpus label the index was
-    built from has advanced, a :class:`StaleTextIndexWarning` fires."""
-    meta = store.commit_meta(name)
+    """Read the artifact back (postings/terms stay lazy DataFrames);
+    postings are the base table ∪ any delta segments appended by
+    :func:`extend_text_index` — query code never sees the segmentation.
+    Pass ``corpus_store`` to check freshness: if the corpus label the
+    index was built from has advanced, a :class:`StaleTextIndexWarning`
+    fires."""
+    meta = _index_meta(store, name)
     if (
         corpus_store is not None
         and "corpus_label" in meta
@@ -141,10 +247,13 @@ def load_text_index(
             StaleTextIndexWarning,
             stacklevel=2,
         )
+    postings = store.read(spark, name)
+    for seg in meta.get("segments", []):
+        postings = postings.unionByName(store.read(spark, seg))
     return TextIndex(
         version=int(store.version(name)),
         meta=dict(meta),
-        postings=store.read(spark, name),
+        postings=postings,
         terms=store.read(spark, f"{name}__terms"),
     )
 
@@ -266,8 +375,9 @@ def reindex_text(
     """Rebuild a persisted text index against the CURRENT corpus version
     with the parameters recorded in its own meta — a new artifact version
     (readers pinned to the old one are undisturbed); the freshness warning
-    clears because the new meta records the current corpus version."""
-    meta = store.commit_meta(name)
+    clears because the new meta records the current corpus version.  Also
+    resets the segment list — a rebuild subsumes every delta segment."""
+    meta = _index_meta(store, name)
     if "corpus_label" not in meta:
         raise ValueError(
             f"text index {name!r} records no training corpus; rebuild it with "

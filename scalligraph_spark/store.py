@@ -277,6 +277,15 @@ class LabelStore:
             raise FileNotFoundError(f"label {label!r} has no committed version in {self.root}")
         return spark.read.parquet(self.path(label, v))
 
+    def drop(self, label: str) -> None:
+        """Remove a label entirely — every version and the pointer (DROP
+        TABLE).  For unreferenced derived artifacts (e.g. text-index delta
+        segments after :func:`compact_text_index`); like vacuum, must not
+        run concurrently with writers or pinned readers of the label."""
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, label), ignore_errors=True)
+
     def rollback(self, label: str, version: int) -> None:
         """Point back to an earlier version (migration undo / time travel)."""
         if version not in self.history(label):

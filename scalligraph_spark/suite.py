@@ -81,6 +81,7 @@ def executor_for(
     sf_dir: str,
     with_row_policy: bool = False,
     snapshot_root: str | None = None,
+    text_index: tuple | None = None,
 ) -> QueryExecutor:
     """The registered query surface (QueryExecutor.scala:17-171 analog):
     init queries per label + inter-entity hop queries with typed params
@@ -92,7 +93,17 @@ def executor_for(
     (the round-5 regression).  ``snapshot_root`` pins the ``atSnapshot``
     step to one store root configured at construction: chains cannot name
     arbitrary filesystem paths, and the returned traversal carries the real
-    label so registered row policies still apply to snapshot reads."""
+    label so registered row policies still apply to snapshot reads.
+
+    ``text_index=(store, name)`` declares a persisted inverted index for
+    the ``textSearch`` step: when a committed artifact exists the step
+    answers THROUGH it (``indexed_bm25_topk`` — the query-term filter is
+    pushed into the term-sorted postings scan, cost ∝ matched posting
+    lists; the reference's mixed-index read path,
+    JanusDatabase.scala:476-485) and only falls back to the full corpus
+    scan, with a :class:`~scalligraph_spark.operators.MissingTextIndexWarning`,
+    when no artifact has been built.  Output is bit-identical either way
+    — the indexed path reduces to ``bm25_rank``'s own scoring tree."""
     c = cat_for(spark, sf_dir)
     ex = QueryExecutor(c)
     for label in c.vertices:
@@ -182,10 +193,30 @@ def executor_for(
     ex.register_init("annSearch", _ann_search)
 
     def _text_search(g, s, a):
-        from scalligraph_spark.operators import bm25_rank
+        import warnings as _warnings
 
-        docs = g.V("documents").df
-        out = bm25_rank(docs, [str(t) for t in s["terms"]])
+        from scalligraph_spark.operators import MissingTextIndexWarning, bm25_rank
+
+        terms = [str(t) for t in s["terms"]]
+        out = None
+        if text_index is not None:
+            from scalligraph_spark.operators import indexed_bm25_topk, load_text_index
+
+            ix_store, ix_name = text_index
+            try:
+                ix = load_text_index(spark, ix_store, ix_name)
+            except FileNotFoundError:
+                _warnings.warn(
+                    f"text index {ix_name!r} is declared for textSearch but has "
+                    "no committed artifact — falling back to a full corpus scan "
+                    "(build it with build_text_index / reindex_text)",
+                    MissingTextIndexWarning,
+                    stacklevel=2,
+                )
+            else:
+                out = indexed_bm25_topk(ix, terms)
+        if out is None:
+            out = bm25_rank(g.V("documents").df, terms)
         if "k" in s:
             out = out.where(F.col("rank") <= int(s["k"]))
         return Traversal(out, catalog=g, label=None)
@@ -4235,6 +4266,54 @@ def text_index_build_q(spark, sf):
     return store.read(spark, "docs_ix")
 
 
+def _text_index_extend_store(spark, sf):
+    """Separate index root for the extend entry so its mutations never
+    touch the shared query index (text_indexed_search's oracle assumes
+    the artifact matches the documents table exactly)."""
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.operators import build_text_index
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_txtext_{_os.path.basename(sf.rstrip('/'))}"
+    if root not in _TEXT_INDEX_EXT_BUILT:
+        _shutil.rmtree(root, ignore_errors=True)
+        docs = cat_for(spark, sf).vertex_df("documents")
+        build_text_index(LabelStore(root), "docs_ix", docs)
+        _TEXT_INDEX_EXT_BUILT.add(root)
+    return LabelStore(root)
+
+
+_TEXT_INDEX_EXT_BUILT: set = set()
+
+
+@q(
+    "text_index_extend",
+    None,  # artifact-mutation phase; equivalence to a full rebuild is the
+    # pytest differential (test_extend_incremental_equals_full_rebuild) and
+    # the query path has the oracle (text_indexed_search)
+    "INCREMENTAL index maintenance (the 100 TB answer to reindex_text's "
+    "full rebuild): a 200-doc append folds in as a term-sorted delta "
+    "segment + a vocabulary-sized terms re-aggregate — cost ∝ batch, not "
+    "corpus (compare this key to text_index_build, which re-pays the "
+    "whole (term, doc) shuffle); load_text_index reads base ∪ segments "
+    "transparently and query-term pushdown prunes every segment",
+)
+def text_index_extend_q(spark, sf):
+    from scalligraph_spark.operators import extend_text_index
+
+    store = _text_index_extend_store(spark, sf)
+    docs = cat_for(spark, sf).vertex_df("documents")
+    batch = (
+        docs.orderBy("doc_id")
+        .limit(200)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    k = extend_text_index(spark, store, "docs_ix", batch)
+    return store.read(spark, f"docs_ix__seg{k}")
+
+
 @q(
     "graph_bfs_distances",
     """
@@ -4309,10 +4388,14 @@ SELECT * FROM ranked WHERE rank <= 10
 """,
     "full-text ranked search through the JSON query language: "
     "[{_name: textSearch, terms: [...], k}] as a registered parameterized "
-    "init query — BM25 scoring identical to the Python API entry",
+    "init query, answered THROUGH the persisted inverted index (the "
+    "executor declares it, so the plan is the In(term,…)-pushed postings "
+    "scan, never a corpus scan — reference mixed-index routing, "
+    "JanusDatabase.scala:476-485); scoring is bit-identical to the "
+    "full-scan path so the same oracle covers both",
 )
 def qlang_text_search_q(spark, sf):
-    ex = executor_for(spark, sf)
+    ex = executor_for(spark, sf, text_index=(_text_index_store(spark, sf), "docs_ix"))
     t = ex.execute([{"_name": "textSearch", "terms": ["filter", "join"], "k": 10}])
     return t.df
 

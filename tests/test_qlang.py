@@ -305,6 +305,48 @@ def test_textsearch_init_query(spark):
     assert all(srt[i]["bm25"] >= srt[i + 1]["bm25"] for i in range(len(srt) - 1))
 
 
+def test_textsearch_routes_through_declared_index(spark, tmp_path):
+    """An executor constructed with text_index=(store, name) answers
+    [{_name: textSearch}] THROUGH the persisted postings (query-term
+    filter pushed into the term-sorted scan — the reference's
+    mixed-index routing, JanusDatabase.scala:476-485), bit-identical to
+    the scan path; with NO committed artifact it falls back to the scan
+    loudly (MissingTextIndexWarning), never silently."""
+    import contextlib
+    import io
+    import warnings
+
+    from scalligraph_spark.operators import MissingTextIndexWarning, build_text_index
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.suite import executor_for
+    from tests.conftest import SF_DIR
+
+    chain = [{"_name": "textSearch", "terms": ["value", "table"], "k": 3}]
+    store = LabelStore(str(tmp_path / "ix"))
+
+    # declared but not built: loud fallback, same rows as the plain scan
+    ex_missing = executor_for(spark, SF_DIR, text_index=(store, "docs_ix"))
+    with pytest.warns(MissingTextIndexWarning, match="no committed artifact"):
+        fallback = ex_missing.execute(chain).df.collect()
+    scan = executor_for(spark, SF_DIR).execute(chain).df.collect()
+    assert sorted(map(tuple, fallback)) == sorted(map(tuple, scan))
+
+    # built: the indexed plan (term IN (...) pushed to the postings scan),
+    # bit-identical rows
+    docs = executor_for(spark, SF_DIR).execute([{"_name": "all_documents"}]).df
+    build_text_index(store, "docs_ix", docs)
+    ex_ix = executor_for(spark, SF_DIR, text_index=(store, "docs_ix"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", MissingTextIndexWarning)
+        t = ex_ix.execute(chain)
+        indexed = t.df.collect()
+    assert sorted(map(tuple, indexed)) == sorted(map(tuple, scan))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t.df.explain("formatted")
+    assert "In(term, [table,value])" in buf.getvalue() or "In(term, [value,table])" in buf.getvalue()
+
+
 def test_profile_chain_runtime_metrics(modern):
     ex = QueryExecutor(modern)
     ex.register_init("allPeople", lambda g, s, a: g.V("person"))

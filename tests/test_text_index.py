@@ -187,3 +187,84 @@ def test_store_sort_by_layout_roundtrip(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next  # disjoint (or touching) term ranges
+
+
+def test_extend_incremental_equals_full_rebuild(spark, store, tmp_path):
+    """2+ appended batches through extend_text_index must be
+    indistinguishable from rebuilding on the full corpus: same stats,
+    same postings relation, same vocabulary, same BM25 answers — and
+    compact_text_index (segment merge, no retokenisation) must preserve
+    all of it while emptying the segment list."""
+    from scalligraph_spark.operators import compact_text_index, extend_text_index
+
+    docs0 = _corpus(spark)
+    batch1 = spark.createDataFrame(
+        [(10, "spark window inside a window"), (11, "brand new table merge")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(20, "fox jumps over spark"), (21, "window window merge")],
+        "doc_id long, text string",
+    )
+    build_text_index(store, "ix", docs0)
+    assert extend_text_index(spark, store, "ix", batch1) == 1
+    assert extend_text_index(spark, store, "ix", batch2) == 2
+
+    full_store = LabelStore(str(tmp_path / "full"))
+    all_docs = docs0.unionByName(batch1).unionByName(batch2)
+    build_text_index(full_store, "ix", all_docs)
+
+    ix_inc = load_text_index(spark, store, "ix")
+    ix_full = load_text_index(spark, full_store, "ix")
+    assert ix_inc.n_docs == ix_full.n_docs == 10
+    assert ix_inc.sum_dl == ix_full.sum_dl
+    assert sorted(tuple(r) for r in ix_inc.postings.collect()) == sorted(
+        tuple(r) for r in ix_full.postings.collect()
+    )
+    assert sorted(tuple(r) for r in ix_inc.terms.collect()) == sorted(
+        tuple(r) for r in ix_full.terms.collect()
+    )
+    for terms in (["spark", "merge", "window"], ["window"], ["fox", "table"]):
+        a = sorted(tuple(r) for r in indexed_bm25_topk(ix_inc, terms).collect())
+        b = sorted(tuple(r) for r in bm25_rank(all_docs, terms).collect())
+        assert a == b, terms
+
+    # segment merge: same answers, one base table, empty segment list
+    compact_text_index(spark, store, "ix")
+    ix_c = load_text_index(spark, store, "ix")
+    assert ix_c.meta["segments"] == []
+    assert ix_c.n_docs == 10 and ix_c.sum_dl == ix_full.sum_dl
+    a = sorted(tuple(r) for r in indexed_bm25_topk(ix_c, ["spark", "window"]).collect())
+    b = sorted(tuple(r) for r in bm25_rank(all_docs, ["spark", "window"]).collect())
+    assert a == b
+
+
+def test_extend_clears_staleness_and_term_pushdown_survives_segments(spark, tmp_path):
+    """extend against a store-tracked corpus records the new corpus
+    version (the staleness warning clears without a full reindex), and
+    the segmented read path still pushes the query-term filter into
+    every postings scan."""
+    from scalligraph_spark.operators import extend_text_index
+
+    st = LabelStore(str(tmp_path / "s"))
+    st.write("docs", _corpus(spark))
+    build_text_index(st, "ix", st.read(spark, "docs"),
+                     corpus_store=st, corpus_label="docs")
+
+    batch = spark.createDataFrame([(10, "spark appended doc")], "doc_id long, text string")
+    st.write("docs", st.read(spark, "docs").unionByName(batch))  # corpus advances
+    with pytest.warns(StaleTextIndexWarning):
+        load_text_index(spark, st, "ix", corpus_store=st)
+
+    extend_text_index(spark, st, "ix", batch, corpus_store=st)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", StaleTextIndexWarning)
+        ix = load_text_index(spark, st, "ix", corpus_store=st)  # fresh again
+    assert ix.n_docs == 7
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed_bm25_topk(ix, ["spark", "appended"]).explain("formatted")
+    plan = buf.getvalue()
+    # both the base scan and the segment scan carry the pushed In filter
+    assert plan.count("In(term, [appended,spark])") >= 2
