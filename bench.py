@@ -110,6 +110,7 @@ HEADLINE = [
     "dialogue_pack_budget_sharded",  # per-shard role-weighted packing
     "graph_cc_skewed",  # two-phase CC under a 10%-of-edges Zipf hub
     "graph_pagerank_skewed",  # hot-reduce-key rank-mass aggregation
+    "hop_out_skewed",  # traversal-tier hub fan-out: seed-bounded broadcast frontier
     "similarity_ann_recall",  # recall@10 of IVF vs exact ground truth
     # round-7 session-10 additions: text-index lifecycle + summary statistics
     "text_index_build",  # one-time (term,doc_id) shuffle + term-sorted commit

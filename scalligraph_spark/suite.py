@@ -7087,6 +7087,70 @@ def graph_pagerank_skewed_q(spark, sf):
     return pagerank(_zipf_edges(spark, sf), iterations=5)
 
 
+def _zipf_hop_catalog(spark, sf) -> GraphCatalog:
+    """Traversal-tier catalog over the Zipf hub graph: documents link
+    into ~1000 hub vertices (rank 1 holds ~10% of all edges) so the
+    out()/in() hop COMPILER — not just graph_analytics — gets exercised
+    against the JanusGraph partitioned-vertex concern.  The hub table is
+    stats-hinted (~1000 rows) so hop_df broadcasts it, exactly as the
+    stats tier would on a real deployment."""
+    from scalligraph_spark.catalog import EdgeSpec, VertexSpec
+
+    edges = _zipf_edges(spark, sf)
+    docs = cat_for(spark, sf).vertex_df("documents")
+    cat = GraphCatalog(spark)
+    cat.add_vertex(VertexSpec("doc", "doc_id", loader=lambda: docs))
+    cat.add_vertex(
+        VertexSpec(
+            "hub",
+            "hub_id",
+            loader=lambda: edges.select(F.col("dst").alias("hub_id")).distinct(),
+            n_rows_hint=1000,
+            n_bytes_hint=8_000,
+        )
+    )
+    cat.add_edge(
+        EdgeSpec(
+            "links", "doc", "hub", loader=lambda: edges,
+            src_key="src", dst_key="dst",
+            src_join_col="doc_id", dst_join_col="hub_id",
+        )
+    )
+    return cat
+
+
+@q(
+    "hop_out_skewed",
+    f"""
+WITH e AS ({_ZIPF_EDGES_SQL}),
+seed AS (SELECT src, dst FROM e WHERE src < 100),
+hop2 AS (SELECT e2.src AS doc2 FROM seed JOIN e e2 ON e2.dst = seed.dst)
+SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS count
+FROM hop2 JOIN documents d ON d.doc_id = hop2.doc2
+GROUP BY d.lang
+""",
+    "out().in() through a ~10%-of-all-edges hub via the traversal hop "
+    "compiler (the skew case graph_cc_skewed covers only for "
+    "graph_analytics): 100 seed docs fan out through their hubs to every "
+    "co-linked document — seeds hitting the rank-1 hub pull ~10% of the "
+    "corpus through the second hop join, the hub-adjacency hotspot the "
+    "JanusGraph partitioned-vertex machinery exists for.  Output is "
+    "seed-bounded (Σ deg(hub(seed))), so cost grows linearly with the "
+    "corpus — the frontier side stays broadcast-sized and the fan-out "
+    "join never materializes hubdeg² pairs",
+)
+def hop_out_skewed_q(spark, sf):
+    g = _zipf_hop_catalog(spark, sf)
+    return (
+        g.V("doc")
+        .has("doc_id", P.lt(100))
+        .out("links")
+        .in_("links")
+        .group_count("lang")
+        .df
+    )
+
+
 @q(
     "similarity_ann_recall",
     None,  # recall of a k-means-cell candidate set — no closed-form SQL
