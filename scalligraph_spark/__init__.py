@@ -44,6 +44,7 @@ from scalligraph_spark.auth import (
     AuthContext,
     AuthenticationError,
     KeyAuthSrv,
+    DirectoryAuthSrv,
     MultiAuthSrv,
     PasswordAuthSrv,
     SessionAuthSrv,
@@ -61,6 +62,7 @@ __all__ = [
     "ApplicationConfig",
     "BadConfigurationError",
     "AuthenticationError",
+    "DirectoryAuthSrv",
     "PasswordAuthSrv",
     "KeyAuthSrv",
     "SessionAuthSrv",

@@ -155,6 +155,50 @@ class PasswordAuthSrv(AuthSrv):
         return _ctx_from_row(row, organisation)
 
 
+class DirectoryAuthSrv(AuthSrv):
+    """LDAP / Active-Directory-shaped provider (LdapAuthSrv.scala,
+    ADAuthSrv.scala): the credential check is a BIND against an external
+    directory, injected as a callable ``bind(principal, password) ->
+    bool`` so deployments plug ldap3/python-ldap and tests fake the
+    directory — while authorization (organisations, permissions) stays
+    in the LOCAL user table, the reference's split: the directory
+    authenticates, the application's user records authorize, and a
+    directory-valid principal UNKNOWN to the application is still
+    rejected.
+
+    ``principal_format`` reproduces ``ADAuthSrv``'s UPN construction
+    ("{username}@corp.example" / "uid={username},ou=people,dc=…"): the
+    app-level username formats into the directory principal before the
+    bind.  A bind that RAISES (directory unreachable, malformed DN) is
+    an authentication failure, not a fall-through — matching the
+    reference, which only falls through the MultiAuthSrv chain on
+    NotSupported, never on a directory error.  No ``changePassword``
+    capability: the directory owns credentials."""
+
+    name = "ldap"
+    capabilities = frozenset()
+
+    def __init__(self, users, bind, principal_format: str | None = None):
+        self.users = users
+        self.bind = bind
+        self.principal_format = principal_format
+
+    def authenticate(self, username: str, password: str, organisation: str | None = None) -> AuthContext:
+        row = _user_row(self.users, username)  # app-side authorization record
+        principal = (
+            self.principal_format.format(username=username)
+            if self.principal_format
+            else username
+        )
+        try:
+            ok = bool(self.bind(principal, password))
+        except Exception:
+            raise AuthenticationError("Authentication failure") from None
+        if not ok:
+            raise AuthenticationError("Authentication failure")
+        return _ctx_from_row(row, organisation)
+
+
 class KeyAuthSrv(AuthSrv):
     """API-key authentication (KeyAuthSrv.scala:11-27, the ``authByKey``
     capability).  Expects an ``api_key`` column; keys compare

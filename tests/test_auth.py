@@ -137,3 +137,63 @@ def test_auth_context_drives_row_policy_end_to_end(spark, users):
     # bob has no nation grants in policy_data -> deny-by-default
     bob = PasswordAuthSrv(users).authenticate("bob", "hunter2")
     assert ex.execute([{"_name": "all_customer"}], auth=bob.to_auth()).df.count() == 0
+
+
+def test_directory_auth_bind_and_local_authorization(users):
+    """DirectoryAuthSrv (LdapAuthSrv/ADAuthSrv analog): the injected
+    bind callable decides the credential check against the formatted
+    directory principal; organisations/permissions still come from the
+    LOCAL user table, and a directory-valid principal unknown to the
+    app is rejected."""
+    from scalligraph_spark.auth import DirectoryAuthSrv
+
+    binds: list = []
+
+    def fake_directory(principal, password):
+        binds.append(principal)
+        return (principal, password) in {
+            ("alice@corp.example", "ldap-pass"),
+            ("mallory@corp.example", "mallory-pass"),
+        }
+
+    srv = DirectoryAuthSrv(users, fake_directory, principal_format="{username}@corp.example")
+    ctx = srv.authenticate("alice", "ldap-pass")
+    assert binds == ["alice@corp.example"]  # UPN formatting applied
+    assert (ctx.user_id, ctx.organisation) == ("u1", "acme")
+    assert "write" in ctx.permissions  # authorization from the app table
+
+    with pytest.raises(AuthenticationError):
+        srv.authenticate("alice", "wrong")  # directory says no
+    with pytest.raises(AuthenticationError):
+        srv.authenticate("mallory", "mallory-pass")  # no app user record
+    assert "mallory@corp.example" not in binds  # rejected BEFORE the bind
+
+    # a bind that raises (directory down) is a failure, not a crash
+    def broken(principal, password):
+        raise ConnectionError("directory unreachable")
+
+    with pytest.raises(AuthenticationError):
+        DirectoryAuthSrv(users, broken).authenticate("alice", "ldap-pass")
+
+    # key/token stay unsupported so MultiAuthSrv falls through cleanly
+    with pytest.raises(NotSupportedError):
+        srv.authenticate_key("k-alice")
+
+
+def test_multi_auth_chain_with_directory_provider(users):
+    """Directory-first chain (the TheHive deployment shape: LDAP then
+    local accounts): an LDAP-only user authenticates via the bind, a
+    local-only password user falls through the failed bind to
+    PasswordAuthSrv, and key auth skips the directory entirely."""
+    from scalligraph_spark.auth import DirectoryAuthSrv
+
+    directory = DirectoryAuthSrv(
+        users, lambda p, w: (p, w) == ("alice", "ldap-pass")
+    )
+    multi = MultiAuthSrv([directory, PasswordAuthSrv(users), KeyAuthSrv(users)])
+
+    assert multi.authenticate("alice", "ldap-pass").user_id == "u1"  # via bind
+    assert multi.authenticate("bob", "hunter2").user_id == "u2"  # via password
+    assert multi.authenticate_key("k-alice").user_id == "u1"  # skips directory
+    with pytest.raises(AuthenticationError):
+        multi.authenticate("bob", "nope")

@@ -255,3 +255,59 @@ def test_login_flow_issues_session_token_that_authorizes_queries(spark):
         assert (status, err["type"]) == (400, "BadRequest")
     finally:
         srv.close()
+
+
+def test_login_via_directory_provider_chain(spark):
+    """HTTP login through a directory-first MultiAuthSrv chain: an
+    LDAP-only user (no usable local password hash) logs in via the fake
+    directory bind, receives a session token, and the token authorizes
+    queries; wrong directory credentials 401."""
+    from scalligraph_spark.auth import (
+        DirectoryAuthSrv,
+        MultiAuthSrv,
+        PasswordAuthSrv,
+        SessionAuthSrv,
+    )
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    users = spark.createDataFrame(
+        [("u9", "carol", "!directory-managed!", "n/a", ["read:customer"])],
+        "user_id string, user_name string, password_hash string, salt string, "
+        "permissions array<string>",
+    )
+    directory = DirectoryAuthSrv(
+        users,
+        lambda p, w: (p, w) == ("carol@corp.example", "dir-pass"),
+        principal_format="{username}@corp.example",
+    )
+    ex = executor_for(spark, SF_DIR)
+    ex.register_init("gated", lambda g, s, a: g.V("customer"), permission="read:customer")
+    srv = QueryServer(
+        ex,
+        auth_srv=MultiAuthSrv([directory, PasswordAuthSrv(users)]),
+        session_srv=SessionAuthSrv(secret="test-secret", ttl_seconds=3600),
+    ).serve()
+    try:
+        status, _, out = _post(
+            srv.port,
+            body=json.dumps({"user": "carol", "password": "dir-pass"}).encode(),
+            path="/api/v1/login",
+        )
+        assert status == 200 and out["user"] == "carol"
+        token = out["token"]
+        status, _, rows = _post(
+            srv.port,
+            chain=[{"_name": "gated"}, {"_name": "count"}],
+            headers={"Authorization": f"Bearer {token}"},
+        )
+        assert status == 200 and rows[0]["count"] == 150
+
+        status, _, err = _post(
+            srv.port,
+            body=json.dumps({"user": "carol", "password": "bad"}).encode(),
+            path="/api/v1/login",
+        )
+        assert (status, err["type"]) == (401, "AuthenticationError")
+    finally:
+        srv.close()
