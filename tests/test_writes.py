@@ -530,3 +530,83 @@ def test_vacuum_staging_ttl_matrix(spark, tmp_path):
     v = store.write("t", spark.createDataFrame([(9,)], "id long"), expected_version=3)
     assert v == 4
     assert store.read(spark, "t").collect()[0].id == 9
+
+
+# -- concurrency fuzz (round-7 verdict #10): hypothesis-driven interleavings of
+# try_transaction writers and snapshot readers over ONE label.  The chain
+# fuzzer covers executor semantics; this is the regression fence for the
+# rename-publish CAS: every committed increment must land, and every reader
+# must observe exactly a pointed-at version (value == version - 1 on the
+# counter), never a torn or intermediate state.
+
+_FUZZ_RETRIES_SEEN = {"n": 0, "examples": 0}
+
+
+from hypothesis import HealthCheck, event, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.data_too_large],
+)
+@given(
+    schedule=st.lists(st.sampled_from("wr"), min_size=3, max_size=7).filter(
+        lambda s: 2 <= s.count("w") <= 4
+    )
+)
+def test_fuzz_concurrent_writers_with_snapshot_readers(spark, tmp_path_factory, schedule):
+    import threading
+
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.writes import try_transaction
+
+    store = LabelStore(str(tmp_path_factory.mktemp("occfuzz")))
+    store.write("c", spark.createDataFrame([(1, 0)], "id long, n long"))
+    threads, errors, reads = [], [], []
+    attempts = {"n": 0}
+
+    def bump():
+        def mut(s):
+            attempts["n"] += 1
+            s.update(F.col("id") == 1, {"n": F.col("n") + 1})
+
+        try:
+            try_transaction(spark, store, "c", mut, "id", retries=40, backoff=0.02)
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    for op in schedule:
+        if op == "w":
+            t = threading.Thread(target=bump)
+            t.start()
+            threads.append(t)
+        else:
+            # snapshot read PINNED to the pointed-at version: its value
+            # must be exactly that version's committed prefix
+            v = store.version("c")
+            val = store.read(spark, "c", version=v).collect()[0].n
+            reads.append((v, val))
+    for t in threads:
+        t.join()
+
+    n_w = schedule.count("w")
+    assert errors == []
+    assert store.read(spark, "c").collect()[0].n == n_w  # zero lost updates
+    for v, val in reads:
+        assert val == v - 1  # committed prefix only — no torn/intermediate state
+        assert 0 <= val <= n_w
+    retries = attempts["n"] - n_w
+    _FUZZ_RETRIES_SEEN["n"] += retries
+    _FUZZ_RETRIES_SEEN["examples"] += 1
+    event(f"conflict_retries={retries}")
+
+
+def test_fuzz_concurrency_exercised_real_interleavings():
+    """Stat assertion (runs after the fuzz above, same file order): the
+    generated schedules must have produced at least one genuine commit
+    conflict across the examples — otherwise the strategy degenerated to
+    serial execution and proved nothing about the CAS."""
+    assert _FUZZ_RETRIES_SEEN["examples"] >= 20
+    assert _FUZZ_RETRIES_SEEN["n"] > 0
