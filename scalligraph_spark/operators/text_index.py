@@ -125,11 +125,12 @@ def build_text_index(
         meta["corpus_label"] = str(corpus_label)
         meta["corpus_version"] = int(corpus_store.version(corpus_label))
     meta["segments"] = []  # delta segments appended by extend_text_index
+    meta["base_n_docs"] = int(n)  # docs in the BASE postings (compaction anchor)
     # the full meta rides on BOTH commits: the terms table is rewritten by
     # every index mutation (build/extend/compact — it is vocabulary-sized,
     # cheap), so its commit meta is the authoritative, always-fresh copy;
     # the postings copy keeps old artifacts loadable
-    store.write(f"{name}__terms", dfreq, meta=dict(meta, kind="bm25_terms"))
+    store.write(f"{name}__terms", dfreq, meta=dict(meta, table_role="bm25_terms"))
     return store.write(name, post, sort_by=(sort_files, ["term"]), meta=meta)
 
 
@@ -196,7 +197,7 @@ def extend_text_index(
     )
     if corpus_store is not None and "corpus_label" in meta:
         meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
-    store.write(f"{name}__terms", merged, meta=dict(meta, kind="bm25_terms"))
+    store.write(f"{name}__terms", merged, meta=dict(meta, table_role="bm25_terms"))
     return len(segments)
 
 
@@ -208,8 +209,8 @@ def compact_text_index(spark: SparkSession, store, name: str) -> int:
     ``store.drop(seg)`` once retention allows.  Returns the new base
     version."""
     ix = load_text_index(spark, store, name)
-    meta = dict(ix.meta, segments=[])
-    store.write(f"{name}__terms", ix.terms, meta=dict(meta, kind="bm25_terms"))
+    meta = dict(ix.meta, segments=[], base_n_docs=int(ix.meta["n_docs"]))
+    store.write(f"{name}__terms", ix.terms, meta=dict(meta, table_role="bm25_terms"))
     return store.write(name, ix.postings, sort_by=(int(meta.get("sort_files", 16)), ["term"]), meta=meta)
 
 

@@ -562,31 +562,41 @@ def start_index_maintenance_sink(
 ):
     """Streaming ingest + index freshness automation: each micro-batch
     appends to the corpus label (batch-id idempotent, like
-    :func:`start_store_sink`) and then REBUILDS the persisted index
-    when the corpus has grown past ``rebuild_growth`` (fractional rows)
-    since the version the index was trained on — the automated form of the
-    reference's ``ReindexData`` maintenance (JanusDatabase.scala:304-434):
-    declared indexes stay fresh without an operator watching
-    ``StaleAnnIndexWarning`` by hand.
+    :func:`start_store_sink`) and then keeps the persisted index fresh —
+    the automated form of the reference's ``ReindexData`` maintenance
+    (JanusDatabase.scala:304-434): declared indexes stay fresh without an
+    operator watching ``StaleAnnIndexWarning`` by hand.
 
-    Growth is measured from the stats/footer-free row counts recorded in
-    commit meta (one ``count`` per committed batch, amortized into the
-    commit itself), so the decision launches no extra scan.  A rebuild is
-    just a new index version — concurrent readers pinned to the old
-    artifact are undisturbed, and a crash between corpus commit and
-    rebuild self-heals on the next batch (the growth check re-fires).
+    Maintenance is kind-aware (read from the artifact's own commit meta):
 
-    The index kind is read from its own commit meta: ANN artifacts
-    (ivf/pq/lsh) rebuild through :func:`reindex_ann`, inverted text
-    indexes (``bm25_inverted``) through :func:`reindex_text` — one sink
-    maintains either family.
+    * ``bm25_inverted`` text indexes EXTEND incrementally — every batch
+      folds in as a delta segment (:func:`extend_text_index`, cost ∝
+      batch, index never goes stale between batches), and
+      ``rebuild_growth`` instead gates COMPACTION (segment merge back
+      into the base once the corpus outgrows it by that fraction — the
+      Lucene merge policy, without ever retokenising);
+    * ANN artifacts (ivf/pq/lsh) hold trained state (centroids /
+      codebooks) that appended vectors use at query time automatically —
+      only DRIFT degrades them, so growth past ``rebuild_growth`` since
+      the trained version triggers a full :func:`reindex_ann` retrain.
+
+    Growth decisions use the row counts recorded in commit meta (one
+    ``count`` per committed batch, amortized into the commit itself), so
+    no extra scan launches.  Every maintenance step is a new artifact
+    version — concurrent readers pinned to the old one are undisturbed,
+    and a crash between corpus commit and maintenance self-heals on the
+    next batch.
 
     The index must have been built with ``corpus_store``/``corpus_label``
     provenance (otherwise there is no trained-version anchor to measure
     growth from — the reindex contract raises).
     """
     from scalligraph_spark.operators.ann_index import reindex_ann
-    from scalligraph_spark.operators.text_index import reindex_text
+    from scalligraph_spark.operators.text_index import (
+        _index_meta,
+        compact_text_index,
+        extend_text_index,
+    )
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -602,19 +612,22 @@ def start_index_maintenance_sink(
             prev_rows = 0
         n_rows = merged.count()
         store.write(corpus_label, merged, meta={"batch_id": batch_id, "n_rows": n_rows})
-        # freshness check: rows at index-training time vs rows now
-        ix_meta = store.commit_meta(index_name)
+        ix_meta = _index_meta(store, index_name)
         trained_v = ix_meta.get("corpus_version")
         if trained_v is None:
             return  # index not provenance-tracked (or not built yet)
+        if ix_meta.get("kind") == "bm25_inverted":
+            # incremental: the batch is exactly the appended documents
+            extend_text_index(spark, store, index_name, batch_df, corpus_store=store)
+            m = _index_meta(store, index_name)
+            base = int(m.get("base_n_docs", m["n_docs"]) or 0)
+            if base and (int(m["n_docs"]) - base) / base >= rebuild_growth:
+                compact_text_index(spark, store, index_name)
+            return
+        # ANN: retrain on drift-sized growth since the trained version
         trained_rows = int(store.commit_meta(corpus_label, trained_v).get("n_rows", 0) or prev_rows)
         if trained_rows == 0 or (n_rows - trained_rows) / trained_rows >= rebuild_growth:
-            # column names default to the ones stamped in the index's own
-            # build meta, so non-default-named corpora rebuild correctly
-            if ix_meta.get("kind") == "bm25_inverted":
-                reindex_text(spark, store, index_name, corpus_store=store, text_col=text_col, id_col=id_col)
-            else:
-                reindex_ann(spark, store, index_name, corpus_store=store, id_col=id_col, vec_col=vec_col)
+            reindex_ann(spark, store, index_name, corpus_store=store, id_col=id_col, vec_col=vec_col)
 
     return (
         stream_df.writeStream.foreachBatch(_commit)

@@ -612,9 +612,13 @@ def test_index_maintenance_sink_rebuilds_on_growth(spark, tmp_path):
 
 
 def test_index_maintenance_sink_handles_text_indexes(spark, tmp_path):
-    """The same maintenance sink keeps an INVERTED TEXT index fresh: kind
-    dispatch comes from the artifact's own commit meta (bm25_inverted →
-    reindex_text), and the rebuilt index sees streamed-in documents."""
+    """The maintenance sink keeps an INVERTED TEXT index fresh
+    INCREMENTALLY: every batch extends the index with a delta segment
+    (cost ∝ batch — never a rebuild), and rebuild_growth gates the
+    segment-merge compaction.  A small batch leaves the base untouched
+    (segments carry it); a batch past the growth threshold triggers
+    compaction back to one base.  Streamed docs are searchable either
+    way, with no staleness window."""
     import warnings
 
     from scalligraph_spark.operators import (
@@ -638,17 +642,40 @@ def test_index_maintenance_sink_handles_text_indexes(spark, tmp_path):
                      corpus_store=store, corpus_label="docs")
     assert store.version("docs_ix") == 1
 
+    # batch 1: +8 docs (16% < 20%) → extend only, base postings untouched
     src = str(tmp_path / "in")
-    doc_rows(50, 90, word="zeta").write.parquet(src)  # +80% > 20% threshold
+    ck = str(tmp_path / "ck")
+    doc_rows(50, 58, word="yotta").write.parquet(src)
     q = start_index_maintenance_sink(
         spark.readStream.schema("doc_id long, text string").parquet(src),
-        store, "docs", "docs_ix", str(tmp_path / "ck"), rebuild_growth=0.2,
+        store, "docs", "docs_ix", ck, rebuild_growth=0.2,
         query_name="txm1",
     )
     q.awaitTermination()
-    assert store.version("docs_ix") == 2  # rebuilt through reindex_text
+    assert store.version("docs_ix") == 1  # base NOT rewritten
     with warnings.catch_warnings():
         warnings.simplefilter("error", StaleTextIndexWarning)
         ix = load_text_index(spark, store, "docs_ix", corpus_store=store)
+    assert ix.meta["segments"] == ["docs_ix__seg1"]  # delta segment carries it
+    hits = {r["doc_id"] for r in docs_with_matching_term(ix, "term", "yotta").collect()}
+    assert hits == set(range(50, 58))
+
+    # batch 2: +32 docs (stream RESTART over the same checkpoint, so the
+    # batch id advances) pushes total growth past 20% → extend + COMPACT
+    doc_rows(58, 90, word="zeta").write.mode("append").parquet(src)
+    q = start_index_maintenance_sink(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, "docs", "docs_ix", ck, rebuild_growth=0.2,
+        query_name="txm2",
+    )
+    q.awaitTermination()
+    assert store.version("docs_ix") == 2  # segment merge rewrote the base
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", StaleTextIndexWarning)
+        ix = load_text_index(spark, store, "docs_ix", corpus_store=store)
+    assert ix.meta["segments"] == []  # compacted back to one base
+    assert ix.n_docs == 90
     hits = {r["doc_id"] for r in docs_with_matching_term(ix, "term", "zeta").collect()}
-    assert hits == set(range(50, 90))  # streamed docs are searchable
+    assert hits == set(range(58, 90))  # streamed docs are searchable
+    hits = {r["doc_id"] for r in docs_with_matching_term(ix, "term", "yotta").collect()}
+    assert hits == set(range(50, 58))  # earlier segment survived the merge
