@@ -7516,13 +7516,30 @@ def quality_constraint_report_q(spark, sf):
 # rollup, grouping_sets, having — five reps was the most duplicated
 # family in the window).  All rotated-out entries remain registered and
 # exact under tools/check.py.
+# Round 8: seven swaps so the window carries the round-7/8 oracle-exact
+# work — the dataset quality gate (quality_constraint_report for
+# text_predicates: TextP stays window-covered through
+# text_index_term_filter and suite-exact on the scan path), LOCF
+# forward-fill (temporal_forward_fill for events_sessionize: temporal
+# keeps asof_bucketed; events keeps json_extract_agg), the one-pass
+# correlation matrix (stats_corr_matrix for scalar_aggs: the agg family
+# keeps field_subaggs/rollup/grouping_sets/having/grouped_quantiles),
+# multi-algorithm blob hashing (blob_multi_hash for qagg_window_ranks:
+# same over-represented agg family), deterministic per-key sampling
+# (pipeline_sample_per_key for pipeline_chunk_documents: pipeline keeps
+# clean_corpus + pack_sharded), the index-routed query-language search
+# (qlang_text_search for dedup_embedding_cosine: embedding cosine stays
+# window-covered by similarity_cosine_topk), and the traversal-tier hub
+# fan-out (hop_out_skewed for graph_bfs_distances: graph keeps
+# graph_cc_skewed).  All rotated-out entries remain registered and exact
+# under tools/check.py.
 _WINDOW = [
     "scan_by_ids",
     "qlang_row_policy",
     "qagg_rollup_events",
     "public_property_rename",
     "qlang_dialogue_chain",
-    "text_predicates",
+    "quality_constraint_report",
     "filter_semi_join",
     "json_filter_grammar",
     "text_indexed_search",
@@ -7530,13 +7547,13 @@ _WINDOW = [
     "source_jsonl_roundtrip",
     "text_index_term_filter",
     "events_json_extract_agg",
-    "graph_bfs_distances",
+    "hop_out_skewed",
     "qagg_grouping_sets",
-    "scalar_aggs",
+    "stats_corr_matrix",
     "qagg_having_filter",
     "integrity_resolve_duplicates",
-    "pipeline_chunk_documents",
-    "qagg_window_ranks",
+    "pipeline_sample_per_key",
+    "blob_multi_hash",
     "stats_analyze_columns",
     "qagg_field_subaggs",
     "stats_grouped_quantiles",
@@ -7549,9 +7566,9 @@ _WINDOW = [
     "dedup_edit_distance_auto",
     "dialogue_turn_dedup",
     "link_customer_records",
-    "dedup_embedding_cosine",
+    "qlang_text_search",
     "similarity_cosine_topk",
-    "events_sessionize",
+    "temporal_forward_fill",
     "text_quality_tokens",
     "diag_key_skew",
     "multimodal_features",
