@@ -1714,6 +1714,9 @@ def _ann_index_store(spark, sf, rebuild: bool = False):
         build_ivf_index(
             LabelStore(root), "emb_ivf", emb,
             n_rows=c.vertices["embeddings"].n_rows_hint,
+            # inverted lists make the artifact searchable per-query
+            # (similarity_ivf_search) without scanning the corpus
+            store_cells=True, cells_n_list=2,
         )
         _ANN_INDEX_BUILT.add(key)
     return LabelStore(root)
@@ -1739,6 +1742,33 @@ def similarity_indexed_ann_q(spark, sf):
     store = _ann_index_store(spark, sf)
     emb = cat_for(spark, sf).vertex_df("embeddings")
     return indexed_ann_topk(spark, store, "emb_ivf", emb, k=10)
+
+
+@q(
+    "similarity_ivf_search",
+    None,  # candidate set = trained k-means cell lists — no SQL twin;
+    # pytest proves the result equals a numpy re-rank of exactly the
+    # stored probed-cell lists, and that In(cell,…) is pushed to the scan
+    "SINGLE-QUERY search through the persisted IVF inverted lists (true "
+    "IVF, Jégou et al. TPAMI 2011): probe cells chosen driver-side "
+    "against the broadcast-sized centroids (no job), the scan reads ONLY "
+    "the probed cells (cell IN (…) pushed into the cell-sorted parquet), "
+    "exact-cosine re-rank over list-sized candidates — search cost ∝ "
+    "probed-list length, never corpus size, the ANN twin of "
+    "text_indexed_search's posting-list discipline",
+)
+def similarity_ivf_search_q(spark, sf):
+    from scalligraph_spark.operators import ivf_search
+
+    store = _ann_index_store(spark, sf)
+    q_vec = (
+        cat_for(spark, sf)
+        .vertex_df("embeddings")
+        .where(F.col("vec_id") == 3)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    return ivf_search(spark, store, "emb_ivf", q_vec, k=10, n_probe=4)
 
 
 @q(

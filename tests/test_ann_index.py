@@ -321,3 +321,95 @@ def test_reindex_defaults_to_built_column_names(spark, embeddings, store):
     fresh = load_ann_index(spark, store, "ix", corpus_store=store)
     assert fresh.version == v2 and fresh.meta["vec_col"] == "vec"
     assert fresh.meta["corpus_version"] == 2
+
+
+def test_ivf_search_reads_only_probed_cells_and_matches_numpy(spark, embeddings, store, monkeypatch):
+    """True-IVF single-query search: build with store_cells=True, then
+    (a) the search launches no training job, (b) the cell filter is
+    PUSHED into the inverted-list scan, and (c) the result equals an
+    exact numpy re-rank of precisely the vectors assigned to the probed
+    cells — the candidate set is the stored lists, nothing more."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from scalligraph_spark.operators import build_ivf_index, ivf_search, load_ann_index
+
+    build_ivf_index(store, "ix", embeddings, n_centroids=8, store_cells=True, cells_n_list=2)
+    q_row = embeddings.where("vec_id = 3").collect()[0]
+    q = np.asarray(list(q_row["embedding"]), dtype=np.float64)
+
+    _no_training(monkeypatch)
+    got = ivf_search(spark, store, "ix", q, k=5, n_probe=3).collect()
+
+    # expected: numpy over the STORED assignments
+    C = load_ann_index(spark, store, "ix").centroids
+    probes = set(np.argsort(-(C @ (q / np.linalg.norm(q))))[:3].tolist())
+    cells = store.read(spark, "ix__cells").collect()
+    cand = {}
+    for r in cells:
+        if r["cell"] in probes:
+            cand[r["id"]] = np.asarray(list(r["vec"]), dtype=np.float64)
+    scored = sorted(
+        (
+            (-(v @ q) / (np.linalg.norm(v) * np.linalg.norm(q)), i)
+            for i, v in cand.items()
+        ),
+    )[:5]
+    expect = [(i, round(-s, 12)) for s, i in scored]
+    assert [(r["vec_id"], r["cosine"]) for r in got] == expect
+
+    # the probe filter reaches the parquet scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivf_search(spark, store, "ix", q, k=5, n_probe=3).explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "In(cell" in plan
+
+    # vectors multi-assigned into two probed cells appear exactly once
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == len(set(ids))
+
+
+def test_ivf_search_requires_stored_cells(spark, embeddings, store):
+    from scalligraph_spark.operators import build_ivf_index, ivf_search
+
+    build_ivf_index(store, "ix", embeddings, n_centroids=4)  # no cells
+    with pytest.raises(ValueError, match="store_cells=True"):
+        ivf_search(spark, store, "ix", [1.0, 0.0], k=3)
+
+
+def test_ivf_search_finds_planted_neighbor(spark, store):
+    """Recall sanity on a planted corpus: the query's near-duplicate must
+    rank first through the inverted lists."""
+    import numpy as np
+
+    from scalligraph_spark.operators import build_ivf_index, ivf_search
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 16)
+    base[17] = base[3] + rng.randn(16) * 0.01  # near-dup of vector 3
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    build_ivf_index(store, "ix", emb, n_centroids=8, store_cells=True, cells_n_list=2)
+    got = ivf_search(spark, store, "ix", base[3], k=3, n_probe=4).collect()
+    assert got[0]["vec_id"] == 3  # the vector itself
+    assert got[1]["vec_id"] == 17  # its planted near-duplicate
+
+
+def test_reindex_preserves_inverted_lists(spark, embeddings, store):
+    """An index built with store_cells keeps its inverted lists through
+    reindex_ann — the artifact shape is part of the contract, so
+    ivf_search keeps working after automated maintenance."""
+    from scalligraph_spark.operators import build_ivf_index, ivf_search, reindex_ann
+
+    store.write("emb", embeddings)
+    build_ivf_index(store, "ix", store.read(spark, "emb"), n_centroids=8,
+                    store_cells=True, cells_n_list=2,
+                    corpus_store=store, corpus_label="emb")
+    store.write("emb", store.read(spark, "emb"))  # corpus advances
+    reindex_ann(spark, store, "ix", corpus_store=store)
+    q = embeddings.where("vec_id = 1").collect()[0]["embedding"]
+    got = ivf_search(spark, store, "ix", q, k=3, n_probe=3).collect()
+    assert got[0]["vec_id"] == 1  # still searchable, exact self-hit first

@@ -131,6 +131,7 @@ PLAN_QUERIES = [
     "pipeline_sample_per_key",  # Partial WindowGroupLimit before the exchange
     "blob_multi_hash",  # one projection, all digests in the scan stage
     "text_indexed_search",  # In(term,…) pushed into the postings scan
+    "similarity_ivf_search",  # In(cell,…) pushed into the inverted-list scan
     "text_index_term_filter",  # StringStartsWith pushed into the terms scan
     "quality_constraint_report",  # one-scan constraint agg + referential join
     "temporal_forward_fill",  # LOCF partitioned window, no global sort
