@@ -175,6 +175,77 @@ def _assign_cells(embeddings: DataFrame, C, n_list: int, id_col: str, vec_col: s
     ).select(F.explode("__cells").alias("cell"), "id", "vec")
 
 
+def extend_ann_cells(
+    spark: SparkSession,
+    store,
+    name: str,
+    new_embeddings: DataFrame,
+    corpus_store=None,
+) -> int:
+    """Incremental (append-only) inverted-list maintenance: assign a batch
+    of NEW vectors against the EXISTING centroids (one Arrow matmul over
+    the batch — no retraining, no corpus rescan) and land them as a
+    cell-sorted delta segment ``name__cells_seg<k>``; :func:`ivf_search`
+    reads base ∪ segments transparently.  The same Lucene-segment
+    discipline as ``extend_text_index``: cost ∝ batch, and appended
+    vectors are searchable with no staleness window.  The quantizer
+    itself is NOT updated — distribution drift still degrades recall
+    over time, so ``corpus_version`` (quantizer provenance, the
+    staleness-warning and retrain anchor) is deliberately left at the
+    last training run; the lists' own freshness is tracked separately as
+    ``cells_corpus_version``.  The updated segment list rides a new
+    version of the (tiny) centroids table, the artifact's always-cheap
+    meta carrier.  Returns the new segment count."""
+    ix = load_ann_index(spark, store, name)
+    if ix.kind != "ivf" or not ix.meta.get("cells"):
+        raise ValueError(
+            f"index {name!r} has no stored inverted lists; build it with "
+            "build_ivf_index(..., store_cells=True)"
+        )
+    meta = dict(ix.meta)
+    segments = list(meta.get("cells_segments", []))
+    seg_label = f"{name}__cells_seg{len(segments) + 1}"
+    assign = _assign_cells(
+        new_embeddings, ix.centroids, int(meta.get("cells_n_list", 1)),
+        str(meta.get("id_col", "vec_id")), str(meta.get("vec_col", "embedding")),
+    )
+    store.write(seg_label, assign, sort_by=(4, ["cell"]), meta={"table_role": "ivf_cells_segment"})
+    segments.append(seg_label)
+    meta["cells_segments"] = segments
+    if corpus_store is not None and "corpus_label" in meta:
+        # the LISTS' freshness — deliberately NOT corpus_version, which is
+        # QUANTIZER provenance: appends keep the lists complete while the
+        # centroids stay trained on the older distribution, so the
+        # staleness warning (recall drift) and the sink's retrain anchor
+        # must keep measuring from the last actual training run
+        meta["cells_corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
+    store.write(name, store.read(spark, name), meta=meta)  # meta carrier rewrite (≤4096 rows)
+    return len(segments)
+
+
+def compact_ann_cells(spark: SparkSession, store, name: str) -> int:
+    """Merge every cell-list delta segment back into the base table (one
+    cell-sorted rewrite of existing assignments — no re-assignment, no
+    training): probes go back to one pruned scan.  Old segment labels
+    stay for pinned readers (``store.drop`` them under retention).
+    Returns the new base version of ``name__cells``."""
+    ix = load_ann_index(spark, store, name)
+    meta = dict(ix.meta)
+    cells = _read_cells(spark, store, name, meta)
+    v = store.write(f"{name}__cells", cells, sort_by=(16, ["cell"]),
+                    meta={"table_role": "ivf_cells", "n_list": int(meta.get("cells_n_list", 1))})
+    meta["cells_segments"] = []
+    store.write(name, store.read(spark, name), meta=meta)
+    return v
+
+
+def _read_cells(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
+    cells = store.read(spark, f"{name}__cells")
+    for seg in meta.get("cells_segments", []):
+        cells = cells.unionByName(store.read(spark, seg))
+    return cells
+
+
 def ivf_search(
     spark: SparkSession,
     store,
@@ -214,7 +285,7 @@ def ivf_search(
     probes = np.argsort(-(C @ (q / qn)))[: min(n_probe, len(C))]
     qlit = F.array(*[F.lit(float(x)) for x in q])
     cand = (
-        store.read(spark, f"{name}__cells")
+        _read_cells(spark, store, name, ix.meta)  # base ∪ delta segments
         .where(F.col("cell").isin([int(c) for c in probes]))
         .dropDuplicates(["id"])  # multi-assigned vectors appear once
     )

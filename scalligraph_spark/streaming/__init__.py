@@ -591,7 +591,7 @@ def start_index_maintenance_sink(
     provenance (otherwise there is no trained-version anchor to measure
     growth from — the reindex contract raises).
     """
-    from scalligraph_spark.operators.ann_index import reindex_ann
+    from scalligraph_spark.operators.ann_index import extend_ann_cells, reindex_ann
     from scalligraph_spark.operators.text_index import (
         _index_meta,
         compact_text_index,
@@ -624,7 +624,13 @@ def start_index_maintenance_sink(
             if base and (int(m["n_docs"]) - base) / base >= rebuild_growth:
                 compact_text_index(spark, store, index_name)
             return
-        # ANN: retrain on drift-sized growth since the trained version
+        # ANN: an artifact WITH inverted lists extends them per batch
+        # (assignment against existing centroids — appended vectors stay
+        # ivf_search-able with no staleness window, cost ∝ batch) …
+        if ix_meta.get("cells"):
+            extend_ann_cells(spark, store, index_name, batch_df, corpus_store=store)
+        # … and growth past the threshold still RETRAINS (quantizer drift —
+        # reindex_ann rebuilds centroids + full lists, resetting segments)
         trained_rows = int(store.commit_meta(corpus_label, trained_v).get("n_rows", 0) or prev_rows)
         if trained_rows == 0 or (n_rows - trained_rows) / trained_rows >= rebuild_growth:
             reindex_ann(spark, store, index_name, corpus_store=store, id_col=id_col, vec_col=vec_col)

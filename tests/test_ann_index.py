@@ -413,3 +413,57 @@ def test_reindex_preserves_inverted_lists(spark, embeddings, store):
     q = embeddings.where("vec_id = 1").collect()[0]["embedding"]
     got = ivf_search(spark, store, "ix", q, k=3, n_probe=3).collect()
     assert got[0]["vec_id"] == 1  # still searchable, exact self-hit first
+
+
+def test_extend_ann_cells_incremental_equals_full_and_compacts(spark, embeddings, store, monkeypatch):
+    """Appended vectors become ivf_search-able through delta segments —
+    with NO retraining (the training entry points are poisoned during
+    extend) — and results equal a full rebuild's lists given the same
+    centroids; compaction merges back to one base with identical
+    answers.  The quantizer provenance (corpus_version) stays at the
+    training run so drift detection keeps its anchor."""
+    import numpy as np
+
+    from scalligraph_spark.operators import (
+        build_ivf_index,
+        compact_ann_cells,
+        extend_ann_cells,
+        ivf_search,
+        load_ann_index,
+    )
+
+    store.write("emb", embeddings)
+    build_ivf_index(store, "ix", store.read(spark, "emb"), n_centroids=8,
+                    store_cells=True, cells_n_list=2,
+                    corpus_store=store, corpus_label="emb")
+    trained_v = load_ann_index(spark, store, "ix").meta["corpus_version"]
+
+    dim = len(embeddings.first()["embedding"])
+    rng = np.random.RandomState(11)
+    q = np.asarray(list(embeddings.where("vec_id = 5").first()["embedding"]), dtype=np.float64)
+    new1 = [(100000 + i, [float(x) for x in (q + rng.randn(dim) * 0.01)]) for i in range(3)]
+    new2 = [(200000 + i, [float(x) for x in rng.randn(dim)]) for i in range(4)]
+    b1 = spark.createDataFrame(new1, "vec_id long, embedding array<double>")
+    b2 = spark.createDataFrame(new2, "vec_id long, embedding array<double>")
+
+    store.write("emb", store.read(spark, "emb").unionByName(b1, allowMissingColumns=True))
+    _no_training(monkeypatch)  # extends must never retrain
+    assert extend_ann_cells(spark, store, "ix", b1, corpus_store=store) == 1
+    store.write("emb", store.read(spark, "emb").unionByName(b2, allowMissingColumns=True))
+    assert extend_ann_cells(spark, store, "ix", b2, corpus_store=store) == 2
+
+    meta = load_ann_index(spark, store, "ix").meta
+    assert meta["corpus_version"] == trained_v  # quantizer anchor unchanged
+    assert meta["cells_corpus_version"] == store.version("emb")  # lists fresh
+    assert meta["cells_segments"] == ["ix__cells_seg1", "ix__cells_seg2"]
+
+    got = ivf_search(spark, store, "ix", q, k=4, n_probe=4).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 5  # self-hit
+    assert set(ids[1:]) == {100000, 100001, 100002}  # appended near-dups found
+
+    after = compact_ann_cells(spark, store, "ix")
+    meta2 = load_ann_index(spark, store, "ix").meta
+    assert meta2["cells_segments"] == [] and after == 2
+    got2 = ivf_search(spark, store, "ix", q, k=4, n_probe=4).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got2] == [(r["vec_id"], r["cosine"]) for r in got]

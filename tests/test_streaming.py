@@ -679,3 +679,38 @@ def test_index_maintenance_sink_handles_text_indexes(spark, tmp_path):
     assert hits == set(range(58, 90))  # streamed docs are searchable
     hits = {r["doc_id"] for r in docs_with_matching_term(ix, "term", "yotta").collect()}
     assert hits == set(range(50, 58))  # earlier segment survived the merge
+
+
+def test_index_maintenance_sink_extends_ivf_cells(spark, tmp_path):
+    """An ANN artifact built WITH inverted lists gets per-batch cell
+    extension from the sink: a below-threshold batch leaves the
+    quantizer alone but its vectors are immediately ivf_search-able
+    through a delta segment."""
+    from scalligraph_spark.operators import build_ivf_index, ivf_search, load_ann_index
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import start_index_maintenance_sink
+
+    def emb_rows(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(lo, hi)],
+            "vec_id long, embedding array<float>",
+        )
+
+    store = LabelStore(str(tmp_path / "ixc"))
+    store.write("emb", emb_rows(0, 100), meta={"batch_id": -1, "n_rows": 100})
+    build_ivf_index(store, "emb_ix", store.read(spark, "emb"), n_centroids=4,
+                    store_cells=True, corpus_store=store, corpus_label="emb")
+
+    src = str(tmp_path / "in")
+    emb_rows(100, 110).write.parquet(src)  # +10% < 20%: extend only
+    q = start_index_maintenance_sink(
+        spark.readStream.schema("vec_id long, embedding array<float>").parquet(src),
+        store, "emb", "emb_ix", str(tmp_path / "ck"), rebuild_growth=0.2,
+        query_name="ixc1",
+    )
+    q.awaitTermination()
+    meta = load_ann_index(spark, store, "emb_ix").meta
+    assert meta["cells_segments"] == ["emb_ix__cells_seg1"]  # no retrain
+    got = ivf_search(spark, store, "emb_ix", [float(104 % 7), float(104 % 5), 1.0],
+                     k=3, n_probe=4).collect()
+    assert 104 in {r["vec_id"] for r in got}  # streamed vector found
