@@ -46,6 +46,7 @@ from scalligraph_spark.auth import (
     KeyAuthSrv,
     DirectoryAuthSrv,
     MultiAuthSrv,
+    OAuth2AuthSrv,
     PasswordAuthSrv,
     SessionAuthSrv,
 )
@@ -63,6 +64,7 @@ __all__ = [
     "BadConfigurationError",
     "AuthenticationError",
     "DirectoryAuthSrv",
+    "OAuth2AuthSrv",
     "PasswordAuthSrv",
     "KeyAuthSrv",
     "SessionAuthSrv",

@@ -232,6 +232,40 @@ class KeyAuthSrv(AuthSrv):
         raise AuthenticationError("Authentication failure")
 
 
+class OAuth2AuthSrv(AuthSrv):
+    """OAuth2/OIDC-shaped bearer-token provider (OAuth2Srv.scala analog):
+    token VERIFICATION is delegated to an injected
+    ``verify(token) -> dict`` callable returning the provider's claims
+    (deployments plug a JWT validator or an introspection endpoint call;
+    tests fake the IdP) — the engine never parses provider tokens itself.
+    The claim named by ``username_claim`` (``preferred_username`` by
+    default, the OIDC standard claim) maps into the LOCAL user table for
+    authorization, the same authenticate-remotely/authorize-locally
+    split as :class:`DirectoryAuthSrv`: a valid token for a user unknown
+    to the application is rejected.  A verifier that raises or returns a
+    claims dict without the username claim is an authentication failure,
+    never a silent fall-through."""
+
+    name = "oauth2"
+    capabilities = frozenset({"sso"})
+
+    def __init__(self, users, verify, username_claim: str = "preferred_username"):
+        self.users = users
+        self.verify = verify
+        self.username_claim = username_claim
+
+    def authenticate_token(self, token: str) -> AuthContext:
+        try:
+            claims = self.verify(token)
+        except Exception:
+            raise AuthenticationError("Authentication failure") from None
+        username = (claims or {}).get(self.username_claim)
+        if not username:
+            raise AuthenticationError("Authentication failure")
+        row = _user_row(self.users, str(username))
+        return _ctx_from_row(row, (claims or {}).get("organisation"))
+
+
 class SessionAuthSrv(AuthSrv):
     """HMAC-signed expiring session tokens (SessionAuthSrv analog).
     ``issue`` after any successful authenticate; ``authenticate_token``

@@ -197,3 +197,39 @@ def test_multi_auth_chain_with_directory_provider(users):
     assert multi.authenticate_key("k-alice").user_id == "u1"  # skips directory
     with pytest.raises(AuthenticationError):
         multi.authenticate("bob", "nope")
+
+
+def test_oauth2_token_provider_maps_claims_to_local_users(users):
+    """OAuth2AuthSrv: the injected verifier owns token validity; the
+    OIDC username claim maps into the local user table for
+    authorization.  Valid tokens for unknown users, verifier errors,
+    and claims without the username all fail generically; the provider
+    chains behind SessionAuthSrv for token auth."""
+    from scalligraph_spark.auth import OAuth2AuthSrv, SessionAuthSrv
+
+    def verify(token):
+        if token == "good-alice":
+            return {"preferred_username": "alice", "organisation": "globex"}
+        if token == "good-mallory":
+            return {"preferred_username": "mallory"}
+        if token == "no-claim":
+            return {"sub": "opaque"}
+        raise ValueError("bad signature")
+
+    srv = OAuth2AuthSrv(users, verify)
+    ctx = srv.authenticate_token("good-alice")
+    assert (ctx.user_id, ctx.organisation) == ("u1", "globex")  # claim-selected org
+    assert "write" in ctx.permissions  # authorization from the app table
+
+    for bad in ("good-mallory", "no-claim", "garbage"):
+        with pytest.raises(AuthenticationError):
+            srv.authenticate_token(bad)
+    with pytest.raises(NotSupportedError):
+        srv.authenticate("alice", "pw")  # passwords stay with the IdP
+
+    # chain: session tokens first, IdP tokens fall through cleanly
+    sess = SessionAuthSrv(secret="s", ttl_seconds=60)
+    multi = MultiAuthSrv([sess, srv])
+    assert multi.authenticate_token("good-alice").user_id == "u1"
+    tok = sess.issue(srv.authenticate_token("good-alice"))
+    assert multi.authenticate_token(tok).user_id == "u1"
