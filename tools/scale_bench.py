@@ -110,7 +110,18 @@ def build_scaled(spark, src: str, dst: str, k: int) -> None:
 
 
 def run(spark, sf_dir: str, names) -> dict[str, float]:
+    from scalligraph_spark import suite as S
     from scalligraph_spark.suite import SUITE
+
+    # warm the build-once artifact stores (bench.py's warm-up discipline):
+    # single-shot timings must measure the OPERATOR, not the amortized
+    # index build the first caller at each sf dir would otherwise pay
+    if any(n.startswith(("similarity_indexed", "similarity_ivf", "similarity_ann_recall")) for n in names):
+        S._ann_index_store(spark, sf_dir)
+    if any(n in ("text_indexed_search", "text_index_term_filter", "qlang_text_search") for n in names):
+        S._text_index_store(spark, sf_dir)
+    if "text_index_extend" in names:
+        S._text_index_extend_store(spark, sf_dir)
 
     times = {}
     for name in names:
