@@ -63,6 +63,14 @@ class AnnIndex:
     num_tables: int | None = None  # lsh
 
 
+class MissingAnnIndexWarning(UserWarning):
+    """An ANN index was DECLARED for a query surface but no usable
+    artifact exists — the query falls back to the exact brute-force
+    scan.  Loud by design: at 100 TB the difference is probed-list cost
+    vs a full corpus pass (the text tier's MissingTextIndexWarning
+    twin)."""
+
+
 class StaleAnnIndexWarning(UserWarning):
     """A persisted ANN index was trained on an older corpus version than
     the one it is being used against — recall silently degrades as the

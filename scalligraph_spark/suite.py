@@ -82,6 +82,7 @@ def executor_for(
     with_row_policy: bool = False,
     snapshot_root: str | None = None,
     text_index: tuple | None = None,
+    ann_index: tuple | None = None,
 ) -> QueryExecutor:
     """The registered query surface (QueryExecutor.scala:17-171 analog):
     init queries per label + inter-entity hop queries with typed params
@@ -103,7 +104,13 @@ def executor_for(
     JanusDatabase.scala:476-485) and only falls back to the full corpus
     scan, with a :class:`~scalligraph_spark.operators.MissingTextIndexWarning`,
     when no artifact has been built.  Output is bit-identical either way
-    — the indexed path reduces to ``bm25_rank``'s own scoring tree."""
+    — the indexed path reduces to ``bm25_rank``'s own scoring tree.
+
+    ``ann_index=(store, name)`` does the same for the ``annSearch`` step:
+    with a committed cell-backed IVF artifact the step probes ONLY the
+    query's cells (:func:`ivf_search` — approximate by design, recall
+    governed by n_probe) instead of the exact brute-force corpus pass;
+    no artifact → exact scan + ``MissingAnnIndexWarning``."""
     c = cat_for(spark, sf_dir)
     ex = QueryExecutor(c)
     for label in c.vertices:
@@ -184,10 +191,36 @@ def executor_for(
     ex.register("assembleDialogues", "turns", _assemble_step)
 
     def _ann_search(g, s, a):
-        from scalligraph_spark.operators import brute_force_cosine_topk
+        import warnings as _warnings
+
+        from scalligraph_spark.operators import MissingAnnIndexWarning, brute_force_cosine_topk
 
         emb = g.V("embeddings").df
-        out = brute_force_cosine_topk(emb, query_id=int(s["queryId"]), k=int(s.get("k", 10)))
+        qid, k = int(s["queryId"]), int(s.get("k", 10))
+        if ann_index is not None:
+            from scalligraph_spark.operators import ivf_search
+
+            ix_store, ix_name = ann_index
+            try:
+                q_vec = emb.where(F.col("vec_id") == qid).select("embedding").collect()[0][0]
+                # k+1 then drop the self-hit: brute-force contract excludes
+                # the query vector itself
+                out = (
+                    ivf_search(spark, ix_store, ix_name, q_vec, k=k + 1, n_probe=int(s.get("nProbe", 8)))
+                    .where(F.col("vec_id") != qid)
+                    .orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id").asc())
+                    .limit(k)
+                )
+                return Traversal(out, catalog=g, label=None)
+            except (FileNotFoundError, ValueError):
+                _warnings.warn(
+                    f"ANN index {ix_name!r} is declared for annSearch but has no "
+                    "usable cell-backed artifact — falling back to the exact "
+                    "brute-force scan (build_ivf_index(..., store_cells=True))",
+                    MissingAnnIndexWarning,
+                    stacklevel=2,
+                )
+        out = brute_force_cosine_topk(emb, query_id=qid, k=k)
         return Traversal(out, catalog=g, label=None)
 
     ex.register_init("annSearch", _ann_search)
@@ -3789,6 +3822,24 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 5
 def qlang_ann_search(spark, sf):
     ex = executor_for(spark, sf)
     t = ex.execute([{"_name": "annSearch", "queryId": 0, "k": 5}])
+    return t.df
+
+
+@q(
+    "qlang_ann_search_indexed",
+    None,  # approximate-by-design (probed cells only) — no exact SQL twin;
+    # pytest pins plan pushdown + fallback warning + near-parity with exact
+    "the SAME [{_name: annSearch}] chain answered through the persisted "
+    "IVF inverted lists when the executor declares ann_index=(store, "
+    "name): probe cells chosen driver-side, scan reads ONLY the probed "
+    "cells (In(cell,…) pushed), exact-cosine re-rank over list-sized "
+    "candidates — the reference's declared-mixed-index routing applied "
+    "to similarity search; qlang_ann_search keeps the exact brute-force "
+    "oracle beside it",
+)
+def qlang_ann_search_indexed(spark, sf):
+    ex = executor_for(spark, sf, ann_index=(_ann_index_store(spark, sf), "emb_ivf"))
+    t = ex.execute([{"_name": "annSearch", "queryId": 0, "k": 5, "nProbe": 8}])
     return t.df
 
 

@@ -378,3 +378,51 @@ def test_at_snapshot_chain_step_pins_commit(spark, tmp_path):
     ex_no_root = executor_for(spark, "/root/testdata/sf0.001")
     with _pytest.raises(ValueError, match="snapshot_root"):
         ex_no_root.execute([{"_name": "atSnapshot", "label": "t", "snapshot": 1}])
+
+
+def test_annsearch_routes_through_declared_ivf_index(spark, tmp_path):
+    """executor_for(ann_index=(store, name)): [{_name: annSearch}] probes
+    the persisted inverted lists (In(cell,…) pushed into the scan) and
+    finds the exact path's top neighbors; with no usable artifact it
+    falls back to the exact brute-force scan LOUDLY."""
+    import contextlib
+    import io
+    import warnings
+
+    from scalligraph_spark.operators import MissingAnnIndexWarning, build_ivf_index
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.suite import executor_for
+    from tests.conftest import SF_DIR
+
+    chain = [{"_name": "annSearch", "queryId": 0, "k": 5, "nProbe": 6}]
+    store = LabelStore(str(tmp_path / "ix"))
+
+    exact = executor_for(spark, SF_DIR).execute(chain).df.collect()
+
+    # declared but not built: loud fallback, identical rows to the scan
+    ex_missing = executor_for(spark, SF_DIR, ann_index=(store, "emb_ivf"))
+    with pytest.warns(MissingAnnIndexWarning, match="no usable"):
+        fallback = ex_missing.execute(chain).df.collect()
+    assert [tuple(r) for r in fallback] == [tuple(r) for r in exact]
+
+    # centroids-only artifact (no cells) also falls back loudly
+    emb = executor_for(spark, SF_DIR).execute([{"_name": "all_embeddings"}]).df
+    build_ivf_index(store, "no_cells", emb, n_centroids=8)
+    with pytest.warns(MissingAnnIndexWarning):
+        executor_for(spark, SF_DIR, ann_index=(store, "no_cells")).execute(chain)
+
+    # cell-backed artifact: indexed plan + high overlap with exact top-k
+    build_ivf_index(store, "emb_ivf", emb, n_centroids=8, store_cells=True, cells_n_list=2)
+    ex_ix = executor_for(spark, SF_DIR, ann_index=(store, "emb_ivf"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", MissingAnnIndexWarning)
+        t = ex_ix.execute(chain)
+        indexed = t.df.collect()
+    assert len(indexed) == 5
+    assert 0 not in {r["vec_id"] for r in indexed}  # self-hit excluded
+    overlap = {r["vec_id"] for r in indexed} & {r["vec_id"] for r in exact}
+    assert len(overlap) >= 3  # approximate, but must find most true neighbors
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t.df.explain("formatted")
+    assert "In(cell" in buf.getvalue()  # probed-cell pushdown, no corpus scan
