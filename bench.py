@@ -113,6 +113,7 @@ HEADLINE = [
     "hop_out_skewed",  # traversal-tier hub fan-out: seed-bounded broadcast frontier
     "similarity_ann_recall",  # recall@10 of IVF vs exact ground truth
     "similarity_ivf_search",  # single-query probe: reads only probed cells
+    "dedup_neardup_probe",  # batch near-dup probe vs stored MinHash index
     # round-7 session-10 additions: text-index lifecycle + summary statistics
     "text_index_build",  # one-time (term,doc_id) shuffle + term-sorted commit
     "text_index_extend",  # delta-segment append: cost ∝ batch, not corpus

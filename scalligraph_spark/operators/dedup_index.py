@@ -1,0 +1,219 @@
+"""Persisted MinHash/LSH near-duplicate index: sign the corpus once,
+probe every new crawl batch against it for the cost of the batch.
+
+The exact-dedup tier already has this shape (`incremental_dedup`:
+Bloom-pruned md5 probe); near-dup detection lacked it — every
+`minhash_lsh_pairs` call re-signed the WHOLE corpus, so "is this new
+batch a near-duplicate of anything we already hold?" cost a full corpus
+pass per batch.  At 100 TB that is the difference between a
+batch-sized probe and re-reading the lake.
+
+Artifact layout (the text/ANN index lifecycle discipline —
+text_index.py / ann_index.py):
+
+* ``name``          — (id, signature array<long>) MinHash signatures,
+  the verification side;
+* ``name__bands``   — (band, bh, id) banded bucket keys, the candidate
+  side, sorted on ``bh`` for scan locality;
+* ``name__meta``    — 1-row carrier table whose COMMIT META is the
+  authoritative index record (num_hashes/bands/segments/corpus
+  provenance) — the signature tables are corpus-sized and must never be
+  rewritten just to bump metadata;
+* ``name__seg<k>`` / ``name__bands_seg<k>`` — delta segments appended
+  by :func:`extend_minhash_index` (Lucene discipline: segments are
+  immutable, cost ∝ batch; :func:`compact_minhash_index` merges).
+
+Probe (`incremental_near_dups`): the batch signs map-only (one xxhash64
+per token + one Arrow broadcast — `dedup._minhash_udf`), candidates
+come from an equi-join of the batch's band keys against the stored
+bucket table (batch side broadcast-sized), and the Jaccard estimate
+joins signatures back by id — candidate-sized work throughout.
+
+Reference anchor: the reference maintains declared indexes as
+persistent artifacts consulted by queries (Model.scala:16-19,
+JanusDatabase.scala:304-434); this applies that discipline to the
+corpus-dedup operator family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scalligraph_spark.operators.dedup import minhash_signature
+
+
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh) bucket keys from signatures — map-only explode."""
+    r = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("signature", b * r + 1, r).cast("string")).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+
+
+def _meta(store, name: str) -> dict:
+    m = store.commit_meta(f"{name}__meta")
+    return m if m else store.commit_meta(name)
+
+
+def _write_meta(spark: SparkSession, store, name: str, meta: dict) -> None:
+    store.write(f"{name}__meta", spark.range(1).select(F.lit(name).alias("index")), meta=meta)
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    store,
+    name: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    band_files: int = 16,
+    corpus_store=None,
+    corpus_label: str | None = None,
+) -> int:
+    """Sign the corpus once and commit signatures + banded bucket keys as
+    versioned store tables.  Returns the signature-table version."""
+    if num_hashes % bands:
+        raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
+    sigs = minhash_signature(docs, text_col, id_col, num_hashes)
+    v = store.write(name, sigs)
+    banded = _banded(store.read(spark, name), num_hashes, bands)
+    store.write(f"{name}__bands", banded, sort_by=(band_files, ["bh"]))
+    meta = {
+        "kind": "minhash_lsh",
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "text_col": str(text_col),
+        "id_col": str(id_col),
+        "band_files": int(band_files),
+        "segments": 0,
+    }
+    if corpus_store is not None and corpus_label is not None:
+        meta["corpus_label"] = str(corpus_label)
+        meta["corpus_version"] = int(corpus_store.version(corpus_label))
+    _write_meta(spark, store, name, meta)
+    return v
+
+
+def _read_sigs(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
+    out = store.read(spark, name)
+    for i in range(1, int(meta.get("segments", 0)) + 1):
+        out = out.unionByName(store.read(spark, f"{name}__seg{i}"))
+    return out
+
+
+def _read_bands(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
+    out = store.read(spark, f"{name}__bands")
+    for i in range(1, int(meta.get("segments", 0)) + 1):
+        out = out.unionByName(store.read(spark, f"{name}__bands_seg{i}"))
+    return out
+
+
+def incremental_near_dups(
+    spark: SparkSession,
+    store,
+    name: str,
+    batch: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against the indexed corpus, for the
+    cost of the batch: sign the batch (map-only), equi-join its band keys
+    against the stored buckets (batch side broadcast-sized — Catalyst/AQE
+    pick the broadcast; the corpus is never re-signed), then estimate
+    Jaccard from the full signatures over the candidate pairs only.
+
+    Returns ``(batch_id, corpus_id, est_jaccard)`` with estimate ≥
+    ``threshold``.  Identical to what ``minhash_lsh_pairs`` over
+    corpus ∪ batch would report for cross (batch, corpus) pairs — same
+    hash family, same band keys — minus nothing: the pytest differential
+    pins exact equality.  Intra-batch duplicates are a batch-local
+    question: run ``minhash_lsh_pairs(batch)`` beside this (batch-sized,
+    cheap)."""
+    meta = _meta(store, name)
+    if meta.get("kind") != "minhash_lsh":
+        raise ValueError(f"label {name!r} is not a minhash index (meta={meta})")
+    nh, bands = int(meta["num_hashes"]), int(meta["bands"])
+    bsigs = minhash_signature(
+        batch, str(meta.get("text_col", "text")), str(meta.get("id_col", "doc_id")), nh
+    ).persist()
+    bsigs.count()
+    bband = _banded(bsigs, nh, bands)
+    cband = _read_bands(spark, store, name, meta)
+    cands = (
+        bband.join(cband.withColumnRenamed("id", "corpus_id"), ["band", "bh"])
+        .select(F.col("id").alias("batch_id"), "corpus_id")
+        .where(F.col("batch_id") != F.col("corpus_id"))
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    csigs = _read_sigs(spark, store, name, meta)
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(nh))
+    ).cast("double")
+    return (
+        cands.join(bsigs.select(F.col("id").alias("batch_id"), F.col("signature").alias("sig_a")), "batch_id")
+        .join(csigs.select(F.col("id").alias("corpus_id"), F.col("signature").alias("sig_b")), "corpus_id")
+        .select("batch_id", "corpus_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def extend_minhash_index(
+    spark: SparkSession,
+    store,
+    name: str,
+    new_docs: DataFrame,
+    corpus_store=None,
+) -> int:
+    """Fold an accepted batch into the index for the cost of the batch:
+    its signatures and band keys land as immutable delta segments; the
+    base tables are never rewritten.  The crawl loop is probe → decide →
+    extend: `incremental_near_dups` flags the batch against everything
+    seen, the keeper rows come back through here, and the next batch
+    probes base ∪ segments.  Returns the new segment count."""
+    meta = _meta(store, name)
+    nh, bands = int(meta["num_hashes"]), int(meta["bands"])
+    k = int(meta.get("segments", 0)) + 1
+    sigs = minhash_signature(
+        new_docs, str(meta.get("text_col", "text")), str(meta.get("id_col", "doc_id")), nh
+    )
+    store.write(f"{name}__seg{k}", sigs)
+    store.write(
+        f"{name}__bands_seg{k}",
+        _banded(store.read(spark, f"{name}__seg{k}"), nh, bands),
+        sort_by=(max(1, int(meta.get("band_files", 16)) // 4), ["bh"]),
+    )
+    meta = dict(meta, segments=k)
+    if corpus_store is not None and "corpus_label" in meta:
+        meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
+    _write_meta(spark, store, name, meta)
+    return k
+
+
+def compact_minhash_index(spark: SparkSession, store, name: str) -> int:
+    """Merge every delta segment back into the base tables (one rewrite
+    of existing rows — no re-signing): probes go back to two base scans.
+    Old segment labels stay for pinned readers (``store.drop`` under
+    retention).  Returns the new base signature version."""
+    meta = _meta(store, name)
+    v = store.write(name, _read_sigs(spark, store, name, meta))
+    store.write(
+        f"{name}__bands",
+        _read_bands(spark, store, name, meta),
+        sort_by=(int(meta.get("band_files", 16)), ["bh"]),
+    )
+    _write_meta(spark, store, name, dict(meta, segments=0))
+    return v

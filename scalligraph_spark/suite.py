@@ -3477,6 +3477,61 @@ def dedup_incremental(spark, sf):
     return incremental_dedup(docs, batch, bloom=True)
 
 
+def _minhash_index_store(spark, sf):
+    """Build-once-per-process MinHash index over the sf's documents —
+    the probe entry must measure the batch probe, not the amortized
+    corpus signing."""
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.operators import build_minhash_index
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_mhix_{_os.path.basename(sf.rstrip('/'))}"
+    if root not in _MINHASH_INDEX_BUILT:
+        _shutil.rmtree(root, ignore_errors=True)
+        docs = cat_for(spark, sf).vertex_df("documents")
+        build_minhash_index(spark, LabelStore(root), "docs_mh", docs)
+        _MINHASH_INDEX_BUILT.add(root)
+    return LabelStore(root)
+
+
+_MINHASH_INDEX_BUILT: set = set()
+
+
+@q(
+    "dedup_neardup_probe",
+    None,  # xxhash64-derived MinHash family — no SQL twin; the pytest
+    # differential pins exact equality with the full-corpus LSH join's
+    # cross pairs (test_dedup_index)
+    "incremental NEAR-dup detection through the persisted MinHash index "
+    "(the near-dup twin of dedup_incremental's exact-hash probe): the "
+    "corpus is signed ONCE into signature + banded-bucket store tables; "
+    "each crawl batch then signs map-only and equi-joins its band keys "
+    "against the stored buckets (batch side broadcast-sized) — probe "
+    "cost ∝ batch, the corpus is never re-signed.  The batch here is "
+    "200 docs with one token replaced, so every one is a true near-dup "
+    "the probe must find",
+)
+def dedup_neardup_probe_q(spark, sf):
+    from scalligraph_spark.operators import incremental_near_dups
+
+    store = _minhash_index_store(spark, sf)
+    docs = cat_for(spark, sf).vertex_df("documents")
+    batch = (
+        docs.orderBy("doc_id")
+        .limit(100)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.regexp_replace("text", r"^(\S+)", "probe").alias("text"),
+        )
+    )
+    # threshold 0.8: "is this batch ~identical to something held" — the
+    # crawl-dedup question; the synthetic corpus is near-dup-dense by
+    # construction, so a 0.5 cut would return ~3k matches per probe doc
+    return incremental_near_dups(spark, store, "docs_mh", batch, threshold=0.8)
+
+
 @q(
     "qagg_percentiles",
     """

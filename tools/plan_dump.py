@@ -132,6 +132,7 @@ PLAN_QUERIES = [
     "blob_multi_hash",  # one projection, all digests in the scan stage
     "text_indexed_search",  # In(term,…) pushed into the postings scan
     "similarity_ivf_search",  # In(cell,…) pushed into the inverted-list scan
+    "dedup_neardup_probe",  # broadcast batch bands vs stored buckets
     "text_index_term_filter",  # StringStartsWith pushed into the terms scan
     "quality_constraint_report",  # one-scan constraint agg + referential join
     "temporal_forward_fill",  # LOCF partitioned window, no global sort

@@ -122,6 +122,8 @@ def run(spark, sf_dir: str, names) -> dict[str, float]:
         S._text_index_store(spark, sf_dir)
     if "text_index_extend" in names:
         S._text_index_extend_store(spark, sf_dir)
+    if "dedup_neardup_probe" in names:
+        S._minhash_index_store(spark, sf_dir)
 
     times = {}
     for name in names:
