@@ -83,9 +83,12 @@ def build_minhash_index(
     band_files: int = 16,
     corpus_store=None,
     corpus_label: str | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Sign the corpus once and commit signatures + banded bucket keys as
-    versioned store tables.  Returns the signature-table version."""
+    versioned store tables.  Returns the signature-table version.
+    ``extra_meta`` merges into the index record (e.g. the streaming
+    sink's batch id for replay idempotence)."""
     if num_hashes % bands:
         raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
     sigs = minhash_signature(docs, text_col, id_col, num_hashes)
@@ -104,7 +107,7 @@ def build_minhash_index(
     if corpus_store is not None and corpus_label is not None:
         meta["corpus_label"] = str(corpus_label)
         meta["corpus_version"] = int(corpus_store.version(corpus_label))
-    _write_meta(spark, store, name, meta)
+    _write_meta(spark, store, name, dict(meta, **(extra_meta or {})))
     return v
 
 
@@ -177,6 +180,7 @@ def extend_minhash_index(
     name: str,
     new_docs: DataFrame,
     corpus_store=None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Fold an accepted batch into the index for the cost of the batch:
     its signatures and band keys land as immutable delta segments; the
@@ -196,7 +200,7 @@ def extend_minhash_index(
         _banded(store.read(spark, f"{name}__seg{k}"), nh, bands),
         sort_by=(max(1, int(meta.get("band_files", 16)) // 4), ["bh"]),
     )
-    meta = dict(meta, segments=k)
+    meta = dict(meta, segments=k, **(extra_meta or {}))
     if corpus_store is not None and "corpus_label" in meta:
         meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
     _write_meta(spark, store, name, meta)

@@ -407,6 +407,102 @@ def start_dedup_sink(
     )
 
 
+def start_neardup_sink(
+    stream_df: DataFrame,
+    store,
+    corpus_label: str,
+    index_name: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_name: str = "neardup_sink",
+):
+    """Streaming crawl ingest gated by NEAR-duplicate detection — the
+    near-dup twin of :func:`start_dedup_sink`, composed from the
+    persisted MinHash index (dedup_index.py): per micro-batch,
+
+    1. probe the batch against the index (`incremental_near_dups` —
+       batch-sized work; the corpus is never re-signed) and drop every
+       doc whose estimated Jaccard against ANYTHING held ≥ ``threshold``;
+    2. drop within-batch near-dups (`minhash_lsh_pairs` over the batch —
+       batch²-bounded; the kept doc is the pair's lower id);
+    3. append the survivors to the corpus label and fold them into the
+       index as a delta segment (`extend_minhash_index` — cost ∝ batch,
+       so the NEXT batch probes base ∪ segments with no rebuild).
+
+    The first batch bootstraps the index from its own survivors.
+    Batch-id idempotence is tracked per artifact (corpus commit meta AND
+    index meta): a crash between the corpus append and the index extend
+    replays into catching up ONLY the index — classification replays
+    identically because it reads the index at its pre-batch state either
+    way.  Run `compact_minhash_index` under maintenance when the segment
+    count grows.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from scalligraph_spark.operators.dedup import minhash_lsh_pairs
+    from scalligraph_spark.operators.dedup_index import (
+        _meta,
+        build_minhash_index,
+        extend_minhash_index,
+        incremental_near_dups,
+    )
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur_v = store.version(corpus_label)
+        corpus_done = (
+            cur_v > 0 and store.commit_meta(corpus_label, cur_v).get("batch_id", -1) >= batch_id
+        )
+        have_index = store.version(index_name) > 0
+        index_done = have_index and _meta(store, index_name).get("batch_id", -1) >= batch_id
+        if corpus_done and index_done:
+            return  # replayed batch — both artifacts already committed
+        batch = batch_df
+        if have_index:
+            corpus_hits = incremental_near_dups(
+                spark, store, index_name, batch, threshold=threshold
+            ).select(F.col("batch_id").alias(id_col)).distinct()
+            batch = batch.join(corpus_hits, id_col, "left_anti")
+        intra = (
+            minhash_lsh_pairs(batch, text_col=text_col, id_col=id_col, threshold=threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = batch.join(intra, id_col, "left_anti").persist()
+        survivors.count()
+        if not corpus_done:
+            merged = (
+                store.read(spark, corpus_label, cur_v).unionByName(survivors)
+                if cur_v > 0
+                else survivors
+            )
+            store.write(corpus_label, merged, meta={"batch_id": batch_id})
+        if not index_done:
+            if have_index:
+                extend_minhash_index(
+                    spark, store, index_name, survivors,
+                    corpus_store=store, extra_meta={"batch_id": batch_id},
+                )
+            else:
+                build_minhash_index(
+                    spark, store, index_name, survivors,
+                    text_col=text_col, id_col=id_col,
+                    corpus_store=store, corpus_label=corpus_label,
+                    extra_meta={"batch_id": batch_id},
+                )
+        survivors.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_stats_sink(
     stream_df: DataFrame,
     store,

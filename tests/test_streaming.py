@@ -714,3 +714,65 @@ def test_index_maintenance_sink_extends_ivf_cells(spark, tmp_path):
     got = ivf_search(spark, store, "emb_ix", [float(104 % 7), float(104 % 5), 1.0],
                      k=3, n_probe=4).collect()
     assert 104 in {r["vec_id"] for r in got}  # streamed vector found
+
+
+def test_neardup_sink_gates_batches_and_extends_index(spark, tmp_path):
+    """Crawl ingest gated by near-dup detection: batch 1 bootstraps the
+    index from its own survivors (within-batch near-dup dropped), batch
+    2 (stream restart, same checkpoint) is probed against the INDEX —
+    near-dups of held docs rejected, novel docs kept and folded in as a
+    delta segment."""
+    from scalligraph_spark.operators.dedup_index import _meta
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import start_neardup_sink
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    store = LabelStore(str(tmp_path / "nd"))
+    src, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "sleepy")),  # within-batch near-dup of 1
+            (3, "completely different text about spark engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    b1.write.parquet(src)
+    q = start_neardup_sink(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, "corpus", "corpus_mh", ck, threshold=0.7, query_name="nd1",
+    )
+    q.awaitTermination()
+    assert {r["doc_id"] for r in store.read(spark, "corpus").collect()} == {1, 3}
+    m = _meta(store, "corpus_mh")
+    assert m["segments"] == 0 and m["batch_id"] == 0  # bootstrapped from survivors
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("dog", "dog")),  # exact near-dup of held doc 1
+            (11, "a genuinely novel document mentioning window functions only"),
+            (12, "a genuinely novel document mentioning window functions too"),  # ~dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    b2.write.mode("append").parquet(src)
+    q2 = start_neardup_sink(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, "corpus", "corpus_mh", ck, threshold=0.7, query_name="nd2",
+    )
+    q2.awaitTermination()
+    assert {r["doc_id"] for r in store.read(spark, "corpus").collect()} == {1, 3, 11}
+    m = _meta(store, "corpus_mh")
+    assert m["segments"] == 1 and m["batch_id"] == 1  # survivors folded in
+
+    # the survivor from batch 2 is now probeable: a third near-dup of 11
+    # would be rejected — verify via a direct probe
+    from scalligraph_spark.operators import incremental_near_dups
+
+    probe = spark.createDataFrame(
+        [(20, "a genuinely novel document mentioning window functions also")],
+        "doc_id long, text string",
+    )
+    hits = incremental_near_dups(spark, store, "corpus_mh", probe, threshold=0.7).collect()
+    assert {(r["batch_id"], r["corpus_id"]) for r in hits} == {(20, 11)}
