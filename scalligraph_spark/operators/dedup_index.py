@@ -95,6 +95,15 @@ def build_minhash_index(
     v = store.write(name, sigs)
     banded = _banded(store.read(spark, name), num_hashes, bands)
     store.write(f"{name}__bands", banded, sort_by=(band_files, ["bh"]))
+    # per-bucket membership counts, paid ONCE at build time: the probe
+    # uses them to skip degenerate hot buckets (a corpus of millions of
+    # identical docs lands in one bucket) without scanning the corpus
+    store.write(
+        f"{name}__bucket_stats",
+        store.read(spark, f"{name}__bands").groupBy("band", "bh").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+    )
     meta = {
         "kind": "minhash_lsh",
         "num_hashes": int(num_hashes),
@@ -125,12 +134,20 @@ def _read_bands(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
     return out
 
 
+def _read_bucket_stats(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
+    out = store.read(spark, f"{name}__bucket_stats")
+    for i in range(1, int(meta.get("segments", 0)) + 1):
+        out = out.unionByName(store.read(spark, f"{name}__bucket_stats_seg{i}"))
+    return out
+
+
 def incremental_near_dups(
     spark: SparkSession,
     store,
     name: str,
     batch: DataFrame,
     threshold: float = 0.5,
+    max_bucket_rows: int | None = 8192,
 ) -> DataFrame:
     """Near-duplicates of a NEW batch against the indexed corpus, for the
     cost of the batch: sign the batch (map-only), equi-join its band keys
@@ -144,7 +161,17 @@ def incremental_near_dups(
     hash family, same band keys — minus nothing: the pytest differential
     pins exact equality.  Intra-batch duplicates are a batch-local
     question: run ``minhash_lsh_pairs(batch)`` beside this (batch-sized,
-    cheap)."""
+    cheap).
+
+    ``max_bucket_rows`` skips corpus buckets holding more members than
+    the cap (a degenerate corpus — millions of identical docs — lands in
+    ONE bucket, and batch × hot-bucket candidate volume melts the probe
+    at 100 TB).  The decision uses the per-bucket counts recorded at
+    build/extend time (``name__bucket_stats`` — a broadcast-sized
+    skip-list, no corpus scan at probe time); matches through a skipped
+    bucket usually survive via the other ``bands−1`` band keys, the same
+    graceful degradation as ``minhash_lsh_pairs``'s salted-bucket cap.
+    ``None`` disables the cap (the exact-differential mode)."""
     meta = _meta(store, name)
     if meta.get("kind") != "minhash_lsh":
         raise ValueError(f"label {name!r} is not a minhash index (meta={meta})")
@@ -155,6 +182,15 @@ def incremental_near_dups(
     bsigs.count()
     bband = _banded(bsigs, nh, bands)
     cband = _read_bands(spark, store, name, meta)
+    if max_bucket_rows is not None:
+        oversized = (
+            _read_bucket_stats(spark, store, name, meta)
+            .groupBy("band", "bh")  # per-segment counts sum to the global size
+            .agg(F.sum("n").alias("n"))
+            .where(F.col("n") > int(max_bucket_rows))
+            .select("band", "bh")
+        )
+        cband = cband.join(F.broadcast(oversized), ["band", "bh"], "left_anti")
     cands = (
         bband.join(cband.withColumnRenamed("id", "corpus_id"), ["band", "bh"])
         .select(F.col("id").alias("batch_id"), "corpus_id")
@@ -200,6 +236,12 @@ def extend_minhash_index(
         _banded(store.read(spark, f"{name}__seg{k}"), nh, bands),
         sort_by=(max(1, int(meta.get("band_files", 16)) // 4), ["bh"]),
     )
+    store.write(
+        f"{name}__bucket_stats_seg{k}",
+        store.read(spark, f"{name}__bands_seg{k}").groupBy("band", "bh").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+    )
     meta = dict(meta, segments=k, **(extra_meta or {}))
     if corpus_store is not None and "corpus_label" in meta:
         meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
@@ -218,6 +260,12 @@ def compact_minhash_index(spark: SparkSession, store, name: str) -> int:
         f"{name}__bands",
         _read_bands(spark, store, name, meta),
         sort_by=(int(meta.get("band_files", 16)), ["bh"]),
+    )
+    store.write(
+        f"{name}__bucket_stats",
+        _read_bucket_stats(spark, store, name, meta)
+        .groupBy("band", "bh")
+        .agg(F.sum("n").cast("long").alias("n")),
     )
     _write_meta(spark, store, name, dict(meta, segments=0))
     return v

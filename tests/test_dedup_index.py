@@ -121,3 +121,31 @@ def test_index_records_provenance_and_rejects_wrong_kind(spark, corpus, store):
 def test_bands_must_divide_hashes(spark, corpus, store):
     with pytest.raises(ValueError, match="must divide"):
         build_minhash_index(spark, store, "ix", corpus, num_hashes=64, bands=7)
+
+
+def test_probe_skips_hot_buckets_via_stored_stats(spark, store):
+    """The probe's hot-bucket cap reads the per-bucket counts recorded
+    at build time (no corpus scan): a degenerate corpus of identical
+    docs is skipped under the cap, fully matched with the cap off."""
+    clones = _docs(spark, [(i, "identical text repeated everywhere") for i in range(50)])
+    build_minhash_index(spark, store, "ix", clones)
+    probe = _docs(spark, [(999, "identical text repeated everywhere")])
+
+    capped = incremental_near_dups(spark, store, "ix", probe, threshold=0.9,
+                                   max_bucket_rows=10).collect()
+    assert capped == []  # every bucket oversized → skipped, probe survives
+
+    full = incremental_near_dups(spark, store, "ix", probe, threshold=0.9,
+                                 max_bucket_rows=None).collect()
+    assert {r["corpus_id"] for r in full} == set(range(50))  # cap off: all found
+
+    # normal corpora are untouched by the default cap — and segment
+    # stats sum with the base when deciding
+    extra = _docs(spark, [(100, "identical text repeated everywhere")])
+    extend_minhash_index(spark, store, "ix", extra)
+    capped2 = incremental_near_dups(spark, store, "ix", probe, threshold=0.9,
+                                    max_bucket_rows=60).collect()
+    assert {r["corpus_id"] for r in capped2} == set(range(50)) | {100}  # 51 ≤ 60
+    capped3 = incremental_near_dups(spark, store, "ix", probe, threshold=0.9,
+                                    max_bucket_rows=50).collect()
+    assert capped3 == []  # 51 > 50 only after summing base + segment counts
