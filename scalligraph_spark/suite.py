@@ -83,6 +83,7 @@ def executor_for(
     snapshot_root: str | None = None,
     text_index: tuple | None = None,
     ann_index: tuple | None = None,
+    minhash_index: tuple | None = None,
 ) -> QueryExecutor:
     """The registered query surface (QueryExecutor.scala:17-171 analog):
     init queries per label + inter-entity hop queries with typed params
@@ -110,7 +111,17 @@ def executor_for(
     with a committed cell-backed IVF artifact the step probes ONLY the
     query's cells (:func:`ivf_search` — approximate by design, recall
     governed by n_probe) instead of the exact brute-force corpus pass;
-    no artifact → exact scan + ``MissingAnnIndexWarning``."""
+    no artifact → exact scan + ``MissingAnnIndexWarning``.
+
+    ``minhash_index=(store, name)`` registers the chained
+    ``nearDupProbe`` step on the ``documents`` type: the chain's current
+    rows (typically a filtered batch) sign map-only and probe the
+    persisted MinHash index —
+    ``[{_name: all_documents}, {_name: filter, …}, {_name: nearDupProbe,
+    threshold?, maxBucketRows?}]`` is batch near-dup detection from the
+    query language.  The step REQUIRES the index; there is no
+    full-corpus fallback, because silently re-signing the corpus is the
+    cost the index exists to avoid."""
     c = cat_for(spark, sf_dir)
     ex = QueryExecutor(c)
     for label in c.vertices:
@@ -224,6 +235,23 @@ def executor_for(
         return Traversal(out, catalog=g, label=None)
 
     ex.register_init("annSearch", _ann_search)
+
+    if minhash_index is not None:
+
+        def _near_dup_probe(t, s, a):
+            from scalligraph_spark.operators import incremental_near_dups
+
+            mh_store, mh_name = minhash_index
+            out = incremental_near_dups(
+                spark, mh_store, mh_name, t.df,
+                threshold=float(s.get("threshold", 0.8)),
+                max_bucket_rows=(
+                    int(s["maxBucketRows"]) if "maxBucketRows" in s else 8192
+                ),
+            )
+            return t._with(out, label=None)
+
+        ex.register("nearDupProbe", "documents", _near_dup_probe)
 
     def _text_search(g, s, a):
         import warnings as _warnings

@@ -426,3 +426,49 @@ def test_annsearch_routes_through_declared_ivf_index(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         t.df.explain("formatted")
     assert "In(cell" in buf.getvalue()  # probed-cell pushdown, no corpus scan
+
+
+def test_neardupprobe_chained_step_requires_and_uses_minhash_index(spark, tmp_path):
+    """The nearDupProbe step probes the chain's CURRENT rows against the
+    declared persisted MinHash index — [all_documents → filter →
+    nearDupProbe] from the query language; without the declaration the
+    step does not exist (no silent full-corpus fallback)."""
+    from scalligraph_spark.operators import build_minhash_index
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.suite import executor_for
+    from tests.conftest import SF_DIR
+
+    store = LabelStore(str(tmp_path / "mh"))
+    corpus = spark.createDataFrame(
+        [(9000, "a very specific sentence about probe routing in query chains")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(spark, store, "docs_mh", corpus)
+
+    # chained probe: the filtered documents rows are the batch
+    ex = executor_for(spark, SF_DIR, minhash_index=(store, "docs_mh"))
+    probed = ex.execute(
+        [
+            {"_name": "all_documents"},
+            {"_name": "filter", "_lt": {"_field": "doc_id", "_value": 3}},
+            {"_name": "nearDupProbe", "threshold": 0.7},
+        ]
+    ).df
+    assert probed.columns == ["batch_id", "corpus_id", "est_jaccard"]
+    assert probed.count() == 0  # real docs don't near-dup the tiny corpus
+
+    # a planted near-dup of the indexed sentence IS found by the same
+    # probe the step routes to (operator-level differential)
+    from scalligraph_spark.operators import incremental_near_dups
+
+    planted = spark.createDataFrame(
+        [(42, "a very specific sentence about probe routing in query chain")],
+        "doc_id long, text string",
+    )
+    got = incremental_near_dups(spark, store, "docs_mh", planted, threshold=0.7).collect()
+    assert {(r["batch_id"], r["corpus_id"]) for r in got} == {(42, 9000)}
+
+    # undeclared: the step is not registered at all
+    ex_plain = executor_for(spark, SF_DIR)
+    with pytest.raises(ValueError):
+        ex_plain.execute([{"_name": "all_documents"}, {"_name": "nearDupProbe"}])
