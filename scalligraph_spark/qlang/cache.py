@@ -1,0 +1,121 @@
+"""Version-keyed query-result cache over the versioned store.
+
+The reference memoizes expensive lookups behind per-service caches (its
+auth/user services wrap a Caffeine cache; see AuthSrv-layer caching) —
+but a batch engine can do strictly better than TTL caching: a cached
+query result is valid EXACTLY as long as the table versions it was
+computed from still stand, and the versioned store makes those versions
+a zero-cost fingerprint (one pointer-file stat per label, no data
+scan).
+
+:class:`QueryCache` wraps a :class:`~scalligraph_spark.qlang.QueryExecutor`:
+
+* the cache key is ``md5(canonical-json(chain) · auth identity · the
+  fingerprint of every store-backed label the executor's catalog
+  reads)`` — a write to ANY input label changes the fingerprint, so
+  invalidation is automatic and exact; no TTLs, no explicit flushes, no
+  stale reads (parquet-backed labels never change under a pointer and
+  contribute a constant);
+* auth participates in the key because results are auth-DEPENDENT (row
+  policies, auth-aware properties): two principals never share an
+  entry;
+* hits are served from a committed store table (``<prefix><key>``) —
+  the snapshot/atomicity guarantees of any other table, safe across
+  processes sharing the store root;
+* misses execute the chain, commit the result, and serve the same
+  DataFrame (write-through);
+* :meth:`evict` drops least-recently-WRITTEN entries past a bound —
+  superseded fingerprints are dead weight the moment an input label
+  advances, so age-based eviction is the honest policy.
+
+At 100 TB the point is the repeated dashboards/report chains: the first
+run pays the query, every identical run until the next corpus commit
+pays one pointer stat + one result-table scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from scalligraph_spark.traversal import Traversal
+
+
+class QueryCache:
+    """Write-through, version-keyed result cache for a QueryExecutor."""
+
+    def __init__(self, executor, store, labels: list[str] | None = None, prefix: str = "_qcache_"):
+        self.executor = executor
+        self.store = store
+        # labels whose versions form the fingerprint: default = every
+        # store-backed label registered in the executor's catalog
+        if labels is None:
+            labels = sorted(
+                lbl for lbl in executor.catalog.vertices if store.version(lbl) > 0
+            )
+        self.labels = list(labels)
+        self.prefix = prefix
+        self.hits = 0
+        self.misses = 0
+
+    # -- key --------------------------------------------------------------
+    def _fingerprint(self) -> str:
+        return ";".join(f"{lbl}:{self.store.version(lbl)}" for lbl in self.labels)
+
+    def key(self, chain: list[dict], auth: dict | None = None) -> str:
+        ident = ""
+        if auth:
+            # identity + grants are what scope a result; a rotated session
+            # token for the same principal must NOT fork the cache
+            ident = json.dumps(
+                {
+                    "user": auth.get("user") or auth.get("user_id"),
+                    "organisation": auth.get("organisation"),
+                    "permissions": sorted(auth.get("permissions") or []),
+                    "data": auth.get("data") or {},
+                },
+                sort_keys=True,
+            )
+        payload = json.dumps(chain, sort_keys=True) + "\x00" + ident + "\x00" + self._fingerprint()
+        return hashlib.md5(payload.encode()).hexdigest()
+
+    # -- execution --------------------------------------------------------
+    def execute(self, chain: list[dict], auth: dict | None = None) -> Traversal:
+        label = self.prefix + self.key(chain, auth)
+        spark = self.executor.catalog.spark
+        if self.store.version(label) > 0:
+            self.hits += 1
+            return Traversal(self.store.read(spark, label), catalog=self.executor.catalog, label=None)
+        self.misses += 1
+        t = self.executor.execute(chain, auth=auth)
+        self.store.write(label, t.df, meta={"kind": "query_cache", "chain": chain})
+        # serve the committed copy so repeated actions on the returned
+        # frame scan the cache, not the original plan
+        return Traversal(self.store.read(spark, label), catalog=self.executor.catalog, label=None)
+
+    # -- maintenance ------------------------------------------------------
+    def entries(self) -> list[str]:
+        import os
+
+        root = self.store.root
+        return sorted(
+            n for n in os.listdir(root)
+            if n.startswith(self.prefix) and self.store.version(n) > 0
+        )
+
+    def evict(self, keep: int = 64) -> list[str]:
+        """Drop the oldest cache entries past ``keep`` (by pointer-file
+        mtime — last write time).  Entries keyed on superseded
+        fingerprints can never be hit again; age order reaps them
+        first."""
+        import os
+
+        aged = sorted(
+            self.entries(),
+            key=lambda n: os.path.getmtime(self.store._pointer(n)),
+            reverse=True,
+        )
+        victims = aged[keep:]
+        for n in victims:
+            self.store.drop(n)
+        return victims

@@ -1,0 +1,96 @@
+"""Version-keyed query-result cache: hits bypass the fold entirely,
+writes to any input label invalidate exactly, auth scopes entries, and
+eviction reaps oldest-first."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalligraph_spark.catalog import GraphCatalog, VertexSpec
+from scalligraph_spark.qlang import QueryCache, QueryExecutor
+from scalligraph_spark.store import LabelStore
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    store = LabelStore(str(tmp_path / "qc"))
+    store.write(
+        "person",
+        spark.createDataFrame(
+            [(1, "marko", 29), (2, "vadas", 27), (3, "josh", 32)],
+            "person_id long, name string, age long",
+        ),
+    )
+    cat = GraphCatalog(spark)
+    cat.add_store_vertex(store, "person", "person_id")
+    ex = QueryExecutor(cat)
+    ex.register_init("people", lambda g, s, a: g.V("person"))
+    return store, ex
+
+
+def test_hit_miss_and_exact_invalidation(spark, setup):
+    store, ex = setup
+    calls = {"n": 0}
+    real = ex.execute
+
+    def counting(chain, auth=None):
+        calls["n"] += 1
+        return real(chain, auth=auth)
+
+    ex.execute = counting
+    cache = QueryCache(ex, store)
+    chain = [{"_name": "people"}, {"_name": "filter", "_gt": {"_field": "age", "_value": 28}}]
+
+    first = cache.execute(chain)
+    assert calls["n"] == 1 and (cache.hits, cache.misses) == (0, 1)
+    assert sorted(r["name"] for r in first.df.collect()) == ["josh", "marko"]
+
+    second = cache.execute(chain)
+    assert calls["n"] == 1  # served from the store — the fold never ran
+    assert (cache.hits, cache.misses) == (1, 1)
+    assert sorted(r["name"] for r in second.df.collect()) == ["josh", "marko"]
+
+    # a write to the input label changes the fingerprint: exact
+    # invalidation, no TTL — and the fresh result sees the new row
+    store.write(
+        "person",
+        store.read(spark, "person").unionByName(
+            spark.createDataFrame([(4, "peter", 35)], "person_id long, name string, age long")
+        ),
+    )
+    third = cache.execute(chain)
+    assert calls["n"] == 2 and cache.misses == 2
+    assert sorted(r["name"] for r in third.df.collect()) == ["josh", "marko", "peter"]
+
+
+def test_auth_scopes_entries_but_token_rotation_does_not(setup):
+    store, ex = setup
+    cache = QueryCache(ex, store)
+    chain = [{"_name": "people"}]
+    alice = {"user": "alice", "permissions": ["read"], "organisation": "acme"}
+    bob = {"user": "bob", "permissions": ["read"], "organisation": "acme"}
+    assert cache.key(chain, alice) != cache.key(chain, bob)  # principals never share
+    assert cache.key(chain, alice) != cache.key(chain, None)
+    # same identity+grants with extra transport noise (token) → same key
+    assert cache.key(chain, dict(alice, token="abc")) == cache.key(chain, dict(alice, token="xyz"))
+
+
+def test_evict_keeps_newest(setup):
+    import time
+
+    store, ex = setup
+    cache = QueryCache(ex, store)
+    chains = [[{"_name": "people"}, {"_name": "limit", "n": n}] for n in (1, 2, 3)]
+    for c in chains:
+        cache.execute(c)
+        time.sleep(0.05)  # distinct pointer mtimes
+    assert len(cache.entries()) == 3
+    victims = cache.evict(keep=1)
+    assert len(victims) == 2
+    remaining = cache.entries()
+    assert remaining == [cache.prefix + cache.key(chains[2])]  # newest survived
+    # the survivor still hits
+    before = cache.hits
+    cache.execute(chains[2])
+    assert cache.hits == before + 1
