@@ -80,9 +80,16 @@ class QueryServer:
         api_version: int = 1,
         access_log=None,
         session_srv=None,
+        cache=None,
     ):
         self.executor = executor
         self.auth_srv = auth_srv
+        # optional version-keyed result cache (qlang.QueryCache): when set,
+        # non-streamed queries serve store-committed results on identical
+        # (chain, auth identity, store versions); the response carries
+        # X-Query-Cache: hit|miss.  Streamed requests bypass it — the
+        # chunked path exists for results too big to want a cached copy.
+        self.cache = cache
         self.path = f"/api/v{api_version}/query"
         self.login_path = f"/api/v{api_version}/login"
         # AccessLogFilter analog (AccessLogFilter.scala:16-36): called with
@@ -162,7 +169,19 @@ class QueryServer:
             auth = self._auth_from_headers(headers)
             if not isinstance(payload, dict) or "query" not in payload:
                 raise ValueError('body must be a JSON object with a "query" chain')
-            result = self.executor.parse_and_execute(payload["query"], auth)
+            cache_state = None
+            if self.cache is not None and not payload.get("chunkSize") and not payload.get("noCache"):
+                # Field-tier validation still applies (cache.execute assumes
+                # a well-formed chain, exactly like executor.execute)
+                from scalligraph_spark.fields import validate_chain
+
+                known = tuple(q.name for q in self.executor._queries)
+                chain = validate_chain(payload["query"], known_queries=known)
+                hits_before = self.cache.hits
+                result = self.cache.execute(chain, auth)
+                cache_state = "hit" if self.cache.hits > hits_before else "miss"
+            else:
+                result = self.executor.parse_and_execute(payload["query"], auth)
             if payload.get("chunkSize"):
                 # streamed result: toLocalIterator-backed chunks (the
                 # IteratorOutput / chunked-JSON analog) — the driver never
@@ -187,6 +206,8 @@ class QueryServer:
                 return 200, extra_headers, stream_chunks()
             rows = render_rows(result.df)
             extra_headers = {}
+            if cache_state is not None:
+                extra_headers["X-Query-Cache"] = cache_state
             if rows and "total" in rows[0]:
                 # richPage contract: the limited-count total rides every row
                 # (broadcast crossJoin); the transport hoists it to X-Total

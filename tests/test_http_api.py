@@ -311,3 +311,53 @@ def test_login_via_directory_provider_chain(spark):
         assert (status, err["type"]) == (401, "AuthenticationError")
     finally:
         srv.close()
+
+
+def test_query_cache_behind_the_front_door(spark, tmp_path):
+    """QueryServer(cache=…): identical chains serve from the
+    version-keyed cache with X-Query-Cache hit/miss visibility; a store
+    write invalidates; noCache and streamed requests bypass."""
+    from scalligraph_spark.catalog import GraphCatalog
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.qlang import QueryCache, QueryExecutor
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "qc"))
+    store.write(
+        "person",
+        spark.createDataFrame(
+            [(1, "marko", 29), (2, "vadas", 27)], "person_id long, name string, age long"
+        ),
+    )
+    cat = GraphCatalog(spark)
+    cat.add_store_vertex(store, "person", "person_id")
+    ex = QueryExecutor(cat)
+    ex.register_init("people", lambda g, s, a: g.V("person"))
+    srv = QueryServer(ex, cache=QueryCache(ex, store)).serve()
+    try:
+        chain = [{"_name": "people"}, {"_name": "count"}]
+        status, h1, rows1 = _post(srv.port, chain=chain)
+        assert (status, h1.get("X-Query-Cache")) == (200, "miss")
+        assert rows1[0]["count"] == 2
+        status, h2, rows2 = _post(srv.port, chain=chain)
+        assert (status, h2.get("X-Query-Cache")) == (200, "hit")
+        assert rows2 == rows1
+
+        # label write → exact invalidation, fresh rows
+        store.write(
+            "person",
+            store.read(spark, "person").unionByName(
+                spark.createDataFrame([(3, "josh", 32)], "person_id long, name string, age long")
+            ),
+        )
+        status, h3, rows3 = _post(srv.port, chain=chain)
+        assert (status, h3.get("X-Query-Cache")) == (200, "miss")
+        assert rows3[0]["count"] == 3
+
+        # explicit opt-out: no cache header at all
+        status, h4, _ = _post(
+            srv.port, body=json.dumps({"query": chain, "noCache": True}).encode()
+        )
+        assert status == 200 and "X-Query-Cache" not in h4
+    finally:
+        srv.close()
