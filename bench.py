@@ -114,6 +114,7 @@ HEADLINE = [
     "similarity_ann_recall",  # recall@10 of IVF vs exact ground truth
     "similarity_ivf_search",  # single-query probe: reads only probed cells
     "dedup_neardup_probe",  # batch near-dup probe vs stored MinHash index
+    "sketch_kmv_set_ops",  # KMV min-k synopses: 2 scans + TakeOrdered, driver set algebra
     # round-7 session-10 additions: text-index lifecycle + summary statistics
     "text_index_build",  # one-time (term,doc_id) shuffle + term-sorted commit
     "text_index_extend",  # delta-segment append: cost ∝ batch, not corpus

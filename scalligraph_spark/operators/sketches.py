@@ -118,3 +118,91 @@ def countmin_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
         F.coalesce("__ip", F.lit(0)).alias("__ip")
     )
     return full.agg(F.min("__ip").cast("long").alias("est_join_size"))
+
+
+# -- KMV distinct-value synopses ---------------------------------------------
+
+
+class KMVSketch:
+    """K-minimum-values distinct-count synopsis with SET ALGEBRA (Beyer,
+    Haas, Reinwald, Sismanis, Gemulla — "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations", SIGMOD 2007).
+
+    HLL++ answers "how many distinct" for ONE set and unions merge, but
+    INTERSECTIONS don't: estimating |A ∩ B| from two HLLs needs
+    inclusion-exclusion, whose error explodes when the overlap is small.
+    KMV keeps the k smallest normalized hash values of the set; because
+    the same value hashes identically everywhere, two sketches support
+    union, intersection, and difference estimates directly — the
+    cross-corpus questions a training pipeline asks without paying a
+    distinct-join: "how many NEW users/tokens/urls does corpus B add",
+    "how much vocabulary do two crawls share".
+
+    The sketch is k doubles (driver-sized by design).  Building is one
+    scan + a TakeOrdered(k): at 100 TB that is the synopsis workflow —
+    scan once per corpus, answer set questions forever driver-side.
+    """
+
+    __slots__ = ("k", "values", "exact")
+
+    def __init__(self, k: int, values: list[float], exact: bool):
+        self.k = int(k)
+        self.values = sorted(values)[: self.k]
+        # fewer than k distinct values seen → the sketch IS the set
+        self.exact = bool(exact)
+
+    # -- estimates --------------------------------------------------------
+    def estimate(self) -> float:
+        """Distinct-count estimate: exact below k, else (k-1)/u_k with
+        u_k the k-th smallest normalized hash (unbiased, CV ≈ 1/√(k-2))."""
+        if self.exact:
+            return float(len(self.values))
+        return (self.k - 1) / self.values[self.k - 1]
+
+    def union(self, other: "KMVSketch") -> "KMVSketch":
+        """Sketch of A ∪ B: the k smallest of the combined value sets —
+        closed under union, like any order statistic."""
+        k = min(self.k, other.k)
+        merged = sorted(set(self.values) | set(other.values))
+        return KMVSketch(k, merged[:k], self.exact and other.exact and len(merged) < k)
+
+    def intersect_estimate(self, other: "KMVSketch") -> float:
+        """|A ∩ B| estimate: Jaccard from the union's min-k (the fraction
+        of the combined k-minimum values present in BOTH sketches) times
+        the union estimate — the SIGMOD'07 ρ·D̂ᵤ estimator."""
+        u = self.union(other)
+        if not u.values:
+            return 0.0
+        a, b = set(self.values), set(other.values)
+        rho = sum(1 for v in u.values if v in a and v in b) / len(u.values)
+        return rho * u.estimate()
+
+    def difference_estimate(self, other: "KMVSketch") -> float:
+        """|A \\ B| estimate = |A| − |A ∩ B| (clamped at 0)."""
+        return max(0.0, self.estimate() - self.intersect_estimate(other))
+
+    def jaccard_estimate(self, other: "KMVSketch") -> float:
+        u = self.union(other)
+        if not u.values:
+            return 0.0
+        a, b = set(self.values), set(other.values)
+        return sum(1 for v in u.values if v in a and v in b) / len(u.values)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 1024) -> KMVSketch:
+    """Build a :class:`KMVSketch` of a column's distinct values: one
+    xxhash64 per row (JVM), normalize into (0, 1], take the k smallest
+    distinct — a TakeOrderedAndProject, never a full sort.  Null values
+    are excluded (COUNT DISTINCT semantics)."""
+    # map to (0,1]: unsigned(h)/2^64; xxhash64 is signed 64-bit, so shift
+    h = (F.xxhash64(F.col(col).cast("string")).cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("__h"))
+        .distinct()
+        .orderBy("__h")
+        .limit(int(k) + 1)  # +1 sentinel: detect "fewer than k distinct"
+        .collect()
+    )
+    vals = [r["__h"] for r in rows]
+    return KMVSketch(k, vals[: int(k)], exact=len(vals) <= int(k))

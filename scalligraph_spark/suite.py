@@ -5858,6 +5858,45 @@ def sketch_join_size_q(spark, sf):
 
 
 @q(
+    "sketch_kmv_set_ops",
+    None,  # xxhash64-order statistics — no SQL twin; pytest pins the
+    # error bands against exact counts on planted-overlap sets and the
+    # TakeOrdered (never full-sort) build plan
+    "KMV distinct-value synopses with SET ALGEBRA (Beyer et al., SIGMOD "
+    "2007): the k smallest hash values per set support union, "
+    "intersection, difference, and Jaccard estimates DRIVER-SIDE — the "
+    "cross-corpus questions HLL cannot answer (intersections via "
+    "inclusion-exclusion blow up on small overlaps).  Here: the distinct "
+    "clicker vs purchaser user populations of the events table, each "
+    "built with one scan + TakeOrderedAndProject(k) — at 100 TB the "
+    "synopsis workflow is scan-once-per-corpus, answer set questions "
+    "forever",
+)
+def sketch_kmv_set_ops_q(spark, sf):
+    from scalligraph_spark.operators import kmv_sketch
+
+    ev = cat_for(spark, sf).vertex_df("events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    a = kmv_sketch(clickers, "user_id", k=1024)
+    b = kmv_sketch(buyers, "user_id", k=1024)
+    return spark.createDataFrame(
+        [
+            (
+                round(a.estimate(), 2),
+                round(b.estimate(), 2),
+                round(a.union(b).estimate(), 2),
+                round(a.intersect_estimate(b), 2),
+                round(a.difference_estimate(b), 2),
+                round(a.jaccard_estimate(b), 6),
+            )
+        ],
+        "clickers double, buyers double, union double, intersect double, "
+        "click_only double, jaccard double",
+    )
+
+
+@q(
     "text_ranking_metrics",
     """
 WITH ranked AS (

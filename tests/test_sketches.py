@@ -41,3 +41,60 @@ def test_countmin_merge_equals_union(spark):
     m = {(r["d"], r["bucket"]): r["count"] for r in merged.collect()}
     d = {(r["d"], r["bucket"]): r["count"] for r in direct.collect()}
     assert m == d
+
+
+def test_kmv_exact_below_k_and_estimates_above(spark):
+    from scalligraph_spark.operators import kmv_sketch
+
+    small = spark.range(0, 500).selectExpr("cast(id as string) as v")
+    s = kmv_sketch(small, "v", k=1024)
+    assert s.exact and s.estimate() == 500.0  # below k: the sketch IS the set
+
+    big = spark.range(0, 100_000).selectExpr("cast(id as string) as v")
+    b = kmv_sketch(big, "v", k=1024)
+    assert not b.exact
+    assert abs(b.estimate() - 100_000) / 100_000 < 0.15  # CV ≈ 1/sqrt(k-2) ≈ 3%
+
+    # nulls excluded, duplicates collapse (COUNT DISTINCT semantics)
+    dups = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], "v string")
+    assert kmv_sketch(dups, "v", k=16).estimate() == 2.0
+
+
+def test_kmv_set_algebra_matches_exact_counts(spark):
+    """Union / intersection / difference / Jaccard estimates on two
+    100k-value sets with a known 50% overlap — each estimate must land
+    within the k-governed error band of the exact answer."""
+    from scalligraph_spark.operators import kmv_sketch
+
+    a_df = spark.range(0, 100_000).selectExpr("cast(id as string) as v")
+    b_df = spark.range(50_000, 150_000).selectExpr("cast(id as string) as v")
+    a, b = kmv_sketch(a_df, "v", k=1024), kmv_sketch(b_df, "v", k=1024)
+
+    assert abs(a.union(b).estimate() - 150_000) / 150_000 < 0.15
+    assert abs(a.intersect_estimate(b) - 50_000) / 50_000 < 0.25
+    assert abs(a.difference_estimate(b) - 50_000) / 50_000 < 0.25
+    assert abs(a.jaccard_estimate(b) - 1 / 3) < 0.1
+
+    # disjoint sets: intersection collapses toward zero
+    c = kmv_sketch(
+        spark.range(1_000_000, 1_100_000).selectExpr("cast(id as string) as v"), "v", k=1024
+    )
+    assert a.intersect_estimate(c) / 100_000 < 0.02
+    assert a.jaccard_estimate(c) < 0.02
+
+
+def test_kmv_build_is_take_ordered_not_full_sort(spark):
+    """The build plan must end in TakeOrderedAndProject — k rows to the
+    driver, never a global sort of the corpus hashes."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).selectExpr("cast(id as string) as v")
+    h = (F.xxhash64(F.col("v").cast("string")).cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    plan_df = df.where(F.col("v").isNotNull()).select(h.alias("__h")).distinct().orderBy("__h").limit(1025)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
