@@ -115,6 +115,7 @@ HEADLINE = [
     "similarity_ivf_search",  # single-query probe: reads only probed cells
     "dedup_neardup_probe",  # batch near-dup probe vs stored MinHash index
     "sketch_kmv_set_ops",  # KMV min-k synopses: 2 scans + TakeOrdered, driver set algebra
+    "store_mor_read",  # merge-on-read: broadcast anti-join over churn-sized deltas
     # round-7 session-10 additions: text-index lifecycle + summary statistics
     "text_index_build",  # one-time (term,doc_id) shuffle + term-sorted commit
     "text_index_extend",  # delta-segment append: cost ∝ batch, not corpus

@@ -277,6 +277,99 @@ class LabelStore:
             raise FileNotFoundError(f"label {label!r} has no committed version in {self.root}")
         return spark.read.parquet(self.path(label, v))
 
+    # -- merge-on-read deltas ----------------------------------------------
+    def write_delta(
+        self,
+        spark: SparkSession,
+        label: str,
+        changes: DataFrame,
+        key_cols: list[str],
+        op_col: str = "_op",
+    ) -> int:
+        """Commit a CHURN-SIZED change batch against ``label`` without
+        rewriting the table — the merge-on-read half of the lakehouse
+        write spectrum (Hudi/Iceberg MOR; copy-on-write is the default
+        :meth:`write`).  ``changes`` carries the base schema plus
+        ``op_col`` ∈ {'upsert', 'delete'} (delete rows only need the key
+        columns populated).  Each batch lands as its own immutable delta
+        label (``label__delta<k>``) — the index-segment discipline
+        applied to the data plane — and a 1-row meta carrier tracks the
+        delta count and key columns.
+
+        At 100 TB this is the difference between an update costing a
+        full-table rewrite and costing the batch: readers pay a
+        broadcast anti-join at :meth:`read_merged` time (the touched-key
+        set is churn-sized), and :meth:`compact_mor` folds deltas back
+        into a plain base version when the churn accumulates.  Returns
+        the new delta count."""
+        ops = [r[0] for r in changes.select(op_col).distinct().collect()]
+        bad = [o for o in ops if o not in ("upsert", "delete")]
+        if bad:
+            raise ValueError(f"{op_col} values must be 'upsert' or 'delete', got {bad}")
+        mor = f"{label}__mor"
+        m = self.commit_meta(mor) if self.version(mor) > 0 else {}
+        if m.get("key_cols") not in (None, list(key_cols)):
+            raise ValueError(
+                f"label {label!r} deltas are keyed on {m['key_cols']}, got {list(key_cols)}"
+            )
+        k = int(m.get("deltas", 0)) + 1
+        self.write(f"{label}__delta{k}", changes)
+        self.write(
+            mor,
+            spark.range(1).select(F.lit(label).alias("label")),
+            meta={"kind": "mor", "deltas": k, "key_cols": list(key_cols), "op_col": op_col},
+        )
+        return k
+
+    def read_merged(self, spark: SparkSession, label: str) -> DataFrame:
+        """Base ∪ outstanding deltas, resolved: for every key the LATEST
+        delta wins (later batches supersede earlier ones), deletes drop
+        the key, untouched base rows pass through an anti-join against
+        the broadcast touched-key set — the base is never shuffled, so
+        read overhead is churn-sized, not table-sized.  With no deltas
+        this IS :meth:`read`."""
+        mor = f"{label}__mor"
+        m = self.commit_meta(mor) if self.version(mor) > 0 else {}
+        n = int(m.get("deltas", 0))
+        base = self.read(spark, label)
+        if n == 0:
+            return base
+        key_cols, op_col = list(m["key_cols"]), str(m.get("op_col", "_op"))
+        from pyspark.sql import Window
+
+        deltas = None
+        for i in range(1, n + 1):
+            d = self.read(spark, f"{label}__delta{i}").withColumn("__batch", F.lit(i))
+            deltas = d if deltas is None else deltas.unionByName(d)
+        # churn-sized window: latest batch wins per key (ties cannot occur
+        # across batches; within a batch the contract is one row per key)
+        w = Window.partitionBy(*key_cols).orderBy(F.col("__batch").desc())
+        latest = (
+            deltas.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        touched = latest.select(*key_cols)
+        upserts = latest.where(F.col(op_col) == "upsert").drop(op_col, "__batch")
+        return base.join(F.broadcast(touched), key_cols, "left_anti").unionByName(upserts)
+
+    def compact_mor(self, spark: SparkSession, label: str) -> int:
+        """Fold every outstanding delta into a new plain base version
+        (copy-on-write catches up with merge-on-read) and reset the delta
+        count; retired ``__delta<k>`` labels stay for pinned readers
+        (``drop`` them under retention).  Returns the new base version."""
+        mor = f"{label}__mor"
+        m = self.commit_meta(mor) if self.version(mor) > 0 else {}
+        merged = self.read_merged(spark, label)
+        v = self.write(label, merged)
+        if int(m.get("deltas", 0)) > 0:
+            self.write(
+                mor,
+                spark.range(1).select(F.lit(label).alias("label")),
+                meta=dict(m, deltas=0),
+            )
+        return v
+
     def drop(self, label: str) -> None:
         """Remove a label entirely — every version and the pointer (DROP
         TABLE).  For unreferenced derived artifacts (e.g. text-index delta

@@ -6695,6 +6695,73 @@ def store_mv_refresh_q(spark, sf):
 
 
 @q(
+    "store_mor_read",
+    """
+WITH latest AS (
+  -- delta 2 supersedes delta 1 per key; here the touched-key sets are
+  -- disjoint batches built from documents, replayed identically below
+  SELECT doc_id, source, n_chars, op FROM (
+    SELECT doc_id, 'edited' AS source, n_chars + 5 AS n_chars, 'upsert' AS op, 2 AS b
+    FROM documents WHERE doc_id % 11 = 1
+    UNION ALL
+    SELECT doc_id, source, n_chars + 1, 'upsert', 1 FROM documents WHERE doc_id % 7 = 2
+    UNION ALL
+    SELECT doc_id, NULL, NULL, 'delete', 1 FROM documents WHERE doc_id % 13 = 5 AND doc_id % 7 <> 2
+  ) d QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b DESC) = 1
+)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+UNION ALL
+SELECT doc_id, source, n_chars FROM latest WHERE op = 'upsert'
+""",
+    "merge-on-read deltas (the Hudi/Iceberg MOR write spectrum beside "
+    "the store's copy-on-write default): churn-sized change batches land "
+    "as immutable delta labels — the base is NEVER rewritten — and "
+    "read_merged resolves latest-batch-wins per key, drops deletes, and "
+    "passes untouched base rows through a BROADCAST anti-join (the "
+    "touched-key set is churn-sized; the base is never shuffled).  At "
+    "100 TB updates cost the batch, reads cost one broadcast probe, and "
+    "compact_mor folds deltas into a plain base when churn accumulates",
+)
+def store_mor_read_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore
+
+    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "source", "n_chars")
+    root = f"/tmp/sgspark_morstore_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    store.write("docs", docs)
+    d1 = (
+        docs.where(F.col("doc_id") % 7 == 2)
+        .select("doc_id", "source", (F.col("n_chars") + 1).alias("n_chars"))
+        .withColumn("_op", F.lit("upsert"))
+        .unionByName(
+            docs.where((F.col("doc_id") % 13 == 5) & (F.col("doc_id") % 7 != 2)).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("source"),
+                F.lit(None).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
+                F.lit("delete").alias("_op"),
+            )
+        )
+    )
+    store.write_delta(spark, "docs", d1, ["doc_id"])
+    d2 = (
+        docs.where(F.col("doc_id") % 11 == 1)
+        .select(
+            "doc_id",
+            F.lit("edited").alias("source"),
+            (F.col("n_chars") + 5).alias("n_chars"),
+        )
+        .withColumn("_op", F.lit("upsert"))
+    )
+    store.write_delta(spark, "docs", d2, ["doc_id"])
+    return store.read_merged(spark, "docs")
+
+
+@q(
     "dedup_edit_distance",
     """
 SELECT a.doc_id AS left_id, b.doc_id AS right_id,

@@ -752,3 +752,94 @@ def test_durable_eventsrv_topic_is_streaming_source(spark, tmp_path):
     )
     assert sorted((r.label, r.version) for r in got.collect()) == [("t", 1), ("t", 2), ("t", 3)]
 
+
+
+def test_merge_on_read_deltas_resolve_and_compact(spark, tmp_path):
+    """write_delta/read_merged/compact_mor: churn-sized change batches
+    against an unrewritten base — later batches supersede earlier ones
+    per key, deletes drop keys, untouched rows pass through, and
+    compaction folds everything into a plain base version with
+    identical content."""
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "mor"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10 * i) for i in range(1, 6)], "id long, v string, n long"
+    )
+    store.write("t", base)
+
+    d1 = spark.createDataFrame(
+        [(2, "v2-updated", 200, "upsert"), (3, None, None, "delete"),
+         (9, "v9-new", 900, "upsert")],
+        "id long, v string, n long, _op string",
+    )
+    assert store.write_delta(spark, "t", d1, ["id"]) == 1
+    d2 = spark.createDataFrame(
+        [(2, "v2-final", 222, "upsert"), (9, None, None, "delete")],
+        "id long, v string, n long, _op string",
+    )
+    assert store.write_delta(spark, "t", d2, ["id"]) == 2
+
+    expect = {1: ("v1", 10), 2: ("v2-final", 222), 4: ("v4", 40), 5: ("v5", 50)}
+    got = {r["id"]: (r["v"], r["n"]) for r in store.read_merged(spark, "t").collect()}
+    assert got == expect  # 3 deleted, 2 superseded twice, 9 added-then-deleted
+
+    # the base was never rewritten; plain read still sees version 1
+    assert store.version("t") == 1
+    assert store.read(spark, "t").count() == 5
+
+    v = store.compact_mor(spark, "t")
+    assert v == 2
+    got2 = {r["id"]: (r["v"], r["n"]) for r in store.read(spark, "t").collect()}
+    assert got2 == expect
+    # deltas folded: merged read now equals the plain read with 0 deltas
+    assert store.commit_meta("t__mor")["deltas"] == 0
+    got3 = {r["id"]: (r["v"], r["n"]) for r in store.read_merged(spark, "t").collect()}
+    assert got3 == expect
+
+
+def test_merge_on_read_guards(spark, tmp_path):
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "morg"))
+    store.write("t", spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="must be 'upsert' or 'delete'"):
+        store.write_delta(
+            spark, "t",
+            spark.createDataFrame([(1, "a", "replace")], "id long, v string, _op string"),
+            ["id"],
+        )
+    store.write_delta(
+        spark, "t",
+        spark.createDataFrame([(1, "b", "upsert")], "id long, v string, _op string"),
+        ["id"],
+    )
+    with pytest.raises(ValueError, match="keyed on"):
+        store.write_delta(
+            spark, "t",
+            spark.createDataFrame([(1, "c", "upsert")], "id long, v string, _op string"),
+            ["v"],
+        )
+
+
+def test_merge_on_read_plan_broadcasts_touched_keys(spark, tmp_path):
+    """The merged-read plan must anti-join the base against a BROADCAST
+    touched-key set — the base is never shuffled for churn-sized deltas."""
+    import contextlib
+    import io
+
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "morp"))
+    store.write("t", spark.range(0, 1000).selectExpr("id", "cast(id as string) as v"))
+    store.write_delta(
+        spark, "t",
+        spark.createDataFrame([(5, "x", "upsert")], "id long, v string, _op string"),
+        ["id"],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        store.read_merged(spark, "t").explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
