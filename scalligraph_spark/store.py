@@ -300,26 +300,46 @@ class LabelStore:
         full-table rewrite and costing the batch: readers pay a
         broadcast anti-join at :meth:`read_merged` time (the touched-key
         set is churn-sized), and :meth:`compact_mor` folds deltas back
-        into a plain base version when the churn accumulates.  Returns
-        the new delta count."""
+        into a plain base version when the churn accumulates.
+
+        Concurrency: each batch CLAIMS its slot by writing
+        ``label__delta<k>`` with ``expected_version=0`` (the rename-CAS)
+        and bumps ``k`` on collision, so racing delta writers all land —
+        none shadows another.  Readers DISCOVER outstanding deltas by
+        probing slots upward from the meta's ``delta_start`` (gap-free
+        by construction), so no shared counter exists to race on; the
+        meta carrier is written once (first delta; also CAS-claimed) and
+        thereafter only by :meth:`compact_mor`, which like vacuum must
+        not run concurrently with writers.  Returns the claimed slot."""
         ops = [r[0] for r in changes.select(op_col).distinct().collect()]
         bad = [o for o in ops if o not in ("upsert", "delete")]
         if bad:
             raise ValueError(f"{op_col} values must be 'upsert' or 'delete', got {bad}")
         mor = f"{label}__mor"
-        m = self.commit_meta(mor) if self.version(mor) > 0 else {}
-        if m.get("key_cols") not in (None, list(key_cols)):
+        if self.version(mor) == 0:
+            try:
+                self.write(
+                    mor,
+                    spark.range(1).select(F.lit(label).alias("label")),
+                    meta={"kind": "mor", "key_cols": list(key_cols), "op_col": op_col, "delta_start": 1},
+                    expected_version=0,
+                )
+            except VersionConflictError:
+                pass  # a racing first writer created it — validate below
+        m = self.commit_meta(mor)
+        if m.get("key_cols") != list(key_cols):
             raise ValueError(
-                f"label {label!r} deltas are keyed on {m['key_cols']}, got {list(key_cols)}"
+                f"label {label!r} deltas are keyed on {m.get('key_cols')}, got {list(key_cols)}"
             )
-        k = int(m.get("deltas", 0)) + 1
-        self.write(f"{label}__delta{k}", changes)
-        self.write(
-            mor,
-            spark.range(1).select(F.lit(label).alias("label")),
-            meta={"kind": "mor", "deltas": k, "key_cols": list(key_cols), "op_col": op_col},
-        )
-        return k
+        k = int(m.get("delta_start", 1))
+        while True:
+            while self.version(f"{label}__delta{k}") > 0:
+                k += 1
+            try:
+                self.write(f"{label}__delta{k}", changes, expected_version=0)
+                return k
+            except VersionConflictError:
+                k += 1  # a racing writer claimed this slot — next one
 
     def read_merged(self, spark: SparkSession, label: str) -> DataFrame:
         """Base ∪ outstanding deltas, resolved: for every key the LATEST
@@ -330,15 +350,15 @@ class LabelStore:
         this IS :meth:`read`."""
         mor = f"{label}__mor"
         m = self.commit_meta(mor) if self.version(mor) > 0 else {}
-        n = int(m.get("deltas", 0))
         base = self.read(spark, label)
-        if n == 0:
+        slots = self._delta_slots(label, m)
+        if not slots:
             return base
         key_cols, op_col = list(m["key_cols"]), str(m.get("op_col", "_op"))
         from pyspark.sql import Window
 
         deltas = None
-        for i in range(1, n + 1):
+        for i in slots:
             d = self.read(spark, f"{label}__delta{i}").withColumn("__batch", F.lit(i))
             deltas = d if deltas is None else deltas.unionByName(d)
         # churn-sized window: latest batch wins per key (ties cannot occur
@@ -353,20 +373,36 @@ class LabelStore:
         upserts = latest.where(F.col(op_col) == "upsert").drop(op_col, "__batch")
         return base.join(F.broadcast(touched), key_cols, "left_anti").unionByName(upserts)
 
+    def _delta_slots(self, label: str, meta: dict) -> list[int]:
+        """Outstanding delta slot numbers: probe upward from the meta's
+        ``delta_start`` until the first unclaimed slot — gap-free by the
+        write_delta CAS, so existence IS the registry (no shared counter
+        for writers to race on)."""
+        if not meta:
+            return []
+        slots, k = [], int(meta.get("delta_start", 1))
+        while self.version(f"{label}__delta{k}") > 0:
+            slots.append(k)
+            k += 1
+        return slots
+
     def compact_mor(self, spark: SparkSession, label: str) -> int:
         """Fold every outstanding delta into a new plain base version
-        (copy-on-write catches up with merge-on-read) and reset the delta
-        count; retired ``__delta<k>`` labels stay for pinned readers
-        (``drop`` them under retention).  Returns the new base version."""
+        (copy-on-write catches up with merge-on-read) and advance
+        ``delta_start`` past the folded slots; retired ``__delta<k>``
+        labels stay for pinned readers (``drop`` them under retention).
+        Like vacuum, must not run concurrently with delta writers.
+        Returns the new base version."""
         mor = f"{label}__mor"
         m = self.commit_meta(mor) if self.version(mor) > 0 else {}
+        slots = self._delta_slots(label, m)
         merged = self.read_merged(spark, label)
         v = self.write(label, merged)
-        if int(m.get("deltas", 0)) > 0:
+        if slots:
             self.write(
                 mor,
                 spark.range(1).select(F.lit(label).alias("label")),
-                meta=dict(m, deltas=0),
+                meta=dict(m, delta_start=slots[-1] + 1),
             )
         return v
 

@@ -792,8 +792,8 @@ def test_merge_on_read_deltas_resolve_and_compact(spark, tmp_path):
     assert v == 2
     got2 = {r["id"]: (r["v"], r["n"]) for r in store.read(spark, "t").collect()}
     assert got2 == expect
-    # deltas folded: merged read now equals the plain read with 0 deltas
-    assert store.commit_meta("t__mor")["deltas"] == 0
+    # deltas folded: slots retired via delta_start, merged ≡ plain read
+    assert store.commit_meta("t__mor")["delta_start"] == 3
     got3 = {r["id"]: (r["v"], r["n"]) for r in store.read_merged(spark, "t").collect()}
     assert got3 == expect
 
@@ -843,3 +843,35 @@ def test_merge_on_read_plan_broadcasts_touched_keys(spark, tmp_path):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_on_read_concurrent_delta_writers_all_land(spark, tmp_path):
+    """Racing delta writers must each claim a distinct slot (the
+    rename-CAS on the delta label) — no batch shadows another, the
+    discovered-slot registry has no shared counter to race on."""
+    import threading
+
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "morc"))
+    store.write("t", spark.createDataFrame([(0, "base")], "id long, v string"))
+    errors = []
+
+    def writer(i):
+        try:
+            d = spark.createDataFrame([(100 + i, f"w{i}", "upsert")], "id long, v string, _op string")
+            store.write_delta(spark, "t", d, ["id"])
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    got = {r["id"]: r["v"] for r in store.read_merged(spark, "t").collect()}
+    assert got == {0: "base", **{100 + i: f"w{i}" for i in range(6)}}  # all six landed
+    # slots are gap-free 1..6
+    assert [store.version(f"t__delta{k}") for k in range(1, 7)] == [1] * 6
+    assert store.version("t__delta7") == 0
