@@ -105,15 +105,25 @@ class GraphCatalog:
         self.vertices[spec.label] = spec
         return self
 
-    def add_store_vertex(self, store, label: str, id_col, name_col: str | None = None) -> "GraphCatalog":
+    def add_store_vertex(
+        self, store, label: str, id_col, name_col: str | None = None, merged: bool = False
+    ) -> "GraphCatalog":
         """Register a vertex label backed by a :class:`~scalligraph_spark.
         store.LabelStore` — scans read the CURRENTLY-committed table
         version, so a `store.write` (create/update/remove rewrite) is
         immediately visible to new traversals while open snapshots keep
-        their pinned version (Database SPI read-your-commits semantics)."""
-        return self.add_vertex(
-            VertexSpec(label, id_col, loader=lambda: store.read(self.spark, label), name_col=name_col)
+        their pinned version (Database SPI read-your-commits semantics).
+
+        ``merged=True`` scans through :meth:`LabelStore.read_merged`:
+        outstanding merge-on-read deltas resolve into every traversal
+        (churn-sized broadcast anti-join on top of the base scan) — the
+        read face of the ``write_delta`` update path."""
+        loader = (
+            (lambda: store.read_merged(self.spark, label))
+            if merged
+            else (lambda: store.read(self.spark, label))
         )
+        return self.add_vertex(VertexSpec(label, id_col, loader=loader, name_col=name_col))
 
     def add_edge(self, spec: EdgeSpec) -> "GraphCatalog":
         self.edges[spec.label] = spec

@@ -875,3 +875,33 @@ def test_merge_on_read_concurrent_delta_writers_all_land(spark, tmp_path):
     # slots are gap-free 1..6
     assert [store.version(f"t__delta{k}") for k in range(1, 7)] == [1] * 6
     assert store.version("t__delta7") == 0
+
+
+def test_merged_store_vertex_sees_deltas_in_traversals(spark, tmp_path):
+    """add_store_vertex(merged=True): outstanding MOR deltas resolve
+    into the traversal scan — updates reach queries without a base
+    rewrite."""
+    from scalligraph_spark.catalog import GraphCatalog
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "morv"))
+    store.write(
+        "person",
+        spark.createDataFrame([(1, "marko", 29), (2, "vadas", 27)], "pid long, name string, age long"),
+    )
+    store.write_delta(
+        spark, "person",
+        spark.createDataFrame(
+            [(1, "marko", 30, "upsert"), (2, None, None, "delete"), (3, "josh", 32, "upsert")],
+            "pid long, name string, age long, _op string",
+        ),
+        ["pid"],
+    )
+    cat = GraphCatalog(spark)
+    cat.add_store_vertex(store, "person", "pid", merged=True)
+    got = {r["name"]: r["age"] for r in cat.V("person").df.collect()}
+    assert got == {"marko": 30, "josh": 32}  # upsert applied, delete gone
+    # plain registration still reads the unrewritten base
+    cat2 = GraphCatalog(spark)
+    cat2.add_store_vertex(store, "person", "pid")
+    assert cat2.V("person").df.count() == 2
