@@ -386,18 +386,21 @@ class LabelStore:
             k += 1
         return slots
 
-    def compact_mor(self, spark: SparkSession, label: str) -> int:
+    def compact_mor(self, spark: SparkSession, label: str, **write_opts) -> int:
         """Fold every outstanding delta into a new plain base version
         (copy-on-write catches up with merge-on-read) and advance
         ``delta_start`` past the folded slots; retired ``__delta<k>``
-        labels stay for pinned readers (``drop`` them under retention).
+        labels stay for pinned readers until :meth:`vacuum_mor`.
+        ``write_opts`` pass through to :meth:`write` — compaction is the
+        natural moment to re-cluster (``zorder_by``/``sort_by``/
+        ``bucket_hint``), since the rewrite is being paid anyway.
         Like vacuum, must not run concurrently with delta writers.
         Returns the new base version."""
         mor = f"{label}__mor"
         m = self.commit_meta(mor) if self.version(mor) > 0 else {}
         slots = self._delta_slots(label, m)
         merged = self.read_merged(spark, label)
-        v = self.write(label, merged)
+        v = self.write(label, merged, **write_opts)
         if slots:
             self.write(
                 mor,
@@ -405,6 +408,21 @@ class LabelStore:
                 meta=dict(m, delta_start=slots[-1] + 1),
             )
         return v
+
+    def vacuum_mor(self, label: str) -> list[int]:
+        """Drop delta labels below the current ``delta_start`` — slots a
+        compaction already folded into the base; no live reader resolves
+        them (read_merged never probes below delta_start).  Returns the
+        reclaimed slot numbers.  Outstanding slots are never touched."""
+        mor = f"{label}__mor"
+        m = self.commit_meta(mor) if self.version(mor) > 0 else {}
+        start = int(m.get("delta_start", 1))
+        victims = []
+        for k in range(1, start):
+            if self.version(f"{label}__delta{k}") > 0:
+                self.drop(f"{label}__delta{k}")
+                victims.append(k)
+        return victims
 
     def drop(self, label: str) -> None:
         """Remove a label entirely — every version and the pointer (DROP
@@ -527,6 +545,50 @@ class LabelStore:
                 ):
                     shutil.rmtree(p, ignore_errors=True)
         return victims
+
+
+def store_report(spark: SparkSession, store: "LabelStore") -> DataFrame:
+    """One-row-per-label operational health report — the SHOW TABLES +
+    maintenance dashboard for a store root, all from METADATA (pointer
+    files, directory listings, parquet file sizes; no data scans):
+    current version, retained version count, data files + bytes (the
+    compaction signal), orphaned staging dirs (crashed writers awaiting
+    vacuum's TTL), and the merge-on-read delta backlog (the compact_mor
+    signal).  Derived artifact labels (``__``-infixed: index segments,
+    meta carriers, deltas) fold into their owning label's row."""
+    import os
+
+    rows = []
+    labels = sorted(
+        n for n in os.listdir(store.root)
+        if os.path.isdir(os.path.join(store.root, n)) and "__" not in n
+    )
+    for label in labels:
+        v = store.version(label)
+        if v == 0:
+            continue
+        n_files, n_bytes = store.stats(label)
+        label_dir = os.path.join(store.root, label)
+        staging = sum(1 for n in os.listdir(label_dir) if n.startswith(".staging-"))
+        mor = f"{label}__mor"
+        m = store.commit_meta(mor) if store.version(mor) > 0 else {}
+        deltas = len(store._delta_slots(label, m))
+        rows.append(
+            (
+                label,
+                int(v),
+                len(store.history(label)),
+                int(n_files),
+                int(n_bytes),
+                int(staging),
+                int(deltas),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "label string, version int, retained_versions int, data_files int, "
+        "data_bytes long, staging_orphans int, delta_backlog int",
+    )
 
 
 def dataframe_diff(old: DataFrame, new: DataFrame, key_cols: list[str]) -> DataFrame:

@@ -905,3 +905,49 @@ def test_merged_store_vertex_sees_deltas_in_traversals(spark, tmp_path):
     cat2 = GraphCatalog(spark)
     cat2.add_store_vertex(store, "person", "pid")
     assert cat2.V("person").df.count() == 2
+
+
+def test_vacuum_mor_reclaims_only_folded_slots(spark, tmp_path):
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "morvac"))
+    store.write("t", spark.createDataFrame([(1, "a")], "id long, v string"))
+    for i in range(3):
+        store.write_delta(
+            spark, "t",
+            spark.createDataFrame([(10 + i, f"d{i}", "upsert")], "id long, v string, _op string"),
+            ["id"],
+        )
+    store.compact_mor(spark, "t")
+    store.write_delta(  # a post-compaction outstanding slot
+        spark, "t",
+        spark.createDataFrame([(99, "live", "upsert")], "id long, v string, _op string"),
+        ["id"],
+    )
+    assert store.vacuum_mor("t") == [1, 2, 3]
+    assert store.version("t__delta4") == 1  # outstanding slot untouched
+    got = {r["id"] for r in store.read_merged(spark, "t").collect()}
+    assert got == {1, 10, 11, 12, 99}
+
+
+def test_store_report_metadata_only_health(spark, tmp_path):
+    import os
+
+    from scalligraph_spark.store import LabelStore, store_report
+
+    store = LabelStore(str(tmp_path / "rep"))
+    store.write("person", spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.write("person", spark.createDataFrame([(1, "b")], "id long, v string"))
+    store.write("orders", spark.createDataFrame([(1,)], "id long"))
+    store.write_delta(
+        spark, "orders",
+        spark.createDataFrame([(2, "upsert")], "id long, _op string"), ["id"],
+    )
+    os.mkdir(os.path.join(store.root, "person", ".staging-orphan"))
+
+    rep = {r["label"]: r for r in store_report(spark, store).collect()}
+    assert set(rep) == {"person", "orders"}  # __-derived labels folded away
+    assert rep["person"]["version"] == 2 and rep["person"]["retained_versions"] == 2
+    assert rep["person"]["staging_orphans"] == 1
+    assert rep["orders"]["delta_backlog"] == 1
+    assert rep["person"]["data_files"] >= 1 and rep["person"]["data_bytes"] > 0
