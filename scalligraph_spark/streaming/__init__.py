@@ -503,6 +503,66 @@ def start_neardup_sink(
     )
 
 
+def start_quality_gate_sink(
+    stream_df: DataFrame,
+    store,
+    label: str,
+    checks: list[dict],
+    checkpoint_dir: str,
+    quarantine_label: str | None = None,
+    query_name: str = "quality_gate",
+):
+    """Streaming ingest behind a BATCH-level promotion gate: each
+    micro-batch runs the declarative constraint suite
+    (:func:`~scalligraph_spark.operators.quality.run_quality_checks` —
+    every aggregate constraint in ONE scan+agg) and commits to the
+    corpus label only when EVERY check passes; a failing batch lands
+    intact in the quarantine label instead (default
+    ``<label>__quarantine``) with the failed constraint rows recorded in
+    its commit meta — nothing is silently dropped, and the quarantined
+    batch replays through re-ingestion once upstream is fixed.  The full
+    report rides the commit meta either way (the promotion audit trail).
+
+    This is the dataset-level gate (the Deequ/dbt-test shape) composed
+    into ingestion — row-level quarantine is
+    :func:`~scalligraph_spark.writes.validate_rows`; near-dup gating is
+    :func:`start_neardup_sink`; the three stack.  Batch-id idempotence
+    per target label, as in :func:`start_store_sink`."""
+    from scalligraph_spark.operators.quality import run_quality_checks
+
+    qlabel = quarantine_label or f"{label}__quarantine"
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for target in (label, qlabel):
+            v = store.version(target)
+            if v > 0 and store.commit_meta(target, v).get("batch_id", -1) >= batch_id:
+                return  # replayed batch already routed
+        report = [r.asDict() for r in run_quality_checks(batch_df, checks).collect()]
+        ok = all(r["passed"] for r in report)
+        target = label if ok else qlabel
+        v = store.version(target)
+        merged = store.read(spark, target, v).unionByName(batch_df) if v > 0 else batch_df
+        store.write(
+            target,
+            merged,
+            meta={
+                "batch_id": batch_id,
+                "quality_report": report,
+                "gate": "passed" if ok else "quarantined",
+            },
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_stats_sink(
     stream_df: DataFrame,
     store,

@@ -776,3 +776,48 @@ def test_neardup_sink_gates_batches_and_extends_index(spark, tmp_path):
     )
     hits = incremental_near_dups(spark, store, "corpus_mh", probe, threshold=0.7).collect()
     assert {(r["batch_id"], r["corpus_id"]) for r in hits} == {(20, 11)}
+
+
+def test_quality_gate_sink_promotes_and_quarantines(spark, tmp_path):
+    """Batch-level promotion gate: a clean batch commits to the corpus
+    with its (all-passed) report in the commit meta; a dirty batch lands
+    INTACT in quarantine with the failing constraint rows recorded —
+    nothing silently dropped; replays are idempotent per target."""
+    from scalligraph_spark.operators.quality import completeness, in_range
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import start_quality_gate_sink
+
+    store = LabelStore(str(tmp_path / "qg"))
+    checks = [completeness("text", 0.9), in_range("n_chars", 1, 10_000, 1.0)]
+    src, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+
+    clean = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + i) for i in range(10)], "doc_id long, text string, n_chars long"
+    )
+    clean.write.parquet(src)
+    q = start_quality_gate_sink(
+        spark.readStream.schema("doc_id long, text string, n_chars long").parquet(src),
+        store, "corpus", checks, ck, query_name="qg1",
+    )
+    q.awaitTermination()
+    assert store.read(spark, "corpus").count() == 10
+    meta = store.commit_meta("corpus")
+    assert meta["gate"] == "passed" and all(r["passed"] for r in meta["quality_report"])
+    assert store.version("corpus__quarantine") == 0
+
+    dirty = spark.createDataFrame(
+        [(100 + i, None if i < 5 else f"doc {i}", -1) for i in range(10)],
+        "doc_id long, text string, n_chars long",
+    )
+    dirty.write.mode("append").parquet(src)
+    q2 = start_quality_gate_sink(
+        spark.readStream.schema("doc_id long, text string, n_chars long").parquet(src),
+        store, "corpus", checks, ck, query_name="qg2",
+    )
+    q2.awaitTermination()
+    assert store.read(spark, "corpus").count() == 10  # corpus untouched
+    qdf = store.read(spark, "corpus__quarantine")
+    assert qdf.count() == 10  # dirty batch intact, nothing dropped
+    qmeta = store.commit_meta("corpus__quarantine")
+    failed = {r["check"] for r in qmeta["quality_report"] if not r["passed"]}
+    assert failed == {"completeness", "in_range"}  # audit trail names the breaks
