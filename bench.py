@@ -127,6 +127,10 @@ HEADLINE = [
     "pipeline_sample_per_key",  # deterministic k-per-group reservoir, map-side WindowGroupLimit
     "quality_constraint_report",  # all aggregate constraints in ONE scan + stack
     "temporal_forward_fill",  # LOCF via one partitioned window
+    # round-8: composite value index (the reference's has(key,eq) lookup path)
+    "value_index_build",  # one-time (value,id) extract, range-partitioned + sorted commit
+    "value_index_lookup",  # In(value,…) pushed into the sorted entries scan + id semi-join
+    "value_index_range",  # date-slice from footer-pruned sorted entries
 ]
 
 

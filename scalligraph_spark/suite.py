@@ -84,6 +84,7 @@ def executor_for(
     text_index: tuple | None = None,
     ann_index: tuple | None = None,
     minhash_index: tuple | None = None,
+    value_index: tuple | None = None,
 ) -> QueryExecutor:
     """The registered query surface (QueryExecutor.scala:17-171 analog):
     init queries per label + inter-entity hop queries with typed params
@@ -112,6 +113,15 @@ def executor_for(
     query's cells (:func:`ivf_search` — approximate by design, recall
     governed by n_probe) instead of the exact brute-force corpus pass;
     no artifact → exact scan + ``MissingAnnIndexWarning``.
+
+    ``value_index=(store, name, label, field)`` declares a persisted
+    COMPOSITE value index for the ``byIndexedValue`` init step —
+    ``[{_name: byIndexedValue, values: [...]}]`` is the reference's
+    ``has(field, eq)``/``getByName`` lookup routed through the
+    materialised index (In(value,…) pushed into the value-sorted entries
+    scan + id semi-join) when a committed artifact exists, and a loud
+    :class:`~scalligraph_spark.operators.MissingValueIndexWarning`
+    corpus-scan fallback when not.
 
     ``minhash_index=(store, name)`` registers the chained
     ``nearDupProbe`` step on the ``documents`` type: the chain's current
@@ -283,6 +293,39 @@ def executor_for(
         return Traversal(out, catalog=g, label=None)
 
     ex.register_init("textSearch", _text_search)
+
+    if value_index is not None:
+        vx_store, vx_name, vx_label, vx_field = value_index
+
+        def _by_indexed_value(g, s, a):
+            import warnings as _warnings
+
+            from scalligraph_spark.operators import (
+                MissingValueIndexWarning,
+                index_value_filter,
+                load_value_index,
+            )
+
+            values = list(s["values"])
+            df = g.V(vx_label).df
+            try:
+                ix = load_value_index(spark, vx_store, vx_name)
+            except FileNotFoundError:
+                _warnings.warn(
+                    f"value index {vx_name!r} is declared for byIndexedValue but "
+                    "has no committed artifact — falling back to a full corpus "
+                    "scan (build it with build_value_index)",
+                    MissingValueIndexWarning,
+                    stacklevel=2,
+                )
+                return Traversal(
+                    df.where(F.col(vx_field).isin(values)), catalog=g, label=vx_label
+                )
+            return Traversal(
+                index_value_filter(ix, df, values=values), catalog=g, label=vx_label
+            )
+
+        ex.register_init("byIndexedValue", _by_indexed_value)
 
     def _shortest_paths(g, s, a):
         from scalligraph_spark.operators import bfs_distances
@@ -4476,6 +4519,122 @@ def text_index_extend_q(spark, sf):
     )
     k = extend_text_index(spark, store, "docs_ix", batch)
     return store.read(spark, f"docs_ix__seg{k}")
+
+
+def _value_index_store(spark, sf, rebuild: bool = False):
+    """Build-once-per-process composite value indexes — ``cust_by_name``
+    (unique, customer.c_name → c_custkey: the reference's ``unique``
+    model hint) and ``orders_by_date`` (orders.o_orderdate → o_orderkey)
+    — same amortization discipline as _text_index_store: lookups must
+    not pay the extraction/sort job (that cost is the separate
+    value_index_build bench key)."""
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.operators import build_value_index
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_valix_{_os.path.basename(sf.rstrip('/'))}"
+    if rebuild or root not in _VALUE_INDEX_BUILT:
+        c = cat_for(spark, sf)
+        _shutil.rmtree(root, ignore_errors=True)
+        store = LabelStore(root)
+        build_value_index(
+            spark, store, "cust_by_name", c.vertex_df("customer"),
+            "c_name", "c_custkey", unique=True,
+        )
+        build_value_index(
+            spark, store, "orders_by_date", c.vertex_df("orders"),
+            "o_orderdate", "o_orderkey",
+        )
+        _VALUE_INDEX_BUILT.add(root)
+    return LabelStore(root)
+
+
+_VALUE_INDEX_BUILT: set = set()
+
+_CUST_LOOKUP_NAMES = ["Customer#000000003", "Customer#000000041", "Customer#000000099"]
+
+
+@q(
+    "value_index_lookup",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_name IN "
+    "('Customer#000000003','Customer#000000041','Customer#000000099')",
+    "has(key, eq) through the persisted COMPOSITE value index — the "
+    "reference's standard lookup path (models declare per-property index "
+    "hints, Model.scala:16-19, and every has()/getByName consults the "
+    "materialised index, JanusDatabase.scala:304-434/476-485): the probed "
+    "names push as In(value,…) into the value-sorted entries scan (footer "
+    "min/max prunes to the matching row groups), then a semi-join of the "
+    "matched ids brings back the element rows — lookup cost ∝ matched "
+    "entries, never corpus size",
+)
+def value_index_lookup_q(spark, sf):
+    from scalligraph_spark.operators import index_value_filter, load_value_index
+
+    store = _value_index_store(spark, sf)
+    ix = load_value_index(spark, store, "cust_by_name")
+    cust = cat_for(spark, sf).vertex_df("customer").select("c_custkey", "c_name", "c_acctbal")
+    return index_value_filter(ix, cust, values=_CUST_LOOKUP_NAMES)
+
+
+@q(
+    "value_index_range",
+    "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-03-01' AND o_orderdate <= TIMESTAMP '1996-03-31'",
+    "range lookup from the SAME sorted value-index artifact (the "
+    "reference needs a separate MIXED index for ranges; the store's "
+    "range-partitioned+sorted layout answers both from one table): "
+    "GreaterThanOrEqual/LessThanOrEqual push into the entries scan and "
+    "footer stats skip every row group outside the window — the 100 TB "
+    "date-slice served at index cost",
+)
+def value_index_range_q(spark, sf):
+    import datetime as _dt
+
+    from scalligraph_spark.operators import index_value_filter, load_value_index
+
+    store = _value_index_store(spark, sf)
+    ix = load_value_index(spark, store, "orders_by_date")
+    orders = cat_for(spark, sf).vertex_df("orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    return index_value_filter(
+        ix, orders, lo=_dt.datetime(1996, 3, 1), hi=_dt.datetime(1996, 3, 31)
+    )
+
+
+@q(
+    "value_index_build",
+    "SELECT c_name AS value, c_custkey AS id FROM customer WHERE c_name IS NOT NULL",
+    "the BUILD phase of the composite-index lifecycle (benched apart "
+    "from the lookups it amortizes): extract (value, id) entries, "
+    "enforce the unique hint in one aggregate, commit value-sorted "
+    "(range-partition + sortWithinPartitions) — the entries relation "
+    "itself is the oracle",
+)
+def value_index_build_q(spark, sf):
+    store = _value_index_store(spark, sf, rebuild=True)
+    return store.read(spark, "cust_by_name")
+
+
+@q(
+    "qlang_value_lookup",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_name IN "
+    "('Customer#000000003','Customer#000000041','Customer#000000099')",
+    "indexed point lookup through the JSON query language: "
+    "[{_name: byIndexedValue, values: [...]}] as a registered init query "
+    "answered THROUGH the declared composite value index (executor_for("
+    "value_index=…) — In(value,…)-pushed entries scan + id semi-join, "
+    "the reference's has(key, eq)-consults-the-index routing, "
+    "JanusDatabase.scala:476-485) with a loud corpus-scan fallback when "
+    "no artifact exists",
+)
+def qlang_value_lookup_q(spark, sf):
+    ex = executor_for(
+        spark, sf,
+        value_index=(_value_index_store(spark, sf), "cust_by_name", "customer", "c_name"),
+    )
+    t = ex.execute([{"_name": "byIndexedValue", "values": _CUST_LOOKUP_NAMES}])
+    return t.df.select("c_custkey", "c_name", "c_mktsegment")
 
 
 @q(

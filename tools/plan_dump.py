@@ -137,6 +137,10 @@ PLAN_QUERIES = [
     "text_index_term_filter",  # StringStartsWith pushed into the terms scan
     "quality_constraint_report",  # one-scan constraint agg + referential join
     "temporal_forward_fill",  # LOCF partitioned window, no global sort
+    # round-8: composite value index
+    "value_index_lookup",  # In(value,…) pushed into the value-sorted entries scan
+    "value_index_range",  # gte/lte pushed, footer min/max prunes row groups
+    "qlang_value_lookup",  # byIndexedValue init step routed through the index
 ]
 
 

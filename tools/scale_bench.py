@@ -124,6 +124,8 @@ def run(spark, sf_dir: str, names) -> dict[str, float]:
         S._text_index_extend_store(spark, sf_dir)
     if "dedup_neardup_probe" in names:
         S._minhash_index_store(spark, sf_dir)
+    if any(n in ("value_index_lookup", "value_index_range", "qlang_value_lookup") for n in names):
+        S._value_index_store(spark, sf_dir)
 
     times = {}
     for name in names:
