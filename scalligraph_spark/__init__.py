@@ -48,6 +48,7 @@ from scalligraph_spark.auth import (
     MultiAuthSrv,
     OAuth2AuthSrv,
     PasswordAuthSrv,
+    PkiAuthSrv,
     SessionAuthSrv,
 )
 from scalligraph_spark.writes import WriteConflictError, WriteSession, try_transaction
@@ -66,6 +67,7 @@ __all__ = [
     "DirectoryAuthSrv",
     "OAuth2AuthSrv",
     "PasswordAuthSrv",
+    "PkiAuthSrv",
     "KeyAuthSrv",
     "SessionAuthSrv",
     "MultiAuthSrv",

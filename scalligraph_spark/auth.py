@@ -19,6 +19,9 @@ consumes auth contexts (row policies + auth-aware properties take an
   label, so user management gets versioning/audit like any other table.
 * :class:`KeyAuthSrv` — API-key authentication (``authByKey``
   capability), constant-time compare.
+* :class:`PkiAuthSrv` — client-certificate (mutual-TLS) authentication
+  (PkiAuthSrv.scala:17-91): subject-DN RDN / SAN field extraction →
+  local user table.
 * :class:`SessionAuthSrv` — HMAC-signed expiring tokens
   (``setSessionUser``/session renewal analog); the clock is an explicit
   parameter so expiry is deterministic and testable.
@@ -105,6 +108,9 @@ class AuthSrv:
 
     def authenticate_token(self, token: str) -> AuthContext:
         raise NotSupportedError(f"{self.name}: session tokens not supported")
+
+    def authenticate_certificate(self, certificate, organisation: str | None = None) -> AuthContext:
+        raise NotSupportedError(f"{self.name}: certificate authentication not supported")
 
 
 def _user_row(users, username: str):
@@ -266,6 +272,126 @@ class OAuth2AuthSrv(AuthSrv):
         return _ctx_from_row(row, (claims or {}).get("organisation"))
 
 
+#: SAN othername OID Microsoft uses for the User Principal Name — the one
+#: SAN type the reference decodes specially (PkiAuthSrv.scala:46 maps
+#: 1.3.6.1.4.1.311.20.2.3 to "upn" before the generic id→value fallback)
+_UPN_OID = "1.3.6.1.4.1.311.20.2.3"
+
+
+def _decode_asn1_string(der: bytes) -> str:
+    """Decode a primitive ASN.1 string value (UTF8String/PrintableString/
+    IA5String/OctetString — the shapes PkiAuthSrv.scala:22-27 ``asn1String``
+    folds to text) from its DER encoding: tag byte, length (short or long
+    form), then the raw bytes as UTF-8."""
+    if len(der) < 2:
+        raise ValueError("truncated ASN.1 value")
+    n, off = der[1], 2
+    if n & 0x80:  # long form: low bits = number of length octets
+        k = n & 0x7F
+        n = int.from_bytes(der[2 : 2 + k], "big")
+        off = 2 + k
+    return der[off : off + n].decode("utf-8")
+
+
+class PkiAuthSrv(AuthSrv):
+    """Client-certificate (mutual-TLS) authentication
+    (auth/PkiAuthSrv.scala:17-91): the configured ``certificate_field``
+    is extracted from the certificate's subject DN RDNs first
+    (``extractFieldFromSubject``, :63-72 — LdapName RDN-type match), then
+    from the SubjectAlternativeName extension (``extractFieldFromSAN``,
+    :74-82 — by SAN type name, with the Microsoft UPN othername
+    1.3.6.1.4.1.311.20.2.3 decoded specially, :30-61); the extracted
+    value then resolves through the LOCAL user table — the same
+    authenticate-remotely/authorize-locally split as the directory and
+    OAuth2 providers: a certificate naming a user unknown to the
+    application is rejected.
+
+    ``certificate`` may be a ``cryptography.x509.Certificate``, PEM
+    text/bytes, or DER bytes (what a TLS terminator forwards).  The
+    ``cryptography`` dependency is imported lazily; environments without
+    it get ``NotSupportedError`` so a MultiAuthSrv chain falls through
+    instead of crashing.
+
+    ``certificate_field`` is an RFC 4514 attribute name (``CN``,
+    ``UID``, …) or dotted OID for the subject path, and a SAN type name
+    (``rfc822Name``, ``dNSName``, ``upn``, ``uniformResourceIdentifier``,
+    ``iPAddress``, ``directoryName``, ``registeredID``) for the SAN
+    path — the same one knob the reference exposes
+    (PkiAuthProvider, :94-101: ``certificateField``).  No
+    ``changePassword``: the CA owns credentials."""
+
+    name = "pki"
+    capabilities = frozenset()
+
+    def __init__(self, users, certificate_field: str = "CN"):
+        self.users = users
+        self.certificate_field = certificate_field
+
+    @staticmethod
+    def _load_cert(certificate):
+        try:
+            from cryptography import x509
+        except ImportError:  # pragma: no cover - baked in this container
+            raise NotSupportedError("pki: the cryptography package is not available") from None
+        if isinstance(certificate, x509.Certificate):
+            return certificate
+        raw = certificate.encode() if isinstance(certificate, str) else bytes(certificate)
+        try:
+            if b"-----BEGIN" in raw:
+                return x509.load_pem_x509_certificate(raw)
+            return x509.load_der_x509_certificate(raw)
+        except Exception:
+            raise AuthenticationError("Authentication failure") from None
+
+    def _field_from_subject(self, cert) -> str | None:
+        # LdapName RDN walk (PkiAuthSrv.scala:63-72): first RDN whose type
+        # matches the configured field, by short name or dotted OID
+        for rdn in cert.subject.rdns:
+            for attr in rdn:
+                name = getattr(attr, "rfc4514_attribute_name", None) or attr.oid.dotted_string
+                if name == self.certificate_field or attr.oid.dotted_string == self.certificate_field:
+                    return str(attr.value)
+        return None
+
+    def _field_from_san(self, cert) -> str | None:
+        from cryptography import x509
+
+        try:
+            san = cert.extensions.get_extension_for_class(x509.SubjectAlternativeName).value
+        except x509.ExtensionNotFound:
+            return None
+        by_type = {
+            "rfc822Name": x509.RFC822Name,
+            "dNSName": x509.DNSName,
+            "uniformResourceIdentifier": x509.UniformResourceIdentifier,
+            "directoryName": x509.DirectoryName,
+            "iPAddress": x509.IPAddress,
+            "registeredID": x509.RegisteredID,
+        }
+        if self.certificate_field in by_type:
+            for v in san.get_values_for_type(by_type[self.certificate_field]):
+                return v.rfc4514_string() if hasattr(v, "rfc4514_string") else str(v)
+        # othernames: UPN decodes specially, any other OID matches by its
+        # dotted string (the reference's "add other object id" fallback)
+        want_oid = _UPN_OID if self.certificate_field == "upn" else self.certificate_field
+        for other in san.get_values_for_type(x509.OtherName):
+            if other.type_id.dotted_string == want_oid:
+                try:
+                    return _decode_asn1_string(other.value)
+                except (ValueError, UnicodeDecodeError):
+                    continue
+        return None
+
+    def authenticate_certificate(self, certificate, organisation: str | None = None) -> AuthContext:
+        cert = self._load_cert(certificate)
+        value = self._field_from_subject(cert)
+        if value is None:
+            value = self._field_from_san(cert)
+        if value is None:
+            raise AuthenticationError("Authentication failure")
+        return _ctx_from_row(_user_row(self.users, value), organisation)
+
+
 class SessionAuthSrv(AuthSrv):
     """HMAC-signed expiring session tokens (SessionAuthSrv analog).
     ``issue`` after any successful authenticate; ``authenticate_token``
@@ -348,3 +474,6 @@ class MultiAuthSrv(AuthSrv):
 
     def authenticate_token(self, token: str) -> AuthContext:
         return self._chain(lambda p: p.authenticate_token(token))
+
+    def authenticate_certificate(self, certificate, organisation: str | None = None) -> AuthContext:
+        return self._chain(lambda p: p.authenticate_certificate(certificate, organisation))

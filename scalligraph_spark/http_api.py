@@ -109,6 +109,19 @@ class QueryServer:
             return None
         from scalligraph_spark.auth import AuthenticationError, NotSupportedError
 
+        # client-certificate transport (PkiAuthSrv.scala:84-91 reads the
+        # TLS client chain; behind a TLS-terminating proxy the chain head
+        # arrives URL-encoded in a header, the nginx
+        # $ssl_client_escaped_cert convention) — tried first, falling
+        # through to Bearer like the reference's provider chain
+        cert_pem = headers.get("X-Client-Cert")
+        if cert_pem:
+            from urllib.parse import unquote
+
+            try:
+                return self.auth_srv.authenticate_certificate(unquote(cert_pem)).to_auth()
+            except (NotSupportedError, AuthenticationError):
+                pass
         header = headers.get("Authorization", "")
         if not header.startswith("Bearer "):
             raise AuthenticationError("Authentication failure")
