@@ -131,6 +131,8 @@ HEADLINE = [
     "value_index_build",  # one-time (value,id) extract, range-partitioned + sorted commit
     "value_index_lookup",  # In(value,…) pushed into the sorted entries scan + id semi-join
     "value_index_range",  # date-slice from footer-pruned sorted entries
+    "store_cdf_changes",  # change feed: (key,hash) diff join + churn-sized image semi-joins
+    "store_cdf_replay",  # replica apply: broadcast touched-key anti-join, base never shuffles
 ]
 
 

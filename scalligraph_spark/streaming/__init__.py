@@ -799,3 +799,48 @@ def start_index_maintenance_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_cdc_replay_sink(
+    stream_df: DataFrame,
+    store,
+    label: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    query_name: str = "cdc_replay_sink",
+):
+    """Replicate a table from its change feed (cdf.py): each micro-batch
+    carries change rows (``_change_type`` / ``_commit_version``) and is
+    APPLIED — not appended — to the replica's current snapshot via
+    :func:`~scalligraph_spark.cdf.apply_changes`, so deletes remove,
+    postimages upsert, and the replica converges to the source table
+    exactly (the replay property the cdf pytest pins, now at streaming
+    cadence — the downstream half of a CDC replication pipeline).
+
+    Batch-id idempotence as in :func:`start_store_sink`: a replayed batch
+    after a crash-restart is detected in the commit meta and skipped.
+    Scale shape: the replica base never shuffles — apply_changes
+    anti-joins the broadcast churn-sized touched keys."""
+    from scalligraph_spark.cdf import apply_changes
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        cur_v = store.version(label)
+        if cur_v > 0 and store.commit_meta(label, cur_v).get("batch_id", -1) >= batch_id:
+            return  # replayed batch after restart — already committed
+        if cur_v > 0:
+            base = store.read(batch_df.sparkSession, label, cur_v)
+        else:
+            # bootstrap: the replica's schema is the feed minus its meta
+            base = batch_df.sparkSession.createDataFrame(
+                [], batch_df.drop("_change_type", "_commit_version").schema
+            )
+        store.write(label, apply_changes(base, batch_df, key_cols), meta={"batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -4637,6 +4637,118 @@ def qlang_value_lookup_q(spark, sf):
     return t.df.select("c_custkey", "c_name", "c_mktsegment")
 
 
+_CDF_SQL_V1 = (
+    "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
+)
+_CDF_SQL_V2 = (
+    "SELECT c_custkey, c_name, "
+    "CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, "
+    "c_mktsegment FROM v1 WHERE c_custkey % 10 <> 0 "
+    "UNION ALL "
+    "SELECT c_custkey + 10000000, 'New:' || c_name, c_acctbal, c_mktsegment "
+    "FROM v1 WHERE c_custkey % 7 = 0"
+)
+
+
+def _cdf_store(spark, sf):
+    """Build-once-per-process two-version customer table with a captured
+    change feed: v2 applies a deterministic churn (delete keys ≡0 mod 10,
+    +100 acctbal for BUILDING, insert shifted clones of keys ≡0 mod 7) so
+    DuckDB can reconstruct both versions as CTEs."""
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.cdf import write_with_cdf
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_cdf_{_os.path.basename(sf.rstrip('/'))}"
+    if root not in _CDF_BUILT:
+        _shutil.rmtree(root, ignore_errors=True)
+        store = LabelStore(root)
+        base = (
+            cat_for(spark, sf)
+            .vertex_df("customer")
+            .select(F.col("c_custkey").cast("long").alias("c_custkey"), "c_name", "c_acctbal", "c_mktsegment")
+        )
+        kept = base.filter(F.col("c_custkey") % 10 != 0).withColumn(
+            "c_acctbal",
+            F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") + 100).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        ins = base.filter(F.col("c_custkey") % 7 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.concat(F.lit("New:"), F.col("c_name")).alias("c_name"),
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        write_with_cdf(store, "cust", base, ["c_custkey"])
+        write_with_cdf(store, "cust", kept.unionByName(ins), ["c_custkey"])
+        _CDF_BUILT.add(root)
+    return LabelStore(root)
+
+
+_CDF_BUILT: set = set()
+
+
+@q(
+    "store_cdf_changes",
+    f"""
+WITH v1 AS ({_CDF_SQL_V1}), v2 AS ({_CDF_SQL_V2}),
+diff AS (
+  SELECT v1.c_custkey FROM v1 JOIN v2 ON v1.c_custkey = v2.c_custkey
+  WHERE v1.c_acctbal IS DISTINCT FROM v2.c_acctbal
+     OR v1.c_name IS DISTINCT FROM v2.c_name
+     OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment
+)
+SELECT v2.*, 'insert' AS _change_type, CAST(2 AS INTEGER) AS _commit_version
+  FROM v2 WHERE c_custkey NOT IN (SELECT c_custkey FROM v1)
+UNION ALL
+SELECT v1.*, 'delete', CAST(2 AS INTEGER)
+  FROM v1 WHERE c_custkey NOT IN (SELECT c_custkey FROM v2)
+UNION ALL
+SELECT v1.*, 'update_preimage', CAST(2 AS INTEGER)
+  FROM v1 WHERE c_custkey IN (SELECT c_custkey FROM diff)
+UNION ALL
+SELECT v2.*, 'update_postimage', CAST(2 AS INTEGER)
+  FROM v2 WHERE c_custkey IN (SELECT c_custkey FROM diff)
+""",
+    "the change-data-feed read contract (Delta CDF shape) over the "
+    "versioned store: every row that changed between two committed "
+    "versions, as full row images stamped _change_type (insert/delete/"
+    "update_preimage/update_postimage) + _commit_version — captured ONCE "
+    "at write time into a <label>__cdf_v<N> side label (the diff ships "
+    "(key, xxhash64) pairs through one full-outer join, then semi-joins "
+    "recover only the CHANGED rows' images), so every downstream "
+    "consumer — incremental MV, search index, replica — updates for the "
+    "cost of the churn, never a corpus re-read; the oracle reconstructs "
+    "both versions as CTEs and diffs them relationally",
+)
+def store_cdf_changes_q(spark, sf):
+    from scalligraph_spark.cdf import table_changes
+
+    store = _cdf_store(spark, sf)
+    return table_changes(spark, store, "cust", 1, 2)
+
+
+@q(
+    "store_cdf_replay",
+    f"WITH v1 AS ({_CDF_SQL_V1}), v2 AS ({_CDF_SQL_V2}) SELECT * FROM v2",
+    "the replay property that makes the feed a faithful replication "
+    "stream: apply_changes(v1, table_changes(1,2)) reconstructs v2 "
+    "EXACTLY — deletes remove, postimages upsert, the base table never "
+    "shuffles (anti-join against the broadcast churn-sized touched-key "
+    "set, the merge-on-read join shape); the oracle is the v2 relation "
+    "itself, so every byte of the replica is value-checked",
+)
+def store_cdf_replay_q(spark, sf):
+    from scalligraph_spark.cdf import apply_changes, table_changes
+
+    store = _cdf_store(spark, sf)
+    base = store.read(spark, "cust", 1)
+    return apply_changes(base, table_changes(spark, store, "cust", 1, 2), ["c_custkey"])
+
+
 @q(
     "graph_bfs_distances",
     """

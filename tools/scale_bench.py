@@ -126,6 +126,8 @@ def run(spark, sf_dir: str, names) -> dict[str, float]:
         S._minhash_index_store(spark, sf_dir)
     if any(n in ("value_index_lookup", "value_index_range", "qlang_value_lookup") for n in names):
         S._value_index_store(spark, sf_dir)
+    if any(n.startswith("store_cdf") for n in names):
+        S._cdf_store(spark, sf_dir)
 
     times = {}
     for name in names:
