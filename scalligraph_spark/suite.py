@@ -8057,6 +8057,17 @@ def quality_constraint_report_q(spark, sf):
 # rollup, grouping_sets, having — five reps was the most duplicated
 # family in the window).  All rotated-out entries remain registered and
 # exact under tools/check.py.
+# Round-8 session 12: four more swaps so the window carries the composite
+# value index and the change-data-feed — value_index_lookup for
+# get_by_name_or_id (the SAME capability, now answered through the
+# persisted index), qlang_value_lookup for json_filter_grammar (qlang
+# stays heavily represented: row_policy, sort_page, snapshot_read,
+# text_search, dialogue_chain), store_cdf_replay for writes_upsert_merge
+# (writes keeps writes_pipeline + unique_enforce; replay IS a
+# merge-upsert, value-checked against the target relation), and
+# store_cdf_changes for store_join_refresh (store keeps
+# qlang_snapshot_read; the MV-refresh entries stay suite-exact).
+#
 # Round 8: seven swaps so the window carries the round-7/8 oracle-exact
 # work — the dataset quality gate (quality_constraint_report for
 # text_predicates: TextP stays window-covered through
@@ -8082,7 +8093,7 @@ _WINDOW = [
     "qlang_dialogue_chain",
     "quality_constraint_report",
     "filter_semi_join",
-    "json_filter_grammar",
+    "qlang_value_lookup",
     "text_indexed_search",
     "hop_out_in",
     "source_jsonl_roundtrip",
@@ -8116,15 +8127,15 @@ _WINDOW = [
     "temporal_asof_join_bucketed",
     "dialogue_pack_budget_sharded",
     "pipeline_clean_corpus",
-    "get_by_name_or_id",
+    "value_index_lookup",
     "writes_pipeline",
     "unique_enforce",
     "integrity_duplicates",
     "auth_property",
     "q1_pricing_summary",
-    "store_join_refresh",
+    "store_cdf_changes",
     "join_bloom_prefiltered",
-    "writes_upsert_merge",
+    "store_cdf_replay",
 ]
 
 
