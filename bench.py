@@ -133,6 +133,7 @@ HEADLINE = [
     "value_index_range",  # date-slice from footer-pruned sorted entries
     "store_cdf_changes",  # change feed: (key,hash) diff join + churn-sized image semi-joins
     "store_cdf_replay",  # replica apply: broadcast touched-key anti-join, base never shuffles
+    "graphql_hop_projection",  # GraphQL doc → same chain fold; both endpoint filters pushed
 ]
 
 

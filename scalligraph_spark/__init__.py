@@ -52,8 +52,12 @@ from scalligraph_spark.auth import (
     SessionAuthSrv,
 )
 from scalligraph_spark.writes import WriteConflictError, WriteSession, try_transaction
+from scalligraph_spark.graphql import GraphQLError, GraphQLSchema, generate_schema
 
 __all__ = [
+    "GraphQLError",
+    "GraphQLSchema",
+    "generate_schema",
     "AUDIT_COLUMNS",
     "AttributeCheckingError",
     "EventSrv",

@@ -92,6 +92,11 @@ class QueryServer:
         self.cache = cache
         self.path = f"/api/v{api_version}/query"
         self.login_path = f"/api/v{api_version}/login"
+        # GraphQL facade over the same executor (SchemaGenerator route
+        # analog): POST {"query": "...", "variables": {...}} — shares the
+        # auth transports and the registered-query surface with /query
+        self.graphql_path = f"/api/v{api_version}/graphql"
+        self._graphql_schema = None
         # AccessLogFilter analog (AccessLogFilter.scala:16-36): called with
         # one record per request; every response also carries Request-Time
         self.access_log = access_log
@@ -232,6 +237,35 @@ class QueryServer:
             status, err = _error_body(e)
             return status, {}, json.dumps(err).encode()
 
+    def _run_graphql(self, body: bytes, headers) -> tuple[int, dict[str, str], bytes]:
+        """GraphQL-over-HTTP: request-level failures (bad JSON, missing
+        query, failed authentication) get their HTTP status; query-level
+        failures ride the 200 ``{"errors": [...]}`` envelope per the
+        GraphQL spec (the errors are part of the result, not transport)."""
+        from scalligraph_spark.graphql import GraphQLSchema
+
+        try:
+            payload = json.loads(body.decode("utf-8"))
+            source = payload["query"]
+            if not isinstance(source, str):
+                raise ValueError("graphql 'query' must be a string document")
+        except Exception as e:
+            return 400, {}, json.dumps({"type": "BadRequest", "message": str(e)}).encode()
+        try:
+            auth = self._auth_from_headers(headers)
+        except Exception as e:
+            status, err = _error_body(e)
+            return status, {}, json.dumps(err).encode()
+        if self._graphql_schema is None:
+            self._graphql_schema = GraphQLSchema(self.executor)
+        result = self._graphql_schema.execute(
+            source,
+            variables=payload.get("variables"),
+            auth=auth,
+            operation_name=payload.get("operationName"),
+        )
+        return 200, {}, json.dumps(result, default=str).encode()
+
     # -- server lifecycle --------------------------------------------------
     def serve(self, host: str = "127.0.0.1", port: int = 0) -> "QueryServer":
         server = self
@@ -287,6 +321,8 @@ class QueryServer:
                     status, headers, body = server._run_query(self.rfile.read(n), self.headers)
                 elif self.path == server.login_path:
                     status, headers, body = server._run_login(self.rfile.read(n))
+                elif self.path == server.graphql_path:
+                    status, headers, body = server._run_graphql(self.rfile.read(n), self.headers)
                 else:
                     status, headers, body = (
                         404,

@@ -11,6 +11,7 @@ and ``+/-`` prefixes.  Nulls always sort last, both directions
 from __future__ import annotations
 
 from pyspark.sql import Column
+from pyspark.sql import functions as F
 
 from scalligraph_spark.properties import PublicProperties
 
@@ -22,6 +23,12 @@ def _one(field: str, order: str, props: PublicProperties, auth) -> Column:
         return col.asc_nulls_last()
     if o in ("decr", "desc", "-"):
         return col.desc_nulls_last()
+    if o == "shuffle":
+        # the GraphQL Order enum's third value (graphql/.../
+        # SchemaGenerator.scala:18-25 binds Order.shuffle); a fixed seed
+        # keeps the permutation reproducible within a Spark session, which
+        # gremlin's shuffle does not promise — a deterministic superset
+        return F.rand(42).asc()
     raise ValueError(f"unknown sort order {order!r}")
 
 

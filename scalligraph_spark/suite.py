@@ -4637,6 +4637,67 @@ def qlang_value_lookup_q(spark, sf):
     return t.df.select("c_custkey", "c_name", "c_mktsegment")
 
 
+@q(
+    "graphql_filter_sort",
+    "SELECT c_name, c_acctbal FROM customer "
+    "WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 9000",
+    "GraphQL facade front-to-back: a query document parses, its filter "
+    "input object translates through the SchemaGenerator suffix grammar "
+    "(graphql/.../SchemaGenerator.scala:50-77), and compile() returns the "
+    "DISTRIBUTED plan (the toList projection is a column-pruned select; "
+    "nothing collects) — the facade is a compiler front-end over the "
+    "same chain fold the JSON query language uses",
+)
+def graphql_filter_sort_q(spark, sf):
+    from scalligraph_spark.graphql import GraphQLSchema
+
+    schema = GraphQLSchema(executor_for(spark, sf))
+    return schema.compile(
+        """
+        query BuildingWhales($seg: String!, $floor: Float!) {
+            all_customer {
+                filter(filter: { c_mktsegment: $seg, c_acctbal_gte: $floor }) {
+                    sort(sort: { c_acctbal: decr }) {
+                        toList { c_name c_acctbal }
+                    }
+                }
+            }
+        }
+        """,
+        variables={"seg": "BUILDING", "floor": 9000.0},
+    ).df
+
+
+@q(
+    "graphql_hop_projection",
+    "SELECT o.o_orderkey, o.o_totalprice FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE c.c_mktsegment = 'MACHINERY' AND c.c_acctbal > 9000 "
+    "AND o.o_orderpriority = '1-URGENT'",
+    "GraphQL registered-hop dispatch: the 'orders' field resolves through "
+    "the executor's named-query registry (same lookup as the JSON chain, "
+    "SchemaGenerator.scala:323-346), so the hop compiles to the "
+    "stats-planned join — filters on both endpoints push into both scans",
+)
+def graphql_hop_projection_q(spark, sf):
+    from scalligraph_spark.graphql import GraphQLSchema
+
+    schema = GraphQLSchema(executor_for(spark, sf))
+    return schema.compile(
+        """
+        { all_customer {
+            filter(filter: { c_mktsegment: "MACHINERY", c_acctbal_gt: 9000 }) {
+                orders {
+                    filter(filter: { o_orderpriority: "1-URGENT" }) {
+                        toList { o_orderkey o_totalprice }
+                    }
+                }
+            }
+        } }
+        """
+    ).df
+
+
 _CDF_SQL_V1 = (
     "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
 )

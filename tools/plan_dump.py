@@ -143,6 +143,10 @@ PLAN_QUERIES = [
     "qlang_value_lookup",  # byIndexedValue init step routed through the index
     "store_cdf_changes",  # narrow (key,hash) full-outer diff, payload never shuffles
     "store_cdf_replay",  # broadcast touched-keys anti-join + upsert union
+    # round-8 session 12: GraphQL facade — a compiler front-end, so the plan
+    # must look exactly like the equivalent JSON-chain plan
+    "graphql_filter_sort",  # filter input object → pushed parquet predicates
+    "graphql_hop_projection",  # registered-hop dispatch → stats-planned join
 ]
 
 
