@@ -4698,6 +4698,32 @@ def graphql_hop_projection_q(spark, sf):
     ).df
 
 
+@q(
+    "graphql_aggregation",
+    "SELECT CAST(o_orderpriority AS VARCHAR) AS o_orderpriority, "
+    "COUNT(*) AS count FROM orders GROUP BY o_orderpriority",
+    "GraphQL aggregation field — the reference's generator TODO'd "
+    "aggregation queries out (SchemaGenerator.scala:338); here the arg "
+    "input object IS the chain aggregation spec, so the whole tested "
+    "JSON-agg grammar is reachable from GraphQL and compiles to the same "
+    "partial-agg plan",
+)
+def graphql_aggregation_q(spark, sf):
+    from scalligraph_spark.graphql import GraphQLSchema
+
+    schema = GraphQLSchema(executor_for(spark, sf))
+    return schema.compile(
+        """
+        { all_orders {
+            aggregation(agg: { _agg: "field", _field: "o_orderpriority",
+                               _select: [{ _agg: "count" }] }) {
+                toList { o_orderpriority count }
+            }
+        } }
+        """
+    ).df
+
+
 _CDF_SQL_V1 = (
     "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
 )

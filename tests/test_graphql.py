@@ -322,6 +322,29 @@ def test_errors_unknown_and_unsupported(schema):
     assert r2 == {"data": {"allSoftware": {"count": 2}}}
 
 
+def test_aggregation_field(schema):
+    """Beyond the reference facade: its generator TODO'd aggregation
+    queries out (SchemaGenerator.scala:338); the arg input object here IS
+    the chain aggregation spec, so the tested JSON-agg grammar applies."""
+    r = schema.execute(
+        """
+        { allPeople { aggregation(agg: {
+              _agg: "field", _field: "age",
+              _select: [{ _agg: "count" }]
+          }) { toList { age count } } } }
+        """
+    )
+    rows = sorted(r["data"]["allPeople"]["aggregation"]["toList"], key=lambda d: d["age"])
+    assert rows == [
+        {"age": 27, "count": 1},
+        {"age": 28, "count": 1},
+        {"age": 29, "count": 1},
+        {"age": 32, "count": 1},
+        {"age": 34, "count": 1},
+        {"age": 35, "count": 1},
+    ]
+
+
 def test_shuffle_order_is_a_permutation(schema):
     r = schema.execute("{ allPeople { sort(sort: {name: shuffle}) { name { toList } } } }")
     names = r["data"]["allPeople"]["sort"]["name"]["toList"]
