@@ -8144,6 +8144,12 @@ def quality_constraint_report_q(spark, sf):
 # rollup, grouping_sets, having — five reps was the most duplicated
 # family in the window).  All rotated-out entries remain registered and
 # exact under tools/check.py.
+# Round-8 session 12 (late): two swaps so the window carries the GraphQL
+# facade — graphql_hop_projection for hop_out_in (the hop family keeps
+# hop_out_skewed in-window and the GraphQL entry IS a registered hop
+# through the same compiler) and graphql_filter_sort for
+# events_json_extract_agg (JSON-payload aggs stay suite-exact).
+#
 # Round-8 session 12: four more swaps so the window carries the composite
 # value index and the change-data-feed — value_index_lookup for
 # get_by_name_or_id (the SAME capability, now answered through the
@@ -8182,10 +8188,10 @@ _WINDOW = [
     "filter_semi_join",
     "qlang_value_lookup",
     "text_indexed_search",
-    "hop_out_in",
+    "graphql_hop_projection",
     "source_jsonl_roundtrip",
     "text_index_term_filter",
-    "events_json_extract_agg",
+    "graphql_filter_sort",
     "hop_out_skewed",
     "qagg_grouping_sets",
     "stats_corr_matrix",
