@@ -134,6 +134,7 @@ HEADLINE = [
     "store_cdf_changes",  # change feed: (key,hash) diff join + churn-sized image semi-joins
     "store_cdf_replay",  # replica apply: broadcast touched-key anti-join, base never shuffles
     "graphql_hop_projection",  # GraphQL doc → same chain fold; both endpoint filters pushed
+    "events_window_funnel",  # ordered-chain CEP: one user-key exchange, stacked windows
 ]
 
 

@@ -1,0 +1,133 @@
+"""Ordered event-sequence matching (CEP-lite): the windowed funnel.
+
+The reference's event surface stores audit/security event streams
+(core/.../services/EventSrv.scala; TheHive's alert→case→task flows);
+the standard analytical question over such a table is ORDERED
+conversion — "did step A happen, then B strictly after it, then C,
+all within a time window of A?" — the ClickHouse ``windowFunnel`` /
+Snowplow funnel shape.  ``suite.events_funnel`` answers the unordered
+rollup; this module answers the ordered one.
+
+Semantics (deterministic, documented — the *earliest-chain* greedy
+funnel):
+
+- ``s1`` = the user's earliest step-1 event;
+- ``s_k`` (k>1) = the earliest step-k event STRICTLY after ``s_{k-1}``
+  and within ``within`` seconds of ``s1``;
+- ``level`` = the largest k with ``s_k`` defined.  Users with no
+  step-1 event are not funnel members and are omitted.
+
+Greedy-earliest is not the same as "exists ANY ordered chain" when a
+later step-1 occurrence would have allowed a longer chain; it is the
+standard dashboard semantic (one canonical chain per user), it needs
+no per-user backtracking, and the oracle can replay it exactly.
+
+Spark shape, built for 100 TB:
+
+- one narrow projection ``(user, type, ms)`` filtered to the step
+  types (predicate + pruning reach the scan);
+- ONE hash exchange on the user key: the chained conditional
+  ``min(...) over (partition by user)`` windows all share that
+  partitioning, so Catalyst plans one Exchange + one Sort and stacks
+  the Window operators on top (each step's condition references the
+  previous step's column — allowed, since it is a per-user constant);
+- the per-user finalize is a ``groupBy(user)`` over the SAME
+  partitioning — no second exchange (pinned in tests);
+- no arrays, no per-user ``collect_list`` — a hot user with millions
+  of events costs a wide sort range, never executor memory (the
+  array-fold alternative, ``aggregate(sort_array(collect_list(...)))``,
+  would be a single pass but materializes each user's history; skew
+  kills it first).
+
+Timestamps are compared as epoch millis (``unix_millis`` after an NTZ
+→ UTC cast, lossless under the pinned UTC session) so the DuckDB
+oracle (``epoch_ms``) hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    within: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """→ one row per funnel member: ``(user_col, level, t1_ms)``.
+
+    ``steps`` are the ordered event types; ``within`` is the chain
+    window in SECONDS measured from the step-1 event.  ``level`` is
+    1..len(steps); ``t1_ms`` the epoch-millis of the chain anchor.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    if within <= 0:
+        raise ValueError("within must be positive seconds")
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    e = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col), F.col(type_col).alias("__t"), ms.alias("__ms")
+    )
+    w = Window.partitionBy(user_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    horizon = int(within) * 1000
+    df = e
+    names: list[str] = []
+    for i, step in enumerate(steps):
+        name = f"__s{i + 1}"
+        if i == 0:
+            cond = F.when(F.col("__t") == step, F.col("__ms"))
+        else:
+            cond = F.when(
+                (F.col("__t") == step)
+                & (F.col("__ms") > F.col(names[-1]))
+                & (F.col("__ms") <= F.col("__s1") + F.lit(horizon)),
+                F.col("__ms"),
+            )
+        df = df.withColumn(name, F.min(cond).over(w))
+        names.append(name)
+    # per-user constants → finalize on the same partitioning (no exchange)
+    agg = df.groupBy(user_col).agg(*[F.min(c).alias(c) for c in names])
+    level = F.coalesce(
+        *[
+            F.when(F.col(f"__s{k}").isNotNull(), F.lit(k))
+            for k in range(len(steps), 0, -1)
+        ]
+    )
+    return (
+        agg.where(F.col("__s1").isNotNull())
+        .select(
+            F.col(user_col),
+            level.cast("int").alias("level"),
+            F.col("__s1").alias("t1_ms"),
+        )
+    )
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: list[str],
+    within: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-level conversion table: ``(level, users, users_at_or_above)``.
+
+    ``users_at_or_above`` is the running total from the deepest level up
+    — the number that reached AT LEAST this step — computed with one
+    1-row-per-level window over the already-tiny per-level counts.
+    """
+    levels = window_funnel(events, steps, within, user_col, type_col, ts_col)
+    per = levels.groupBy("level").agg(F.count(F.lit(1)).alias("users"))
+    w = Window.orderBy(F.col("level").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "level", "users", F.sum("users").over(w).alias("users_at_or_above")
+    )

@@ -1431,6 +1431,70 @@ def events_funnel(spark, sf):
     )
 
 
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), a AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ms END) AS s1
+  FROM e GROUP BY user_id
+), b AS (
+  SELECT a.user_id, a.s1,
+         (SELECT min(ms) FROM e WHERE e.user_id = a.user_id
+            AND event_type = 'click' AND ms > a.s1 AND ms <= a.s1 + 86400000) AS s2
+  FROM a
+), c AS (
+  SELECT b.user_id, b.s1, b.s2,
+         (SELECT min(ms) FROM e WHERE e.user_id = b.user_id
+            AND event_type = 'purchase' AND ms > b.s2 AND ms <= b.s1 + 86400000) AS s3
+  FROM b
+), lv AS (
+  SELECT user_id,
+         CAST(CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS level,
+         s1 AS t1_ms
+  FROM c WHERE s1 IS NOT NULL
+)
+"""
+
+
+@q(
+    "events_window_funnel",
+    _FUNNEL_ORACLE + "SELECT user_id, level, t1_ms FROM lv",
+    "ordered sequence matching (CEP-lite windowFunnel): per-user greedy "
+    "earliest chain view→click→purchase within 24 h of the anchor — "
+    "strictly-increasing timestamps, horizon measured from step 1; ONE "
+    "hash exchange (chained conditional window mins + same-partitioning "
+    "finalize, plan-pinned in tests); oracle replays the greedy chain "
+    "with correlated min-subqueries",
+)
+def events_window_funnel_q(spark, sf):
+    from scalligraph_spark.operators import window_funnel
+
+    return window_funnel(
+        cat_for(spark, sf).vertex_df("events"),
+        ["view", "click", "purchase"],
+        within=86400,
+    )
+
+
+@q(
+    "events_funnel_report",
+    _FUNNEL_ORACLE
+    + "SELECT level, users, CAST(SUM(users) OVER (ORDER BY level DESC) AS BIGINT) AS users_at_or_above "
+    "FROM (SELECT level, count(*) AS users FROM lv GROUP BY level)",
+    "funnel conversion table: per-level member counts + reached-at-least "
+    "running total (1-row-per-level window over the tiny aggregate)",
+)
+def events_funnel_report_q(spark, sf):
+    from scalligraph_spark.operators import funnel_report
+
+    return funnel_report(
+        cat_for(spark, sf).vertex_df("events"),
+        ["view", "click", "purchase"],
+        within=86400,
+    )
+
+
 # ===========================================================================
 # ===  LEGACY / FINE-GRAINED VARIANTS (beyond the 50-query window)        ===
 # ===  Still declared + green under tools/check.py; each operator above   ===

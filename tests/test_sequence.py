@@ -1,0 +1,90 @@
+"""Windowed-funnel (ordered sequence matching) semantics + plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from scalligraph_spark.operators import funnel_report, window_funnel
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # u1: clean 3-step chain inside the window
+        (1, _ts(0), "view"),
+        (1, _ts(1), "click"),
+        (1, _ts(2), "purchase"),
+        # u2: purchase BEFORE click → level 2 only (order matters)
+        (2, _ts(0), "view"),
+        (2, _ts(1), "purchase"),
+        (2, _ts(2), "click"),
+        # u3: click exactly AT the horizon (inclusive) → level 2;
+        # purchase 1 s past it → not level 3  (within = 600 s)
+        (3, _ts(0), "view"),
+        (3, _ts(10), "click"),
+        (3, _ts(10, 1), "purchase"),
+        # u4: click at the SAME instant as view → strictly-after fails
+        (4, _ts(0), "view"),
+        (4, _ts(0), "click"),
+        # u5: no step-1 event at all → not a funnel member
+        (5, _ts(0), "click"),
+        (5, _ts(1), "purchase"),
+        # u6: greedy anchor — the EARLIEST view anchors the chain even
+        # though a later view would have allowed a full chain
+        (6, _ts(0), "view"),
+        (6, _ts(20), "view"),
+        (6, _ts(21), "click"),
+        (6, _ts(22), "purchase"),
+        # noise types are ignored
+        (1, _ts(0, 30), "error"),
+    ]
+    return spark.createDataFrame(
+        [(u, t, k) for u, t, k in rows], "user_id long, ts timestamp, event_type string"
+    )
+
+
+STEPS = ["view", "click", "purchase"]
+
+
+def test_levels(ev):
+    got = {
+        r["user_id"]: r["level"]
+        for r in window_funnel(ev, STEPS, within=600).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 2, 4: 1, 6: 1}
+
+
+def test_anchor_time_is_first_step(ev):
+    rows = {r["user_id"]: r["t1_ms"] for r in window_funnel(ev, STEPS, within=600).collect()}
+    assert rows[1] == int(_ts(0).replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+def test_report_cumulative(ev):
+    rep = {r["level"]: (r["users"], r["users_at_or_above"])
+           for r in funnel_report(ev, STEPS, within=600).collect()}
+    assert rep == {3: (1, 1), 2: (2, 3), 1: (2, 5)}
+
+
+def test_wider_window_promotes(ev):
+    got = {r["user_id"]: r["level"] for r in window_funnel(ev, STEPS, within=3600).collect()}
+    assert got[3] == 3  # horizon no longer cuts the purchase
+
+
+def test_validation(ev):
+    with pytest.raises(ValueError):
+        window_funnel(ev, ["view"], within=600)
+    with pytest.raises(ValueError):
+        window_funnel(ev, STEPS, within=0)
+
+
+def test_single_exchange_plan(ev):
+    """The chained conditional windows + finalize groupBy share ONE hash
+    exchange on the user key — the 100 TB contract (module docstring)."""
+    plan = window_funnel(ev, STEPS, within=600)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

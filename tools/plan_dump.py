@@ -147,6 +147,7 @@ PLAN_QUERIES = [
     # must look exactly like the equivalent JSON-chain plan
     "graphql_filter_sort",  # filter input object → pushed parquet predicates
     "graphql_hop_projection",  # registered-hop dispatch → stats-planned join
+    "events_window_funnel",  # ONE hash exchange under the stacked window chain
 ]
 
 
