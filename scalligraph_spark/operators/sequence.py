@@ -109,6 +109,67 @@ def window_funnel(
     )
 
 
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    within: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-transition conversion latency: ``(transition, converted,
+    avg_ms)`` for each step k→k+1 over the members who reached k+1.
+
+    Latency is ``s_{k+1} - s_k`` on the greedy chain.  The mean goes
+    through DECIMAL (one exact integer sum / exact count) so the oracle
+    hashes identically; the input to the stack is the per-user funnel
+    relation, so this adds one tiny unpivot + aggregate on top of
+    :func:`window_funnel`'s single exchange.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    # re-derive the full per-user step columns (window_funnel folds them
+    # away); same plan shape, one exchange
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    e = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col), F.col(type_col).alias("__t"), ms.alias("__ms")
+    )
+    w = Window.partitionBy(user_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    horizon = int(within) * 1000
+    df = e
+    names: list[str] = []
+    for i, step in enumerate(steps):
+        name = f"__s{i + 1}"
+        if i == 0:
+            cond = F.when(F.col("__t") == step, F.col("__ms"))
+        else:
+            cond = F.when(
+                (F.col("__t") == step)
+                & (F.col("__ms") > F.col(names[-1]))
+                & (F.col("__ms") <= F.col("__s1") + F.lit(horizon)),
+                F.col("__ms"),
+            )
+        df = df.withColumn(name, F.min(cond).over(w))
+        names.append(name)
+    per_user = df.groupBy(user_col).agg(*[F.min(c).alias(c) for c in names])
+    # unpivot transitions with stack: one row per user per completed hop
+    pairs = ", ".join(
+        f"'{steps[k]}->{steps[k + 1]}', __s{k + 2} - __s{k + 1}"
+        for k in range(len(steps) - 1)
+    )
+    from scalligraph_spark.functions import davg
+
+    lat = per_user.selectExpr(
+        f"stack({len(steps) - 1}, {pairs}) AS (transition, lat_ms)"
+    ).where(F.col("lat_ms").isNotNull())
+    return lat.groupBy("transition").agg(
+        F.count(F.lit(1)).alias("converted"),
+        davg(F.col("lat_ms")).alias("avg_ms"),
+    )
+
+
 def funnel_report(
     events: DataFrame,
     steps: list[str],

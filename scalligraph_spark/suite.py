@@ -1478,6 +1478,33 @@ def events_window_funnel_q(spark, sf):
 
 
 @q(
+    "events_funnel_latency",
+    _FUNNEL_ORACLE
+    + f"""
+, t AS (
+  SELECT 'view->click' AS transition, s2 - s1 AS lat_ms FROM c WHERE s2 IS NOT NULL
+  UNION ALL
+  SELECT 'click->purchase' AS transition, s3 - s2 AS lat_ms FROM c WHERE s3 IS NOT NULL
+)
+SELECT transition, count(*) AS converted, {davg_expr('lat_ms')} AS avg_ms
+FROM t GROUP BY transition
+""",
+    "per-transition conversion latency on the greedy chain (step-k→k+1 "
+    "milliseconds for members who completed the hop): stack-unpivot over "
+    "the per-user funnel relation + one tiny aggregate; mean through "
+    "DECIMAL (davg) so the oracle hashes exactly",
+)
+def events_funnel_latency_q(spark, sf):
+    from scalligraph_spark.operators import funnel_latency
+
+    return funnel_latency(
+        cat_for(spark, sf).vertex_df("events"),
+        ["view", "click", "purchase"],
+        within=86400,
+    )
+
+
+@q(
     "events_funnel_report",
     _FUNNEL_ORACLE
     + "SELECT level, users, CAST(SUM(users) OVER (ORDER BY level DESC) AS BIGINT) AS users_at_or_above "

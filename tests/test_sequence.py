@@ -76,6 +76,18 @@ def test_wider_window_promotes(ev):
     assert got[3] == 3  # horizon no longer cuts the purchase
 
 
+def test_latency(ev):
+    from scalligraph_spark.operators import funnel_latency
+
+    rows = {
+        r["transition"]: (r["converted"], r["avg_ms"])
+        for r in funnel_latency(ev, STEPS, within=600).collect()
+    }
+    # view->click: u1 60 s, u2 120 s, u3 600 s; click->purchase: u1 only
+    assert rows["view->click"] == (3, (60000 + 120000 + 600000) / 3)
+    assert rows["click->purchase"] == (1, 60000.0)
+
+
 def test_validation(ev):
     with pytest.raises(ValueError):
         window_funnel(ev, ["view"], within=600)
