@@ -102,6 +102,11 @@ def build_scaled(spark, src: str, dst: str, k: int) -> None:
             if t == "documents" and r > 0:
                 # suffix every token → replicas share no shingles
                 p = p.withColumn("text", F.regexp_replace("text", r"(\S+)", f"$1x{r}"))
+            if t == "customer" and r > 0:
+                # replica customers are NEW customers: distinct names keep
+                # the unique c_name value-index hint true at every K, the
+                # same way document replicas are not near-duplicates
+                p = p.withColumn("c_name", F.concat(F.col("c_name"), F.lit(f"x{r}")))
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:
