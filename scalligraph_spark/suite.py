@@ -85,6 +85,7 @@ def executor_for(
     ann_index: tuple | None = None,
     minhash_index: tuple | None = None,
     value_index: tuple | None = None,
+    cdf_store: tuple | None = None,
 ) -> QueryExecutor:
     """The registered query surface (QueryExecutor.scala:17-171 analog):
     init queries per label + inter-entity hop queries with typed params
@@ -326,6 +327,30 @@ def executor_for(
             )
 
         ex.register_init("byIndexedValue", _by_indexed_value)
+
+    if cdf_store is not None:
+        # ``cdf_store=(store, label, key_cols)`` declares the change-data-
+        # feed for the ``storeChanges`` init step: ``[{_name: storeChanges,
+        # from: N, to?: M}]`` starts a chain on the CDF rows between two
+        # committed versions (captured feeds read directly, uncaptured
+        # steps hash-diffed — cdf.table_changes contract).  The traversal
+        # carries the real label, so registered row policies gate the feed
+        # exactly like the live table — a change feed must never leak rows
+        # the reader could not see.  Completes the per-family qlang
+        # routing: text, ANN, near-dup, exact-value, now CDC.
+        cdf_st, cdf_label, cdf_keys = cdf_store
+
+        def _store_changes(g, s, a):
+            from scalligraph_spark.cdf import table_changes
+
+            v_from = int(s["from"])
+            v_to = int(s["to"]) if s.get("to") is not None else cdf_st.version(cdf_label)
+            df = table_changes(
+                spark, cdf_st, cdf_label, v_from, v_to, key_cols=list(cdf_keys)
+            )
+            return Traversal(df, catalog=g, label=cdf_label)
+
+        ex.register_init("storeChanges", _store_changes)
 
     def _shortest_paths(g, s, a):
         from scalligraph_spark.operators import bfs_distances
@@ -4867,6 +4892,37 @@ def _cdf_store(spark, sf):
 
 
 _CDF_BUILT: set = set()
+
+
+@q(
+    "qlang_store_changes",
+    f"""
+WITH v1 AS ({_CDF_SQL_V1}), v2 AS ({_CDF_SQL_V2}),
+diff AS (
+  SELECT v1.c_custkey FROM v1 JOIN v2 ON v1.c_custkey = v2.c_custkey
+  WHERE v1.c_acctbal IS DISTINCT FROM v2.c_acctbal
+     OR v1.c_name IS DISTINCT FROM v2.c_name
+     OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment
+)
+SELECT v2.*, 'update_postimage' AS _change_type, CAST(2 AS INTEGER) AS _commit_version
+  FROM v2 WHERE c_custkey IN (SELECT c_custkey FROM diff)
+""",
+    "CDC from the JSON query language: [{_name: storeChanges, from, to}] "
+    "starts a chain on the declared change feed (executor_for(cdf_store=…)"
+    ") and composes with builtin steps — here a _change_type filter keeps "
+    "the update postimages; the traversal carries the real label so row "
+    "policies gate the feed like the live table",
+)
+def qlang_store_changes_q(spark, sf):
+    ex = executor_for(spark, sf, cdf_store=(_cdf_store(spark, sf), "cust", ["c_custkey"]))
+    t = ex.execute(
+        [
+            {"_name": "storeChanges", "from": 1, "to": 2},
+            {"_name": "filter", "_is": {"_field": "_change_type", "_value": "update_postimage"}},
+        ]
+    )
+    return t.df
+
 
 
 @q(

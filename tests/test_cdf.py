@@ -155,3 +155,45 @@ def test_cdc_replay_sink_converges(spark, tmp_path):
     start_cdc_replay_sink(stream3, replica, "t", ["id"], str(tmp_path / "ckpt2")).awaitTermination()
     assert replica.version("t") == v_before
     assert _sorted(replica.read(spark, "t")) == _sorted(src_store.read(spark, "t", 3))
+
+
+def test_qlang_store_changes_step(spark):
+    """[{_name: storeChanges}] — the CDC qlang route: default `to` is the
+    label head version, builtin steps compose, and a registered row
+    policy gates the FEED exactly like the live table."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from scalligraph_spark.suite import _cdf_store, executor_for
+
+    store = _cdf_store(spark, SF_DIR)
+    ex = executor_for(spark, SF_DIR, cdf_store=(store, "cust", ["c_custkey"]))
+
+    explicit = ex.execute([{"_name": "storeChanges", "from": 1, "to": 2}]).df
+    default_to = ex.execute([{"_name": "storeChanges", "from": 1}]).df
+    assert _sorted(default_to) == _sorted(explicit)
+
+    deletes = ex.execute(
+        [
+            {"_name": "storeChanges", "from": 1},
+            {"_name": "filter", "_is": {"_field": "_change_type", "_value": "delete"}},
+        ]
+    ).df
+    expected = table_changes(spark, store, "cust", 1, 2, key_cols=["c_custkey"]).where(
+        F.col("_change_type") == "delete"
+    )
+    assert _sorted(deletes) == _sorted(expected)
+    assert deletes.count() > 0
+
+    # a row policy on the label gates the change feed too
+    ex.register_row_policy(
+        "cust",
+        lambda auth: F.col("c_mktsegment") == F.lit("BUILDING")
+        if auth is None
+        else F.lit(True),
+    )
+    gated = ex.execute([{"_name": "storeChanges", "from": 1}]).df
+    segs = {r[0] for r in gated.select("c_mktsegment").distinct().collect()}
+    assert segs == {"BUILDING"}
+    ungated = ex.execute([{"_name": "storeChanges", "from": 1}], auth={"permissions": []}).df
+    assert ungated.count() == explicit.count()
