@@ -81,8 +81,12 @@ class QueryServer:
         access_log=None,
         session_srv=None,
         cache=None,
+        store=None,
     ):
         self.executor = executor
+        # optional LabelStore: wires GET /health to store_report (the
+        # metadata-only operational dashboard — no data scans per request)
+        self.store = store
         self.auth_srv = auth_srv
         # optional version-keyed result cache (qlang.QueryCache): when set,
         # non-streamed queries serve store-committed results on identical
@@ -97,6 +101,11 @@ class QueryServer:
         # auth transports and the registered-query surface with /query
         self.graphql_path = f"/api/v{api_version}/graphql"
         self._graphql_schema = None
+        # operational tier: chain explain (TraversalPrinter over HTTP),
+        # GraphQL SDL dump, store health
+        self.explain_path = f"/api/v{api_version}/explain"
+        self.schema_path = f"/api/v{api_version}/schema"
+        self.health_path = f"/api/v{api_version}/health"
         # AccessLogFilter analog (AccessLogFilter.scala:16-36): called with
         # one record per request; every response also carries Request-Time
         self.access_log = access_log
@@ -266,6 +275,56 @@ class QueryServer:
         )
         return 200, {}, json.dumps(result, default=str).encode()
 
+    def _run_explain(self, body: bytes, headers) -> tuple[int, dict[str, str], bytes]:
+        """``POST /explain`` {"query": [chain]} → the TraversalPrinter dump
+        (step-by-step fold resolution + the Catalyst physical plan) as
+        ``{"explain": "..."}``.  Auth applies exactly as on /query — the
+        explain of a permission-gated or policy-gated chain must not leak
+        what the execution would refuse."""
+        try:
+            payload = json.loads(body.decode("utf-8"))
+            chain = payload["query"]
+        except Exception as e:
+            return 400, {}, json.dumps({"type": "BadRequest", "message": str(e)}).encode()
+        try:
+            auth = self._auth_from_headers(headers)
+            from scalligraph_spark.fields import validate_chain
+
+            known = tuple(q.name for q in self.executor._queries)
+            text = self.executor.explain_chain(validate_chain(chain, known_queries=known), auth)
+            return 200, {}, json.dumps({"explain": text}).encode()
+        except Exception as e:
+            status, err = _error_body(e)
+            return status, {}, json.dumps(err).encode()
+
+    def _run_schema(self) -> tuple[int, dict[str, str], bytes]:
+        """``GET /schema`` → the GraphQL SDL (SchemaRenderer analog)."""
+        from scalligraph_spark.graphql import GraphQLSchema
+
+        if self._graphql_schema is None:
+            self._graphql_schema = GraphQLSchema(self.executor)
+        try:
+            return 200, {}, json.dumps({"sdl": self._graphql_schema.render()}).encode()
+        except Exception as e:
+            status, err = _error_body(e)
+            return status, {}, json.dumps(err).encode()
+
+    def _run_health(self) -> tuple[int, dict[str, str], bytes]:
+        """``GET /health`` → store_report rows (metadata-only) when a store
+        is wired, else a bare liveness body."""
+        if self.store is None:
+            return 200, {}, json.dumps({"status": "ok"}).encode()
+        try:
+            from scalligraph_spark.qlang.renderers import render_rows
+            from scalligraph_spark.store import store_report
+
+            spark = self.executor.catalog.spark
+            rows = render_rows(store_report(spark, self.store))
+            return 200, {}, json.dumps({"status": "ok", "labels": rows}, default=str).encode()
+        except Exception as e:
+            status, err = _error_body(e)
+            return status, {}, json.dumps(err).encode()
+
     # -- server lifecycle --------------------------------------------------
     def serve(self, host: str = "127.0.0.1", port: int = 0) -> "QueryServer":
         server = self
@@ -323,6 +382,8 @@ class QueryServer:
                     status, headers, body = server._run_login(self.rfile.read(n))
                 elif self.path == server.graphql_path:
                     status, headers, body = server._run_graphql(self.rfile.read(n), self.headers)
+                elif self.path == server.explain_path:
+                    status, headers, body = server._run_explain(self.rfile.read(n), self.headers)
                 else:
                     status, headers, body = (
                         404,
@@ -332,12 +393,18 @@ class QueryServer:
                 self._send(status, headers, body, t0)
 
             def do_GET(self):
-                self._send(
-                    404,
-                    {},
-                    json.dumps({"type": "NotFound", "message": self.path}).encode(),
-                    time.monotonic(),
-                )
+                t0 = time.monotonic()
+                if self.path == server.schema_path:
+                    status, headers, body = server._run_schema()
+                elif self.path == server.health_path:
+                    status, headers, body = server._run_health()
+                else:
+                    status, headers, body = (
+                        404,
+                        {},
+                        json.dumps({"type": "NotFound", "message": self.path}).encode(),
+                    )
+                self._send(status, headers, body, t0)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True

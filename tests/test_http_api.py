@@ -361,3 +361,63 @@ def test_query_cache_behind_the_front_door(spark, tmp_path):
         assert status == 200 and "X-Query-Cache" not in h4
     finally:
         srv.close()
+
+
+def _get(port, path):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_explain_endpoint(server):
+    status, _, out = _post(
+        server.port,
+        body=json.dumps(
+            {
+                "query": [
+                    {"_name": "all_customer"},
+                    {"_name": "filter", "_gte": {"_field": "c_acctbal", "_value": 0}},
+                ]
+            }
+        ).encode(),
+        path="/api/v1/explain",
+    )
+    assert status == 200
+    text = out["explain"]
+    assert "all_customer <registered[graph]>" in text
+    assert "Physical plan" in text and "PushedFilters" in text
+    # malformed chains get the Field-tier accumulated errors, typed
+    status2, _, err = _post(
+        server.port,
+        body=json.dumps({"query": [{"no_name": 1}]}).encode(),
+        path="/api/v1/explain",
+    )
+    assert status2 == 400
+
+
+def test_schema_endpoint(server):
+    status, out = _get(server.port, "/api/v1/schema")
+    assert status == 200
+    assert "type Query" in out["sdl"] and "all_customer: CustomerStep" in out["sdl"]
+
+
+def test_health_endpoint_without_store(server):
+    status, out = _get(server.port, "/api/v1/health")
+    assert status == 200 and out == {"status": "ok"}
+
+
+def test_health_endpoint_with_store(spark, tmp_path):
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.suite import executor_for
+
+    store = LabelStore(str(tmp_path / "hstore"))
+    store.write("things", spark.range(5).toDF("id"))
+    with QueryServer(executor_for(spark, SF_DIR), store=store).serve() as srv:
+        status, out = _get(srv.port, "/api/v1/health")
+    assert status == 200 and out["status"] == "ok"
+    (row,) = [r for r in out["labels"] if r["label"] == "things"]
+    assert row["version"] == 1
