@@ -50,33 +50,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def window_funnel(
+def _chain_relation(
     events: DataFrame,
     steps: list[str],
     within: int,
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-) -> DataFrame:
-    """→ one row per funnel member: ``(user_col, level, t1_ms)``.
+    user_col: str | list[str],
+    type_col: str,
+    ts_col: str,
+) -> tuple[list[str], DataFrame, list[str]]:
+    """→ (keys, per-key chain relation, step-time column names).
 
-    ``steps`` are the ordered event types; ``within`` is the chain
-    window in SECONDS measured from the step-1 event.  ``level`` is
-    1..len(steps); ``t1_ms`` the epoch-millis of the chain anchor.
+    The shared core: narrow projection, ONE hash exchange on the key(s),
+    chained conditional ``min(...) over (partition by keys)`` windows (each
+    step's condition references the previous step's per-key-constant
+    column), finalize ``groupBy`` on the same partitioning.
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
     if within <= 0:
         raise ValueError("within must be positive seconds")
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
     ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
-    e = events.where(F.col(type_col).isin(list(steps))).select(
-        F.col(user_col), F.col(type_col).alias("__t"), ms.alias("__ms")
+    df = events.where(F.col(type_col).isin(list(steps))).select(
+        *[F.col(k) for k in keys], F.col(type_col).alias("__t"), ms.alias("__ms")
     )
-    w = Window.partitionBy(user_col).rowsBetween(
+    w = Window.partitionBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     horizon = int(within) * 1000
-    df = e
     names: list[str] = []
     for i, step in enumerate(steps):
         name = f"__s{i + 1}"
@@ -91,8 +92,31 @@ def window_funnel(
             )
         df = df.withColumn(name, F.min(cond).over(w))
         names.append(name)
-    # per-user constants → finalize on the same partitioning (no exchange)
-    agg = df.groupBy(user_col).agg(*[F.min(c).alias(c) for c in names])
+    # per-key constants → finalize on the same partitioning (no exchange)
+    agg = df.groupBy(*keys).agg(*[F.min(c).alias(c) for c in names])
+    return keys, agg, names
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    within: int,
+    user_col: str | list[str] = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """→ one row per funnel member: ``(*user_col, level, t1_ms)``.
+
+    ``steps`` are the ordered event types; ``within`` is the chain
+    window in SECONDS measured from the step-1 event.  ``level`` is
+    1..len(steps); ``t1_ms`` the epoch-millis of the chain anchor.
+
+    ``user_col`` may be a LIST of columns — ``["user_id", "session_id"]``
+    turns the horizon funnel into the SESSION-scoped variant (the chain
+    must complete inside one sessionization window): same single
+    exchange, just a composite key.
+    """
+    keys, agg, names = _chain_relation(events, steps, within, user_col, type_col, ts_col)
     level = F.coalesce(
         *[
             F.when(F.col(f"__s{k}").isNotNull(), F.lit(k))
@@ -102,7 +126,7 @@ def window_funnel(
     return (
         agg.where(F.col("__s1").isNotNull())
         .select(
-            F.col(user_col),
+            *[F.col(k) for k in keys],
             level.cast("int").alias("level"),
             F.col("__s1").alias("t1_ms"),
         )
@@ -126,34 +150,7 @@ def funnel_latency(
     relation, so this adds one tiny unpivot + aggregate on top of
     :func:`window_funnel`'s single exchange.
     """
-    if len(steps) < 2:
-        raise ValueError("a funnel needs at least two steps")
-    # re-derive the full per-user step columns (window_funnel folds them
-    # away); same plan shape, one exchange
-    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
-    e = events.where(F.col(type_col).isin(list(steps))).select(
-        F.col(user_col), F.col(type_col).alias("__t"), ms.alias("__ms")
-    )
-    w = Window.partitionBy(user_col).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    horizon = int(within) * 1000
-    df = e
-    names: list[str] = []
-    for i, step in enumerate(steps):
-        name = f"__s{i + 1}"
-        if i == 0:
-            cond = F.when(F.col("__t") == step, F.col("__ms"))
-        else:
-            cond = F.when(
-                (F.col("__t") == step)
-                & (F.col("__ms") > F.col(names[-1]))
-                & (F.col("__ms") <= F.col("__s1") + F.lit(horizon)),
-                F.col("__ms"),
-            )
-        df = df.withColumn(name, F.min(cond).over(w))
-        names.append(name)
-    per_user = df.groupBy(user_col).agg(*[F.min(c).alias(c) for c in names])
+    _, per_user, names = _chain_relation(events, steps, within, user_col, type_col, ts_col)
     # unpivot transitions with stack: one row per user per completed hop
     pairs = ", ".join(
         f"'{steps[k]}->{steps[k + 1]}', __s{k + 2} - __s{k + 1}"

@@ -95,6 +95,31 @@ def test_validation(ev):
         window_funnel(ev, STEPS, within=0)
 
 
+def test_session_scoped_composite_key(spark):
+    """user_col as a list → the session-scoped funnel: the same chain in
+    session 1 converts, split across sessions it does not."""
+    rows = [
+        (1, 10, _ts(0), "view"),
+        (1, 10, _ts(1), "click"),
+        (1, 10, _ts(2), "purchase"),
+        (2, 20, _ts(0), "view"),
+        (2, 21, _ts(1), "click"),  # different session → chain broken
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, session_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r["level"]
+        for r in window_funnel(df, STEPS, within=600, user_col=["user_id", "session_id"]).collect()
+    }
+    assert got == {(1, 10): 3, (2, 20): 1}
+    plan = (
+        window_funnel(df, STEPS, within=600, user_col=["user_id", "session_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_single_exchange_plan(ev):
     """The chained conditional windows + finalize groupBy share ONE hash
     exchange on the user key — the 100 TB contract (module docstring)."""
