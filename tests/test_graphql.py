@@ -351,6 +351,26 @@ def test_shuffle_order_is_a_permutation(schema):
     assert sorted(names) == ["franck", "josh", "marc", "marko", "peter", "vadas"]
 
 
+def test_time_travel_through_graphql(spark, tmp_path):
+    """The facade reaches EVERY registered init, including atSnapshot —
+    GraphQL time travel for free (params ride as flat field args)."""
+    from scalligraph_spark.store import LabelStore, SnapshotStore
+    from scalligraph_spark.suite import executor_for
+    from scalligraph_spark.graphql import GraphQLSchema
+
+    docs = spark.range(10).toDF("doc_id")
+    snap = SnapshotStore(LabelStore(str(tmp_path / "snap")))
+    snap.commit({"docs": docs.where("doc_id < 6")})   # snapshot 1: 6 rows
+    snap.commit({"docs": docs})                        # snapshot 2: 10 rows
+    schema = GraphQLSchema(
+        executor_for(spark, "/root/testdata/sf0.001", snapshot_root=str(tmp_path / "snap"))
+    )
+    r1 = schema.execute('{ atSnapshot(label: "docs", snapshot: 1) { count } }')
+    r2 = schema.execute('{ atSnapshot(label: "docs") { count } }')  # head
+    assert r1 == {"data": {"atSnapshot": {"count": 6}}}
+    assert r2 == {"data": {"atSnapshot": {"count": 10}}}
+
+
 def test_parser_units():
     ops = parse_document(
         'query Q($x: [Int!]! = [1 2]) { a: f(p: {k: [true null "s\\n"]}, e: incr) { b } } # c'
