@@ -1503,6 +1503,74 @@ def events_window_funnel_q(spark, sf):
 
 
 @q(
+    "events_funnel_sessionized",
+    """
+WITH allev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+), m AS (
+  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                   OR ms - lag(ms) OVER w > 21600000 THEN 1 ELSE 0 END AS new_sess
+  FROM allev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_type)
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_type
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+), e AS (
+  SELECT user_id, CAST(sess AS BIGINT) AS session_id, event_type, ms FROM s
+  WHERE event_type IN ('view', 'click', 'purchase')
+), a AS (
+  SELECT user_id, session_id, min(CASE WHEN event_type = 'view' THEN ms END) AS s1
+  FROM e GROUP BY user_id, session_id
+), b AS (
+  SELECT a.*, (SELECT min(ms) FROM e WHERE e.user_id = a.user_id
+                 AND e.session_id = a.session_id AND event_type = 'click'
+                 AND ms > a.s1 AND ms <= a.s1 + 86400000) AS s2
+  FROM a
+), c AS (
+  SELECT b.*, (SELECT min(ms) FROM e WHERE e.user_id = b.user_id
+                 AND e.session_id = b.session_id AND event_type = 'purchase'
+                 AND ms > b.s2 AND ms <= b.s1 + 86400000) AS s3
+  FROM b
+)
+SELECT user_id, session_id,
+       CAST(CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS level,
+       s1 AS t1_ms
+FROM c WHERE s1 IS NOT NULL
+""",
+    "SESSION-scoped funnel: gap-based sessionization (6 h inactivity over "
+    "ALL event types; ties broken (ms, event_type) — session ids are "
+    "order-independent for equal timestamps since the gap is 0 either "
+    "way) then the greedy chain must complete INSIDE one session — the "
+    "composite-key window_funnel path; two exchanges total (user-key "
+    "sessionize sort + (user, session)-key funnel)",
+)
+def events_funnel_sessionized_q(spark, sf):
+    from pyspark.sql import Window as W
+
+    from scalligraph_spark.operators import window_funnel
+
+    d = cat_for(spark, sf).vertex_df("events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(ms.asc(), F.col("event_type").asc())
+    lag = F.lag(ms).over(w)
+    new_sess = F.when(lag.isNull() | ((ms - lag) > F.lit(21600000)), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        W.partitionBy("user_id")
+        .orderBy(ms.asc(), F.col("event_type").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_sess = d.select(
+        "user_id", "event_type", "ts", sess.cast("long").alias("session_id")
+    )
+    return window_funnel(
+        with_sess,
+        ["view", "click", "purchase"],
+        within=86400,
+        user_col=["user_id", "session_id"],
+    )
+
+
+@q(
     "events_funnel_latency",
     _FUNNEL_ORACLE
     + f"""

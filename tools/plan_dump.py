@@ -148,6 +148,7 @@ PLAN_QUERIES = [
     "graphql_filter_sort",  # filter input object → pushed parquet predicates
     "graphql_hop_projection",  # registered-hop dispatch → stats-planned join
     "events_window_funnel",  # ONE hash exchange under the stacked window chain
+    "events_funnel_sessionized",  # sessionize sort + composite-key funnel: two exchanges
 ]
 
 
