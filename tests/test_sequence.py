@@ -125,3 +125,62 @@ def test_single_exchange_plan(ev):
     exchange on the user key — the 100 TB contract (module docstring)."""
     plan = window_funnel(ev, STEPS, within=600)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# -- property-based differential ----------------------------------------------
+
+
+def _naive_funnel(rows, steps, within):
+    """Independent greedy-chain evaluation in plain Python."""
+    out = {}
+    by_user = {}
+    for u, ts, t in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        s = [None] * len(steps)
+        s[0] = min((ts for ts, t in evs if t == steps[0]), default=None)
+        if s[0] is None:
+            continue
+        for k in range(1, len(steps)):
+            if s[k - 1] is None:
+                break
+            s[k] = min(
+                (
+                    ts
+                    for ts, t in evs
+                    if t == steps[k] and ts > s[k - 1] and ts <= s[0] + within * 1000
+                ),
+                default=None,
+            )
+        level = max(k + 1 for k in range(len(steps)) if s[k] is not None)
+        out[u] = (level, s[0])
+    return out
+
+
+def test_funnel_differential_fuzz(spark):
+    """Random event streams: window_funnel ≡ the naive evaluator.
+
+    One generated batch (not @given per-example Spark jobs — a single
+    parameterized dataset with many users IS the example sweep)."""
+    import random
+
+    rng = random.Random(20260815)
+    types = ["view", "click", "purchase", "noise"]
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(0, 12)):
+            # millis on a coarse grid to force ties and boundary hits
+            ts = rng.randrange(0, 40) * 60_000
+            rows.append((u, ts, rng.choice(types)))
+    df = spark.createDataFrame(
+        [(u, dt.datetime.fromtimestamp(ts / 1000, dt.timezone.utc).replace(tzinfo=None), t)
+         for u, ts, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    for within in (600, 1200):
+        got = {
+            r["user_id"]: (r["level"], r["t1_ms"])
+            for r in window_funnel(df, STEPS, within=within).collect()
+        }
+        assert got == _naive_funnel(rows, STEPS, within), f"within={within}"
