@@ -40,6 +40,27 @@ import json
 
 from scalligraph_spark.traversal import Traversal
 
+# Auth-dict keys that are pure transport/session noise: they rotate
+# without the principal's grants changing, so they must NOT fork the
+# cache.  Everything ELSE in the auth dict participates in the key —
+# AuthContext.to_auth() flattens policy-feed data (e.g. the ``nations``
+# grants a row policy reads) into top-level keys, so only an
+# allowlist-of-noise (never an allowlist-of-signal) is safe: a new
+# policy feed added tomorrow is cache-scoped by default.
+_TRANSPORT_FIELDS = frozenset({"token"})
+
+
+def _canonical(v):
+    """JSON-stable view of an auth value: sets order-normalized, nested
+    containers recursed, anything exotic stringified."""
+    if isinstance(v, (set, frozenset)):
+        return sorted(_canonical(x) for x in v)
+    if isinstance(v, dict):
+        return {str(k): _canonical(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_canonical(x) for x in v]
+    return v
+
 
 class QueryCache:
     """Write-through, version-keyed result cache for a QueryExecutor."""
@@ -65,16 +86,20 @@ class QueryCache:
     def key(self, chain: list[dict], auth: dict | None = None) -> str:
         ident = ""
         if auth:
-            # identity + grants are what scope a result; a rotated session
-            # token for the same principal must NOT fork the cache
+            # EVERYTHING the query layer can read scopes the result: row
+            # policies consume arbitrary auth keys (AuthContext.to_auth()
+            # flattens its policy-feed ``data`` dict to top level), so the
+            # key hashes the full dict minus known transport noise — a
+            # rotated session token must not fork the cache, but a changed
+            # grant set (e.g. ``nations``) MUST
             ident = json.dumps(
                 {
-                    "user": auth.get("user") or auth.get("user_id"),
-                    "organisation": auth.get("organisation"),
-                    "permissions": sorted(auth.get("permissions") or []),
-                    "data": auth.get("data") or {},
+                    k: _canonical(v)
+                    for k, v in auth.items()
+                    if k not in _TRANSPORT_FIELDS
                 },
                 sort_keys=True,
+                default=str,
             )
         payload = json.dumps(chain, sort_keys=True) + "\x00" + ident + "\x00" + self._fingerprint()
         return hashlib.md5(payload.encode()).hexdigest()

@@ -74,6 +74,41 @@ def test_auth_scopes_entries_but_token_rotation_does_not(setup):
     assert cache.key(chain, alice) != cache.key(chain, None)
     # same identity+grants with extra transport noise (token) → same key
     assert cache.key(chain, dict(alice, token="abc")) == cache.key(chain, dict(alice, token="xyz"))
+    # but CHANGED GRANTS must fork the key: AuthContext.to_auth() flattens
+    # policy-feed data (e.g. row-policy nation grants) to top level, and a
+    # cache that ignores it serves rows computed under the other grant set
+    assert cache.key(chain, dict(alice, nations=[1, 2])) != cache.key(chain, dict(alice, nations=[3]))
+    assert cache.key(chain, dict(alice, nations=[1, 2])) != cache.key(chain, alice)
+
+
+def test_grant_change_never_served_stale_rows(spark, setup):
+    """End-to-end regression for the stale-authorization leak: a
+    row-policy-gated query cached under one grant set must MISS (and
+    re-filter) when the same principal's grants change."""
+    from pyspark.sql import functions as F  # noqa: F811 - explicit in-test
+
+    store, ex = setup
+    ex.register_row_policy(
+        "person",
+        lambda auth: F.col("age").isin([int(a) for a in (auth or {}).get("ages", [])])
+        if auth is not None
+        else F.lit(True),
+    )
+    cache = QueryCache(ex, store)
+    chain = [{"_name": "people"}]
+    wide = {"user": "alice", "organisation": "acme", "permissions": ["read"], "ages": [27, 29, 32]}
+    narrow = dict(wide, ages=[27])
+
+    first = cache.execute(chain, auth=wide)
+    assert sorted(r["name"] for r in first.df.collect()) == ["josh", "marko", "vadas"]
+    # grants shrink: the narrow principal must NOT be served the wide rows
+    second = cache.execute(chain, auth=narrow)
+    assert cache.misses == 2, "narrowed grants must fork the cache entry"
+    assert sorted(r["name"] for r in second.df.collect()) == ["vadas"]
+    # and each grant set still hits its OWN entry afterwards
+    again = cache.execute(chain, auth=dict(wide, token="rotated"))
+    assert cache.hits == 1
+    assert sorted(r["name"] for r in again.df.collect()) == ["josh", "marko", "vadas"]
 
 
 def test_evict_keeps_newest(setup):
