@@ -318,14 +318,32 @@ class PkiAuthSrv(AuthSrv):
     ``iPAddress``, ``directoryName``, ``registeredID``) for the SAN
     path — the same one knob the reference exposes
     (PkiAuthProvider, :94-101: ``certificateField``).  No
-    ``changePassword``: the CA owns credentials."""
+    ``changePassword``: the CA owns credentials.
+
+    Identity extraction is gated behind certificate CHECKS — in the
+    reference the JVM's TLS stack has already verified the client chain
+    before PkiAuthSrv sees it; a header-forwarded certificate gets no
+    such free verification, so this provider does its own:
+
+    * validity period is always enforced (``not_valid_before`` /
+      ``not_valid_after`` against ``clock``, injectable for tests);
+    * when ``ca_bundle`` is configured (an iterable of trusted issuer
+      certificates in any form ``_load_cert`` accepts), the presented
+      certificate must be directly issued and SIGNED by one of them —
+      a self-signed certificate naming a victim CN no longer
+      authenticates.  Without a bundle the signature is NOT checked;
+      only deploy that mode behind a TLS terminator that already
+      verified the chain (see ``QueryServer``'s
+      ``trust_client_cert_header`` opt-in)."""
 
     name = "pki"
     capabilities = frozenset()
 
-    def __init__(self, users, certificate_field: str = "CN"):
+    def __init__(self, users, certificate_field: str = "CN", ca_bundle=None, clock=None):
         self.users = users
         self.certificate_field = certificate_field
+        self.ca_bundle = list(ca_bundle) if ca_bundle is not None else None
+        self.clock = clock  # () -> aware-UTC datetime; None = wall clock
 
     @staticmethod
     def _load_cert(certificate):
@@ -382,8 +400,27 @@ class PkiAuthSrv(AuthSrv):
                     continue
         return None
 
+    def _check_validity(self, cert) -> None:
+        import datetime as _dt
+
+        now = self.clock() if self.clock is not None else _dt.datetime.now(_dt.timezone.utc)
+        if now < cert.not_valid_before_utc or now > cert.not_valid_after_utc:
+            raise AuthenticationError("Authentication failure")
+
+    def _check_issuer(self, cert) -> None:
+        for ca in self.ca_bundle:
+            try:
+                cert.verify_directly_issued_by(self._load_cert(ca))
+                return  # issuer-name match + signature verified
+            except Exception:
+                continue
+        raise AuthenticationError("Authentication failure")
+
     def authenticate_certificate(self, certificate, organisation: str | None = None) -> AuthContext:
         cert = self._load_cert(certificate)
+        self._check_validity(cert)
+        if self.ca_bundle is not None:
+            self._check_issuer(cert)
         value = self._field_from_subject(cert)
         if value is None:
             value = self._field_from_san(cert)

@@ -82,8 +82,14 @@ class QueryServer:
         session_srv=None,
         cache=None,
         store=None,
+        trust_client_cert_header: bool = False,
     ):
         self.executor = executor
+        # X-Client-Cert is only meaningful when a trusted TLS-terminating
+        # proxy sets it; a directly-reachable server must NOT honor a
+        # header any client can forge (self-signed cert naming a victim).
+        # Explicit opt-in, off by default.
+        self.trust_client_cert_header = bool(trust_client_cert_header)
         # optional LabelStore: wires GET /health to store_report (the
         # metadata-only operational dashboard — no data scans per request)
         self.store = store
@@ -126,15 +132,21 @@ class QueryServer:
         # client-certificate transport (PkiAuthSrv.scala:84-91 reads the
         # TLS client chain; behind a TLS-terminating proxy the chain head
         # arrives URL-encoded in a header, the nginx
-        # $ssl_client_escaped_cert convention) — tried first, falling
-        # through to Bearer like the reference's provider chain
+        # $ssl_client_escaped_cert convention).  Honored ONLY under the
+        # explicit trusted-proxy opt-in — otherwise the header is
+        # attacker-controlled — and a presented-but-rejected certificate
+        # FAILS the request instead of silently falling through to
+        # Bearer: a misconfigured proxy or revoked cert should surface as
+        # a 401, not as a puzzling key-auth fallback.  NotSupportedError
+        # (no provider in the chain does certificates) still falls
+        # through, the MultiAuthSrv discipline.
         cert_pem = headers.get("X-Client-Cert")
-        if cert_pem:
+        if cert_pem and self.trust_client_cert_header:
             from urllib.parse import unquote
 
             try:
                 return self.auth_srv.authenticate_certificate(unquote(cert_pem)).to_auth()
-            except (NotSupportedError, AuthenticationError):
+            except NotSupportedError:
                 pass
         header = headers.get("Authorization", "")
         if not header.startswith("Bearer "):

@@ -30,22 +30,32 @@ from cryptography.x509.oid import NameOID, ObjectIdentifier  # noqa: E402
 UPN_OID = ObjectIdentifier("1.3.6.1.4.1.311.20.2.3")
 
 
-def make_cert(cn: str | None = None, email: str | None = None, upn: str | None = None):
-    """Self-signed cert with the subject / SAN shapes the provider reads."""
+def make_cert(
+    cn: str | None = None,
+    email: str | None = None,
+    upn: str | None = None,
+    not_before: dt.datetime | None = None,
+    days: int = 365,
+    issuer=None,  # (name, key) pair → CA-signed instead of self-signed
+):
+    """Cert with the subject / SAN shapes the provider reads — self-signed
+    by default, CA-signed when ``issuer=(ca_name, ca_key)`` is given.
+    """
     key = ec.generate_private_key(ec.SECP256R1())
     attrs = [x509.NameAttribute(NameOID.ORGANIZATION_NAME, "corp")]
     if cn is not None:
         attrs.append(x509.NameAttribute(NameOID.COMMON_NAME, cn))
     subject = x509.Name(attrs)
-    now = dt.datetime(2026, 1, 1)
+    issuer_name, signing_key = issuer if issuer is not None else (subject, key)
+    now = not_before or dt.datetime(2026, 1, 1)
     b = (
         x509.CertificateBuilder()
         .subject_name(subject)
-        .issuer_name(subject)
+        .issuer_name(issuer_name)
         .public_key(key.public_key())
         .serial_number(7)
         .not_valid_before(now)
-        .not_valid_after(now + dt.timedelta(days=365))
+        .not_valid_after(now + dt.timedelta(days=days))
     )
     sans: list = []
     if email is not None:
@@ -55,7 +65,27 @@ def make_cert(cn: str | None = None, email: str | None = None, upn: str | None =
         sans.append(x509.OtherName(UPN_OID, b"\x0c" + bytes([len(raw)]) + raw))
     if sans:
         b = b.add_extension(x509.SubjectAlternativeName(sans), critical=False)
-    return b.sign(key, hashes.SHA256())
+    return b.sign(signing_key, hashes.SHA256())
+
+
+def make_ca(cn: str = "corp-ca"):
+    """A CA identity: (certificate, (name, key)) — pass the second element
+    as ``make_cert(issuer=...)`` to mint leaves it signed."""
+    key = ec.generate_private_key(ec.SECP256R1())
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, cn)])
+    now = dt.datetime(2026, 1, 1)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(1)
+        .not_valid_before(now)
+        .not_valid_after(now + dt.timedelta(days=3650))
+        .add_extension(x509.BasicConstraints(ca=True, path_length=0), critical=True)
+        .sign(key, hashes.SHA256())
+    )
+    return cert, (name, key)
 
 
 def pem(cert) -> bytes:
@@ -108,6 +138,37 @@ def test_unknown_user_and_missing_field_and_garbage(users):
         srv.authenticate_certificate(b"not a certificate")
 
 
+def test_validity_period_enforced(users):
+    """Expired and not-yet-valid certificates are rejected regardless of
+    who they name — the check the JVM TLS stack did for the reference and
+    a header transport must do itself."""
+    srv = PkiAuthSrv(users, certificate_field="CN")
+    assert srv.authenticate_certificate(make_cert(cn="alice")).user_id == "u1"
+    with pytest.raises(AuthenticationError):  # expired years ago
+        srv.authenticate_certificate(make_cert(cn="alice", not_before=dt.datetime(2020, 1, 1), days=30))
+    with pytest.raises(AuthenticationError):  # not yet valid
+        srv.authenticate_certificate(make_cert(cn="alice", not_before=dt.datetime(2030, 1, 1)))
+    # injectable clock: the same cert flips accept→reject as time passes
+    ticking = PkiAuthSrv(users, "CN", clock=lambda: dt.datetime(2027, 6, 1, tzinfo=dt.timezone.utc))
+    with pytest.raises(AuthenticationError):
+        ticking.authenticate_certificate(make_cert(cn="alice"))  # expired by 2027-06
+
+
+def test_ca_bundle_rejects_self_signed(users):
+    """With a configured trust bundle, a certificate must be SIGNED by a
+    bundled CA: a self-signed cert naming a real user no longer
+    authenticates (the ADVICE forgery scenario), a CA-issued one does,
+    and one issued by a DIFFERENT CA is rejected."""
+    ca_cert, ca_issuer = make_ca()
+    rogue_cert, rogue_issuer = make_ca("rogue-ca")
+    srv = PkiAuthSrv(users, certificate_field="CN", ca_bundle=[pem(ca_cert)])
+    assert srv.authenticate_certificate(make_cert(cn="alice", issuer=ca_issuer)).user_id == "u1"
+    with pytest.raises(AuthenticationError):
+        srv.authenticate_certificate(make_cert(cn="alice"))  # self-signed forgery
+    with pytest.raises(AuthenticationError):
+        srv.authenticate_certificate(make_cert(cn="alice", issuer=rogue_issuer))
+
+
 def test_multi_auth_chain_routes_certificates(users):
     pw_users = users.sparkSession.createDataFrame(
         [("u9", "carol", hash_password("pw", "s"), "s")],
@@ -123,14 +184,15 @@ def test_multi_auth_chain_routes_certificates(users):
 def test_http_client_cert_header(spark, users):
     """X-Client-Cert (URL-encoded PEM — the nginx $ssl_client_escaped_cert
     convention for forwarding the TLS chain head) authenticates a query
-    with no Bearer header; a cert naming an unknown user is a 401."""
+    with no Bearer header UNDER THE TRUSTED-PROXY OPT-IN; a cert naming
+    an unknown user is a 401."""
     import http.client
 
     from scalligraph_spark.http_api import QueryServer
     from scalligraph_spark.suite import executor_for
 
     ex = executor_for(spark, "/root/testdata/sf0.001")
-    with QueryServer(ex, auth_srv=PkiAuthSrv(users, "CN")).serve() as srv:
+    with QueryServer(ex, auth_srv=PkiAuthSrv(users, "CN"), trust_client_cert_header=True).serve() as srv:
         def post(headers):
             conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
             body = json.dumps({"query": [{"_name": "all_nation"}, {"_name": "count"}]})
@@ -144,3 +206,43 @@ def test_http_client_cert_header(spark, users):
         assert status == 200 and json.loads(data) == [{"count": 25}]
         status, data = post({"X-Client-Cert": quote(pem(make_cert(cn="mallory")).decode())})
         assert status == 401 and json.loads(data)["type"] == "AuthenticationError"
+
+
+def test_http_cert_header_ignored_without_opt_in_and_fails_loud(spark, users):
+    """Defaults are safe: without ``trust_client_cert_header`` a forged
+    header is inert (Bearer still required), and WITH the opt-in a
+    presented-but-rejected certificate is a 401 — it does NOT silently
+    fall through to a key that would mask the misconfiguration."""
+    import http.client
+
+    from scalligraph_spark.auth import KeyAuthSrv, MultiAuthSrv
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    key_users = spark.createDataFrame(
+        [("u1", "alice", ["acme"], ["read"], None, "k-alice")],
+        "user_id string, user_name string, organisations array<string>, "
+        "permissions array<string>, policy_data string, api_key string",
+    )
+    ex = executor_for(spark, "/root/testdata/sf0.001")
+    chain = MultiAuthSrv([PkiAuthSrv(users, "CN"), KeyAuthSrv(key_users)])
+    body = json.dumps({"query": [{"_name": "all_nation"}, {"_name": "count"}]})
+
+    def post(srv, headers):
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request("POST", "/api/v1/query", body=body, headers={"Content-Type": "application/json", **headers})
+        r = conn.getresponse()
+        data = r.read()
+        conn.close()
+        return r.status, data
+
+    good_cert = {"X-Client-Cert": quote(pem(make_cert(cn="alice")).decode())}
+    bad_cert = {"X-Client-Cert": quote(pem(make_cert(cn="mallory")).decode())}
+    with QueryServer(ex, auth_srv=chain).serve() as srv:  # no opt-in
+        status, _ = post(srv, good_cert)
+        assert status == 401, "header transport must be inert without the trusted-proxy opt-in"
+        status, _ = post(srv, dict(good_cert, Authorization="Bearer k-alice"))
+        assert status == 200, "Bearer still works; the untrusted header is simply ignored"
+    with QueryServer(ex, auth_srv=chain, trust_client_cert_header=True).serve() as srv:
+        status, _ = post(srv, dict(bad_cert, Authorization="Bearer k-alice"))
+        assert status == 401, "a rejected presented cert must fail loud, not fall through to Bearer"
