@@ -164,7 +164,10 @@ class KMVSketch:
         closed under union, like any order statistic."""
         k = min(self.k, other.k)
         merged = sorted(set(self.values) | set(other.values))
-        return KMVSketch(k, merged[:k], self.exact and other.exact and len(merged) < k)
+        # two exact inputs ARE their sets, so the union is complete as
+        # long as it still FITS in k — len(merged) == k keeps exactness
+        # (all merged values are retained); only overflow loses it
+        return KMVSketch(k, merged[:k], self.exact and other.exact and len(merged) <= k)
 
     def intersect_estimate(self, other: "KMVSketch") -> float:
         """|A ∩ B| estimate: Jaccard from the union's min-k (the fraction

@@ -60,6 +60,25 @@ def test_kmv_exact_below_k_and_estimates_above(spark):
     assert kmv_sketch(dups, "v", k=16).estimate() == 2.0
 
 
+def test_kmv_union_of_exact_sketches_stays_exact_at_boundary(spark):
+    """Two exact sketches whose combined distinct set fits in k EXACTLY
+    (|A ∪ B| == k) still hold the complete union — the result must stay
+    exact and report the true count, not the biased (k-1)/u_k fallback."""
+    from scalligraph_spark.operators import kmv_sketch
+
+    k = 64
+    a = kmv_sketch(spark.range(0, 40).selectExpr("cast(id as string) as v"), "v", k=k)
+    b = kmv_sketch(spark.range(30, 64).selectExpr("cast(id as string) as v"), "v", k=k)
+    assert a.exact and b.exact
+    u = a.union(b)  # |A ∪ B| = 64 == k: boundary case
+    assert len(u.values) == k
+    assert u.exact, "complete union fitting in k must keep the exact flag"
+    assert u.estimate() == 64.0
+    # one more distinct value overflows k: exactness is genuinely lost
+    c = kmv_sketch(spark.range(30, 65).selectExpr("cast(id as string) as v"), "v", k=k)
+    assert not a.union(c).exact
+
+
 def test_kmv_set_algebra_matches_exact_counts(spark):
     """Union / intersection / difference / Jaccard estimates on two
     100k-value sets with a known 50% overlap — each estimate must land
