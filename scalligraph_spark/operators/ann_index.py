@@ -212,7 +212,12 @@ def extend_ann_cells(
         )
     meta = dict(ix.meta)
     segments = list(meta.get("cells_segments", []))
-    seg_label = f"{name}__cells_seg{len(segments) + 1}"
+    # monotonic naming (cells_seg_seq never resets across compactions):
+    # a label recorded as folded on the base's commit meta must never be
+    # reused, or the crash-safe reader would skip the fresh segment
+    seq = int(meta.get("cells_seg_seq", len(segments))) + 1
+    meta["cells_seg_seq"] = seq
+    seg_label = f"{name}__cells_seg{seq}"
     assign = _assign_cells(
         new_embeddings, ix.centroids, int(meta.get("cells_n_list", 1)),
         str(meta.get("id_col", "vec_id")), str(meta.get("vec_col", "embedding")),
@@ -236,20 +241,33 @@ def compact_ann_cells(spark: SparkSession, store, name: str) -> int:
     cell-sorted rewrite of existing assignments — no re-assignment, no
     training): probes go back to one pruned scan.  Old segment labels
     stay for pinned readers (``store.drop`` them under retention).
-    Returns the new base version of ``name__cells``."""
+    Returns the new base version of ``name__cells``.
+
+    Crash-safe: the merged base commits first, recording the folded
+    segment labels in its own commit meta; the meta carrier commits
+    second.  A crash between the two leaves the old carrier still listing
+    the folded segments, but :func:`_read_cells` skips any listed segment
+    the current base already folded — probes never see a vector
+    assignment twice (ADVICE r8)."""
     ix = load_ann_index(spark, store, name)
     meta = dict(ix.meta)
+    folded = list(meta.get("cells_segments", []))
     cells = _read_cells(spark, store, name, meta)
     v = store.write(f"{name}__cells", cells, sort_by=(16, ["cell"]),
-                    meta={"table_role": "ivf_cells", "n_list": int(meta.get("cells_n_list", 1))})
+                    meta={"table_role": "ivf_cells", "n_list": int(meta.get("cells_n_list", 1)),
+                          "folded_segments": folded})
     meta["cells_segments"] = []
     store.write(name, store.read(spark, name), meta=meta)
     return v
 
 
 def _read_cells(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
+    # skip segments the CURRENT base already folded (see compact_ann_cells)
+    folded = set(store.commit_meta(f"{name}__cells").get("folded_segments", []))
     cells = store.read(spark, f"{name}__cells")
     for seg in meta.get("cells_segments", []):
+        if seg in folded:
+            continue
         cells = cells.unionByName(store.read(spark, seg))
     return cells
 

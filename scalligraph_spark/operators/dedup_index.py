@@ -120,23 +120,39 @@ def build_minhash_index(
     return v
 
 
+def _live_seg_ids(store, base_label: str, meta: dict) -> range:
+    """Segment ids this base table still needs unioned in: ids are
+    monotonic (``seg_base`` advances at compaction, never resets), and the
+    base's own commit meta records how far IT has folded
+    (``folded_through``) — so a crash between compaction's base commit and
+    the meta-carrier commit leaves every table individually consistent:
+    the rewritten base skips its folded segments, the not-yet-rewritten
+    ones keep unioning theirs."""
+    top = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))
+    folded = max(
+        int(meta.get("seg_base", 0)),
+        int(store.commit_meta(base_label).get("folded_through", 0)),
+    )
+    return range(folded + 1, top + 1)
+
+
 def _read_sigs(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
     out = store.read(spark, name)
-    for i in range(1, int(meta.get("segments", 0)) + 1):
+    for i in _live_seg_ids(store, name, meta):
         out = out.unionByName(store.read(spark, f"{name}__seg{i}"))
     return out
 
 
 def _read_bands(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
     out = store.read(spark, f"{name}__bands")
-    for i in range(1, int(meta.get("segments", 0)) + 1):
+    for i in _live_seg_ids(store, f"{name}__bands", meta):
         out = out.unionByName(store.read(spark, f"{name}__bands_seg{i}"))
     return out
 
 
 def _read_bucket_stats(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
     out = store.read(spark, f"{name}__bucket_stats")
-    for i in range(1, int(meta.get("segments", 0)) + 1):
+    for i in _live_seg_ids(store, f"{name}__bucket_stats", meta):
         out = out.unionByName(store.read(spark, f"{name}__bucket_stats_seg{i}"))
     return out
 
@@ -226,7 +242,10 @@ def extend_minhash_index(
     probes base ∪ segments.  Returns the new segment count."""
     meta = _meta(store, name)
     nh, bands = int(meta["num_hashes"]), int(meta["bands"])
-    k = int(meta.get("segments", 0)) + 1
+    # monotonic naming: seg_base is the id watermark already folded into
+    # the base by past compactions — folded labels are never reused, so
+    # the crash-safe reader can trust the base's folded_through marker
+    k = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0)) + 1
     sigs = minhash_signature(
         new_docs, str(meta.get("text_col", "text")), str(meta.get("id_col", "doc_id")), nh
     )
@@ -242,30 +261,43 @@ def extend_minhash_index(
             F.count(F.lit(1)).cast("long").alias("n")
         ),
     )
-    meta = dict(meta, segments=k, **(extra_meta or {}))
+    live = int(meta.get("segments", 0)) + 1
+    meta = dict(meta, segments=live, **(extra_meta or {}))
     if corpus_store is not None and "corpus_label" in meta:
         meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
     _write_meta(spark, store, name, meta)
-    return k
+    return live
 
 
 def compact_minhash_index(spark: SparkSession, store, name: str) -> int:
     """Merge every delta segment back into the base tables (one rewrite
     of existing rows — no re-signing): probes go back to two base scans.
     Old segment labels stay for pinned readers (``store.drop`` under
-    retention).  Returns the new base signature version."""
+    retention).  Returns the new base signature version.
+
+    Crash-safe: each rewritten base table's commit meta records the
+    segment-id watermark it folded (``folded_through``); the meta carrier
+    (``segments=0``, ``seg_base`` advanced) commits LAST.  A crash between
+    any of the four commits leaves every table individually consistent —
+    rewritten bases skip their folded segments, untouched bases keep
+    unioning theirs — so probes never see a signature/band row twice and
+    never miss one (ADVICE r8: the old ordering double-counted on a crash
+    between the base and meta writes)."""
     meta = _meta(store, name)
-    v = store.write(name, _read_sigs(spark, store, name, meta))
+    top = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))
+    v = store.write(name, _read_sigs(spark, store, name, meta), meta={"folded_through": top})
     store.write(
         f"{name}__bands",
         _read_bands(spark, store, name, meta),
         sort_by=(int(meta.get("band_files", 16)), ["bh"]),
+        meta={"folded_through": top},
     )
     store.write(
         f"{name}__bucket_stats",
         _read_bucket_stats(spark, store, name, meta)
         .groupBy("band", "bh")
         .agg(F.sum("n").cast("long").alias("n")),
+        meta={"folded_through": top},
     )
-    _write_meta(spark, store, name, dict(meta, segments=0))
+    _write_meta(spark, store, name, dict(meta, segments=0, seg_base=top))
     return v

@@ -167,7 +167,11 @@ def extend_text_index(
     text_col = str(meta.get("text_col", "text"))
     id_col = str(meta.get("id_col", "doc_id"))
     segments = list(meta.get("segments", []))
-    seg_label = f"{name}__seg{len(segments) + 1}"
+    # monotonic naming (seg_seq never resets across compactions): a label
+    # recorded as folded on the base's commit meta must never be reused,
+    # or the crash-safe reader in load_text_index would skip the fresh one
+    seq = int(meta.get("seg_seq", len(segments))) + 1
+    seg_label = f"{name}__seg{seq}"
 
     n, sumdl = new_docs.agg(
         F.count(F.lit(1)).alias("n"),
@@ -194,6 +198,7 @@ def extend_text_index(
         n_docs=int(meta["n_docs"]) + int(n),
         sum_dl=int(meta["sum_dl"]) + int(sumdl or 0),
         segments=segments,
+        seg_seq=seq,
     )
     if corpus_store is not None and "corpus_label" in meta:
         meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
@@ -207,11 +212,28 @@ def compact_text_index(spark: SparkSession, store, name: str) -> int:
     Lucene segment-merge): queries go back to one pruned scan.  The old
     segment labels stay on disk for pinned readers — drop them with
     ``store.drop(seg)`` once retention allows.  Returns the new base
-    version."""
+    version.
+
+    Crash-safe ordering: the merged POSTINGS base commits first, its own
+    commit meta recording the segments it folded; the terms/meta carrier
+    (segment list emptied) commits second.  The old ordering (carrier
+    first) had a silent-LOSS window: a crash after the carrier wrote
+    ``segments=[]`` but before the postings rewrite made every folded
+    segment's documents unsearchable.  Now a crash between the two
+    leaves the carrier still listing the folded segments and
+    :func:`load_text_index` skips the ones the current base already
+    holds — searches stay exact through any torn compaction."""
     ix = load_text_index(spark, store, name)
+    folded = list(ix.meta.get("segments", []))
     meta = dict(ix.meta, segments=[], base_n_docs=int(ix.meta["n_docs"]))
+    v = store.write(
+        name,
+        ix.postings,
+        sort_by=(int(meta.get("sort_files", 16)), ["term"]),
+        meta=dict(meta, folded_segments=folded),
+    )
     store.write(f"{name}__terms", ix.terms, meta=dict(meta, table_role="bm25_terms"))
-    return store.write(name, ix.postings, sort_by=(int(meta.get("sort_files", 16)), ["term"]), meta=meta)
+    return v
 
 
 def _index_meta(store, name: str) -> dict:
@@ -248,8 +270,14 @@ def load_text_index(
             StaleTextIndexWarning,
             stacklevel=2,
         )
+    # skip segments the CURRENT postings base already folded (recorded on
+    # its commit at compaction time) — a crash between compaction's two
+    # commits never double-counts or drops a posting
+    folded = set(store.commit_meta(name).get("folded_segments", []))
     postings = store.read(spark, name)
     for seg in meta.get("segments", []):
+        if seg in folded:
+            continue
         postings = postings.unionByName(store.read(spark, seg))
     return TextIndex(
         version=int(store.version(name)),

@@ -211,12 +211,17 @@ def extend_value_index(
                 samples,
             )
     segments = list(meta.get("segments", []))
-    seg_label = f"{name}__seg{len(segments) + 1}"
+    # segment names are MONOTONIC (seg_seq never resets, even across
+    # compactions): a folded label recorded on the base's commit meta
+    # must never be reused by a later extend, or the crash-safe reader
+    # below would skip the fresh segment
+    seq = int(meta.get("seg_seq", len(segments))) + 1
+    seg_label = f"{name}__seg{seq}"
     n_files = max(1, int(meta.get("sort_files", 8)) // 4)  # batch ≪ corpus
     store.write(seg_label, batch, sort_by=(n_files, ["value"]), meta={"kind": "value_segment"})
     n_batch = store.read(spark, seg_label).count()
     segments.append(seg_label)
-    meta = dict(meta, n_rows=int(meta["n_rows"]) + int(n_batch), segments=segments)
+    meta = dict(meta, n_rows=int(meta["n_rows"]) + int(n_batch), segments=segments, seg_seq=seq)
     if corpus_store is not None and "corpus_label" in meta:
         meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
     _write_meta(spark, store, name, meta)
@@ -228,18 +233,42 @@ def compact_value_index(spark: SparkSession, store, name: str) -> int:
     rewrite of existing entries — the corpus is never touched); lookups go
     back to one pruned scan.  Old segment labels stay on disk for pinned
     readers — ``store.drop(seg)`` once retention allows.  Returns the new
-    base version."""
+    base version.
+
+    Crash-safe: the merged base commits FIRST, carrying the list of
+    segments it folded in its own commit meta; the meta carrier (segment
+    list emptied) commits second.  A crash between the two leaves the old
+    meta still listing the folded segments, but :func:`_load_entries`
+    cross-checks every listed segment against the CURRENT base's
+    ``folded_segments`` and skips the ones already merged — readers never
+    see a (value, id) entry twice, and the next extend/compact proceeds
+    from a consistent view (segment names are monotonic, so a folded
+    label is never reused)."""
     meta = _index_meta(store, name)
+    folded = list(meta.get("segments", []))
     entries = _load_entries(spark, store, name, meta)
     meta = dict(meta, segments=[])
-    v = store.write(name, entries, sort_by=(int(meta.get("sort_files", 8)), ["value"]), meta=meta)
+    v = store.write(
+        name,
+        entries,
+        sort_by=(int(meta.get("sort_files", 8)), ["value"]),
+        meta=dict(meta, folded_segments=folded),
+    )
     _write_meta(spark, store, name, meta)
     return v
 
 
 def _load_entries(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
+    # segments already folded into the CURRENT base (recorded on its
+    # commit at compaction time) are skipped: the authority for "which
+    # segments exist" is the meta carrier, the authority for "which are
+    # already inside the base" is the base itself — so a crash between
+    # the two compaction commits never double-counts an entry
+    folded = set(store.commit_meta(name).get("folded_segments", []))
     entries = store.read(spark, name)
     for seg in meta.get("segments", []):
+        if seg in folded:
+            continue
         entries = entries.unionByName(store.read(spark, seg))
     return entries
 
