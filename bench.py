@@ -131,6 +131,8 @@ HEADLINE = [
     "value_index_build",  # one-time (value,id) extract, range-partitioned + sorted commit
     "value_index_lookup",  # In(value,…) pushed into the sorted entries scan + id semi-join
     "value_index_range",  # date-slice from footer-pruned sorted entries
+    # round-9: CDC-driven index catch-up (churn-cost freshness, never corpus-cost)
+    "value_index_catchup",  # table_changes inserts → one value-sorted delta segment
     "store_cdf_changes",  # change feed: (key,hash) diff join + churn-sized image semi-joins
     "store_cdf_replay",  # replica apply: broadcast touched-key anti-join, base never shuffles
     "graphql_hop_projection",  # GraphQL doc → same chain fold; both endpoint filters pushed

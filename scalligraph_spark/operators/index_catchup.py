@@ -1,0 +1,246 @@
+"""CDC-driven index catch-up: bring a stale persisted index up to the
+current corpus version for the cost of the CHURN, not the corpus.
+
+The reference keeps its mixed/composite indexes transactionally fresh —
+every vertex write updates the index in the same transaction
+(database/janusgraph/.../JanusDatabase.scala:304-434 ``addIndex`` and the
+write paths that maintain it), so "stale index" is not a state it can be
+in.  A batch engine decouples the two: corpus commits advance the
+versioned store, the index artifact records the corpus version it was
+built from, and readers get a staleness WARNING (``load_value_index`` /
+``load_text_index`` / ``load_ann_index``).  Until now the only cure was
+``reindex_*`` — a full rebuild, corpus-sized.
+
+This module closes the loop with the change-data feed (cdf.py): the
+delta between the index's recorded corpus version and the current one is
+read as ROWS via :func:`~scalligraph_spark.cdf.table_changes` (captured
+feeds where they exist, hash-diff fallback where not), and
+
+* a pure-APPEND delta (only ``insert`` change rows) feeds the family's
+  ``extend_*`` — a delta-segment commit, cost ∝ churn.  This is the
+  append-mostly 100 TB corpus case: a day's crawl lands, four indexes
+  catch up for the cost of the day, never the archive;
+* any UPDATE / DELETE in the range breaks the segment families'
+  append-only contract (segments are immutable — the Lucene rule), so
+  the policy knob decides: ``on_mutation="error"`` (default) raises
+  :class:`IndexCatchupError` with the churn breakdown, ``"reindex"``
+  falls back to the family's full rebuild.  Silent wrong answers are
+  never on the menu.
+
+Every function returns a small report dict (``action`` ∈ noop /
+extended / reindexed, version range, churn counts) so operational
+callers — the streaming index-maintenance sinks, a migration
+``db_operation``, a cron — can log what happened.
+
+Scale shape: the decision runs ONE groupBy over the churn-sized feed
+(never the corpus); the extend paths inherit each family's delta-segment
+discipline (term/value-sorted batch-sized segments, monotonic names,
+crash-safe compaction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from scalligraph_spark.cdf import CHANGE_TYPE, COMMIT_VERSION, table_changes
+
+
+class IndexCatchupError(RuntimeError):
+    """The change range contains updates/deletes, which the append-only
+    delta-segment families cannot fold in; run with
+    ``on_mutation="reindex"`` or call the family's ``reindex_*``.
+    Carries the per-change-type counts in ``.churn``."""
+
+    def __init__(self, msg: str, churn: dict):
+        super().__init__(msg)
+        self.churn = churn
+
+
+def _changes_report(spark, corpus_store, label: str, v_from: int, v_to: int, key_cols):
+    """(insert rows as corpus-shaped DataFrame, per-type churn counts) for
+    the v_from→v_to range — one churn-sized aggregate decides the path."""
+    ch = table_changes(spark, corpus_store, label, v_from, v_to, key_cols=key_cols)
+    churn = {
+        r[CHANGE_TYPE]: int(r["n"])
+        for r in ch.groupBy(CHANGE_TYPE).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    inserts = ch.where(F.col(CHANGE_TYPE) == "insert").drop(CHANGE_TYPE, COMMIT_VERSION)
+    return inserts, churn
+
+
+def _catchup(
+    spark: SparkSession,
+    store,
+    name: str,
+    corpus_store,
+    *,
+    meta: dict,
+    version_key: str,
+    key_cols: list[str],
+    extend,
+    reindex,
+    on_mutation: str,
+) -> dict:
+    if on_mutation not in ("error", "reindex"):
+        raise ValueError(f"on_mutation must be 'error' or 'reindex', got {on_mutation!r}")
+    label = meta.get("corpus_label")
+    if label is None:
+        raise ValueError(
+            f"index {name!r} records no source corpus; build it with "
+            "corpus_store=/corpus_label= to enable catch-up"
+        )
+    v_from = int(meta[version_key])
+    v_to = int(corpus_store.version(label))
+    report = {"index": name, "corpus_label": label, "from_version": v_from, "to_version": v_to}
+    if v_to == v_from:
+        return dict(report, action="noop", churn={})
+    if v_to < v_from:
+        # the corpus was rolled back UNDER the index — nothing incremental
+        # is meaningful; only a rebuild restores the invariant
+        if on_mutation == "reindex":
+            reindex()
+            return dict(report, action="reindexed", churn={"rollback": v_from - v_to})
+        raise IndexCatchupError(
+            f"corpus {label!r} rolled back v{v_from}→v{v_to} under index {name!r}; "
+            "reindex required",
+            {"rollback": v_from - v_to},
+        )
+    inserts, churn = _changes_report(spark, corpus_store, label, v_from, v_to, key_cols)
+    mutations = {t: n for t, n in churn.items() if t not in ("insert",)}
+    if mutations:
+        if on_mutation == "reindex":
+            reindex()
+            return dict(report, action="reindexed", churn=churn)
+        raise IndexCatchupError(
+            f"corpus {label!r} changed non-append-only under index {name!r} "
+            f"(churn: {churn}); segments are immutable — pass "
+            "on_mutation='reindex' or run the family's reindex_*",
+            churn,
+        )
+    if not churn:  # version advanced but rows identical (e.g. re-layout)
+        extend_noop = dict(report, action="extended", churn={})
+        extend(inserts)  # empty batch still refreshes the recorded version
+        return extend_noop
+    extend(inserts)
+    return dict(report, action="extended", churn=churn)
+
+
+def catchup_value_index(
+    spark: SparkSession, store, name: str, corpus_store, on_mutation: str = "error"
+) -> dict:
+    """Catch a composite value index (value_index.py) up to its corpus's
+    current version: append-only churn → one value-sorted delta segment;
+    mutating churn → policy.  Unique-hint violations in the appended rows
+    surface as ``UniqueIndexViolation`` exactly like a manual extend."""
+    from scalligraph_spark.operators.value_index import (
+        _index_meta,
+        extend_value_index,
+        reindex_values,
+    )
+
+    meta = _index_meta(store, name)
+    return _catchup(
+        spark, store, name, corpus_store,
+        meta=meta,
+        version_key="corpus_version",
+        key_cols=[str(meta["id_col"])],
+        extend=lambda df: extend_value_index(spark, store, name, df, corpus_store=corpus_store),
+        reindex=lambda: reindex_values(spark, store, name, corpus_store),
+        on_mutation=on_mutation,
+    )
+
+
+def catchup_text_index(
+    spark: SparkSession, store, name: str, corpus_store, on_mutation: str = "error"
+) -> dict:
+    """Catch a BM25 inverted index (text_index.py) up to its corpus's
+    current version: appended documents land as one term-sorted postings
+    segment + a vocabulary-sized terms re-aggregate."""
+    from scalligraph_spark.operators.text_index import (
+        _index_meta,
+        extend_text_index,
+        reindex_text,
+    )
+
+    meta = _index_meta(store, name)
+    return _catchup(
+        spark, store, name, corpus_store,
+        meta=meta,
+        version_key="corpus_version",
+        key_cols=[str(meta.get("id_col", "doc_id"))],
+        extend=lambda df: extend_text_index(spark, store, name, df, corpus_store=corpus_store),
+        reindex=lambda: reindex_text(spark, store, name, corpus_store),
+        on_mutation=on_mutation,
+    )
+
+
+def catchup_minhash_index(
+    spark: SparkSession, store, name: str, corpus_store, on_mutation: str = "error"
+) -> dict:
+    """Catch a MinHash near-dup index (dedup_index.py) up to its corpus's
+    current version: appended documents are signed once (map-only) and
+    land as signature/band/bucket-stat segments."""
+    from scalligraph_spark.operators.dedup_index import (
+        _meta,
+        build_minhash_index,
+        extend_minhash_index,
+    )
+
+    meta = _meta(store, name)
+
+    def _rebuild():
+        docs = corpus_store.read(spark, meta["corpus_label"])
+        build_minhash_index(
+            spark, store, name, docs,
+            text_col=str(meta.get("text_col", "text")),
+            id_col=str(meta.get("id_col", "doc_id")),
+            num_hashes=int(meta["num_hashes"]),
+            bands=int(meta["bands"]),
+            band_files=int(meta.get("band_files", 16)),
+            corpus_store=corpus_store,
+            corpus_label=meta["corpus_label"],
+        )
+
+    return _catchup(
+        spark, store, name, corpus_store,
+        meta=meta,
+        version_key="corpus_version",
+        key_cols=[str(meta.get("id_col", "doc_id"))],
+        extend=lambda df: extend_minhash_index(spark, store, name, df, corpus_store=corpus_store),
+        reindex=_rebuild,
+        on_mutation=on_mutation,
+    )
+
+
+def catchup_ann_cells(
+    spark: SparkSession, store, name: str, corpus_store, on_mutation: str = "error"
+) -> dict:
+    """Catch an IVF index's inverted lists (ann_index.py) up to the
+    corpus's current version: appended vectors are assigned against the
+    EXISTING centroids (no retraining) and land as a cell-sorted segment.
+    Freshness is measured from ``cells_corpus_version`` (the lists' own
+    anchor) — the quantizer's ``corpus_version`` deliberately stays at
+    the last training run, so recall-drift detection keeps working."""
+    from scalligraph_spark.operators.ann_index import (
+        extend_ann_cells,
+        load_ann_index,
+        reindex_ann,
+    )
+
+    meta = dict(load_ann_index(spark, store, name).meta)
+    if not meta.get("cells"):
+        raise ValueError(
+            f"index {name!r} has no stored inverted lists; build it with "
+            "build_ivf_index(..., store_cells=True)"
+        )
+    version_key = "cells_corpus_version" if "cells_corpus_version" in meta else "corpus_version"
+    return _catchup(
+        spark, store, name, corpus_store,
+        meta=meta,
+        version_key=version_key,
+        key_cols=[str(meta.get("id_col", "vec_id"))],
+        extend=lambda df: extend_ann_cells(spark, store, name, df, corpus_store=corpus_store),
+        reindex=lambda: reindex_ann(spark, store, name, corpus_store),
+        on_mutation=on_mutation,
+    )

@@ -4822,6 +4822,50 @@ def qlang_value_lookup_q(spark, sf):
 
 
 @q(
+    "value_index_catchup",
+    "SELECT c_name AS value, c_custkey AS id FROM customer WHERE c_name IS NOT NULL",
+    "CDC-driven index maintenance (index_catchup.py): the corpus is "
+    "committed at 80%, the index built against it with provenance, the "
+    "remaining 20% appended through the change-data feed "
+    "(write_with_cdf), and catchup_value_index folds the churn in as ONE "
+    "value-sorted delta segment — the caught-up entries must equal a "
+    "from-scratch build on the full corpus (the oracle).  The reference "
+    "keeps indexes transactionally fresh (JanusDatabase.scala:304-434); "
+    "the batch analog is staleness → churn-cost catch-up, never a "
+    "corpus-cost rebuild",
+)
+def value_index_catchup_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.cdf import write_with_cdf
+    from scalligraph_spark.operators import (
+        build_value_index,
+        catchup_value_index,
+        load_value_index,
+    )
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_vcatch_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    cust = cat_for(spark, sf).vertex_df("customer")
+    write_with_cdf(store, "customer", cust.where(F.col("c_custkey") % 5 != 0), ["c_custkey"])
+    build_value_index(
+        spark, store, "cust_by_name", store.read(spark, "customer"),
+        "c_name", "c_custkey", unique=True, corpus_store=store, corpus_label="customer",
+    )
+    write_with_cdf(
+        store, "customer",
+        store.read(spark, "customer").unionByName(cust.where(F.col("c_custkey") % 5 == 0)),
+        ["c_custkey"],
+    )
+    rep = catchup_value_index(spark, store, "cust_by_name", store)
+    assert rep["action"] == "extended", rep
+    return load_value_index(spark, store, "cust_by_name").entries
+
+
+@q(
     "graphql_filter_sort",
     "SELECT c_name, c_acctbal FROM customer "
     "WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 9000",

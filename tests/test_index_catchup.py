@@ -1,0 +1,225 @@
+"""CDC-driven index catch-up: append-only corpus churn folds into each
+persisted-index family as delta segments (cost ∝ churn), mutating churn
+hits the policy knob (error / full reindex), rollbacks always demand a
+rebuild, and a caught-up index is indistinguishable from a rebuilt one."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalligraph_spark.cdf import write_with_cdf
+from scalligraph_spark.operators import (
+    IndexCatchupError,
+    StaleValueIndexWarning,
+    build_minhash_index,
+    build_text_index,
+    build_value_index,
+    catchup_minhash_index,
+    catchup_text_index,
+    catchup_value_index,
+    incremental_near_dups,
+    indexed_bm25_topk,
+    load_text_index,
+    load_value_index,
+)
+from scalligraph_spark.store import LabelStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return LabelStore(str(tmp_path / "catchup"))
+
+
+def _people(spark, rows):
+    return spark.createDataFrame(rows, "uid long, uname string, score int")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- value index -------------------------------------------------------------
+
+
+def test_value_catchup_appends_equal_rebuild_and_clear_staleness(spark, store):
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20), (2, "carol", 30)])
+    write_with_cdf(store, "people", base, ["uid"])
+    build_value_index(spark, store, "by_name", store.read(spark, "people"),
+                      "uname", "uid", corpus_store=store, corpus_label="people")
+
+    # v2: captured append; v3: UNCAPTURED append (hash-diff fallback path)
+    b1 = _people(spark, [(3, "dave", 40)])
+    write_with_cdf(store, "people", store.read(spark, "people").unionByName(b1), ["uid"])
+    b2 = _people(spark, [(4, "erin", 50), (5, "fred", 60)])
+    store.write("people", store.read(spark, "people").unionByName(b2))
+
+    # stale before catch-up
+    with pytest.warns(StaleValueIndexWarning):
+        load_value_index(spark, store, "by_name", corpus_store=store)
+
+    rep = catchup_value_index(spark, store, "by_name", store)
+    assert rep["action"] == "extended"
+    assert rep["churn"] == {"insert": 3}
+    assert (rep["from_version"], rep["to_version"]) == (1, 3)
+
+    # caught-up ≡ rebuilt on the current corpus
+    build_value_index(spark, store, "expected", store.read(spark, "people"), "uname", "uid")
+    got = sorted(tuple(r) for r in load_value_index(spark, store, "by_name").entries.collect())
+    want = sorted(tuple(r) for r in load_value_index(spark, store, "expected").entries.collect())
+    assert got == want and len(got) == 6
+
+    # staleness cleared; a second catch-up is a noop
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", StaleValueIndexWarning)
+        load_value_index(spark, store, "by_name", corpus_store=store)
+    assert catchup_value_index(spark, store, "by_name", store)["action"] == "noop"
+
+
+def test_value_catchup_mutation_policy(spark, store):
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20)])
+    write_with_cdf(store, "people", base, ["uid"])
+    build_value_index(spark, store, "by_name", store.read(spark, "people"),
+                      "uname", "uid", corpus_store=store, corpus_label="people")
+    # an UPDATE (bob renamed) — not expressible as an append-only segment
+    mutated = store.read(spark, "people").withColumn(
+        "uname", F.when(F.col("uid") == 1, F.lit("robert")).otherwise(F.col("uname"))
+    )
+    write_with_cdf(store, "people", mutated, ["uid"])
+
+    with pytest.raises(IndexCatchupError) as ei:
+        catchup_value_index(spark, store, "by_name", store)
+    assert ei.value.churn.get("update_postimage") == 1
+
+    rep = catchup_value_index(spark, store, "by_name", store, on_mutation="reindex")
+    assert rep["action"] == "reindexed"
+    ix = load_value_index(spark, store, "by_name")
+    got = sorted(tuple(r) for r in ix.entries.collect())
+    assert got == [("alice", 0), ("robert", 1)]
+    assert int(ix.meta["corpus_version"]) == store.version("people")
+
+
+def test_value_catchup_rollback_requires_reindex(spark, store):
+    write_with_cdf(store, "people", _people(spark, [(0, "alice", 10)]), ["uid"])
+    write_with_cdf(store, "people",
+                   store.read(spark, "people").unionByName(_people(spark, [(1, "bob", 20)])),
+                   ["uid"])
+    build_value_index(spark, store, "by_name", store.read(spark, "people"),
+                      "uname", "uid", corpus_store=store, corpus_label="people")
+    store.rollback("people", 1)
+    with pytest.raises(IndexCatchupError):
+        catchup_value_index(spark, store, "by_name", store)
+    rep = catchup_value_index(spark, store, "by_name", store, on_mutation="reindex")
+    assert rep["action"] == "reindexed"
+    got = sorted(tuple(r) for r in load_value_index(spark, store, "by_name").entries.collect())
+    assert got == [("alice", 0)]
+
+
+def test_catchup_requires_corpus_provenance(spark, store):
+    df = _people(spark, [(0, "alice", 10)])
+    store.write("people", df)
+    build_value_index(spark, store, "by_name", df, "uname", "uid")  # no provenance
+    with pytest.raises(ValueError, match="no source corpus"):
+        catchup_value_index(spark, store, "by_name", store)
+
+
+# --- text index --------------------------------------------------------------
+
+
+def test_text_catchup_equals_rebuild(spark, store):
+    docs0 = _docs(spark, [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark window functions over parquet tables"),
+        (2, "completely different words about engines"),
+    ])
+    write_with_cdf(store, "docs", docs0, ["doc_id"])
+    build_text_index(store, "tix", store.read(spark, "docs"),
+                     corpus_store=store, corpus_label="docs")
+    batch = _docs(spark, [(10, "spark window inside a window"), (11, "brand new table merge")])
+    write_with_cdf(store, "docs", store.read(spark, "docs").unionByName(batch), ["doc_id"])
+
+    rep = catchup_text_index(spark, store, "tix", store)
+    assert rep["action"] == "extended" and rep["churn"] == {"insert": 2}
+
+    full_store = LabelStore(store.root + "_full")
+    build_text_index(full_store, "tix", store.read(spark, "docs"))
+    ix_inc = load_text_index(spark, store, "tix")
+    ix_full = load_text_index(spark, full_store, "tix")
+    assert ix_inc.n_docs == ix_full.n_docs == 5
+    assert sorted(tuple(r) for r in ix_inc.postings.collect()) == sorted(
+        tuple(r) for r in ix_full.postings.collect()
+    )
+    a = sorted(tuple(r) for r in indexed_bm25_topk(ix_inc, ["spark", "window"]).collect())
+    b = sorted(tuple(r) for r in indexed_bm25_topk(ix_full, ["spark", "window"]).collect())
+    assert a == b
+    assert catchup_text_index(spark, store, "tix", store)["action"] == "noop"
+
+
+# --- minhash index -----------------------------------------------------------
+
+
+def test_minhash_catchup_probe_equals_rebuild(spark, store):
+    base_txt = "the quick brown fox jumps over the lazy dog again and again today"
+    docs0 = _docs(spark, [(1, base_txt), (2, base_txt.replace("lazy", "sleepy")),
+                          (3, "completely different words about spark engines")])
+    write_with_cdf(store, "docs", docs0, ["doc_id"])
+    build_minhash_index(spark, store, "mix", store.read(spark, "docs"),
+                        corpus_store=store, corpus_label="docs")
+    appended = _docs(spark, [(4, "totally fresh sentence about delta segments in indexes")])
+    write_with_cdf(store, "docs", store.read(spark, "docs").unionByName(appended), ["doc_id"])
+
+    rep = catchup_minhash_index(spark, store, "mix", store)
+    assert rep["action"] == "extended" and rep["churn"] == {"insert": 1}
+
+    probe = _docs(spark, [(300, "totally fresh sentence about delta segments in an index")])
+    got = sorted(tuple(r) for r in incremental_near_dups(spark, store, "mix", probe, threshold=0.5).collect())
+    full_store = LabelStore(store.root + "_full")
+    build_minhash_index(spark, full_store, "mix", store.read(spark, "docs"))
+    want = sorted(tuple(r) for r in incremental_near_dups(spark, full_store, "mix", probe, threshold=0.5).collect())
+    assert got == want
+    assert {(r[0], r[1]) for r in got} == {(300, 4)}
+
+
+# --- ann cells ---------------------------------------------------------------
+
+
+def test_ann_catchup_appends_into_cells(spark, store):
+    import numpy as np
+
+    from scalligraph_spark.operators import (
+        build_ivf_index,
+        catchup_ann_cells,
+        ivf_search,
+        load_ann_index,
+    )
+    from scalligraph_spark.operators.ann_index import _read_cells
+
+    rng = np.random.RandomState(3)
+    dim = 8
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(dim)]) for i in range(64)],
+        "vec_id long, embedding array<double>")
+    write_with_cdf(store, "emb", base, ["vec_id"])
+    build_ivf_index(store, "aix", store.read(spark, "emb"), n_centroids=4,
+                    store_cells=True, cells_n_list=2,
+                    corpus_store=store, corpus_label="emb")
+
+    q = np.asarray(base.where("vec_id = 5").first()["embedding"], dtype=np.float64)
+    near = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in (q + rng.randn(dim) * 0.01)]) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    write_with_cdf(store, "emb", store.read(spark, "emb").unionByName(near), ["vec_id"])
+
+    rep = catchup_ann_cells(spark, store, "aix", store)
+    assert rep["action"] == "extended" and rep["churn"] == {"insert": 3}
+    meta = load_ann_index(spark, store, "aix").meta
+    assert meta["cells_corpus_version"] == store.version("emb")
+    assert meta["cells_segments"] == ["aix__cells_seg1"]
+    # appended near-dups are searchable with no retraining
+    ids = [r["vec_id"] for r in ivf_search(spark, store, "aix", q, k=4, n_probe=4).collect()]
+    assert ids[0] == 5 and set(ids[1:]) == {1000, 1001, 1002}
+    # segment rows = 3 vectors × n_list cells
+    assert _read_cells(spark, store, "aix", meta).count() == 64 * 2 + 3 * 2
+    assert catchup_ann_cells(spark, store, "aix", store)["action"] == "noop"

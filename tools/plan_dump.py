@@ -141,6 +141,7 @@ PLAN_QUERIES = [
     "value_index_lookup",  # In(value,…) pushed into the value-sorted entries scan
     "value_index_range",  # gte/lte pushed, footer min/max prunes row groups
     "qlang_value_lookup",  # byIndexedValue init step routed through the index
+    "value_index_catchup",  # CDC inserts → churn-sized delta segment, corpus never rescanned
     "store_cdf_changes",  # narrow (key,hash) full-outer diff, payload never shuffles
     "store_cdf_replay",  # broadcast touched-keys anti-join + upsert union
     # round-8 session 12: GraphQL facade — a compiler front-end, so the plan
