@@ -126,6 +126,64 @@ def _catchup(
     return dict(report, action="extended", churn=churn)
 
 
+def vacuum_index_segments(spark: SparkSession, store, name: str, kind: str) -> list[str]:
+    """Reclaim delta-segment labels a compaction has already folded into
+    the base — the retention sweep that completes the segment lifecycle
+    (extend → compact → vacuum).  ``kind`` ∈ ``value`` / ``text`` /
+    ``minhash`` / ``ann``.
+
+    Segment names are monotonic (``seg_seq``/``seg_base`` never reset),
+    so the rule is uniform and covers EVERY past compaction cycle: any
+    existing segment with an id at or below the naming watermark that the
+    meta carrier no longer lists live has been folded into some base —
+    reclaim it.  The carrier commits LAST in every compaction, so a torn
+    compaction reclaims nothing early (its segments are still listed
+    live, and readers skip-but-keep them).  Like ``store.drop``/
+    ``vacuum``, must not run concurrently with extend writers or while
+    readers are pinned to PRE-compaction base versions (those still union
+    the old segments) — run it under the same retention policy as
+    ``store.vacuum``.  Returns the dropped label names."""
+    if kind == "value":
+        from scalligraph_spark.operators.value_index import _index_meta
+
+        meta = _index_meta(store, name)
+        live = set(meta.get("segments", []))
+        seq = int(meta.get("seg_seq", len(live)))
+        candidates = [f"{name}__seg{i}" for i in range(1, seq + 1)]
+    elif kind == "text":
+        from scalligraph_spark.operators.text_index import _index_meta
+
+        meta = _index_meta(store, name)
+        live = set(meta.get("segments", []))
+        seq = int(meta.get("seg_seq", len(live)))
+        candidates = [f"{name}__seg{i}" for i in range(1, seq + 1)]
+    elif kind == "ann":
+        from scalligraph_spark.operators.ann_index import load_ann_index
+
+        meta = load_ann_index(spark, store, name).meta
+        live = set(meta.get("cells_segments", []))
+        seq = int(meta.get("cells_seg_seq", len(live)))
+        candidates = [f"{name}__cells_seg{i}" for i in range(1, seq + 1)]
+    elif kind == "minhash":
+        from scalligraph_spark.operators.dedup_index import _meta
+
+        meta = _meta(store, name)
+        live = set()  # live ids are (seg_base, seg_base+segments]; all three
+        # per-id tables below seg_base are folded into ALL bases
+        top = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))
+        for i in range(int(meta.get("seg_base", 0)) + 1, top + 1):
+            live.update({f"{name}__seg{i}", f"{name}__bands_seg{i}", f"{name}__bucket_stats_seg{i}"})
+        candidates = []
+        for i in range(1, top + 1):
+            candidates += [f"{name}__seg{i}", f"{name}__bands_seg{i}", f"{name}__bucket_stats_seg{i}"]
+    else:
+        raise ValueError(f"kind must be value/text/minhash/ann, got {kind!r}")
+    victims = sorted(lbl for lbl in candidates if lbl not in live and store.version(lbl) > 0)
+    for lbl in victims:
+        store.drop(lbl)
+    return victims
+
+
 def catchup_value_index(
     spark: SparkSession, store, name: str, corpus_store, on_mutation: str = "error"
 ) -> dict:

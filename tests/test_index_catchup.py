@@ -223,3 +223,98 @@ def test_ann_catchup_appends_into_cells(spark, store):
     # segment rows = 3 vectors × n_list cells
     assert _read_cells(spark, store, "aix", meta).count() == 64 * 2 + 3 * 2
     assert catchup_ann_cells(spark, store, "aix", store)["action"] == "noop"
+
+
+# --- segment retention vacuum --------------------------------------------------
+
+
+def test_vacuum_reclaims_folded_segments_across_cycles(spark, store):
+    """Two extend→compact cycles WITHOUT an intermediate vacuum: the
+    sweep must reclaim every folded segment from BOTH cycles (monotonic
+    names make the watermark rule cover full history), keep live
+    segments, and leave answers untouched."""
+    from scalligraph_spark.operators import (
+        compact_value_index,
+        extend_value_index,
+        vacuum_index_segments,
+    )
+
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20)])
+    store.write("people", base)
+    build_value_index(spark, store, "by_name", base, "uname", "uid")
+    extend_value_index(spark, store, "by_name", _people(spark, [(2, "carol", 30)]))
+    compact_value_index(spark, store, "by_name")
+    extend_value_index(spark, store, "by_name", _people(spark, [(3, "dave", 40)]))
+    compact_value_index(spark, store, "by_name")
+    # one LIVE segment on top of the second compaction
+    extend_value_index(spark, store, "by_name", _people(spark, [(4, "erin", 50)]))
+
+    assert store.version("by_name__seg1") > 0 and store.version("by_name__seg2") > 0
+    victims = vacuum_index_segments(spark, store, "by_name", kind="value")
+    assert victims == ["by_name__seg1", "by_name__seg2"]
+    assert store.version("by_name__seg3") > 0, "live segment must survive"
+    got = sorted(tuple(r) for r in load_value_index(spark, store, "by_name").entries.collect())
+    assert got == [("alice", 0), ("bob", 1), ("carol", 2), ("dave", 3), ("erin", 4)]
+    assert vacuum_index_segments(spark, store, "by_name", kind="value") == []
+
+
+def test_vacuum_torn_compaction_reclaims_nothing_early(spark, store, monkeypatch):
+    """A torn compaction's segments are still carrier-listed (the carrier
+    commits last) — the sweep must keep them; after the retried
+    compaction they become victims."""
+    import scalligraph_spark.operators.value_index as vi
+    from scalligraph_spark.operators import (
+        compact_value_index,
+        extend_value_index,
+        vacuum_index_segments,
+    )
+
+    base = _people(spark, [(0, "alice", 10)])
+    store.write("people", base)
+    build_value_index(spark, store, "by_name", base, "uname", "uid")
+    extend_value_index(spark, store, "by_name", _people(spark, [(1, "bob", 20)]))
+
+    real = vi._write_meta
+    monkeypatch.setattr(vi, "_write_meta", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.raises(RuntimeError):
+        compact_value_index(spark, store, "by_name")
+    monkeypatch.setattr(vi, "_write_meta", real)
+
+    assert vacuum_index_segments(spark, store, "by_name", kind="value") == []
+    assert store.version("by_name__seg1") > 0
+    compact_value_index(spark, store, "by_name")
+    assert vacuum_index_segments(spark, store, "by_name", kind="value") == ["by_name__seg1"]
+
+
+def test_vacuum_minhash_and_text_and_ann(spark, store):
+    """Family coverage: minhash reclaims the sig/bands/bucket_stats trios
+    below the watermark, text and ann reclaim their folded labels, and
+    probes/searches still answer identically afterwards."""
+    from scalligraph_spark.operators import (
+        compact_minhash_index,
+        compact_text_index,
+        extend_minhash_index,
+        extend_text_index,
+        vacuum_index_segments,
+    )
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(spark, [(1, txt), (2, "different words entirely here")])
+    store.write("docs", docs)
+    build_minhash_index(spark, store, "mix", docs)
+    extend_minhash_index(spark, store, "mix", _docs(spark, [(3, "totally fresh sentence about segments")]))
+    compact_minhash_index(spark, store, "mix")
+    probe = _docs(spark, [(300, "totally fresh sentence about a segment")])
+    before = sorted(tuple(r) for r in incremental_near_dups(spark, store, "mix", probe, threshold=0.4).collect())
+    victims = vacuum_index_segments(spark, store, "mix", kind="minhash")
+    assert set(victims) == {"mix__seg1", "mix__bands_seg1", "mix__bucket_stats_seg1"}
+    after = sorted(tuple(r) for r in incremental_near_dups(spark, store, "mix", probe, threshold=0.4).collect())
+    assert after == before
+
+    build_text_index(store, "tix", docs)
+    extend_text_index(spark, store, "tix", _docs(spark, [(5, "spark spark spark")]))
+    compact_text_index(spark, store, "tix")
+    want = sorted(tuple(r) for r in indexed_bm25_topk(load_text_index(spark, store, "tix"), ["spark"]).collect())
+    assert vacuum_index_segments(spark, store, "tix", kind="text") == ["tix__seg1"]
+    got = sorted(tuple(r) for r in indexed_bm25_topk(load_text_index(spark, store, "tix"), ["spark"]).collect())
+    assert got == want
