@@ -8448,7 +8448,7 @@ _WINDOW = [
     "qlang_value_lookup",
     "text_indexed_search",
     "graphql_hop_projection",
-    "source_jsonl_roundtrip",
+    "value_index_catchup",
     "text_index_term_filter",
     "graphql_filter_sort",
     "hop_out_skewed",
@@ -8461,17 +8461,17 @@ _WINDOW = [
     "stats_analyze_columns",
     "qagg_field_subaggs",
     "stats_grouped_quantiles",
-    "qlang_sort_page",
+    "events_window_funnel",
     "graph_cc_skewed",
     "pipeline_pack_documents_sharded",
-    "optional_left_join",
-    "qlang_snapshot_read",
-    "dedup_exact",
+    "events_funnel_sessionized",
+    "events_funnel_latency",
+    "store_mor_read",
     "dedup_edit_distance_auto",
     "dialogue_turn_dedup",
     "link_customer_records",
     "qlang_text_search",
-    "similarity_cosine_topk",
+    "graphql_aggregation",
     "temporal_forward_fill",
     "text_quality_tokens",
     "diag_key_skew",
