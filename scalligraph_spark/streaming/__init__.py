@@ -739,20 +739,44 @@ def start_index_maintenance_sink(
     Growth decisions use the row counts recorded in commit meta (one
     ``count`` per committed batch, amortized into the commit itself), so
     no extra scan launches.  Every maintenance step is a new artifact
-    version — concurrent readers pinned to the old one are undisturbed,
-    and a crash between corpus commit and maintenance self-heals on the
-    next batch.
+    version — concurrent readers pinned to the old one are undisturbed.
+
+    Crash healing: a crash BETWEEN the corpus commit and the maintenance
+    step leaves the corpus one batch ahead of the index; on restart the
+    engine replays the batch, the corpus commit is skipped (batch-id
+    idempotence) — and the index gap is closed by the CDC catch-up
+    (:func:`~scalligraph_spark.operators.index_catchup.catchup_text_index`
+    / ``catchup_ann_cells``): the delta between the index's recorded
+    corpus version and head folds in as a segment, a noop when the index
+    is already fresh.  Without this, a replayed batch's documents would
+    be in the corpus but permanently missing from the index.
 
     The index must have been built with ``corpus_store``/``corpus_label``
     provenance (otherwise there is no trained-version anchor to measure
     growth from — the reindex contract raises).
     """
     from scalligraph_spark.operators.ann_index import extend_ann_cells, reindex_ann
+    from scalligraph_spark.operators.index_catchup import (
+        catchup_ann_cells,
+        catchup_text_index,
+    )
     from scalligraph_spark.operators.text_index import (
         _index_meta,
         compact_text_index,
         extend_text_index,
     )
+
+    def _heal(spark) -> None:
+        """Replayed batch after a crash between corpus commit and
+        maintenance: the corpus is ahead of the index — fold the CDC
+        delta in (noop when already fresh)."""
+        ix_meta = _index_meta(store, index_name)
+        if ix_meta.get("corpus_version") is None:
+            return
+        if ix_meta.get("kind") == "bm25_inverted":
+            catchup_text_index(spark, store, index_name, store)
+        elif ix_meta.get("cells"):
+            catchup_ann_cells(spark, store, index_name, store)
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -760,7 +784,8 @@ def start_index_maintenance_sink(
         if cur_v > 0:
             meta = store.commit_meta(corpus_label, cur_v)
             if batch_id <= meta.get("batch_id", -1):
-                return  # replayed batch
+                _heal(spark)  # corpus has this batch; the index may not
+                return
             merged = store.read(spark, corpus_label, cur_v).unionByName(batch_df)
             prev_rows = int(meta.get("n_rows", 0))
         else:

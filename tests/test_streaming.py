@@ -681,6 +681,68 @@ def test_index_maintenance_sink_handles_text_indexes(spark, tmp_path):
     assert hits == set(range(50, 58))  # earlier segment survived the merge
 
 
+def test_index_maintenance_sink_heals_crash_between_commit_and_extend(spark, tmp_path, monkeypatch):
+    """Crash window regression: the corpus commit lands, the index extend
+    dies, the engine replays the batch on restart — the corpus write is
+    (correctly) skipped by batch-id idempotence, and the CDC catch-up
+    must fold the orphaned batch into the index.  Before the heal, a
+    replayed batch's documents were in the corpus but PERMANENTLY missing
+    from search."""
+    import scalligraph_spark.operators.text_index as ti
+    from scalligraph_spark.operators import (
+        build_text_index,
+        docs_with_matching_term,
+        load_text_index,
+    )
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import start_index_maintenance_sink
+
+    def doc_rows(lo, hi, word):
+        return spark.createDataFrame(
+            [(i, f"{word} common text {i}") for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    store = LabelStore(str(tmp_path / "healm"))
+    store.write("docs", doc_rows(0, 50, "alpha"), meta={"batch_id": -1, "n_rows": 50})
+    build_text_index(store, "docs_ix", store.read(spark, "docs"),
+                     corpus_store=store, corpus_label="docs")
+    src, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    doc_rows(50, 55, "omega").write.parquet(src)
+
+    # crash AFTER the corpus commit, BEFORE the index extend
+    real_extend = ti.extend_text_index
+    def crashing(*a, **k):
+        raise RuntimeError("simulated crash between corpus commit and extend")
+    monkeypatch.setattr(ti, "extend_text_index", crashing)
+    q = start_index_maintenance_sink(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, "docs", "docs_ix", ck, query_name="healm1",
+    )
+    with pytest.raises(Exception, match="simulated crash"):
+        q.awaitTermination()
+    monkeypatch.setattr(ti, "extend_text_index", real_extend)
+
+    # torn state: corpus ahead of the index
+    assert store.version("docs") == 2
+    ix = load_text_index(spark, store, "docs_ix")
+    assert ix.n_docs == 50
+    assert docs_with_matching_term(ix, "term", "omega").count() == 0
+
+    # restart over the same checkpoint: the batch replays, the corpus
+    # commit is skipped, the heal folds the gap into the index
+    q = start_index_maintenance_sink(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, "docs", "docs_ix", ck, query_name="healm2",
+    )
+    q.awaitTermination()
+    assert store.version("docs") == 2, "replayed corpus batch must not double-commit"
+    ix = load_text_index(spark, store, "docs_ix")
+    assert ix.n_docs == 55
+    hits = {r["doc_id"] for r in docs_with_matching_term(ix, "term", "omega").collect()}
+    assert hits == set(range(50, 55)), "healed index must search the orphaned batch"
+
+
 def test_index_maintenance_sink_extends_ivf_cells(spark, tmp_path):
     """An ANN artifact built WITH inverted lists gets per-batch cell
     extension from the sink: a below-threshold batch leaves the
