@@ -137,6 +137,7 @@ HEADLINE = [
     "store_cdf_replay",  # replica apply: broadcast touched-key anti-join, base never shuffles
     "graphql_hop_projection",  # GraphQL doc → same chain fold; both endpoint filters pushed
     "events_window_funnel",  # ordered-chain CEP: one user-key exchange, stacked windows
+    "qlang_window_funnel",  # the same CEP behind a chain filter step (grammar-composed)
 ]
 
 

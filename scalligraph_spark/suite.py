@@ -176,6 +176,29 @@ def executor_for(
     ex.register("dedupExact", "documents", _dedup_exact_step)
     ex.register("tokenStats", "documents", _token_stats)
 
+    # CEP from the query language: the windowFunnel chain step runs the
+    # greedy earliest-chain matcher over whatever event rows the chain
+    # has produced so far — composing with the WHOLE grammar (filters,
+    # row policies, atSnapshot, storeChanges) instead of being a
+    # Python-API-only operator.  Params mirror window_funnel: ordered
+    # `steps`, horizon `within` seconds, optional `user` (string or list
+    # → session-scoped composite key), `typeField`, `tsField`.
+    def _window_funnel_step(t, s, a):
+        from scalligraph_spark.operators import window_funnel
+
+        user = s.get("user", "user_id")
+        out = window_funnel(
+            t.df,
+            [str(x) for x in s["steps"]],
+            within=int(s["within"]),
+            user_col=[str(u) for u in user] if isinstance(user, list) else str(user),
+            type_col=str(s.get("typeField", "event_type")),
+            ts_col=str(s.get("tsField", "ts")),
+        )
+        return t._with(out, label=None)
+
+    ex.register("windowFunnel", "events", _window_funnel_step)
+
     # dialogue tier as chain steps: a query-language user drives the chat
     # pipeline (turns → dedup → stats/assembly) without the Python API —
     # same extension surface as qualityGate/tokenStats above
@@ -1500,6 +1523,29 @@ def events_window_funnel_q(spark, sf):
         ["view", "click", "purchase"],
         within=86400,
     )
+
+
+@q(
+    "qlang_window_funnel",
+    _FUNNEL_ORACLE.replace(
+        "WHERE event_type IN", "WHERE value >= 5 AND event_type IN"
+    ) + "SELECT user_id, level, t1_ms FROM lv",
+    "CEP from the JSON query language: the registered windowFunnel chain "
+    "step runs the greedy earliest-chain matcher over whatever rows the "
+    "chain produced — here composed BEHIND a value>=5 filter step, "
+    "proving sequence matching composes with the whole grammar (filters, "
+    "row policies, snapshots) instead of living as a Python-only "
+    "operator; oracle applies the same prefilter inside the correlated "
+    "min-subquery replay",
+)
+def qlang_window_funnel_q(spark, sf):
+    ex = executor_for(spark, sf)
+    t = ex.execute([
+        {"_name": "all_events"},
+        {"_name": "filter", "_gte": {"_field": "value", "_value": 5}},
+        {"_name": "windowFunnel", "steps": ["view", "click", "purchase"], "within": 86400},
+    ])
+    return t.df
 
 
 @q(

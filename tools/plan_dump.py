@@ -149,6 +149,7 @@ PLAN_QUERIES = [
     "graphql_filter_sort",  # filter input object → pushed parquet predicates
     "graphql_hop_projection",  # registered-hop dispatch → stats-planned join
     "events_window_funnel",  # ONE hash exchange under the stacked window chain
+    "qlang_window_funnel",  # filter step pushed BELOW the funnel exchange
     "events_funnel_sessionized",  # sessionize sort + composite-key funnel: two exchanges
 ]
 
