@@ -343,6 +343,7 @@ class PkiAuthSrv(AuthSrv):
         self.users = users
         self.certificate_field = certificate_field
         self.ca_bundle = list(ca_bundle) if ca_bundle is not None else None
+        self._ca_parsed = None  # bundle parsed once, lazily (hot auth path)
         self.clock = clock  # () -> aware-UTC datetime; None = wall clock
 
     @staticmethod
@@ -408,9 +409,11 @@ class PkiAuthSrv(AuthSrv):
             raise AuthenticationError("Authentication failure")
 
     def _check_issuer(self, cert) -> None:
-        for ca in self.ca_bundle:
+        if self._ca_parsed is None:
+            self._ca_parsed = [self._load_cert(ca) for ca in self.ca_bundle]
+        for ca in self._ca_parsed:
             try:
-                cert.verify_directly_issued_by(self._load_cert(ca))
+                cert.verify_directly_issued_by(ca)
                 return  # issuer-name match + signature verified
             except Exception:
                 continue
@@ -501,6 +504,13 @@ class MultiAuthSrv(AuthSrv):
                 continue
             except AuthenticationError as e:
                 failures.append((p.name, e))
+        if not failures:
+            # NO provider supports this method at all — that is a
+            # capability statement, not an authentication verdict, and
+            # callers rely on the distinction (the HTTP front door falls
+            # through to the next transport on NotSupportedError but
+            # fails loud on AuthenticationError)
+            raise NotSupportedError("multi: no provider supports this method")
         raise AuthenticationError("Authentication failure")
 
     def authenticate(self, username: str, password: str, organisation: str | None = None) -> AuthContext:

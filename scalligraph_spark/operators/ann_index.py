@@ -189,6 +189,7 @@ def extend_ann_cells(
     name: str,
     new_embeddings: DataFrame,
     corpus_store=None,
+    as_of_version: int | None = None,
 ) -> int:
     """Incremental (append-only) inverted-list maintenance: assign a batch
     of NEW vectors against the EXISTING centroids (one Arrow matmul over
@@ -225,7 +226,10 @@ def extend_ann_cells(
     store.write(seg_label, assign, sort_by=(4, ["cell"]), meta={"table_role": "ivf_cells_segment"})
     segments.append(seg_label)
     meta["cells_segments"] = segments
-    if corpus_store is not None and "corpus_label" in meta:
+    if as_of_version is not None and "corpus_label" in meta:
+        # CDC catch-up stamps the version whose delta it actually folded
+        meta["cells_corpus_version"] = int(as_of_version)
+    elif corpus_store is not None and "corpus_label" in meta:
         # the LISTS' freshness — deliberately NOT corpus_version, which is
         # QUANTIZER provenance: appends keep the lists complete while the
         # centroids stay trained on the older distribution, so the
@@ -257,6 +261,9 @@ def compact_ann_cells(spark: SparkSession, store, name: str) -> int:
                     meta={"table_role": "ivf_cells", "n_list": int(meta.get("cells_n_list", 1)),
                           "folded_segments": folded})
     meta["cells_segments"] = []
+    # stamp the naming watermark even for PRE-cells_seg_seq metas (see
+    # compact_value_index): a folded label must never be reused
+    meta["cells_seg_seq"] = int(meta.get("cells_seg_seq", len(folded)))
     store.write(name, store.read(spark, name), meta=meta)
     return v
 

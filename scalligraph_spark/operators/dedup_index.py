@@ -233,6 +233,7 @@ def extend_minhash_index(
     new_docs: DataFrame,
     corpus_store=None,
     extra_meta: dict | None = None,
+    as_of_version: int | None = None,
 ) -> int:
     """Fold an accepted batch into the index for the cost of the batch:
     its signatures and band keys land as immutable delta segments; the
@@ -263,7 +264,10 @@ def extend_minhash_index(
     )
     live = int(meta.get("segments", 0)) + 1
     meta = dict(meta, segments=live, **(extra_meta or {}))
-    if corpus_store is not None and "corpus_label" in meta:
+    if as_of_version is not None and "corpus_label" in meta:
+        # CDC catch-up stamps the version whose delta it actually folded
+        meta["corpus_version"] = int(as_of_version)
+    elif corpus_store is not None and "corpus_label" in meta:
         meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
     _write_meta(spark, store, name, meta)
     return live

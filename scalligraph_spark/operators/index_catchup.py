@@ -80,6 +80,7 @@ def _catchup(
     key_cols: list[str],
     extend,
     reindex,
+    restamp,
     on_mutation: str,
 ) -> dict:
     if on_mutation not in ("error", "reindex"):
@@ -118,11 +119,16 @@ def _catchup(
             "on_mutation='reindex' or run the family's reindex_*",
             churn,
         )
-    if not churn:  # version advanced but rows identical (e.g. re-layout)
-        extend_noop = dict(report, action="extended", churn={})
-        extend(inserts)  # empty batch still refreshes the recorded version
-        return extend_noop
-    extend(inserts)
+    if not churn:
+        # version advanced but rows identical (e.g. a re-layout commit):
+        # the index IS complete — refresh only the recorded version (a
+        # meta-carrier rewrite), never commit an empty delta segment
+        restamp(v_to)
+        return dict(report, action="restamped", churn={})
+    # extend stamps EXACTLY v_to: a concurrent corpus commit between the
+    # change read and the segment commit must stay visibly un-indexed
+    # (the next catch-up picks it up), not be marked caught-up
+    extend(inserts, v_to)
     return dict(report, action="extended", churn=churn)
 
 
@@ -143,15 +149,11 @@ def vacuum_index_segments(spark: SparkSession, store, name: str, kind: str) -> l
     readers are pinned to PRE-compaction base versions (those still union
     the old segments) — run it under the same retention policy as
     ``store.vacuum``.  Returns the dropped label names."""
-    if kind == "value":
-        from scalligraph_spark.operators.value_index import _index_meta
-
-        meta = _index_meta(store, name)
-        live = set(meta.get("segments", []))
-        seq = int(meta.get("seg_seq", len(live)))
-        candidates = [f"{name}__seg{i}" for i in range(1, seq + 1)]
-    elif kind == "text":
-        from scalligraph_spark.operators.text_index import _index_meta
+    if kind in ("value", "text"):
+        if kind == "value":
+            from scalligraph_spark.operators.value_index import _index_meta
+        else:
+            from scalligraph_spark.operators.text_index import _index_meta
 
         meta = _index_meta(store, name)
         live = set(meta.get("segments", []))
@@ -193,6 +195,7 @@ def catchup_value_index(
     surface as ``UniqueIndexViolation`` exactly like a manual extend."""
     from scalligraph_spark.operators.value_index import (
         _index_meta,
+        _write_meta,
         extend_value_index,
         reindex_values,
     )
@@ -203,8 +206,11 @@ def catchup_value_index(
         meta=meta,
         version_key="corpus_version",
         key_cols=[str(meta["id_col"])],
-        extend=lambda df: extend_value_index(spark, store, name, df, corpus_store=corpus_store),
+        extend=lambda df, v: extend_value_index(
+            spark, store, name, df, corpus_store=corpus_store, as_of_version=v
+        ),
         reindex=lambda: reindex_values(spark, store, name, corpus_store),
+        restamp=lambda v: _write_meta(spark, store, name, dict(meta, corpus_version=int(v))),
         on_mutation=on_mutation,
     )
 
@@ -222,13 +228,24 @@ def catchup_text_index(
     )
 
     meta = _index_meta(store, name)
+
+    def _restamp(v):  # the terms table is the text index's meta carrier
+        store.write(
+            f"{name}__terms",
+            store.read(spark, f"{name}__terms"),
+            meta=dict(meta, corpus_version=int(v), table_role="bm25_terms"),
+        )
+
     return _catchup(
         spark, store, name, corpus_store,
         meta=meta,
         version_key="corpus_version",
         key_cols=[str(meta.get("id_col", "doc_id"))],
-        extend=lambda df: extend_text_index(spark, store, name, df, corpus_store=corpus_store),
+        extend=lambda df, v: extend_text_index(
+            spark, store, name, df, corpus_store=corpus_store, as_of_version=v
+        ),
         reindex=lambda: reindex_text(spark, store, name, corpus_store),
+        restamp=_restamp,
         on_mutation=on_mutation,
     )
 
@@ -241,6 +258,7 @@ def catchup_minhash_index(
     land as signature/band/bucket-stat segments."""
     from scalligraph_spark.operators.dedup_index import (
         _meta,
+        _write_meta,
         build_minhash_index,
         extend_minhash_index,
     )
@@ -265,8 +283,11 @@ def catchup_minhash_index(
         meta=meta,
         version_key="corpus_version",
         key_cols=[str(meta.get("id_col", "doc_id"))],
-        extend=lambda df: extend_minhash_index(spark, store, name, df, corpus_store=corpus_store),
+        extend=lambda df, v: extend_minhash_index(
+            spark, store, name, df, corpus_store=corpus_store, as_of_version=v
+        ),
         reindex=_rebuild,
+        restamp=lambda v: _write_meta(spark, store, name, dict(meta, corpus_version=int(v))),
         on_mutation=on_mutation,
     )
 
@@ -293,12 +314,19 @@ def catchup_ann_cells(
             "build_ivf_index(..., store_cells=True)"
         )
     version_key = "cells_corpus_version" if "cells_corpus_version" in meta else "corpus_version"
+
+    def _restamp(v):  # the centroids table is the ANN artifact's meta carrier
+        store.write(name, store.read(spark, name), meta=dict(meta, cells_corpus_version=int(v)))
+
     return _catchup(
         spark, store, name, corpus_store,
         meta=meta,
         version_key=version_key,
         key_cols=[str(meta.get("id_col", "vec_id"))],
-        extend=lambda df: extend_ann_cells(spark, store, name, df, corpus_store=corpus_store),
+        extend=lambda df, v: extend_ann_cells(
+            spark, store, name, df, corpus_store=corpus_store, as_of_version=v
+        ),
         reindex=lambda: reindex_ann(spark, store, name, corpus_store),
+        restamp=_restamp,
         on_mutation=on_mutation,
     )

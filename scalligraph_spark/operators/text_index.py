@@ -140,6 +140,7 @@ def extend_text_index(
     name: str,
     new_docs: DataFrame,
     corpus_store=None,
+    as_of_version: int | None = None,
 ) -> int:
     """Incremental (append-only) index maintenance: fold a batch of NEW
     documents into the index for the cost of the BATCH, not the corpus —
@@ -200,7 +201,10 @@ def extend_text_index(
         segments=segments,
         seg_seq=seq,
     )
-    if corpus_store is not None and "corpus_label" in meta:
+    if as_of_version is not None and "corpus_label" in meta:
+        # CDC catch-up stamps the version whose delta it actually folded
+        meta["corpus_version"] = int(as_of_version)
+    elif corpus_store is not None and "corpus_label" in meta:
         meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
     store.write(f"{name}__terms", merged, meta=dict(meta, table_role="bm25_terms"))
     return len(segments)
@@ -225,7 +229,10 @@ def compact_text_index(spark: SparkSession, store, name: str) -> int:
     holds — searches stay exact through any torn compaction."""
     ix = load_text_index(spark, store, name)
     folded = list(ix.meta.get("segments", []))
-    meta = dict(ix.meta, segments=[], base_n_docs=int(ix.meta["n_docs"]))
+    # stamp the naming watermark even for PRE-seg_seq metas (see
+    # compact_value_index): a folded label must never be reused
+    meta = dict(ix.meta, segments=[], base_n_docs=int(ix.meta["n_docs"]),
+                seg_seq=int(ix.meta.get("seg_seq", len(folded))))
     v = store.write(
         name,
         ix.postings,

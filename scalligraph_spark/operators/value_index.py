@@ -181,6 +181,7 @@ def extend_value_index(
     name: str,
     new_df: DataFrame,
     corpus_store=None,
+    as_of_version: int | None = None,
 ) -> int:
     """Incremental (append-only) maintenance: the batch's entries land as
     a value-sorted delta SEGMENT label (``name__seg<k>``) — cost ∝ batch,
@@ -222,7 +223,12 @@ def extend_value_index(
     n_batch = store.read(spark, seg_label).count()
     segments.append(seg_label)
     meta = dict(meta, n_rows=int(meta["n_rows"]) + int(n_batch), segments=segments, seg_seq=seq)
-    if corpus_store is not None and "corpus_label" in meta:
+    if as_of_version is not None and "corpus_label" in meta:
+        # the caller (CDC catch-up) folded EXACTLY the delta up to this
+        # version — stamping a fresh head read would mark concurrent
+        # commits as indexed without their rows
+        meta["corpus_version"] = int(as_of_version)
+    elif corpus_store is not None and "corpus_label" in meta:
         meta["corpus_version"] = int(corpus_store.version(meta["corpus_label"]))
     _write_meta(spark, store, name, meta)
     return len(segments)
@@ -247,7 +253,10 @@ def compact_value_index(spark: SparkSession, store, name: str) -> int:
     meta = _index_meta(store, name)
     folded = list(meta.get("segments", []))
     entries = _load_entries(spark, store, name, meta)
-    meta = dict(meta, segments=[])
+    # stamp the naming watermark even for PRE-seg_seq metas: without it a
+    # post-compaction extend would default to len([])+1 and reuse a label
+    # the base just recorded as folded — which the reader would then skip
+    meta = dict(meta, segments=[], seg_seq=int(meta.get("seg_seq", len(folded))))
     v = store.write(
         name,
         entries,

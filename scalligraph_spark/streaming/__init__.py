@@ -769,14 +769,18 @@ def start_index_maintenance_sink(
     def _heal(spark) -> None:
         """Replayed batch after a crash between corpus commit and
         maintenance: the corpus is ahead of the index — fold the CDC
-        delta in (noop when already fresh)."""
+        delta in (noop when already fresh).  ``on_mutation="reindex"``:
+        an at-least-once redelivery can land a key twice with different
+        payloads, which the hash-diff reports as an update; the heal
+        must converge with a (bounded, rare) rebuild rather than raise
+        inside foreachBatch and crash-loop the query forever."""
         ix_meta = _index_meta(store, index_name)
         if ix_meta.get("corpus_version") is None:
             return
         if ix_meta.get("kind") == "bm25_inverted":
-            catchup_text_index(spark, store, index_name, store)
+            catchup_text_index(spark, store, index_name, store, on_mutation="reindex")
         elif ix_meta.get("cells"):
-            catchup_ann_cells(spark, store, index_name, store)
+            catchup_ann_cells(spark, store, index_name, store, on_mutation="reindex")
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -792,7 +796,24 @@ def start_index_maintenance_sink(
             merged = batch_df
             prev_rows = 0
         n_rows = merged.count()
-        store.write(corpus_label, merged, meta={"batch_id": batch_id, "n_rows": n_rows})
+        v = store.write(corpus_label, merged, meta={"batch_id": batch_id, "n_rows": n_rows})
+        # capture the step's change feed DIRECTLY from the batch — under
+        # the sink's append-only contract the batch IS the delta, so the
+        # capture is churn-sized (zero diff jobs) and the crash-heal's
+        # table_changes reads it instead of falling back to a corpus-sized
+        # two-snapshot hash diff
+        from scalligraph_spark.cdf import CHANGE_TYPE, COMMIT_VERSION, _cdf_label
+
+        key = id_col or next(
+            (c for c in ("doc_id", "vec_id") if c in batch_df.columns), batch_df.columns[0]
+        )
+        store.write(
+            _cdf_label(corpus_label, v),
+            batch_df.withColumn(CHANGE_TYPE, F.lit("insert")).withColumn(
+                COMMIT_VERSION, F.lit(int(v)).cast("int")  # pair_changes' column type
+            ),
+            meta={"base_label": corpus_label, "commit_version": int(v), "key_cols": [key]},
+        )
         ix_meta = _index_meta(store, index_name)
         trained_v = ix_meta.get("corpus_version")
         if trained_v is None:

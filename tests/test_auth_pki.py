@@ -246,3 +246,38 @@ def test_http_cert_header_ignored_without_opt_in_and_fails_loud(spark, users):
     with QueryServer(ex, auth_srv=chain, trust_client_cert_header=True).serve() as srv:
         status, _ = post(srv, dict(bad_cert, Authorization="Bearer k-alice"))
         assert status == 401, "a rejected presented cert must fail loud, not fall through to Bearer"
+
+
+def test_cert_header_with_no_cert_provider_falls_through_to_bearer(spark, users):
+    """A MultiAuthSrv chain with NO certificate-capable provider must
+    surface NotSupportedError (a capability statement), not
+    AuthenticationError — so a trusted proxy that always forwards
+    X-Client-Cert does not brick Bearer auth for key-only deployments."""
+    import http.client
+
+    from scalligraph_spark.auth import KeyAuthSrv, MultiAuthSrv, NotSupportedError
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    key_users = spark.createDataFrame(
+        [("u1", "alice", ["acme"], ["read"], None, "k-alice")],
+        "user_id string, user_name string, organisations array<string>, "
+        "permissions array<string>, policy_data string, api_key string",
+    )
+    chain = MultiAuthSrv([KeyAuthSrv(key_users)])  # no PKI provider anywhere
+    with pytest.raises(NotSupportedError):
+        chain.authenticate_certificate(make_cert(cn="alice"))
+
+    ex = executor_for(spark, "/root/testdata/sf0.001")
+    body = json.dumps({"query": [{"_name": "all_nation"}, {"_name": "count"}]})
+    with QueryServer(ex, auth_srv=chain, trust_client_cert_header=True).serve() as srv:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request("POST", "/api/v1/query", body=body, headers={
+            "Content-Type": "application/json",
+            "X-Client-Cert": quote(pem(make_cert(cn="alice")).decode()),
+            "Authorization": "Bearer k-alice",
+        })
+        r = conn.getresponse()
+        status, data = r.status, r.read()
+        conn.close()
+    assert status == 200 and json.loads(data) == [{"count": 25}]

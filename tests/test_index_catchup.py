@@ -318,3 +318,73 @@ def test_vacuum_minhash_and_text_and_ann(spark, store):
     assert vacuum_index_segments(spark, store, "tix", kind="text") == ["tix__seg1"]
     got = sorted(tuple(r) for r in indexed_bm25_topk(load_text_index(spark, store, "tix"), ["spark"]).collect())
     assert got == want
+
+
+def test_catchup_restamps_without_empty_segment_on_identical_rewrite(spark, store):
+    """A corpus version advance with IDENTICAL rows (re-layout commit)
+    must refresh the recorded version WITHOUT committing an empty delta
+    segment — repeated identical rewrites must not grow the segment
+    list."""
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20)])
+    write_with_cdf(store, "people", base, ["uid"])
+    build_value_index(spark, store, "by_name", store.read(spark, "people"),
+                      "uname", "uid", corpus_store=store, corpus_label="people")
+    store.write("people", store.read(spark, "people"))  # same rows, new version
+
+    rep = catchup_value_index(spark, store, "by_name", store)
+    assert rep["action"] == "restamped" and rep["churn"] == {}
+    ix = load_value_index(spark, store, "by_name")
+    assert ix.meta["segments"] == []  # NO empty segment committed
+    assert int(ix.meta["corpus_version"]) == store.version("people")
+    assert catchup_value_index(spark, store, "by_name", store)["action"] == "noop"
+
+
+def test_extend_as_of_version_pins_not_head(spark, store):
+    """extend(as_of_version=v) must stamp v, not a fresh head read — the
+    catch-up concurrency contract: a corpus commit racing the segment
+    write stays visibly un-indexed for the next catch-up."""
+    from scalligraph_spark.operators import extend_value_index
+
+    base = _people(spark, [(0, "alice", 10)])
+    write_with_cdf(store, "people", base, ["uid"])
+    build_value_index(spark, store, "by_name", store.read(spark, "people"),
+                      "uname", "uid", corpus_store=store, corpus_label="people")
+    b1 = _people(spark, [(1, "bob", 20)])
+    write_with_cdf(store, "people", store.read(spark, "people").unionByName(b1), ["uid"])  # v2
+    b2 = _people(spark, [(2, "carol", 30)])
+    write_with_cdf(store, "people", store.read(spark, "people").unionByName(b2), ["uid"])  # v3
+
+    # fold only the v1→v2 delta, pinned as-of v2, while head is already v3
+    extend_value_index(spark, store, "by_name", b1, corpus_store=store, as_of_version=2)
+    ix = load_value_index(spark, store, "by_name")
+    assert int(ix.meta["corpus_version"]) == 2, "must stamp the folded version, not head"
+    # the next catch-up then picks up exactly the v2→v3 rows
+    rep = catchup_value_index(spark, store, "by_name", store)
+    assert rep["action"] == "extended" and rep["churn"] == {"insert": 1}
+    got = sorted(tuple(r) for r in load_value_index(spark, store, "by_name").entries.collect())
+    assert got == [("alice", 0), ("bob", 1), ("carol", 2)]
+
+
+def test_legacy_meta_compaction_does_not_reuse_folded_labels(spark, store):
+    """Migration hole regression: an index whose meta PREDATES seg_seq
+    (simulated by stripping the key) that is compacted by the new code
+    must still hand the next extend a FRESH segment name — otherwise the
+    folded marker makes the reader skip the new batch forever."""
+    import scalligraph_spark.operators.value_index as vi
+    from scalligraph_spark.operators import compact_value_index, extend_value_index
+
+    base = _people(spark, [(0, "alice", 10)])
+    store.write("people", base)
+    build_value_index(spark, store, "by_name", base, "uname", "uid")
+    extend_value_index(spark, store, "by_name", _people(spark, [(1, "bob", 20)]))
+    # simulate a pre-upgrade artifact: meta without the seg_seq watermark
+    meta = vi._index_meta(store, "by_name")
+    meta.pop("seg_seq", None)
+    vi._write_meta(spark, store, "by_name", meta)
+
+    compact_value_index(spark, store, "by_name")
+    extend_value_index(spark, store, "by_name", _people(spark, [(2, "carol", 30)]))
+    ix = load_value_index(spark, store, "by_name")
+    assert ix.meta["segments"] == ["by_name__seg2"], "must not reuse folded by_name__seg1"
+    got = sorted(tuple(r) for r in ix.entries.collect())
+    assert got == [("alice", 0), ("bob", 1), ("carol", 2)]

@@ -129,3 +129,15 @@ def test_evict_keeps_newest(setup):
     before = cache.hits
     cache.execute(chains[2])
     assert cache.hits == before + 1
+
+
+def test_key_handles_mixed_type_policy_sets(setup):
+    """Policy feeds may carry mixed-type sets; the canonicalizer must
+    normalize them deterministically instead of raising TypeError."""
+    store, ex = setup
+    cache = QueryCache(ex, store)
+    chain = [{"_name": "people"}]
+    a = {"user": "alice", "grants": {1, "admin"}}
+    b = {"user": "alice", "grants": {"admin", 1}}
+    assert cache.key(chain, a) == cache.key(chain, b)  # set order irrelevant
+    assert cache.key(chain, a) != cache.key(chain, {"user": "alice", "grants": {1}})

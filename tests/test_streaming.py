@@ -883,3 +883,38 @@ def test_quality_gate_sink_promotes_and_quarantines(spark, tmp_path):
     qmeta = store.commit_meta("corpus__quarantine")
     failed = {r["check"] for r in qmeta["quality_report"] if not r["passed"]}
     assert failed == {"completeness", "in_range"}  # audit trail names the breaks
+
+
+def test_index_maintenance_sink_captures_churn_sized_feed(spark, tmp_path):
+    """The sink writes the step's change feed directly from the batch
+    (the appended rows ARE the delta), so the crash-heal's table_changes
+    reads a captured feed instead of falling back to a corpus-sized
+    two-snapshot hash diff."""
+    from scalligraph_spark.cdf import table_changes
+    from scalligraph_spark.operators import build_text_index
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.streaming import start_index_maintenance_sink
+
+    def doc_rows(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"alpha common text {i}") for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    store = LabelStore(str(tmp_path / "capm"))
+    store.write("docs", doc_rows(0, 20), meta={"batch_id": -1, "n_rows": 20})
+    build_text_index(store, "docs_ix", store.read(spark, "docs"),
+                     corpus_store=store, corpus_label="docs")
+    src = str(tmp_path / "in")
+    doc_rows(20, 25).write.parquet(src)
+    q = start_index_maintenance_sink(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, "docs", "docs_ix", str(tmp_path / "ck"), query_name="capm1",
+    )
+    q.awaitTermination()
+    v = store.version("docs")
+    assert store.version(f"docs__cdf_v{v}") > 0, "feed must be captured at commit"
+    ch = table_changes(spark, store, "docs", v - 1, v)  # no key_cols: captured
+    rows = ch.collect()
+    assert {r["doc_id"] for r in rows} == set(range(20, 25))
+    assert {r["_change_type"] for r in rows} == {"insert"}
