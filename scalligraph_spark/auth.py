@@ -496,6 +496,10 @@ class MultiAuthSrv(AuthSrv):
         self.capabilities = frozenset().union(*(p.capabilities for p in providers)) if providers else frozenset()
 
     def _chain(self, call) -> AuthContext:
+        if not self.providers:
+            # an empty chain can never authenticate anything: that is a
+            # misconfiguration, and it fails CLOSED as an auth failure
+            raise AuthenticationError("Authentication failure")
         failures = []
         for p in self.providers:
             try:

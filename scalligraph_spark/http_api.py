@@ -52,8 +52,15 @@ def _error_body(exc: BaseException) -> tuple[int, dict]:
                 {"name": e.name, "type": e.type, "message": str(e)} for e in exc.errors
             ],
         }
+    from scalligraph_spark.auth import NotSupportedError
+
     if isinstance(exc, AuthenticationError):
         return 401, {"type": "AuthenticationError", "message": str(exc)}
+    if isinstance(exc, NotSupportedError):
+        # no provider supports the attempted method: to the CLIENT that is
+        # an authentication failure, not a server error (and the generic
+        # message leaks nothing about the provider topology)
+        return 401, {"type": "AuthenticationError", "message": "Authentication failure"}
     if isinstance(exc, AuthorizationError):
         return 403, {"type": "AuthorizationError", "message": str(exc)}
     if isinstance(exc, (ValueError, KeyError, TypeError)):
