@@ -199,6 +199,31 @@ def executor_for(
 
     ex.register("windowFunnel", "events", _window_funnel_step)
 
+    def _funnel_report_step(t, s, a):
+        from scalligraph_spark.operators import funnel_report
+
+        out = funnel_report(
+            t.df, [str(x) for x in s["steps"]], within=int(s["within"]),
+            user_col=str(s.get("user", "user_id")),
+            type_col=str(s.get("typeField", "event_type")),
+            ts_col=str(s.get("tsField", "ts")),
+        )
+        return t._with(out, label=None)
+
+    def _funnel_latency_step(t, s, a):
+        from scalligraph_spark.operators import funnel_latency
+
+        out = funnel_latency(
+            t.df, [str(x) for x in s["steps"]], within=int(s["within"]),
+            user_col=str(s.get("user", "user_id")),
+            type_col=str(s.get("typeField", "event_type")),
+            ts_col=str(s.get("tsField", "ts")),
+        )
+        return t._with(out, label=None)
+
+    ex.register("funnelReport", "events", _funnel_report_step)
+    ex.register("funnelLatency", "events", _funnel_latency_step)
+
     # dialogue tier as chain steps: a query-language user drives the chat
     # pipeline (turns → dedup → stats/assembly) without the Python API —
     # same extension surface as qualityGate/tokenStats above

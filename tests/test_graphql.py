@@ -446,3 +446,38 @@ def test_http_graphql_endpoint(schema):
             assert False, "expected 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+def test_registered_funnel_step_reachable_from_graphql(spark):
+    """Registered chain steps with ARGS are GraphQL step fields
+    automatically — the CEP windowFunnel must run from a GraphQL
+    document and produce the same rows as the direct operator call."""
+    from scalligraph_spark.operators import window_funnel
+    from scalligraph_spark.suite import cat_for, executor_for
+
+    ex = executor_for(spark, "/root/testdata/sf0.001")
+    schema = GraphQLSchema(ex)
+    r = schema.execute(
+        """
+        query funnels {
+            all_events {
+                windowFunnel(steps: ["view", "click", "purchase"], within: 86400) {
+                    toList { user_id level }
+                }
+            }
+        }
+        """
+    )
+    assert "errors" not in r or not r["errors"], r
+    got = sorted(
+        (row["user_id"], row["level"])
+        for row in r["data"]["all_events"]["windowFunnel"]["toList"]
+    )
+    want = sorted(
+        (row["user_id"], row["level"])
+        for row in window_funnel(
+            cat_for(spark, "/root/testdata/sf0.001").vertex_df("events"),
+            ["view", "click", "purchase"], within=86400,
+        ).collect()
+    )
+    assert got == want and len(got) > 0

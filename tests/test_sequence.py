@@ -184,3 +184,29 @@ def test_funnel_differential_fuzz(spark):
             for r in window_funnel(df, STEPS, within=within).collect()
         }
         assert got == _naive_funnel(rows, STEPS, within), f"within={within}"
+
+
+def test_funnel_family_reachable_from_qlang(spark):
+    """windowFunnel / funnelReport / funnelLatency as registered chain
+    steps must equal the direct operator calls — CEP composes with the
+    JSON grammar like every other family."""
+    from scalligraph_spark.operators import funnel_latency, funnel_report, window_funnel
+    from scalligraph_spark.suite import cat_for, executor_for
+
+    sf = "/root/testdata/sf0.001"
+    ex = executor_for(spark, sf)
+    events = cat_for(spark, sf).vertex_df("events")
+    steps = ["view", "click", "purchase"]
+
+    for step_name, fn in (
+        ("windowFunnel", window_funnel),
+        ("funnelReport", funnel_report),
+        ("funnelLatency", funnel_latency),
+    ):
+        got = sorted(
+            tuple(r) for r in ex.execute(
+                [{"_name": "all_events"}, {"_name": step_name, "steps": steps, "within": 86400}]
+            ).df.collect()
+        )
+        want = sorted(tuple(r) for r in fn(events, steps, within=86400).collect())
+        assert got == want and len(got) > 0, step_name
