@@ -138,6 +138,7 @@ HEADLINE = [
     "graphql_hop_projection",  # GraphQL doc → same chain fold; both endpoint filters pushed
     "events_window_funnel",  # ordered-chain CEP: one user-key exchange, stacked windows
     "qlang_window_funnel",  # the same CEP behind a chain filter step (grammar-composed)
+    "events_window_funnel_strict",  # consecutive-run CEP: leads share one exchange, rn=1 -> WindowGroupLimit
 ]
 
 

@@ -97,6 +97,68 @@ def _chain_relation(
     return keys, agg, names
 
 
+def _strict_order_funnel(
+    events: DataFrame,
+    steps: list[str],
+    within: int,
+    user_col: str | list[str],
+    type_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """``mode="strict_order"``: the chain must be CONSECUTIVE events —
+    an interloper of ANY type (step or not) between two chain events
+    breaks it (ClickHouse ``windowFunnel(..., 'strict_order')``).
+
+    Semantics (deterministic): every step-1 event anchors a candidate
+    run; a candidate's level is the longest prefix of ``steps`` matched
+    by the events at consecutive per-user positions starting at the
+    anchor, with the prefix's last event inside ``within`` seconds of
+    the anchor; the user's row is the HIGHEST-level candidate (earliest
+    anchor on ties).  Users with no step-1 event are omitted.
+
+    Spark shape: NO type prefilter (interlopers matter), one hash
+    exchange on the user key — ``lead(type, j)``/``lead(ms, j)`` share
+    one Window sort, the per-anchor level is a CASE over those leads,
+    and the best-candidate pick is a ``row_number`` over the same
+    partitioning.  No arrays: a hot user costs sort range, never
+    executor memory."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    if within <= 0:
+        raise ValueError("within must be positive seconds")
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    df = events.select(
+        *[F.col(k) for k in keys], F.col(type_col).alias("__t"), ms.alias("__ms")
+    )
+    w = Window.partitionBy(*keys).orderBy("__ms", "__t")
+    for j in range(1, len(steps)):
+        df = df.withColumn(f"__t{j}", F.lead("__t", j).over(w))
+        df = df.withColumn(f"__m{j}", F.lead("__ms", j).over(w))
+    anchors = df.where(F.col("__t") == steps[0])
+    horizon = int(within) * 1000
+    # longest consecutive prefix at this anchor, horizon-bounded
+    level = F.lit(1)
+    prefix_ok = F.lit(True)
+    for l in range(2, len(steps) + 1):
+        prefix_ok = prefix_ok & (F.col(f"__t{l - 1}") == steps[l - 1])
+        level = F.when(
+            prefix_ok & (F.col(f"__m{l - 1}") <= F.col("__ms") + F.lit(horizon)),
+            F.lit(l),
+        ).otherwise(level)
+    anchors = anchors.withColumn("__lvl", level)
+    best = Window.partitionBy(*keys).orderBy(F.col("__lvl").desc(), F.col("__ms").asc())
+    return (
+        anchors.withColumn("__rn", F.row_number().over(best))
+        .where(F.col("__rn") == 1)
+        .select(
+            *[F.col(k) for k in keys],
+            F.col("__lvl").cast("int").alias("level"),
+            F.col("__ms").alias("t1_ms"),
+        )
+    )
+
+
 def window_funnel(
     events: DataFrame,
     steps: list[str],
@@ -104,6 +166,7 @@ def window_funnel(
     user_col: str | list[str] = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    mode: str = "default",
 ) -> DataFrame:
     """→ one row per funnel member: ``(*user_col, level, t1_ms)``.
 
@@ -115,7 +178,15 @@ def window_funnel(
     turns the horizon funnel into the SESSION-scoped variant (the chain
     must complete inside one sessionization window): same single
     exchange, just a composite key.
+
+    ``mode="strict_order"`` switches to the CONSECUTIVE-events contract
+    (:func:`_strict_order_funnel`): an intervening event of any type
+    breaks the chain — the ClickHouse ``'strict_order'`` semantic.
     """
+    if mode == "strict_order":
+        return _strict_order_funnel(events, steps, within, user_col, type_col, ts_col)
+    if mode != "default":
+        raise ValueError(f"mode must be 'default' or 'strict_order', got {mode!r}")
     keys, agg, names = _chain_relation(events, steps, within, user_col, type_col, ts_col)
     level = F.coalesce(
         *[

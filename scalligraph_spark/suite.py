@@ -194,6 +194,7 @@ def executor_for(
             user_col=[str(u) for u in user] if isinstance(user, list) else str(user),
             type_col=str(s.get("typeField", "event_type")),
             ts_col=str(s.get("tsField", "ts")),
+            mode=str(s.get("mode", "default")),
         )
         return t._with(out, label=None)
 
@@ -1547,6 +1548,49 @@ def events_window_funnel_q(spark, sf):
         cat_for(spark, sf).vertex_df("events"),
         ["view", "click", "purchase"],
         within=86400,
+    )
+
+
+@q(
+    "events_window_funnel_strict",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+), w AS (
+  SELECT user_id, event_type, ms,
+         lead(event_type, 1) OVER win AS t1, lead(ms, 1) OVER win AS m1,
+         lead(event_type, 2) OVER win AS t2, lead(ms, 2) OVER win AS m2
+  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ms, event_type)
+), a AS (
+  SELECT user_id, ms,
+         CAST(CASE
+           WHEN t1 = 'click' AND t2 = 'purchase' AND m2 <= ms + 86400000 THEN 3
+           WHEN t1 = 'click' AND m1 <= ms + 86400000 THEN 2
+           ELSE 1 END AS INT) AS level
+  FROM w WHERE event_type = 'view'
+), b AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY level DESC, ms ASC) AS rn
+  FROM a
+)
+SELECT user_id, level, ms AS t1_ms FROM b WHERE rn = 1
+""",
+    "strict-order CEP (ClickHouse windowFunnel 'strict_order' parity): "
+    "the chain must be CONSECUTIVE per-user events — an interloper of "
+    "ANY type breaks it, so there is NO type prefilter; per anchor the "
+    "level is the longest consecutive prefix inside the horizon, the "
+    "user's row is the highest-level candidate (earliest on ties).  One "
+    "user-key exchange: lead(type/ms, j) share one Window sort, the "
+    "best-candidate row_number reuses the partitioning; oracle replays "
+    "the same leads in DuckDB",
+)
+def events_window_funnel_strict_q(spark, sf):
+    from scalligraph_spark.operators import window_funnel
+
+    return window_funnel(
+        cat_for(spark, sf).vertex_df("events"),
+        ["view", "click", "purchase"],
+        within=86400,
+        mode="strict_order",
     )
 
 

@@ -210,3 +210,65 @@ def test_funnel_family_reachable_from_qlang(spark):
         )
         want = sorted(tuple(r) for r in fn(events, steps, within=86400).collect())
         assert got == want and len(got) > 0, step_name
+
+
+def test_strict_order_semantics(spark):
+    """strict_order: interlopers of ANY type break the chain; the best
+    (highest-level, earliest-on-tie) anchor wins; horizon bounds the
+    whole run; users without a step-1 event are omitted."""
+    from scalligraph_spark.operators import window_funnel
+
+    rows = [
+        # u1: view,click,purchase consecutive → 3
+        (1, "view", 1000), (1, "click", 2000), (1, "purchase", 3000),
+        # u2: view,click,ERROR,purchase → interloper breaks at level 2
+        (2, "view", 1000), (2, "click", 2000), (2, "error", 2500), (2, "purchase", 3000),
+        # u3: first view anchors only level 1 (next is error), but a LATER
+        # view anchors a full consecutive run → best candidate level 3
+        (3, "view", 1000), (3, "error", 1500),
+        (3, "view", 2000), (3, "click", 3000), (3, "purchase", 4000),
+        # u4: consecutive but the run exceeds the horizon → level 2
+        (4, "view", 0), (4, "click", 1000), (4, "purchase", 20_000_000),
+        # u5: no view at all → omitted
+        (5, "click", 1000), (5, "purchase", 2000),
+    ]
+    events = spark.createDataFrame(
+        [(u, t, m) for u, t, m in rows], "user_id long, event_type string, ms long"
+    ).selectExpr("user_id", "event_type", "timestamp_millis(ms) as ts")
+    got = {
+        r["user_id"]: (r["level"], r["t1_ms"])
+        for r in window_funnel(
+            events, ["view", "click", "purchase"], within=10_000, mode="strict_order"
+        ).collect()
+    }
+    assert got == {
+        1: (3, 1000),
+        2: (2, 1000),
+        3: (3, 2000),  # the later, longer run wins; its own anchor rides along
+        4: (2, 0),
+    }
+
+
+def test_strict_order_single_exchange_plan(spark):
+    """All lead() windows and the best-candidate row_number share ONE
+    hash exchange on the user key."""
+    import contextlib
+    import io
+
+    from scalligraph_spark.operators import window_funnel
+    from scalligraph_spark.suite import cat_for
+
+    df = window_funnel(
+        cat_for(spark, "/root/testdata/sf0.001").vertex_df("events"),
+        ["view", "click", "purchase"], within=86400, mode="strict_order",
+    )
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert nodes.count("Exchange") == 1, plan
+    # and the rn=1 pick compiles to the top-1-per-key WindowGroupLimit
+    assert "WindowGroupLimit" in nodes, plan

@@ -150,6 +150,7 @@ PLAN_QUERIES = [
     "graphql_hop_projection",  # registered-hop dispatch → stats-planned join
     "events_window_funnel",  # ONE hash exchange under the stacked window chain
     "qlang_window_funnel",  # filter step pushed BELOW the funnel exchange
+    "events_window_funnel_strict",  # stacked lead() windows + WindowGroupLimit on one exchange
     "events_funnel_sessionized",  # sessionize sort + composite-key funnel: two exchanges
 ]
 
