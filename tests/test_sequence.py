@@ -272,3 +272,63 @@ def test_strict_order_single_exchange_plan(spark):
     assert nodes.count("Exchange") == 1, plan
     # and the rn=1 pick compiles to the top-1-per-key WindowGroupLimit
     assert "WindowGroupLimit" in nodes, plan
+
+
+def _naive_strict_order(rows, steps, within):
+    """Independent consecutive-run evaluation in plain Python: per user,
+    sort by (ms, type); every step-1 position anchors a candidate whose
+    level is the longest consecutive prefix inside the horizon; the
+    best (highest level, earliest anchor) wins."""
+    out = {}
+    by_user = {}
+    for u, ts, t in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    for u, evs in by_user.items():
+        evs.sort()  # (ms, type) — the same total order the Window uses
+        best = None
+        for i, (ms0, t0) in enumerate(evs):
+            if t0 != steps[0]:
+                continue
+            lvl = 1
+            for l in range(2, len(steps) + 1):
+                j = i + l - 1
+                if (
+                    j < len(evs)
+                    and evs[j][1] == steps[l - 1]
+                    and evs[j][0] <= ms0 + within * 1000
+                ):
+                    lvl = l
+                else:
+                    break
+            cand = (-lvl, ms0)
+            if best is None or cand < best:
+                best = cand
+        if best is not None:
+            out[u] = (-best[0], best[1])
+    return out
+
+
+def test_strict_order_differential_fuzz(spark):
+    """Random event streams: window_funnel(mode='strict_order') ≡ the
+    naive consecutive-run evaluator, across two horizons, with ties and
+    interlopers forced by the coarse millis grid."""
+    import random
+
+    rng = random.Random(20260909)
+    types = ["view", "click", "purchase", "noise"]
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(0, 12)):
+            ts = rng.randrange(0, 40) * 60_000
+            rows.append((u, ts, rng.choice(types)))
+    df = spark.createDataFrame(
+        [(u, dt.datetime.fromtimestamp(ts / 1000, dt.timezone.utc).replace(tzinfo=None), t)
+         for u, ts, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    for within in (600, 1200):
+        got = {
+            r["user_id"]: (r["level"], r["t1_ms"])
+            for r in window_funnel(df, STEPS, within=within, mode="strict_order").collect()
+        }
+        assert got == _naive_strict_order(rows, STEPS, within), f"within={within}"
