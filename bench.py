@@ -139,6 +139,7 @@ HEADLINE = [
     "events_window_funnel",  # ordered-chain CEP: one user-key exchange, stacked windows
     "qlang_window_funnel",  # the same CEP behind a chain filter step (grammar-composed)
     "events_window_funnel_strict",  # consecutive-run CEP: leads share one exchange, rn=1 -> WindowGroupLimit
+    "events_funnel_count",  # non-overlap chain counting: Arrow grouped-map over funnel traffic only
 ]
 
 

@@ -260,3 +260,73 @@ def funnel_report(
     return per.select(
         "level", "users", F.sum("users").over(w).alias("users_at_or_above")
     )
+
+
+def funnel_count(
+    events: DataFrame,
+    steps: list[str],
+    within: int,
+    user_col: str | list[str] = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Non-overlapping COMPLETED-chain count per user (the ClickHouse
+    ``sequenceCount`` shape): scan the user's step-type events in time
+    order, greedily matching ``steps``; a completed chain increments the
+    count and matching restarts AFTER it (chains never share events).
+    Each chain's horizon is ``within`` seconds of its OWN step-1 event;
+    when the horizon expires mid-chain, matching restarts at the current
+    event.  → ``(*user_col, n_chains)`` with ``n_chains >= 1`` (users
+    who never complete the chain are omitted — the funnel-membership
+    convention of :func:`window_funnel`).
+
+    Spark shape: this is the one funnel member that is inherently
+    SEQUENTIAL per user (each chain's start depends on where the
+    previous chain ended), so it uses the sanctioned fallback tier — an
+    Arrow-batched ``applyInPandas`` over a ``(keys)`` grouping of the
+    type-filtered narrow projection.  The group payload is the user's
+    STEP-TYPE events only (interlopers are irrelevant to default-mode
+    chains and are filtered before the shuffle), so memory per group is
+    funnel traffic, not raw activity; a pathological single-key corpus
+    degrades like any grouped-map op and is the documented trade for
+    exact non-overlap semantics.  A differential pytest pins the
+    evaluator against an independent naive implementation."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    if within <= 0:
+        raise ValueError("within must be positive seconds")
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    narrow = events.where(F.col(type_col).isin(list(steps))).select(
+        *[F.col(k) for k in keys], F.col(type_col).alias("__t"), ms.alias("__ms")
+    )
+    horizon = int(within) * 1000
+    step_list = [str(s) for s in steps]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in narrow.schema.fields if f.name in keys
+    ) + ", n_chains long"
+
+    def count_chains(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__ms", "__t"], kind="mergesort")
+        count, k, anchor, prev = 0, 0, None, None
+        for t, m in zip(pdf["__t"], pdf["__ms"]):
+            if k > 0 and m > anchor + horizon:
+                k, anchor, prev = 0, None, None  # horizon expired mid-chain
+            if k == 0:
+                if t == step_list[0]:
+                    k, anchor, prev = 1, m, m
+                continue
+            if t == step_list[k] and m > prev:
+                k, prev = k + 1, m
+                if k == len(step_list):
+                    count += 1
+                    k, anchor, prev = 0, None, None  # restart AFTER the chain
+        if not count:
+            return pd.DataFrame(columns=list(pdf.columns[: len(keys)]) + ["n_chains"])
+        head = pdf.iloc[[0]][list(pdf.columns[: len(keys)])].copy()
+        head["n_chains"] = count
+        return head
+
+    return narrow.groupBy(*keys).applyInPandas(count_chains, schema=out_schema)

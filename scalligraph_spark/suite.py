@@ -222,8 +222,20 @@ def executor_for(
         )
         return t._with(out, label=None)
 
+    def _funnel_count_step(t, s, a):
+        from scalligraph_spark.operators import funnel_count
+
+        out = funnel_count(
+            t.df, [str(x) for x in s["steps"]], within=int(s["within"]),
+            user_col=str(s.get("user", "user_id")),
+            type_col=str(s.get("typeField", "event_type")),
+            ts_col=str(s.get("tsField", "ts")),
+        )
+        return t._with(out, label=None)
+
     ex.register("funnelReport", "events", _funnel_report_step)
     ex.register("funnelLatency", "events", _funnel_latency_step)
+    ex.register("funnelCount", "events", _funnel_count_step)
 
     # dialogue tier as chain steps: a query-language user drives the chat
     # pipeline (turns → dedup → stats/assembly) without the Python API —
@@ -1591,6 +1603,27 @@ def events_window_funnel_strict_q(spark, sf):
         ["view", "click", "purchase"],
         within=86400,
         mode="strict_order",
+    )
+
+
+@q(
+    "events_funnel_count",
+    None,  # inherently sequential per user (non-overlap state) — the one
+    # non-SQL-expressible funnel member; differential pytest vs a naive
+    # evaluator is the correctness evidence (rows-only driver check)
+    "non-overlapping completed-chain count per user (ClickHouse "
+    "sequenceCount shape): greedy scan, a completed chain restarts "
+    "matching AFTER it — Arrow applyInPandas over the type-filtered "
+    "narrow projection (the sanctioned fallback tier: per-chain starts "
+    "depend on where the previous chain ended)",
+)
+def events_funnel_count_q(spark, sf):
+    from scalligraph_spark.operators import funnel_count
+
+    return funnel_count(
+        cat_for(spark, sf).vertex_df("events"),
+        ["view", "click", "purchase"],
+        within=86400,
     )
 
 

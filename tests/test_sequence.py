@@ -332,3 +332,74 @@ def test_strict_order_differential_fuzz(spark):
             for r in window_funnel(df, STEPS, within=within, mode="strict_order").collect()
         }
         assert got == _naive_strict_order(rows, STEPS, within), f"within={within}"
+
+
+def _naive_funnel_count(rows, steps, within):
+    """Independent non-overlapping greedy chain counter in plain Python."""
+    out = {}
+    by_user = {}
+    for u, ts, t in rows:
+        if t in steps:
+            by_user.setdefault(u, []).append((ts, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        count, k, anchor, prev = 0, 0, None, None
+        for m, t in evs:
+            if k > 0 and m > anchor + within * 1000:
+                k, anchor, prev = 0, None, None
+            if k == 0:
+                if t == steps[0]:
+                    k, anchor, prev = 1, m, m
+                continue
+            if t == steps[k] and m > prev:
+                k, prev = k + 1, m
+                if k == len(steps):
+                    count += 1
+                    k, anchor, prev = 0, None, None
+        if count:
+            out[u] = count
+    return out
+
+
+def test_funnel_count_semantics_and_fuzz(spark):
+    """Non-overlapping completed-chain counting: planted cases (two back-
+    to-back chains count 2, shared events never double-count, horizon
+    expiry restarts) plus a random differential sweep against the naive
+    counter."""
+    import random
+
+    from scalligraph_spark.operators import funnel_count
+
+    planted = [
+        # u1: two clean back-to-back chains → 2
+        (1, 1000, "view"), (1, 2000, "click"), (1, 3000, "purchase"),
+        (1, 4000, "view"), (1, 5000, "click"), (1, 6000, "purchase"),
+        # u2: one chain, then a dangling prefix → 1
+        (2, 1000, "view"), (2, 2000, "click"), (2, 3000, "purchase"),
+        (2, 4000, "view"), (2, 5000, "click"),
+        # u3: horizon expires between click and purchase → 0 (omitted)
+        (3, 0, "view"), (3, 1000, "click"), (3, 20_000_000, "purchase"),
+        # u4: interlopers of step types BEFORE anchor don't count
+        (4, 500, "click"), (4, 1000, "view"), (4, 2000, "click"), (4, 3000, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, dt.datetime.fromtimestamp(m / 1000, dt.timezone.utc).replace(tzinfo=None), t)
+         for u, m, t in planted],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {r["user_id"]: r["n_chains"] for r in funnel_count(df, STEPS, within=10_000).collect()}
+    assert got == {1: 2, 2: 1, 4: 1}
+
+    rng = random.Random(20261001)
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(0, 14)):
+            rows.append((u, rng.randrange(0, 40) * 60_000, rng.choice(["view", "click", "purchase", "noise"])))
+    fdf = spark.createDataFrame(
+        [(u, dt.datetime.fromtimestamp(m / 1000, dt.timezone.utc).replace(tzinfo=None), t)
+         for u, m, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    for within in (600, 1800):
+        got = {r["user_id"]: r["n_chains"] for r in funnel_count(fdf, STEPS, within=within).collect()}
+        assert got == _naive_funnel_count(rows, STEPS, within), f"within={within}"
