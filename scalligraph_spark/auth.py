@@ -410,7 +410,23 @@ class PkiAuthSrv(AuthSrv):
 
     def _check_issuer(self, cert) -> None:
         if self._ca_parsed is None:
-            self._ca_parsed = [self._load_cert(ca) for ca in self.ca_bundle]
+            # per-entry tolerance: one malformed bundle entry must not
+            # brick certificate auth for certs the GOOD CAs signed —
+            # skip it LOUDLY (silent skip would hide a truncated bundle)
+            import warnings
+
+            parsed = []
+            for ca in self.ca_bundle:
+                try:
+                    parsed.append(self._load_cert(ca))
+                except Exception:
+                    warnings.warn(
+                        "pki: skipping an unparseable ca_bundle entry — "
+                        "certificates issued by it will NOT authenticate",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+            self._ca_parsed = parsed
         for ca in self._ca_parsed:
             try:
                 cert.verify_directly_issued_by(ca)

@@ -126,6 +126,25 @@ def capture_changes(
     return cdf
 
 
+def capture_append(store, label: str, version: int, batch: DataFrame, key_cols: list[str]) -> str:
+    """Capture a PURE-APPEND step's feed directly from the appended rows —
+    zero diff jobs (the batch IS the delta), for writers that know their
+    commit only added rows (the streaming ingest sinks).  Stamps the same
+    column and meta contract as :func:`pair_changes`/:func:`capture_changes`
+    so ``table_changes`` unions captured and diffed steps transparently.
+    Idempotent like :func:`capture_changes`."""
+    cdf = _cdf_label(label, version)
+    if store.version(cdf) > 0:
+        return cdf
+    rows = batch.select(
+        "*",
+        F.lit("insert").alias(CHANGE_TYPE),
+        F.lit(int(version)).cast("int").alias(COMMIT_VERSION),
+    )
+    store.write(cdf, rows, meta={"base_label": label, "commit_version": int(version), "key_cols": list(key_cols)})
+    return cdf
+
+
 def write_with_cdf(
     store,
     label: str,

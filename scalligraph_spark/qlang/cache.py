@@ -52,11 +52,17 @@ _TRANSPORT_FIELDS = frozenset({"token"})
 
 def _canonical(v):
     """JSON-stable view of an auth value: sets order-normalized, nested
-    containers recursed, anything exotic stringified.  Sets sort by a
-    type-tagged repr so MIXED-type sets (e.g. {1, 'admin'}) normalize
-    deterministically instead of raising TypeError."""
+    containers recursed, anything exotic stringified.  Homogeneous sets
+    keep their NATURAL sort order (so keys of already-committed cache
+    entries stay reachable); only incomparable MIXED-type sets (e.g.
+    {1, 'admin'}) fall back to a type-tagged deterministic order instead
+    of raising TypeError."""
     if isinstance(v, (set, frozenset)):
-        return sorted((_canonical(x) for x in v), key=lambda e: (type(e).__name__, repr(e)))
+        elems = [_canonical(x) for x in v]
+        try:
+            return sorted(elems)
+        except TypeError:
+            return sorted(elems, key=lambda e: (type(e).__name__, repr(e)))
     if isinstance(v, dict):
         return {str(k): _canonical(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):

@@ -801,19 +801,13 @@ def start_index_maintenance_sink(
         # the sink's append-only contract the batch IS the delta, so the
         # capture is churn-sized (zero diff jobs) and the crash-heal's
         # table_changes reads it instead of falling back to a corpus-sized
-        # two-snapshot hash diff
-        from scalligraph_spark.cdf import CHANGE_TYPE, COMMIT_VERSION, _cdf_label
+        # two-snapshot hash diff.  Skipped when no key column is known
+        # (the heal then passes the index meta's key to the diff fallback).
+        from scalligraph_spark.cdf import capture_append
 
-        key = id_col or next(
-            (c for c in ("doc_id", "vec_id") if c in batch_df.columns), batch_df.columns[0]
-        )
-        store.write(
-            _cdf_label(corpus_label, v),
-            batch_df.withColumn(CHANGE_TYPE, F.lit("insert")).withColumn(
-                COMMIT_VERSION, F.lit(int(v)).cast("int")  # pair_changes' column type
-            ),
-            meta={"base_label": corpus_label, "commit_version": int(v), "key_cols": [key]},
-        )
+        key = id_col or next((c for c in ("doc_id", "vec_id") if c in batch_df.columns), None)
+        if key is not None:
+            capture_append(store, corpus_label, v, batch_df, [key])
         ix_meta = _index_meta(store, index_name)
         trained_v = ix_meta.get("corpus_version")
         if trained_v is None:

@@ -183,19 +183,22 @@ def executor_for(
     # Python-API-only operator.  Params mirror window_funnel: ordered
     # `steps`, horizon `within` seconds, optional `user` (string or list
     # → session-scoped composite key), `typeField`, `tsField`.
-    def _window_funnel_step(t, s, a):
-        from scalligraph_spark.operators import window_funnel
-
+    def _funnel_params(s):
+        # shared by all four funnel steps: `user` may be a LIST (composite
+        # session-scoped key) for every member, not just windowFunnel
         user = s.get("user", "user_id")
-        out = window_funnel(
-            t.df,
-            [str(x) for x in s["steps"]],
+        return dict(
+            steps=[str(x) for x in s["steps"]],
             within=int(s["within"]),
             user_col=[str(u) for u in user] if isinstance(user, list) else str(user),
             type_col=str(s.get("typeField", "event_type")),
             ts_col=str(s.get("tsField", "ts")),
-            mode=str(s.get("mode", "default")),
         )
+
+    def _window_funnel_step(t, s, a):
+        from scalligraph_spark.operators import window_funnel
+
+        out = window_funnel(t.df, mode=str(s.get("mode", "default")), **_funnel_params(s))
         return t._with(out, label=None)
 
     ex.register("windowFunnel", "events", _window_funnel_step)
@@ -203,35 +206,17 @@ def executor_for(
     def _funnel_report_step(t, s, a):
         from scalligraph_spark.operators import funnel_report
 
-        out = funnel_report(
-            t.df, [str(x) for x in s["steps"]], within=int(s["within"]),
-            user_col=str(s.get("user", "user_id")),
-            type_col=str(s.get("typeField", "event_type")),
-            ts_col=str(s.get("tsField", "ts")),
-        )
-        return t._with(out, label=None)
+        return t._with(funnel_report(t.df, **_funnel_params(s)), label=None)
 
     def _funnel_latency_step(t, s, a):
         from scalligraph_spark.operators import funnel_latency
 
-        out = funnel_latency(
-            t.df, [str(x) for x in s["steps"]], within=int(s["within"]),
-            user_col=str(s.get("user", "user_id")),
-            type_col=str(s.get("typeField", "event_type")),
-            ts_col=str(s.get("tsField", "ts")),
-        )
-        return t._with(out, label=None)
+        return t._with(funnel_latency(t.df, **_funnel_params(s)), label=None)
 
     def _funnel_count_step(t, s, a):
         from scalligraph_spark.operators import funnel_count
 
-        out = funnel_count(
-            t.df, [str(x) for x in s["steps"]], within=int(s["within"]),
-            user_col=str(s.get("user", "user_id")),
-            type_col=str(s.get("typeField", "event_type")),
-            ts_col=str(s.get("tsField", "ts")),
-        )
-        return t._with(out, label=None)
+        return t._with(funnel_count(t.df, **_funnel_params(s)), label=None)
 
     ex.register("funnelReport", "events", _funnel_report_step)
     ex.register("funnelLatency", "events", _funnel_latency_step)

@@ -281,3 +281,20 @@ def test_cert_header_with_no_cert_provider_falls_through_to_bearer(spark, users)
         status, data = r.status, r.read()
         conn.close()
     assert status == 200 and json.loads(data) == [{"count": 25}]
+
+
+def test_ca_bundle_tolerates_malformed_entry(users):
+    """One corrupt bundle entry must not brick certificate auth for
+    certs the GOOD CAs signed — the bad entry is skipped with a loud
+    warning, verification proceeds against the rest."""
+    import warnings
+
+    ca_cert, ca_issuer = make_ca()
+    srv = PkiAuthSrv(users, "CN", ca_bundle=[b"not a certificate", pem(ca_cert)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ctx = srv.authenticate_certificate(make_cert(cn="alice", issuer=ca_issuer))
+    assert ctx.user_id == "u1"
+    assert any("unparseable ca_bundle entry" in str(x.message) for x in w)
+    with pytest.raises(AuthenticationError):  # forgeries still rejected
+        srv.authenticate_certificate(make_cert(cn="alice"))

@@ -141,3 +141,13 @@ def test_key_handles_mixed_type_policy_sets(setup):
     b = {"user": "alice", "grants": {"admin", 1}}
     assert cache.key(chain, a) == cache.key(chain, b)  # set order irrelevant
     assert cache.key(chain, a) != cache.key(chain, {"user": "alice", "grants": {1}})
+
+
+def test_numeric_set_keys_keep_natural_order(setup):
+    """Homogeneous sets canonicalize in NATURAL order ({2, 10} → [2, 10],
+    not repr order) so pre-existing committed cache keys stay reachable."""
+    from scalligraph_spark.qlang.cache import _canonical
+
+    assert _canonical({10, 2}) == [2, 10]
+    assert _canonical(frozenset({"b", "a"})) == ["a", "b"]
+    assert _canonical({1, "admin"}) == sorted([1, "admin"], key=lambda e: (type(e).__name__, repr(e)))

@@ -403,3 +403,23 @@ def test_funnel_count_semantics_and_fuzz(spark):
     for within in (600, 1800):
         got = {r["user_id"]: r["n_chains"] for r in funnel_count(fdf, STEPS, within=within).collect()}
         assert got == _naive_funnel_count(rows, STEPS, within), f"within={within}"
+
+
+def test_funnel_count_composite_user_from_qlang(spark):
+    """The funnelCount chain step accepts a LIST `user` param (the
+    session-scoped composite key) like its windowFunnel sibling."""
+    from scalligraph_spark.operators import funnel_count
+    from scalligraph_spark.suite import cat_for, executor_for
+
+    sf = "/root/testdata/sf0.001"
+    ex = executor_for(spark, sf)
+    got = sorted(tuple(r) for r in ex.execute([
+        {"_name": "all_events"},
+        {"_name": "funnelCount", "steps": ["view", "click", "purchase"], "within": 86400,
+         "user": ["user_id"]},
+    ]).df.collect())
+    want = sorted(tuple(r) for r in funnel_count(
+        cat_for(spark, sf).vertex_df("events"), ["view", "click", "purchase"],
+        within=86400, user_col=["user_id"],
+    ).collect())
+    assert got == want and len(got) > 0
