@@ -151,6 +151,7 @@ PLAN_QUERIES = [
     "events_window_funnel",  # ONE hash exchange under the stacked window chain
     "qlang_window_funnel",  # filter step pushed BELOW the funnel exchange
     "events_window_funnel_strict",  # stacked lead() windows + WindowGroupLimit on one exchange
+    "events_funnel_count",  # Arrow grouped-map over the type-filtered narrow projection
     "events_funnel_sessionized",  # sessionize sort + composite-key funnel: two exchanges
 ]
 
