@@ -330,3 +330,90 @@ def catchup_ann_cells(
         restamp=_restamp,
         on_mutation=on_mutation,
     )
+
+
+def maintain_indexes(
+    spark: SparkSession,
+    store,
+    indexes: list[tuple[str, str]],
+    corpus_store=None,
+    *,
+    compact_over: int = 8,
+    vacuum: bool = True,
+    on_mutation: str = "error",
+) -> list[dict]:
+    """One-call index fleet maintenance — the nightly-cron shape at
+    100 TB: for every declared ``(name, kind)`` (kind ∈ value / text /
+    minhash / ann), CATCH UP from the corpus's change feed (churn cost),
+    COMPACT when the live segment count exceeds ``compact_over`` (the
+    Lucene merge policy: many tiny segments re-introduce the small-files
+    cost), then VACUUM folded segment labels.  Returns one report dict
+    per index (the catch-up report plus ``live_segments`` /
+    ``compacted`` / ``vacuumed``) so the caller can log exactly what
+    moved.  A failing index (e.g. mutating churn under
+    ``on_mutation="error"``) reports ``action="failed"`` with the error
+    and the sweep CONTINUES — one corrupt index must not block the
+    fleet's freshness."""
+    corpus_store = corpus_store if corpus_store is not None else store
+
+    def _live_count(name: str, kind: str) -> int:
+        if kind == "value":
+            from scalligraph_spark.operators.value_index import _index_meta
+
+            return len(_index_meta(store, name).get("segments", []))
+        if kind == "text":
+            from scalligraph_spark.operators.text_index import _index_meta
+
+            return len(_index_meta(store, name).get("segments", []))
+        if kind == "minhash":
+            from scalligraph_spark.operators.dedup_index import _meta
+
+            return int(_meta(store, name).get("segments", 0))
+        from scalligraph_spark.operators.ann_index import load_ann_index
+
+        return len(load_ann_index(spark, store, name).meta.get("cells_segments", []))
+
+    catchups = {
+        "value": catchup_value_index,
+        "text": catchup_text_index,
+        "minhash": catchup_minhash_index,
+        "ann": catchup_ann_cells,
+    }
+
+    def _compact(name: str, kind: str) -> None:
+        if kind == "value":
+            from scalligraph_spark.operators.value_index import compact_value_index
+
+            compact_value_index(spark, store, name)
+        elif kind == "text":
+            from scalligraph_spark.operators.text_index import compact_text_index
+
+            compact_text_index(spark, store, name)
+        elif kind == "minhash":
+            from scalligraph_spark.operators.dedup_index import compact_minhash_index
+
+            compact_minhash_index(spark, store, name)
+        else:
+            from scalligraph_spark.operators.ann_index import compact_ann_cells
+
+            compact_ann_cells(spark, store, name)
+
+    reports = []
+    for name, kind in indexes:
+        if kind not in catchups:
+            raise ValueError(f"kind must be value/text/minhash/ann, got {kind!r}")
+        try:
+            rep = catchups[kind](spark, store, name, corpus_store, on_mutation=on_mutation)
+        except Exception as e:  # one corrupt index must not block the fleet
+            reports.append({"index": name, "kind": kind, "action": "failed", "error": str(e)})
+            continue
+        rep = dict(rep, kind=kind)
+        live = _live_count(name, kind)
+        rep["live_segments"] = live
+        rep["compacted"] = live > int(compact_over)
+        if rep["compacted"]:
+            _compact(name, kind)
+            rep["live_segments"] = 0
+        rep["vacuumed"] = vacuum_index_segments(spark, store, name, kind) if vacuum else []
+        reports.append(rep)
+    return reports

@@ -388,3 +388,58 @@ def test_legacy_meta_compaction_does_not_reuse_folded_labels(spark, store):
     assert ix.meta["segments"] == ["by_name__seg2"], "must not reuse folded by_name__seg1"
     got = sorted(tuple(r) for r in ix.entries.collect())
     assert got == [("alice", 0), ("bob", 1), ("carol", 2)]
+
+
+def test_maintain_indexes_fleet_sweep(spark, store):
+    """One call keeps a fleet of indexes healthy: catch up from the
+    feed, compact past the segment threshold, vacuum the folded labels —
+    and a failing index reports instead of blocking the sweep."""
+    from scalligraph_spark.operators import maintain_indexes
+
+    docs = _docs(spark, [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark window functions over parquet tables"),
+    ])
+    write_with_cdf(store, "docs", docs, ["doc_id"])
+    build_value_index(spark, store, "by_text", store.read(spark, "docs"),
+                      "text", "doc_id", corpus_store=store, corpus_label="docs")
+    build_text_index(store, "tix", store.read(spark, "docs"),
+                     corpus_store=store, corpus_label="docs")
+    # two appended batches → both indexes two versions behind
+    for i in (10, 11):
+        write_with_cdf(store, "docs",
+                       store.read(spark, "docs").unionByName(_docs(spark, [(i, f"fresh doc number {i}")])),
+                       ["doc_id"])
+
+    reps = maintain_indexes(
+        spark, store, [("by_text", "value"), ("tix", "text")], compact_over=0,
+    )
+    by_name = {r["index"]: r for r in reps}
+    assert by_name["by_text"]["action"] == "extended" and by_name["by_text"]["churn"] == {"insert": 2}
+    assert by_name["tix"]["action"] == "extended"
+    # compact_over=0: the fresh segment compacts and then vacuums away
+    assert by_name["by_text"]["compacted"] and by_name["by_text"]["vacuumed"] == ["by_text__seg1"]
+    assert by_name["tix"]["compacted"] and by_name["tix"]["vacuumed"] == ["tix__seg1"]
+    ix = load_value_index(spark, store, "by_text")
+    assert ix.meta["segments"] == [] and ix.entries.count() == 4
+    assert load_text_index(spark, store, "tix").n_docs == 4
+
+    # steady state: noop, nothing compacts, nothing to vacuum
+    reps2 = maintain_indexes(spark, store, [("by_text", "value"), ("tix", "text")])
+    assert all(r["action"] == "noop" and not r["compacted"] and r["vacuumed"] == [] for r in reps2)
+
+    # a failing index (mutating churn under on_mutation='error') reports
+    # and the sweep continues to the healthy one
+    mutated = store.read(spark, "docs").withColumn(
+        "text", F.when(F.col("doc_id") == 0, F.lit("rewritten")).otherwise(F.col("text")))
+    write_with_cdf(store, "docs", mutated, ["doc_id"])
+    reps3 = maintain_indexes(spark, store, [("by_text", "value"), ("tix", "text")],
+                             on_mutation="error")
+    assert {r["index"]: r["action"] for r in reps3} == {"by_text": "failed", "tix": "failed"}
+    assert all("non-append-only" in r["error"] for r in reps3)
+    # and the reindex policy repairs both in one sweep
+    reps4 = maintain_indexes(spark, store, [("by_text", "value"), ("tix", "text")],
+                             on_mutation="reindex")
+    assert all(r["action"] == "reindexed" for r in reps4)
+    got = dict(load_value_index(spark, store, "by_text").entries.collect())
+    assert got["rewritten"] == 0
