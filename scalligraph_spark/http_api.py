@@ -90,6 +90,7 @@ class QueryServer:
         cache=None,
         store=None,
         trust_client_cert_header: bool = False,
+        maintenance=None,
     ):
         self.executor = executor
         # X-Client-Cert is only meaningful when a trusted TLS-terminating
@@ -107,6 +108,12 @@ class QueryServer:
         # X-Query-Cache: hit|miss.  Streamed requests bypass it — the
         # chunked path exists for results too big to want a cached copy.
         self.cache = cache
+        # optional (store, [(index_name, kind), ...]) fleet declaration:
+        # wires POST /maintenance to maintain_indexes over EXACTLY these
+        # indexes — the declared-at-construction discipline of atSnapshot
+        # (clients choose the policy knobs, never the labels), gated on
+        # the "admin" permission (the reference's admin/reindex routes)
+        self.maintenance = maintenance
         self.path = f"/api/v{api_version}/query"
         self.login_path = f"/api/v{api_version}/login"
         # GraphQL facade over the same executor (SchemaGenerator route
@@ -119,6 +126,7 @@ class QueryServer:
         self.explain_path = f"/api/v{api_version}/explain"
         self.schema_path = f"/api/v{api_version}/schema"
         self.health_path = f"/api/v{api_version}/health"
+        self.maintenance_path = f"/api/v{api_version}/maintenance"
         # AccessLogFilter analog (AccessLogFilter.scala:16-36): called with
         # one record per request; every response also carries Request-Time
         self.access_log = access_log
@@ -344,6 +352,39 @@ class QueryServer:
             status, err = _error_body(e)
             return status, {}, json.dumps(err).encode()
 
+    def _run_maintenance(self, body: bytes, headers) -> tuple[int, dict[str, str], bytes]:
+        """``POST /maintenance`` → per-index report dicts from one
+        :func:`~scalligraph_spark.operators.maintain_indexes` sweep over
+        the fleet declared at construction.  Requires the ``admin``
+        permission (the reference's admin/reindex routes are
+        operator-only); clients choose only the policy knobs
+        (``compactOver``, ``onMutation``), never the labels."""
+        from scalligraph_spark.qlang.executor import AuthorizationError
+
+        try:
+            if self.maintenance is None:
+                return 404, {}, json.dumps(
+                    {"type": "NotFound", "message": "no maintenance fleet declared"}
+                ).encode()
+            auth = self._auth_from_headers(headers) if self.auth_srv else None
+            if self.auth_srv is not None and "admin" not in (auth or {}).get("permissions", []):
+                raise AuthorizationError("maintenance requires the admin permission")
+            payload = json.loads(body.decode("utf-8")) if body else {}
+            from scalligraph_spark.operators import maintain_indexes
+
+            m_store, indexes = self.maintenance
+            reports = maintain_indexes(
+                self.executor.catalog.spark,
+                m_store,
+                list(indexes),
+                compact_over=int(payload.get("compactOver", 8)),
+                on_mutation=str(payload.get("onMutation", "error")),
+            )
+            return 200, {}, json.dumps({"reports": reports}, default=str).encode()
+        except Exception as e:
+            status, err = _error_body(e)
+            return status, {}, json.dumps(err).encode()
+
     # -- server lifecycle --------------------------------------------------
     def serve(self, host: str = "127.0.0.1", port: int = 0) -> "QueryServer":
         server = self
@@ -403,6 +444,8 @@ class QueryServer:
                     status, headers, body = server._run_graphql(self.rfile.read(n), self.headers)
                 elif self.path == server.explain_path:
                     status, headers, body = server._run_explain(self.rfile.read(n), self.headers)
+                elif self.path == server.maintenance_path:
+                    status, headers, body = server._run_maintenance(self.rfile.read(n), self.headers)
                 else:
                     status, headers, body = (
                         404,

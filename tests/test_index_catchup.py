@@ -443,3 +443,55 @@ def test_maintain_indexes_fleet_sweep(spark, store):
     assert all(r["action"] == "reindexed" for r in reps4)
     got = dict(load_value_index(spark, store, "by_text").entries.collect())
     assert got["rewritten"] == 0
+
+
+def test_maintenance_over_http_admin_gated(spark, store):
+    """POST /maintenance runs the declared fleet sweep for admins only:
+    403 without the admin permission, 401 without auth, 200 with reports
+    for the operator — labels come from the server construction, clients
+    choose only the policy knobs."""
+    import http.client
+    import json as _json
+
+    from scalligraph_spark.auth import KeyAuthSrv
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20)])
+    write_with_cdf(store, "people", base, ["uid"])
+    build_value_index(spark, store, "by_name", store.read(spark, "people"),
+                      "uname", "uid", corpus_store=store, corpus_label="people")
+    write_with_cdf(store, "people",
+                   store.read(spark, "people").unionByName(_people(spark, [(2, "carol", 30)])),
+                   ["uid"])
+
+    users = spark.createDataFrame(
+        [("u1", "op", ["acme"], ["read", "admin"], None, "k-op"),
+         ("u2", "ro", ["acme"], ["read"], None, "k-ro")],
+        "user_id string, user_name string, organisations array<string>, "
+        "permissions array<string>, policy_data string, api_key string",
+    )
+    ex = executor_for(spark, "/root/testdata/sf0.001")
+    srv_obj = QueryServer(ex, auth_srv=KeyAuthSrv(users),
+                          maintenance=(store, [("by_name", "value")]))
+    with srv_obj.serve() as srv:
+        def post(token=None, body=b"{}"):
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+            h = {"Content-Type": "application/json"}
+            if token:
+                h["Authorization"] = f"Bearer {token}"
+            conn.request("POST", "/api/v1/maintenance", body=body, headers=h)
+            r = conn.getresponse()
+            data = r.read()
+            conn.close()
+            return r.status, data
+
+        assert post()[0] == 401
+        status, data = post("k-ro")
+        assert status == 403 and _json.loads(data)["type"] == "AuthorizationError"
+        status, data = post("k-op", _json.dumps({"compactOver": 0}).encode())
+        assert status == 200
+        reports = _json.loads(data)["reports"]
+        assert reports[0]["action"] == "extended" and reports[0]["compacted"]
+    got = sorted(tuple(r) for r in load_value_index(spark, store, "by_name").entries.collect())
+    assert got == [("alice", 0), ("bob", 1), ("carol", 2)]
