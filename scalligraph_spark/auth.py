@@ -415,10 +415,12 @@ class PkiAuthSrv(AuthSrv):
             # skip it LOUDLY (silent skip would hide a truncated bundle)
             import warnings
 
+            from cryptography import x509
+
             parsed = []
             for ca in self.ca_bundle:
                 try:
-                    parsed.append(self._load_cert(ca))
+                    ca_cert = self._load_cert(ca)
                 except Exception:
                     warnings.warn(
                         "pki: skipping an unparseable ca_bundle entry — "
@@ -426,11 +428,35 @@ class PkiAuthSrv(AuthSrv):
                         UserWarning,
                         stacklevel=2,
                     )
+                    continue
+                # a bundle entry must actually BE a CA: basicConstraints
+                # CA=true — a leaf cert mistakenly dropped into the bundle
+                # must not become a trusted issuer (ADVICE r9)
+                try:
+                    bc = ca_cert.extensions.get_extension_for_class(x509.BasicConstraints).value
+                    is_ca = bool(bc.ca)
+                except x509.ExtensionNotFound:
+                    is_ca = False
+                if not is_ca:
+                    warnings.warn(
+                        "pki: skipping a ca_bundle entry without basicConstraints "
+                        "CA=true — it is not an issuer certificate",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+                    continue
+                parsed.append(ca_cert)
             self._ca_parsed = parsed
         for ca in self._ca_parsed:
             try:
                 cert.verify_directly_issued_by(ca)
-                return  # issuer-name match + signature verified
+                # the ISSUER must be inside its own validity window at auth
+                # time (same clock as the leaf check): an expired trusted CA
+                # must stop vouching for the leaves it signed (ADVICE r9).
+                # An expired match keeps scanning — a cross-signed leaf may
+                # still carry a signature from a live bundle CA.
+                self._check_validity(ca)
+                return  # issuer-name match + signature verified + CA valid
             except Exception:
                 continue
         raise AuthenticationError("Authentication failure")

@@ -358,7 +358,11 @@ class QueryServer:
         the fleet declared at construction.  Requires the ``admin``
         permission (the reference's admin/reindex routes are
         operator-only); clients choose only the policy knobs
-        (``compactOver``, ``onMutation``), never the labels."""
+        (``compactOver``, ``onMutation``, ``vacuum``), never the labels.
+        Knobs are validated BEFORE the sweep: a typo'd policy must be a
+        400, not an HTTP-200 sweep reporting every index failed (ADVICE
+        r9).  ``vacuum`` defaults off — folded-label reclaim must be an
+        explicit operator decision tied to the retention policy."""
         from scalligraph_spark.qlang.executor import AuthorizationError
 
         try:
@@ -370,6 +374,22 @@ class QueryServer:
             if self.auth_srv is not None and "admin" not in (auth or {}).get("permissions", []):
                 raise AuthorizationError("maintenance requires the admin permission")
             payload = json.loads(body.decode("utf-8")) if body else {}
+            on_mutation = str(payload.get("onMutation", "error"))
+            vacuum = payload.get("vacuum", False)
+            try:
+                compact_over = int(payload.get("compactOver", 8))
+            except (TypeError, ValueError):
+                compact_over = None
+            if (
+                on_mutation not in ("error", "reindex", "tombstone")
+                or compact_over is None
+                or not isinstance(vacuum, bool)
+            ):
+                return 400, {}, json.dumps({
+                    "type": "BadRequest",
+                    "message": "onMutation must be error|reindex|tombstone, "
+                               "compactOver an integer, vacuum a boolean",
+                }).encode()
             from scalligraph_spark.operators import maintain_indexes
 
             m_store, indexes = self.maintenance
@@ -377,8 +397,9 @@ class QueryServer:
                 self.executor.catalog.spark,
                 m_store,
                 list(indexes),
-                compact_over=int(payload.get("compactOver", 8)),
-                on_mutation=str(payload.get("onMutation", "error")),
+                compact_over=compact_over,
+                on_mutation=on_mutation,
+                vacuum=vacuum,
             )
             return 200, {}, json.dumps({"reports": reports}, default=str).encode()
         except Exception as e:

@@ -147,15 +147,24 @@ def build_ivf_index(
         **_corpus_meta(corpus_store, corpus_label),
     }
     if store_cells:
+        # a REBUILD over an existing artifact carries the segment-naming
+        # watermark forward (ADVICE r9: reindex must not reset it) and
+        # subsumes every existing tombstone in the fresh base
+        prior = store.commit_meta(name)
+        seq = max(
+            int(prior.get("cells_seg_seq", 0)), len(prior.get("cells_segments", []))
+        ) if prior else 0
         assign = _assign_cells(embeddings, C, cells_n_list, id_col, vec_col)
         store.write(
             f"{name}__cells",
             assign,
             sort_by=(cells_files, ["cell"]),
-            meta={"table_role": "ivf_cells", "n_list": int(cells_n_list)},
+            meta={"table_role": "ivf_cells", "n_list": int(cells_n_list),
+                  "base_seq": int(seq), "folded_tomb_through": int(seq)},
         )
         meta["cells"] = True
         meta["cells_n_list"] = int(cells_n_list)
+        meta["cells_seg_seq"] = int(seq)
     return store.write(name, df, meta=meta)
 
 
@@ -257,25 +266,37 @@ def compact_ann_cells(spark: SparkSession, store, name: str) -> int:
     meta = dict(ix.meta)
     folded = list(meta.get("cells_segments", []))
     cells = _read_cells(spark, store, name, meta)
-    v = store.write(f"{name}__cells", cells, sort_by=(16, ["cell"]),
-                    meta={"table_role": "ivf_cells", "n_list": int(meta.get("cells_n_list", 1)),
-                          "folded_segments": folded})
-    meta["cells_segments"] = []
     # stamp the naming watermark even for PRE-cells_seg_seq metas (see
     # compact_value_index): a folded label must never be reused
-    meta["cells_seg_seq"] = int(meta.get("cells_seg_seq", len(folded)))
+    seq = int(meta.get("cells_seg_seq", len(folded)))
+    # base_seq/folded_tomb_through: tombstones at or below the watermark
+    # are physically applied by this rewrite (tombstones.py)
+    v = store.write(f"{name}__cells", cells, sort_by=(16, ["cell"]),
+                    meta={"table_role": "ivf_cells", "n_list": int(meta.get("cells_n_list", 1)),
+                          "folded_segments": folded,
+                          "base_seq": seq, "folded_tomb_through": seq})
+    meta["cells_segments"] = []
+    meta["cells_seg_seq"] = seq
     store.write(name, store.read(spark, name), meta=meta)
     return v
 
 
 def _read_cells(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
-    # skip segments the CURRENT base already folded (see compact_ann_cells)
-    folded = set(store.commit_meta(f"{name}__cells").get("folded_segments", []))
-    cells = store.read(spark, f"{name}__cells")
+    # skip segments the CURRENT base already folded (see compact_ann_cells);
+    # tombstoned vectors (mutation catch-up — tombstones.py) go dark in
+    # every part at or below their watermark
+    from scalligraph_spark.operators.tombstones import anti_tombstone, read_tombstones, seg_no
+
+    base_meta = store.commit_meta(f"{name}__cells")
+    folded = set(base_meta.get("folded_segments", []))
+    tombs = read_tombstones(spark, store, name, f"{name}__cells")
+    cells = anti_tombstone(
+        store.read(spark, f"{name}__cells"), int(base_meta.get("base_seq", 0)), tombs, "id"
+    )
     for seg in meta.get("cells_segments", []):
         if seg in folded:
             continue
-        cells = cells.unionByName(store.read(spark, seg))
+        cells = cells.unionByName(anti_tombstone(store.read(spark, seg), seg_no(seg), tombs, "id"))
     return cells
 
 

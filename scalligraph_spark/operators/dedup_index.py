@@ -91,10 +91,17 @@ def build_minhash_index(
     sink's batch id for replay idempotence)."""
     if num_hashes % bands:
         raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
+    # a REBUILD over an existing artifact carries the segment-id watermark
+    # forward (seg_base never resets — ADVICE r9): the next extend gets a
+    # fresh label, folded labels stay vacuumable, and every existing
+    # tombstone is subsumed by the fresh bases (folded_tomb_through)
+    prior = _meta(store, name)
+    seg_base = int(prior.get("seg_base", 0)) + int(prior.get("segments", 0)) if prior else 0
+    base_meta = {"folded_through": seg_base, "folded_tomb_through": seg_base}
     sigs = minhash_signature(docs, text_col, id_col, num_hashes)
-    v = store.write(name, sigs)
+    v = store.write(name, sigs, meta=base_meta)
     banded = _banded(store.read(spark, name), num_hashes, bands)
-    store.write(f"{name}__bands", banded, sort_by=(band_files, ["bh"]))
+    store.write(f"{name}__bands", banded, sort_by=(band_files, ["bh"]), meta=base_meta)
     # per-bucket membership counts, paid ONCE at build time: the probe
     # uses them to skip degenerate hot buckets (a corpus of millions of
     # identical docs lands in one bucket) without scanning the corpus
@@ -103,6 +110,7 @@ def build_minhash_index(
         store.read(spark, f"{name}__bands").groupBy("band", "bh").agg(
             F.count(F.lit(1)).cast("long").alias("n")
         ),
+        meta=base_meta,
     )
     meta = {
         "kind": "minhash_lsh",
@@ -112,6 +120,7 @@ def build_minhash_index(
         "id_col": str(id_col),
         "band_files": int(band_files),
         "segments": 0,
+        "seg_base": int(seg_base),
     }
     if corpus_store is not None and corpus_label is not None:
         meta["corpus_label"] = str(corpus_label)
@@ -136,17 +145,35 @@ def _live_seg_ids(store, base_label: str, meta: dict) -> range:
     return range(folded + 1, top + 1)
 
 
+def _base_seq(store, base_label: str, meta: dict) -> int:
+    """The segment-id watermark a base table covers (for tombstone
+    scoping): everything it has folded through past compactions."""
+    return max(
+        int(meta.get("seg_base", 0)),
+        int(store.commit_meta(base_label).get("folded_through", 0)),
+    )
+
+
 def _read_sigs(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
-    out = store.read(spark, name)
+    from scalligraph_spark.operators.tombstones import anti_tombstone, read_tombstones
+
+    tombs = read_tombstones(spark, store, name, name)
+    out = anti_tombstone(store.read(spark, name), _base_seq(store, name, meta), tombs, "id")
     for i in _live_seg_ids(store, name, meta):
-        out = out.unionByName(store.read(spark, f"{name}__seg{i}"))
+        out = out.unionByName(anti_tombstone(store.read(spark, f"{name}__seg{i}"), i, tombs, "id"))
     return out
 
 
 def _read_bands(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
-    out = store.read(spark, f"{name}__bands")
-    for i in _live_seg_ids(store, f"{name}__bands", meta):
-        out = out.unionByName(store.read(spark, f"{name}__bands_seg{i}"))
+    from scalligraph_spark.operators.tombstones import anti_tombstone, read_tombstones
+
+    lbl = f"{name}__bands"
+    tombs = read_tombstones(spark, store, name, lbl)
+    out = anti_tombstone(store.read(spark, lbl), _base_seq(store, lbl, meta), tombs, "id")
+    for i in _live_seg_ids(store, lbl, meta):
+        out = out.unionByName(
+            anti_tombstone(store.read(spark, f"{name}__bands_seg{i}"), i, tombs, "id")
+        )
     return out
 
 
@@ -287,21 +314,34 @@ def compact_minhash_index(spark: SparkSession, store, name: str) -> int:
     unioning theirs — so probes never see a signature/band row twice and
     never miss one (ADVICE r8: the old ordering double-counted on a crash
     between the base and meta writes)."""
+    from scalligraph_spark.operators.tombstones import read_tombstones
+
     meta = _meta(store, name)
     top = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))
-    v = store.write(name, _read_sigs(spark, store, name, meta), meta={"folded_through": top})
+    # base commits record the tombstone watermark they fold too: the
+    # merged reads above/below are tombstone-filtered, so tombstones at or
+    # below `top` are physically applied by this rewrite (tombstones.py)
+    base_meta = {"folded_through": top, "folded_tomb_through": top}
+    tombstoned = read_tombstones(spark, store, name, name) is not None
+    v = store.write(name, _read_sigs(spark, store, name, meta), meta=base_meta)
     store.write(
         f"{name}__bands",
         _read_bands(spark, store, name, meta),
         sort_by=(int(meta.get("band_files", 16)), ["bh"]),
-        meta={"folded_through": top},
+        meta=base_meta,
     )
-    store.write(
-        f"{name}__bucket_stats",
-        _read_bucket_stats(spark, store, name, meta)
+    stats = (
+        # with tombstones live the recorded per-bucket counts include dead
+        # docs — recompute EXACT stats from the (tombstone-filtered) bands
+        # being rewritten anyway; otherwise the cheap sum of segment stats
+        store.read(spark, f"{name}__bands").groupBy("band", "bh").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        if tombstoned
+        else _read_bucket_stats(spark, store, name, meta)
         .groupBy("band", "bh")
-        .agg(F.sum("n").cast("long").alias("n")),
-        meta={"folded_through": top},
+        .agg(F.sum("n").cast("long").alias("n"))
     )
+    store.write(f"{name}__bucket_stats", stats, meta=base_meta)
     _write_meta(spark, store, name, dict(meta, segments=0, seg_base=top))
     return v

@@ -20,12 +20,16 @@ feeds where they exist, hash-diff fallback where not), and
   ``extend_*`` — a delta-segment commit, cost ∝ churn.  This is the
   append-mostly 100 TB corpus case: a day's crawl lands, four indexes
   catch up for the cost of the day, never the archive;
-* any UPDATE / DELETE in the range breaks the segment families'
-  append-only contract (segments are immutable — the Lucene rule), so
+* UPDATE / DELETE churn can't fold into immutable segments directly, so
   the policy knob decides: ``on_mutation="error"`` (default) raises
-  :class:`IndexCatchupError` with the churn breakdown, ``"reindex"``
-  falls back to the family's full rebuild.  Silent wrong answers are
-  never on the menu.
+  :class:`IndexCatchupError` with the churn breakdown;
+  ``"tombstone"`` applies the Lucene deleted-docs discipline
+  (tombstones.py) — every touched key is tombstoned at the current
+  segment watermark, surviving row images re-insert as the next
+  segment, and the whole mutation bill stays churn-sized (a PII
+  takedown costs the takedown, never the archive — the round-9 scale
+  cliff closed); ``"reindex"`` falls back to the family's full rebuild.
+  Silent wrong answers are never on the menu.
 
 Every function returns a small report dict (``action`` ∈ noop /
 extended / reindexed, version range, churn counts) so operational
@@ -58,15 +62,35 @@ class IndexCatchupError(RuntimeError):
 
 
 def _changes_report(spark, corpus_store, label: str, v_from: int, v_to: int, key_cols):
-    """(insert rows as corpus-shaped DataFrame, per-type churn counts) for
-    the v_from→v_to range — one churn-sized aggregate decides the path."""
+    """(full change frame, insert rows as corpus-shaped DataFrame,
+    per-type churn counts) for the v_from→v_to range — one churn-sized
+    aggregate decides the path."""
     ch = table_changes(spark, corpus_store, label, v_from, v_to, key_cols=key_cols)
     churn = {
         r[CHANGE_TYPE]: int(r["n"])
         for r in ch.groupBy(CHANGE_TYPE).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     inserts = ch.where(F.col(CHANGE_TYPE) == "insert").drop(CHANGE_TYPE, COMMIT_VERSION)
-    return inserts, churn
+    return ch, inserts, churn
+
+
+def _net_effects(ch, key_cols):
+    """Collapse a multi-step change feed to its NET effect per key (the
+    ``apply_changes`` rule: last effective action wins, preimages are
+    informational): returns ``(touched_keys, upsert_rows)`` — every key
+    the range touched (all must be tombstoned so stale entries in older
+    parts go dark), and the current row image for keys that still exist
+    (re-inserted into the next segment, which outlives the tombstone)."""
+    from pyspark.sql import Window
+
+    eff = ch.where(F.col(CHANGE_TYPE) != F.lit("update_preimage"))
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(F.col(COMMIT_VERSION).desc())
+    latest = (
+        eff.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+    touched = latest.select(*key_cols)
+    upserts = latest.where(F.col(CHANGE_TYPE) != F.lit("delete")).drop(CHANGE_TYPE, COMMIT_VERSION)
+    return touched, upserts
 
 
 def _catchup(
@@ -82,9 +106,12 @@ def _catchup(
     reindex,
     restamp,
     on_mutation: str,
+    tombstone=None,
 ) -> dict:
-    if on_mutation not in ("error", "reindex"):
-        raise ValueError(f"on_mutation must be 'error' or 'reindex', got {on_mutation!r}")
+    if on_mutation not in ("error", "reindex", "tombstone"):
+        raise ValueError(
+            f"on_mutation must be 'error', 'reindex' or 'tombstone', got {on_mutation!r}"
+        )
     label = meta.get("corpus_label")
     if label is None:
         raise ValueError(
@@ -98,7 +125,9 @@ def _catchup(
         return dict(report, action="noop", churn={})
     if v_to < v_from:
         # the corpus was rolled back UNDER the index — nothing incremental
-        # is meaningful; only a rebuild restores the invariant
+        # is meaningful (tombstones included: the delta the index folded no
+        # longer exists to diff against); only a rebuild restores the
+        # invariant
         if on_mutation == "reindex":
             reindex()
             return dict(report, action="reindexed", churn={"rollback": v_from - v_to})
@@ -107,16 +136,34 @@ def _catchup(
             "reindex required",
             {"rollback": v_from - v_to},
         )
-    inserts, churn = _changes_report(spark, corpus_store, label, v_from, v_to, key_cols)
+    ch, inserts, churn = _changes_report(spark, corpus_store, label, v_from, v_to, key_cols)
     mutations = {t: n for t, n in churn.items() if t not in ("insert",)}
     if mutations:
         if on_mutation == "reindex":
             reindex()
             return dict(report, action="reindexed", churn=churn)
+        if on_mutation == "tombstone" and tombstone is not None:
+            # the Lucene deleted-docs path — mutation churn costs churn:
+            # every touched key is tombstoned at the CURRENT segment
+            # watermark (hiding its entries in base + existing segments),
+            # surviving row images re-insert as the NEXT segment (above
+            # the watermark, so they outlive their own tombstone).  The
+            # tombstone commits FIRST: a crash before the extend leaves
+            # deletes applied and the index visibly stale (meta version
+            # unmoved) — the re-run converges (tombstone writes dedupe by
+            # key), never resurrects.
+            touched, upserts = _net_effects(ch, key_cols)
+            tombstone(touched)
+            if upserts.take(1):
+                extend(upserts, v_to)
+            else:
+                restamp(v_to)
+            return dict(report, action="tombstoned", churn=churn)
         raise IndexCatchupError(
             f"corpus {label!r} changed non-append-only under index {name!r} "
             f"(churn: {churn}); segments are immutable — pass "
-            "on_mutation='reindex' or run the family's reindex_*",
+            "on_mutation='tombstone' (churn-cost delete/update fold), "
+            "on_mutation='reindex', or run the family's reindex_*",
             churn,
         )
     if not churn:
@@ -183,6 +230,15 @@ def vacuum_index_segments(spark: SparkSession, store, name: str, kind: str) -> l
     victims = sorted(lbl for lbl in candidates if lbl not in live and store.version(lbl) > 0)
     for lbl in victims:
         store.drop(lbl)
+    # tombstones a compaction already folded into the base (readers ignore
+    # them via folded_tomb_through) reclaim under the same retention rule
+    from scalligraph_spark.operators.tombstones import tombstone_label, vacuum_tombstones
+
+    if store.version(tombstone_label(name)) > 0:
+        base_label = f"{name}__cells" if kind == "ann" else name
+        folded_t = int(store.commit_meta(base_label).get("folded_tomb_through", 0))
+        if vacuum_tombstones(spark, store, name, folded_t):
+            victims.append(tombstone_label(name))
     return victims
 
 
@@ -191,8 +247,11 @@ def catchup_value_index(
 ) -> dict:
     """Catch a composite value index (value_index.py) up to its corpus's
     current version: append-only churn → one value-sorted delta segment;
-    mutating churn → policy.  Unique-hint violations in the appended rows
-    surface as ``UniqueIndexViolation`` exactly like a manual extend."""
+    mutating churn → policy (``on_mutation="tombstone"`` folds
+    updates/deletes at churn cost via the seq-scoped tombstone sidecar —
+    tombstones.py).  Unique-hint violations in the appended rows surface
+    as ``UniqueIndexViolation`` exactly like a manual extend."""
+    from scalligraph_spark.operators.tombstones import write_tombstones
     from scalligraph_spark.operators.value_index import (
         _index_meta,
         _write_meta,
@@ -201,6 +260,7 @@ def catchup_value_index(
     )
 
     meta = _index_meta(store, name)
+    watermark = max(int(meta.get("seg_seq", 0)), len(meta.get("segments", [])))
     return _catchup(
         spark, store, name, corpus_store,
         meta=meta,
@@ -211,6 +271,7 @@ def catchup_value_index(
         ),
         reindex=lambda: reindex_values(spark, store, name, corpus_store),
         restamp=lambda v: _write_meta(spark, store, name, dict(meta, corpus_version=int(v))),
+        tombstone=lambda keys: write_tombstones(spark, store, name, keys, "id", watermark),
         on_mutation=on_mutation,
     )
 
@@ -220,14 +281,19 @@ def catchup_text_index(
 ) -> dict:
     """Catch a BM25 inverted index (text_index.py) up to its corpus's
     current version: appended documents land as one term-sorted postings
-    segment + a vocabulary-sized terms re-aggregate."""
+    segment + a vocabulary-sized terms re-aggregate.
+    ``on_mutation="tombstone"`` hides updated/deleted docs at churn cost;
+    df/n_docs stats drift Lucene-style until the next compaction restores
+    them exactly."""
     from scalligraph_spark.operators.text_index import (
         _index_meta,
         extend_text_index,
         reindex_text,
     )
+    from scalligraph_spark.operators.tombstones import write_tombstones
 
     meta = _index_meta(store, name)
+    watermark = max(int(meta.get("seg_seq", 0)), len(meta.get("segments", [])))
 
     def _restamp(v):  # the terms table is the text index's meta carrier
         store.write(
@@ -246,6 +312,7 @@ def catchup_text_index(
         ),
         reindex=lambda: reindex_text(spark, store, name, corpus_store),
         restamp=_restamp,
+        tombstone=lambda keys: write_tombstones(spark, store, name, keys, "doc_id", watermark),
         on_mutation=on_mutation,
     )
 
@@ -262,8 +329,10 @@ def catchup_minhash_index(
         build_minhash_index,
         extend_minhash_index,
     )
+    from scalligraph_spark.operators.tombstones import write_tombstones
 
     meta = _meta(store, name)
+    watermark = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))
 
     def _rebuild():
         docs = corpus_store.read(spark, meta["corpus_label"])
@@ -288,6 +357,7 @@ def catchup_minhash_index(
         ),
         reindex=_rebuild,
         restamp=lambda v: _write_meta(spark, store, name, dict(meta, corpus_version=int(v))),
+        tombstone=lambda keys: write_tombstones(spark, store, name, keys, "id", watermark),
         on_mutation=on_mutation,
     )
 
@@ -306,6 +376,7 @@ def catchup_ann_cells(
         load_ann_index,
         reindex_ann,
     )
+    from scalligraph_spark.operators.tombstones import write_tombstones
 
     meta = dict(load_ann_index(spark, store, name).meta)
     if not meta.get("cells"):
@@ -314,6 +385,7 @@ def catchup_ann_cells(
             "build_ivf_index(..., store_cells=True)"
         )
     version_key = "cells_corpus_version" if "cells_corpus_version" in meta else "corpus_version"
+    watermark = max(int(meta.get("cells_seg_seq", 0)), len(meta.get("cells_segments", [])))
 
     def _restamp(v):  # the centroids table is the ANN artifact's meta carrier
         store.write(name, store.read(spark, name), meta=dict(meta, cells_corpus_version=int(v)))
@@ -328,6 +400,7 @@ def catchup_ann_cells(
         ),
         reindex=lambda: reindex_ann(spark, store, name, corpus_store),
         restamp=_restamp,
+        tombstone=lambda keys: write_tombstones(spark, store, name, keys, "id", watermark),
         on_mutation=on_mutation,
     )
 
@@ -339,7 +412,7 @@ def maintain_indexes(
     corpus_store=None,
     *,
     compact_over: int = 8,
-    vacuum: bool = True,
+    vacuum: bool = False,
     on_mutation: str = "error",
 ) -> list[dict]:
     """One-call index fleet maintenance — the nightly-cron shape at
@@ -347,13 +420,27 @@ def maintain_indexes(
     minhash / ann), CATCH UP from the corpus's change feed (churn cost),
     COMPACT when the live segment count exceeds ``compact_over`` (the
     Lucene merge policy: many tiny segments re-introduce the small-files
-    cost), then VACUUM folded segment labels.  Returns one report dict
-    per index (the catch-up report plus ``live_segments`` /
+    cost), then optionally VACUUM folded segment labels.  Returns one
+    report dict per index (the catch-up report plus ``live_segments`` /
     ``compacted`` / ``vacuumed``) so the caller can log exactly what
     moved.  A failing index (e.g. mutating churn under
     ``on_mutation="error"``) reports ``action="failed"`` with the error
     and the sweep CONTINUES — one corrupt index must not block the
-    fleet's freshness."""
+    fleet's freshness.
+
+    ``vacuum`` defaults to **False** (ADVICE r9): dropping just-folded
+    labels in the same sweep as the compaction violates
+    :func:`vacuum_index_segments`'s own retention caveat — readers pinned
+    to PRE-compaction base versions still union the old segments.  Opt in
+    only when the sweep runs under the same retention policy as
+    ``store.vacuum`` (no pinned readers older than the compaction)."""
+    if on_mutation not in ("error", "reindex", "tombstone"):
+        # validate ONCE up front: a typo'd policy knob must be a loud
+        # error, not a sweep that reports every index as 'failed'
+        raise ValueError(
+            f"on_mutation must be 'error', 'reindex' or 'tombstone', got {on_mutation!r}"
+        )
+    compact_over = int(compact_over)
     corpus_store = corpus_store if corpus_store is not None else store
 
     def _live_count(name: str, kind: str) -> int:

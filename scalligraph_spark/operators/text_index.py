@@ -126,12 +126,25 @@ def build_text_index(
         meta["corpus_version"] = int(corpus_store.version(corpus_label))
     meta["segments"] = []  # delta segments appended by extend_text_index
     meta["base_n_docs"] = int(n)  # docs in the BASE postings (compaction anchor)
+    # a REBUILD over an existing artifact (reindex_text) carries the
+    # segment-naming watermark forward — resetting it would let the next
+    # extend reuse a folded label and strand old labels below the vacuum
+    # sweep's range (ADVICE r9)
+    try:
+        prior = _index_meta(store, name)
+        meta["seg_seq"] = max(int(prior.get("seg_seq", 0)), len(prior.get("segments", [])))
+    except (KeyError, FileNotFoundError):
+        meta["seg_seq"] = 0
     # the full meta rides on BOTH commits: the terms table is rewritten by
     # every index mutation (build/extend/compact — it is vocabulary-sized,
     # cheap), so its commit meta is the authoritative, always-fresh copy;
-    # the postings copy keeps old artifacts loadable
+    # the postings copy keeps old artifacts loadable.  The fresh base
+    # subsumes every existing tombstone (folded_tomb_through).
     store.write(f"{name}__terms", dfreq, meta=dict(meta, table_role="bm25_terms"))
-    return store.write(name, post, sort_by=(sort_files, ["term"]), meta=meta)
+    return store.write(
+        name, post, sort_by=(sort_files, ["term"]),
+        meta=dict(meta, base_seq=int(meta["seg_seq"]), folded_tomb_through=int(meta["seg_seq"])),
+    )
 
 
 def extend_text_index(
@@ -227,19 +240,40 @@ def compact_text_index(spark: SparkSession, store, name: str) -> int:
     leaves the carrier still listing the folded segments and
     :func:`load_text_index` skips the ones the current base already
     holds — searches stay exact through any torn compaction."""
+    from scalligraph_spark.operators.tombstones import read_tombstones
+
     ix = load_text_index(spark, store, name)
     folded = list(ix.meta.get("segments", []))
     # stamp the naming watermark even for PRE-seg_seq metas (see
     # compact_value_index): a folded label must never be reused
     meta = dict(ix.meta, segments=[], base_n_docs=int(ix.meta["n_docs"]),
                 seg_seq=int(ix.meta.get("seg_seq", len(folded))))
+    terms = ix.terms
+    if read_tombstones(spark, store, name, name) is not None:
+        # tombstoned docs were dropped from the merged postings above —
+        # the merge must also RESTORE exact corpus stats (df / n_docs /
+        # sum_dl drifted Lucene-style while tombstones were live): one
+        # re-aggregate over the postings being rewritten anyway
+        terms = ix.postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        n, sumdl = (
+            ix.postings.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").cast("long").alias("sumdl"))
+            .first()
+        )
+        meta["n_docs"] = int(n)
+        meta["sum_dl"] = int(sumdl or 0)
+        meta["base_n_docs"] = int(n)
     v = store.write(
         name,
         ix.postings,
         sort_by=(int(meta.get("sort_files", 16)), ["term"]),
-        meta=dict(meta, folded_segments=folded),
+        # base_seq/folded_tomb_through: tombstones at or below the
+        # watermark are physically applied by this rewrite (tombstones.py)
+        meta=dict(meta, folded_segments=folded,
+                  base_seq=int(meta["seg_seq"]), folded_tomb_through=int(meta["seg_seq"])),
     )
-    store.write(f"{name}__terms", ix.terms, meta=dict(meta, table_role="bm25_terms"))
+    store.write(f"{name}__terms", terms, meta=dict(meta, table_role="bm25_terms"))
     return v
 
 
@@ -279,13 +313,25 @@ def load_text_index(
         )
     # skip segments the CURRENT postings base already folded (recorded on
     # its commit at compaction time) — a crash between compaction's two
-    # commits never double-counts or drops a posting
-    folded = set(store.commit_meta(name).get("folded_segments", []))
-    postings = store.read(spark, name)
+    # commits never double-counts or drops a posting.  Tombstoned
+    # documents (mutation catch-up — tombstones.py) go dark in every part
+    # at or below their watermark: searches never return them, while
+    # df/n_docs/sum_dl keep counting them until compaction restores exact
+    # stats (the Lucene deleted-docs drift rule)
+    from scalligraph_spark.operators.tombstones import anti_tombstone, read_tombstones, seg_no
+
+    base_meta = store.commit_meta(name)
+    folded = set(base_meta.get("folded_segments", []))
+    tombs = read_tombstones(spark, store, name, name)
+    postings = anti_tombstone(
+        store.read(spark, name), int(base_meta.get("base_seq", 0)), tombs, "doc_id"
+    )
     for seg in meta.get("segments", []):
         if seg in folded:
             continue
-        postings = postings.unionByName(store.read(spark, seg))
+        postings = postings.unionByName(
+            anti_tombstone(store.read(spark, seg), seg_no(seg), tombs, "doc_id")
+        )
     return TextIndex(
         version=int(store.version(name)),
         meta=dict(meta),

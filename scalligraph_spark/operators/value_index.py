@@ -158,6 +158,16 @@ def build_value_index(
     if unique:
         _assert_unique(entries, name, "the corpus")
     n = entries.count()
+    # a REBUILD over an existing artifact (reindex_values) must carry the
+    # segment-naming watermark forward: resetting it would let the next
+    # extend reuse a folded label (readers pinned to pre-reindex versions
+    # would union the NEW contents) and strand old labels below the
+    # vacuum sweep's candidate range
+    try:
+        prior = _index_meta(store, name)
+        seg_seq = max(int(prior.get("seg_seq", 0)), len(prior.get("segments", [])))
+    except FileNotFoundError:
+        seg_seq = 0
     meta = {
         "kind": "composite_value",
         "value_col": str(value_col),
@@ -166,11 +176,19 @@ def build_value_index(
         "n_rows": int(n),
         "sort_files": int(sort_files),
         "segments": [],
+        "seg_seq": int(seg_seq),
     }
     if corpus_store is not None and corpus_label is not None:
         meta["corpus_label"] = str(corpus_label)
         meta["corpus_version"] = int(corpus_store.version(corpus_label))
-    v = store.write(name, entries, sort_by=(int(sort_files), ["value"]), meta=meta)
+    # the fresh base reflects the corpus NOW — every existing tombstone
+    # is subsumed (folded_tomb_through = the carried watermark)
+    v = store.write(
+        name,
+        entries,
+        sort_by=(int(sort_files), ["value"]),
+        meta=dict(meta, base_seq=int(seg_seq), folded_tomb_through=int(seg_seq)),
+    )
     _write_meta(spark, store, name, meta)
     return v
 
@@ -250,6 +268,8 @@ def compact_value_index(spark: SparkSession, store, name: str) -> int:
     see a (value, id) entry twice, and the next extend/compact proceeds
     from a consistent view (segment names are monotonic, so a folded
     label is never reused)."""
+    from scalligraph_spark.operators.tombstones import read_tombstones
+
     meta = _index_meta(store, name)
     folded = list(meta.get("segments", []))
     entries = _load_entries(spark, store, name, meta)
@@ -257,11 +277,22 @@ def compact_value_index(spark: SparkSession, store, name: str) -> int:
     # post-compaction extend would default to len([])+1 and reuse a label
     # the base just recorded as folded — which the reader would then skip
     meta = dict(meta, segments=[], seg_seq=int(meta.get("seg_seq", len(folded))))
+    if read_tombstones(spark, store, name, name) is not None:
+        # tombstoned entries were dropped from the merged read above —
+        # the recorded row count must track the physical fold
+        meta["n_rows"] = int(entries.count())
     v = store.write(
         name,
         entries,
         sort_by=(int(meta.get("sort_files", 8)), ["value"]),
-        meta=dict(meta, folded_segments=folded),
+        # base_seq: the segment watermark this base covers; tombstones at
+        # or below it are physically applied here and become inert
+        meta=dict(
+            meta,
+            folded_segments=folded,
+            base_seq=int(meta["seg_seq"]),
+            folded_tomb_through=int(meta["seg_seq"]),
+        ),
     )
     _write_meta(spark, store, name, meta)
     return v
@@ -273,12 +304,20 @@ def _load_entries(spark: SparkSession, store, name: str, meta: dict) -> DataFram
     # segments exist" is the meta carrier, the authority for "which are
     # already inside the base" is the base itself — so a crash between
     # the two compaction commits never double-counts an entry
-    folded = set(store.commit_meta(name).get("folded_segments", []))
-    entries = store.read(spark, name)
+    from scalligraph_spark.operators.tombstones import anti_tombstone, read_tombstones, seg_no
+
+    base_meta = store.commit_meta(name)
+    folded = set(base_meta.get("folded_segments", []))
+    tombs = read_tombstones(spark, store, name, name)
+    entries = anti_tombstone(
+        store.read(spark, name), int(base_meta.get("base_seq", 0)), tombs, "id"
+    )
     for seg in meta.get("segments", []):
         if seg in folded:
             continue
-        entries = entries.unionByName(store.read(spark, seg))
+        entries = entries.unionByName(
+            anti_tombstone(store.read(spark, seg), seg_no(seg), tombs, "id")
+        )
     return entries
 
 

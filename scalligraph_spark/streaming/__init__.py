@@ -769,18 +769,29 @@ def start_index_maintenance_sink(
     def _heal(spark) -> None:
         """Replayed batch after a crash between corpus commit and
         maintenance: the corpus is ahead of the index — fold the CDC
-        delta in (noop when already fresh).  ``on_mutation="reindex"``:
+        delta in (noop when already fresh).  ``on_mutation="tombstone"``:
         an at-least-once redelivery can land a key twice with different
-        payloads, which the hash-diff reports as an update; the heal
-        must converge with a (bounded, rare) rebuild rather than raise
-        inside foreachBatch and crash-loop the query forever."""
+        payloads, which the hash-diff reports as an update; the
+        tombstone fold keeps that heal CHURN-sized (the round-9 heal
+        paid a full rebuild here).  A rollback (inexpressible as
+        tombstones) still falls back to the bounded, rare rebuild rather
+        than raise inside foreachBatch and crash-loop the query."""
+        from scalligraph_spark.operators.index_catchup import IndexCatchupError
+
         ix_meta = _index_meta(store, index_name)
         if ix_meta.get("corpus_version") is None:
             return
-        if ix_meta.get("kind") == "bm25_inverted":
-            catchup_text_index(spark, store, index_name, store, on_mutation="reindex")
-        elif ix_meta.get("cells"):
-            catchup_ann_cells(spark, store, index_name, store, on_mutation="reindex")
+        catchup = (
+            catchup_text_index if ix_meta.get("kind") == "bm25_inverted"
+            else catchup_ann_cells if ix_meta.get("cells")
+            else None
+        )
+        if catchup is None:
+            return
+        try:
+            catchup(spark, store, index_name, store, on_mutation="tombstone")
+        except IndexCatchupError:
+            catchup(spark, store, index_name, store, on_mutation="reindex")
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -805,10 +816,25 @@ def start_index_maintenance_sink(
         # (the heal then passes the index meta's key to the diff fallback).
         from scalligraph_spark.cdf import capture_append
 
-        key = id_col or next((c for c in ("doc_id", "vec_id") if c in batch_df.columns), None)
-        if key is not None:
-            capture_append(store, corpus_label, v, batch_df, [key])
         ix_meta = _index_meta(store, index_name)
+        key = id_col or str(ix_meta.get("id_col") or "") or next(
+            (c for c in ("doc_id", "vec_id") if c in batch_df.columns), None
+        )
+        if key and key in batch_df.columns:
+            capture_append(store, corpus_label, v, batch_df, [key])
+        else:
+            # a corpus with an unrecognised id column gets NO captured feed:
+            # every crash-heal on a replayed batch then pays the corpus-sized
+            # two-snapshot hash diff — make the downgrade visible (ADVICE r9)
+            import warnings
+
+            warnings.warn(
+                f"index sink {query_name!r}: no id column found to capture the "
+                f"batch feed for {corpus_label!r} (id_col={id_col!r}, index meta "
+                f"id_col={ix_meta.get('id_col')!r}) — crash healing falls back "
+                "to the corpus-sized hash diff; pass id_col= to the sink",
+                stacklevel=2,
+            )
         trained_v = ix_meta.get("corpus_version")
         if trained_v is None:
             return  # index not provenance-tracked (or not built yet)

@@ -298,3 +298,53 @@ def test_ca_bundle_tolerates_malformed_entry(users):
     assert any("unparseable ca_bundle entry" in str(x.message) for x in w)
     with pytest.raises(AuthenticationError):  # forgeries still rejected
         srv.authenticate_certificate(make_cert(cn="alice"))
+
+
+def test_expired_ca_stops_vouching_for_valid_leaves(users):
+    """ADVICE r9: the ISSUER's own validity window is checked with the
+    same clock as the leaf's — an expired trusted CA must not keep
+    authenticating the (still-valid) leaves it signed."""
+    key = ec.generate_private_key(ec.SECP256R1())
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "old-ca")])
+    old_ca = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key()).serial_number(2)
+        .not_valid_before(dt.datetime(2020, 1, 1))
+        .not_valid_after(dt.datetime(2021, 1, 1))  # long expired
+        .add_extension(x509.BasicConstraints(ca=True, path_length=0), critical=True)
+        .sign(key, hashes.SHA256())
+    )
+    leaf = make_cert(cn="alice", issuer=(name, key))  # leaf itself is valid NOW
+    srv = PkiAuthSrv(users, "CN", ca_bundle=[pem(old_ca)])
+    with pytest.raises(AuthenticationError):
+        srv.authenticate_certificate(leaf)
+    # the same leaf cross-checked against a LIVE CA still authenticates
+    live_cert, live_issuer = make_ca()
+    leaf2 = make_cert(cn="alice", issuer=live_issuer)
+    srv2 = PkiAuthSrv(users, "CN", ca_bundle=[pem(old_ca), pem(live_cert)])
+    assert srv2.authenticate_certificate(leaf2).user_id == "u1"
+
+
+def test_non_ca_bundle_entry_is_skipped_loudly(users):
+    """ADVICE r9: a LEAF certificate mistakenly added to the bundle
+    (no basicConstraints CA=true) must not become a trusted issuer."""
+    import warnings as _warnings
+
+    rogue_key = ec.generate_private_key(ec.SECP256R1())
+    rogue_name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "rogue")])
+    rogue = (  # a plain leaf: NO basicConstraints extension at all
+        x509.CertificateBuilder()
+        .subject_name(rogue_name).issuer_name(rogue_name)
+        .public_key(rogue_key.public_key()).serial_number(3)
+        .not_valid_before(dt.datetime(2026, 1, 1))
+        .not_valid_after(dt.datetime(2027, 1, 1))
+        .sign(rogue_key, hashes.SHA256())
+    )
+    victim = make_cert(cn="alice", issuer=(rogue_name, rogue_key))
+    srv = PkiAuthSrv(users, "CN", ca_bundle=[pem(rogue)])
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        with pytest.raises(AuthenticationError):
+            srv.authenticate_certificate(victim)
+    assert any("basicConstraints" in str(x.message) for x in w)

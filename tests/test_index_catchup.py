@@ -412,7 +412,7 @@ def test_maintain_indexes_fleet_sweep(spark, store):
                        ["doc_id"])
 
     reps = maintain_indexes(
-        spark, store, [("by_text", "value"), ("tix", "text")], compact_over=0,
+        spark, store, [("by_text", "value"), ("tix", "text")], compact_over=0, vacuum=True,
     )
     by_name = {r["index"]: r for r in reps}
     assert by_name["by_text"]["action"] == "extended" and by_name["by_text"]["churn"] == {"insert": 2}
