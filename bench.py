@@ -140,6 +140,9 @@ HEADLINE = [
     "qlang_window_funnel",  # the same CEP behind a chain filter step (grammar-composed)
     "events_window_funnel_strict",  # consecutive-run CEP: leads share one exchange, rn=1 -> WindowGroupLimit
     "events_funnel_count",  # non-overlap chain counting: Arrow grouped-map over funnel traffic only
+    # round-10: mutation-churn index maintenance (tombstones) + fleet sweep
+    "value_index_catchup_tombstone",  # delete/update churn → tombstone sidecar + one delta segment
+    "maintain_indexes_fleet",  # one sweep, four indexes, churn-cost catch-up fleet-wide
 ]
 
 
@@ -194,20 +197,36 @@ def main() -> int:
         "queries": times,
         "sf": sf,
     }
-    # full result for local PERF tracking (never truncated)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
-        json.dump(out, f, indent=1)
     # final stdout line: complete JSON guaranteed to fit in the driver's
-    # 2000-char tail — cap the queries dict, newest HEADLINE keys first
-    # (those are the ones a round-over-round comparison needs most)
+    # 2000-char tail — cap the queries dict.  The carried subset ALTERNATES
+    # between newest-first and oldest-first across consecutive runs (the
+    # toggle persists in BENCH_LOCAL.json), so two adjacent rounds together
+    # cover every key — round 9's fixed newest-first cap left the oldest 40
+    # keys permanently invisible to the driver artifact (VERDICT r9 #5)
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    # default "newest": runs up to round 9 always carried the newest keys,
+    # so the first toggled run emits the oldest half the driver has missed
+    prev_order = "newest"
+    try:
+        with open(local_path) as f:
+            prev_order = json.load(f).get("summary_order", "newest")
+    except (OSError, ValueError):
+        pass
+    order = "oldest" if prev_order == "newest" else "newest"
+    out["summary_order"] = order
+    # full result for local PERF tracking (never truncated)
+    with open(local_path, "w") as f:
+        json.dump(out, f, indent=1)
     budget = 1500
+    keys = list(times) if order == "oldest" else list(reversed(list(times)))
     capped: dict[str, float] = {}
-    for name in reversed(list(times)):
+    for name in keys:
         capped[name] = times[name]
         if len(json.dumps(capped, separators=(",", ":"))) > budget:
             del capped[name]
             break
-    summary = dict(out, queries=capped, n_queries=len(times), queries_omitted=len(times) - len(capped))
+    summary = dict(out, queries=capped, n_queries=len(times),
+                   queries_omitted=len(times) - len(capped))
     print(json.dumps(summary, separators=(",", ":")))
     return 0
 

@@ -43,6 +43,7 @@ from scalligraph_spark.config import ApplicationConfig, BadConfigurationError
 from scalligraph_spark.auth import (
     AuthContext,
     AuthenticationError,
+    HeaderAuthSrv,
     KeyAuthSrv,
     DirectoryAuthSrv,
     MultiAuthSrv,
@@ -72,6 +73,7 @@ __all__ = [
     "OAuth2AuthSrv",
     "PasswordAuthSrv",
     "PkiAuthSrv",
+    "HeaderAuthSrv",
     "KeyAuthSrv",
     "SessionAuthSrv",
     "MultiAuthSrv",

@@ -112,6 +112,9 @@ class AuthSrv:
     def authenticate_certificate(self, certificate, organisation: str | None = None) -> AuthContext:
         raise NotSupportedError(f"{self.name}: certificate authentication not supported")
 
+    def authenticate_header(self, username: str, organisation: str | None = None) -> AuthContext:
+        raise NotSupportedError(f"{self.name}: trusted-header authentication not supported")
+
 
 def _user_row(users, username: str):
     """One driver-side control-plane lookup; users is a DataFrame with at
@@ -159,6 +162,31 @@ class PasswordAuthSrv(AuthSrv):
         if not hmac.compare_digest(str(expect), got):
             raise AuthenticationError("Authentication failure")
         return _ctx_from_row(row, organisation)
+
+
+class HeaderAuthSrv(AuthSrv):
+    """Reverse-proxy SSO provider (HeaderAuthenticateSrv.scala:15-35):
+    the proxy has already authenticated the user (SAML/Kerberos/etc.)
+    and forwards ONLY the username in a trusted header — this provider
+    resolves that name against the user table (authorization stays
+    local: organisations, permissions, policy data).
+
+    There is NO credential check here by design — which is exactly why
+    the HTTP front door only consults it under the explicit
+    ``trust_user_header`` opt-in (off by default, same discipline as
+    ``trust_client_cert_header``): a directly-reachable server must
+    never honor a header any client can type."""
+
+    name = "header"
+    capabilities = frozenset()
+
+    def __init__(self, users):
+        self.users = users
+
+    def authenticate_header(self, username: str, organisation: str | None = None) -> AuthContext:
+        if not username:
+            raise AuthenticationError("Authentication failure")
+        return _ctx_from_row(_user_row(self.users, username), organisation)
 
 
 class DirectoryAuthSrv(AuthSrv):
@@ -570,3 +598,6 @@ class MultiAuthSrv(AuthSrv):
 
     def authenticate_certificate(self, certificate, organisation: str | None = None) -> AuthContext:
         return self._chain(lambda p: p.authenticate_certificate(certificate, organisation))
+
+    def authenticate_header(self, username: str, organisation: str | None = None) -> AuthContext:
+        return self._chain(lambda p: p.authenticate_header(username, organisation))

@@ -90,6 +90,7 @@ class QueryServer:
         cache=None,
         store=None,
         trust_client_cert_header: bool = False,
+        trust_user_header: str | None = None,
         maintenance=None,
     ):
         self.executor = executor
@@ -98,6 +99,10 @@ class QueryServer:
         # header any client can forge (self-signed cert naming a victim).
         # Explicit opt-in, off by default.
         self.trust_client_cert_header = bool(trust_client_cert_header)
+        # reverse-proxy SSO username header (HeaderAuthenticateSrv analog):
+        # the header NAME to trust (e.g. "X-Remote-User"), None = off — the
+        # same forgery discipline as the cert header
+        self.trust_user_header = str(trust_user_header) if trust_user_header else None
         # optional LabelStore: wires GET /health to store_report (the
         # metadata-only operational dashboard — no data scans per request)
         self.store = store
@@ -163,7 +168,36 @@ class QueryServer:
                 return self.auth_srv.authenticate_certificate(unquote(cert_pem)).to_auth()
             except NotSupportedError:
                 pass
+        # trusted-header SSO (HeaderAuthenticateSrv.scala:15-35): a reverse
+        # proxy that already authenticated the user forwards the username in
+        # the configured header.  Same trust discipline as the cert header —
+        # explicit opt-in (the header NAME, so deployments match their proxy
+        # config), presented-but-rejected FAILS rather than falling through
+        # (a proxy-asserted unknown user is a 401, not a key-auth puzzle);
+        # only NotSupportedError (no header provider in the chain) falls on.
+        if self.trust_user_header:
+            user_hdr = headers.get(self.trust_user_header)
+            if user_hdr:
+                try:
+                    return self.auth_srv.authenticate_header(user_hdr).to_auth()
+                except NotSupportedError:
+                    pass
         header = headers.get("Authorization", "")
+        # HTTP Basic (BasicAuthSrv.scala:20-38): base64 "user:pass" decoded
+        # into the password provider — the curl -u transport
+        if header.startswith("Basic "):
+            import base64
+            import binascii
+
+            try:
+                user, _, password = (
+                    base64.b64decode(header[len("Basic ") :], validate=True)
+                    .decode("utf-8")
+                    .partition(":")
+                )
+            except (binascii.Error, UnicodeDecodeError):
+                raise AuthenticationError("Authentication failure") from None
+            return self.auth_srv.authenticate(user, password).to_auth()
         if not header.startswith("Bearer "):
             raise AuthenticationError("Authentication failure")
         bearer = header[len("Bearer ") :]

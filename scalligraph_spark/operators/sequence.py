@@ -262,6 +262,20 @@ def funnel_report(
     )
 
 
+class FunnelHotKeyError(RuntimeError):
+    """A funnel key owns more step-type events than
+    ``max_events_per_key`` — the grouped-map evaluator would materialise
+    that whole history in ONE executor's pandas frame (the r9 advisory:
+    a bot/service account with tens of millions of funnel events OOMs
+    the executor at 100 TB).  Carries the offending keys in
+    ``.samples``; exclude them, raise the cap deliberately, or pass
+    ``max_events_per_key=None`` after sizing executor memory."""
+
+    def __init__(self, msg: str, samples: list):
+        super().__init__(msg)
+        self.samples = samples
+
+
 def funnel_count(
     events: DataFrame,
     steps: list[str],
@@ -269,6 +283,7 @@ def funnel_count(
     user_col: str | list[str] = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_events_per_key: int | None = 2_000_000,
 ) -> DataFrame:
     """Non-overlapping COMPLETED-chain count per user (the ClickHouse
     ``sequenceCount`` shape): scan the user's step-type events in time
@@ -287,10 +302,17 @@ def funnel_count(
     type-filtered narrow projection.  The group payload is the user's
     STEP-TYPE events only (interlopers are irrelevant to default-mode
     chains and are filtered before the shuffle), so memory per group is
-    funnel traffic, not raw activity; a pathological single-key corpus
-    degrades like any grouped-map op and is the documented trade for
-    exact non-overlap semantics.  A differential pytest pins the
-    evaluator against an independent naive implementation."""
+    funnel traffic, not raw activity.  A differential pytest pins the
+    evaluator against an independent naive implementation; the driver
+    oracle replays the state machine as a DuckDB recursive CTE.
+
+    Hot-key guard: ``max_events_per_key`` (default 2M) pre-checks the
+    per-key event counts with ONE map-side-combined aggregate over the
+    same narrow projection and raises :class:`FunnelHotKeyError` before
+    the grouped-map shuffle materialises a monster group — the guard
+    pass is a partial agg (cheap relative to the grouped map); disable
+    with ``None`` only after sizing executor memory for the heaviest
+    key."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
     if within <= 0:
@@ -300,6 +322,23 @@ def funnel_count(
     narrow = events.where(F.col(type_col).isin(list(steps))).select(
         *[F.col(k) for k in keys], F.col(type_col).alias("__t"), ms.alias("__ms")
     )
+    if max_events_per_key is not None:
+        hot = (
+            narrow.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > int(max_events_per_key))
+            .limit(3)
+            .collect()
+        )
+        if hot:
+            samples = [tuple(r[k] for k in keys) for r in hot]
+            raise FunnelHotKeyError(
+                f"funnel_count: key(s) {samples!r} own more than "
+                f"{int(max_events_per_key):,} step-type events — one executor "
+                "would materialise that whole history; exclude them, raise "
+                "max_events_per_key deliberately, or pass None",
+                samples,
+            )
     horizon = int(within) * 1000
     step_list = [str(s) for s in steps]
     out_schema = ", ".join(

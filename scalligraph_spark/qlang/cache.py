@@ -91,6 +91,36 @@ class QueryCache:
     def _fingerprint(self) -> str:
         return ";".join(f"{lbl}:{self.store.version(lbl)}" for lbl in self.labels)
 
+    def _policy_salt(self) -> str:
+        """The registered row-policy SET is part of the key: redefining a
+        policy function in-process (config reload) must fork existing
+        entries, or stale pre-reload results keep serving (ADVICE r9).
+        Salt = each policy's label + its function's compiled bytecode
+        hash (co_code + constants repr — closures over changed grant
+        tables change constants), so re-registering the same code is a
+        no-op while ANY behavioural edit forks."""
+        pols = getattr(self.executor, "_row_policies", None)
+        if not pols:
+            return ""
+        parts = []
+        for label in sorted(pols):
+            fn = pols[label]
+            code = getattr(fn, "__code__", None)
+            if code is not None:
+                cells = []
+                for c in getattr(fn, "__closure__", None) or ():
+                    try:
+                        cells.append(repr(c.cell_contents))
+                    except ValueError:  # empty cell
+                        cells.append("<empty>")
+                sig = hashlib.md5(
+                    code.co_code + repr(code.co_consts).encode() + repr(cells).encode()
+                ).hexdigest()
+            else:  # a callable object: identity of its class + repr
+                sig = hashlib.md5(f"{type(fn).__module__}.{type(fn).__qualname__}".encode()).hexdigest()
+            parts.append(f"{label}:{sig}")
+        return ";".join(parts)
+
     def key(self, chain: list[dict], auth: dict | None = None) -> str:
         ident = ""
         if auth:
@@ -109,7 +139,12 @@ class QueryCache:
                 sort_keys=True,
                 default=str,
             )
-        payload = json.dumps(chain, sort_keys=True) + "\x00" + ident + "\x00" + self._fingerprint()
+        payload = (
+            json.dumps(chain, sort_keys=True)
+            + "\x00" + ident
+            + "\x00" + self._fingerprint()
+            + "\x00" + self._policy_salt()
+        )
         return hashlib.md5(payload.encode()).hexdigest()
 
     # -- execution --------------------------------------------------------

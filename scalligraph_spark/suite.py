@@ -1593,14 +1593,57 @@ def events_window_funnel_strict_q(spark, sf):
 
 @q(
     "events_funnel_count",
-    None,  # inherently sequential per user (non-overlap state) — the one
-    # non-SQL-expressible funnel member; differential pytest vs a naive
-    # evaluator is the correctness evidence (rows-only driver check)
+    # the sequential per-user state machine replayed EXACTLY as a DuckDB
+    # recursive CTE: one step of the recursion consumes one per-user event
+    # (rn joins rn+1), carrying (k, anchor, prev, cnt) — horizon expiry,
+    # greedy advance, and the restart-AFTER-a-completed-chain rule are the
+    # same CASE arms as the Arrow evaluator's Python (sequence.py)
+    """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type AS t, epoch_ms(ts) AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_type) AS rn
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+scan AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS k,
+         CAST(NULL AS BIGINT) AS anchor, CAST(NULL AS BIGINT) AS prev,
+         CAST(0 AS BIGINT) AS cnt
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  UNION ALL
+  SELECT user_id, rn,
+         CASE WHEN k0 = 0 THEN (CASE WHEN t = 'view' THEN 1 ELSE 0 END)
+              WHEN hit AND k0 + 1 = 3 THEN 0
+              WHEN hit THEN k0 + 1
+              ELSE k0 END,
+         CASE WHEN k0 = 0 THEN (CASE WHEN t = 'view' THEN m ELSE NULL END)
+              WHEN hit AND k0 + 1 = 3 THEN NULL
+              ELSE anchor0 END,
+         CASE WHEN k0 = 0 THEN (CASE WHEN t = 'view' THEN m ELSE NULL END)
+              WHEN hit AND k0 + 1 = 3 THEN NULL
+              WHEN hit THEN m
+              ELSE prev0 END,
+         cnt + (CASE WHEN k0 > 0 AND hit AND k0 + 1 = 3 THEN 1 ELSE 0 END)
+  FROM (
+    SELECT e.user_id, e.rn, e.t, e.m, s.cnt,
+           CASE WHEN s.k > 0 AND e.m > s.anchor + 86400000 THEN 0 ELSE s.k END AS k0,
+           CASE WHEN s.k > 0 AND e.m > s.anchor + 86400000 THEN NULL ELSE s.anchor END AS anchor0,
+           CASE WHEN s.k > 0 AND e.m > s.anchor + 86400000 THEN NULL ELSE s.prev END AS prev0,
+           (((k0 = 1 AND e.t = 'click') OR (k0 = 2 AND e.t = 'purchase')) AND e.m > prev0) AS hit
+    FROM scan s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+  ) x
+)
+SELECT user_id, cnt AS n_chains
+FROM (SELECT user_id, cnt, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr FROM scan) f
+WHERE rr = 1 AND cnt > 0
+""",
     "non-overlapping completed-chain count per user (ClickHouse "
     "sequenceCount shape): greedy scan, a completed chain restarts "
     "matching AFTER it — Arrow applyInPandas over the type-filtered "
     "narrow projection (the sanctioned fallback tier: per-chain starts "
-    "depend on where the previous chain ended)",
+    "depend on where the previous chain ended), hot-key-guarded "
+    "(FunnelHotKeyError past max_events_per_key).  Oracle-exact since "
+    "r10: the DuckDB recursive CTE replays the state machine event by "
+    "event",
 )
 def events_funnel_count_q(spark, sf):
     from scalligraph_spark.operators import funnel_count
@@ -4996,6 +5039,122 @@ def value_index_catchup_q(spark, sf):
     rep = catchup_value_index(spark, store, "cust_by_name", store)
     assert rep["action"] == "extended", rep
     return load_value_index(spark, store, "cust_by_name").entries
+
+
+@q(
+    "value_index_catchup_tombstone",
+    "SELECT CASE WHEN c_custkey % 11 = 0 THEN 'renamed-' || CAST(c_custkey AS VARCHAR) "
+    "ELSE c_name END AS value, c_custkey AS id "
+    "FROM customer WHERE c_custkey % 7 <> 0 AND c_name IS NOT NULL",
+    "MUTATION catch-up at churn cost (tombstones.py — the round-9 scale "
+    "cliff closed): the corpus is committed in full and indexed, then one "
+    "commit deletes every 7th customer and renames every 11th; "
+    "catchup_value_index(on_mutation='tombstone') folds that churn as a "
+    "tombstone sidecar (hides stale entries in base+older segments) plus "
+    "ONE delta segment of postimages — never a corpus-cost rebuild.  The "
+    "caught-up entries must equal a from-scratch build on the final "
+    "corpus state (the oracle re-derives it from the raw table).  "
+    "Reference anchor: transactional index maintenance under mutation, "
+    "JanusDatabase.scala:304-434; the discipline is Lucene deleted-docs",
+)
+def value_index_catchup_tombstone_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.cdf import write_with_cdf
+    from scalligraph_spark.operators import (
+        build_value_index,
+        catchup_value_index,
+        load_value_index,
+    )
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_vtomb_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    cust = cat_for(spark, sf).vertex_df("customer")
+    write_with_cdf(store, "customer", cust, ["c_custkey"])
+    build_value_index(
+        spark, store, "cust_by_name", store.read(spark, "customer"),
+        "c_name", "c_custkey", unique=True, corpus_store=store, corpus_label="customer",
+    )
+    mutated = (
+        store.read(spark, "customer")
+        .where(F.col("c_custkey") % 7 != 0)
+        .withColumn(
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 11 == 0,
+                F.concat(F.lit("renamed-"), F.col("c_custkey").cast("string")),
+            ).otherwise(F.col("c_name")),
+        )
+    )
+    write_with_cdf(store, "customer", mutated, ["c_custkey"])
+    rep = catchup_value_index(spark, store, "cust_by_name", store, on_mutation="tombstone")
+    assert rep["action"] == "tombstoned", rep
+    return load_value_index(spark, store, "cust_by_name").entries
+
+
+@q(
+    "maintain_indexes_fleet",
+    "SELECT source AS value, doc_id AS id FROM documents WHERE source IS NOT NULL",
+    "one-call index-FLEET maintenance (maintain_indexes — the nightly "
+    "cron at 100 TB): a value index, a BM25 text index and a MinHash "
+    "near-dup index are declared over the documents corpus at 80%, the "
+    "remaining 20% lands through the change feed, and ONE sweep catches "
+    "all three up at churn cost (each folds exactly one delta segment; "
+    "a fourth already-fresh index no-ops — mixed staleness).  Vacuum "
+    "stays OFF by default (retention discipline, ADVICE r9).  The "
+    "caught-up value entries are the oracle; the text/minhash freshness "
+    "is asserted in-harness.  'A day's crawl costs a day's extend', "
+    "fleet-wide, with a number attached (bench key)",
+)
+def maintain_indexes_fleet_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.cdf import write_with_cdf
+    from scalligraph_spark.operators import (
+        build_minhash_index,
+        build_text_index,
+        build_value_index,
+        load_text_index,
+        load_value_index,
+        maintain_indexes,
+    )
+    from scalligraph_spark.operators.dedup_index import _meta as _mh_meta
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_fleet_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    docs = cat_for(spark, sf).vertex_df("documents")
+    write_with_cdf(store, "documents", docs.where(F.col("doc_id") % 5 != 0), ["doc_id"])
+    build_value_index(spark, store, "docs_by_source", store.read(spark, "documents"),
+                      "source", "doc_id", corpus_store=store, corpus_label="documents")
+    build_text_index(store, "docs_text", store.read(spark, "documents"),
+                     corpus_store=store, corpus_label="documents")
+    build_minhash_index(spark, store, "docs_mix", store.read(spark, "documents"),
+                        corpus_store=store, corpus_label="documents")
+    write_with_cdf(
+        store, "documents",
+        store.read(spark, "documents").unionByName(docs.where(F.col("doc_id") % 5 == 0)),
+        ["doc_id"],
+    )
+    # a fourth index built AFTER the append is already fresh → mixed staleness
+    build_value_index(spark, store, "docs_by_lang", store.read(spark, "documents"),
+                      "lang", "doc_id", corpus_store=store, corpus_label="documents")
+    reps = {r["index"]: r for r in maintain_indexes(
+        spark, store,
+        [("docs_by_source", "value"), ("docs_text", "text"),
+         ("docs_mix", "minhash"), ("docs_by_lang", "value")],
+    )}
+    assert reps["docs_by_lang"]["action"] == "noop", reps
+    assert all(reps[n]["action"] == "extended" for n in ("docs_by_source", "docs_text", "docs_mix")), reps
+    head = store.version("documents")
+    assert int(load_text_index(spark, store, "docs_text").meta["corpus_version"]) == head
+    assert int(_mh_meta(store, "docs_mix")["corpus_version"]) == head
+    return load_value_index(spark, store, "docs_by_source").entries
 
 
 @q(

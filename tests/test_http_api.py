@@ -421,3 +421,95 @@ def test_health_endpoint_with_store(spark, tmp_path):
     assert status == 200 and out["status"] == "ok"
     (row,) = [r for r in out["labels"] if r["label"] == "things"]
     assert row["version"] == 1
+
+
+def test_basic_auth_transport(spark):
+    """HTTP Basic (BasicAuthSrv.scala:20-38): 'Authorization: Basic
+    <b64 user:pass>' decodes into the password provider — the curl -u
+    transport.  Wrong password / malformed base64 / unknown user are all
+    the one generic 401."""
+    import base64
+
+    from scalligraph_spark.auth import MultiAuthSrv, PasswordAuthSrv, hash_password
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    users = spark.createDataFrame(
+        [("u1", "alice", hash_password("s3cret", "salt1"), "salt1", ["acme"], ["read"], None)],
+        "user_id string, user_name string, password_hash string, salt string, "
+        "organisations array<string>, permissions array<string>, policy_data string",
+    )
+    ex = executor_for(spark, SF_DIR)
+    chain = [{"_name": "all_customer"}, {"_name": "count"}]
+
+    def basic(u, p):
+        return {"Authorization": "Basic " + base64.b64encode(f"{u}:{p}".encode()).decode()}
+
+    with QueryServer(ex, auth_srv=MultiAuthSrv([PasswordAuthSrv(users)])).serve() as srv:
+        status, _, rows = _post(srv.port, chain=chain, headers=basic("alice", "s3cret"))
+        assert status == 200 and rows[0]["count"] == 150
+        for hdr in (
+            basic("alice", "wrong"),
+            basic("mallory", "s3cret"),
+            {"Authorization": "Basic @@not-base64@@"},
+        ):
+            status, _, err = _post(srv.port, chain=chain, headers=hdr)
+            assert (status, err["type"]) == (401, "AuthenticationError"), hdr
+        # a password containing ':' survives the first-colon split
+        users2 = spark.createDataFrame(
+            [("u2", "carol", hash_password("a:b:c", "s2"), "s2", ["acme"], ["read"], None)],
+            users.schema,
+        )
+    with QueryServer(ex, auth_srv=PasswordAuthSrv(users2)).serve() as srv:
+        status, _, rows = _post(srv.port, chain=chain, headers=basic("carol", "a:b:c"))
+        assert status == 200
+
+
+def test_trusted_user_header_sso(spark):
+    """Reverse-proxy SSO (HeaderAuthenticateSrv.scala:15-35): the
+    username header authenticates ONLY under the explicit
+    trust_user_header opt-in; by default the header is inert (401); a
+    proxy-asserted unknown user fails loud (401, no fallthrough); and a
+    chain without a header provider falls through to Bearer."""
+    from scalligraph_spark.auth import HeaderAuthSrv, KeyAuthSrv, MultiAuthSrv
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    users = spark.createDataFrame(
+        [("u1", "alice", ["acme"], ["read"], None, "k-alice")],
+        "user_id string, user_name string, organisations array<string>, "
+        "permissions array<string>, policy_data string, api_key string",
+    )
+    ex = executor_for(spark, SF_DIR)
+    chain = [{"_name": "all_customer"}, {"_name": "count"}]
+    srv_chain = MultiAuthSrv([HeaderAuthSrv(users), KeyAuthSrv(users)])
+
+    # opt-in OFF (default): the header any client can type is ignored
+    with QueryServer(ex, auth_srv=srv_chain).serve() as srv:
+        status, _, err = _post(srv.port, chain=chain, headers={"X-Remote-User": "alice"})
+        assert (status, err["type"]) == (401, "AuthenticationError")
+
+    with QueryServer(ex, auth_srv=srv_chain, trust_user_header="X-Remote-User").serve() as srv:
+        # proxy-asserted user authenticates
+        status, _, rows = _post(srv.port, chain=chain, headers={"X-Remote-User": "alice"})
+        assert status == 200 and rows[0]["count"] == 150
+        # unknown proxy-asserted user fails LOUD — no Bearer fallthrough
+        status, _, err = _post(
+            srv.port, chain=chain,
+            headers={"X-Remote-User": "mallory", "Authorization": "Bearer k-alice"},
+        )
+        assert (status, err["type"]) == (401, "AuthenticationError")
+        # no header → Bearer still works
+        status, _, rows = _post(srv.port, chain=chain,
+                                headers={"Authorization": "Bearer k-alice"})
+        assert status == 200
+
+    # opt-in set but NO header provider in the chain: NotSupportedError
+    # falls through to Bearer (the MultiAuthSrv discipline)
+    with QueryServer(ex, auth_srv=MultiAuthSrv([KeyAuthSrv(users)]),
+                     trust_user_header="X-Remote-User").serve() as srv:
+        status, _, rows = _post(
+            srv.port, chain=chain,
+            headers={"X-Remote-User": "alice", "Authorization": "Bearer k-alice"},
+        )
+        assert status == 200

@@ -151,3 +151,56 @@ def test_numeric_set_keys_keep_natural_order(setup):
     assert _canonical({10, 2}) == [2, 10]
     assert _canonical(frozenset({"b", "a"})) == ["a", "b"]
     assert _canonical({1, "admin"}) == sorted([1, "admin"], key=lambda e: (type(e).__name__, repr(e)))
+
+
+def test_policy_redefinition_forks_the_key(spark, tmp_path):
+    """ADVICE r9: re-registering a CHANGED row policy must fork existing
+    cache keys — a config reload must not keep serving pre-reload rows;
+    re-registering the SAME policy code must not fork (no gratuitous
+    cold cache)."""
+    from scalligraph_spark.qlang.cache import QueryCache
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.suite import executor_for
+
+    ex = executor_for(spark, "/root/testdata/sf0.001")
+    store = LabelStore(str(tmp_path / "qc"))
+    for lbl in ("customer", "orders"):
+        store.write(lbl, ex.catalog.vertex_df(lbl))
+    cache = QueryCache(ex, store, labels=["customer", "orders"])
+    chain = [{"_name": "all_customer"}, {"_name": "count"}]
+
+    def policy_v1(auth):
+        from pyspark.sql import functions as F
+        return F.col("c_acctbal") >= 0
+
+    ex.register_row_policy("customer", policy_v1)
+    k1 = cache.key(chain)
+    ex.register_row_policy("customer", policy_v1)  # same code → same key
+    assert cache.key(chain) == k1
+
+    def policy_v2(auth):
+        from pyspark.sql import functions as F
+        return F.col("c_acctbal") >= 5000  # changed constant
+
+    ex.register_row_policy("customer", policy_v2)
+    k2 = cache.key(chain)
+    assert k2 != k1, "a changed policy must fork the key"
+
+    # a closure over a changed grant value forks too
+    def make(floor):
+        def pol(auth):
+            from pyspark.sql import functions as F
+            return F.col("c_acctbal") >= floor
+        return pol
+
+    ex.register_row_policy("customer", make(1000))
+    k3 = cache.key(chain)
+    ex.register_row_policy("customer", make(2000))
+    assert cache.key(chain) != k3, "changed closure cell must fork the key"
+    # and execution through the forked key returns policy-v2 rows (no
+    # stale pre-reload result)
+    ex.register_row_policy("customer", policy_v1)
+    n_all = cache.execute(chain, None).df.collect()[0]["count"]
+    ex.register_row_policy("customer", policy_v2)
+    n_rich = cache.execute(chain, None).df.collect()[0]["count"]
+    assert n_rich < n_all

@@ -423,3 +423,35 @@ def test_funnel_count_composite_user_from_qlang(spark):
         within=86400, user_col=["user_id"],
     ).collect())
     assert got == want and len(got) > 0
+
+
+def test_funnel_count_hot_key_guard(spark):
+    """VERDICT r9 #2: a key owning more step-type events than the cap must
+    fail loudly BEFORE the grouped map materialises it — and the guard
+    counts only STEP-TYPE events (interloper-heavy users stay cheap)."""
+    from scalligraph_spark.operators import FunnelHotKeyError, funnel_count
+
+    rows = [("bot", "view", i) for i in range(200)] + [
+        ("human", "view", 1), ("human", "click", 2), ("human", "purchase", 3),
+        # interlopers are filtered before the guard counts
+        *[("noisy", "scroll", i) for i in range(500)],
+        ("noisy", "view", 1), ("noisy", "click", 2), ("noisy", "purchase", 3),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)) for u, t, s in rows],
+        "user_id string, event_type string, ts timestamp",
+    )
+    with pytest.raises(FunnelHotKeyError) as ei:
+        funnel_count(df, ["view", "click", "purchase"], within=86400,
+                     max_events_per_key=100).collect()
+    assert ("bot",) in ei.value.samples
+    # interloper traffic does not trip the guard (step-type events only)
+    got = {r["user_id"]: r["n_chains"] for r in funnel_count(
+        df, ["view", "click", "purchase"], within=86400, max_events_per_key=250
+    ).collect()}
+    assert got == {"human": 1, "noisy": 1}
+    # None disables the guard entirely
+    got2 = {r["user_id"]: r["n_chains"] for r in funnel_count(
+        df, ["view", "click", "purchase"], within=86400, max_events_per_key=None
+    ).collect()}
+    assert got2 == got

@@ -153,6 +153,10 @@ PLAN_QUERIES = [
     "events_window_funnel_strict",  # stacked lead() windows + WindowGroupLimit on one exchange
     "events_funnel_count",  # Arrow grouped-map over the type-filtered narrow projection
     "events_funnel_sessionized",  # sessionize sort + composite-key funnel: two exchanges
+    # round-10: mutation-churn maintenance — tombstone anti-joins must be
+    # broadcast (churn-sized sidecar), the index base never shuffles
+    "value_index_catchup_tombstone",  # broadcast tombstone anti-join + one delta segment
+    "maintain_indexes_fleet",  # fleet sweep: per-family extends, all churn-sized
 ]
 
 
