@@ -143,6 +143,7 @@ HEADLINE = [
     # round-10: mutation-churn index maintenance (tombstones) + fleet sweep
     "value_index_catchup_tombstone",  # delete/update churn → tombstone sidecar + one delta segment
     "maintain_indexes_fleet",  # one sweep, four indexes, churn-cost catch-up fleet-wide
+    "events_window_funnel_strict_hot",  # strict CEP under 20x interloper load: the window sort IS the cost
 ]
 
 

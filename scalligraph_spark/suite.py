@@ -1592,6 +1592,62 @@ def events_window_funnel_strict_q(spark, sf):
 
 
 @q(
+    "events_window_funnel_strict_hot",
+    """
+WITH raw AS (
+  SELECT user_id,
+         CASE WHEN r = 0 THEN event_type ELSE 'noise' END AS event_type,
+         epoch_ms(ts) + r * 1000 AS ms
+  FROM events, (SELECT unnest(range(20)) AS r) rs
+), w AS (
+  SELECT user_id, event_type, ms,
+         lead(event_type, 1) OVER win AS t1, lead(ms, 1) OVER win AS m1,
+         lead(event_type, 2) OVER win AS t2, lead(ms, 2) OVER win AS m2
+  FROM raw WINDOW win AS (PARTITION BY user_id ORDER BY ms, event_type)
+), a AS (
+  SELECT user_id, ms,
+         CAST(CASE
+           WHEN t1 = 'click' AND t2 = 'purchase' AND m2 <= ms + 86400000 THEN 3
+           WHEN t1 = 'click' AND m1 <= ms + 86400000 THEN 2
+           ELSE 1 END AS INT) AS level
+  FROM w WHERE event_type = 'view'
+), b AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY level DESC, ms ASC) AS rn
+  FROM a
+)
+SELECT user_id, level, ms AS t1_ms FROM b WHERE rn = 1
+""",
+    "strict-order CEP under HEAVY interloper load (VERDICT r9 #9: the "
+    "base strict entry is fixed-cost-dominated at sf0.1, slope 0.20 — "
+    "this fixture makes the window sort the cost): every event spawns 19 "
+    "deterministic 'noise' interlopers at +1..+19s (explode(sequence), "
+    "whole-stage — no BNL join), 20x the rows through the ONE user-key "
+    "exchange the lead() stack shares.  Interlopers break nearly every "
+    "chain, which is exactly the semantics being load-tested; oracle "
+    "replays the same inflation + leads in DuckDB",
+)
+def events_window_funnel_strict_hot_q(spark, sf):
+    from scalligraph_spark.operators import window_funnel
+
+    ev = cat_for(spark, sf).vertex_df("events").select("user_id", "event_type", "ts")
+    inflated = (
+        ev.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .select(
+            "user_id",
+            F.when(F.col("__r") == 0, F.col("event_type"))
+            .otherwise(F.lit("noise"))
+            .alias("event_type"),
+            F.timestamp_millis(
+                F.unix_millis(F.col("ts").cast("timestamp")) + F.col("__r") * 1000
+            ).alias("ts"),
+        )
+    )
+    return window_funnel(
+        inflated, ["view", "click", "purchase"], within=86400, mode="strict_order"
+    )
+
+
+@q(
     "events_funnel_count",
     # the sequential per-user state machine replayed EXACTLY as a DuckDB
     # recursive CTE: one step of the recursion consumes one per-user event
@@ -8729,6 +8785,18 @@ def quality_constraint_report_q(spark, sf):
 # fan-out (hop_out_skewed for graph_bfs_distances: graph keeps
 # graph_cc_skewed).  All rotated-out entries remain registered and exact
 # under tools/check.py.
+#
+# Round 10: four swaps so the window carries the round-10 oracle-exact
+# work — tombstone mutation catch-up (value_index_catchup_tombstone for
+# filter_semi_join: semi/anti joins stay window-covered by
+# join_bloom_prefiltered and integrity_resolve_duplicates), the index
+# fleet sweep (maintain_indexes_fleet for stats_corr_matrix: stats keeps
+# analyze_columns + grouped_quantiles), the sequenceCount recursive-CTE
+# oracle (events_funnel_count for qagg_having_filter: the agg family
+# keeps rollup/grouping_sets/field_subaggs), and strict-order CEP
+# (events_window_funnel_strict for events_funnel_latency: the funnel
+# family keeps window_funnel + sessionized + count).  All rotated-out
+# entries remain registered and exact under tools/check.py.
 _WINDOW = [
     "scan_by_ids",
     "qlang_row_policy",
@@ -8736,7 +8804,7 @@ _WINDOW = [
     "public_property_rename",
     "qlang_dialogue_chain",
     "quality_constraint_report",
-    "filter_semi_join",
+    "value_index_catchup_tombstone",
     "qlang_value_lookup",
     "text_indexed_search",
     "graphql_hop_projection",
@@ -8745,8 +8813,8 @@ _WINDOW = [
     "graphql_filter_sort",
     "hop_out_skewed",
     "qagg_grouping_sets",
-    "stats_corr_matrix",
-    "qagg_having_filter",
+    "maintain_indexes_fleet",
+    "events_funnel_count",
     "integrity_resolve_duplicates",
     "pipeline_sample_per_key",
     "blob_multi_hash",
@@ -8757,7 +8825,7 @@ _WINDOW = [
     "graph_cc_skewed",
     "pipeline_pack_documents_sharded",
     "events_funnel_sessionized",
-    "events_funnel_latency",
+    "events_window_funnel_strict",
     "store_mor_read",
     "dedup_edit_distance_auto",
     "dialogue_turn_dedup",

@@ -529,3 +529,28 @@ def test_grouping_sets_single_expand_pass(spark):
     assert "Union" not in plan  # not compiled as N scans unioned
     # one logical aggregation pass: partial+final pair over the Expand
     assert "HashAggregate" in plan
+
+
+def test_tombstone_read_is_broadcast_anti_join(spark):
+    """Tombstoned index reads: the sidecar is churn-sized, so hiding the
+    dead keys must be a BROADCAST anti-join against every part — the base
+    entries never shuffle for it."""
+    p = _plan(spark, "value_index_catchup_tombstone")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    # no shuffle introduced by the tombstone filter itself: the entries
+    # side of the anti-join must not hash-exchange
+    assert "SortMergeJoin" not in p
+
+
+def test_strict_hot_funnel_single_user_exchange(spark):
+    """20x interloper load: the lead() stack and the best-anchor pick must
+    STILL share one user-key exchange (the one-exchange claim, load-tested),
+    and the inflation is explode(sequence) — no nested-loop join."""
+    import re
+
+    p = _plan(spark, "events_window_funnel_strict_hot")
+    exchanges = re.findall(r"\(\d+\) Exchange", p)
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(user_id" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "explode" in p and "WindowGroupLimit" in p

@@ -157,6 +157,7 @@ PLAN_QUERIES = [
     # broadcast (churn-sized sidecar), the index base never shuffles
     "value_index_catchup_tombstone",  # broadcast tombstone anti-join + one delta segment
     "maintain_indexes_fleet",  # fleet sweep: per-family extends, all churn-sized
+    "events_window_funnel_strict_hot",  # 20x interloper load on ONE user-key exchange
 ]
 
 
