@@ -160,7 +160,7 @@ def build_ivf_index(
             assign,
             sort_by=(cells_files, ["cell"]),
             meta={"table_role": "ivf_cells", "n_list": int(cells_n_list),
-                  "base_seq": int(seq), "folded_tomb_through": int(seq)},
+                  "base_seq": int(seq)},
         )
         meta["cells"] = True
         meta["cells_n_list"] = int(cells_n_list)
@@ -269,12 +269,11 @@ def compact_ann_cells(spark: SparkSession, store, name: str) -> int:
     # stamp the naming watermark even for PRE-cells_seg_seq metas (see
     # compact_value_index): a folded label must never be reused
     seq = int(meta.get("cells_seg_seq", len(folded)))
-    # base_seq/folded_tomb_through: tombstones at or below the watermark
-    # are physically applied by this rewrite (tombstones.py)
+    # base_seq: tombstones at or below this sequence watermark are
+    # physically applied by the rewrite (tombstones.py strict reader rule)
     v = store.write(f"{name}__cells", cells, sort_by=(16, ["cell"]),
                     meta={"table_role": "ivf_cells", "n_list": int(meta.get("cells_n_list", 1)),
-                          "folded_segments": folded,
-                          "base_seq": seq, "folded_tomb_through": seq})
+                          "folded_segments": folded, "base_seq": seq})
     meta["cells_segments"] = []
     meta["cells_seg_seq"] = seq
     store.write(name, store.read(spark, name), meta=meta)
@@ -289,7 +288,7 @@ def _read_cells(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
 
     base_meta = store.commit_meta(f"{name}__cells")
     folded = set(base_meta.get("folded_segments", []))
-    tombs = read_tombstones(spark, store, name, f"{name}__cells")
+    tombs = read_tombstones(spark, store, name)
     cells = anti_tombstone(
         store.read(spark, f"{name}__cells"), int(base_meta.get("base_seq", 0)), tombs, "id"
     )

@@ -94,10 +94,11 @@ def build_minhash_index(
     # a REBUILD over an existing artifact carries the segment-id watermark
     # forward (seg_base never resets — ADVICE r9): the next extend gets a
     # fresh label, folded labels stay vacuumable, and every existing
-    # tombstone is subsumed by the fresh bases (folded_tomb_through)
+    # tombstone is subsumed by the fresh bases (their folded_through =
+    # the carried watermark makes the strict reader rule ignore them)
     prior = _meta(store, name)
-    seg_base = int(prior.get("seg_base", 0)) + int(prior.get("segments", 0)) if prior else 0
-    base_meta = {"folded_through": seg_base, "folded_tomb_through": seg_base}
+    seg_base = _seg_top(prior) if prior else 0
+    base_meta = {"folded_through": seg_base}
     sigs = minhash_signature(docs, text_col, id_col, num_hashes)
     v = store.write(name, sigs, meta=base_meta)
     banded = _banded(store.read(spark, name), num_hashes, bands)
@@ -121,12 +122,21 @@ def build_minhash_index(
         "band_files": int(band_files),
         "segments": 0,
         "seg_base": int(seg_base),
+        "seg_top": int(seg_base),
     }
     if corpus_store is not None and corpus_label is not None:
         meta["corpus_label"] = str(corpus_label)
         meta["corpus_version"] = int(corpus_store.version(corpus_label))
     _write_meta(spark, store, name, dict(meta, **(extra_meta or {})))
     return v
+
+
+def _seg_top(meta: dict) -> int:
+    """The family's sequence watermark: the highest id any segment OR
+    tombstone batch has consumed (tombstone batches advance ``seg_top``
+    without minting labels — readers skip the gaps).  Legacy metas fall
+    back to the count-derived top."""
+    return int(meta.get("seg_top", int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))))
 
 
 def _live_seg_ids(store, base_label: str, meta: dict) -> range:
@@ -136,13 +146,13 @@ def _live_seg_ids(store, base_label: str, meta: dict) -> range:
     (``folded_through``) — so a crash between compaction's base commit and
     the meta-carrier commit leaves every table individually consistent:
     the rewritten base skips its folded segments, the not-yet-rewritten
-    ones keep unioning theirs."""
-    top = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))
+    ones keep unioning theirs.  An id in the range may have no label
+    (a tombstone batch consumed it) — callers skip those."""
     folded = max(
         int(meta.get("seg_base", 0)),
         int(store.commit_meta(base_label).get("folded_through", 0)),
     )
-    return range(folded + 1, top + 1)
+    return range(folded + 1, _seg_top(meta) + 1)
 
 
 def _base_seq(store, base_label: str, meta: dict) -> int:
@@ -157,9 +167,11 @@ def _base_seq(store, base_label: str, meta: dict) -> int:
 def _read_sigs(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
     from scalligraph_spark.operators.tombstones import anti_tombstone, read_tombstones
 
-    tombs = read_tombstones(spark, store, name, name)
+    tombs = read_tombstones(spark, store, name)
     out = anti_tombstone(store.read(spark, name), _base_seq(store, name, meta), tombs, "id")
     for i in _live_seg_ids(store, name, meta):
+        if store.version(f"{name}__seg{i}") == 0:
+            continue  # id consumed by a tombstone batch, not a segment
         out = out.unionByName(anti_tombstone(store.read(spark, f"{name}__seg{i}"), i, tombs, "id"))
     return out
 
@@ -168,9 +180,11 @@ def _read_bands(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
     from scalligraph_spark.operators.tombstones import anti_tombstone, read_tombstones
 
     lbl = f"{name}__bands"
-    tombs = read_tombstones(spark, store, name, lbl)
+    tombs = read_tombstones(spark, store, name)
     out = anti_tombstone(store.read(spark, lbl), _base_seq(store, lbl, meta), tombs, "id")
     for i in _live_seg_ids(store, lbl, meta):
+        if store.version(f"{name}__bands_seg{i}") == 0:
+            continue  # id consumed by a tombstone batch, not a segment
         out = out.unionByName(
             anti_tombstone(store.read(spark, f"{name}__bands_seg{i}"), i, tombs, "id")
         )
@@ -180,6 +194,8 @@ def _read_bands(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
 def _read_bucket_stats(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
     out = store.read(spark, f"{name}__bucket_stats")
     for i in _live_seg_ids(store, f"{name}__bucket_stats", meta):
+        if store.version(f"{name}__bucket_stats_seg{i}") == 0:
+            continue  # id consumed by a tombstone batch, not a segment
         out = out.unionByName(store.read(spark, f"{name}__bucket_stats_seg{i}"))
     return out
 
@@ -270,10 +286,11 @@ def extend_minhash_index(
     probes base ∪ segments.  Returns the new segment count."""
     meta = _meta(store, name)
     nh, bands = int(meta["num_hashes"]), int(meta["bands"])
-    # monotonic naming: seg_base is the id watermark already folded into
-    # the base by past compactions — folded labels are never reused, so
-    # the crash-safe reader can trust the base's folded_through marker
-    k = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0)) + 1
+    # monotonic naming: ids are minted from seg_top (segments AND
+    # tombstone batches both consume numbers) — folded labels are never
+    # reused, so the crash-safe reader can trust the base's
+    # folded_through marker
+    k = _seg_top(meta) + 1
     sigs = minhash_signature(
         new_docs, str(meta.get("text_col", "text")), str(meta.get("id_col", "doc_id")), nh
     )
@@ -290,7 +307,7 @@ def extend_minhash_index(
         ),
     )
     live = int(meta.get("segments", 0)) + 1
-    meta = dict(meta, segments=live, **(extra_meta or {}))
+    meta = dict(meta, segments=live, seg_top=k, **(extra_meta or {}))
     if as_of_version is not None and "corpus_label" in meta:
         # CDC catch-up stamps the version whose delta it actually folded
         meta["corpus_version"] = int(as_of_version)
@@ -317,12 +334,12 @@ def compact_minhash_index(spark: SparkSession, store, name: str) -> int:
     from scalligraph_spark.operators.tombstones import read_tombstones
 
     meta = _meta(store, name)
-    top = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))
-    # base commits record the tombstone watermark they fold too: the
-    # merged reads above/below are tombstone-filtered, so tombstones at or
-    # below `top` are physically applied by this rewrite (tombstones.py)
-    base_meta = {"folded_through": top, "folded_tomb_through": top}
-    tombstoned = read_tombstones(spark, store, name, name) is not None
+    top = _seg_top(meta)
+    # the merged reads below are tombstone-filtered, so tombstones at or
+    # below `top` are physically applied by this rewrite; the strict
+    # reader comparison then ignores them against these bases
+    base_meta = {"folded_through": top}
+    tombstoned = read_tombstones(spark, store, name) is not None
     v = store.write(name, _read_sigs(spark, store, name, meta), meta=base_meta)
     store.write(
         f"{name}__bands",
@@ -343,5 +360,5 @@ def compact_minhash_index(spark: SparkSession, store, name: str) -> int:
         .agg(F.sum("n").cast("long").alias("n"))
     )
     store.write(f"{name}__bucket_stats", stats, meta=base_meta)
-    _write_meta(spark, store, name, dict(meta, segments=0, seg_base=top))
+    _write_meta(spark, store, name, dict(meta, segments=0, seg_base=top, seg_top=top))
     return v

@@ -77,20 +77,33 @@ def _changes_report(spark, corpus_store, label: str, v_from: int, v_to: int, key
 def _net_effects(ch, key_cols):
     """Collapse a multi-step change feed to its NET effect per key (the
     ``apply_changes`` rule: last effective action wins, preimages are
-    informational): returns ``(touched_keys, upsert_rows)`` — every key
-    the range touched (all must be tombstoned so stale entries in older
-    parts go dark), and the current row image for keys that still exist
-    (re-inserted into the next segment, which outlives the tombstone)."""
+    informational): returns ``(mutated_keys, upsert_rows)``.
+
+    Only keys with a DELETE or UPDATE event in the range are tombstoned —
+    a pure-insert key provably has no entries at or below the watermark
+    (per-step diff semantics: ``insert`` means absent at the step's
+    start, so a key that existed before the range carries an update or
+    delete event first, and a deleted-then-reinserted key still carries
+    its delete).  This keeps the tombstone sidecar MUTATION-sized: a
+    one-row PII takedown landing in the same range as a 10M-row crawl
+    day tombstones one key, not the crawl (the sidecar is broadcast at
+    read time, so its size is a memory bound, not a bookkeeping detail).
+
+    ``upsert_rows`` is the current image of every touched key that still
+    exists — pure inserts AND update postimages — re-inserted into the
+    next segment, which outlives any tombstone by construction."""
     from pyspark.sql import Window
 
     eff = ch.where(F.col(CHANGE_TYPE) != F.lit("update_preimage"))
+    mutated = (
+        eff.where(F.col(CHANGE_TYPE) != F.lit("insert")).select(*key_cols).distinct()
+    )
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(F.col(COMMIT_VERSION).desc())
     latest = (
         eff.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
     )
-    touched = latest.select(*key_cols)
     upserts = latest.where(F.col(CHANGE_TYPE) != F.lit("delete")).drop(CHANGE_TYPE, COMMIT_VERSION)
-    return touched, upserts
+    return mutated, upserts
 
 
 def _catchup(
@@ -144,16 +157,17 @@ def _catchup(
             return dict(report, action="reindexed", churn=churn)
         if on_mutation == "tombstone" and tombstone is not None:
             # the Lucene deleted-docs path — mutation churn costs churn:
-            # every touched key is tombstoned at the CURRENT segment
-            # watermark (hiding its entries in base + existing segments),
-            # surviving row images re-insert as the NEXT segment (above
-            # the watermark, so they outlive their own tombstone).  The
-            # tombstone commits FIRST: a crash before the extend leaves
-            # deletes applied and the index visibly stale (meta version
-            # unmoved) — the re-run converges (tombstone writes dedupe by
-            # key), never resurrects.
-            touched, upserts = _net_effects(ch, key_cols)
-            tombstone(touched)
+            # every MUTATED key is tombstoned at the CURRENT segment
+            # watermark (hiding its entries in base + existing segments;
+            # pure-insert keys have nothing there, so they stay out of
+            # the broadcast sidecar), surviving row images re-insert as
+            # the NEXT segment (above the watermark, so they outlive
+            # their own tombstone).  The tombstone commits FIRST: a crash
+            # before the extend leaves deletes applied and the index
+            # visibly stale (meta version unmoved) — the re-run converges
+            # (tombstone writes dedupe by key), never resurrects.
+            mutated_keys, upserts = _net_effects(ch, key_cols)
+            tombstone(mutated_keys)
             if upserts.take(1):
                 extend(upserts, v_to)
             else:
@@ -217,9 +231,9 @@ def vacuum_index_segments(spark: SparkSession, store, name: str, kind: str) -> l
         from scalligraph_spark.operators.dedup_index import _meta
 
         meta = _meta(store, name)
-        live = set()  # live ids are (seg_base, seg_base+segments]; all three
+        live = set()  # live ids are (seg_base, seg_top]; all three
         # per-id tables below seg_base are folded into ALL bases
-        top = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))
+        top = int(meta.get("seg_top", int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))))
         for i in range(int(meta.get("seg_base", 0)) + 1, top + 1):
             live.update({f"{name}__seg{i}", f"{name}__bands_seg{i}", f"{name}__bucket_stats_seg{i}"})
         candidates = []
@@ -230,13 +244,24 @@ def vacuum_index_segments(spark: SparkSession, store, name: str, kind: str) -> l
     victims = sorted(lbl for lbl in candidates if lbl not in live and store.version(lbl) > 0)
     for lbl in victims:
         store.drop(lbl)
-    # tombstones a compaction already folded into the base (readers ignore
-    # them via folded_tomb_through) reclaim under the same retention rule
+    # tombstones at or below EVERY base's sequence watermark are no-ops
+    # (each base was rewritten from the tombstone-filtered read at that
+    # watermark; the strict reader comparison already ignores them) —
+    # reclaim them under the same retention rule.  The MIN across the
+    # family's base tables holds the sweep back through torn compactions:
+    # a bands base that crashed before its rewrite still needs the
+    # tombstones the sigs base folded.
     from scalligraph_spark.operators.tombstones import tombstone_label, vacuum_tombstones
 
     if store.version(tombstone_label(name)) > 0:
-        base_label = f"{name}__cells" if kind == "ann" else name
-        folded_t = int(store.commit_meta(base_label).get("folded_tomb_through", 0))
+        if kind == "minhash":
+            folded_t = min(
+                int(store.commit_meta(lbl).get("folded_through", 0))
+                for lbl in (name, f"{name}__bands")
+            )
+        else:
+            base_label = f"{name}__cells" if kind == "ann" else name
+            folded_t = int(store.commit_meta(base_label).get("base_seq", 0))
         if vacuum_tombstones(spark, store, name, folded_t):
             victims.append(tombstone_label(name))
     return victims
@@ -260,7 +285,17 @@ def catchup_value_index(
     )
 
     meta = _index_meta(store, name)
-    watermark = max(int(meta.get("seg_seq", 0)), len(meta.get("segments", [])))
+
+    def _tombstone(keys):
+        # the batch CONSUMES the next sequence number (write sidecar, then
+        # bump the carrier's watermark) so no part can ever share its seq —
+        # the strict reader comparison stays unambiguous; the follow-up
+        # extend re-reads the bumped meta and mints seq+1
+        m = _index_meta(store, name)
+        seq = max(int(m.get("seg_seq", 0)), len(m.get("segments", []))) + 1
+        write_tombstones(spark, store, name, keys, "id", seq)
+        _write_meta(spark, store, name, dict(m, seg_seq=seq))
+
     return _catchup(
         spark, store, name, corpus_store,
         meta=meta,
@@ -270,8 +305,12 @@ def catchup_value_index(
             spark, store, name, df, corpus_store=corpus_store, as_of_version=v
         ),
         reindex=lambda: reindex_values(spark, store, name, corpus_store),
-        restamp=lambda v: _write_meta(spark, store, name, dict(meta, corpus_version=int(v))),
-        tombstone=lambda keys: write_tombstones(spark, store, name, keys, "id", watermark),
+        # restamp re-reads the meta: a tombstone bump in the same catch-up
+        # must not be reverted by a stale captured copy
+        restamp=lambda v: _write_meta(
+            spark, store, name, dict(_index_meta(store, name), corpus_version=int(v))
+        ),
+        tombstone=_tombstone,
         on_mutation=on_mutation,
     )
 
@@ -293,13 +332,25 @@ def catchup_text_index(
     from scalligraph_spark.operators.tombstones import write_tombstones
 
     meta = _index_meta(store, name)
-    watermark = max(int(meta.get("seg_seq", 0)), len(meta.get("segments", [])))
 
-    def _restamp(v):  # the terms table is the text index's meta carrier
+    def _restamp(v):  # the terms table is the text index's meta carrier;
+        # re-read the meta so a tombstone bump in this catch-up survives
+        m = _index_meta(store, name)
         store.write(
             f"{name}__terms",
             store.read(spark, f"{name}__terms"),
-            meta=dict(meta, corpus_version=int(v), table_role="bm25_terms"),
+            meta=dict(m, corpus_version=int(v), table_role="bm25_terms"),
+        )
+
+    def _tombstone(keys):
+        # consume the next sequence number (see catchup_value_index)
+        m = _index_meta(store, name)
+        seq = max(int(m.get("seg_seq", 0)), len(m.get("segments", []))) + 1
+        write_tombstones(spark, store, name, keys, "doc_id", seq)
+        store.write(
+            f"{name}__terms",
+            store.read(spark, f"{name}__terms"),
+            meta=dict(m, seg_seq=seq, table_role="bm25_terms"),
         )
 
     return _catchup(
@@ -312,7 +363,7 @@ def catchup_text_index(
         ),
         reindex=lambda: reindex_text(spark, store, name, corpus_store),
         restamp=_restamp,
-        tombstone=lambda keys: write_tombstones(spark, store, name, keys, "doc_id", watermark),
+        tombstone=_tombstone,
         on_mutation=on_mutation,
     )
 
@@ -332,7 +383,14 @@ def catchup_minhash_index(
     from scalligraph_spark.operators.tombstones import write_tombstones
 
     meta = _meta(store, name)
-    watermark = int(meta.get("seg_base", 0)) + int(meta.get("segments", 0))
+
+    def _tombstone(keys):
+        # consume the next segment id (seg_top advances without minting
+        # labels — readers skip the gap); see catchup_value_index
+        m = _meta(store, name)
+        seq = int(m.get("seg_top", int(m.get("seg_base", 0)) + int(m.get("segments", 0)))) + 1
+        write_tombstones(spark, store, name, keys, "id", seq)
+        _write_meta(spark, store, name, dict(m, seg_top=seq))
 
     def _rebuild():
         docs = corpus_store.read(spark, meta["corpus_label"])
@@ -356,8 +414,10 @@ def catchup_minhash_index(
             spark, store, name, df, corpus_store=corpus_store, as_of_version=v
         ),
         reindex=_rebuild,
-        restamp=lambda v: _write_meta(spark, store, name, dict(meta, corpus_version=int(v))),
-        tombstone=lambda keys: write_tombstones(spark, store, name, keys, "id", watermark),
+        restamp=lambda v: _write_meta(
+            spark, store, name, dict(_meta(store, name), corpus_version=int(v))
+        ),
+        tombstone=_tombstone,
         on_mutation=on_mutation,
     )
 
@@ -385,10 +445,18 @@ def catchup_ann_cells(
             "build_ivf_index(..., store_cells=True)"
         )
     version_key = "cells_corpus_version" if "cells_corpus_version" in meta else "corpus_version"
-    watermark = max(int(meta.get("cells_seg_seq", 0)), len(meta.get("cells_segments", [])))
 
-    def _restamp(v):  # the centroids table is the ANN artifact's meta carrier
-        store.write(name, store.read(spark, name), meta=dict(meta, cells_corpus_version=int(v)))
+    def _restamp(v):  # the centroids table is the ANN artifact's meta carrier;
+        # re-read so a tombstone bump in this catch-up survives
+        m = dict(load_ann_index(spark, store, name).meta)
+        store.write(name, store.read(spark, name), meta=dict(m, cells_corpus_version=int(v)))
+
+    def _tombstone(keys):
+        # consume the next sequence number (see catchup_value_index)
+        m = dict(load_ann_index(spark, store, name).meta)
+        seq = max(int(m.get("cells_seg_seq", 0)), len(m.get("cells_segments", []))) + 1
+        write_tombstones(spark, store, name, keys, "id", seq)
+        store.write(name, store.read(spark, name), meta=dict(m, cells_seg_seq=seq))
 
     return _catchup(
         spark, store, name, corpus_store,
@@ -400,7 +468,7 @@ def catchup_ann_cells(
         ),
         reindex=lambda: reindex_ann(spark, store, name, corpus_store),
         restamp=_restamp,
-        tombstone=lambda keys: write_tombstones(spark, store, name, keys, "id", watermark),
+        tombstone=_tombstone,
         on_mutation=on_mutation,
     )
 

@@ -139,11 +139,11 @@ def build_text_index(
     # every index mutation (build/extend/compact — it is vocabulary-sized,
     # cheap), so its commit meta is the authoritative, always-fresh copy;
     # the postings copy keeps old artifacts loadable.  The fresh base
-    # subsumes every existing tombstone (folded_tomb_through).
+    # subsumes every existing tombstone (base_seq = carried watermark).
     store.write(f"{name}__terms", dfreq, meta=dict(meta, table_role="bm25_terms"))
     return store.write(
         name, post, sort_by=(sort_files, ["term"]),
-        meta=dict(meta, base_seq=int(meta["seg_seq"]), folded_tomb_through=int(meta["seg_seq"])),
+        meta=dict(meta, base_seq=int(meta["seg_seq"])),
     )
 
 
@@ -249,7 +249,7 @@ def compact_text_index(spark: SparkSession, store, name: str) -> int:
     meta = dict(ix.meta, segments=[], base_n_docs=int(ix.meta["n_docs"]),
                 seg_seq=int(ix.meta.get("seg_seq", len(folded))))
     terms = ix.terms
-    if read_tombstones(spark, store, name, name) is not None:
+    if read_tombstones(spark, store, name) is not None:
         # tombstoned docs were dropped from the merged postings above —
         # the merge must also RESTORE exact corpus stats (df / n_docs /
         # sum_dl drifted Lucene-style while tombstones were live): one
@@ -268,10 +268,10 @@ def compact_text_index(spark: SparkSession, store, name: str) -> int:
         name,
         ix.postings,
         sort_by=(int(meta.get("sort_files", 16)), ["term"]),
-        # base_seq/folded_tomb_through: tombstones at or below the
-        # watermark are physically applied by this rewrite (tombstones.py)
-        meta=dict(meta, folded_segments=folded,
-                  base_seq=int(meta["seg_seq"]), folded_tomb_through=int(meta["seg_seq"])),
+        # base_seq: tombstones at or below this sequence watermark are
+        # physically applied by the rewrite; the strict reader comparison
+        # then ignores them against this base (tombstones.py)
+        meta=dict(meta, folded_segments=folded, base_seq=int(meta["seg_seq"])),
     )
     store.write(f"{name}__terms", terms, meta=dict(meta, table_role="bm25_terms"))
     return v
@@ -322,7 +322,7 @@ def load_text_index(
 
     base_meta = store.commit_meta(name)
     folded = set(base_meta.get("folded_segments", []))
-    tombs = read_tombstones(spark, store, name, name)
+    tombs = read_tombstones(spark, store, name)
     postings = anti_tombstone(
         store.read(spark, name), int(base_meta.get("base_seq", 0)), tombs, "doc_id"
     )

@@ -11,28 +11,36 @@ churn cheap but left UPDATE/DELETE churn with only the corpus-cost
 module is the Lucene deleted-docs answer, applied store-side:
 
 * each index ``name`` may carry a sidecar label ``name__tombstones`` of
-  ``(key, __tomb_seq)`` rows — churn-sized, broadcastable;
-* a tombstone HIDES the key's entries in every part (base table or
-  delta segment) whose sequence number is ``<= __tomb_seq``; parts
-  newer than the tombstone are exempt, so an UPDATE is expressed as
-  tombstone-the-key (at the current segment watermark) + re-insert the
-  postimage into the NEXT segment — the re-insert outlives its own
-  tombstone by construction;
+  ``(key, __tomb_seq)`` rows — MUTATION-sized (pure inserts never enter
+  it), broadcastable;
+* every tombstone batch CONSUMES a number from the family's monotonic
+  segment sequence (``seg_seq`` / ``seg_top`` / ``cells_seg_seq``
+  advances without minting a segment label), so a part's seq and a
+  tombstone's seq are never equal and every comparison is STRICT: a
+  tombstone hides the key's entries in every part whose seq is
+  ``< __tomb_seq``; parts minted after it are exempt, so an UPDATE is
+  tombstone-the-key + re-insert the postimage into the NEXT segment —
+  the re-insert outlives its own tombstone by construction.  (A shared
+  seq value was genuinely ambiguous: a tombstone written AFTER a
+  compaction at watermark W would carry W and be indistinguishable from
+  one the compaction folded — a silent delete-resurrection.)
 * the read paths anti-join each part against the (broadcast) tombstone
   keys that apply to it — zero cost when no tombstones exist (one
   ``store.version`` probe), churn-sized cost otherwise;
-* compaction FOLDS tombstones: the merged base is built from the
-  tombstone-filtered read, its commit meta records ``base_seq`` (the
-  segment watermark it covers) and ``folded_tomb_through`` (tombstones
-  at or below this seq are physically applied), making folded
-  tombstones inert immediately; ``vacuum_index_segments`` reclaims them
-  under the same retention policy as folded segments.
+* compaction FOLDS tombstones physically: the merged base is built from
+  the tombstone-filtered read and records ``base_seq`` (the sequence
+  watermark it covers — every tombstone with seq <= base_seq is applied
+  inside it, and the strict reader comparison makes them no-ops
+  automatically); ``vacuum_index_segments`` reclaims tombstones at or
+  below the MINIMUM base watermark across the family's base tables
+  (torn compactions hold the sweep back) under the same retention
+  policy as folded segments, dropping the label entirely when emptied.
 
 Crash-safety mirrors the segment discipline: tombstones commit as a
 full-label rewrite deduped by key (max seq wins), so a torn catch-up
-re-run converges to the same set; the base's own commit meta — not the
-tombstone table — is the authority for what has been folded, so a crash
-between compaction commits never resurrects or double-deletes a key.
+re-run converges to the same set; each base's own commit meta — not the
+tombstone table — scopes what applies to it, so a crash between
+compaction commits never resurrects or double-deletes a key.
 """
 
 from __future__ import annotations
@@ -47,32 +55,30 @@ def tombstone_label(name: str) -> str:
     return f"{name}__tombstones"
 
 
-def read_tombstones(
-    spark: SparkSession, store, name: str, base_label: str
-) -> DataFrame | None:
-    """Live tombstones for readers of ``base_label``'s family view:
-    ``(key, __tomb_seq)`` with rows the CURRENT base has already folded
-    (``folded_tomb_through`` on its commit meta) filtered out.  Returns
-    ``None`` when no tombstone label exists — the zero-overhead common
-    case."""
+def read_tombstones(spark: SparkSession, store, name: str) -> DataFrame | None:
+    """The index's live tombstone sidecar ``(key, __tomb_seq)`` — or
+    ``None`` when no label exists, the zero-overhead common case.  No
+    fold filtering happens here: each part scopes the set with its own
+    sequence number (:func:`anti_tombstone`'s strict comparison), which
+    is what makes torn multi-base compactions safe."""
     lbl = tombstone_label(name)
     if store.version(lbl) == 0:
         return None
-    folded = int(store.commit_meta(base_label).get("folded_tomb_through", 0))
-    t = store.read(spark, lbl)
-    return t.where(F.col(TOMB_SEQ) > F.lit(folded)) if folded else t
+    return store.read(spark, lbl)
 
 
 def anti_tombstone(
     part: DataFrame, part_seq: int, tombs: DataFrame | None, key_col: str
 ) -> DataFrame:
     """Hide tombstoned keys from one part (base or segment) of an index
-    read: a tombstone applies iff its seq is >= the part's seq (the part
-    existed when the tombstone was written).  The tombstone side is
-    churn-sized — broadcast anti-join, the part never shuffles."""
+    read: a tombstone applies iff its seq is STRICTLY greater than the
+    part's (the part existed when the tombstone was written; seqs are
+    never equal because tombstone batches consume their own number).
+    The tombstone side is churn-sized — broadcast anti-join, the part
+    never shuffles."""
     if tombs is None:
         return part
-    keys = tombs.where(F.col(TOMB_SEQ) >= F.lit(int(part_seq))).select(
+    keys = tombs.where(F.col(TOMB_SEQ) > F.lit(int(part_seq))).select(
         F.col(tombs.columns[0]).alias(key_col)
     )
     # a USING-column join floats the key to the front — restore the
@@ -82,12 +88,12 @@ def anti_tombstone(
 
 def write_tombstones(
     spark: SparkSession, store, name: str, keys: DataFrame, key_col: str, tomb_seq: int
-) -> int:
+) -> str:
     """Record ``keys`` (one column) as tombstoned at segment watermark
     ``tomb_seq``.  The label is rewritten as old ∪ new deduped by key
     keeping the MAX seq — idempotent under catch-up re-runs after a
     crash (the same keys at the same watermark converge to one row).
-    Returns the live tombstone count (churn-sized by construction)."""
+    Returns the sidecar label name (one commit job — no extra scans)."""
     lbl = tombstone_label(name)
     fresh = keys.select(
         F.col(keys.columns[0]).alias(key_col),
@@ -97,25 +103,31 @@ def write_tombstones(
         fresh = store.read(spark, lbl).unionByName(fresh)
     merged = fresh.groupBy(key_col).agg(F.max(TOMB_SEQ).cast("int").alias(TOMB_SEQ))
     store.write(lbl, merged, meta={"kind": "index_tombstones", "key_col": str(key_col)})
-    return int(store.read(spark, lbl).count())
+    return lbl
 
 
 def vacuum_tombstones(spark: SparkSession, store, name: str, folded_through: int) -> int:
     """Physically drop tombstones a compaction has folded (seq <=
     ``folded_through``) — the retention sweep twin of segment vacuum;
-    readers already ignore them via the base's ``folded_tomb_through``.
-    Returns the number of rows reclaimed (0 = nothing to do)."""
+    readers already treat them as no-ops via the strict per-part seq rule.
+    When nothing would remain the LABEL is dropped, restoring the
+    zero-overhead no-tombstones fast path (one version probe) for every
+    future read — an emptied-but-present label would keep all four
+    families on the anti-join path forever.  Returns the number of rows
+    reclaimed (0 = nothing to do)."""
     lbl = tombstone_label(name)
     if store.version(lbl) == 0:
         return 0
     t = store.read(spark, lbl)
     dead = int(t.where(F.col(TOMB_SEQ) <= F.lit(int(folded_through))).count())
     if dead:
-        store.write(
-            lbl,
-            t.where(F.col(TOMB_SEQ) > F.lit(int(folded_through))),
-            meta=dict(store.commit_meta(lbl)),
-        )
+        live = t.where(F.col(TOMB_SEQ) > F.lit(int(folded_through)))
+        if live.take(1):
+            store.write(lbl, live, meta=dict(store.commit_meta(lbl)))
+        else:
+            # vacuum already runs under the no-pinned-readers retention
+            # rule (same as folded-segment drops), so the label can go
+            store.drop(lbl)
     return dead
 
 

@@ -182,12 +182,12 @@ def build_value_index(
         meta["corpus_label"] = str(corpus_label)
         meta["corpus_version"] = int(corpus_store.version(corpus_label))
     # the fresh base reflects the corpus NOW — every existing tombstone
-    # is subsumed (folded_tomb_through = the carried watermark)
+    # is subsumed (base_seq = the carried watermark makes them no-ops)
     v = store.write(
         name,
         entries,
         sort_by=(int(sort_files), ["value"]),
-        meta=dict(meta, base_seq=int(seg_seq), folded_tomb_through=int(seg_seq)),
+        meta=dict(meta, base_seq=int(seg_seq)),
     )
     _write_meta(spark, store, name, meta)
     return v
@@ -277,7 +277,7 @@ def compact_value_index(spark: SparkSession, store, name: str) -> int:
     # post-compaction extend would default to len([])+1 and reuse a label
     # the base just recorded as folded — which the reader would then skip
     meta = dict(meta, segments=[], seg_seq=int(meta.get("seg_seq", len(folded))))
-    if read_tombstones(spark, store, name, name) is not None:
+    if read_tombstones(spark, store, name) is not None:
         # tombstoned entries were dropped from the merged read above —
         # the recorded row count must track the physical fold
         meta["n_rows"] = int(entries.count())
@@ -285,14 +285,10 @@ def compact_value_index(spark: SparkSession, store, name: str) -> int:
         name,
         entries,
         sort_by=(int(meta.get("sort_files", 8)), ["value"]),
-        # base_seq: the segment watermark this base covers; tombstones at
-        # or below it are physically applied here and become inert
-        meta=dict(
-            meta,
-            folded_segments=folded,
-            base_seq=int(meta["seg_seq"]),
-            folded_tomb_through=int(meta["seg_seq"]),
-        ),
+        # base_seq: the sequence watermark this base covers — every
+        # tombstone at or below it is physically applied inside, and the
+        # strict reader comparison makes them no-ops against it
+        meta=dict(meta, folded_segments=folded, base_seq=int(meta["seg_seq"])),
     )
     _write_meta(spark, store, name, meta)
     return v
@@ -308,7 +304,7 @@ def _load_entries(spark: SparkSession, store, name: str, meta: dict) -> DataFram
 
     base_meta = store.commit_meta(name)
     folded = set(base_meta.get("folded_segments", []))
-    tombs = read_tombstones(spark, store, name, name)
+    tombs = read_tombstones(spark, store, name)
     entries = anti_tombstone(
         store.read(spark, name), int(base_meta.get("base_seq", 0)), tombs, "id"
     )

@@ -35,6 +35,7 @@ pays one pointer stat + one result-table scan.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 
@@ -93,15 +94,49 @@ class QueryCache:
 
     def _policy_salt(self) -> str:
         """The registered row-policy SET is part of the key: redefining a
-        policy function in-process (config reload) must fork existing
-        entries, or stale pre-reload results keep serving (ADVICE r9).
-        Salt = each policy's label + its function's compiled bytecode
-        hash (co_code + constants repr — closures over changed grant
-        tables change constants), so re-registering the same code is a
-        no-op while ANY behavioural edit forks."""
+        policy in-process (config reload) must fork existing entries, or
+        stale pre-reload results keep serving (ADVICE r9).  Salt = each
+        policy's label + a VALUE-stable signature of its behaviour:
+        bytecode hashed recursively (nested code objects contribute their
+        own bytecode, never their address-bearing repr — a byte-identical
+        reload must NOT fork), constants, closure-cell values, and for
+        callable objects the class plus instance state (``vars``), so
+        ``AcctFloor(0)`` → ``AcctFloor(5000)`` forks.  Best-effort on
+        exotic cell/attribute values whose reprs embed addresses: those
+        over-fork, which costs a cache miss, never a stale row."""
         pols = getattr(self.executor, "_row_policies", None)
         if not pols:
             return ""
+
+        def _val_sig(v) -> str:
+            # functions hide behaviour in code objects, not reprs
+            code = getattr(v, "__code__", None)
+            if code is not None:
+                return _code_sig(code)
+            if isinstance(v, functools.partial):
+                return (
+                    f"partial({_val_sig(v.func)},"
+                    f"{[_val_sig(a) for a in v.args]!r},"
+                    f"{sorted((k, _val_sig(x)) for k, x in (v.keywords or {}).items())!r})"
+                )
+            r = repr(v)
+            # default object reprs carry the instance address — substitute
+            # the class plus its instance dict so identical values agree
+            if " at 0x" in r:
+                state = getattr(v, "__dict__", None)
+                inner = (
+                    ";".join(f"{k}={_val_sig(x)}" for k, x in sorted(state.items()))
+                    if state else ""
+                )
+                return f"<{type(v).__module__}.{type(v).__qualname__}|{inner}>"
+            return r
+
+        def _code_sig(code) -> str:
+            h = hashlib.md5(code.co_code)
+            for c in code.co_consts:
+                h.update(_code_sig(c).encode() if hasattr(c, "co_code") else repr(c).encode())
+            return h.hexdigest()
+
         parts = []
         for label in sorted(pols):
             fn = pols[label]
@@ -110,14 +145,12 @@ class QueryCache:
                 cells = []
                 for c in getattr(fn, "__closure__", None) or ():
                     try:
-                        cells.append(repr(c.cell_contents))
+                        cells.append(_val_sig(c.cell_contents))
                     except ValueError:  # empty cell
                         cells.append("<empty>")
-                sig = hashlib.md5(
-                    code.co_code + repr(code.co_consts).encode() + repr(cells).encode()
-                ).hexdigest()
-            else:  # a callable object: identity of its class + repr
-                sig = hashlib.md5(f"{type(fn).__module__}.{type(fn).__qualname__}".encode()).hexdigest()
+                sig = hashlib.md5((_code_sig(code) + repr(cells)).encode()).hexdigest()
+            else:  # a callable object: class identity + instance state
+                sig = hashlib.md5(_val_sig(fn).encode()).hexdigest()
             parts.append(f"{label}:{sig}")
         return ";".join(parts)
 

@@ -204,3 +204,58 @@ def test_policy_redefinition_forks_the_key(spark, tmp_path):
     ex.register_row_policy("customer", policy_v2)
     n_rich = cache.execute(chain, None).df.collect()[0]["count"]
     assert n_rich < n_all
+
+
+def test_policy_salt_callable_objects_and_stability(spark, tmp_path):
+    """Review follow-ups: (a) a callable-object policy forks on changed
+    INSTANCE state (class identity alone is not behaviour); (b) a
+    functools.partial forks on changed bound args; (c) a policy with a
+    NESTED code object (whose repr embeds a memory address) does NOT
+    fork on byte-identical re-definition."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from scalligraph_spark.qlang.cache import QueryCache
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.suite import executor_for
+
+    ex = executor_for(spark, "/root/testdata/sf0.001")
+    store = LabelStore(str(tmp_path / "qc2"))
+    store.write("customer", ex.catalog.vertex_df("customer"))
+    cache = QueryCache(ex, store, labels=["customer"])
+    chain = [{"_name": "all_customer"}, {"_name": "count"}]
+
+    class AcctFloor:
+        def __init__(self, floor):
+            self.floor = floor
+
+        def __call__(self, auth):
+            return F.col("c_acctbal") >= self.floor
+
+    ex.register_row_policy("customer", AcctFloor(0))
+    k_obj0 = cache.key(chain)
+    ex.register_row_policy("customer", AcctFloor(0))  # same state → same key
+    assert cache.key(chain) == k_obj0
+    ex.register_row_policy("customer", AcctFloor(5000))
+    assert cache.key(chain) != k_obj0, "changed instance state must fork"
+
+    def floored(auth, floor):
+        return F.col("c_acctbal") >= floor
+
+    ex.register_row_policy("customer", functools.partial(floored, floor=0))
+    k_p0 = cache.key(chain)
+    ex.register_row_policy("customer", functools.partial(floored, floor=5000))
+    assert cache.key(chain) != k_p0, "changed partial binding must fork"
+
+    def make_nested():
+        def pol(auth):
+            def _floor():  # nested code object: repr carries an address
+                return 100
+            return F.col("c_acctbal") >= _floor()
+        return pol
+
+    ex.register_row_policy("customer", make_nested())
+    k_n = cache.key(chain)
+    ex.register_row_policy("customer", make_nested())  # byte-identical reload
+    assert cache.key(chain) == k_n, "identical nested code must not fork"

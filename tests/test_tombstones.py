@@ -79,10 +79,15 @@ def test_value_tombstone_catchup_equals_rebuild(spark, store):
     assert _entries(spark, store, "by_name") == WANT_AFTER_CHURN
     ix = load_value_index(spark, store, "by_name")
     assert int(ix.meta["corpus_version"]) == store.version("people")
-    # the churn landed as ONE delta segment + a churn-sized tombstone set
-    assert ix.meta["segments"] == ["by_name__seg1"]
+    # the churn landed as ONE delta segment + a MUTATION-sized tombstone
+    # set: the pure insert (uid=5) never had entries below the tombstone's
+    # seq, so it must NOT bloat the broadcast sidecar (a one-row takedown
+    # beside a 10M-row crawl day tombstones one key).  The tombstone batch
+    # CONSUMED seq 1, so the re-insert segment minted seq 2 — strictly
+    # above its own tombstone.
+    assert ix.meta["segments"] == ["by_name__seg2"]
     tombs = store.read(spark, tombstone_label("by_name"))
-    assert sorted((r["id"], r[TOMB_SEQ]) for r in tombs.collect()) == [(1, 0), (2, 0), (5, 0)]
+    assert sorted((r["id"], r[TOMB_SEQ]) for r in tombs.collect()) == [(1, 1), (2, 1)]
     # a second catch-up is a noop
     assert catchup_value_index(spark, store, "by_name", store)["action"] == "noop"
 
@@ -153,11 +158,13 @@ def test_value_tombstone_then_compact_folds_and_vacuums(spark, store):
     assert _entries(spark, store, "by_name") == WANT_AFTER_CHURN
     ix = load_value_index(spark, store, "by_name")
     assert int(ix.meta["n_rows"]) == 5, "compaction must refresh the row count"
-    assert read_tombstones(spark, store, "by_name", "by_name").count() == 0
+    # the sidecar ROWS persist until vacuum (pinned pre-compaction readers
+    # still need them) but the strict seq rule makes them no-ops against
+    # the new base — already proven by the entries equality above
     # the retention sweep reclaims both the folded segment and the tombstones
     victims = vacuum_index_segments(spark, store, "by_name", kind="value")
-    assert "by_name__seg1" in victims
-    assert store.read(spark, tombstone_label("by_name")).count() == 0
+    assert "by_name__seg2" in victims
+    assert store.version(tombstone_label("by_name")) == 0, "emptied sidecar dropped"
     assert _entries(spark, store, "by_name") == WANT_AFTER_CHURN
 
 
@@ -273,7 +280,7 @@ def test_text_tombstone_catchup_matches_rebuild_docsets(spark, store):
         tuple(r) for r in indexed_bm25_topk(ixf, ["spark"]).collect())
     # the retention sweep reclaims folded segment + tombstones
     victims = vacuum_index_segments(spark, store, "tix", kind="text")
-    assert "tix__seg1" in victims and tombstone_label("tix") in victims
+    assert "tix__seg2" in victims and tombstone_label("tix") in victims
 
 
 # --- minhash index ---------------------------------------------------------------
@@ -425,3 +432,116 @@ def test_maintenance_http_validates_knobs(spark, store):
         status, body = post({"onMutation": "tombstone"})
         assert status == 200 and body["reports"][0]["action"] == "tombstoned"
     assert _entries(spark, store, "by_name") == WANT_AFTER_CHURN
+
+
+def test_takedown_beside_crawl_day_stays_mutation_sized(spark, store):
+    """Review follow-up: one takedown landing in the same un-caught-up
+    range as a large append must tombstone ONE key — the broadcast
+    sidecar is mutation-sized, never insert-volume-sized."""
+    base = _people(spark, [(i, f"user{i}", i) for i in range(10)])
+    write_with_cdf(store, "people", base, ["uid"])
+    build_value_index(spark, store, "by_name", store.read(spark, "people"),
+                      "uname", "uid", corpus_store=store, corpus_label="people")
+    # one commit: delete uid=3 AND append 500 crawl rows
+    crawl = _people(spark, [(1000 + i, f"crawl{i}", i) for i in range(500)])
+    write_with_cdf(store, "people",
+                   store.read(spark, "people").where("uid != 3").unionByName(crawl),
+                   ["uid"])
+    rep = catchup_value_index(spark, store, "by_name", store, on_mutation="tombstone")
+    assert rep["action"] == "tombstoned"
+    tombs = store.read(spark, tombstone_label("by_name"))
+    assert [(r["id"], r[TOMB_SEQ]) for r in tombs.collect()] == [(3, 1)]
+    got = load_value_index(spark, store, "by_name").entries
+    assert got.count() == 10 - 1 + 500
+    assert got.where("id = 3").count() == 0
+
+
+def test_vacuum_drops_emptied_sidecar_restoring_fast_path(spark, store):
+    """Review follow-up: once every tombstone is folded and vacuumed the
+    LABEL itself must go, so read_tombstones returns None again (the
+    zero-overhead no-anti-join path) instead of an empty frame forever."""
+    _mixed_churn(spark, store)
+    catchup_value_index(spark, store, "by_name", store, on_mutation="tombstone")
+    compact_value_index(spark, store, "by_name")
+    victims = vacuum_index_segments(spark, store, "by_name", kind="value")
+    assert tombstone_label("by_name") in victims
+    assert store.version(tombstone_label("by_name")) == 0, "label dropped"
+    assert read_tombstones(spark, store, "by_name") is None
+    assert _entries(spark, store, "by_name") == WANT_AFTER_CHURN
+
+
+def test_minhash_vacuum_respects_lagging_bands_base(spark, store, monkeypatch):
+    """Review follow-up: a torn minhash compaction (sigs base folded the
+    tombstones, bands base crashed before its rewrite) must NOT let the
+    vacuum reclaim tombstones the bands view still needs — otherwise
+    dead band rows resurrect as probe candidates."""
+    from scalligraph_spark.operators import compact_minhash_index
+    from scalligraph_spark.operators.tombstones import TOMB_SEQ as _TS
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    docs0 = _docs(spark, [(1, txt), (2, txt.replace("lazy", "sleepy")),
+                          (3, "entirely different words about engines")])
+    write_with_cdf(store, "docs", docs0, ["doc_id"])
+    build_minhash_index(spark, store, "mix", store.read(spark, "docs"),
+                        corpus_store=store, corpus_label="docs")
+    write_with_cdf(store, "docs", store.read(spark, "docs").where("doc_id != 2"), ["doc_id"])
+    catchup_minhash_index(spark, store, "mix", store, on_mutation="tombstone")
+
+    # torn compaction: sigs base rewrites (folding tombstones), then crash
+    # BEFORE the bands base rewrite
+    import scalligraph_spark.operators.dedup_index as di
+    real_write = store.write
+    def boom(label, *a, **k):
+        if label == "mix__bands":
+            raise RuntimeError("crash before bands rewrite")
+        return real_write(label, *a, **k)
+    monkeypatch.setattr(store, "write", boom)
+    with pytest.raises(RuntimeError):
+        compact_minhash_index(spark, store, "mix")
+    monkeypatch.setattr(store, "write", real_write)
+
+    # the sweep must HOLD the tombstones (bands base still needs them)...
+    vacuum_index_segments(spark, store, "mix", kind="minhash")
+    assert store.version(tombstone_label("mix")) > 0
+    assert store.read(spark, tombstone_label("mix")).count() == 1
+    # ...and the deleted doc must stay dark to probes through the torn state
+    probe = _docs(spark, [(300, txt)])
+    ids = {r[1] for r in incremental_near_dups(spark, store, "mix", probe, threshold=0.5).collect()}
+    assert 2 not in ids
+    # retried compaction completes; now the sweep may reclaim
+    compact_minhash_index(spark, store, "mix")
+    vacuum_index_segments(spark, store, "mix", kind="minhash")
+    assert store.version(tombstone_label("mix")) == 0
+    ids2 = {r[1] for r in incremental_near_dups(spark, store, "mix", probe, threshold=0.5).collect()}
+    assert 2 not in ids2 and ids2 == ids
+
+
+def test_delete_after_compaction_not_resurrected(spark, store):
+    """THE seq-ambiguity regression: a tombstone written AFTER a
+    compaction at watermark W must hide base entries (it consumes seq
+    W+1 — strictly above the base), and the vacuum must HOLD it until a
+    later compaction folds it.  Under the shared-seq scheme this
+    silently resurrected the delete."""
+    from scalligraph_spark.operators import extend_value_index
+
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20)])
+    write_with_cdf(store, "people", base, ["uid"])
+    build_value_index(spark, store, "by_name", store.read(spark, "people"),
+                      "uname", "uid", corpus_store=store, corpus_label="people")
+    write_with_cdf(store, "people",
+                   store.read(spark, "people").unionByName(_people(spark, [(2, "carol", 30)])),
+                   ["uid"])
+    catchup_value_index(spark, store, "by_name", store)  # seg1
+    compact_value_index(spark, store, "by_name")  # base covers seq 1
+    write_with_cdf(store, "people", store.read(spark, "people").where("uid != 1"), ["uid"])
+    catchup_value_index(spark, store, "by_name", store, on_mutation="tombstone")
+    assert _entries(spark, store, "by_name") == [("alice", 0), ("carol", 2)]
+    # vacuum holds the live tombstone (tomb_seq 2 > base_seq 1)
+    vacuum_index_segments(spark, store, "by_name", kind="value")
+    assert store.version(tombstone_label("by_name")) > 0
+    assert _entries(spark, store, "by_name") == [("alice", 0), ("carol", 2)]
+    # the next compaction folds it; then the sweep reaps the label
+    compact_value_index(spark, store, "by_name")
+    vacuum_index_segments(spark, store, "by_name", kind="value")
+    assert store.version(tombstone_label("by_name")) == 0
+    assert _entries(spark, store, "by_name") == [("alice", 0), ("carol", 2)]
