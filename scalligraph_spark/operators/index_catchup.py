@@ -24,8 +24,9 @@ feeds where they exist, hash-diff fallback where not), and
   the policy knob decides: ``on_mutation="error"`` (default) raises
   :class:`IndexCatchupError` with the churn breakdown;
   ``"tombstone"`` applies the Lucene deleted-docs discipline
-  (tombstones.py) — every touched key is tombstoned at the current
-  segment watermark, surviving row images re-insert as the next
+  (tombstones.py) — every MUTATED key is tombstoned at a freshly
+  consumed sequence number (pure inserts never enter the sidecar, so
+  it stays mutation-sized), surviving row images re-insert as the next
   segment, and the whole mutation bill stays churn-sized (a PII
   takedown costs the takedown, never the archive — the round-9 scale
   cliff closed); ``"reindex"`` falls back to the family's full rebuild.
@@ -262,7 +263,11 @@ def vacuum_index_segments(spark: SparkSession, store, name: str, kind: str) -> l
         else:
             base_label = f"{name}__cells" if kind == "ann" else name
             folded_t = int(store.commit_meta(base_label).get("base_seq", 0))
-        if vacuum_tombstones(spark, store, name, folded_t):
+        if vacuum_tombstones(spark, store, name, folded_t) and store.version(
+            tombstone_label(name)
+        ) == 0:
+            # listed only when the LABEL is gone — a partial reclaim that
+            # leaves live rows must not report the sidecar as dropped
             victims.append(tombstone_label(name))
     return victims
 

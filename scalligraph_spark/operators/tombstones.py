@@ -55,16 +55,29 @@ def tombstone_label(name: str) -> str:
     return f"{name}__tombstones"
 
 
+def _normalized(spark: SparkSession, store, name: str) -> DataFrame:
+    """Sidecar rows under the CONSUMED-seq scheme.  Sidecars written by
+    the earlier shared-watermark scheme (commit meta lacks
+    ``seq_scheme``) carry ``tomb_seq == W`` meaning 'hide parts <= W';
+    the strict-scheme equivalent is ``W + 1`` ('hide parts < W+1', and
+    no part can carry W+1 because the old scheme never consumed
+    numbers) — one additive bump migrates them losslessly."""
+    lbl = tombstone_label(name)
+    t = store.read(spark, lbl)
+    if store.commit_meta(lbl).get("seq_scheme") != "consumed":
+        t = t.withColumn(TOMB_SEQ, (F.col(TOMB_SEQ) + 1).cast("int"))
+    return t
+
+
 def read_tombstones(spark: SparkSession, store, name: str) -> DataFrame | None:
     """The index's live tombstone sidecar ``(key, __tomb_seq)`` — or
     ``None`` when no label exists, the zero-overhead common case.  No
     fold filtering happens here: each part scopes the set with its own
     sequence number (:func:`anti_tombstone`'s strict comparison), which
     is what makes torn multi-base compactions safe."""
-    lbl = tombstone_label(name)
-    if store.version(lbl) == 0:
+    if store.version(tombstone_label(name)) == 0:
         return None
-    return store.read(spark, lbl)
+    return _normalized(spark, store, name)
 
 
 def anti_tombstone(
@@ -100,9 +113,12 @@ def write_tombstones(
         F.lit(int(tomb_seq)).cast("int").alias(TOMB_SEQ),
     )
     if store.version(lbl) > 0:
-        fresh = store.read(spark, lbl).unionByName(fresh)
+        fresh = _normalized(spark, store, name).unionByName(fresh)
     merged = fresh.groupBy(key_col).agg(F.max(TOMB_SEQ).cast("int").alias(TOMB_SEQ))
-    store.write(lbl, merged, meta={"kind": "index_tombstones", "key_col": str(key_col)})
+    store.write(
+        lbl, merged,
+        meta={"kind": "index_tombstones", "key_col": str(key_col), "seq_scheme": "consumed"},
+    )
     return lbl
 
 
@@ -118,12 +134,12 @@ def vacuum_tombstones(spark: SparkSession, store, name: str, folded_through: int
     lbl = tombstone_label(name)
     if store.version(lbl) == 0:
         return 0
-    t = store.read(spark, lbl)
+    t = _normalized(spark, store, name)
     dead = int(t.where(F.col(TOMB_SEQ) <= F.lit(int(folded_through))).count())
     if dead:
         live = t.where(F.col(TOMB_SEQ) > F.lit(int(folded_through)))
         if live.take(1):
-            store.write(lbl, live, meta=dict(store.commit_meta(lbl)))
+            store.write(lbl, live, meta=dict(store.commit_meta(lbl), seq_scheme="consumed"))
         else:
             # vacuum already runs under the no-pinned-readers retention
             # rule (same as folded-segment drops), so the label can go

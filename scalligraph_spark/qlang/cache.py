@@ -108,49 +108,67 @@ class QueryCache:
         if not pols:
             return ""
 
-        def _val_sig(v) -> str:
-            # functions hide behaviour in code objects, not reprs
-            code = getattr(v, "__code__", None)
-            if code is not None:
-                return _code_sig(code)
-            if isinstance(v, functools.partial):
-                return (
-                    f"partial({_val_sig(v.func)},"
-                    f"{[_val_sig(a) for a in v.args]!r},"
-                    f"{sorted((k, _val_sig(x)) for k, x in (v.keywords or {}).items())!r})"
-                )
-            r = repr(v)
-            # default object reprs carry the instance address — substitute
-            # the class plus its instance dict so identical values agree
-            if " at 0x" in r:
-                state = getattr(v, "__dict__", None)
-                inner = (
-                    ";".join(f"{k}={_val_sig(x)}" for k, x in sorted(state.items()))
-                    if state else ""
-                )
-                return f"<{type(v).__module__}.{type(v).__qualname__}|{inner}>"
-            return r
-
         def _code_sig(code) -> str:
-            h = hashlib.md5(code.co_code)
+            # co_names participates: two lambdas differing only in WHICH
+            # global they reference compile to identical bytecode.  (A
+            # referenced global's VALUE changing is out of scope — close
+            # over it or use instance state for reloadable knobs.)
+            h = hashlib.md5(code.co_code + "\x00".join(code.co_names).encode())
             for c in code.co_consts:
                 h.update(_code_sig(c).encode() if hasattr(c, "co_code") else repr(c).encode())
             return h.hexdigest()
 
-        parts = []
-        for label in sorted(pols):
-            fn = pols[label]
-            code = getattr(fn, "__code__", None)
+        def _val_sig(v, seen: frozenset = frozenset()) -> str:
+            if id(v) in seen:
+                return "<cycle>"
+            seen = seen | {id(v)}
+            # functions/bound methods: behaviour = code + closure + self
+            code = getattr(v, "__code__", None)
             if code is not None:
                 cells = []
-                for c in getattr(fn, "__closure__", None) or ():
+                for c in getattr(v, "__closure__", None) or ():
                     try:
-                        cells.append(_val_sig(c.cell_contents))
+                        cells.append(_val_sig(c.cell_contents, seen))
                     except ValueError:  # empty cell
                         cells.append("<empty>")
-                sig = hashlib.md5((_code_sig(code) + repr(cells)).encode()).hexdigest()
-            else:  # a callable object: class identity + instance state
-                sig = hashlib.md5(_val_sig(fn).encode()).hexdigest()
+                own = getattr(v, "__self__", None)
+                bound = _val_sig(own, seen) if own is not None else ""
+                return f"fn({_code_sig(code)}|{';'.join(cells)}|{bound})"
+            if isinstance(v, functools.partial):
+                return (
+                    f"partial({_val_sig(v.func, seen)},"
+                    f"{[_val_sig(a, seen) for a in v.args]!r},"
+                    f"{sorted((k, _val_sig(x, seen)) for k, x in (v.keywords or {}).items())!r})"
+                )
+            # containers recurse element-wise (their reprs embed member
+            # addresses when members are functions/objects)
+            if isinstance(v, (list, tuple, set, frozenset)):
+                elems = sorted(_val_sig(x, seen) for x in v) if isinstance(
+                    v, (set, frozenset)
+                ) else [_val_sig(x, seen) for x in v]
+                return f"{type(v).__name__}[{','.join(elems)}]"
+            if isinstance(v, dict):
+                items = sorted(
+                    (repr(k), _val_sig(x, seen)) for k, x in v.items()
+                )
+                return "{" + ";".join(f"{k}:{s}" for k, s in items) + "}"
+            r = repr(v)
+            # default object reprs carry the instance address — substitute
+            # the class plus its instance state (__dict__ AND __slots__)
+            # so identical values agree and changed values fork
+            if " at 0x" in r:
+                state = dict(getattr(v, "__dict__", None) or {})
+                for klass in type(v).__mro__:
+                    for slot in getattr(klass, "__slots__", ()) or ():
+                        if hasattr(v, slot):
+                            state.setdefault(slot, getattr(v, slot))
+                inner = ";".join(f"{k}={_val_sig(x, seen)}" for k, x in sorted(state.items()))
+                return f"<{type(v).__module__}.{type(v).__qualname__}|{inner}>"
+            return r
+
+        parts = []
+        for label in sorted(pols):
+            sig = hashlib.md5(_val_sig(pols[label]).encode()).hexdigest()
             parts.append(f"{label}:{sig}")
         return ";".join(parts)
 

@@ -259,3 +259,75 @@ def test_policy_salt_callable_objects_and_stability(spark, tmp_path):
     k_n = cache.key(chain)
     ex.register_row_policy("customer", make_nested())  # byte-identical reload
     assert cache.key(chain) == k_n, "identical nested code must not fork"
+
+
+def test_policy_salt_round2_hardening(spark, tmp_path):
+    """Second review pass: global-name swaps, bound methods, closures
+    inside partials, slot classes, and cyclic state all behave."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from scalligraph_spark.qlang.cache import QueryCache
+    from scalligraph_spark.store import LabelStore
+    from scalligraph_spark.suite import executor_for
+
+    ex = executor_for(spark, "/root/testdata/sf0.001")
+    store = LabelStore(str(tmp_path / "qc3"))
+    store.write("customer", ex.catalog.vertex_df("customer"))
+    cache = QueryCache(ex, store, labels=["customer"])
+    chain = [{"_name": "all_customer"}, {"_name": "count"}]
+
+    def key_for(pol):
+        ex.register_row_policy("customer", pol)
+        return cache.key(chain)
+
+    # (a) swapping WHICH global a lambda references forks (co_names)
+    global _LIM_A, _LIM_B
+    _LIM_A, _LIM_B = 0, 5000
+    k_a = key_for(lambda auth: F.col("c_acctbal") >= _LIM_A)
+    k_b = key_for(lambda auth: F.col("c_acctbal") >= _LIM_B)
+    assert k_a != k_b
+
+    # (b) bound-method policies fork on instance state
+    class Floor:
+        def __init__(self, floor):
+            self.floor = floor
+
+        def pol(self, auth):
+            return F.col("c_acctbal") >= self.floor
+
+    assert key_for(Floor(0).pol) != key_for(Floor(5000).pol)
+    assert key_for(Floor(0).pol) == key_for(Floor(0).pol)
+
+    # (c) a closure handed through functools.partial forks on its cell
+    def apply_pred(auth, pred):
+        return pred()
+
+    def make(floor):
+        return lambda: F.col("c_acctbal") >= floor
+
+    assert key_for(functools.partial(apply_pred, pred=make(0))) != key_for(
+        functools.partial(apply_pred, pred=make(5000)))
+
+    # (d) __slots__ instance state forks
+    class SlotFloor:
+        __slots__ = ("floor",)
+
+        def __init__(self, floor):
+            self.floor = floor
+
+        def __call__(self, auth):
+            return F.col("c_acctbal") >= self.floor
+
+    assert key_for(SlotFloor(0)) != key_for(SlotFloor(5000))
+
+    # (e) cyclic instance state must not recurse forever
+    class Cyclic:
+        def __init__(self):
+            self.me = self
+
+        def __call__(self, auth):
+            return F.col("c_acctbal") >= 0
+
+    key_for(Cyclic())  # no RecursionError

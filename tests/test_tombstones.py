@@ -545,3 +545,45 @@ def test_delete_after_compaction_not_resurrected(spark, store):
     vacuum_index_segments(spark, store, "by_name", kind="value")
     assert store.version(tombstone_label("by_name")) == 0
     assert _entries(spark, store, "by_name") == [("alice", 0), ("carol", 2)]
+
+
+def test_old_scheme_sidecar_migrates_losslessly(spark, store):
+    """A sidecar written by the shared-watermark scheme (commit meta
+    lacks seq_scheme; tomb_seq == W meant 'hide parts <= W') must read
+    as W+1 under the strict scheme — the delete keeps applying to the
+    segment it targeted instead of silently resurrecting."""
+    from scalligraph_spark.operators import extend_value_index
+
+    base = _people(spark, [(0, "alice", 10)])
+    store.write("people", base)
+    build_value_index(spark, store, "by_name", base, "uname", "uid")
+    extend_value_index(spark, store, "by_name", _people(spark, [(1, "bob", 20)]))  # seg1
+    # hand-write an OLD-scheme sidecar: delete uid=1 recorded at W=1
+    old = spark.createDataFrame([(1, 1)], f"id long, {TOMB_SEQ} int")
+    store.write(tombstone_label("by_name"), old, meta={"kind": "index_tombstones", "key_col": "id"})
+    assert _entries(spark, store, "by_name") == [("alice", 0)], "old-scheme delete must apply"
+    # a NEW-scheme write unions the migrated rows and stamps the marker
+    write_tombstones(spark, store, "by_name",
+                     spark.createDataFrame([(1,)], "id long"), "id", 2)
+    assert store.commit_meta(tombstone_label("by_name")).get("seq_scheme") == "consumed"
+    assert _entries(spark, store, "by_name") == [("alice", 0)]
+    t = store.read(spark, tombstone_label("by_name"))
+    assert [(r["id"], r[TOMB_SEQ]) for r in t.collect()] == [(1, 2)], "max-seq dedupe after bump"
+
+
+def test_partial_vacuum_does_not_report_live_sidecar_dropped(spark, store):
+    """Review follow-up: a sweep that reclaims SOME rows but leaves live
+    tombstones must not list the sidecar among the dropped labels."""
+    from scalligraph_spark.operators import extend_value_index
+
+    _mixed_churn(spark, store)
+    catchup_value_index(spark, store, "by_name", store, on_mutation="tombstone")
+    compact_value_index(spark, store, "by_name")  # folds the first batch
+    # new churn AFTER the compaction: a live tombstone above the base
+    write_with_cdf(store, "people", store.read(spark, "people").where("uid != 3"), ["uid"])
+    catchup_value_index(spark, store, "by_name", store, on_mutation="tombstone")
+    victims = vacuum_index_segments(spark, store, "by_name", kind="value")
+    assert tombstone_label("by_name") not in victims, "live sidecar must not be listed"
+    assert store.version(tombstone_label("by_name")) > 0
+    assert _entries(spark, store, "by_name") == [
+        ("alice", 0), ("erin", 4), ("fred", 5), ("robert", 1)]
