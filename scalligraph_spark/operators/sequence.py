@@ -284,6 +284,7 @@ def funnel_count(
     type_col: str = "event_type",
     ts_col: str = "ts",
     max_events_per_key: int | None = 2_000_000,
+    split_on_gaps: bool = True,
 ) -> DataFrame:
     """Non-overlapping COMPLETED-chain count per user (the ClickHouse
     ``sequenceCount`` shape): scan the user's step-type events in time
@@ -306,13 +307,23 @@ def funnel_count(
     evaluator against an independent naive implementation; the driver
     oracle replays the state machine as a DuckDB recursive CTE.
 
+    Scale shape: ``split_on_gaps`` (default ON) pre-splits each key's
+    stream into GAP SESSIONS — a new session starts wherever consecutive
+    step-type events are more than ``within`` seconds apart.  The split
+    is LOSS-FREE by construction: any event across such a gap is more
+    than ``within`` past every possible anchor before it (the evaluator
+    would reset there anyway), so no chain and no matcher state can span
+    a session boundary, and per-session counts sum to the key's total.
+    The grouped map then materialises ONE SESSION at a time — a bot with
+    years of dense history costs its densest burst, not its lifetime —
+    at the price of one extra exchange (the (key, session) grouping).
+
     Hot-key guard: ``max_events_per_key`` (default 2M) pre-checks the
-    per-key event counts with ONE map-side-combined aggregate over the
-    same narrow projection and raises :class:`FunnelHotKeyError` before
-    the grouped-map shuffle materialises a monster group — the guard
-    pass is a partial agg (cheap relative to the grouped map); disable
-    with ``None`` only after sizing executor memory for the heaviest
-    key."""
+    per-GROUP event counts (per session when splitting) with ONE
+    map-side-combined aggregate over the same narrow projection and
+    raises :class:`FunnelHotKeyError` before the grouped-map shuffle
+    materialises a monster group; disable with ``None`` only after
+    sizing executor memory for the heaviest group."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
     if within <= 0:
@@ -322,9 +333,22 @@ def funnel_count(
     narrow = events.where(F.col(type_col).isin(list(steps))).select(
         *[F.col(k) for k in keys], F.col(type_col).alias("__t"), ms.alias("__ms")
     )
+    group_cols = list(keys)
+    if split_on_gaps:
+        w_sess = Window.partitionBy(*keys).orderBy("__ms", "__t")
+        horizon_ms = int(within) * 1000
+        narrow = narrow.withColumn(
+            "__sess",
+            F.sum(
+                F.when(
+                    F.col("__ms") - F.lag("__ms", 1).over(w_sess) > F.lit(horizon_ms), 1
+                ).otherwise(0)
+            ).over(w_sess),
+        )
+        group_cols = keys + ["__sess"]
     if max_events_per_key is not None:
         hot = (
-            narrow.groupBy(*keys)
+            narrow.groupBy(*group_cols)
             .agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") > int(max_events_per_key))
             .limit(3)
@@ -334,7 +358,8 @@ def funnel_count(
             samples = [tuple(r[k] for k in keys) for r in hot]
             raise FunnelHotKeyError(
                 f"funnel_count: key(s) {samples!r} own more than "
-                f"{int(max_events_per_key):,} step-type events — one executor "
+                f"{int(max_events_per_key):,} step-type events in one "
+                f"{'gap session' if split_on_gaps else 'group'} — one executor "
                 "would materialise that whole history; exclude them, raise "
                 "max_events_per_key deliberately, or pass None",
                 samples,
@@ -368,4 +393,9 @@ def funnel_count(
         head["n_chains"] = count
         return head
 
-    return narrow.groupBy(*keys).applyInPandas(count_chains, schema=out_schema)
+    parts = narrow.groupBy(*group_cols).applyInPandas(count_chains, schema=out_schema)
+    if not split_on_gaps:
+        return parts
+    # per-session partial counts sum to the key's exact total (no chain
+    # spans a session boundary) — a tiny agg over one-row-per-session
+    return parts.groupBy(*keys).agg(F.sum("n_chains").cast("long").alias("n_chains"))

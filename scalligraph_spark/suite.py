@@ -1696,10 +1696,13 @@ WHERE rr = 1 AND cnt > 0
     "sequenceCount shape): greedy scan, a completed chain restarts "
     "matching AFTER it — Arrow applyInPandas over the type-filtered "
     "narrow projection (the sanctioned fallback tier: per-chain starts "
-    "depend on where the previous chain ended), hot-key-guarded "
-    "(FunnelHotKeyError past max_events_per_key).  Oracle-exact since "
-    "r10: the DuckDB recursive CTE replays the state machine event by "
-    "event",
+    "depend on where the previous chain ended).  Scale-bounded two ways: "
+    "LOSS-FREE gap-session pre-split (no chain or matcher state can span "
+    "a gap > within between consecutive step events, so groups "
+    "materialise one session, never a lifetime) + hot-key guard "
+    "(FunnelHotKeyError past max_events_per_key per group).  "
+    "Oracle-exact since r10: the DuckDB recursive CTE replays the state "
+    "machine event by event",
 )
 def events_funnel_count_q(spark, sf):
     from scalligraph_spark.operators import funnel_count
@@ -4876,9 +4879,20 @@ def text_index_term_filter_q(spark, sf):
 
 @q(
     "text_index_build",
-    None,  # build-phase artifact commit: postings row order/layout is the
-    # product, not a relation DuckDB can hash-compare; the QUERY path has
-    # the oracle (text_indexed_search)
+    # the committed postings ARE a relation — DuckDB reproduces the whole
+    # tokenize→count build (regexp_split_to_array ≡ F.split on \s+ after
+    # trim; NULL text yields no rows on both engines); flipped from
+    # rows-only in r10
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+)
+SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, dl
+FROM toks GROUP BY term, doc_id, dl
+""",
     "the BUILD phase of the persisted text-index lifecycle, benched "
     "separately from the query phase: one (term, doc_id) shuffle + "
     "term-sorted versioned store commit — the one-time cost the index "
@@ -4913,9 +4927,22 @@ _TEXT_INDEX_EXT_BUILT: set = set()
 
 @q(
     "text_index_extend",
-    None,  # artifact-mutation phase; equivalence to a full rebuild is the
-    # pytest differential (test_extend_incremental_equals_full_rebuild) and
-    # the query path has the oracle (text_indexed_search)
+    # the delta SEGMENT is the batch's postings relation — DuckDB replays
+    # the same 200-doc batch (ORDER BY doc_id LIMIT 200, ids offset) and
+    # the same tokenize→count; flipped from rows-only in r10
+    """
+WITH batch AS (
+  SELECT doc_id + 10000000 AS doc_id, text
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200)
+), toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM batch
+)
+SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, dl
+FROM toks GROUP BY term, doc_id, dl
+""",
     "INCREMENTAL index maintenance (the 100 TB answer to reindex_text's "
     "full rebuild): a 200-doc append folds in as a term-sorted delta "
     "segment + a vocabulary-sized terms re-aggregate — cost ∝ batch, not "

@@ -455,3 +455,60 @@ def test_funnel_count_hot_key_guard(spark):
         df, ["view", "click", "purchase"], within=86400, max_events_per_key=None
     ).collect()}
     assert got2 == got
+
+
+def test_funnel_count_gap_split_is_loss_free(spark):
+    """split_on_gaps: chains provably cannot span a gap > within between
+    consecutive step-type events, so sessionized counting must equal the
+    monolithic evaluator on gap-heavy, boundary-hugging fixtures."""
+    import random
+
+    from scalligraph_spark.operators import funnel_count
+
+    rng = random.Random(11)
+    rows = []
+    for u in range(12):
+        t = 0
+        for _ in range(rng.randint(5, 60)):
+            # bursts with occasional > horizon gaps, including EXACTLY
+            # horizon (must not split: the evaluator keeps state there)
+            t += rng.choice([1, 2, 3, 5, 9, 10, 11, 25])
+            rows.append((f"u{u}", rng.choice(["view", "click", "purchase", "view"]), t))
+    df = spark.createDataFrame(
+        [(u, ty, dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)) for u, ty, s in rows],
+        "user_id string, event_type string, ts timestamp",
+    )
+    for within in (4, 10, 30):
+        split = {r["user_id"]: r["n_chains"] for r in funnel_count(
+            df, ["view", "click", "purchase"], within=within).collect()}
+        mono = {r["user_id"]: r["n_chains"] for r in funnel_count(
+            df, ["view", "click", "purchase"], within=within, split_on_gaps=False).collect()}
+        assert split == mono, f"within={within}"
+    # and the naive reference agrees (three-way)
+    base_ms = int(dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert split == _naive_funnel_count(
+        [(u, base_ms + s * 1000, ty) for u, ty, s in rows], ["view", "click", "purchase"], 30)
+
+
+def test_funnel_count_gap_split_bounds_groups_not_lifetime(spark):
+    """A user whose history is huge but SESSIONED must pass a cap sized
+    for the densest session — the lifetime no longer matters."""
+    from scalligraph_spark.operators import FunnelHotKeyError, funnel_count
+
+    rows = []
+    t = 0
+    for _ in range(40):  # 40 sessions x 30 events, gaps of 2*within between
+        for _ in range(30):
+            t += 1
+            rows.append(("lifer", "view", t))
+        t += 200
+    df = spark.createDataFrame(
+        [(u, ty, dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)) for u, ty, s in rows],
+        "user_id string, event_type string, ts timestamp",
+    )
+    # cap 50 < lifetime 1200 but > densest session 30: passes WITH split…
+    assert funnel_count(df, ["view", "click"], within=60, max_events_per_key=50).count() == 0
+    # …and trips WITHOUT it
+    with pytest.raises(FunnelHotKeyError):
+        funnel_count(df, ["view", "click"], within=60,
+                     max_events_per_key=50, split_on_gaps=False).count()
