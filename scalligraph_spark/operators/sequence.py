@@ -284,7 +284,7 @@ def funnel_count(
     type_col: str = "event_type",
     ts_col: str = "ts",
     max_events_per_key: int | None = 2_000_000,
-    split_on_gaps: bool = True,
+    split_over: int | None | str = "auto",
 ) -> DataFrame:
     """Non-overlapping COMPLETED-chain count per user (the ClickHouse
     ``sequenceCount`` shape): scan the user's step-type events in time
@@ -307,23 +307,27 @@ def funnel_count(
     evaluator against an independent naive implementation; the driver
     oracle replays the state machine as a DuckDB recursive CTE.
 
-    Scale shape: ``split_on_gaps`` (default ON) pre-splits each key's
-    stream into GAP SESSIONS — a new session starts wherever consecutive
-    step-type events are more than ``within`` seconds apart.  The split
-    is LOSS-FREE by construction: any event across such a gap is more
-    than ``within`` past every possible anchor before it (the evaluator
-    would reset there anyway), so no chain and no matcher state can span
-    a session boundary, and per-session counts sum to the key's total.
-    The grouped map then materialises ONE SESSION at a time — a bot with
-    years of dense history costs its densest burst, not its lifetime —
-    at the price of one extra exchange (the (key, session) grouping).
+    Scale shape — hot keys get a LOSS-FREE gap-session split: keys whose
+    event count exceeds ``split_over`` (default ``max_events_per_key //
+    4``) are pre-split into sessions wherever consecutive step-type
+    events are more than ``within`` apart.  Any event across such a gap
+    is past every possible anchor's horizon (the evaluator would reset
+    there), so no chain or matcher state can span a boundary and
+    per-session counts sum exactly — a bot's group costs its densest
+    burst, never its lifetime.  Splitting is HOT-KEYS-ONLY by design:
+    sessionizing everything drowns typical corpora in tiny pandas
+    groups whose per-group Arrow overhead dominates (measured 10× at
+    sf0.1), while normal keys stay on the single-exchange monolithic
+    path and the (few, broadcastable) hot keys pay the extra session
+    exchange.  ``split_over=None`` turns splitting off entirely (the
+    guard then bounds whole keys); ``split_over=0`` forces it for every
+    key; the ``"auto"`` default is ``max_events_per_key // 4``.
 
-    Hot-key guard: ``max_events_per_key`` (default 2M) pre-checks the
-    per-GROUP event counts (per session when splitting) with ONE
-    map-side-combined aggregate over the same narrow projection and
-    raises :class:`FunnelHotKeyError` before the grouped-map shuffle
-    materialises a monster group; disable with ``None`` only after
-    sizing executor memory for the heaviest group."""
+    Hot-key guard: ``max_events_per_key`` (default 2M) bounds what ONE
+    executor must materialise — after the split it applies per SESSION,
+    so only a key too dense to sessionize still raises
+    :class:`FunnelHotKeyError`; disable with ``None`` only after sizing
+    executor memory for the heaviest group."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
     if within <= 0:
@@ -333,22 +337,42 @@ def funnel_count(
     narrow = events.where(F.col(type_col).isin(list(steps))).select(
         *[F.col(k) for k in keys], F.col(type_col).alias("__t"), ms.alias("__ms")
     )
-    group_cols = list(keys)
-    if split_on_gaps:
+    if split_over == "auto":
+        split_over = (
+            max(1, int(max_events_per_key) // 4) if max_events_per_key is not None else None
+        )
+    horizon = int(within) * 1000
+    hot_keys = None
+    if split_over is not None:
+        # ONE map-side-combined count finds the keys worth splitting; hot
+        # keys are few and broadcastable by definition (each owns more
+        # than split_over rows of the corpus)
+        counts = narrow.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        hot_rows = counts.where(F.col("__n") > int(split_over)).select(*keys).limit(10_001).collect()
+        if len(hot_rows) > 10_000:
+            # degenerate corpus: nearly everything is hot — sessionize all
+            hot_keys = "all"
+        elif hot_rows:
+            hot_keys = narrow.sparkSession.createDataFrame(
+                [tuple(r[k] for k in keys) for r in hot_rows],
+                narrow.select(*keys).schema,
+            )
+
+    def _sessionized(df: DataFrame) -> DataFrame:
         w_sess = Window.partitionBy(*keys).orderBy("__ms", "__t")
-        horizon_ms = int(within) * 1000
-        narrow = narrow.withColumn(
+        return df.withColumn(
             "__sess",
             F.sum(
-                F.when(
-                    F.col("__ms") - F.lag("__ms", 1).over(w_sess) > F.lit(horizon_ms), 1
-                ).otherwise(0)
+                F.when(F.col("__ms") - F.lag("__ms", 1).over(w_sess) > F.lit(horizon), 1)
+                .otherwise(0)
             ).over(w_sess),
         )
-        group_cols = keys + ["__sess"]
-    if max_events_per_key is not None:
+
+    def _guard(df: DataFrame, group_cols: list[str], sessioned: bool) -> None:
+        if max_events_per_key is None:
+            return
         hot = (
-            narrow.groupBy(*group_cols)
+            df.groupBy(*group_cols)
             .agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") > int(max_events_per_key))
             .limit(3)
@@ -359,12 +383,11 @@ def funnel_count(
             raise FunnelHotKeyError(
                 f"funnel_count: key(s) {samples!r} own more than "
                 f"{int(max_events_per_key):,} step-type events in one "
-                f"{'gap session' if split_on_gaps else 'group'} — one executor "
+                f"{'gap session' if sessioned else 'group'} — one executor "
                 "would materialise that whole history; exclude them, raise "
                 "max_events_per_key deliberately, or pass None",
                 samples,
             )
-    horizon = int(within) * 1000
     step_list = [str(s) for s in steps]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in narrow.schema.fields if f.name in keys
@@ -393,9 +416,22 @@ def funnel_count(
         head["n_chains"] = count
         return head
 
-    parts = narrow.groupBy(*group_cols).applyInPandas(count_chains, schema=out_schema)
-    if not split_on_gaps:
-        return parts
-    # per-session partial counts sum to the key's exact total (no chain
-    # spans a session boundary) — a tiny agg over one-row-per-session
-    return parts.groupBy(*keys).agg(F.sum("n_chains").cast("long").alias("n_chains"))
+    def _monolithic(df: DataFrame) -> DataFrame:
+        _guard(df, keys, sessioned=False)
+        return df.groupBy(*keys).applyInPandas(count_chains, schema=out_schema)
+
+    def _split(df: DataFrame) -> DataFrame:
+        sess = _sessionized(df)
+        _guard(sess, keys + ["__sess"], sessioned=True)
+        parts = sess.groupBy(*keys, "__sess").applyInPandas(count_chains, schema=out_schema)
+        # per-session partial counts sum to the key's exact total (no
+        # chain spans a session boundary) — a tiny one-row-per-session agg
+        return parts.groupBy(*keys).agg(F.sum("n_chains").cast("long").alias("n_chains"))
+
+    if hot_keys is None:
+        return _monolithic(narrow)
+    if hot_keys == "all":
+        return _split(narrow)
+    return _monolithic(narrow.join(F.broadcast(hot_keys), keys, "left_anti")).unionByName(
+        _split(narrow.join(F.broadcast(hot_keys), keys, "left_semi"))
+    )

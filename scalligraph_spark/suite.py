@@ -1697,10 +1697,12 @@ WHERE rr = 1 AND cnt > 0
     "matching AFTER it — Arrow applyInPandas over the type-filtered "
     "narrow projection (the sanctioned fallback tier: per-chain starts "
     "depend on where the previous chain ended).  Scale-bounded two ways: "
-    "LOSS-FREE gap-session pre-split (no chain or matcher state can span "
-    "a gap > within between consecutive step events, so groups "
-    "materialise one session, never a lifetime) + hot-key guard "
-    "(FunnelHotKeyError past max_events_per_key per group).  "
+    "keys above split_over route through a LOSS-FREE gap-session "
+    "pre-split (no chain or matcher state can span a gap > within "
+    "between consecutive step events — a bot's group materialises one "
+    "session, never a lifetime) while normal keys keep the fast "
+    "monolithic path; the hot-key guard (FunnelHotKeyError) bounds "
+    "whatever one executor would still materialise.  "
     "Oracle-exact since r10: the DuckDB recursive CTE replays the state "
     "machine event by event",
 )

@@ -480,9 +480,9 @@ def test_funnel_count_gap_split_is_loss_free(spark):
     )
     for within in (4, 10, 30):
         split = {r["user_id"]: r["n_chains"] for r in funnel_count(
-            df, ["view", "click", "purchase"], within=within).collect()}
+            df, ["view", "click", "purchase"], within=within, split_over=0).collect()}
         mono = {r["user_id"]: r["n_chains"] for r in funnel_count(
-            df, ["view", "click", "purchase"], within=within, split_on_gaps=False).collect()}
+            df, ["view", "click", "purchase"], within=within, split_over=None).collect()}
         assert split == mono, f"within={within}"
     # and the naive reference agrees (three-way)
     base_ms = int(dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
@@ -506,9 +506,20 @@ def test_funnel_count_gap_split_bounds_groups_not_lifetime(spark):
         [(u, ty, dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)) for u, ty, s in rows],
         "user_id string, event_type string, ts timestamp",
     )
-    # cap 50 < lifetime 1200 but > densest session 30: passes WITH split…
+    # cap 50 < lifetime 1200 but > densest session 30: passes WITH the
+    # (auto) hot-key split — the lifer exceeds split_over=12 so it routes
+    # through the sessionized branch…
     assert funnel_count(df, ["view", "click"], within=60, max_events_per_key=50).count() == 0
-    # …and trips WITHOUT it
+    # …and trips with splitting disabled
     with pytest.raises(FunnelHotKeyError):
         funnel_count(df, ["view", "click"], within=60,
-                     max_events_per_key=50, split_on_gaps=False).count()
+                     max_events_per_key=50, split_over=None).count()
+    # a MIXED corpus: the lifer routes hot, a light user stays monolithic,
+    # and the union answers both
+    light = [("light", "view", 1), ("light", "click", 2)]
+    df2 = df.unionByName(spark.createDataFrame(
+        [(u, ty, dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)) for u, ty, s in light],
+        df.schema))
+    got = {r["user_id"]: r["n_chains"] for r in funnel_count(
+        df2, ["view", "click"], within=60, max_events_per_key=50).collect()}
+    assert got["light"] == 1 and "lifer" not in got  # lifer never clicks
