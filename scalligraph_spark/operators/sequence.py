@@ -341,6 +341,12 @@ def funnel_count(
         split_over = (
             max(1, int(max_events_per_key) // 4) if max_events_per_key is not None else None
         )
+    elif split_over is not None and (
+        not isinstance(split_over, int) or isinstance(split_over, bool) or split_over < 0
+    ):
+        raise ValueError(
+            f"split_over must be a non-negative int, None, or 'auto', got {split_over!r}"
+        )
     horizon = int(within) * 1000
     hot_keys = None
     if split_over is not None:
@@ -348,15 +354,33 @@ def funnel_count(
         # keys are few and broadcastable by definition (each owns more
         # than split_over rows of the corpus)
         counts = narrow.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-        hot_rows = counts.where(F.col("__n") > int(split_over)).select(*keys).limit(10_001).collect()
-        if len(hot_rows) > 10_000:
-            # degenerate corpus: nearly everything is hot — sessionize all
+        hot_rows = counts.where(F.col("__n") > int(split_over)).select(*keys).limit(100_001).collect()
+        if len(hot_rows) > 100_000:
+            # pathological: the hot set itself is no longer comfortably
+            # broadcastable/collectable — sessionize everything, LOUDLY
+            # (the all-keys path pays per-group Arrow overhead on light
+            # keys; see the docstring's measured 10× note)
+            import warnings
+
+            warnings.warn(
+                f"funnel_count: more than 100,000 keys exceed split_over="
+                f"{int(split_over):,} — falling back to sessionizing EVERY "
+                "key (light keys pay per-group overhead); consider raising "
+                "split_over or pre-filtering bot traffic",
+                stacklevel=2,
+            )
             hot_keys = "all"
         elif hot_rows:
             hot_keys = narrow.sparkSession.createDataFrame(
                 [tuple(r[k] for k in keys) for r in hot_rows],
                 narrow.select(*keys).schema,
             )
+    # the monolithic guard is PROVABLY dead when splitting is on with
+    # split_over <= cap (every monolithically-routed key has count <=
+    # split_over) — skip its extra count job on the common path
+    mono_guard_needed = split_over is None or (
+        max_events_per_key is not None and int(split_over) > int(max_events_per_key)
+    )
 
     def _sessionized(df: DataFrame) -> DataFrame:
         w_sess = Window.partitionBy(*keys).orderBy("__ms", "__t")
@@ -417,11 +441,16 @@ def funnel_count(
         return head
 
     def _monolithic(df: DataFrame) -> DataFrame:
-        _guard(df, keys, sessioned=False)
+        if mono_guard_needed:
+            _guard(df, keys, sessioned=False)
         return df.groupBy(*keys).applyInPandas(count_chains, schema=out_schema)
 
     def _split(df: DataFrame) -> DataFrame:
-        sess = _sessionized(df)
+        # persist: the guard's collect and the grouped-map job would
+        # otherwise each pay the hot subset's shuffle + sort + running-sum
+        # window — by definition the expensive data (dedup_index's
+        # persist-then-materialise idiom)
+        sess = _sessionized(df).persist()
         _guard(sess, keys + ["__sess"], sessioned=True)
         parts = sess.groupBy(*keys, "__sess").applyInPandas(count_chains, schema=out_schema)
         # per-session partial counts sum to the key's exact total (no
@@ -432,6 +461,15 @@ def funnel_count(
         return _monolithic(narrow)
     if hot_keys == "all":
         return _split(narrow)
-    return _monolithic(narrow.join(F.broadcast(hot_keys), keys, "left_anti")).unionByName(
-        _split(narrow.join(F.broadcast(hot_keys), keys, "left_semi"))
+    # NULL-SAFE routing: a hot NULL key (anonymous traffic at scale) must
+    # reach the split path too — plain equi-join conditions never match
+    # null = null, which would strand the heaviest group on the
+    # monolithic branch
+    hk = hot_keys.select(*[F.col(k).alias(f"__hk_{k}") for k in keys])
+    cond = None
+    for k in keys:
+        c = narrow[k].eqNullSafe(hk[f"__hk_{k}"])
+        cond = c if cond is None else (cond & c)
+    return _monolithic(narrow.join(F.broadcast(hk), cond, "left_anti")).unionByName(
+        _split(narrow.join(F.broadcast(hk), cond, "left_semi"))
     )

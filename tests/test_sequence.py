@@ -523,3 +523,40 @@ def test_funnel_count_gap_split_bounds_groups_not_lifetime(spark):
     got = {r["user_id"]: r["n_chains"] for r in funnel_count(
         df2, ["view", "click"], within=60, max_events_per_key=50).collect()}
     assert got["light"] == 1 and "lifer" not in got  # lifer never clicks
+
+
+def test_funnel_count_null_key_routes_through_split(spark):
+    """Review follow-up: a hot NULL key (anonymous traffic) must reach
+    the sessionized branch — plain equi-joins never match null = null
+    and would strand the heaviest group on the monolithic path."""
+    from scalligraph_spark.operators import funnel_count
+
+    rows = []
+    t = 0
+    for _ in range(5):  # 5 sessions x 20 events for the NULL user
+        for _ in range(20):
+            t += 1
+            rows.append((None, "view", t))
+        t += 200
+    rows += [("u1", "view", 1), ("u1", "click", 2), ("u1", "purchase", 3)]
+    df = spark.createDataFrame(
+        [(u, ty, dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)) for u, ty, s in rows],
+        "user_id string, event_type string, ts timestamp",
+    )
+    # cap 30 < NULL's lifetime 100 but > its densest session 20: must pass
+    # because the NULL key routes through the split (split_over auto = 7)
+    got = {r["user_id"]: r["n_chains"] for r in funnel_count(
+        df, ["view", "click", "purchase"], within=60, max_events_per_key=30).collect()}
+    assert got == {"u1": 1}  # NULL user never completes; u1 counted once
+
+
+def test_funnel_count_split_over_validation(spark):
+    from scalligraph_spark.operators import funnel_count
+
+    df = spark.createDataFrame(
+        [("u", "view", dt.datetime(2025, 1, 1))],
+        "user_id string, event_type string, ts timestamp")
+    with pytest.raises(ValueError, match="split_over"):
+        funnel_count(df, ["view", "click"], within=60, split_over="Auto")
+    with pytest.raises(ValueError, match="split_over"):
+        funnel_count(df, ["view", "click"], within=60, split_over=-5)
