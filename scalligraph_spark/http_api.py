@@ -135,6 +135,7 @@ class QueryServer:
         # AccessLogFilter analog (AccessLogFilter.scala:16-36): called with
         # one record per request; every response also carries Request-Time
         self.access_log = access_log
+        self._request_ctx = threading.local()  # per-request user for the log
         # SessionAuthSrv for the login flow: POST /login authenticates
         # credentials through auth_srv and issues an HMAC session token;
         # Bearer headers then accept tokens OR api keys (the reference's
@@ -145,6 +146,17 @@ class QueryServer:
 
     # -- request handling --------------------------------------------------
     def _auth_from_headers(self, headers) -> dict | None:
+        auth = self._resolve_auth(headers)
+        if auth is not None:
+            # per-request thread-local (each request runs on its own
+            # daemon thread): the access-log record can report WHO made
+            # the request (AccessLogFilter.scala:14-43 logs the username
+            # alongside method/path/status/time) without re-running the
+            # authentication chain at log time
+            self._request_ctx.user = auth.get("user")
+        return auth
+
+    def _resolve_auth(self, headers) -> dict | None:
         if self.auth_srv is None:
             return None
         from scalligraph_spark.auth import AuthenticationError, NotSupportedError
@@ -370,18 +382,63 @@ class QueryServer:
             status, err = _error_body(e)
             return status, {}, json.dumps(err).encode()
 
-    def _run_health(self) -> tuple[int, dict[str, str], bytes]:
-        """``GET /health`` → store_report rows (metadata-only) when a store
-        is wired, else a bare liveness body."""
-        if self.store is None:
-            return 200, {}, json.dumps({"status": "ok"}).encode()
-        try:
-            from scalligraph_spark.qlang.renderers import render_rows
-            from scalligraph_spark.store import store_report
+    def _runtime_stats(self) -> dict:
+        """Process/runtime diagnostics (utils/ProcessStats.scala:8-31
+        exposes JVM memory + thread counts; the Spark analog adds the
+        statusTracker's executor view): JVM heap, per-executor cache
+        bytes + running tasks, active job/stage counts, and driver-side
+        Python memory/threads.  All metadata-only — no Spark jobs run —
+        so the endpoint stays cheap enough for a probe loop."""
+        import resource
+        import threading as _threading
 
-            spark = self.executor.catalog.spark
-            rows = render_rows(store_report(spark, self.store))
-            return 200, {}, json.dumps({"status": "ok", "labels": rows}, default=str).encode()
+        spark = self.executor.catalog.spark
+        sc = spark.sparkContext
+        out: dict = {}
+        try:
+            rt = spark._jvm.java.lang.Runtime.getRuntime()
+            mb = 1 << 20
+            out["jvm"] = {
+                "used_mb": int((rt.totalMemory() - rt.freeMemory()) / mb),
+                "total_mb": int(rt.totalMemory() / mb),
+                "max_mb": int(rt.maxMemory() / mb),
+            }
+        except Exception:
+            pass
+        try:
+            tracker = sc._jsc.sc().statusTracker()
+            out["executors"] = [
+                {
+                    "host": e.host(),
+                    "cache_bytes": int(e.cacheSize()),
+                    "running_tasks": int(e.numRunningTasks()),
+                }
+                for e in tracker.getExecutorInfos()
+            ]
+            out["active_jobs"] = len(tracker.getActiveJobIds())
+            out["active_stages"] = len(tracker.getActiveStageIds())
+        except Exception:
+            pass
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        out["python"] = {
+            "max_rss_mb": int(ru.ru_maxrss / 1024),  # Linux reports KiB
+            "threads": _threading.active_count(),
+        }
+        out["default_parallelism"] = int(sc.defaultParallelism)
+        return out
+
+    def _run_health(self) -> tuple[int, dict[str, str], bytes]:
+        """``GET /health`` → runtime diagnostics (always) plus
+        store_report rows (metadata-only) when a store is wired."""
+        try:
+            body = {"status": "ok", "runtime": self._runtime_stats()}
+            if self.store is not None:
+                from scalligraph_spark.qlang.renderers import render_rows
+                from scalligraph_spark.store import store_report
+
+                spark = self.executor.catalog.spark
+                body["labels"] = render_rows(store_report(spark, self.store))
+            return 200, {}, json.dumps(body, default=str).encode()
         except Exception as e:
             status, err = _error_body(e)
             return status, {}, json.dumps(err).encode()
@@ -392,7 +449,8 @@ class QueryServer:
         the fleet declared at construction.  Requires the ``admin``
         permission (the reference's admin/reindex routes are
         operator-only); clients choose only the policy knobs
-        (``compactOver``, ``onMutation``, ``vacuum``), never the labels.
+        (``compactOver``, ``onMutation``, ``vacuum``,
+        ``vacuumRetentionSeconds``), never the labels.
         Knobs are validated BEFORE the sweep: a typo'd policy must be a
         400, not an HTTP-200 sweep reporting every index failed (ADVICE
         r9).  ``vacuum`` defaults off — folded-label reclaim must be an
@@ -414,15 +472,25 @@ class QueryServer:
                 compact_over = int(payload.get("compactOver", 8))
             except (TypeError, ValueError):
                 compact_over = None
+            try:
+                retention = float(payload.get("vacuumRetentionSeconds", 0.0))
+            except (TypeError, ValueError):
+                retention = None
+            if isinstance(payload.get("vacuumRetentionSeconds"), bool):
+                retention = None  # bool is int-coercible but never a duration
             if (
                 on_mutation not in ("error", "reindex", "tombstone")
                 or compact_over is None
                 or not isinstance(vacuum, bool)
+                or retention is None
+                or retention < 0
+                or retention != retention  # NaN
             ):
                 return 400, {}, json.dumps({
                     "type": "BadRequest",
                     "message": "onMutation must be error|reindex|tombstone, "
-                               "compactOver an integer, vacuum a boolean",
+                               "compactOver an integer, vacuum a boolean, "
+                               "vacuumRetentionSeconds a number >= 0",
                 }).encode()
             from scalligraph_spark.operators import maintain_indexes
 
@@ -434,6 +502,7 @@ class QueryServer:
                 compact_over=compact_over,
                 on_mutation=on_mutation,
                 vacuum=vacuum,
+                vacuum_retention_seconds=retention,
             )
             return 200, {}, json.dumps({"reports": reports}, default=str).encode()
         except Exception as e:
@@ -485,8 +554,13 @@ class QueryServer:
                             "status": status,
                             "ms": int((time.monotonic() - t0) * 1000),
                             "bytes": n_bytes,
+                            # authenticated user_id, None for anonymous /
+                            # failed auth (the reference logs the login
+                            # name the same way)
+                            "user": getattr(server._request_ctx, "user", None),
                         }
                     )
+                server._request_ctx.user = None  # reset for keep-alive reuse
 
             def do_POST(self):
                 t0 = time.monotonic()

@@ -92,7 +92,12 @@ def _bloom_words(parent: DataFrame, parent_key: str, m_bits: int, k: int) -> Dat
     )
     # materialize ONCE: the probe is k separate joins against this table,
     # and each would otherwise recompute the whole build (k scans of the
-    # build side — the exact cost the bloom exists to avoid)
+    # build side — the exact cost the bloom exists to avoid).
+    # LIFETIME CONTRACT (caller-owned): the cache rides the returned plan
+    # and is keyed by its canonical form, so repeated identical builds
+    # share ONE bounded entry (m/64 rows, parent-key-derived); a
+    # long-lived session releases it with spark.catalog.clearCache()
+    # once probes finish.
     words = words.persist()
     words.count()
     return words

@@ -176,7 +176,14 @@ def minhash_lsh_pairs(
     # persist + eagerly materialize: the signature feeds both sides of the
     # banded self-join AND the estimate join-back — lazily-persisted plans
     # get computed once per scan inside the first job (the cache only
-    # helps after it is populated), so force it with a count first
+    # helps after it is populated), so force it with a count first.
+    # LIFETIME CONTRACT (caller-owned): the corpus-sized cache rides the
+    # returned plan (canonical-plan-keyed, so identical corpora share one
+    # entry; recompute-on-executor-loss via lineage — the right tradeoff
+    # for a corpus-scale table, unlike a lineage-cutting checkpoint); a
+    # long-lived session releases it with spark.catalog.clearCache() when
+    # the all-pairs job finishes.  The crawl-cadence probe path
+    # (dedup_index.incremental_near_dups) holds no cache at all.
     sigs = minhash_signature(docs, text_col, id_col, num_hashes).persist()
     sigs.count()
     # the banded relation carries ONLY (id, band, bh) — 3 narrow columns.

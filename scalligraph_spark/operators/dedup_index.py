@@ -235,10 +235,15 @@ def incremental_near_dups(
     if meta.get("kind") != "minhash_lsh":
         raise ValueError(f"label {name!r} is not a minhash index (meta={meta})")
     nh, bands = int(meta["num_hashes"]), int(meta["bands"])
+    # NO persist: the batch signature feeds the banded key side and the
+    # estimate join-back, so it computes twice inside the caller's one
+    # action — cost ∝ batch, paid twice.  Caching it would save the
+    # recompute but pin a CacheManager entry per probe call that nothing
+    # releases (crawl loops probe thousands of times per session — r10
+    # verdict finding #1); leak-free beats one saved batch-sized map job.
     bsigs = minhash_signature(
         batch, str(meta.get("text_col", "text")), str(meta.get("id_col", "doc_id")), nh
-    ).persist()
-    bsigs.count()
+    )
     bband = _banded(bsigs, nh, bands)
     cband = _read_bands(spark, store, name, meta)
     if max_bucket_rows is not None:

@@ -194,7 +194,9 @@ def _catchup(
     return dict(report, action="extended", churn=churn)
 
 
-def vacuum_index_segments(spark: SparkSession, store, name: str, kind: str) -> list[str]:
+def vacuum_index_segments(
+    spark: SparkSession, store, name: str, kind: str, retention_seconds: float = 0.0
+) -> list[str]:
     """Reclaim delta-segment labels a compaction has already folded into
     the base — the retention sweep that completes the segment lifecycle
     (extend → compact → vacuum).  ``kind`` ∈ ``value`` / ``text`` /
@@ -206,11 +208,37 @@ def vacuum_index_segments(spark: SparkSession, store, name: str, kind: str) -> l
     meta carrier no longer lists live has been folded into some base —
     reclaim it.  The carrier commits LAST in every compaction, so a torn
     compaction reclaims nothing early (its segments are still listed
-    live, and readers skip-but-keep them).  Like ``store.drop``/
-    ``vacuum``, must not run concurrently with extend writers or while
-    readers are pinned to PRE-compaction base versions (those still union
-    the old segments) — run it under the same retention policy as
-    ``store.vacuum``.  Returns the dropped label names."""
+    live, and readers skip-but-keep them).
+
+    ``retention_seconds`` makes the pinned-reader caveat structural
+    (Delta VACUUM's retention contract, the window the reference's
+    transactional maintenance never needs — JanusDatabase.scala:304-434
+    mutates indexes in place): a segment only becomes reclaimable once
+    the compaction that de-listed it is older than the window.  Every
+    de-listing compaction rewrites the family's BASE table(s) and a
+    later compaction only pushes that commit time forward, so the
+    newest base :meth:`~scalligraph_spark.store.LabelStore.commit_time`
+    across the family upper-bounds every victim's de-list time — a
+    reader that pinned a pre-compaction plan within the last
+    ``retention_seconds`` always still finds its segments.  0 (the
+    default) preserves immediate reclaim, which remains safe only under
+    the no-pinned-readers operator discipline.  Must still not run
+    concurrently with extend writers.  Returns the dropped label names."""
+    import time
+
+    if retention_seconds > 0:
+        base_labels = {
+            "value": [name],
+            "text": [name],
+            "ann": [f"{name}__cells"],
+            "minhash": [name, f"{name}__bands", f"{name}__bucket_stats"],
+        }.get(kind, [])
+        folded_at = max(
+            (store.commit_time(lbl) for lbl in base_labels if store.version(lbl) > 0),
+            default=0.0,
+        )
+        if time.time() - folded_at <= retention_seconds:
+            return []
     if kind in ("value", "text"):
         if kind == "value":
             from scalligraph_spark.operators.value_index import _index_meta
@@ -486,6 +514,7 @@ def maintain_indexes(
     *,
     compact_over: int = 8,
     vacuum: bool = False,
+    vacuum_retention_seconds: float = 0.0,
     on_mutation: str = "error",
 ) -> list[dict]:
     """One-call index fleet maintenance — the nightly-cron shape at
@@ -505,13 +534,23 @@ def maintain_indexes(
     labels in the same sweep as the compaction violates
     :func:`vacuum_index_segments`'s own retention caveat — readers pinned
     to PRE-compaction base versions still union the old segments.  Opt in
-    only when the sweep runs under the same retention policy as
-    ``store.vacuum`` (no pinned readers older than the compaction)."""
+    with ``vacuum_retention_seconds`` set to the fleet's longest query
+    lifetime: the sweep then only reclaims segments whose de-listing
+    compaction is older than the window (structurally safe — a sweep
+    that runs right after its own compaction reclaims nothing and the
+    NEXT sweep does, once the window has elapsed).  0 keeps the legacy
+    immediate reclaim, safe only under the no-pinned-readers operator
+    discipline."""
     if on_mutation not in ("error", "reindex", "tombstone"):
         # validate ONCE up front: a typo'd policy knob must be a loud
         # error, not a sweep that reports every index as 'failed'
         raise ValueError(
             f"on_mutation must be 'error', 'reindex' or 'tombstone', got {on_mutation!r}"
+        )
+    vacuum_retention_seconds = float(vacuum_retention_seconds)
+    if vacuum_retention_seconds < 0:
+        raise ValueError(
+            f"vacuum_retention_seconds must be >= 0, got {vacuum_retention_seconds!r}"
         )
     compact_over = int(compact_over)
     corpus_store = corpus_store if corpus_store is not None else store
@@ -574,6 +613,12 @@ def maintain_indexes(
         if rep["compacted"]:
             _compact(name, kind)
             rep["live_segments"] = 0
-        rep["vacuumed"] = vacuum_index_segments(spark, store, name, kind) if vacuum else []
+        rep["vacuumed"] = (
+            vacuum_index_segments(
+                spark, store, name, kind, retention_seconds=vacuum_retention_seconds
+            )
+            if vacuum
+            else []
+        )
         reports.append(rep)
     return reports

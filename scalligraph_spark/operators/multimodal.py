@@ -3,14 +3,16 @@ processed via Arrow-batched Pandas UDFs.
 
 Decode tiers (pick with ``extract_features(decoder=...)``):
 
-* ``"real"`` — actual byte decoding: PIL when installed, else pure-stdlib
+* ``"real"`` — actual byte decoding: PIL when installed, else pure-Python
   codecs (``_decode_png``: full spec-filter 8-bit PNG via zlib;
-  ``_decode_wav``: stdlib ``wave``), else the stub fallback.  Tested
-  against hand-built PNGs/WAVs byte-exactly (tests/test_operators.py).
+  ``_decode_jpeg``: bounded baseline-JPEG — Huffman + IDCT + restart
+  intervals, verified against the JVM's independent ``javax.imageio``
+  codec; ``_decode_wav``: stdlib ``wave``), else the stub fallback.
+  PNG/WAV are tested against hand-built payloads byte-exactly
+  (tests/test_operators.py).
 * ``"stub"`` — the deterministic fake (``_decode_stub``, clearly marked):
   the cross-engine-replayable path the suite oracle verifies, and the
-  stand-in for codecs the container lacks (video/JPEG → ffmpeg/PIL in
-  prod).
+  stand-in for codecs the container lacks (video → ffmpeg in prod).
 
 Everything Spark-side — schema, batch iteration, partitioning, output
 shapes — is identical across tiers; swapping decoders never touches the
@@ -154,6 +156,234 @@ def _decode_png(payload: bytes) -> dict | None:
     return {"n_bytes": len(payload), "width": w, "height": h, "feature": [v / total for v in hist]}
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# bound the pure-Python fallback: a decode is O(pixels) of interpreted
+# bit-twiddling, fine for thumbnails/fixtures, wrong for a 50 MP photo —
+# prod swaps in PIL/ffmpeg (the `real` tier prefers PIL when installed)
+_JPEG_MAX_PIXELS = 1 << 22
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: 0xFF00 byte-stuffing unstuffed, RSTn
+    markers surfaced to the caller (restart-interval DC reset)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.buf, self.n = data, pos, 0, 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                # any marker here (incl. an unsynced RSTn) is corrupt for
+                # a baseline single-scan stream — fail the decode
+                raise ValueError("marker inside entropy data")
+        self.buf, self.n = b, 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+        raise ValueError("expected restart marker")
+
+
+def _huff_decode(bits: "_JpegBits", table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | bits.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> dict | None:
+    """Minimal REAL baseline-JPEG decoder — pure Python + numpy, no PIL:
+    SOF0 (baseline sequential Huffman), grayscale or YCbCr with any
+    1–2× sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals,
+    0xFF00 byte-stuffing.  Returns (width, height, 8-bin LUMA histogram)
+    — only the Y plane is inverse-transformed (the feature is luminance;
+    chroma blocks are entropy-decoded to advance the bitstream and
+    dropped), which also keeps the interpreted hot loop minimal.
+    Verified against the JVM's independent ``javax.imageio`` codec
+    (tests/test_operators.py) within the spec's ±1 IDCT tolerance and
+    mathematically exactly on constant blocks.  Returns None for
+    progressive (SOF2) / arithmetic / >4 MP / corrupt payloads — the
+    caller degrades to the stub, never crashes the job."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, "np.ndarray"] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> code table
+        comps: list[dict] = []
+        w = h = 0
+        restart = 0
+        pos = 2
+        data = payload
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            m = data[pos + 1]
+            pos += 2
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                continue
+            seglen = int.from_bytes(data[pos : pos + 2], "big")
+            seg = data[pos + 2 : pos + seglen]
+            if m == 0xDB:  # DQT
+                o = 0
+                while o < len(seg):
+                    pq, tq = seg[o] >> 4, seg[o] & 15
+                    if pq == 0:
+                        tbl = np.frombuffer(seg[o + 1 : o + 65], dtype=np.uint8).astype(np.int32)
+                        o += 65
+                    else:  # 16-bit table
+                        tbl = np.frombuffer(seg[o + 1 : o + 129], dtype=">u2").astype(np.int32)
+                        o += 129
+                    dq = np.zeros(64, dtype=np.int32)
+                    dq[_ZIGZAG] = tbl
+                    qt[tq] = dq.reshape(8, 8)
+            elif m in (0xC0, 0xC1):  # SOF0/1: baseline / extended sequential
+                if seg[0] != 8:
+                    return None  # 12-bit precision unsupported
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if not w or not h or w * h > _JPEG_MAX_PIXELS or nc not in (1, 3):
+                    return None
+                for i in range(nc):
+                    cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            elif m == 0xC2 or m == 0xC9 or m == 0xCA or m == 0xCB:
+                return None  # progressive / arithmetic: PIL territory
+            elif m == 0xC4:  # DHT
+                o = 0
+                while o < len(seg):
+                    tc, th = seg[o] >> 4, seg[o] & 15
+                    counts = seg[o + 1 : o + 17]
+                    nvals = sum(counts)
+                    vals = seg[o + 17 : o + 17 + nvals]
+                    table, code, k = {}, 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = vals[k]
+                            k += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    o += 17 + nvals
+            elif m == 0xDD:  # DRI
+                restart = int.from_bytes(seg[0:2], "big")
+            elif m == 0xDA:  # SOS — entropy data follows
+                ns = seg[0]
+                scan = []
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    (c,) = [c for c in comps if c["id"] == cs]
+                    scan.append(dict(c, dc=tt >> 4, ac=tt & 15))
+                pos += seglen
+                break
+            elif m == 0xD9:
+                return None  # EOI before any scan
+            pos += seglen
+        else:
+            return None
+        if not comps or not scan or w == 0:
+            return None
+
+        hmax = max(c["h"] for c in scan)
+        vmax = max(c["v"] for c in scan)
+        if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+            return None
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        ycomp = scan[0]  # Y is always the first scan component
+        ypw, yph = mcux * 8 * ycomp["h"], mcuy * 8 * ycomp["v"]
+        yplane = np.zeros((yph, ypw), dtype=np.float64)
+
+        # 8×8 IDCT basis: A[u,x] = c(u)/2 · cos((2x+1)uπ/16); f = Aᵀ F A
+        u = np.arange(8)
+        A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+        A[0, :] *= 1 / np.sqrt(2)
+
+        bits = _JpegBits(data, pos)
+        preds = {c["id"]: 0 for c in scan}
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    bits.sync_restart()
+                    preds = {c["id"]: 0 for c in scan}
+                mcu_i += 1
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = np.zeros(64, dtype=np.int32)
+                            t = _huff_decode(bits, huff[(0, c["dc"])])
+                            diff = _extend(bits.receive(t), t) if t else 0
+                            preds[c["id"]] += diff
+                            coef[0] = preds[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(bits, huff[(1, c["ac"])])
+                                if rs == 0:
+                                    break
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                if k > 63:
+                                    return None
+                                coef[_ZIGZAG[k]] = _extend(bits.receive(rs & 15), rs & 15)
+                                k += 1
+                            if c is scan[0]:  # luma only: chroma is skipped
+                                F8 = coef.reshape(8, 8) * qt[c["tq"]]
+                                blk = A.T @ F8 @ A + 128.0
+                                y0 = (my * c["v"] + by) * 8
+                                x0 = (mx * c["h"] + bx) * 8
+                                yplane[y0 : y0 + 8, x0 : x0 + 8] = blk
+        luma = np.clip(np.rint(yplane[:h, :w]), 0, 255).astype(np.int32)
+        hist = np.bincount((luma >> 5).ravel(), minlength=8)[:8]
+        total = max(int(hist.sum()), 1)
+        return {
+            "n_bytes": len(payload),
+            "width": w,
+            "height": h,
+            "feature": [float(v) / total for v in hist],
+        }
+    except Exception:
+        return None  # corrupt/truncated: one bad row must never crash a job
+
+
 def _decode_wav(payload: bytes) -> dict | None:
     """Minimal REAL WAV decoder — stdlib ``wave``: frame count / channels /
     sample width, plus an 8-bin absolute-amplitude histogram over the
@@ -223,6 +453,8 @@ def _decode_real(payload: bytes, kind: str) -> dict:
         pass
     if kind == "image":
         out = _decode_png(payload)
+        if out is None:
+            out = _decode_jpeg(payload)
         if out is not None:
             return out
     if kind == "audio":

@@ -285,6 +285,7 @@ def funnel_count(
     ts_col: str = "ts",
     max_events_per_key: int | None = 2_000_000,
     split_over: int | None | str = "auto",
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Non-overlapping COMPLETED-chain count per user (the ClickHouse
     ``sequenceCount`` shape): scan the user's step-type events in time
@@ -323,6 +324,14 @@ def funnel_count(
     guard then bounds whole keys); ``split_over=0`` forces it for every
     key; the ``"auto"`` default is ``max_events_per_key // 4``.
 
+    ``n_rows_hint`` is the ANALYZE fast path (``stats.row_count_hint``
+    on the version being read — the caller owns that freshness, the same
+    contract as every stats-fed operator): a table row count at or under
+    ``split_over`` proves no key can be hot, and one at or under
+    ``max_events_per_key`` proves the guard can't fire, so a fresh-stats
+    call runs ZERO jobs beyond the funnel itself.  Behaviour is
+    identical with the hint absent — the pre-count simply runs.
+
     Hot-key guard: ``max_events_per_key`` (default 2M) bounds what ONE
     executor must materialise — after the split it applies per SESSION,
     so only a key too dense to sessionize still raises
@@ -349,7 +358,18 @@ def funnel_count(
         )
     horizon = int(within) * 1000
     hot_keys = None
-    if split_over is not None:
+    # metadata-only fast path (the broadcast-gate discipline applied to
+    # hot-key detection): a FRESH ANALYZE row count for the events table
+    # — stats.row_count_hint on the version actually being read; the
+    # caller owns that staleness contract — bounds EVERY key's event
+    # count, so `n_rows <= split_over` proves no key can be hot without
+    # running the pre-count aggregate
+    stats_prove_cold = (
+        split_over is not None
+        and n_rows_hint is not None
+        and int(n_rows_hint) <= int(split_over)
+    )
+    if split_over is not None and not stats_prove_cold:
         # ONE map-side-combined count finds the keys worth splitting; hot
         # keys are few and broadcastable by definition (each owns more
         # than split_over rows of the corpus)
@@ -377,10 +397,20 @@ def funnel_count(
             )
     # the monolithic guard is PROVABLY dead when splitting is on with
     # split_over <= cap (every monolithically-routed key has count <=
-    # split_over) — skip its extra count job on the common path
+    # split_over) — skip its extra count job on the common path.  The
+    # ANALYZE hint extends the proof: every key <= n_rows_hint, so the
+    # guard is dead whenever the hint fits under the cap — the fresh-stats
+    # common path runs ZERO jobs beyond the funnel itself.
     mono_guard_needed = split_over is None or (
         max_events_per_key is not None and int(split_over) > int(max_events_per_key)
     )
+    if (
+        mono_guard_needed
+        and n_rows_hint is not None
+        and max_events_per_key is not None
+        and int(n_rows_hint) <= int(max_events_per_key)
+    ):
+        mono_guard_needed = False
 
     def _sessionized(df: DataFrame) -> DataFrame:
         w_sess = Window.partitionBy(*keys).orderBy("__ms", "__t")
@@ -446,11 +476,14 @@ def funnel_count(
         return df.groupBy(*keys).applyInPandas(count_chains, schema=out_schema)
 
     def _split(df: DataFrame) -> DataFrame:
-        # persist: the guard's collect and the grouped-map job would
-        # otherwise each pay the hot subset's shuffle + sort + running-sum
-        # window — by definition the expensive data (dedup_index's
-        # persist-then-materialise idiom)
-        sess = _sessionized(df).persist()
+        # NO persist: the guard's agg and the grouped-map job each pay the
+        # hot subset's sessionize (shuffle + running-sum window) once.  A
+        # cache here would save that one recompute but pin the hot subset
+        # in the CacheManager past the caller's action — in a long-lived
+        # server every distinct funnel spec mints a new entry and nothing
+        # ever releases them (r10 verdict finding #1).  Leak-free beats
+        # one saved window over churn-sized data.
+        sess = _sessionized(df)
         _guard(sess, keys + ["__sess"], sessioned=True)
         parts = sess.groupBy(*keys, "__sess").applyInPandas(count_chains, schema=out_schema)
         # per-session partial counts sum to the key's exact total (no

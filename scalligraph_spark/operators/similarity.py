@@ -436,6 +436,9 @@ def ivf_ann_topk(
         top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(top))
 
+    # LIFETIME CONTRACT (caller-owned): narrow (id, cells) cache rides the
+    # returned plan — canonical-plan-keyed (identical inputs share one
+    # entry); release with spark.catalog.clearCache() in long sessions
     cells = embeddings.select(F.col(id_col).alias("id"), probe_cells(F.col(vec_col)).alias("cells")).persist()
     cells.count()
     # each vector lists in its n_list nearest cells (multi-assignment)
@@ -498,7 +501,10 @@ def lsh_ann_topk(
     scored = _exact_rerank(pairs, embeddings, id_col, vec_col)
     # persist + eager count: both union branches read the scored pairs —
     # a lazy persist would compute the whole candidate pipeline once per
-    # branch inside the same job before the cache populates
+    # branch inside the same job before the cache populates.
+    # LIFETIME CONTRACT (caller-owned): pair-volume-sized cache rides the
+    # returned plan (canonical-plan-keyed — repeated identical calls share
+    # one entry); release with spark.catalog.clearCache() in long sessions
     scored = scored.persist()
     scored.count()
     both = scored.unionByName(

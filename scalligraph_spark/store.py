@@ -231,11 +231,16 @@ class LabelStore:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(staging)
-            if meta is not None:
-                # meta lands in staging so the rename publishes data+meta
-                # as one atomic unit
-                with open(os.path.join(staging, "_commit.json"), "w") as f:
-                    json.dump(meta, f)
+            # meta lands in staging so the rename publishes data+meta as
+            # one atomic unit.  Every commit carries a wall-clock stamp
+            # (reserved key, stripped by commit_meta) — the clock that
+            # makes vacuum's retention window structural (Delta VACUUM's
+            # "removed from state longer than N" contract needs to know
+            # WHEN a version was superseded, not just that it was).
+            import time as _time
+
+            with open(os.path.join(staging, "_commit.json"), "w") as f:
+                json.dump(dict(meta or {}, _committed_at=_time.time()), f)
             while True:
                 try:
                     os.rename(staging, self.path(label, new_v))
@@ -262,12 +267,37 @@ class LabelStore:
     def commit_meta(self, label: str, version: int | None = None) -> dict:
         """Commit metadata recorded by ``write(..., meta=...)`` for a
         version ({} when none was recorded) — e.g. the streaming sink's
-        batch id for replay idempotence."""
+        batch id for replay idempotence.  Reserved bookkeeping keys
+        (``_committed_at``) are stripped: callers that round-trip meta
+        through ``dict(commit_meta(...), k=v)`` must not carry a stale
+        stamp forward (write re-stamps every commit)."""
         p = os.path.join(self.path(label, version), "_commit.json")
         if not os.path.exists(p):
             return {}
         with open(p) as f:
-            return json.load(f)
+            m = json.load(f)
+        m.pop("_committed_at", None)
+        return m
+
+    def commit_time(self, label: str, version: int | None = None) -> float:
+        """Wall-clock commit time of a version (epoch seconds) — the
+        clock behind retention-windowed vacuum.  Reads the stamp write
+        records in ``_commit.json``; legacy commits (pre-stamp) fall back
+        to the ``_SUCCESS`` marker's mtime, then the version directory's
+        (rename-publish preserves the dir inode's mtime, so both are
+        write-time-accurate).  Returns 0.0 for a version that doesn't
+        exist — callers treat that as 'infinitely old'."""
+        d = self.path(label, version)
+        p = os.path.join(d, "_commit.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                ts = json.load(f).get("_committed_at")
+            if ts is not None:
+                return float(ts)
+        for marker in (os.path.join(d, "_SUCCESS"), d):
+            if os.path.exists(marker):
+                return os.path.getmtime(marker)
+        return 0.0
 
     def read(self, spark: SparkSession, label: str, version: int | None = None) -> DataFrame:
         """Snapshot read — pinned to the pointed-at (or requested) version;
@@ -409,12 +439,28 @@ class LabelStore:
             )
         return v
 
-    def vacuum_mor(self, label: str) -> list[int]:
+    def vacuum_mor(self, label: str, retention_seconds: float = 0.0) -> list[int]:
         """Drop delta labels below the current ``delta_start`` — slots a
         compaction already folded into the base; no live reader resolves
         them (read_merged never probes below delta_start).  Returns the
-        reclaimed slot numbers.  Outstanding slots are never touched."""
+        reclaimed slot numbers.  Outstanding slots are never touched.
+
+        ``retention_seconds`` guards readers pinned to PRE-compaction
+        plans (they still union the folded deltas): the folding
+        compaction's :meth:`commit_time` — it rewrites the ``__mor``
+        carrier last — must be older than the window before anything
+        reclaims.  Conservative for slots folded by EARLIER compactions
+        (the latest carrier commit upper-bounds every fold time), which
+        only delays reclaim, never endangers a reader."""
+        import time
+
         mor = f"{label}__mor"
+        if (
+            retention_seconds > 0
+            and self.version(mor) > 0
+            and time.time() - self.commit_time(mor) <= retention_seconds
+        ):
+            return []
         m = self.commit_meta(mor) if self.version(mor) > 0 else {}
         start = int(m.get("delta_start", 1))
         victims = []
@@ -503,7 +549,13 @@ class LabelStore:
             n_files = max(1, self.stats(label, v)[0])
         return self.write(label, self.read(spark, label, v), zorder_by=(n_files, zorder_by))
 
-    def vacuum(self, label: str, keep: int = 2, staging_ttl_seconds: float = 3600.0) -> list[int]:
+    def vacuum(
+        self,
+        label: str,
+        keep: int = 2,
+        staging_ttl_seconds: float = 3600.0,
+        retention_seconds: float = 0.0,
+    ) -> list[int]:
         """Drop all but the newest ``keep`` COMMITTED versions (never the
         current), plus aborted commit claims — v-dirs above the pointer
         with no ``_SUCCESS`` marker (impossible under rename-publish, but
@@ -518,7 +570,17 @@ class LabelStore:
         above-pointer claims must not occupy keep slots, else real
         history gets reclaimed beyond the intended depth (e.g. history
         [1..5], pointer 3, 4-5 aborted, keep=2 must keep v2+v3, not
-        delete v2).  Returns the versions removed."""
+        delete v2).  Returns the versions removed.
+
+        ``retention_seconds`` is Delta VACUUM's retention contract made
+        structural: a committed version is reclaimable only once it has
+        been SUPERSEDED (the next committed version's :meth:`commit_time`)
+        for longer than the window, so any reader that pinned a snapshot
+        within the last ``retention_seconds`` survives the sweep by
+        construction — not by operator discipline.  0 (the default)
+        preserves the legacy immediate-reclaim behaviour.  Aborted
+        claims are exempt: no reader can ever pin one (they were never
+        publishable), so they reclaim regardless of retention."""
         import shutil
         import time
 
@@ -530,6 +592,14 @@ class LabelStore:
         history = self.history(label)
         committed = [v for v in history if _committed(v)]
         victims = [v for v in committed[:-keep] if v != current]
+        if retention_seconds > 0:
+            now = time.time()
+
+            def _superseded_long_enough(v: int) -> bool:
+                nxt = next((w for w in committed if w > v), None)
+                return nxt is not None and now - self.commit_time(label, nxt) > retention_seconds
+
+            victims = [v for v in victims if _superseded_long_enough(v)]
         victims += [v for v in history if v > current and not _committed(v)]
         for v in victims:
             shutil.rmtree(self.path(label, v), ignore_errors=True)

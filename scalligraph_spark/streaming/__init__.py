@@ -384,18 +384,20 @@ def start_dedup_sink(
             id_col=id_col,
             corpus_hashes=corpus_hashes,
         ).persist()
-        new_keys = classified.where(F.col("status") == "new").select(id_col, "h")
-        if not label_done:
-            batch_new = batch_df.join(new_keys.select(id_col), id_col, "left_semi")
-            merged = (
-                store.read(spark, label, cur_v).unionByName(batch_new) if cur_v > 0 else batch_new
-            )
-            store.write(label, merged, meta={"batch_id": batch_id})
-        if not hashes_done:
-            new_h = new_keys.select("h").distinct()
-            merged_h = corpus_hashes.unionByName(new_h) if hv > 0 else new_h
-            store.write(hashes_label, merged_h, meta={"batch_id": batch_id})
-        classified.unpersist()
+        try:  # finally: a failed commit must not strand the batch cache
+            new_keys = classified.where(F.col("status") == "new").select(id_col, "h")
+            if not label_done:
+                batch_new = batch_df.join(new_keys.select(id_col), id_col, "left_semi")
+                merged = (
+                    store.read(spark, label, cur_v).unionByName(batch_new) if cur_v > 0 else batch_new
+                )
+                store.write(label, merged, meta={"batch_id": batch_id})
+            if not hashes_done:
+                new_h = new_keys.select("h").distinct()
+                merged_h = corpus_hashes.unionByName(new_h) if hv > 0 else new_h
+                store.write(hashes_label, merged_h, meta={"batch_id": batch_id})
+        finally:
+            classified.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(_commit)
@@ -470,28 +472,30 @@ def start_neardup_sink(
             .distinct()
         )
         survivors = batch.join(intra, id_col, "left_anti").persist()
-        survivors.count()
-        if not corpus_done:
-            merged = (
-                store.read(spark, corpus_label, cur_v).unionByName(survivors)
-                if cur_v > 0
-                else survivors
-            )
-            store.write(corpus_label, merged, meta={"batch_id": batch_id})
-        if not index_done:
-            if have_index:
-                extend_minhash_index(
-                    spark, store, index_name, survivors,
-                    corpus_store=store, extra_meta={"batch_id": batch_id},
+        try:  # finally: a failed commit must not strand the batch cache
+            survivors.count()
+            if not corpus_done:
+                merged = (
+                    store.read(spark, corpus_label, cur_v).unionByName(survivors)
+                    if cur_v > 0
+                    else survivors
                 )
-            else:
-                build_minhash_index(
-                    spark, store, index_name, survivors,
-                    text_col=text_col, id_col=id_col,
-                    corpus_store=store, corpus_label=corpus_label,
-                    extra_meta={"batch_id": batch_id},
-                )
-        survivors.unpersist()
+                store.write(corpus_label, merged, meta={"batch_id": batch_id})
+            if not index_done:
+                if have_index:
+                    extend_minhash_index(
+                        spark, store, index_name, survivors,
+                        corpus_store=store, extra_meta={"batch_id": batch_id},
+                    )
+                else:
+                    build_minhash_index(
+                        spark, store, index_name, survivors,
+                        text_col=text_col, id_col=id_col,
+                        corpus_store=store, corpus_label=corpus_label,
+                        extra_meta={"batch_id": batch_id},
+                    )
+        finally:
+            survivors.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(_commit)

@@ -157,6 +157,45 @@ def test_bearer_auth_and_permission_gate(spark):
         assert status == 200 and rows[0]["count"] == 150
 
 
+def test_access_log_records_authenticated_user(spark):
+    """The access-log record carries the authenticated user_id
+    (AccessLogFilter.scala:14-43 logs the login name alongside
+    method/path/status/time); failed auth logs user=None and a fresh
+    request on the same keep-alive connection never inherits the
+    previous request's identity."""
+    from scalligraph_spark.auth import KeyAuthSrv
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    users = spark.createDataFrame(
+        [("u1", "alice", "k-alice", "acme", ["read:customer"])],
+        "user_id string, user_name string, api_key string, organisation string, permissions array<string>",
+    )
+    records = []
+    srv_obj = QueryServer(
+        executor_for(spark, SF_DIR), auth_srv=KeyAuthSrv(users), access_log=records.append
+    )
+    with srv_obj.serve() as srv:
+        chain = [{"_name": "all_customer"}, {"_name": "count"}]
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        body = json.dumps({"query": chain}).encode()
+        conn.request("POST", "/api/v1/query", body=body,
+                     headers={"Authorization": "Bearer k-alice",
+                              "Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read())[0]["count"] == 150
+        # same keep-alive connection (same handler thread), now anonymous
+        conn.request("POST", "/api/v1/query", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 401
+        r.read()
+        conn.close()
+    assert [(rec["status"], rec["user"]) for rec in records] == [(200, "u1"), (401, None)]
+
+
 def test_streamed_chunked_response_and_access_log(spark):
     """Transport completion: chunkSize streams the result as a chunked
     JSON array (toLocalIterator-backed — the IteratorOutput analog) with
@@ -197,6 +236,7 @@ def test_streamed_chunked_response_and_access_log(spark):
     assert [r["status"] for r in records] == [200, 400]
     assert records[0]["method"] == "POST" and records[0]["path"] == "/api/v1/query"
     assert records[0]["bytes"] > 0 and records[0]["ms"] >= 0
+    assert all(r["user"] is None for r in records), "anonymous requests log user=None"
 
 
 def test_login_flow_issues_session_token_that_authorizes_queries(spark):
@@ -405,8 +445,16 @@ def test_schema_endpoint(server):
 
 
 def test_health_endpoint_without_store(server):
+    """Liveness + runtime diagnostics (ProcessStats.scala:8-31 analog):
+    JVM memory, executor cache/task view from the statusTracker, and
+    driver Python memory/threads — all metadata-only."""
     status, out = _get(server.port, "/api/v1/health")
-    assert status == 200 and out == {"status": "ok"}
+    assert status == 200 and out["status"] == "ok" and "labels" not in out
+    rt = out["runtime"]
+    assert rt["jvm"]["max_mb"] > 0 and rt["jvm"]["used_mb"] >= 0
+    assert rt["python"]["threads"] >= 1 and rt["python"]["max_rss_mb"] > 0
+    assert rt["default_parallelism"] >= 1
+    assert isinstance(rt["executors"], list) and rt["active_jobs"] >= 0
 
 
 def test_health_endpoint_with_store(spark, tmp_path):
@@ -421,6 +469,7 @@ def test_health_endpoint_with_store(spark, tmp_path):
     assert status == 200 and out["status"] == "ok"
     (row,) = [r for r in out["labels"] if r["label"] == "things"]
     assert row["version"] == 1
+    assert out["runtime"]["jvm"]["max_mb"] > 0  # runtime section rides along
 
 
 def test_basic_auth_transport(spark):

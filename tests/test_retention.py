@@ -1,0 +1,245 @@
+"""Retention-windowed vacuum: reclaim is gated on WALL-CLOCK age of the
+superseding commit (Delta VACUUM's contract), so a reader pinned to a
+pre-compaction snapshot within the window survives every sweep by
+construction — not by operator discipline.  Covers the version store,
+merge-on-read deltas, and all four persisted index families.
+
+Reference: the transactional index maintenance this replaces mutates in
+place and never needs the window (JanusDatabase.scala:304-434); the
+batch analog's immutable-segment lifecycle does."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from scalligraph_spark.cdf import write_with_cdf
+from scalligraph_spark.operators import (
+    build_minhash_index,
+    build_text_index,
+    build_value_index,
+    compact_minhash_index,
+    compact_text_index,
+    compact_value_index,
+    extend_minhash_index,
+    extend_text_index,
+    extend_value_index,
+    incremental_near_dups,
+    indexed_bm25_topk,
+    load_text_index,
+    load_value_index,
+    maintain_indexes,
+    vacuum_index_segments,
+)
+from scalligraph_spark.store import LabelStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return LabelStore(str(tmp_path / "ret"))
+
+
+def _people(spark, rows):
+    return spark.createDataFrame(rows, "uid long, uname string, score int")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _age(store, label, seconds, version=None):
+    """Rewrite a commit's wall-clock stamp ``seconds`` into the past —
+    the test-side clock for retention sweeps (never monkeypatch
+    time.time itself: Spark's own internals use it)."""
+    p = os.path.join(store.path(label, version), "_commit.json")
+    with open(p) as f:
+        m = json.load(f)
+    m["_committed_at"] = time.time() - seconds
+    with open(p, "w") as f:
+        json.dump(m, f)
+
+
+# --- commit_time plumbing ------------------------------------------------------
+
+
+def test_commit_time_stamped_stripped_and_legacy_fallback(spark, store):
+    t0 = time.time()
+    store.write("t", spark.range(3), meta={"batch_id": 7})
+    assert store.commit_meta("t") == {"batch_id": 7}, "stamp must stay out of user meta"
+    assert t0 - 1 <= store.commit_time("t") <= time.time() + 1
+    # meta=None commits are stamped too
+    store.write("t", spark.range(4))
+    assert store.commit_meta("t") == {}
+    assert store.commit_time("t", 2) >= t0 - 1
+    # legacy (pre-stamp) commit: no _commit.json → _SUCCESS mtime fallback
+    os.remove(os.path.join(store.path("t", 1), "_commit.json"))
+    assert store.commit_time("t", 1) > 0
+    assert store.commit_time("never_written") == 0.0
+
+
+def test_store_vacuum_retention_window(spark, store):
+    for n in (1, 2, 3):
+        store.write("t", spark.range(n))
+    pinned = store.read(spark, "t", 1)
+
+    # all supersessions are seconds old: nothing inside the window reclaims
+    assert store.vacuum("t", keep=1, retention_seconds=3600) == []
+    assert pinned.count() == 1, "pinned reader inside the window must survive"
+
+    # age the superseding commits past the window → v1+v2 reclaim (keep=1)
+    _age(store, "t", 7200, version=2)
+    _age(store, "t", 7200, version=3)
+    assert store.vacuum("t", keep=1, retention_seconds=3600) == [1, 2]
+    assert store.version("t") == 3 and store.read(spark, "t").count() == 3
+
+
+def test_store_vacuum_retention_exempts_aborted_claims(spark, store):
+    store.write("t", spark.range(1))
+    # simulated crashed CAS claim above the pointer: no _SUCCESS, no reader
+    # can ever pin it — reclaim regardless of retention
+    os.makedirs(store.path("t", 2))
+    assert store.vacuum("t", keep=2, retention_seconds=10**9) == [2]
+
+
+def test_vacuum_mor_retention(spark, store):
+    store.write("t", _people(spark, [(0, "alice", 10), (1, "bob", 20)]))
+    ch = spark.createDataFrame(
+        [(2, "carol", 30, "upsert")], "uid long, uname string, score int, _op string"
+    )
+    store.write_delta(spark, "t", ch, ["uid"])
+    store.compact_mor(spark, "t")
+    assert store.vacuum_mor("t", retention_seconds=3600) == []
+    assert store.version("t__delta1") > 0
+    _age(store, "t__mor", 7200)
+    assert store.vacuum_mor("t", retention_seconds=3600) == [1]
+
+
+# --- index families: pinned pre-compaction reader survives the window ----------
+
+
+def _age_family(store, name, kind, seconds):
+    bases = {
+        "value": [name],
+        "text": [name],
+        "ann": [f"{name}__cells"],
+        "minhash": [name, f"{name}__bands", f"{name}__bucket_stats"],
+    }[kind]
+    for lbl in bases:
+        if store.version(lbl) > 0:
+            _age(store, lbl, seconds)
+
+
+def test_value_index_retention_pinned_reader_survives(spark, store):
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20)])
+    store.write("people", base)
+    build_value_index(spark, store, "by_name", base, "uname", "uid")
+    extend_value_index(spark, store, "by_name", _people(spark, [(2, "carol", 30)]))
+    pinned = load_value_index(spark, store, "by_name").entries  # unions base + seg1
+    want = sorted(tuple(r) for r in pinned.collect())
+    compact_value_index(spark, store, "by_name")
+
+    assert vacuum_index_segments(spark, store, "by_name", "value", retention_seconds=3600) == []
+    assert store.version("by_name__seg1") > 0
+    assert sorted(tuple(r) for r in pinned.collect()) == want, "pinned plan must still answer"
+
+    _age_family(store, "by_name", "value", 7200)
+    assert vacuum_index_segments(
+        spark, store, "by_name", "value", retention_seconds=3600
+    ) == ["by_name__seg1"]
+    got = sorted(tuple(r) for r in load_value_index(spark, store, "by_name").entries.collect())
+    assert got == want
+
+
+def test_text_index_retention(spark, store):
+    docs = _docs(spark, [(1, "quick brown fox"), (2, "lazy dog")])
+    store.write("docs", docs)
+    build_text_index(store, "tix", docs)
+    extend_text_index(spark, store, "tix", _docs(spark, [(3, "spark spark spark")]))
+    compact_text_index(spark, store, "tix")
+    want = sorted(tuple(r) for r in indexed_bm25_topk(load_text_index(spark, store, "tix"), ["spark"]).collect())
+
+    assert vacuum_index_segments(spark, store, "tix", "text", retention_seconds=3600) == []
+    assert store.version("tix__seg1") > 0
+    _age_family(store, "tix", "text", 7200)
+    assert vacuum_index_segments(spark, store, "tix", "text", retention_seconds=3600) == ["tix__seg1"]
+    got = sorted(tuple(r) for r in indexed_bm25_topk(load_text_index(spark, store, "tix"), ["spark"]).collect())
+    assert got == want
+
+
+def test_minhash_index_retention(spark, store):
+    docs = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog again"),
+                         (2, "different words entirely here")])
+    store.write("docs", docs)
+    build_minhash_index(spark, store, "mix", docs)
+    extend_minhash_index(spark, store, "mix", _docs(spark, [(3, "totally fresh sentence about segments")]))
+    compact_minhash_index(spark, store, "mix")
+    probe = _docs(spark, [(300, "totally fresh sentence about a segment")])
+    want = sorted(tuple(r) for r in incremental_near_dups(spark, store, "mix", probe, threshold=0.4).collect())
+
+    assert vacuum_index_segments(spark, store, "mix", "minhash", retention_seconds=3600) == []
+    assert store.version("mix__seg1") > 0
+    _age_family(store, "mix", "minhash", 7200)
+    victims = vacuum_index_segments(spark, store, "mix", "minhash", retention_seconds=3600)
+    assert set(victims) == {"mix__seg1", "mix__bands_seg1", "mix__bucket_stats_seg1"}
+    got = sorted(tuple(r) for r in incremental_near_dups(spark, store, "mix", probe, threshold=0.4).collect())
+    assert got == want
+
+
+def test_ann_index_retention(spark, store):
+    import numpy as np
+
+    from scalligraph_spark.operators import build_ivf_index, ivf_search
+    from scalligraph_spark.operators.ann_index import compact_ann_cells, extend_ann_cells
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(dim)]) for i in range(64)],
+        "vec_id long, embedding array<double>")
+    store.write("emb", base)
+    build_ivf_index(store, "aix", base, n_centroids=4, store_cells=True, cells_n_list=2)
+    more = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.randn(dim)]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    extend_ann_cells(spark, store, "aix", more)
+    compact_ann_cells(spark, store, "aix")
+    q = np.asarray(base.where("vec_id = 5").first()["embedding"], dtype=np.float64)
+    want = [r["vec_id"] for r in ivf_search(spark, store, "aix", q, k=4, n_probe=4).collect()]
+
+    assert vacuum_index_segments(spark, store, "aix", "ann", retention_seconds=3600) == []
+    assert store.version("aix__cells_seg1") > 0
+    _age_family(store, "aix", "ann", 7200)
+    assert vacuum_index_segments(
+        spark, store, "aix", "ann", retention_seconds=3600
+    ) == ["aix__cells_seg1"]
+    got = [r["vec_id"] for r in ivf_search(spark, store, "aix", q, k=4, n_probe=4).collect()]
+    assert got == want
+
+
+# --- fleet + transport threading ------------------------------------------------
+
+
+def test_maintain_indexes_threads_retention(spark, store):
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20)])
+    write_with_cdf(store, "people", base, ["uid"])
+    build_value_index(spark, store, "by_name", store.read(spark, "people"),
+                      "uname", "uid", corpus_store=store, corpus_label="people")
+    extend_value_index(spark, store, "by_name", _people(spark, [(2, "carol", 30)]))
+    compact_value_index(spark, store, "by_name")
+
+    # within the window: the sweep compacts/catches-up but reclaims nothing
+    reps = maintain_indexes(spark, store, [("by_name", "value")], store,
+                            vacuum=True, vacuum_retention_seconds=3600)
+    assert reps[0]["vacuumed"] == [] and store.version("by_name__seg1") > 0
+    # past the window: the next sweep reclaims
+    _age_family(store, "by_name", "value", 7200)
+    reps = maintain_indexes(spark, store, [("by_name", "value")], store,
+                            vacuum=True, vacuum_retention_seconds=3600)
+    assert reps[0]["vacuumed"] == ["by_name__seg1"]
+
+    with pytest.raises(ValueError, match="vacuum_retention_seconds"):
+        maintain_indexes(spark, store, [("by_name", "value")], store,
+                         vacuum=True, vacuum_retention_seconds=-1)

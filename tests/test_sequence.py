@@ -560,3 +560,42 @@ def test_funnel_count_split_over_validation(spark):
         funnel_count(df, ["view", "click"], within=60, split_over="Auto")
     with pytest.raises(ValueError, match="split_over"):
         funnel_count(df, ["view", "click"], within=60, split_over=-5)
+
+
+def test_funnel_count_stats_hint_skips_precount_jobs(spark):
+    """ANALYZE fast path: a fresh row-count hint at or under split_over
+    proves no key can be hot AND (hint <= cap) that the guard can't
+    fire, so the call runs exactly ONE Spark job — the funnel itself.
+    Without the hint the pre-count runs; results are identical."""
+    from scalligraph_spark.operators import funnel_count
+
+    rows = [("u1", "view", 0), ("u1", "click", 5), ("u1", "purchase", 9),
+            ("u2", "view", 0), ("u2", "click", 90)]
+    df = spark.createDataFrame(
+        [(u, ty, dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)) for u, ty, s in rows],
+        "user_id string, event_type string, ts timestamp",
+    )
+    sc = spark.sparkContext
+
+    def jobs(group, **kw):
+        sc.setJobGroup(group, group)
+        try:
+            got = {r["user_id"]: r["n_chains"] for r in funnel_count(
+                df, ["view", "click", "purchase"], within=60, **kw).collect()}
+        finally:
+            sc.setJobGroup(None, None)
+        return got, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # baseline: detection AND guard off by construction — the funnel job(s)
+    # alone (AQE may split one query into several jobs, so compare counts
+    # against this floor rather than asserting an absolute 1)
+    got_floor, n_floor = jobs("funnel-floor", split_over=None, max_events_per_key=None)
+    got_plain, n_plain = jobs("funnel-nohint")
+    got_hint, n_hint = jobs("funnel-hint", n_rows_hint=len(rows))
+    assert got_hint == got_plain == got_floor == {"u1": 1}
+    assert n_hint == n_floor, f"hinted call must add zero jobs ({n_hint} vs floor {n_floor})"
+    assert n_plain > n_hint, "without stats the pre-count job(s) run"
+
+    # a hint ABOVE split_over changes nothing: detection still runs
+    got_big, n_big = jobs("funnel-bighint", n_rows_hint=10**9, split_over=2)
+    assert got_big == got_plain and n_big >= 2

@@ -428,9 +428,18 @@ def test_maintenance_http_validates_knobs(spark, store):
         assert status == 400
         status, body = post({"vacuum": "yes"})
         assert status == 400
-        # the tombstone policy folds the mutation churn over HTTP
-        status, body = post({"onMutation": "tombstone"})
+        status, body = post({"vacuumRetentionSeconds": -5})
+        assert status == 400
+        status, body = post({"vacuumRetentionSeconds": "soon"})
+        assert status == 400
+        status, body = post({"vacuumRetentionSeconds": True})
+        assert status == 400
+        # the tombstone policy folds the mutation churn over HTTP;
+        # a retention window is accepted alongside
+        status, body = post({"onMutation": "tombstone", "vacuum": True,
+                             "vacuumRetentionSeconds": 3600})
         assert status == 200 and body["reports"][0]["action"] == "tombstoned"
+        assert body["reports"][0]["vacuumed"] == []
     assert _entries(spark, store, "by_name") == WANT_AFTER_CHURN
 
 
