@@ -144,6 +144,10 @@ HEADLINE = [
     "value_index_catchup_tombstone",  # delete/update churn → tombstone sidecar + one delta segment
     "maintain_indexes_fleet",  # one sweep, four indexes, churn-cost catch-up fleet-wide
     "events_window_funnel_strict_hot",  # strict CEP under 20x interloper load: the window sort IS the cost
+    # round-11: retention lifecycle + real JPEG decode + exact set algebra
+    "value_index_retention_vacuum",  # build+extend+compact+retention sweep: safety windows cost metadata
+    "multimodal_jpeg_decode",  # pure-Python baseline JPEG via Arrow mapInPandas (imageio-encoded fixtures)
+    "events_set_ops_exact",  # one membership-flag shuffle answers union/intersect/jaccard exactly
 ]
 
 

@@ -156,6 +156,10 @@ PLAN_QUERIES = [
     # round-10: mutation-churn maintenance — tombstone anti-joins must be
     # broadcast (churn-sized sidecar), the index base never shuffles
     "value_index_catchup_tombstone",  # broadcast tombstone anti-join + one delta segment
+    # round-11: retention sweep (metadata-only gate), JPEG Arrow map, set algebra
+    "value_index_retention_vacuum",  # post-sweep read: plain base scan, no segment unions left
+    "multimodal_jpeg_decode",  # ArrowEvalPython/mapInPandas map-only, no shuffle
+    "events_set_ops_exact",  # ONE hash exchange: flags agg + scalar final agg
     "maintain_indexes_fleet",  # fleet sweep: per-family extends, all churn-sized
     "events_window_funnel_strict_hot",  # 20x interloper load on ONE user-key exchange
 ]

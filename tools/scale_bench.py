@@ -136,9 +136,22 @@ def run(spark, sf_dir: str, names) -> dict[str, float]:
 
     times = {}
     for name in names:
-        t0 = time.perf_counter()
-        SUITE[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+
+        def one() -> float:
+            t0 = time.perf_counter()
+            SUITE[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        t = one()
+        if t < 2.0:
+            # sub-2s entries: a single un-warmed shot flatters 10× ratios
+            # (PERF.md r10 flagged events_funnel_count 0.66-raw vs ~1.9
+            # warm) — the first rep pays JIT/codegen/scan-cache warmup
+            # that the scaled run then gets for free.  Median-of-3 makes
+            # the base honest; entries ≥2s amortize warmup already and
+            # stay single-shot (the 10× sweep must finish in one session).
+            t = sorted([t, one(), one()])[1]
+        times[name] = round(t, 3)
         print(f"# {sf_dir}: {name}: {times[name]:.3f}s", file=sys.stderr)
     return times
 
