@@ -623,11 +623,16 @@ def store_report(spark: SparkSession, store: "LabelStore") -> DataFrame:
     files, directory listings, parquet file sizes; no data scans):
     current version, retained version count, data files + bytes (the
     compaction signal), orphaned staging dirs (crashed writers awaiting
-    vacuum's TTL), and the merge-on-read delta backlog (the compact_mor
-    signal).  Derived artifact labels (``__``-infixed: index segments,
-    meta carriers, deltas) fold into their owning label's row."""
+    vacuum's TTL), the merge-on-read delta backlog (the compact_mor
+    signal), and the current commit's age in seconds (the retention
+    signal: a sweep with ``retention_seconds`` > the superseding commit's
+    age reclaims nothing — this column says when it will).  Derived
+    artifact labels (``__``-infixed: index segments, meta carriers,
+    deltas) fold into their owning label's row."""
     import os
+    import time
 
+    now = time.time()
     rows = []
     labels = sorted(
         n for n in os.listdir(store.root)
@@ -652,12 +657,14 @@ def store_report(spark: SparkSession, store: "LabelStore") -> DataFrame:
                 int(n_bytes),
                 int(staging),
                 int(deltas),
+                int(max(0.0, now - store.commit_time(label))),
             )
         )
     return spark.createDataFrame(
         rows,
         "label string, version int, retained_versions int, data_files int, "
-        "data_bytes long, staging_orphans int, delta_backlog int",
+        "data_bytes long, staging_orphans int, delta_backlog int, "
+        "commit_age_seconds long",
     )
 
 

@@ -951,3 +951,5 @@ def test_store_report_metadata_only_health(spark, tmp_path):
     assert rep["person"]["staging_orphans"] == 1
     assert rep["orders"]["delta_backlog"] == 1
     assert rep["person"]["data_files"] >= 1 and rep["person"]["data_bytes"] > 0
+    # retention signal: freshly-committed labels report a near-zero age
+    assert 0 <= rep["person"]["commit_age_seconds"] < 300
