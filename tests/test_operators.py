@@ -2213,3 +2213,96 @@ def test_extract_features_real_decoder_jpeg_end_to_end(spark):
     (row,) = extract_features(media, decoder="real").collect()
     assert (row["width"], row["height"]) == (16, 9)
     assert abs(sum(row["feature"]) - 1.0) < 1e-6
+
+
+def test_jpeg_decoder_restart_intervals(spark):
+    """DRI/RSTn handling: a hand-built grayscale baseline JPEG with a
+    restart interval of 2 MCUs — predictors reset at each marker, the
+    reader re-syncs on the byte-aligned RSTn.  Constant 8x8 blocks with
+    an all-ones quant table decode exactly, so the expected histogram is
+    known in closed form.  (javax.imageio never emits DRI, so this path
+    needs its own encoder.)"""
+    from scalligraph_spark.operators.multimodal import _decode_jpeg
+
+    # standard-Annex-K-style DC table: category i at code length i+2-ish;
+    # use the simple canonical table {cat i -> code of length i+1}: counts
+    # one code per length 1..8 for categories 0..7
+    counts = [1, 1, 1, 1, 1, 1, 1, 1, 1] + [0] * 7
+    vals = list(range(9))
+
+    class W:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc, self.n = 0, 0
+
+        def bits(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)  # byte stuffing
+                    self.acc, self.n = 0, 0
+
+        def align(self):
+            if self.n:
+                self.bits((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+
+    # canonical codes for the table above: length L=i+1 -> code (2^L - 2)?
+    # build them exactly the way the decoder does
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            k += 1
+            code += 1
+        code <<= 1
+
+    def put_dc(w, diff):
+        mag = abs(diff)
+        t = mag.bit_length()
+        ln, c = codes[t]
+        w.bits(c, ln)
+        if t:
+            w.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    def put_eob(w):
+        ln, c = codes[0]  # rs=0x00 shares the DC-category-0 slot in OUR
+        w.bits(c, ln)     # AC table below (same counts/vals)
+
+    # four 8x8 blocks left-to-right, pixel values per block (DC diffs stay
+    # within category 7 under the DC-quant-8 table):
+    pix = [80, 144, 208, 48]  # bins 2, 4, 6, 1
+    w, h = 32, 8
+    ent = W()
+    pred = 0
+    rst = 0
+    for i, v in enumerate(pix):
+        if i and i % 2 == 0:  # DRI = 2 MCUs
+            ent.align()
+            ent.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            pred = 0  # predictor resets at the marker
+        dc = v - 128  # DC quant = 8 cancels the IDCT 1/8: pixel == v exactly
+        put_dc(ent, dc - pred)
+        pred = dc
+        put_eob(ent)
+    ent.align()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([8] + [1] * 63))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(vals)) + seg(
+        0xC4, bytes([0x10]) + bytes(counts) + bytes(vals)
+    )
+    dri = seg(0xDD, (2).to_bytes(2, "big"))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    payload = b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(ent.out) + b"\xff\xd9"
+
+    out = _decode_jpeg(payload)
+    assert out is not None, "restart-interval baseline JPEG must decode"
+    assert (out["width"], out["height"]) == (32, 8)
+    assert out["feature"] == [0, 0.25, 0.25, 0, 0.25, 0, 0.25, 0]
