@@ -243,6 +243,9 @@ class QueryServer:
             if self.auth_srv is None or self.session_srv is None:
                 raise ValueError("login requires auth_srv and session_srv")
             ctx = self.auth_srv.authenticate(user, password, payload.get("organisation"))
+            # successful logins carry the identity into the access log too
+            # (the reference logs the login name on every request alike)
+            self._request_ctx.user = ctx.user_id
             return 200, {}, json.dumps(
                 {
                     "token": self.session_srv.issue(ctx),
@@ -419,9 +422,15 @@ class QueryServer:
             out["active_stages"] = len(tracker.getActiveStageIds())
         except Exception:
             pass
+        import sys as _sys
+
         ru = resource.getrusage(resource.RUSAGE_SELF)
+        # ru_maxrss units are platform-defined: KiB on Linux, BYTES on
+        # macOS — an unguarded KiB assumption inflates Darwin readings
+        # 1024× and poisons any probe-loop memory threshold
+        rss_div = (1 << 20) if _sys.platform == "darwin" else 1024
         out["python"] = {
-            "max_rss_mb": int(ru.ru_maxrss / 1024),  # Linux reports KiB
+            "max_rss_mb": int(ru.ru_maxrss / rss_div),
             "threads": _threading.active_count(),
         }
         out["default_parallelism"] = int(sc.defaultParallelism)

@@ -240,14 +240,17 @@ def incremental_near_dups(
     # per session).  The batch signature feeds BOTH the banded key side
     # and the estimate join-back, so it computes twice inside the one
     # probe job — cost ∝ batch, paid twice, nothing to unpersist.  The
-    # explicit repartition spreads the Arrow shingling UDF across the
-    # session's full parallelism instead of the batch's few input splits
-    # (a crawl batch is typically one small file): measured FASTER at
-    # sf0.1 than the old persist+count variant (1.29 s vs 1.47 s), which
-    # paid an extra eager job and cache writes to save one map pass.
+    # raw batch is repartitioned BELOW the signature UDF so the Arrow
+    # shingling runs across the session's full parallelism in both
+    # branches instead of the batch's few input splits (a crawl batch is
+    # typically one small file).  Measured at sf0.1: within noise of the
+    # old persist+count variant (which paid an extra eager job and cache
+    # writes to save one map pass) and ~10% faster than no repartition —
+    # leak-free at cache speed.
+    id_col = str(meta.get("id_col", "doc_id"))
     bsigs = minhash_signature(
-        batch, str(meta.get("text_col", "text")), str(meta.get("id_col", "doc_id")), nh
-    ).repartition(F.col("id"))
+        batch.repartition(F.col(id_col)), str(meta.get("text_col", "text")), id_col, nh
+    )
     bband = _banded(bsigs, nh, bands)
     cband = _read_bands(spark, store, name, meta)
     if max_bucket_rows is not None:

@@ -226,6 +226,9 @@ def vacuum_index_segments(
     concurrently with extend writers.  Returns the dropped label names."""
     import time
 
+    from scalligraph_spark.store import check_retention
+
+    retention_seconds = check_retention(retention_seconds)
     if retention_seconds > 0:
         base_labels = {
             "value": [name],
@@ -547,11 +550,15 @@ def maintain_indexes(
         raise ValueError(
             f"on_mutation must be 'error', 'reindex' or 'tombstone', got {on_mutation!r}"
         )
-    vacuum_retention_seconds = float(vacuum_retention_seconds)
-    if vacuum_retention_seconds < 0:
+    from scalligraph_spark.store import check_retention
+
+    try:
+        vacuum_retention_seconds = check_retention(vacuum_retention_seconds)
+    except ValueError:
+        # keep the knob's own name in the message (fleet-level API)
         raise ValueError(
-            f"vacuum_retention_seconds must be >= 0, got {vacuum_retention_seconds!r}"
-        )
+            f"vacuum_retention_seconds must be a number >= 0, got {vacuum_retention_seconds!r}"
+        ) from None
     compact_over = int(compact_over)
     corpus_store = corpus_store if corpus_store is not None else store
 

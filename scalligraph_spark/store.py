@@ -56,6 +56,20 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     return z
 
 
+def check_retention(retention_seconds) -> float:
+    """Validate a vacuum retention window: finite-or-inf number >= 0.
+    NaN is the dangerous case — every comparison against it is False, so
+    an unvalidated NaN silently disables the window and reclaims
+    immediately (the exact unsafe mode retention exists to prevent);
+    the HTTP layer rejects it, and the library entry points must too."""
+    r = float(retention_seconds)
+    if r != r or r < 0:
+        raise ValueError(
+            f"retention_seconds must be a number >= 0, got {retention_seconds!r}"
+        )
+    return r
+
+
 class VersionConflictError(RuntimeError):
     """``store.write(..., expected_version=N)`` found v(N+1) already
     claimed — another writer committed over the same base.  The physical
@@ -454,6 +468,7 @@ class LabelStore:
         only delays reclaim, never endangers a reader."""
         import time
 
+        retention_seconds = check_retention(retention_seconds)
         mor = f"{label}__mor"
         if (
             retention_seconds > 0
@@ -584,6 +599,7 @@ class LabelStore:
         import shutil
         import time
 
+        retention_seconds = check_retention(retention_seconds)
         current = self.version(label)
 
         def _committed(v: int) -> bool:

@@ -254,10 +254,12 @@ def test_login_flow_issues_session_token_that_authorizes_queries(spark):
     )
     ex = executor_for(spark, SF_DIR)
     ex.register_init("gated", lambda g, s, a: g.V("customer"), permission="read:customer")
+    records = []
     srv = QueryServer(
         ex,
         auth_srv=PasswordAuthSrv(users),
         session_srv=SessionAuthSrv(secret="test-secret", ttl_seconds=3600),
+        access_log=records.append,
     ).serve()
     try:
         # login -> token + identity payload
@@ -293,6 +295,11 @@ def test_login_flow_issues_session_token_that_authorizes_queries(spark):
         assert (status, err["type"]) == (401, "AuthenticationError")
         status, _, err = _post(srv.port, body=b'{"user": "alice"}', path="/api/v1/login")
         assert (status, err["type"]) == (400, "BadRequest")
+        # the access log attributes the SUCCESSFUL login to the user; the
+        # failed/malformed attempts log user=None
+        login_recs = [(r["status"], r["user"]) for r in records
+                      if r["path"] == "/api/v1/login"]
+        assert login_recs == [(200, "u1"), (401, None), (400, None)]
     finally:
         srv.close()
 

@@ -2188,7 +2188,11 @@ def test_jpeg_decoder_corrupt_and_oversize_safe(spark):
     good = _jvm_jpeg(spark, 8, 8, lambda x, y: (10, 10, 10))
     assert mm._decode_jpeg(good) is not None
     assert mm._decode_jpeg(good[:20]) is None  # truncated mid-header
-    assert mm._decode_jpeg(good[:-3]) is None or mm._decode_jpeg(good[:-3])  # torn tail never raises
+    # torn entropy tail: never raises, and whatever comes back is either a
+    # refusal or a decode with the true header dimensions (a truncated
+    # stream must not fabricate geometry)
+    torn = mm._decode_jpeg(good[:-3])
+    assert torn is None or (torn["width"], torn["height"]) == (8, 8)
     assert mm._decode_jpeg(b"\xff\xd8\xff\xee junk") is None
     assert mm._decode_jpeg(b"") is None
     assert mm._decode_real(good[:20], "image") == mm._decode_stub(good[:20], "image")

@@ -243,3 +243,24 @@ def test_maintain_indexes_threads_retention(spark, store):
     with pytest.raises(ValueError, match="vacuum_retention_seconds"):
         maintain_indexes(spark, store, [("by_name", "value")], store,
                          vacuum=True, vacuum_retention_seconds=-1)
+
+
+def test_retention_rejects_nan_and_negative(spark, store):
+    """NaN is the silent killer: every comparison against it is False, so
+    an unvalidated NaN retention disables the window and reclaims
+    immediately — the exact unsafe mode the knob exists to prevent.  All
+    library entry points must reject it loudly (the HTTP layer already
+    does)."""
+    store.write("t", spark.range(1))
+    for bad in (float("nan"), -1, -0.5):
+        with pytest.raises(ValueError):
+            store.vacuum("t", retention_seconds=bad)
+        with pytest.raises(ValueError):
+            store.vacuum_mor("t", retention_seconds=bad)
+        with pytest.raises(ValueError):
+            vacuum_index_segments(spark, store, "t", "value", retention_seconds=bad)
+        with pytest.raises(ValueError, match="vacuum_retention_seconds"):
+            maintain_indexes(spark, store, [], store, vacuum=True,
+                             vacuum_retention_seconds=bad)
+    # +inf is a legal "never reclaim" window
+    assert store.vacuum("t", retention_seconds=float("inf")) == []
