@@ -538,38 +538,46 @@ class QueryServer:
                 self.send_header("Content-Type", "application/json")
                 for k, v in headers.items():
                     self.send_header(k, v)
-                n_bytes = 0
+
+                def _log(n_bytes: int) -> None:
+                    # fires BEFORE the last byte reaches the socket, so a
+                    # client that has observed the complete response is
+                    # GUARANTEED to find the record — an after-the-write
+                    # record raced keep-alive clients under load
+                    if server.access_log is not None:
+                        server.access_log(
+                            {
+                                "remote": self.client_address[0],
+                                "method": self.command,
+                                "path": self.path,
+                                "status": status,
+                                "ms": int((time.monotonic() - t0) * 1000),
+                                "bytes": n_bytes,
+                                # authenticated user_id, None for anonymous
+                                # / failed auth (the reference logs the
+                                # login name the same way)
+                                "user": getattr(server._request_ctx, "user", None),
+                            }
+                        )
+                    server._request_ctx.user = None  # reset for keep-alive reuse
+
                 if isinstance(body, bytes):
                     self.send_header("Content-Length", str(len(body)))
                     self.send_header("Request-Time", str(int((time.monotonic() - t0) * 1000)))
                     self.end_headers()
+                    _log(len(body))
                     self.wfile.write(body)
-                    n_bytes = len(body)
                 else:
                     self.send_header("Transfer-Encoding", "chunked")
                     self.send_header("Request-Time", str(int((time.monotonic() - t0) * 1000)))
                     self.end_headers()
+                    n_bytes = 0
                     for frag in body:
                         if frag:
                             self.wfile.write(b"%x\r\n%s\r\n" % (len(frag), frag))
                             n_bytes += len(frag)
+                    _log(n_bytes)  # the client blocks on the terminator below
                     self.wfile.write(b"0\r\n\r\n")
-                if server.access_log is not None:
-                    server.access_log(
-                        {
-                            "remote": self.client_address[0],
-                            "method": self.command,
-                            "path": self.path,
-                            "status": status,
-                            "ms": int((time.monotonic() - t0) * 1000),
-                            "bytes": n_bytes,
-                            # authenticated user_id, None for anonymous /
-                            # failed auth (the reference logs the login
-                            # name the same way)
-                            "user": getattr(server._request_ctx, "user", None),
-                        }
-                    )
-                server._request_ctx.user = None  # reset for keep-alive reuse
 
             def do_POST(self):
                 t0 = time.monotonic()

@@ -70,6 +70,303 @@ def check_retention(retention_seconds) -> float:
     return r
 
 
+# -- file-level data skipping (Delta data-skipping / Iceberg manifest) ----
+#
+# Spark's parquet reader already prunes ROW GROUPS from footer min/max, but
+# at 100 TB the scan still has to list every file and open every footer
+# before it can drop one.  A commit-time manifest (per-file min/max /
+# null-count per indexed column, collected from the footers the write just
+# produced) moves that decision to the DRIVER: `read_skipping` consults the
+# manifest — kilobytes, one JSON read — and hands Spark only the candidate
+# files.  Combined with `write(sort_by=...)` / `zorder_by=...` layout, a
+# selective predicate reads a handful of files instead of listing a
+# million.  The residual predicate is always re-applied, so a stale or
+# partial manifest can cost performance, never correctness — and every
+# "don't know" below resolves to KEEP THE FILE for the same reason (except
+# provable non-matches: all-null columns, hive-null partitions).
+
+_SKIP_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def _enc_stat(v):
+    """Encode a parquet footer stat into a (kind, json-encodable) pair;
+    ``(None, None)`` = unusable for pruning (binary, NaN/inf, exotic).
+    Numbers encode as ``str`` and compare through ``Decimal`` at prune
+    time — float round-tripping a Decimal column could round the wrong
+    way and prune a matching file.  Aware timestamps (Spark's
+    isAdjustedToUTC ones) normalize to UTC-naive ISO (kind ``ts``);
+    naive ones (TIMESTAMP_NTZ) keep their wall-clock reading (``tsn``)."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    if v is None:
+        return None, None
+    if isinstance(v, bool):
+        return "bool", bool(v)
+    if isinstance(v, (int, Decimal)):
+        return "num", str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None, None
+        return "num", repr(v)
+    if isinstance(v, str):
+        return "str", v
+    if isinstance(v, _dt.datetime):  # before date: datetime subclasses date
+        if v.tzinfo is not None:
+            return "ts", v.astimezone(_dt.timezone.utc).replace(tzinfo=None).isoformat()
+        return "tsn", v.isoformat()
+    if isinstance(v, _dt.date):
+        return "date", v.isoformat()
+    return None, None
+
+
+def _coerce_pred(kind: str, v, session_tz: str):
+    """Coerce a predicate value into the stat kind's comparison space;
+    ``None`` = incomparable (caller keeps the file).  For ``ts`` stats a
+    NAIVE predicate datetime is read in the Spark session timezone —
+    exactly how the session would interpret the same literal."""
+    import datetime as _dt
+    from decimal import Decimal, InvalidOperation
+
+    try:
+        if kind == "num":
+            if isinstance(v, bool) or not isinstance(v, (int, float, Decimal)):
+                return None
+            return Decimal(str(v))
+        if kind == "bool":
+            return v if isinstance(v, bool) else None
+        if kind == "str":
+            return v if isinstance(v, str) else None
+        if kind == "date":
+            if isinstance(v, _dt.datetime) or not isinstance(v, _dt.date):
+                return None
+            return v.isoformat()
+        if kind in ("ts", "tsn"):
+            if not isinstance(v, _dt.datetime):
+                return None
+            if kind == "tsn":
+                return None if v.tzinfo is not None else v.isoformat()
+            if v.tzinfo is None:
+                import zoneinfo
+
+                v = v.replace(tzinfo=zoneinfo.ZoneInfo(session_tz))
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None).isoformat()
+    except (InvalidOperation, ValueError, KeyError):
+        return None
+    return None
+
+
+def _coerce_part(raw: str, v):
+    """Hive partition values are path strings — coerce the STAT toward the
+    predicate value's type (numeric partition dirs must compare
+    numerically: ``"10" < "9"`` as strings).  ``None`` = keep the file."""
+    import datetime as _dt
+    from decimal import Decimal, InvalidOperation
+
+    try:
+        if isinstance(v, bool):
+            low = raw.lower()
+            return {"true": True, "false": False}.get(low)
+        if isinstance(v, (int, float, Decimal)):
+            return Decimal(raw)
+        if isinstance(v, str):
+            return raw
+        if isinstance(v, _dt.datetime):
+            return None if v.tzinfo is not None else _dt.datetime.fromisoformat(raw)
+        if isinstance(v, _dt.date):
+            return _dt.date.fromisoformat(raw)
+    except (InvalidOperation, ValueError):
+        return None
+    return None
+
+
+def _file_may_match(entry: dict, col: str, op: str, v, session_tz: str) -> bool:
+    """Can any row of this file satisfy ``col <op> v``?  Conservative:
+    every unknown → True (the residual filter guarantees exactness);
+    False only on proof (range excludes, all-null column, empty file)."""
+    rows = entry.get("rows")
+    if rows == 0:
+        return False
+    vals = [x for x in v if x is not None] if op == "in" else ([] if v is None else [v])
+    if not vals:
+        return False  # `col = NULL` / empty in-list match nothing in SQL
+    st = (entry.get("cols") or {}).get(col)
+    if st is None:
+        return True
+    if st.get("t") == "pnull":
+        return False  # hive __HIVE_DEFAULT_PARTITION__: column is null here
+    nulls = st.get("nulls")
+    if nulls is not None and rows is not None and nulls >= rows:
+        return False
+    kind, mn, mx = st.get("t"), st.get("mn"), st.get("mx")
+    if kind is None or mn is None or mx is None:
+        return True
+
+    def _bounds(pv):
+        if kind == "part":
+            lo = _coerce_part(mn, pv)
+            if lo is None:
+                return None
+            from decimal import Decimal
+
+            return lo, lo, Decimal(str(pv)) if isinstance(pv, (int, float)) and not isinstance(pv, bool) else pv
+        pc = _coerce_pred(kind, pv, session_tz)
+        if pc is None:
+            return None
+        from decimal import Decimal
+
+        lo = Decimal(mn) if kind == "num" else mn
+        hi = Decimal(mx) if kind == "num" else mx
+        return lo, hi, pc
+
+    for pv in vals:
+        b = _bounds(pv)
+        if b is None:
+            return True  # incomparable → keep
+        lo, hi, pc = b
+        try:
+            ok = {
+                "=": lo <= pc <= hi,
+                "in": lo <= pc <= hi,
+                "<": lo < pc,
+                "<=": lo <= pc,
+                ">": hi > pc,
+                ">=": hi >= pc,
+            }[op]
+        except TypeError:
+            return True
+        if ok:
+            return True
+    return False
+
+
+def _predicates_column(predicates) -> Column:
+    """The exact Spark filter for a predicate list — re-applied on every
+    skipping read so the manifest can never change results."""
+    cond = F.lit(True)
+    for c, op, v in predicates:
+        col = F.col(c)
+        if op == "in":
+            vals = [x for x in v if x is not None]
+            e = col.isin(vals) if vals else F.lit(False)
+        elif v is None:
+            e = F.lit(False)  # SQL comparison with NULL matches nothing
+        else:
+            e = {
+                "=": col == F.lit(v),
+                "<": col < F.lit(v),
+                "<=": col <= F.lit(v),
+                ">": col > F.lit(v),
+                ">=": col >= F.lit(v),
+            }[op]
+        cond = cond & e
+    return cond
+
+
+def _validate_predicates(predicates) -> list:
+    preds = list(predicates)
+    for p in preds:
+        if not (isinstance(p, (list, tuple)) and len(p) == 3):
+            raise ValueError(f"predicate must be (column, op, value), got {p!r}")
+        c, op, v = p
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported skipping op {op!r}; use one of {_SKIP_OPS}")
+        if op == "in" and not isinstance(v, (list, tuple, set, frozenset)):
+            raise ValueError(f"'in' needs a collection value, got {v!r}")
+    if not preds:
+        raise ValueError("read_skipping needs at least one predicate")
+    return preds
+
+
+def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> dict:
+    """Collect per-file footer stats for ``columns`` under ``data_dir`` —
+    a DISTRIBUTED footer scan (``mapInPandas`` over the file list; pyarrow
+    opens only metadata, never data pages) so manifest collection on a
+    million-file table spreads across the cluster instead of serializing
+    through the driver.  Hive partition dirs contribute exact
+    min=max=value pseudo-stats driver-side (pure path parsing).
+
+    Parquet writers may TRUNCATE string min/max, but the spec guarantees
+    truncated-min <= true-min and truncated-max >= true-max, so pruning on
+    them stays safe.  The returned manifest is driver-sized: one entry per
+    file, values only for the indexed columns."""
+    from urllib.parse import unquote
+
+    paths: list[str] = []
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                paths.append(os.path.join(root, f))
+    paths.sort()
+    if not paths:
+        return {"columns": list(columns), "files": []}
+    wanted = list(dict.fromkeys(columns))
+
+    def scan(batches):
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        want = set(wanted)
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = _pq.ParquetFile(p).metadata
+                acc: dict = {}
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        cm = rgm.column(ci)
+                        name = cm.path_in_schema
+                        if name not in want:
+                            continue
+                        a = acc.setdefault(name, {"mns": [], "mxs": [], "nulls": 0, "full": True, "nfull": True})
+                        st = cm.statistics
+                        if st is not None and st.has_min_max:
+                            a["mns"].append(st.min)
+                            a["mxs"].append(st.max)
+                        else:
+                            a["full"] = False
+                        if st is not None and st.has_null_count:
+                            a["nulls"] += st.null_count
+                        else:
+                            a["nfull"] = False
+                cols = {}
+                for name, a in acc.items():
+                    st_out: dict = {}
+                    if a["full"] and a["mns"]:
+                        kn, mn = _enc_stat(min(a["mns"]))
+                        kx, mx = _enc_stat(max(a["mxs"]))
+                        if kn is not None and kn == kx:
+                            st_out = {"t": kn, "mn": mn, "mx": mx}
+                    if a["nfull"]:
+                        st_out["nulls"] = a["nulls"]
+                    if st_out:
+                        cols[name] = st_out
+                out.append({"path": p, "rows": md.num_rows, "cols": cols})
+            yield pd.DataFrame({"entry": [json.dumps(e) for e in out]})
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    n_slices = min(len(paths), spark.sparkContext.defaultParallelism)
+    rows = pdf.repartition(n_slices).mapInPandas(scan, schema="entry string").collect()
+    entries = sorted((json.loads(r["entry"]) for r in rows), key=lambda e: e["path"])
+    base = os.path.abspath(data_dir)
+    for e in entries:
+        rel = os.path.relpath(os.path.abspath(e["path"]), base)
+        e["path"] = rel
+        for seg in os.path.dirname(rel).split(os.sep):
+            if "=" not in seg:
+                continue
+            key, raw = seg.split("=", 1)
+            if key not in wanted:
+                continue
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                e["cols"][key] = {"t": "pnull"}
+            else:
+                val = unquote(raw)
+                e["cols"][key] = {"t": "part", "mn": val, "mx": val, "nulls": 0}
+    return {"columns": wanted, "files": entries}
+
+
 class VersionConflictError(RuntimeError):
     """``store.write(..., expected_version=N)`` found v(N+1) already
     claimed — another writer committed over the same base.  The physical
@@ -157,9 +454,18 @@ class LabelStore:
         sort_by: tuple[int, list[str]] | None = None,
         meta: dict | None = None,
         expected_version: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Commit a new table version and flip the pointer (the atomic
         'transaction' of the batch world).
+
+        ``stats_cols`` → collect a per-file min/max/null-count manifest
+        for those columns from the parquet footers the write just
+        produced (distributed metadata-only scan) and publish it WITH the
+        commit (``_file_stats.json`` rides the same atomic rename);
+        :meth:`read_skipping` then prunes files driver-side before Spark
+        ever lists them.  Pair with ``sort_by``/``zorder_by`` so the
+        layout makes the per-file ranges narrow.
 
         ``partition_by`` → hive-style directory partitioning (partition
         pruning on those columns); ``bucket_hint`` = (n, cols) →
@@ -245,6 +551,12 @@ class LabelStore:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(staging)
+            if stats_cols:
+                # footer scan over the staged files — manifest publishes
+                # atomically with the data via the same rename
+                man = _footer_manifest(df.sparkSession, staging, list(stats_cols))
+                with open(os.path.join(staging, "_file_stats.json"), "w") as f:
+                    json.dump(man, f)
             # meta lands in staging so the rename publishes data+meta as
             # one atomic unit.  Every commit carries a wall-clock stamp
             # (reserved key, stripped by commit_meta) — the clock that
@@ -320,6 +632,105 @@ class LabelStore:
         if v == 0:
             raise FileNotFoundError(f"label {label!r} has no committed version in {self.root}")
         return spark.read.parquet(self.path(label, v))
+
+    # -- file-level data skipping -------------------------------------------
+    def file_manifest(self, label: str, version: int | None = None) -> dict | None:
+        """The per-file stats manifest recorded by ``write(stats_cols=…)``
+        or :meth:`collect_file_stats` — ``None`` when the version has
+        none (readers then fall back to a full scan)."""
+        p = os.path.join(self.path(label, version), "_file_stats.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def collect_file_stats(self, spark: SparkSession, label: str, columns: list[str], version: int | None = None) -> int:
+        """Backfill a file-stats manifest onto an EXISTING version (the
+        write-time path is ``write(stats_cols=…)``).  Metadata-only
+        (distributed footer scan, no data pages); the sidecar publishes
+        with a temp-file rename, and underscore-prefixed names are
+        invisible to Spark's parquet reader, so concurrent readers of the
+        version are undisturbed.  Returns the number of files indexed."""
+        vdir = self.path(label, version)
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(f"label {label!r} has no version directory {vdir}")
+        man = _footer_manifest(spark, vdir, list(columns))
+        fd, tmp = tempfile.mkstemp(dir=vdir, prefix="_file_stats.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, os.path.join(vdir, "_file_stats.json"))
+        return len(man["files"])
+
+    def read_skipping(
+        self,
+        spark: SparkSession,
+        label: str,
+        predicates,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with driver-side file pruning: ``predicates`` is
+        a conjunction of ``(column, op, value)`` triples (ops ``= < <=
+        > >= in``).  Files whose manifest ranges PROVE no row can match
+        are never handed to Spark — at 100 TB a selective read touches
+        the candidate files instead of listing a million and opening
+        every footer.  The same predicate is re-applied as a filter, so
+        results are exactly ``read().where(pred)`` whether the manifest
+        is present, stale-typed, or missing (no manifest → plain full
+        scan + filter).  Hive partition columns prune from their path
+        values; everything else from parquet footer min/max/null-count."""
+        preds = _validate_predicates(predicates)
+        v = self.version(label) if version is None else version
+        cond = _predicates_column(preds)
+        man = self.file_manifest(label, v)
+        if man is None:
+            return self.read(spark, label, v).where(cond)
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        vdir = self.path(label, v)
+        kept = [
+            e["path"]
+            for e in man["files"]
+            if all(_file_may_match(e, c, op, val, tz) for (c, op, val) in preds)
+        ]
+        if not kept:
+            # provably empty: Catalyst folds the false filter to an empty
+            # LocalRelation — no scan is scheduled at all
+            return self.read(spark, label, v).where(F.lit(False))
+        df = spark.read.option("basePath", vdir).parquet(*[os.path.join(vdir, p) for p in kept])
+        return df.where(cond)
+
+    # -- timestamp time travel ----------------------------------------------
+    def version_at(self, label: str, ts: float) -> int:
+        """The version that was current at wall-clock ``ts`` (epoch
+        seconds): the newest committed version whose :meth:`commit_time`
+        is <= ts — Delta's ``timestampAsOf`` resolution against the
+        ``_committed_at`` stamps that also drive retention-windowed
+        vacuum.  Aborted above-pointer claims never participate (same
+        rule as vacuum: no reader could ever have seen them).  Raises
+        ``FileNotFoundError`` when ``ts`` predates the label entirely;
+        vacuumed history resolves to the oldest surviving version only if
+        its own stamp qualifies — a reclaimed version is gone, not
+        approximated."""
+        ts = float(ts)
+        current = self.version(label)
+
+        def _committed(v: int) -> bool:
+            return v <= current or os.path.exists(os.path.join(self.path(label, v), "_SUCCESS"))
+
+        cands = [v for v in self.history(label) if _committed(v) and self.commit_time(label, v) <= ts]
+        if not cands:
+            raise FileNotFoundError(
+                f"label {label!r}: no version committed at or before ts={ts} "
+                f"(history {self.history(label)})"
+            )
+        return max(cands)
+
+    def read_as_of(self, spark: SparkSession, label: str, ts: float) -> DataFrame:
+        """Timestamp time travel: snapshot read of the version current at
+        wall-clock ``ts`` — reproduce yesterday's training run against
+        yesterday's corpus without recording version numbers.  Pair with
+        ``vacuum(retention_seconds=…)``: any ts within the retention
+        window is guaranteed readable."""
+        return self.read(spark, label, self.version_at(label, ts))
 
     # -- merge-on-read deltas ----------------------------------------------
     def write_delta(

@@ -1,0 +1,251 @@
+"""File-level data skipping + timestamp time travel (store.py).
+
+The reference's JanusGraph backend leans on its mixed/composite indexes
+for selective reads (JanusDatabase.scala:304-434); the batch-engine
+analog for the SCAN side is Delta-style data skipping: a commit-time
+per-file min/max manifest lets the driver hand Spark only candidate
+files.  Correctness contract under test: ``read_skipping`` ≡
+``read().where(pred)`` in every case (manifest present / missing /
+type-mismatched), with the file count actually shrinking when the
+layout clusters the predicate columns.
+"""
+
+import datetime
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalligraph_spark.store import (
+    LabelStore,
+    _file_may_match,
+    _footer_manifest,
+)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return LabelStore(str(tmp_path / "store"))
+
+
+def _frame(spark, n=8000):
+    return spark.range(0, n).select(
+        F.col("id"),
+        F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") / 10).cast("int")).alias("d"),
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("name"),
+        (F.col("id") * 1.5).alias("price"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id") % 7).alias("mod7"),
+    )
+
+
+def _same(a, b):
+    sa = sorted(map(tuple, a.collect()))
+    sb = sorted(map(tuple, b.collect()))
+    assert sa == sb
+
+
+def test_write_time_manifest_prunes_files(spark, store):
+    df = _frame(spark)
+    store.write("t", df, sort_by=(8, ["id"]), stats_cols=["id", "d", "name", "price"])
+    man = store.file_manifest("t")
+    assert len(man["files"]) == 8 and man["columns"] == ["id", "d", "name", "price"]
+    r = store.read_skipping(spark, "t", [("id", ">=", 7000), ("id", "<", 7100)])
+    assert len(r.inputFiles()) < len(man["files"])
+    _same(r, df.where((F.col("id") >= 7000) & (F.col("id") < 7100)))
+
+
+def test_skipping_ops_match_plain_filter(spark, store):
+    df = _frame(spark)
+    store.write("t", df, sort_by=(8, ["id"]), stats_cols=["id", "d", "name", "price"])
+    cases = [
+        ([("name", "=", "u001234")], F.col("name") == "u001234"),
+        ([("name", "in", ["u000001", "u007999", "zzz"])], F.col("name").isin(["u000001", "u007999", "zzz"])),
+        ([("price", "<=", 30.0)], F.col("price") <= 30.0),
+        ([("d", ">", datetime.date(2022, 2, 28))], F.col("d") > F.lit("2022-02-28")),
+        (
+            [("d", ">=", datetime.date(2021, 1, 1)), ("d", "<=", datetime.date(2021, 1, 5))],
+            (F.col("d") >= F.lit("2021-01-01")) & (F.col("d") <= F.lit("2021-01-05")),
+        ),
+    ]
+    for preds, col in cases:
+        _same(store.read_skipping(spark, "t", preds), df.where(col))
+
+
+def test_empty_prune_is_scanless(spark, store):
+    df = _frame(spark)
+    store.write("t", df, sort_by=(4, ["id"]), stats_cols=["id"])
+    r = store.read_skipping(spark, "t", [("id", "=", 10**9)])
+    assert r.count() == 0 and r.inputFiles() == []
+    # Catalyst folds the provably-false filter into an empty LocalRelation
+    assert "LocalTableScan" in r._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_manifest_falls_back_to_full_scan(spark, store):
+    df = _frame(spark)
+    store.write("t", df)  # no stats_cols
+    assert store.file_manifest("t") is None
+    r = store.read_skipping(spark, "t", [("id", "<", 100)])
+    _same(r, df.where(F.col("id") < 100))
+
+
+def test_backfill_collect_file_stats(spark, store):
+    df = _frame(spark)
+    store.write("t", df, sort_by=(6, ["name"]))
+    assert store.file_manifest("t") is None
+    n = store.collect_file_stats(spark, "t", ["name"])
+    assert n == len(store.file_manifest("t")["files"]) > 1
+    r = store.read_skipping(spark, "t", [("name", "=", "u000500")])
+    assert len(r.inputFiles()) < n
+    _same(r, df.where(F.col("name") == "u000500"))
+
+
+def test_hive_partition_pruning_numeric(spark, store):
+    df = _frame(spark).withColumn("g", (F.col("id") % 5).cast("int"))
+    store.write("p", df, partition_by=["g"], stats_cols=["g", "id"])
+    full = store.read(spark, "p")
+    r = store.read_skipping(spark, "p", [("g", "=", 3)])
+    assert 0 < len(r.inputFiles()) < len(full.inputFiles())
+    _same(r, full.where(F.col("g") == 3))
+    # numeric compare, not string compare: g >= 2 must keep g=10? no such
+    # dir here, but "10" < "9" lexically is the classic trap — prove the
+    # range op keeps exactly the matching dirs
+    r2 = store.read_skipping(spark, "p", [("g", ">=", 2)])
+    _same(r2, full.where(F.col("g") >= 2))
+
+
+def test_hive_null_partition_pruned(spark, store):
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.col("id") % 3).otherwise(None).cast("int").alias("g"),
+    )
+    store.write("p", df, partition_by=["g"], stats_cols=["g"])
+    full = store.read(spark, "p")
+    r = store.read_skipping(spark, "p", [("g", "=", 1)])
+    _same(r, full.where(F.col("g") == 1))
+    # the __HIVE_DEFAULT_PARTITION__ dir is provably non-matching
+    assert not any("HIVE_DEFAULT" in f for f in r.inputFiles())
+
+
+def test_all_null_and_null_predicates(spark, store):
+    df = _frame(spark, 2000)
+    store.write("t", df, sort_by=(4, ["id"]), stats_cols=["mod7"])
+    # col = NULL matches nothing in SQL; empty in-list likewise
+    assert store.read_skipping(spark, "t", [("mod7", "=", None)]).count() == 0
+    assert store.read_skipping(spark, "t", [("mod7", "in", [None])]).count() == 0
+    # in-list with nulls: nulls ignored, values honored
+    full = store.read(spark, "t")
+    _same(
+        store.read_skipping(spark, "t", [("mod7", "in", [None, 2])]),
+        full.where(F.col("mod7") == 2),
+    )
+
+
+def test_type_mismatch_keeps_files_and_stays_exact(spark, store):
+    df = _frame(spark, 2000)
+    store.write("t", df, sort_by=(4, ["id"]), stats_cols=["id", "name"])
+    # string predicate against a numeric column: incomparable stats must
+    # KEEP files (no wrong pruning); the residual filter yields Spark's
+    # own cast semantics — identical to a plain filtered read
+    r = store.read_skipping(spark, "t", [("id", "=", "150")])
+    _same(r, store.read(spark, "t").where(F.col("id") == F.lit("150")))
+
+
+def test_predicate_validation(spark, store):
+    store.write("t", _frame(spark, 100), stats_cols=["id"])
+    with pytest.raises(ValueError):
+        store.read_skipping(spark, "t", [])
+    with pytest.raises(ValueError):
+        store.read_skipping(spark, "t", [("id", "!=", 3)])
+    with pytest.raises(ValueError):
+        store.read_skipping(spark, "t", [("id", "in", 3)])
+    with pytest.raises(ValueError):
+        store.read_skipping(spark, "t", [("id", 3)])
+
+
+def test_may_match_unit_semantics():
+    e = {"path": "f", "rows": 10, "cols": {"a": {"t": "num", "mn": "5", "mx": "9", "nulls": 0}}}
+    tz = "UTC"
+    assert _file_may_match(e, "a", "=", 7, tz)
+    assert not _file_may_match(e, "a", "=", 4, tz)
+    assert not _file_may_match(e, "a", "<", 5, tz)
+    assert _file_may_match(e, "a", "<=", 5, tz)
+    assert not _file_may_match(e, "a", ">", 9, tz)
+    assert _file_may_match(e, "a", ">=", 9, tz)
+    assert _file_may_match(e, "a", "in", [1, 9], tz)
+    assert not _file_may_match(e, "a", "in", [1, 4], tz)
+    # unknown column / missing stats → keep
+    assert _file_may_match(e, "zzz", "=", 1, tz)
+    assert _file_may_match({"path": "f", "rows": 10, "cols": {}}, "a", "=", 1, tz)
+    # all-null column → prune; empty file → prune
+    en = {"path": "f", "rows": 10, "cols": {"a": {"t": "num", "mn": "5", "mx": "9", "nulls": 10}}}
+    assert not _file_may_match(en, "a", "=", 7, tz)
+    assert not _file_may_match({"path": "f", "rows": 0, "cols": {}}, "a", "=", 1, tz)
+
+
+def test_manifest_survives_compaction_cycle(spark, store):
+    """compact() commits a NEW version without stats — the manifest must
+    be version-scoped: old version still prunes, new one full-scans."""
+    df = _frame(spark, 4000)
+    v1 = store.write("t", df.repartition(16), stats_cols=["id"])
+    v2 = store.compact(spark, "t", target_file_bytes=1 << 30)
+    assert v2 > v1
+    assert store.file_manifest("t", v1) is not None
+    assert store.file_manifest("t", v2) is None
+    _same(
+        store.read_skipping(spark, "t", [("id", "<", 50)], version=v1),
+        df.where(F.col("id") < 50),
+    )
+    _same(
+        store.read_skipping(spark, "t", [("id", "<", 50)], version=v2),
+        df.where(F.col("id") < 50),
+    )
+
+
+def test_timestamp_time_travel(spark, store):
+    df = _frame(spark, 300)
+    store.write("tt", df.where(F.col("id") < 100))
+    store.write("tt", df.where(F.col("id") < 200))
+    store.write("tt", df)
+    now = time.time()
+    for v, age in ((1, 300.0), (2, 200.0), (3, 100.0)):
+        p = os.path.join(store.path("tt", v), "_commit.json")
+        with open(p) as f:
+            m = json.load(f)
+        m["_committed_at"] = now - age
+        with open(p, "w") as f:
+            json.dump(m, f)
+    assert store.version_at("tt", now - 250) == 1
+    assert store.version_at("tt", now - 150) == 2
+    assert store.version_at("tt", now) == 3
+    assert store.read_as_of(spark, "tt", now - 150).count() == 200
+    # exact boundary: a version is visible AT its own commit time
+    assert store.version_at("tt", now - 200) == 2
+    with pytest.raises(FileNotFoundError):
+        store.version_at("tt", now - 301)
+
+
+def test_time_travel_skips_aborted_claims(spark, store):
+    df = _frame(spark, 50)
+    store.write("tt", df)
+    # simulate a legacy aborted claim above the pointer: published dir,
+    # no _SUCCESS — vacuum's exemption rule, mirrored here
+    bogus = store.path("tt", 7)
+    os.makedirs(bogus)
+    with open(os.path.join(bogus, "_commit.json"), "w") as f:
+        json.dump({"_committed_at": 0.0}, f)
+    assert store.version_at("tt", time.time()) == 1
+
+
+def test_footer_manifest_distributed_shape(spark, tmp_path):
+    """The collector is metadata-only and returns relative paths sorted."""
+    df = _frame(spark, 1000)
+    out = str(tmp_path / "d")
+    df.repartition(5).write.parquet(out)
+    man = _footer_manifest(spark, out, ["id", "name"])
+    assert len(man["files"]) == 5
+    for e in man["files"]:
+        assert not os.path.isabs(e["path"])
+        assert set(e["cols"]) <= {"id", "name"}
+        assert e["rows"] > 0
