@@ -148,6 +148,8 @@ HEADLINE = [
     "value_index_retention_vacuum",  # build+extend+compact+retention sweep: safety windows cost metadata
     "multimodal_jpeg_decode",  # pure-Python baseline JPEG via Arrow mapInPandas (imageio-encoded fixtures)
     "events_set_ops_exact",  # one membership-flag shuffle answers union/intersect/jaccard exactly
+    "store_skipping_read",  # manifest-pruned selective read: candidate files only + residual filter
+    "store_time_travel",  # timestampAsOf resolution + pinned snapshot read
 ]
 
 

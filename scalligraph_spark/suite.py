@@ -7923,6 +7923,97 @@ def store_mor_read_q(spark, sf):
 
 
 @q(
+    "store_skipping_read",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND o_totalprice > 150000
+""",
+    "FILE-level data skipping (store.read_skipping — Delta data-skipping "
+    "/ Iceberg manifest, new r11): write(stats_cols=…) records per-file "
+    "min/max/null-count from the parquet footers the commit produced, and "
+    "a selective read prunes files DRIVER-side before Spark lists them — "
+    "at 100 TB a date-sorted layout answers a one-year slice from the "
+    "candidate files instead of opening a million footers.  The residual "
+    "predicate always re-applies, so the oracle (plain SQL filter) must "
+    "match EXACTLY; the harness additionally asserts files were pruned "
+    "(a no-op manifest would still be correct, but it wouldn't be the "
+    "feature)",
+)
+def store_skipping_read_q(spark, sf):
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore
+
+    orders = cat_for(spark, sf).vertex_df("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    root = f"/tmp/sgspark_skip_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    store.write(
+        "orders", orders, sort_by=(12, ["o_orderdate"]),
+        stats_cols=["o_orderdate", "o_totalprice"],
+    )
+    out = store.read_skipping(
+        spark,
+        "orders",
+        [
+            ("o_orderdate", ">=", _dt.datetime(1996, 1, 1)),
+            ("o_orderdate", "<", _dt.datetime(1997, 1, 1)),
+            ("o_totalprice", ">", 150000.0),
+        ],
+    )
+    n_all = len(store.read(spark, "orders").inputFiles())
+    n_kept = len(out.inputFiles())
+    assert n_kept < n_all, f"skipping read must prune files ({n_kept}/{n_all})"
+    return out
+
+
+@q(
+    "store_time_travel",
+    "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 5 <> 0",
+    "TIMESTAMP time travel (store.read_as_of — Delta timestampAsOf, new "
+    "r11): three commits land with known wall-clock stamps; reading 'as "
+    "of' an instant between the second and third resolves to the second "
+    "version's exact contents (the oracle re-derives them from the raw "
+    "table, so any leakage from the newer or older commit "
+    "hash-mismatches).  Rides the same _committed_at stamps as "
+    "retention-windowed vacuum: any instant inside the retention window "
+    "is guaranteed readable",
+)
+def store_time_travel_q(spark, sf):
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from scalligraph_spark.store import LabelStore
+
+    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "source", "n_chars")
+    root = f"/tmp/sgspark_asof_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    store.write("docs", docs.where(F.col("doc_id") % 7 != 3))  # v1
+    store.write("docs", docs.where(F.col("doc_id") % 5 != 0))  # v2 — the target
+    store.write("docs", docs)  # v3 (current)
+    now = _time.time()
+    for v, age in ((1, 300.0), (2, 200.0), (3, 100.0)):
+        p = _os.path.join(store.path("docs", v), "_commit.json")
+        with open(p) as fh:
+            m = _json.load(fh)
+        m["_committed_at"] = now - age
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    assert store.version_at("docs", now - 250) == 1
+    assert store.version_at("docs", now) == 3
+    return store.read_as_of(spark, "docs", now - 150)
+
+
+@q(
     "dedup_edit_distance",
     """
 SELECT a.doc_id AS left_id, b.doc_id AS right_id,
@@ -9003,6 +9094,13 @@ def quality_constraint_report_q(spark, sf):
 # suite oracles), blob_multi_hash (blob roundtrip stays suite-exact),
 # integrity_duplicates (integrity_resolve_duplicates remains), and
 # unique_enforce (writes_pipeline keeps the writes family covered).
+#
+# Round-11 session-16 swap: the round's NEW store features enter —
+# store_skipping_read (manifest file pruning, for store_cdf_replay:
+# store_cdf_changes keeps CDC window-covered) and store_time_travel
+# (timestampAsOf, for value_index_lookup: the value-index family keeps
+# THREE window entries — catchup, catchup_tombstone, retention_vacuum).
+# Both rotated-out entries stay registered and suite-exact.
 _WINDOW = [
     "scan_by_ids",
     "qlang_row_policy",
@@ -9048,12 +9146,12 @@ _WINDOW = [
     "temporal_asof_join_bucketed",
     "dialogue_pack_budget_sharded",
     "pipeline_clean_corpus",
-    "value_index_lookup",
+    "store_time_travel",
     "writes_pipeline",
     "auth_property",
     "store_cdf_changes",
     "join_bloom_prefiltered",
-    "store_cdf_replay",
+    "store_skipping_read",
 ]
 
 

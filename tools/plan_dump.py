@@ -162,6 +162,8 @@ PLAN_QUERIES = [
     "events_set_ops_exact",  # ONE hash exchange: flags agg + scalar final agg
     "maintain_indexes_fleet",  # fleet sweep: per-family extends, all churn-sized
     "events_window_funnel_strict_hot",  # 20x interloper load on ONE user-key exchange
+    "store_skipping_read",  # scan lists ONLY manifest-kept files; residual filter pushed to parquet
+    "store_time_travel",  # plain pinned-version scan — resolution is pure metadata
 ]
 
 
