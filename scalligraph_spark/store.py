@@ -88,6 +88,46 @@ def check_retention(retention_seconds) -> float:
 _SKIP_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
+class MissingFileStatsWarning(UserWarning):
+    """A predicate-bearing store read found no file-stats manifest: the
+    read stays CORRECT (full scan + filter) but nothing prunes — write
+    with ``stats_cols=…`` or backfill via ``collect_file_stats`` to get
+    the skipping path.  Same loud-fallback discipline as the
+    Missing{Value,Text,Ann}IndexWarning family."""
+
+
+def coerce_json_predicates(schema, predicates) -> list:
+    """Coerce JSON-transported predicate values into the target column's
+    domain: JSON has no date/timestamp type, so chains carry them as ISO
+    strings — compared as strings they would neither prune (kind
+    mismatch keeps every file) nor filter correctly in every engine.
+    Numbers, strings and booleans pass through; unknown columns pass
+    through untouched (the residual filter surfaces the error)."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f.dataType for f in schema.fields}
+
+    def _cv(dt, x):
+        if x is None or dt is None or not isinstance(x, str):
+            return x
+        try:
+            if isinstance(dt, T.DateType):
+                return _dt.date.fromisoformat(x)
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return _dt.datetime.fromisoformat(x)
+        except ValueError:
+            return x
+        return x
+
+    out = []
+    for c, op, v in predicates:
+        dt = by_name.get(c)
+        out.append((c, op, [_cv(dt, x) for x in v] if op == "in" else _cv(dt, v)))
+    return out
+
+
 def _enc_stat(v):
     """Encode a parquet footer stat into a (kind, json-encodable) pair;
     ``(None, None)`` = unusable for pruning (binary, NaN/inf, exotic).

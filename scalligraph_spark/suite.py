@@ -81,6 +81,7 @@ def executor_for(
     sf_dir: str,
     with_row_policy: bool = False,
     snapshot_root: str | None = None,
+    store_root: str | None = None,
     text_index: tuple | None = None,
     ann_index: tuple | None = None,
     minhash_index: tuple | None = None,
@@ -98,6 +99,14 @@ def executor_for(
     step to one store root configured at construction: chains cannot name
     arbitrary filesystem paths, and the returned traversal carries the real
     label so registered row policies still apply to snapshot reads.
+
+    ``store_root`` likewise pins the ``fromStore`` init step — a
+    versioned-LABEL scan that is skipping-aware (``where`` triples route
+    through ``read_skipping``: manifest file pruning + exact residual
+    filter; ISO date/timestamp strings coerce to the column's domain)
+    and time-travel-aware (``asOf`` epoch seconds or ISO-8601 resolves
+    through ``version_at``).  No manifest → loud
+    ``MissingFileStatsWarning`` + correct full scan.
 
     ``text_index=(store, name)`` declares a persisted inverted index for
     the ``textSearch`` step: when a committed artifact exists the step
@@ -516,6 +525,64 @@ def executor_for(
         return Traversal(df, catalog=g, label=label)
 
     ex.register_init("atSnapshot", _at_snapshot)
+
+    def _from_store(g, s, a):
+        # versioned-store scan from the query language, skipping-aware and
+        # time-travel-aware: `where` is a conjunction of [col, op, value]
+        # triples routed through read_skipping (manifest file pruning +
+        # the exact residual filter), `asOf` (epoch seconds or ISO-8601,
+        # naive = UTC) resolves through version_at.  The root is fixed at
+        # executor construction (same rule as atSnapshot: chains must not
+        # name filesystem paths) and the traversal keeps its label so row
+        # policies gate store reads too.
+        import warnings as _w
+
+        from scalligraph_spark.store import (
+            LabelStore,
+            MissingFileStatsWarning,
+            coerce_json_predicates,
+        )
+
+        if store_root is None:
+            raise ValueError(
+                "fromStore requires executor_for(..., store_root=...) — "
+                "chain-supplied roots are rejected"
+            )
+        st = LabelStore(store_root)
+        label = str(s["label"])
+        as_of = s.get("asOf")
+        if as_of is not None:
+            if isinstance(as_of, str):
+                import datetime as _dt
+
+                d = _dt.datetime.fromisoformat(as_of)
+                if d.tzinfo is None:
+                    d = d.replace(tzinfo=_dt.timezone.utc)
+                as_of = d.timestamp()
+            version = st.version_at(label, float(as_of))
+        else:
+            version = None
+        preds = s.get("where") or []
+        if not preds:
+            return Traversal(st.read(g.spark, label, version), catalog=g, label=label)
+        schema = st.read(g.spark, label, version).schema
+        triples = coerce_json_predicates(
+            schema, [(str(c), str(op), val) for c, op, val in preds]
+        )
+        if st.file_manifest(label, version) is None:
+            _w.warn(
+                f"fromStore: label {label!r} has no file-stats manifest — the "
+                "predicates filter a FULL scan (write with stats_cols=... or "
+                "collect_file_stats to enable file skipping)",
+                MissingFileStatsWarning,
+            )
+        return Traversal(
+            st.read_skipping(g.spark, label, triples, version=version),
+            catalog=g,
+            label=label,
+        )
+
+    ex.register_init("fromStore", _from_store)
 
     if with_row_policy:
         ex.register_row_policy("customer", customer_nation_policy)
@@ -8011,6 +8078,75 @@ def store_time_travel_q(spark, sf):
     assert store.version_at("docs", now - 250) == 1
     assert store.version_at("docs", now) == 3
     return store.read_as_of(spark, "docs", now - 150)
+
+
+@q(
+    "qlang_from_store",
+    f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS count,
+       {dsum_expr('o_totalprice')} AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY o_orderstatus
+""",
+    "file skipping + time travel from the QUERY LANGUAGE: the `fromStore` "
+    "init step (root fixed at executor construction, same no-arbitrary-"
+    "paths rule as atSnapshot) scans a versioned label with `where` "
+    "triples routed through read_skipping — ISO date strings coerce to "
+    "the column's domain, the manifest prunes files driver-side, the "
+    "residual filter keeps it exact — then the chain's aggregation "
+    "grammar folds on top.  The harness asserts the pruned plan read "
+    "fewer files than the full table; the oracle is the plain SQL "
+    "filter+group",
+)
+def qlang_from_store_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore
+
+    orders = cat_for(spark, sf).vertex_df("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    root = f"/tmp/sgspark_qskip_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    store.write(
+        "orders", orders, sort_by=(12, ["o_orderdate"]),
+        stats_cols=["o_orderdate"],
+    )
+    ex = executor_for(spark, sf, store_root=root)
+    t = ex.execute(
+        [
+            {
+                "_name": "fromStore",
+                "label": "orders",
+                "where": [
+                    ["o_orderdate", ">=", "1996-01-01T00:00:00"],
+                    ["o_orderdate", "<", "1997-01-01T00:00:00"],
+                ],
+            },
+            {
+                "_name": "aggregation",
+                "_agg": "field",
+                "_field": "o_orderstatus",
+                "_select": [
+                    {"_agg": "count"},
+                    {"_agg": "sum", "_field": "o_totalprice", "_name": "total"},
+                ],
+            },
+        ]
+    )
+    n_all = len(store.read(spark, "orders").inputFiles())
+    n_kept = len(
+        store.read_skipping(
+            spark, "orders",
+            [("o_orderdate", ">=", __import__("datetime").datetime(1996, 1, 1))],
+        ).inputFiles()
+    )
+    assert n_kept < n_all, f"fromStore must prune files ({n_kept}/{n_all})"
+    return t.df.select("o_orderstatus", "count", "total")
 
 
 @q(

@@ -238,6 +238,110 @@ def test_time_travel_skips_aborted_claims(spark, store):
     assert store.version_at("tt", time.time()) == 1
 
 
+SF = "/root/testdata/sf0.001"
+
+
+def test_from_store_chain_prunes_and_time_travels(spark, store):
+    """The fromStore init step: `where` routes through read_skipping
+    (ISO strings coerced to the column domain) and `asOf` resolves a
+    stamped version — composed under the chain grammar."""
+    from scalligraph_spark.suite import executor_for
+
+    df = _frame(spark, 3000)
+    store.write("t", df.where(F.col("id") < 1000), sort_by=(4, ["d"]), stats_cols=["d"])
+    store.write("t", df, sort_by=(6, ["d"]), stats_cols=["d"])
+    now = time.time()
+    for v, age in ((1, 500.0), (2, 100.0)):
+        p = os.path.join(store.path("t", v), "_commit.json")
+        with open(p) as f:
+            m = json.load(f)
+        m["_committed_at"] = now - age
+        with open(p, "w") as f:
+            json.dump(m, f)
+    ex = executor_for(spark, SF, store_root=store.root)
+    chain = [
+        {
+            "_name": "fromStore",
+            "label": "t",
+            "where": [["d", ">=", "2020-03-01"], ["d", "<", "2020-04-01"]],
+        }
+    ]
+    t = ex.execute(chain)
+    exp = df.where((F.col("d") >= F.lit("2020-03-01")) & (F.col("d") < F.lit("2020-04-01")))
+    _same(t.df, exp)
+    assert len(t.df.inputFiles()) < 6, "manifest must prune the current version's files"
+    # asOf between the stamps resolves to v1 (ids < 1000 only)
+    t_old = ex.execute([dict(chain[0], asOf=now - 300)])
+    _same(t_old.df, exp.where(F.col("id") < 1000))
+    # ISO-8601 asOf accepted too
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(now - 300, dt.timezone.utc).isoformat()
+    _same(ex.execute([dict(chain[0], asOf=iso)]).df, exp.where(F.col("id") < 1000))
+
+
+def test_from_store_requires_declared_root(spark):
+    from scalligraph_spark.suite import executor_for
+
+    ex = executor_for(spark, SF)
+    with pytest.raises(ValueError, match="store_root"):
+        ex.execute([{"_name": "fromStore", "label": "t"}])
+
+
+def test_from_store_warns_without_manifest(spark, store):
+    from scalligraph_spark.store import MissingFileStatsWarning
+    from scalligraph_spark.suite import executor_for
+
+    df = _frame(spark, 500)
+    store.write("t", df)  # no stats_cols
+    ex = executor_for(spark, SF, store_root=store.root)
+    with pytest.warns(MissingFileStatsWarning):
+        t = ex.execute(
+            [{"_name": "fromStore", "label": "t", "where": [["id", "<", 100]]}]
+        )
+    _same(t.df, df.where(F.col("id") < 100))
+
+
+def test_from_store_rows_are_policy_gated(spark, store):
+    """A store read must never leak rows a row policy would hide from the
+    live table — the traversal keeps its label, so registered policies
+    apply (the atSnapshot discipline)."""
+    from scalligraph_spark.suite import cat_for, executor_for
+
+    cust = cat_for(spark, SF).vertex_df("customer")
+    store.write("customer", cust, stats_cols=["c_nationkey"])
+    ex = executor_for(spark, SF, with_row_policy=True, store_root=store.root)
+    chain = [
+        {"_name": "fromStore", "label": "customer", "where": [["c_acctbal", ">=", 0]]}
+    ]
+    assert ex.execute(chain, auth={}).df.count() == 0, "deny-by-default"
+    granted = ex.execute(chain, auth={"nations": [2, 7]}).df
+    exp = cust.where((F.col("c_acctbal") >= 0) & F.col("c_nationkey").isin([2, 7]))
+    assert granted.count() == exp.count() > 0
+
+
+def test_coerce_json_predicates_types(spark):
+    import datetime as dt
+
+    from scalligraph_spark.store import coerce_json_predicates
+
+    df = _frame(spark, 10)
+    out = coerce_json_predicates(
+        df.schema,
+        [
+            ("d", ">=", "2020-01-05"),
+            ("d", "in", ["2020-01-05", None]),
+            ("name", "=", "u000001"),
+            ("id", "<", 5),
+            ("nope", "=", "2020-01-05"),  # unknown column: untouched
+        ],
+    )
+    assert out[0][2] == dt.date(2020, 1, 5)
+    assert out[1][2] == [dt.date(2020, 1, 5), None]
+    assert out[2][2] == "u000001" and out[3][2] == 5
+    assert out[4][2] == "2020-01-05"
+
+
 def test_footer_manifest_distributed_shape(spark, tmp_path):
     """The collector is metadata-only and returns relative paths sorted."""
     df = _frame(spark, 1000)
