@@ -895,6 +895,9 @@ class LabelStore:
         m = self.commit_meta(mor) if self.version(mor) > 0 else {}
         slots = self._delta_slots(label, m)
         merged = self.read_merged(spark, label)
+        # a manifest on the current base carries forward across the fold
+        # (same rule as compact/optimize), unless the caller overrides
+        write_opts.setdefault("stats_cols", self._inherited_stats_cols(label))
         v = self.write(label, merged, **write_opts)
         if slots:
             self.write(
@@ -986,6 +989,11 @@ class LabelStore:
 
         No-op (returns the current version) when the table already meets
         the target file count.
+
+        A file-stats manifest on the current version CARRIES FORWARD: the
+        rewrite re-collects stats for the same columns (the old per-file
+        ranges describe files that no longer exist) — otherwise nightly
+        compaction would silently disable data skipping.
         """
         import math
 
@@ -994,7 +1002,12 @@ class LabelStore:
         target = max(1, math.ceil(total / target_file_bytes))
         if target >= n_files:
             return v
-        return self.write(label, self.read(spark, label, v).coalesce(target), partition_by=partition_by)
+        return self.write(
+            label,
+            self.read(spark, label, v).coalesce(target),
+            partition_by=partition_by,
+            stats_cols=self._inherited_stats_cols(label, v),
+        )
 
     def optimize(
         self,
@@ -1009,11 +1022,27 @@ class LabelStore:
         a new version.  Unlike :meth:`compact` (coalesce, no shuffle), this
         PAYS a range-partition shuffle to buy query-time pruning — run it
         when scan profiles show filters on these columns reading most
-        files.  ``n_files`` defaults to the current file count."""
+        files.  ``n_files`` defaults to the current file count.
+
+        The new version always carries a file-stats manifest for the
+        z-order columns (the whole point of paying the shuffle is pruned
+        reads — footer row-group pruning alone would waste the layout on
+        file listing), widened by any columns the old manifest tracked."""
         v = self.version(label)
         if n_files is None:
             n_files = max(1, self.stats(label, v)[0])
-        return self.write(label, self.read(spark, label, v), zorder_by=(n_files, zorder_by))
+        inherited = self._inherited_stats_cols(label, v) or []
+        stats_cols = list(dict.fromkeys(inherited + list(zorder_by)))
+        return self.write(
+            label, self.read(spark, label, v), zorder_by=(n_files, zorder_by), stats_cols=stats_cols
+        )
+
+    def _inherited_stats_cols(self, label: str, version: int | None = None) -> list[str] | None:
+        """The manifest columns a rewrite of this version should re-collect
+        (``None`` when the version has no manifest) — compaction and
+        OPTIMIZE must not silently drop data skipping."""
+        man = self.file_manifest(label, version)
+        return list(man["columns"]) if man else None
 
     def vacuum(
         self,
@@ -1115,6 +1144,7 @@ def store_report(spark: SparkSession, store: "LabelStore") -> DataFrame:
         mor = f"{label}__mor"
         m = store.commit_meta(mor) if store.version(mor) > 0 else {}
         deltas = len(store._delta_slots(label, m))
+        man = store.file_manifest(label)
         rows.append(
             (
                 label,
@@ -1125,13 +1155,16 @@ def store_report(spark: SparkSession, store: "LabelStore") -> DataFrame:
                 int(staging),
                 int(deltas),
                 int(max(0.0, now - store.commit_time(label))),
+                # data-skipping signal: which columns the current version
+                # can prune on (empty = selective reads pay a full listing)
+                sorted(man["columns"]) if man else [],
             )
         )
     return spark.createDataFrame(
         rows,
         "label string, version int, retained_versions int, data_files int, "
         "data_bytes long, staging_orphans int, delta_backlog int, "
-        "commit_age_seconds long",
+        "commit_age_seconds long, skipping_cols array<string>",
     )
 
 

@@ -184,23 +184,65 @@ def test_may_match_unit_semantics():
     assert not _file_may_match({"path": "f", "rows": 0, "cols": {}}, "a", "=", 1, tz)
 
 
-def test_manifest_survives_compaction_cycle(spark, store):
-    """compact() commits a NEW version without stats — the manifest must
-    be version-scoped: old version still prunes, new one full-scans."""
+def test_manifest_carries_through_compaction_and_optimize(spark, store):
+    """Maintenance rewrites must not silently disable skipping: compact()
+    and optimize() re-collect stats for the inherited manifest columns
+    over the NEW layout (the old per-file ranges describe dead files)."""
     df = _frame(spark, 4000)
     v1 = store.write("t", df.repartition(16), stats_cols=["id"])
     v2 = store.compact(spark, "t", target_file_bytes=1 << 30)
     assert v2 > v1
-    assert store.file_manifest("t", v1) is not None
-    assert store.file_manifest("t", v2) is None
-    _same(
-        store.read_skipping(spark, "t", [("id", "<", 50)], version=v1),
-        df.where(F.col("id") < 50),
-    )
+    m2 = store.file_manifest("t", v2)
+    assert m2 is not None and m2["columns"] == ["id"]
+    assert {e["path"] for e in m2["files"]} != {
+        e["path"] for e in store.file_manifest("t", v1)["files"]
+    }
     _same(
         store.read_skipping(spark, "t", [("id", "<", 50)], version=v2),
         df.where(F.col("id") < 50),
     )
+    # OPTIMIZE ZORDER always manifests its clustering columns, widened by
+    # the inherited set
+    v3 = store.optimize(spark, "t", ["price"], n_files=4)
+    m3 = store.file_manifest("t", v3)
+    assert m3 is not None and sorted(m3["columns"]) == ["id", "price"]
+    r = store.read_skipping(spark, "t", [("price", "<", 100.0)], version=v3)
+    assert len(r.inputFiles()) < 4
+    _same(r, df.where(F.col("price") < 100.0))
+    # a no-stats label stays no-stats through compact (nothing to inherit)
+    store.write("u", df.repartition(16))
+    vu = store.compact(spark, "u", target_file_bytes=1 << 30)
+    assert store.file_manifest("u", vu) is None
+
+
+def test_manifest_carries_through_compact_mor(spark, store):
+    df = _frame(spark, 2000)
+    store.write("t", df, stats_cols=["id"])
+    d = (
+        df.where(F.col("id") % 10 == 0)
+        .withColumn("price", F.col("price") + 1)
+        .withColumn("_op", F.lit("upsert"))
+    )
+    store.write_delta(spark, "t", d, ["id"])
+    store.compact_mor(spark, "t")
+    m = store.file_manifest("t")
+    assert m is not None and m["columns"] == ["id"]
+    merged = store.read_merged(spark, "t")
+    _same(
+        store.read_skipping(spark, "t", [("id", "<", 100)]),
+        merged.where(F.col("id") < 100),
+    )
+
+
+def test_store_report_shows_skipping_cols(spark, store):
+    from scalligraph_spark.store import store_report
+
+    df = _frame(spark, 500)
+    store.write("a", df, stats_cols=["id", "d"])
+    store.write("b", df)
+    rep = {r["label"]: r for r in store_report(spark, store).collect()}
+    assert rep["a"]["skipping_cols"] == ["d", "id"]
+    assert rep["b"]["skipping_cols"] == []
 
 
 def test_timestamp_time_travel(spark, store):
