@@ -163,6 +163,36 @@ class EntityModel:
     def unique_keys(self) -> list[tuple[str, ...]]:
         return [cols for kind, cols in self.indexes if kind == IndexType.UNIQUE]
 
+    def layout_hints(self, n_files: int = 32) -> dict:
+        """Store layout derived from the model's index hints — the
+        IndexType docstring's promise made executable: ``store.write(
+        label, df, **model.layout_hints())`` lays the table out so the
+        declared lookup columns actually prune.
+
+        BASIC/STANDARD/UNIQUE columns become ``stats_cols`` (per-file
+        min/max manifest → ``read_skipping`` prunes on every declared
+        lookup key, the analog of the reference consulting its composite
+        indexes for every ``has()``); the FIRST declared index's columns
+        become ``sort_by`` so the files' ranges are narrow on the primary
+        lookup path (one clustering is physically possible — secondary
+        keys still prune, just with wider ranges).  FULLTEXT hints are
+        query-behavior, not layout, and contribute nothing here."""
+        layout_kinds = (IndexType.BASIC, IndexType.STANDARD, IndexType.UNIQUE)
+        stats: list[str] = []
+        sort: tuple[str, ...] | None = None
+        for kind, cols in self.indexes:
+            if kind not in layout_kinds:
+                continue
+            if sort is None:
+                sort = cols
+            stats.extend(c for c in cols if c not in stats)
+        out: dict = {}
+        if stats:
+            out["stats_cols"] = stats
+        if sort:
+            out["sort_by"] = (n_files, list(sort))
+        return out
+
 
 def _coerce_fields(fields: dict[str, str | T.DataType] | list[FieldSpec]) -> list[FieldSpec]:
     if isinstance(fields, dict):

@@ -163,6 +163,7 @@ def start_store_sink(
     label: str,
     checkpoint_dir: str,
     query_name: str = "store_sink",
+    stats_cols: list[str] | None = None,
 ):
     """Stream → versioned :class:`~scalligraph_spark.store.LabelStore`
     commits via ``foreachBatch``: each micro-batch lands as a NEW table
@@ -175,6 +176,10 @@ def start_store_sink(
     (windowed aggregates, session summaries).  A raw firehose should use
     :func:`start_parquet_sink` — rewriting the full table per batch is the
     wrong shape for append-only 100 TB data.
+
+    ``stats_cols`` threads the file-stats manifest through every batch
+    commit (store.write contract), so an incrementally-maintained table
+    stays prunable by ``read_skipping`` without a separate backfill pass.
 
     Returns the started StreamingQuery (caller awaits/stops)."""
 
@@ -189,7 +194,7 @@ def start_store_sink(
             merged = store.read(batch_df.sparkSession, label, cur_v).unionByName(batch_df)
         else:
             merged = batch_df
-        store.write(label, merged, meta={"batch_id": batch_id})
+        store.write(label, merged, meta={"batch_id": batch_id}, stats_cols=stats_cols)
 
     return (
         stream_df.writeStream.foreachBatch(_commit)

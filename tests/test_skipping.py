@@ -362,6 +362,56 @@ def test_from_store_rows_are_policy_gated(spark, store):
     assert granted.count() == exp.count() > 0
 
 
+def test_store_sink_threads_stats_cols(spark, store, tmp_path):
+    """A streaming-maintained table stays prunable: every batch commit
+    carries the manifest, no separate backfill pass."""
+    from scalligraph_spark.streaming import start_store_sink
+
+    df = _frame(spark, 400)
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src))
+    raw = spark.readStream.schema(df.schema).parquet(str(src))
+    start_store_sink(
+        raw, store, "t", str(tmp_path / "ckpt"), stats_cols=["id"]
+    ).awaitTermination()
+    man = store.file_manifest("t")
+    assert man is not None and man["columns"] == ["id"]
+    _same(
+        store.read_skipping(spark, "t", [("id", "<", 50)]),
+        df.where(F.col("id") < 50),
+    )
+
+
+def test_model_layout_hints_drive_skipping(spark, store):
+    """The IndexType docstring's promise made executable: declared lookup
+    columns become the write layout, and read_skipping prunes on them."""
+    from scalligraph_spark.model import EntityModel, IndexType
+
+    m = EntityModel.vertex(
+        "acct",
+        {"acct_id": "long", "region": "string", "balance": "double"},
+        indexes=[
+            (IndexType.BASIC, ("acct_id",)),
+            (IndexType.STANDARD, ("region",)),
+            (IndexType.FULLTEXT, ("region",)),  # query-behavior, not layout
+        ],
+    )
+    hints = m.layout_hints(n_files=6)
+    assert hints["stats_cols"] == ["acct_id", "region"]
+    assert hints["sort_by"] == (6, ["acct_id"])
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("acct_id"),
+        F.concat(F.lit("r"), (F.col("id") % 4).cast("string")).alias("region"),
+        (F.col("id") * 1.0).alias("balance"),
+    )
+    store.write("acct", df, **hints)
+    r = store.read_skipping(spark, "acct", [("acct_id", "=", 4321)])
+    assert len(r.inputFiles()) == 1
+    _same(r, df.where(F.col("acct_id") == 4321))
+    # no layout indexes → no hints (write stays plain)
+    assert EntityModel.vertex("x", {"a": "long"}).layout_hints() == {}
+
+
 def test_coerce_json_predicates_types(spark):
     import datetime as dt
 
