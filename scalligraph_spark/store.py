@@ -836,16 +836,29 @@ class LabelStore:
             except VersionConflictError:
                 k += 1  # a racing writer claimed this slot — next one
 
-    def read_merged(self, spark: SparkSession, label: str) -> DataFrame:
+    def read_merged(self, spark: SparkSession, label: str, predicates=None) -> DataFrame:
         """Base ∪ outstanding deltas, resolved: for every key the LATEST
         delta wins (later batches supersede earlier ones), deletes drop
         the key, untouched base rows pass through an anti-join against
         the broadcast touched-key set — the base is never shuffled, so
         read overhead is churn-sized, not table-sized.  With no deltas
-        this IS :meth:`read`."""
+        this IS :meth:`read`.
+
+        ``predicates`` makes the merged read SELECTIVE with file skipping
+        on the base (``read_skipping``'s triples): equivalent to
+        ``read_merged().where(pred)`` because filtering the base commutes
+        with the anti-join (both only drop base rows), while delta
+        resolution still sees EVERY delta row per key — latest-batch-wins
+        must be decided before filtering, and only the resolved upserts
+        are filtered.  At 100 TB a selective read over a MOR table prunes
+        the base's files and pays churn-sized work for the deltas."""
         mor = f"{label}__mor"
         m = self.commit_meta(mor) if self.version(mor) > 0 else {}
-        base = self.read(spark, label)
+        if predicates is not None:
+            preds = _validate_predicates(predicates)
+            base = self.read_skipping(spark, label, preds)
+        else:
+            base = self.read(spark, label)
         slots = self._delta_slots(label, m)
         if not slots:
             return base
@@ -866,6 +879,8 @@ class LabelStore:
         )
         touched = latest.select(*key_cols)
         upserts = latest.where(F.col(op_col) == "upsert").drop(op_col, "__batch")
+        if predicates is not None:
+            upserts = upserts.where(_predicates_column(preds))
         return base.join(F.broadcast(touched), key_cols, "left_anti").unionByName(upserts)
 
     def _delta_slots(self, label: str, meta: dict) -> list[int]:
