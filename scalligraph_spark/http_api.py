@@ -395,9 +395,27 @@ class QueryServer:
         import resource
         import threading as _threading
 
-        spark = self.executor.catalog.spark
-        sc = spark.sparkContext
         out: dict = {}
+        # the Python-side section can never depend on Spark being alive —
+        # /health is a LIVENESS endpoint first; a stopped SparkContext or
+        # dead py4j gateway must degrade the diagnostics, not 500 the probe
+        import sys as _sys
+
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        # ru_maxrss units are platform-defined: KiB on Linux, BYTES on
+        # macOS — an unguarded KiB assumption inflates Darwin readings
+        # 1024× and poisons any probe-loop memory threshold
+        rss_div = (1 << 20) if _sys.platform == "darwin" else 1024
+        out["python"] = {
+            "max_rss_mb": int(ru.ru_maxrss / rss_div),
+            "threads": _threading.active_count(),
+        }
+        try:
+            spark = self.executor.catalog.spark
+            sc = spark.sparkContext
+            out["default_parallelism"] = int(sc.defaultParallelism)
+        except Exception:
+            return out
         try:
             rt = spark._jvm.java.lang.Runtime.getRuntime()
             mb = 1 << 20
@@ -422,18 +440,6 @@ class QueryServer:
             out["active_stages"] = len(tracker.getActiveStageIds())
         except Exception:
             pass
-        import sys as _sys
-
-        ru = resource.getrusage(resource.RUSAGE_SELF)
-        # ru_maxrss units are platform-defined: KiB on Linux, BYTES on
-        # macOS — an unguarded KiB assumption inflates Darwin readings
-        # 1024× and poisons any probe-loop memory threshold
-        rss_div = (1 << 20) if _sys.platform == "darwin" else 1024
-        out["python"] = {
-            "max_rss_mb": int(ru.ru_maxrss / rss_div),
-            "threads": _threading.active_count(),
-        }
-        out["default_parallelism"] = int(sc.defaultParallelism)
         return out
 
     def _run_health(self) -> tuple[int, dict[str, str], bytes]:
@@ -442,11 +448,16 @@ class QueryServer:
         try:
             body = {"status": "ok", "runtime": self._runtime_stats()}
             if self.store is not None:
-                from scalligraph_spark.qlang.renderers import render_rows
-                from scalligraph_spark.store import store_report
+                try:
+                    from scalligraph_spark.qlang.renderers import render_rows
+                    from scalligraph_spark.store import store_report
 
-                spark = self.executor.catalog.spark
-                body["labels"] = render_rows(store_report(spark, self.store))
+                    spark = self.executor.catalog.spark
+                    body["labels"] = render_rows(store_report(spark, self.store))
+                except Exception as e:
+                    # liveness first: a dead SparkContext degrades the
+                    # store section instead of failing the probe
+                    body["labels_error"] = str(e)
             return 200, {}, json.dumps(body, default=str).encode()
         except Exception as e:
             status, err = _error_body(e)
@@ -481,19 +492,23 @@ class QueryServer:
                 compact_over = int(payload.get("compactOver", 8))
             except (TypeError, ValueError):
                 compact_over = None
+            from scalligraph_spark.store import check_retention
+
             try:
-                retention = float(payload.get("vacuumRetentionSeconds", 0.0))
+                # one validator for the retention contract (check_retention:
+                # finite-or-inf number >= 0, NaN rejected) — two copies of
+                # the rule would drift; bool is int-coercible but never a
+                # duration, so the transport rejects it before coercion
+                if isinstance(payload.get("vacuumRetentionSeconds"), bool):
+                    raise ValueError("bool is not a duration")
+                retention = check_retention(payload.get("vacuumRetentionSeconds", 0.0))
             except (TypeError, ValueError):
                 retention = None
-            if isinstance(payload.get("vacuumRetentionSeconds"), bool):
-                retention = None  # bool is int-coercible but never a duration
             if (
                 on_mutation not in ("error", "reindex", "tombstone")
                 or compact_over is None
                 or not isinstance(vacuum, bool)
                 or retention is None
-                or retention < 0
-                or retention != retention  # NaN
             ):
                 return 400, {}, json.dumps({
                     "type": "BadRequest",

@@ -214,34 +214,65 @@ def vacuum_index_segments(
     (Delta VACUUM's retention contract, the window the reference's
     transactional maintenance never needs — JanusDatabase.scala:304-434
     mutates indexes in place): a segment only becomes reclaimable once
-    the compaction that de-listed it is older than the window.  Every
-    de-listing compaction rewrites the family's BASE table(s) and a
-    later compaction only pushes that commit time forward, so the
-    newest base :meth:`~scalligraph_spark.store.LabelStore.commit_time`
-    across the family upper-bounds every victim's de-list time — a
-    reader that pinned a pre-compaction plan within the last
-    ``retention_seconds`` always still finds its segments.  0 (the
-    default) preserves immediate reclaim, which remains safe only under
-    the no-pinned-readers operator discipline.  Must still not run
+    the compaction that DE-LISTED it is older than the window.  The
+    de-list time is PER VICTIM — the earliest retained meta-carrier
+    version whose live record excludes the segment (the carrier is
+    rewritten by every mutation, so its history is the fold ledger;
+    metadata-only to read).  Gating every victim on the newest family
+    commit would mean a compaction cadence shorter than the window never
+    reclaims anything — an unbounded segment-label leak under exactly
+    the nightly-cron shape this sweep exists for.  A victim whose
+    de-listing carrier version was itself vacuumed falls back to the
+    earliest RETAINED excluding version's stamp (an upper bound on the
+    real de-list time — delays reclaim, never endangers a reader).
+    Tombstone reclaim below stays on the conservative newest-base gate:
+    a pinned pre-compaction plan reads old segments THROUGH the
+    tombstone filter, so tombstones must outlive the window of the
+    newest rewrite that subsumed them.  0 (the default) preserves
+    immediate reclaim, which remains safe only under the
+    no-pinned-readers operator discipline.  Must still not run
     concurrently with extend writers.  Returns the dropped label names."""
     import time
 
     from scalligraph_spark.store import check_retention
 
     retention_seconds = check_retention(retention_seconds)
-    if retention_seconds > 0:
-        base_labels = {
-            "value": [name],
-            "text": [name],
-            "ann": [f"{name}__cells"],
-            "minhash": [name, f"{name}__bands", f"{name}__bucket_stats"],
-        }.get(kind, [])
-        folded_at = max(
-            (store.commit_time(lbl) for lbl in base_labels if store.version(lbl) > 0),
-            default=0.0,
-        )
-        if time.time() - folded_at <= retention_seconds:
-            return []
+
+    def _seg_folded_at() -> dict:
+        """victim label -> de-list time: the commit time of the earliest
+        retained BASE version whose own fold record covers the victim —
+        the base rewrite IS what subsumes a segment (the carrier merely
+        publishes), and every compaction stamps what it folded into the
+        base's commit meta (``folded_segments`` for value/text/ann,
+        ``folded_through`` watermarks for minhash's per-table bases).
+        Victims with no retained covering record stay blocked."""
+        out: dict = {}
+        if kind in ("value", "text", "ann"):
+            base_lbl = f"{name}__cells" if kind == "ann" else name
+            for v in store.history(base_lbl):
+                mv = store.commit_meta(base_lbl, v)
+                ts = store.commit_time(base_lbl, v)
+                for seg in mv.get("folded_segments", []):
+                    out.setdefault(seg, ts)
+        else:  # minhash: sigs + bands watermarks must BOTH cover a seg id
+            # before any of its three per-id tables reclaims (a torn
+            # compaction that rewrote only sigs still needs the bands seg)
+            covers: dict = {}
+            for base_lbl in (name, f"{name}__bands"):
+                per: dict = {}
+                for v in store.history(base_lbl):
+                    mv = store.commit_meta(base_lbl, v)
+                    ts = store.commit_time(base_lbl, v)
+                    for i in range(1, int(mv.get("folded_through", 0)) + 1):
+                        per.setdefault(i, ts)
+                covers[base_lbl] = per
+            both = set(covers[name]) & set(covers[f"{name}__bands"])
+            for i in both:
+                ts = max(covers[name][i], covers[f"{name}__bands"][i])
+                for fam in ("", "bands_", "bucket_stats_"):
+                    out.setdefault(f"{name}__{fam}seg{i}", ts)
+        return out
+
     if kind in ("value", "text"):
         if kind == "value":
             from scalligraph_spark.operators.value_index import _index_meta
@@ -274,6 +305,12 @@ def vacuum_index_segments(
     else:
         raise ValueError(f"kind must be value/text/minhash/ann, got {kind!r}")
     victims = sorted(lbl for lbl in candidates if lbl not in live and store.version(lbl) > 0)
+    if retention_seconds > 0 and victims:
+        folded_at = _seg_folded_at()
+        now = time.time()
+        # unknown de-list time (carrier history gone entirely) → blocked,
+        # never reclaimed early
+        victims = [v for v in victims if now - folded_at.get(v, now) > retention_seconds]
     for lbl in victims:
         store.drop(lbl)
     # tombstones at or below EVERY base's sequence watermark are no-ops
@@ -285,6 +322,23 @@ def vacuum_index_segments(
     # tombstones the sigs base folded.
     from scalligraph_spark.operators.tombstones import tombstone_label, vacuum_tombstones
 
+    if retention_seconds > 0 and store.version(tombstone_label(name)) > 0:
+        # conservative newest-base gate for tombstones: a pinned
+        # pre-compaction plan reads its old segments THROUGH the
+        # tombstone filter, so the sidecar must outlive the window of
+        # the newest rewrite that subsumed its rows
+        base_labels = {
+            "value": [name],
+            "text": [name],
+            "ann": [f"{name}__cells"],
+            "minhash": [name, f"{name}__bands", f"{name}__bucket_stats"],
+        }[kind]
+        newest_base = max(
+            (store.commit_time(lbl) for lbl in base_labels if store.version(lbl) > 0),
+            default=0.0,
+        )
+        if time.time() - newest_base <= retention_seconds:
+            return victims
     if store.version(tombstone_label(name)) > 0:
         if kind == "minhash":
             folded_t = min(

@@ -114,7 +114,13 @@ def coerce_json_predicates(schema, predicates) -> list:
             return x
         try:
             if isinstance(dt, T.DateType):
-                return _dt.date.fromisoformat(x)
+                try:
+                    return _dt.date.fromisoformat(x)
+                except ValueError:
+                    # clients that serialize datetimes send
+                    # "1996-01-01T00:00:00" even for DATE columns — a
+                    # swallowed mismatch would silently disable skipping
+                    return _dt.datetime.fromisoformat(x).date()
             if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
                 return _dt.datetime.fromisoformat(x)
         except ValueError:
@@ -125,6 +131,51 @@ def coerce_json_predicates(schema, predicates) -> list:
     for c, op, v in predicates:
         dt = by_name.get(c)
         out.append((c, op, [_cv(dt, x) for x in v] if op == "in" else _cv(dt, v)))
+    return out
+
+
+def manifest_kinds(manifest: dict) -> dict:
+    """column -> stat kind (``num``/``str``/``bool``/``date``/``ts``/
+    ``tsn``) observed in a file-stats manifest — the type information a
+    JSON-predicate coercion needs WITHOUT a schema read (at a million
+    files, ``spark.read.parquet(...).schema`` pays a directory listing
+    just to learn that a column is a date).  Partition pseudo-stats
+    (``part``/``pnull``) carry no type and are skipped."""
+    kinds: dict = {}
+    for e in manifest.get("files", []):
+        for c, st in (e.get("cols") or {}).items():
+            t = st.get("t")
+            if t and t not in ("part", "pnull"):
+                kinds.setdefault(c, t)
+    return kinds
+
+
+def coerce_predicates_by_kind(kinds: dict, predicates) -> list:
+    """:func:`coerce_json_predicates` driven by manifest stat kinds
+    instead of a Spark schema — ISO strings parse into the stat's
+    comparison domain so pruning AND the residual filter see typed
+    values.  Unknown columns/kinds pass through untouched."""
+    import datetime as _dt
+
+    def _cv(kind, x):
+        if x is None or not isinstance(x, str):
+            return x
+        try:
+            if kind == "date":
+                try:
+                    return _dt.date.fromisoformat(x)
+                except ValueError:
+                    return _dt.datetime.fromisoformat(x).date()
+            if kind in ("ts", "tsn"):
+                return _dt.datetime.fromisoformat(x)
+        except ValueError:
+            return x
+        return x
+
+    out = []
+    for c, op, v in predicates:
+        kind = kinds.get(c)
+        out.append((c, op, [_cv(kind, x) for x in v] if op == "in" else _cv(kind, v)))
     return out
 
 
@@ -230,6 +281,12 @@ def _file_may_match(entry: dict, col: str, op: str, v, session_tz: str) -> bool:
     vals = [x for x in v if x is not None] if op == "in" else ([] if v is None else [v])
     if not vals:
         return False  # `col = NULL` / empty in-list match nothing in SQL
+    if any(isinstance(x, float) and x != x for x in vals):
+        # NaN predicate: Spark orders NaN GREATER than every double (and
+        # NaN = NaN is true there), while footer stats exclude NaN — no
+        # range proof is possible, keep the file and let the residual
+        # filter apply Spark's own semantics
+        return True
     st = (entry.get("cols") or {}).get(col)
     if st is None:
         return True
@@ -273,7 +330,8 @@ def _file_may_match(entry: dict, col: str, op: str, v, session_tz: str) -> bool:
                 ">": hi > pc,
                 ">=": hi >= pc,
             }[op]
-        except TypeError:
+        except (TypeError, ArithmeticError):
+            # incomparable pair (or Decimal NaN) — keep, never crash
             return True
         if ok:
             return True
@@ -929,29 +987,42 @@ class LabelStore:
         reclaimed slot numbers.  Outstanding slots are never touched.
 
         ``retention_seconds`` guards readers pinned to PRE-compaction
-        plans (they still union the folded deltas): the folding
-        compaction's :meth:`commit_time` — it rewrites the ``__mor``
-        carrier last — must be older than the window before anything
-        reclaims.  Conservative for slots folded by EARLIER compactions
-        (the latest carrier commit upper-bounds every fold time), which
-        only delays reclaim, never endangers a reader."""
+        plans (they still union the folded deltas): a slot reclaims only
+        once the compaction that FOLDED it — the earliest retained
+        ``__mor`` carrier version whose ``delta_start`` moved past the
+        slot — is older than the window.  Per-victim, not
+        latest-carrier: gating every slot on the NEWEST carrier commit
+        meant a compaction cadence shorter than the window never
+        reclaimed anything (an unbounded delta-label leak under the
+        nightly-cron shape this exists for).  Slots whose folding
+        carrier version was itself vacuumed fall back to the oldest
+        retained carrier's stamp — an upper bound on their real fold
+        time, so still safe."""
         import time
 
         retention_seconds = check_retention(retention_seconds)
         mor = f"{label}__mor"
-        if (
-            retention_seconds > 0
-            and self.version(mor) > 0
-            and time.time() - self.commit_time(mor) <= retention_seconds
-        ):
-            return []
         m = self.commit_meta(mor) if self.version(mor) > 0 else {}
         start = int(m.get("delta_start", 1))
+        folded_at = None
+        if retention_seconds > 0 and self.version(mor) > 0:
+            # earliest retained carrier version that de-listed each slot
+            # (metadata-only: one commit_meta + commit_time per version)
+            folded_at = {}
+            for v in self.history(mor):
+                ds = int(self.commit_meta(mor, v).get("delta_start", 1))
+                ts = self.commit_time(mor, v)
+                for k in range(1, ds):
+                    folded_at.setdefault(k, ts)
+        now = time.time()
         victims = []
         for k in range(1, start):
-            if self.version(f"{label}__delta{k}") > 0:
-                self.drop(f"{label}__delta{k}")
-                victims.append(k)
+            if self.version(f"{label}__delta{k}") == 0:
+                continue
+            if folded_at is not None and now - folded_at.get(k, now) <= retention_seconds:
+                continue  # folded too recently — a pinned reader may remain
+            self.drop(f"{label}__delta{k}")
+            victims.append(k)
         return victims
 
     def drop(self, label: str) -> None:

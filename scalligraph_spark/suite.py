@@ -541,6 +541,8 @@ def executor_for(
             LabelStore,
             MissingFileStatsWarning,
             coerce_json_predicates,
+            coerce_predicates_by_kind,
+            manifest_kinds,
         )
 
         if store_root is None:
@@ -565,16 +567,22 @@ def executor_for(
         preds = s.get("where") or []
         if not preds:
             return Traversal(st.read(g.spark, label, version), catalog=g, label=label)
-        schema = st.read(g.spark, label, version).schema
-        triples = coerce_json_predicates(
-            schema, [(str(c), str(op), val) for c, op, val in preds]
-        )
-        if st.file_manifest(label, version) is None:
+        triples = [(str(c), str(op), val) for c, op, val in preds]
+        man = st.file_manifest(label, version)
+        if man is not None:
+            # type the ISO strings from the manifest's own stat kinds —
+            # no schema read, so the step never pays a directory listing
+            # beyond the one the pruned scan itself performs
+            triples = coerce_predicates_by_kind(manifest_kinds(man), triples)
+        else:
             _w.warn(
                 f"fromStore: label {label!r} has no file-stats manifest — the "
                 "predicates filter a FULL scan (write with stats_cols=... or "
                 "collect_file_stats to enable file skipping)",
                 MissingFileStatsWarning,
+            )
+            triples = coerce_json_predicates(
+                st.read(g.spark, label, version).schema, triples
             )
         return Traversal(
             st.read_skipping(g.spark, label, triples, version=version),

@@ -479,6 +479,33 @@ def test_health_endpoint_with_store(spark, tmp_path):
     assert out["runtime"]["jvm"]["max_mb"] > 0  # runtime section rides along
 
 
+def test_health_stays_alive_when_spark_is_gone(tmp_path):
+    """/health is a LIVENESS endpoint first: a stopped SparkContext or
+    dead py4j gateway must degrade the diagnostics (Python section only,
+    labels_error note), never 500 the probe loop that decides whether to
+    restart the server."""
+    import json as _json
+
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.store import LabelStore
+
+    class _DeadCatalog:
+        @property
+        def spark(self):
+            raise RuntimeError("py4j gateway is down")
+
+    class _DeadExecutor:
+        catalog = _DeadCatalog()
+
+    srv = QueryServer(_DeadExecutor(), store=LabelStore(str(tmp_path / "s")))
+    status, _hdrs, body = srv._run_health()
+    out = _json.loads(body)
+    assert status == 200 and out["status"] == "ok"
+    assert out["runtime"]["python"]["threads"] >= 1
+    assert "jvm" not in out["runtime"] and "default_parallelism" not in out["runtime"]
+    assert "labels_error" in out and "labels" not in out
+
+
 def test_basic_auth_transport(spark):
     """HTTP Basic (BasicAuthSrv.scala:20-38): 'Authorization: Basic
     <b64 user:pass>' decodes into the password provider — the curl -u

@@ -245,6 +245,58 @@ def test_maintain_indexes_threads_retention(spark, store):
                          vacuum=True, vacuum_retention_seconds=-1)
 
 
+def test_vacuum_mor_reclaims_old_folds_under_frequent_compaction(spark, store):
+    """The gate is PER VICTIM: a compaction cadence shorter than the
+    window must still reclaim slots folded by long-past compactions —
+    gating on the newest carrier commit leaked delta labels forever."""
+    store.write("t", _people(spark, [(0, "alice", 10)]))
+    ch1 = spark.createDataFrame(
+        [(1, "bob", 20, "upsert")], "uid long, uname string, score int, _op string"
+    )
+    store.write_delta(spark, "t", ch1, ["uid"])
+    store.compact_mor(spark, "t")
+    # everything so far happened "long ago"
+    for v in store.history("t__mor"):
+        _age(store, "t__mor", 7200, version=v)
+    # a fresh churn cycle lands NOW (carrier rewritten within the window)
+    ch2 = spark.createDataFrame(
+        [(2, "carol", 30, "upsert")], "uid long, uname string, score int, _op string"
+    )
+    store.write_delta(spark, "t", ch2, ["uid"])
+    store.compact_mor(spark, "t")
+    assert store.vacuum_mor("t", retention_seconds=3600) == [1], (
+        "the old fold must reclaim even though a newer compaction is in-window"
+    )
+    assert store.version("t__delta2") > 0, "the fresh fold must stay"
+    assert {r["uid"] for r in store.read_merged(spark, "t").collect()} == {0, 1, 2}
+
+
+def test_segment_vacuum_reclaims_old_cycles_under_frequent_compaction(spark, store):
+    """Same per-victim rule for index segments: seg1 (folded by an aged
+    compaction) reclaims while seg2 (folded within the window) stays."""
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20)])
+    build_value_index(spark, store, "by_name", base, "uname", "uid")
+    extend_value_index(spark, store, "by_name", _people(spark, [(2, "carol", 30)]))
+    compact_value_index(spark, store, "by_name")
+    for v in store.history("by_name"):
+        _age(store, "by_name", 7200, version=v)
+    extend_value_index(spark, store, "by_name", _people(spark, [(3, "dave", 40)]))
+    compact_value_index(spark, store, "by_name")  # fresh rewrite, in-window
+    got = vacuum_index_segments(spark, store, "by_name", "value", retention_seconds=3600)
+    assert got == ["by_name__seg1"], f"old cycle must reclaim, fresh must stay: {got}"
+    assert store.version("by_name__seg2") > 0
+    names = sorted(
+        r["value"] for r in load_value_index(spark, store, "by_name").entries.collect()
+    )
+    assert names == ["alice", "bob", "carol", "dave"]
+    # once the fresh rewrite ages too, the second cycle reclaims
+    for v in store.history("by_name"):
+        _age(store, "by_name", 7200, version=v)
+    assert vacuum_index_segments(
+        spark, store, "by_name", "value", retention_seconds=3600
+    ) == ["by_name__seg2"]
+
+
 def test_retention_rejects_nan_and_negative(spark, store):
     """NaN is the silent killer: every comparison against it is False, so
     an unvalidated NaN retention disables the window and reclaims

@@ -448,6 +448,24 @@ def test_model_layout_hints_drive_skipping(spark, store):
     assert EntityModel.vertex("x", {"a": "long"}).layout_hints() == {}
 
 
+def test_nan_predicate_never_crashes_and_stays_exact(spark, store):
+    """A NaN predicate (reachable remotely: Python's json.loads accepts
+    the bare NaN literal) must not crash the prune with
+    decimal.InvalidOperation — it keeps every file and the residual
+    filter applies Spark's own NaN ordering (NaN > every double)."""
+    nan = float("nan")
+    df = _frame(spark, 1000)
+    store.write("t", df, sort_by=(4, ["id"]), stats_cols=["id", "price"])
+    full = store.read(spark, "t")
+    for preds, col in [
+        ([("price", "<", nan)], F.col("price") < nan),
+        ([("price", ">=", nan)], F.col("price") >= nan),
+        ([("price", "=", nan)], F.col("price") == nan),
+        ([("price", "in", [nan, 30.0])], F.col("price").isin([nan, 30.0])),
+    ]:
+        _same(store.read_skipping(spark, "t", preds), full.where(col))
+
+
 def test_coerce_json_predicates_types(spark):
     import datetime as dt
 
