@@ -408,7 +408,15 @@ def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> 
         for pdf in batches:
             out = []
             for p in pdf["path"]:
-                md = _pq.ParquetFile(p).metadata
+                try:
+                    md = _pq.ParquetFile(p).metadata
+                except Exception:
+                    # unreadable footer (foreign/corrupt file in a backfill
+                    # target): record the file with NO stats — readers keep
+                    # it and Spark's own scan surfaces the real error; the
+                    # manifest must never hide a file from the reader
+                    out.append({"path": p, "rows": None, "cols": {}})
+                    continue
                 acc: dict = {}
                 for rg in range(md.num_row_groups):
                     rgm = md.row_group(rg)

@@ -488,6 +488,22 @@ def test_coerce_json_predicates_types(spark):
     assert out[4][2] == "2020-01-05"
 
 
+def test_corrupt_footer_recorded_without_stats_and_kept(spark, tmp_path):
+    """A backfill over a directory containing an unreadable parquet file
+    records it with no stats — every prune keeps it, so the manifest can
+    never hide a file from the reader."""
+    df = _frame(spark, 500)
+    out = str(tmp_path / "d")
+    df.repartition(3).write.parquet(out)
+    with open(os.path.join(out, "part-zz-garbage.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    man = _footer_manifest(spark, out, ["id"])
+    assert len(man["files"]) == 4
+    bad = [e for e in man["files"] if "garbage" in e["path"]]
+    assert bad and bad[0]["rows"] is None and bad[0]["cols"] == {}
+    assert _file_may_match(bad[0], "id", "=", 10**9, "UTC"), "no stats -> keep"
+
+
 def test_footer_manifest_distributed_shape(spark, tmp_path):
     """The collector is metadata-only and returns relative paths sorted."""
     df = _frame(spark, 1000)
