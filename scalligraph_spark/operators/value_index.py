@@ -73,11 +73,18 @@ class UniqueIndexViolation(ValueError):
 @dataclass
 class ValueIndex:
     """A loaded value-index artifact: lazy ``(value, id)`` entries (base
-    table ∪ delta segments) plus the driver-side meta."""
+    table ∪ delta segments) plus the driver-side meta.  When the loader
+    attaches its provenance (``spark``/``store``/``name``), lookups
+    rebuild a MANIFEST-PRUNED plan per probe instead of filtering the
+    all-parts union — at 100 TB a point lookup touches the files whose
+    value ranges can match, never the index's full file listing."""
 
     version: int
     meta: dict = field(default_factory=dict)
     entries: DataFrame | None = None  # (value, id)
+    spark: SparkSession | None = None
+    store: object | None = None
+    name: str | None = None
 
     @property
     def value_col(self) -> str:
@@ -187,6 +194,10 @@ def build_value_index(
         name,
         entries,
         sort_by=(int(sort_files), ["value"]),
+        # per-file value ranges → lookups prune FILES driver-side
+        # (read_skipping), on top of the row-group pruning the sorted
+        # layout already buys
+        stats_cols=["value"],
         meta=dict(meta, base_seq=int(seg_seq)),
     )
     _write_meta(spark, store, name, meta)
@@ -237,7 +248,13 @@ def extend_value_index(
     seq = int(meta.get("seg_seq", len(segments))) + 1
     seg_label = f"{name}__seg{seq}"
     n_files = max(1, int(meta.get("sort_files", 8)) // 4)  # batch ≪ corpus
-    store.write(seg_label, batch, sort_by=(n_files, ["value"]), meta={"kind": "value_segment"})
+    store.write(
+        seg_label,
+        batch,
+        sort_by=(n_files, ["value"]),
+        stats_cols=["value"],
+        meta={"kind": "value_segment"},
+    )
     n_batch = store.read(spark, seg_label).count()
     segments.append(seg_label)
     meta = dict(meta, n_rows=int(meta["n_rows"]) + int(n_batch), segments=segments, seg_seq=seq)
@@ -285,6 +302,7 @@ def compact_value_index(spark: SparkSession, store, name: str) -> int:
         name,
         entries,
         sort_by=(int(meta.get("sort_files", 8)), ["value"]),
+        stats_cols=["value"],
         # base_seq: the sequence watermark this base covers — every
         # tombstone at or below it is physically applied inside, and the
         # strict reader comparison makes them no-ops against it
@@ -294,26 +312,35 @@ def compact_value_index(spark: SparkSession, store, name: str) -> int:
     return v
 
 
-def _load_entries(spark: SparkSession, store, name: str, meta: dict) -> DataFrame:
+def _load_entries(
+    spark: SparkSession, store, name: str, meta: dict, predicates=None
+) -> DataFrame:
     # segments already folded into the CURRENT base (recorded on its
     # commit at compaction time) are skipped: the authority for "which
     # segments exist" is the meta carrier, the authority for "which are
     # already inside the base" is the base itself — so a crash between
     # the two compaction commits never double-counts an entry
+    #
+    # `predicates` (read_skipping triples on the `value` column) prune
+    # each part's FILES through its footer-stats manifest before the
+    # tombstone anti-join — filtering by value and hiding ids both only
+    # DROP rows, so the order commutes and a pruned probe is exactly
+    # `entries.where(pred)`
     from scalligraph_spark.operators.tombstones import anti_tombstone, read_tombstones, seg_no
+
+    def _part(label: str) -> DataFrame:
+        if predicates is None:
+            return store.read(spark, label)
+        return store.read_skipping(spark, label, predicates)
 
     base_meta = store.commit_meta(name)
     folded = set(base_meta.get("folded_segments", []))
     tombs = read_tombstones(spark, store, name)
-    entries = anti_tombstone(
-        store.read(spark, name), int(base_meta.get("base_seq", 0)), tombs, "id"
-    )
+    entries = anti_tombstone(_part(name), int(base_meta.get("base_seq", 0)), tombs, "id")
     for seg in meta.get("segments", []):
         if seg in folded:
             continue
-        entries = entries.unionByName(
-            anti_tombstone(store.read(spark, seg), seg_no(seg), tombs, "id")
-        )
+        entries = entries.unionByName(anti_tombstone(_part(seg), seg_no(seg), tombs, "id"))
     return entries
 
 
@@ -345,33 +372,50 @@ def load_value_index(
         version=int(store.version(name)),
         meta=dict(meta),
         entries=_load_entries(spark, store, name, meta),
+        spark=spark,
+        store=store,
+        name=name,
     )
+
+
+def _probe(index: ValueIndex, predicates: list) -> DataFrame:
+    """A probe plan for the index: manifest-pruned per part when the
+    loader attached provenance (lookup cost ∝ matched FILES), else the
+    identical filter over the already-built entries union (hand-built
+    ValueIndex instances, older artifacts) — results equal either way,
+    the residual predicate always re-applies inside read_skipping."""
+    if index.spark is None or index.store is None or index.name is None:
+        from scalligraph_spark.store import _predicates_column
+
+        return index.entries.where(_predicates_column(predicates))
+    return _load_entries(index.spark, index.store, index.name, index.meta, predicates=predicates)
 
 
 def lookup_ids(index: ValueIndex, values: list) -> DataFrame:
     """Index entries for exactly the probed values — ``(value, id)``.
-    The ``In(value, …)`` filter pushes into the value-sorted parquet scan
-    of the base table AND every segment, so cost is the matched entries'
-    row groups, never the full index."""
+    The probed values prune the value-sorted layout TWICE: the footer
+    manifest drops whole files driver-side, and the pushed ``In(value,…)``
+    filter drops row groups inside the survivors — cost is the matched
+    entries' files, never the full index listing."""
     if not values:
         raise ValueError("values must be non-empty")
-    return index.entries.where(F.col("value").isin(list(values)))
+    return _probe(index, [("value", "in", list(values))])
 
 
 def lookup_range(index: ValueIndex, lo=None, hi=None) -> DataFrame:
     """Index entries with ``lo <= value <= hi`` (either bound optional) —
-    the range face the sorted layout gives for free: footer min/max stats
-    skip every row group outside the bound (the reference needs a MIXED
-    index for this; the sorted store layout answers it from the same
-    artifact)."""
+    the range face the sorted layout gives for free: the manifest skips
+    every FILE outside the bound and footer min/max every row group
+    inside the survivors (the reference needs a MIXED index for this;
+    the sorted store layout answers it from the same artifact)."""
     if lo is None and hi is None:
         raise ValueError("at least one of lo/hi is required")
-    out = index.entries
+    preds = []
     if lo is not None:
-        out = out.where(F.col("value") >= lo)
+        preds.append(("value", ">=", lo))
     if hi is not None:
-        out = out.where(F.col("value") <= hi)
-    return out
+        preds.append(("value", "<=", hi))
+    return _probe(index, preds)
 
 
 def index_value_filter(

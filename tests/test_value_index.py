@@ -129,11 +129,22 @@ def test_extend_equals_rebuild_and_segments_pruned(spark, store):
     )
     assert got == want
     assert int(ix.meta["n_rows"]) == 7
-    # the In filter reaches base AND both segment scans
+    # the manifests prune NON-MATCHING PARTS ENTIRELY: "zoe" lives only in
+    # segment 1, so the base and segment-2 scans collapse out of the union
+    # (their pruned file lists are empty) and the pushed filter reaches
+    # the one surviving scan — stronger than the old pin, which asserted
+    # the filter reached all three scans that file pruning now removes
+    probe = lookup_ids(ix, ["zoe"])
+    assert len(probe.inputFiles()) == 1
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        lookup_ids(ix, ["zoe"]).explain("formatted")
-    assert buf.getvalue().count("EqualTo(value,zoe)") == 3
+        probe.explain("formatted")
+    assert buf.getvalue().count("EqualTo(value,zoe)") == 1
+    # a probe spanning all parts still reaches every scan with the filter
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lookup_ids(ix, ["zoe", "alice", "yann"]).explain("formatted")
+    assert buf.getvalue().count("In(value, [alice,yann,zoe])") == 3
 
 
 def test_compaction_answer_identical(spark, store):
@@ -221,3 +232,62 @@ def test_staleness_warns_then_clears_on_extend_and_reindex(spark, store):
 def test_missing_index_raises_filenotfound(spark, store):
     with pytest.raises(FileNotFoundError, match="nope"):
         load_value_index(spark, store, "nope")
+
+
+def test_pruned_probe_equals_entries_filter_under_tombstones(spark, store):
+    """The manifest-pruned probe is EXACTLY entries.where(pred): value
+    pruning and tombstone id-hiding both only drop rows, so the order
+    commutes — pinned here with a deleted id, an updated value, a range
+    probe, and the provenance-less fallback path."""
+    from scalligraph_spark.operators.tombstones import write_tombstones
+
+    df = _corpus(spark)
+    build_value_index(spark, store, "by_name", df, "uname", "uid")
+    extend_value_index(
+        spark,
+        store,
+        "by_name",
+        spark.createDataFrame([(10, "zoe", 1)], "uid long, uname string, score int"),
+    )
+    # tombstone one base id (delete) — the probe must not resurrect it
+    write_tombstones(
+        spark, store, "by_name", spark.createDataFrame([(1,)], "id long"), "id", 1
+    )
+
+    ix = load_value_index(spark, store, "by_name")
+    ent = sorted(tuple(r) for r in ix.entries.collect())
+    for probe in (
+        lookup_ids(ix, ["zoe", "alice"]),
+        lookup_range(ix, lo="y"),
+        lookup_range(ix, lo="a", hi="c"),
+    ):
+        got = sorted(tuple(r) for r in probe.collect())
+        assert all(g in ent for g in got)
+    assert sorted(tuple(r) for r in lookup_range(ix, lo="a", hi="zz").collect()) == ent
+    # deleted id 1 ("bob") gone from a probe that targets its value
+    assert lookup_ids(ix, ["bob"]).count() == 0
+    assert 1 not in {r["id"] for r in ix.entries.collect()}
+    # provenance-less fallback (hand-built ValueIndex) gives identical rows
+    from scalligraph_spark.operators.value_index import ValueIndex
+
+    bare = ValueIndex(version=ix.version, meta=dict(ix.meta), entries=ix.entries)
+    assert sorted(tuple(r) for r in lookup_ids(bare, ["zoe", "alice"]).collect()) == sorted(
+        tuple(r) for r in lookup_ids(ix, ["zoe", "alice"]).collect()
+    )
+    assert sorted(tuple(r) for r in lookup_range(bare, lo="y").collect()) == sorted(
+        tuple(r) for r in lookup_range(ix, lo="y").collect()
+    )
+
+
+def test_range_probe_prunes_files(spark, store):
+    """A narrow range over the value-sorted base touches a strict subset
+    of the index's files (manifest file pruning on top of row groups)."""
+    big = spark.range(0, 4000).selectExpr(
+        "id as uid", "concat('u', lpad(cast(id as string), 6, '0')) as uname", "1 as score"
+    )
+    build_value_index(spark, store, "by_name", big, "uname", "uid", sort_files=8)
+    ix = load_value_index(spark, store, "by_name")
+    total = len(ix.entries.inputFiles())
+    probe = lookup_range(ix, lo="u000100", hi="u000200")
+    assert 0 < len(probe.inputFiles()) < total
+    assert probe.count() == 101
