@@ -451,10 +451,20 @@ def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> 
                 out.append({"path": p, "rows": md.num_rows, "cols": cols})
             yield pd.DataFrame({"entry": [json.dumps(e) for e in out]})
 
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-    n_slices = min(len(paths), spark.sparkContext.defaultParallelism)
-    rows = pdf.repartition(n_slices).mapInPandas(scan, schema="entry string").collect()
-    entries = sorted((json.loads(r["entry"]) for r in rows), key=lambda e: e["path"])
+    if len(paths) <= 32:
+        # tiny tables (index segments, dimension labels): a Spark job
+        # costs more than reading the footers inline — same scan code,
+        # driver-side, zero job launches
+        import pandas as pd
+
+        frames = list(scan([pd.DataFrame({"path": paths})]))
+        entry_strs = [e for f in frames for e in f["entry"]]
+    else:
+        pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+        n_slices = min(len(paths), spark.sparkContext.defaultParallelism)
+        rows = pdf.repartition(n_slices).mapInPandas(scan, schema="entry string").collect()
+        entry_strs = [r["entry"] for r in rows]
+    entries = sorted((json.loads(s) for s in entry_strs), key=lambda e: e["path"])
     base = os.path.abspath(data_dir)
     for e in entries:
         rel = os.path.relpath(os.path.abspath(e["path"]), base)
