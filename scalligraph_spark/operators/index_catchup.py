@@ -249,11 +249,28 @@ def vacuum_index_segments(
         out: dict = {}
         if kind in ("value", "text", "ann"):
             base_lbl = f"{name}__cells" if kind == "ann" else name
-            for v in store.history(base_lbl):
+            seg_prefix = f"{name}__cells_seg" if kind == "ann" else f"{name}__seg"
+            history = store.history(base_lbl)
+            for v in history:
                 mv = store.commit_meta(base_lbl, v)
                 ts = store.commit_time(base_lbl, v)
                 for seg in mv.get("folded_segments", []):
                     out.setdefault(seg, ts)
+            # fallback for victims whose de-listing compaction's base
+            # version was itself vacuumed (its folded_segments record is
+            # gone): any RETAINED base whose naming watermark covers the
+            # segment id proves the fold happened at or before that
+            # base's commit — the oldest such stamp is an upper bound on
+            # the real de-list time (delays reclaim, never endangers a
+            # reader).  Without this, base-history vacuum turned folded
+            # segments into permanent label leaks under retention>0
+            # (the documented watermark fallback existed only for the
+            # minhash and vacuum_mor paths).
+            for v in history:
+                mv = store.commit_meta(base_lbl, v)
+                ts = store.commit_time(base_lbl, v)
+                for i in range(1, int(mv.get("base_seq", 0)) + 1):
+                    out.setdefault(f"{seg_prefix}{i}", ts)
         else:  # minhash: sigs + bands watermarks must BOTH cover a seg id
             # before any of its three per-id tables reclaims (a torn
             # compaction that rewrote only sigs still needs the bands seg)

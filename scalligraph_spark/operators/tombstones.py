@@ -55,7 +55,7 @@ def tombstone_label(name: str) -> str:
     return f"{name}__tombstones"
 
 
-def _normalized(spark: SparkSession, store, name: str) -> DataFrame:
+def _normalized(spark: SparkSession, store, name: str, version: int | None = None) -> DataFrame:
     """Sidecar rows under the CONSUMED-seq scheme.  Sidecars written by
     the earlier shared-watermark scheme (commit meta lacks
     ``seq_scheme``) carry ``tomb_seq == W`` meaning 'hide parts <= W';
@@ -63,18 +63,27 @@ def _normalized(spark: SparkSession, store, name: str) -> DataFrame:
     no part can carry W+1 because the old scheme never consumed
     numbers) — one additive bump migrates them losslessly."""
     lbl = tombstone_label(name)
-    t = store.read(spark, lbl)
-    if store.commit_meta(lbl).get("seq_scheme") != "consumed":
+    t = store.read(spark, lbl, version)
+    if store.commit_meta(lbl, version).get("seq_scheme") != "consumed":
         t = t.withColumn(TOMB_SEQ, (F.col(TOMB_SEQ) + 1).cast("int"))
     return t
 
 
-def read_tombstones(spark: SparkSession, store, name: str) -> DataFrame | None:
+def read_tombstones(
+    spark: SparkSession, store, name: str, version: int | None = None
+) -> DataFrame | None:
     """The index's live tombstone sidecar ``(key, __tomb_seq)`` — or
     ``None`` when no label exists, the zero-overhead common case.  No
     fold filtering happens here: each part scopes the set with its own
     sequence number (:func:`anti_tombstone`'s strict comparison), which
-    is what makes torn multi-base compactions safe."""
+    is what makes torn multi-base compactions safe.  ``version`` pins
+    the sidecar to a specific committed version (0 = 'no sidecar
+    existed' → ``None``) so loaded-index probes can replay the exact
+    tombstone set they were loaded against."""
+    if version is not None:
+        if int(version) == 0:
+            return None
+        return _normalized(spark, store, name, int(version))
     if store.version(tombstone_label(name)) == 0:
         return None
     return _normalized(spark, store, name)

@@ -77,7 +77,14 @@ class ValueIndex:
     attaches its provenance (``spark``/``store``/``name``), lookups
     rebuild a MANIFEST-PRUNED plan per probe instead of filtering the
     all-parts union — at 100 TB a point lookup touches the files whose
-    value ranges can match, never the index's full file listing."""
+    value ranges can match, never the index's full file listing.
+
+    ``pins`` is the load-time SNAPSHOT (base/segment/tombstone versions,
+    resolved once by :func:`load_value_index`): probes rebuild their
+    pruned plan against exactly these versions, so a loaded index is a
+    pinned artifact — tombstones, compactions or vacuum sweeps landing
+    AFTER load never change (or duplicate) probe results, and a probe is
+    always ≡ ``entries.where(pred)``."""
 
     version: int
     meta: dict = field(default_factory=dict)
@@ -85,6 +92,7 @@ class ValueIndex:
     spark: SparkSession | None = None
     store: object | None = None
     name: str | None = None
+    pins: dict | None = None
 
     @property
     def value_col(self) -> str:
@@ -312,30 +320,65 @@ def compact_value_index(spark: SparkSession, store, name: str) -> int:
     return v
 
 
+def _pin_snapshot(store, name: str, meta: dict) -> dict:
+    """Resolve the versions a loaded index is a snapshot OF — the base,
+    every live segment, and the tombstone sidecar (0 = none existed).
+    Metadata-only (pointer-file reads).  Probes thread this back through
+    :func:`_load_entries` so later mutations never shift a loaded
+    index's results."""
+    from scalligraph_spark.operators.tombstones import tombstone_label
+
+    return {
+        "base_version": int(store.version(name)),
+        "seg_versions": {
+            seg: int(store.version(seg)) for seg in meta.get("segments", [])
+        },
+        "tomb_version": int(store.version(tombstone_label(name))),
+    }
+
+
 def _load_entries(
-    spark: SparkSession, store, name: str, meta: dict, predicates=None
+    spark: SparkSession, store, name: str, meta: dict, predicates=None, pins: dict | None = None
 ) -> DataFrame:
-    # segments already folded into the CURRENT base (recorded on its
-    # commit at compaction time) are skipped: the authority for "which
-    # segments exist" is the meta carrier, the authority for "which are
-    # already inside the base" is the base itself — so a crash between
-    # the two compaction commits never double-counts an entry
+    # segments already folded into the base (recorded on its commit at
+    # compaction time) are skipped: the authority for "which segments
+    # exist" is the meta carrier, the authority for "which are already
+    # inside the base" is the base itself — so a crash between the two
+    # compaction commits never double-counts an entry
     #
     # `predicates` (read_skipping triples on the `value` column) prune
     # each part's FILES through its footer-stats manifest before the
     # tombstone anti-join — filtering by value and hiding ids both only
     # DROP rows, so the order commutes and a pruned probe is exactly
     # `entries.where(pred)`
+    #
+    # `pins` (a _pin_snapshot dict) pins every read — base version, base
+    # commit meta, segment versions, tombstone sidecar — to the versions
+    # resolved at load time: without it a probe would re-resolve CURRENT
+    # state, so a tombstone written after load would silently drop rows
+    # from probe results, and a compaction racing the probe's
+    # commit_meta/read pair could union a freshly-folded segment into the
+    # new base's copy — duplicated entries.  None = current state (the
+    # extend/compact maintenance paths, which WANT the live view).
     from scalligraph_spark.operators.tombstones import anti_tombstone, read_tombstones, seg_no
+
+    def _ver(label: str) -> int | None:
+        if pins is None:
+            return None
+        if label == name:
+            return int(pins["base_version"])
+        return pins["seg_versions"].get(label)
 
     def _part(label: str) -> DataFrame:
         if predicates is None:
-            return store.read(spark, label)
-        return store.read_skipping(spark, label, predicates)
+            return store.read(spark, label, _ver(label))
+        return store.read_skipping(spark, label, predicates, version=_ver(label))
 
-    base_meta = store.commit_meta(name)
+    base_meta = store.commit_meta(name, _ver(name))
     folded = set(base_meta.get("folded_segments", []))
-    tombs = read_tombstones(spark, store, name)
+    tombs = read_tombstones(
+        spark, store, name, version=None if pins is None else int(pins["tomb_version"])
+    )
     entries = anti_tombstone(_part(name), int(base_meta.get("base_seq", 0)), tombs, "id")
     for seg in meta.get("segments", []):
         if seg in folded:
@@ -368,13 +411,15 @@ def load_value_index(
             StaleValueIndexWarning,
             stacklevel=2,
         )
+    pins = _pin_snapshot(store, name, meta)
     return ValueIndex(
         version=int(store.version(name)),
         meta=dict(meta),
-        entries=_load_entries(spark, store, name, meta),
+        entries=_load_entries(spark, store, name, meta, pins=pins),
         spark=spark,
         store=store,
         name=name,
+        pins=pins,
     )
 
 
@@ -383,12 +428,17 @@ def _probe(index: ValueIndex, predicates: list) -> DataFrame:
     loader attached provenance (lookup cost ∝ matched FILES), else the
     identical filter over the already-built entries union (hand-built
     ValueIndex instances, older artifacts) — results equal either way,
-    the residual predicate always re-applies inside read_skipping."""
+    the residual predicate always re-applies inside read_skipping, and
+    the pruned plan reads the PINNED load-time versions (``index.pins``)
+    so post-load tombstones/compactions never shift probe results."""
     if index.spark is None or index.store is None or index.name is None:
         from scalligraph_spark.store import _predicates_column
 
         return index.entries.where(_predicates_column(predicates))
-    return _load_entries(index.spark, index.store, index.name, index.meta, predicates=predicates)
+    return _load_entries(
+        index.spark, index.store, index.name, index.meta,
+        predicates=predicates, pins=index.pins,
+    )
 
 
 def lookup_ids(index: ValueIndex, values: list) -> DataFrame:

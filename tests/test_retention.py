@@ -316,3 +316,55 @@ def test_retention_rejects_nan_and_negative(spark, store):
                              vacuum_retention_seconds=bad)
     # +inf is a legal "never reclaim" window
     assert store.vacuum("t", retention_seconds=float("inf")) == []
+
+def test_segment_vacuum_watermark_fallback_after_base_history_vacuum(spark, store):
+    """ADVICE r11: once store.vacuum trims base history past the version
+    whose folded_segments record covered a victim, the victim must NOT
+    leak forever — any retained base whose base_seq watermark covers the
+    segment id proves it was de-listed at or before that base's commit,
+    so the oldest such stamp gates it (upper bound: delays reclaim,
+    never endangers a reader)."""
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20)])
+    build_value_index(spark, store, "by_name", base, "uname", "uid")
+    extend_value_index(spark, store, "by_name", _people(spark, [(2, "carol", 30)]))
+    compact_value_index(spark, store, "by_name")  # by_name v2: folded seg1
+    extend_value_index(spark, store, "by_name", _people(spark, [(3, "dave", 40)]))
+    compact_value_index(spark, store, "by_name")  # by_name v3: folded seg2
+    # base-history vacuum drops v1+v2 — seg1's folded_segments record gone
+    store.vacuum("by_name", keep=1)
+    assert store.history("by_name") == [3]
+    for v in store.history("by_name"):
+        _age(store, "by_name", 7200, version=v)
+    got = vacuum_index_segments(spark, store, "by_name", "value", retention_seconds=3600)
+    assert sorted(got) == ["by_name__seg1", "by_name__seg2"], (
+        f"seg1 must reclaim via the retained base's base_seq watermark, got {got}"
+    )
+    names = sorted(
+        r["value"] for r in load_value_index(spark, store, "by_name").entries.collect()
+    )
+    assert names == ["alice", "bob", "carol", "dave"]
+
+
+def test_segment_vacuum_reindex_subsumption_reclaims(spark, store):
+    """A reindex rebuild subsumes every live segment WITHOUT a
+    folded_segments record (build commits segments=[]); the base_seq
+    watermark fallback must still reclaim them once the rebuild ages."""
+    corpus = LabelStore(store.root + "_corpus")
+    base = _people(spark, [(0, "alice", 10), (1, "bob", 20)])
+    corpus.write("people", base)
+    build_value_index(
+        spark, store, "by_name", base, "uname", "uid",
+        corpus_store=corpus, corpus_label="people",
+    )
+    extend_value_index(spark, store, "by_name", _people(spark, [(2, "carol", 30)]))
+    corpus.write(
+        "people",
+        _people(spark, [(0, "alice", 10), (1, "bob", 20), (2, "carol", 30)]),
+    )
+    from scalligraph_spark.operators import reindex_values
+
+    reindex_values(spark, store, "by_name", corpus)  # subsumes seg1, no fold record
+    for v in store.history("by_name"):
+        _age(store, "by_name", 7200, version=v)
+    got = vacuum_index_segments(spark, store, "by_name", "value", retention_seconds=3600)
+    assert got == ["by_name__seg1"], f"reindex-subsumed segment must reclaim, got {got}"

@@ -291,3 +291,47 @@ def test_range_probe_prunes_files(spark, store):
     probe = lookup_range(ix, lo="u000100", hi="u000200")
     assert 0 < len(probe.inputFiles()) < total
     assert probe.count() == 101
+
+def test_loaded_index_is_pinned_snapshot(spark, store):
+    """A loaded index is a PINNED snapshot: tombstones, extends,
+    compactions and delta segments landing AFTER load() never change
+    probe results — probes replay the load-time versions (ADVICE r11:
+    the per-probe plan rebuild used to re-resolve CURRENT state, so a
+    post-load tombstone silently dropped rows and a racing compaction
+    could duplicate (value, id) entries)."""
+    from scalligraph_spark.operators.tombstones import write_tombstones
+    from scalligraph_spark.operators.value_index import _index_meta, _write_meta
+
+    df = _corpus(spark)
+    build_value_index(spark, store, "by_name", df, "uname", "uid")
+    extend_value_index(
+        spark, store, "by_name",
+        spark.createDataFrame([(10, "zoe", 1)], "uid long, uname string, score int"),
+    )
+    ix = load_value_index(spark, store, "by_name")
+    before_probe = sorted(tuple(r) for r in lookup_ids(ix, ["bob", "zoe"]).collect())
+    before_range = sorted(tuple(r) for r in lookup_range(ix, lo="a", hi="zz").collect())
+    assert ("bob", 1) in before_probe and ("zoe", 10) in before_probe
+
+    # post-load mutations: tombstone bob (consuming the next seq, the
+    # catchup discipline), then compact everything into a new base
+    m = _index_meta(store, "by_name")
+    seq = max(int(m.get("seg_seq", 0)), len(m.get("segments", []))) + 1
+    write_tombstones(
+        spark, store, "by_name", spark.createDataFrame([(1,)], "id long"), "id", seq
+    )
+    _write_meta(spark, store, "by_name", dict(m, seg_seq=seq))
+    compact_value_index(spark, store, "by_name")
+
+    # the pinned probe still sees bob AND never duplicates zoe (whose
+    # segment was just folded into the new base's copy)
+    assert sorted(tuple(r) for r in lookup_ids(ix, ["bob", "zoe"]).collect()) == before_probe
+    assert sorted(tuple(r) for r in lookup_range(ix, lo="a", hi="zz").collect()) == before_range
+    # probe ≡ entries.where(pred) — the docstring's contract, structurally
+    ent = sorted(tuple(r) for r in ix.entries.collect())
+    assert sorted(tuple(r) for r in lookup_range(ix, lo="a", hi="zz").collect()) == ent
+
+    # a FRESH load sees the post-mutation truth: bob gone, zoe once
+    fresh = load_value_index(spark, store, "by_name")
+    assert lookup_ids(fresh, ["bob"]).count() == 0
+    assert [tuple(r) for r in lookup_ids(fresh, ["zoe"]).collect()] == [("zoe", 10)]
