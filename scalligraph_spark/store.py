@@ -87,6 +87,28 @@ def check_retention(retention_seconds) -> float:
 
 _SKIP_OPS = ("=", "<", "<=", ">", ">=", "in")
 
+# Predicate grammar (read_skipping / read_merged / fromStore `where`):
+# a predicate list is a CONJUNCTION of items; an item is either a leaf
+# triple ``(column, op, value)`` with op in _SKIP_OPS, or a boolean node
+# ``("or", [conj, conj, …])`` / ``("and", [conj, …])`` / ``("not", conj)``
+# where every branch is itself a predicate list.  OR-of-conjunctions is
+# the second most common selective shape after point/range (dashboards
+# send `{"_or": [{"d": …}, {"d": …}]}` — the reference's filter tree,
+# core/.../query/Filter.scala:131-196), and a conjunction-only grammar
+# silently full-scanned it.  Pruning: a file is kept if ANY disjunct may
+# match; ``not`` nodes always keep (a conservative bound cannot be
+# negated) — the residual filter is exact either way.
+_TREE_OPS = ("or", "and", "not")
+
+
+def _is_node(p) -> bool:
+    return (
+        isinstance(p, (list, tuple))
+        and len(p) == 2
+        and isinstance(p[0], str)
+        and p[0] in _TREE_OPS
+    )
+
 
 class MissingFileStatsWarning(UserWarning):
     """A predicate-bearing store read found no file-stats manifest: the
@@ -96,20 +118,39 @@ class MissingFileStatsWarning(UserWarning):
     Missing{Value,Text,Ann}IndexWarning family."""
 
 
+def _coerce_tree(predicates, cv) -> list:
+    """Apply a per-(column, value) coercion to every leaf of a predicate
+    tree, preserving the tree shape."""
+    out = []
+    for p in predicates:
+        if _is_node(p):
+            kw, arg = p
+            if kw == "not":
+                out.append((kw, _coerce_tree(arg, cv)))
+            else:
+                out.append((kw, [_coerce_tree(b, cv) for b in arg]))
+            continue
+        c, op, v = p
+        out.append((c, op, [cv(c, x) for x in v] if op == "in" else cv(c, v)))
+    return out
+
+
 def coerce_json_predicates(schema, predicates) -> list:
     """Coerce JSON-transported predicate values into the target column's
     domain: JSON has no date/timestamp type, so chains carry them as ISO
     strings — compared as strings they would neither prune (kind
     mismatch keeps every file) nor filter correctly in every engine.
     Numbers, strings and booleans pass through; unknown columns pass
-    through untouched (the residual filter surfaces the error)."""
+    through untouched (the residual filter surfaces the error).
+    Recurses through or/and/not tree nodes."""
     import datetime as _dt
 
     from pyspark.sql import types as T
 
     by_name = {f.name: f.dataType for f in schema.fields}
 
-    def _cv(dt, x):
+    def _cv(c, x):
+        dt = by_name.get(c)
         if x is None or dt is None or not isinstance(x, str):
             return x
         try:
@@ -127,11 +168,7 @@ def coerce_json_predicates(schema, predicates) -> list:
             return x
         return x
 
-    out = []
-    for c, op, v in predicates:
-        dt = by_name.get(c)
-        out.append((c, op, [_cv(dt, x) for x in v] if op == "in" else _cv(dt, v)))
-    return out
+    return _coerce_tree(predicates, _cv)
 
 
 def manifest_kinds(manifest: dict) -> dict:
@@ -154,10 +191,12 @@ def coerce_predicates_by_kind(kinds: dict, predicates) -> list:
     """:func:`coerce_json_predicates` driven by manifest stat kinds
     instead of a Spark schema — ISO strings parse into the stat's
     comparison domain so pruning AND the residual filter see typed
-    values.  Unknown columns/kinds pass through untouched."""
+    values.  Unknown columns/kinds pass through untouched.  Recurses
+    through or/and/not tree nodes."""
     import datetime as _dt
 
-    def _cv(kind, x):
+    def _cv(c, x):
+        kind = kinds.get(c)
         if x is None or not isinstance(x, str):
             return x
         try:
@@ -172,11 +211,7 @@ def coerce_predicates_by_kind(kinds: dict, predicates) -> list:
             return x
         return x
 
-    out = []
-    for c, op, v in predicates:
-        kind = kinds.get(c)
-        out.append((c, op, [_cv(kind, x) for x in v] if op == "in" else _cv(kind, v)))
-    return out
+    return _coerce_tree(predicates, _cv)
 
 
 def _enc_stat(v):
@@ -339,10 +374,29 @@ def _file_may_match(entry: dict, col: str, op: str, v, session_tz: str) -> bool:
 
 
 def _predicates_column(predicates) -> Column:
-    """The exact Spark filter for a predicate list — re-applied on every
-    skipping read so the manifest can never change results."""
+    """The exact Spark filter for a predicate tree — re-applied on every
+    skipping read so the manifest can never change results.  ``not``
+    compiles to ``~child``: Spark's three-valued logic then matches SQL
+    (a NULL comparison stays NULL under NOT and is filtered out);
+    validation rejects the null-literal shapes whose exactness would
+    otherwise depend on the engine."""
     cond = F.lit(True)
-    for c, op, v in predicates:
+    for p in predicates:
+        if _is_node(p):
+            kw, arg = p
+            if kw == "not":
+                e = ~_predicates_column(arg)
+            elif kw == "or":
+                e = F.lit(False)
+                for branch in arg:
+                    e = e | _predicates_column(branch)
+            else:  # and
+                e = F.lit(True)
+                for branch in arg:
+                    e = e & _predicates_column(branch)
+            cond = cond & e
+            continue
+        c, op, v = p
         col = F.col(c)
         if op == "in":
             vals = [x for x in v if x is not None]
@@ -361,19 +415,123 @@ def _predicates_column(predicates) -> Column:
     return cond
 
 
-def _validate_predicates(predicates) -> list:
+def _preds_may_match(entry: dict, predicates, session_tz: str) -> bool:
+    """Can any row of this file satisfy the predicate TREE?  Leaves defer
+    to :func:`_file_may_match`; ``or`` keeps the file if ANY disjunct may
+    match; ``not`` always keeps (negating a conservative bound is not
+    conservative — the exact residual filter covers it)."""
+    for p in predicates:
+        if _is_node(p):
+            kw, arg = p
+            if kw == "not":
+                ok = True
+            elif kw == "or":
+                ok = any(_preds_may_match(entry, b, session_tz) for b in arg)
+            else:  # and
+                ok = all(_preds_may_match(entry, b, session_tz) for b in arg)
+        else:
+            c, op, v = p
+            ok = _file_may_match(entry, c, op, v, session_tz)
+        if not ok:
+            return False
+    return True
+
+
+def _validate_predicates(predicates, _in_not: bool = False) -> list:
     preds = list(predicates)
+    if not preds:
+        raise ValueError("predicate conjunction must be non-empty")
     for p in preds:
+        if _is_node(p):
+            kw, arg = p
+            if kw == "not":
+                _validate_predicates(arg, _in_not=True)
+                continue
+            if not isinstance(arg, (list, tuple)) or not arg:
+                raise ValueError(
+                    f"{kw!r} needs a non-empty list of predicate lists, got {arg!r}"
+                )
+            for branch in arg:
+                _validate_predicates(branch, _in_not=_in_not)
+            continue
         if not (isinstance(p, (list, tuple)) and len(p) == 3):
-            raise ValueError(f"predicate must be (column, op, value), got {p!r}")
+            raise ValueError(
+                f"predicate must be (column, op, value) or "
+                f"('or'|'and'|'not', branches), got {p!r}"
+            )
         c, op, v = p
         if op not in _SKIP_OPS:
             raise ValueError(f"unsupported skipping op {op!r}; use one of {_SKIP_OPS}")
         if op == "in" and not isinstance(v, (list, tuple, set, frozenset)):
             raise ValueError(f"'in' needs a collection value, got {v!r}")
-    if not preds:
-        raise ValueError("read_skipping needs at least one predicate")
+        if _in_not and (
+            v is None or (op == "in" and (not v or any(x is None for x in v)))
+        ):
+            # NOT over a null-literal comparison is ambiguous under SQL
+            # three-valued logic (the positive form compiles to a literal
+            # FALSE, whose negation diverges from NOT(col = NULL) = NULL)
+            raise ValueError(
+                f"null/empty comparison {p!r} under 'not' has no exact SQL "
+                "meaning — rewrite the predicate without the null literal"
+            )
     return preds
+
+
+def predicates_from_json_filter(query: dict) -> list:
+    """Map the skipping-expressible SUBSET of the reference's JSON filter
+    grammar (core/.../query/Filter.scala:131-196; compiled exactly by
+    qlang/filters.py) onto the predicate tree: ``_is``/bare ``{field:
+    value}`` → ``=``, ``_lt/_gt/_lte/_gte`` → ranges, ``_between`` →
+    ``>= a AND < b``, ``_in`` → ``in``, ``_and/_or/_not`` → tree nodes.
+    Raises ``ValueError`` on operators file stats cannot serve
+    (``_like``, ``_contains``, ``_ne``, custom ops, …) — callers route
+    those through a post-scan filter step instead of silently
+    full-scanning under a skipping API."""
+
+    def _fv(spec) -> tuple[str, object]:
+        if not isinstance(spec, dict):
+            raise ValueError(f"expected object, got {spec!r}")
+        if "_field" in spec:
+            return str(spec["_field"]), spec.get("_value")
+        if len(spec) == 1:
+            k, v = next(iter(spec.items()))
+            return str(k), v
+        raise ValueError(f"cannot parse field/value from {spec!r}")
+
+    def go(q: dict) -> list:
+        if not isinstance(q, dict) or not q:
+            raise ValueError(f"filter must be a non-empty object: {q!r}")
+        if len(q) > 1:  # implicit conjunction, one operator per key
+            out = []
+            for k, v in q.items():
+                out.extend(go({k: v}))
+            return out
+        op, spec = next(iter(q.items()))
+        if op == "_and":
+            out = []
+            for s in spec:
+                out.extend(go(s))
+            return out
+        if op == "_or":
+            return [("or", [go(s) for s in spec])]
+        if op == "_not":
+            return [("not", go(spec))]
+        if op in ("_lt", "_gt", "_lte", "_gte", "_is"):
+            f, v = _fv(spec)
+            return [(f, {"_lt": "<", "_gt": ">", "_lte": "<=", "_gte": ">=", "_is": "="}[op], v)]
+        if op == "_between":
+            f = str(spec["_field"])
+            return [(f, ">=", spec["_from"]), (f, "<", spec["_to"])]
+        if op == "_in":
+            return [(str(spec["_field"]), "in", list(spec["_values"]))]
+        if op.startswith("_"):
+            raise ValueError(
+                f"filter operator {op!r} is not skipping-expressible — apply "
+                "it as a chain filter step after the store read"
+            )
+        return [(str(op), "=", spec)]  # bare {field: value} → _is
+
+    return go(query)
 
 
 def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> dict:
@@ -786,14 +944,18 @@ class LabelStore:
     ) -> DataFrame:
         """Snapshot read with driver-side file pruning: ``predicates`` is
         a conjunction of ``(column, op, value)`` triples (ops ``= < <=
-        > >= in``).  Files whose manifest ranges PROVE no row can match
-        are never handed to Spark — at 100 TB a selective read touches
-        the candidate files instead of listing a million and opening
-        every footer.  The same predicate is re-applied as a filter, so
-        results are exactly ``read().where(pred)`` whether the manifest
-        is present, stale-typed, or missing (no manifest → plain full
-        scan + filter).  Hive partition columns prune from their path
-        values; everything else from parquet footer min/max/null-count."""
+        > >= in``) and/or boolean tree nodes ``("or", [conj, …])`` /
+        ``("and", [conj, …])`` / ``("not", conj)`` — OR-of-ranges prunes
+        too (a file is kept if ANY disjunct may match); ``not`` prunes
+        nothing but filters exactly.  Files whose manifest ranges PROVE
+        no row can match are never handed to Spark — at 100 TB a
+        selective read touches the candidate files instead of listing a
+        million and opening every footer.  The same predicate is
+        re-applied as a filter, so results are exactly
+        ``read().where(pred)`` whether the manifest is present,
+        stale-typed, or missing (no manifest → plain full scan +
+        filter).  Hive partition columns prune from their path values;
+        everything else from parquet footer min/max/null-count."""
         preds = _validate_predicates(predicates)
         v = self.version(label) if version is None else version
         cond = _predicates_column(preds)
@@ -802,11 +964,7 @@ class LabelStore:
             return self.read(spark, label, v).where(cond)
         tz = spark.conf.get("spark.sql.session.timeZone")
         vdir = self.path(label, v)
-        kept = [
-            e["path"]
-            for e in man["files"]
-            if all(_file_may_match(e, c, op, val, tz) for (c, op, val) in preds)
-        ]
+        kept = [e["path"] for e in man["files"] if _preds_may_match(e, preds, tz)]
         if not kept:
             # provably empty: Catalyst folds the false filter to an empty
             # LocalRelation — no scan is scheduled at all

@@ -528,21 +528,27 @@ def executor_for(
 
     def _from_store(g, s, a):
         # versioned-store scan from the query language, skipping-aware and
-        # time-travel-aware: `where` is a conjunction of [col, op, value]
-        # triples routed through read_skipping (manifest file pruning +
-        # the exact residual filter), `asOf` (epoch seconds or ISO-8601,
-        # naive = UTC) resolves through version_at.  The root is fixed at
-        # executor construction (same rule as atSnapshot: chains must not
-        # name filesystem paths) and the traversal keeps its label so row
-        # policies gate store reads too.
+        # time-travel-aware: `where` is either a list of [col, op, value]
+        # triples and/or ["or"/"and"/"not", branches] tree nodes, or a
+        # JSON filter-grammar object ({"_or": […]}, {"_between": …}, bare
+        # {field: value} — Filter.scala:131-196's skipping-expressible
+        # subset), routed through read_skipping (manifest file pruning +
+        # the exact residual filter); `asOf` (epoch seconds or ISO-8601;
+        # naive strings read in the SESSION timezone, matching how naive
+        # predicate literals coerce) resolves through version_at.  The
+        # root is fixed at executor construction (same rule as
+        # atSnapshot: chains must not name filesystem paths) and the
+        # traversal keeps its label so row policies gate store reads too.
         import warnings as _w
 
         from scalligraph_spark.store import (
             LabelStore,
             MissingFileStatsWarning,
+            _is_node,
             coerce_json_predicates,
             coerce_predicates_by_kind,
             manifest_kinds,
+            predicates_from_json_filter,
         )
 
         if store_root is None:
@@ -556,10 +562,15 @@ def executor_for(
         if as_of is not None:
             if isinstance(as_of, str):
                 import datetime as _dt
+                import zoneinfo
 
                 d = _dt.datetime.fromisoformat(as_of)
                 if d.tzinfo is None:
-                    d = d.replace(tzinfo=_dt.timezone.utc)
+                    d = d.replace(
+                        tzinfo=zoneinfo.ZoneInfo(
+                            g.spark.conf.get("spark.sql.session.timeZone")
+                        )
+                    )
                 as_of = d.timestamp()
             version = st.version_at(label, float(as_of))
         else:
@@ -567,7 +578,23 @@ def executor_for(
         preds = s.get("where") or []
         if not preds:
             return Traversal(st.read(g.spark, label, version), catalog=g, label=label)
-        triples = [(str(c), str(op), val) for c, op, val in preds]
+        if isinstance(preds, dict):
+            preds = predicates_from_json_filter(preds)
+
+        def _norm(items):
+            out = []
+            for it in items:
+                if _is_node(it):
+                    kw, arg = it
+                    out.append(
+                        (kw, _norm(arg)) if kw == "not" else (kw, [_norm(b) for b in arg])
+                    )
+                else:
+                    c, op, val = it
+                    out.append((str(c), str(op), val))
+            return out
+
+        triples = _norm(preds)
         man = st.file_manifest(label, version)
         if man is not None:
             # type the ISO strings from the manifest's own stat kinds —
@@ -8154,6 +8181,96 @@ def qlang_from_store_q(spark, sf):
         ).inputFiles()
     )
     assert n_kept < n_all, f"fromStore must prune files ({n_kept}/{n_all})"
+    return t.df.select("o_orderstatus", "count", "total")
+
+
+@q(
+    "store_skipping_or_read",
+    f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS count,
+       {dsum_expr('o_totalprice')} AS total
+FROM orders
+WHERE (o_orderdate >= TIMESTAMP '1993-01-01' AND o_orderdate < TIMESTAMP '1993-07-01')
+   OR (o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01')
+GROUP BY o_orderstatus
+""",
+    "OR-of-date-ranges through the skipping tier (VERDICT r11 #2): the "
+    "dashboard's `{\"_or\": […]}` filter shape (Filter.scala:146-195) maps "
+    "onto the predicate TREE via predicates_from_json_filter, and "
+    "read_skipping keeps a file if ANY disjunct may match — two disjoint "
+    "half-year slices of a date-sorted table read only their candidate "
+    "files (the conjunction-only grammar silently full-scanned this "
+    "shape).  The harness asserts the union prune kept fewer files than "
+    "the table; the residual filter keeps it exactly the SQL OR",
+)
+def store_skipping_or_read_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore
+
+    orders = cat_for(spark, sf).vertex_df("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    root = f"/tmp/sgspark_orskip_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    store.write(
+        "orders", orders, sort_by=(12, ["o_orderdate"]),
+        stats_cols=["o_orderdate"],
+    )
+    ex = executor_for(spark, sf, store_root=root)
+    t = ex.execute(
+        [
+            {
+                "_name": "fromStore",
+                "label": "orders",
+                "where": {
+                    "_or": [
+                        {
+                            "_between": {
+                                "_field": "o_orderdate",
+                                "_from": "1993-01-01T00:00:00",
+                                "_to": "1993-07-01T00:00:00",
+                            }
+                        },
+                        {
+                            "_between": {
+                                "_field": "o_orderdate",
+                                "_from": "1997-01-01T00:00:00",
+                                "_to": "1997-07-01T00:00:00",
+                            }
+                        },
+                    ]
+                },
+            },
+            {
+                "_name": "aggregation",
+                "_agg": "field",
+                "_field": "o_orderstatus",
+                "_select": [
+                    {"_agg": "count"},
+                    {"_agg": "sum", "_field": "o_totalprice", "_name": "total"},
+                ],
+            },
+        ]
+    )
+    import datetime as _dt
+
+    n_all = len(store.read(spark, "orders").inputFiles())
+    tree = [
+        (
+            "or",
+            [
+                [("o_orderdate", ">=", _dt.datetime(1993, 1, 1)),
+                 ("o_orderdate", "<", _dt.datetime(1993, 7, 1))],
+                [("o_orderdate", ">=", _dt.datetime(1997, 1, 1)),
+                 ("o_orderdate", "<", _dt.datetime(1997, 7, 1))],
+            ],
+        )
+    ]
+    n_kept = len(store.read_skipping(spark, "orders", tree).inputFiles())
+    assert n_kept < n_all, f"OR prune must drop files ({n_kept}/{n_all})"
     return t.df.select("o_orderstatus", "count", "total")
 
 

@@ -515,3 +515,169 @@ def test_footer_manifest_distributed_shape(spark, tmp_path):
         assert not os.path.isabs(e["path"])
         assert set(e["cols"]) <= {"id", "name"}
         assert e["rows"] > 0
+
+
+# --- predicate trees: or / and / not -----------------------------------------
+
+
+def test_or_of_ranges_prunes_and_matches_filter(spark, store):
+    """VERDICT r11 #2: OR-of-point/range predicates must PRUNE (union of
+    per-disjunct candidates), not silently full-scan, and stay exactly
+    read().where(pred)."""
+    df = _frame(spark)
+    store.write("t", df, sort_by=(8, ["id"]), stats_cols=["id", "d", "name"])
+    total = len(store.file_manifest("t")["files"])
+    pred = [("or", [[("id", ">=", 100), ("id", "<", 200)],
+                    [("id", ">=", 7100), ("id", "<", 7200)]])]
+    r = store.read_skipping(spark, "t", pred)
+    assert 0 < len(r.inputFiles()) < total, "OR-of-ranges must prune files"
+    _same(r, df.where(((F.col("id") >= 100) & (F.col("id") < 200))
+                      | ((F.col("id") >= 7100) & (F.col("id") < 7200))))
+    # OR of date points on the d column (the dashboard shape)
+    d1, d2 = datetime.date(2020, 1, 15), datetime.date(2021, 10, 1)
+    pred = [("or", [[("d", "=", d1)], [("d", "=", d2)]])]
+    r = store.read_skipping(spark, "t", pred)
+    assert 0 < len(r.inputFiles()) < total
+    _same(r, df.where((F.col("d") == d1) | (F.col("d") == d2)))
+
+
+def test_nested_tree_and_not_exactness(spark, store):
+    df = _frame(spark)
+    store.write("t", df, sort_by=(8, ["id"]), stats_cols=["id", "name"])
+    pred = [
+        ("or", [
+            [("id", "<", 50), ("not", [("mod7", "=", 2)])],
+            [("and", [[("id", ">=", 7900)], [("name", ">=", "u007950")]])],
+        ]),
+        ("not", [("id", "in", [10, 20])]),
+    ]
+    want = df.where(
+        (((F.col("id") < 50) & ~(F.col("mod7") == 2))
+         | ((F.col("id") >= 7900) & (F.col("name") >= "u007950")))
+        & ~F.col("id").isin(10, 20)
+    )
+    _same(store.read_skipping(spark, "t", pred), want)
+
+
+def test_tree_validation_rejects_null_under_not_and_bad_nodes(spark, store):
+    store.write("t", _frame(spark, 100), stats_cols=["id"])
+    for bad in (
+        [("not", [("id", "=", None)])],
+        [("not", [("id", "in", [1, None])])],
+        [("not", [("id", "in", [])])],
+        [("or", [])],
+        [("or", [[]])],
+        [("xor", [[("id", "=", 1)]])],
+    ):
+        with pytest.raises(ValueError):
+            store.read_skipping(spark, "t", bad)
+
+
+def test_predicates_from_json_filter_routes_or_shapes(spark, store):
+    """The qlang filter grammar's skipping-expressible subset maps onto
+    the predicate tree; inexpressible operators fail loud."""
+    from scalligraph_spark.store import predicates_from_json_filter
+
+    assert predicates_from_json_filter({"_or": [{"d": "2024-01-01"}, {"d": "2024-03-01"}]}) == [
+        ("or", [[("d", "=", "2024-01-01")], [("d", "=", "2024-03-01")]])
+    ]
+    assert predicates_from_json_filter(
+        {"_and": [{"_gte": {"_field": "id", "_value": 3}}, {"_lt": {"id": 9}}]}
+    ) == [("id", ">=", 3), ("id", "<", 9)]
+    assert predicates_from_json_filter(
+        {"_between": {"_field": "id", "_from": 1, "_to": 5}}
+    ) == [("id", ">=", 1), ("id", "<", 5)]
+    assert predicates_from_json_filter(
+        {"_not": {"_in": {"_field": "id", "_values": [1, 2]}}}
+    ) == [("not", [("id", "in", [1, 2])])]
+    for bad in ({"_like": {"name": "u*"}}, {"_contains": "name"}, {"_ne": {"id": 3}}):
+        with pytest.raises(ValueError):
+            predicates_from_json_filter(bad)
+    # end-to-end: the converted tree reads exactly like the plain filter
+    df = _frame(spark)
+    store.write("t", df, sort_by=(8, ["id"]), stats_cols=["id", "d"])
+    tree = predicates_from_json_filter(
+        {"_or": [{"_between": {"_field": "id", "_from": 0, "_to": 60}},
+                 {"_gte": {"_field": "id", "_value": 7950}}]}
+    )
+    r = store.read_skipping(spark, "t", tree)
+    assert 0 < len(r.inputFiles()) < len(store.file_manifest("t")["files"])
+    _same(r, df.where(((F.col("id") >= 0) & (F.col("id") < 60)) | (F.col("id") >= 7950)))
+
+
+def test_from_store_or_filter_shape_and_tree_where(spark, store):
+    """`where` accepts the qlang `_or` filter-grammar object AND raw tree
+    nodes; both prune and both stay exact."""
+    from scalligraph_spark.suite import executor_for
+
+    df = _frame(spark, 3000)
+    store.write("t", df, sort_by=(6, ["d"]), stats_cols=["d"])
+    ex = executor_for(spark, SF, store_root=store.root)
+    exp = df.where(
+        ((F.col("d") >= F.lit("2020-01-10")) & (F.col("d") < F.lit("2020-01-20")))
+        | ((F.col("d") >= F.lit("2020-09-01")) & (F.col("d") < F.lit("2020-09-10")))
+    )
+    # filter-grammar object
+    t = ex.execute([
+        {
+            "_name": "fromStore",
+            "label": "t",
+            "where": {"_or": [
+                {"_between": {"_field": "d", "_from": "2020-01-10", "_to": "2020-01-20"}},
+                {"_between": {"_field": "d", "_from": "2020-09-01", "_to": "2020-09-10"}},
+            ]},
+        }
+    ])
+    _same(t.df, exp)
+    assert len(t.df.inputFiles()) < 6, "OR shape must prune files"
+    # raw tree node (JSON list transport)
+    t2 = ex.execute([
+        {
+            "_name": "fromStore",
+            "label": "t",
+            "where": [["or", [
+                [["d", ">=", "2020-01-10"], ["d", "<", "2020-01-20"]],
+                [["d", ">=", "2020-09-01"], ["d", "<", "2020-09-10"]],
+            ]]],
+        }
+    ])
+    _same(t2.df, exp)
+    assert len(t2.df.inputFiles()) < 6
+
+
+def test_from_store_naive_asof_reads_in_session_tz(spark, store):
+    """ADVICE r11: a naive ISO `asOf` must resolve in the SESSION
+    timezone — the same clock naive predicate literals coerce with —
+    not silently in UTC."""
+    import datetime as dt
+
+    df = _frame(spark, 100)
+    store.write("t", df.where(F.col("id") < 50))  # v1
+    store.write("t", df)  # v2
+    now = time.time()
+    for v, age in ((1, 7200.0), (2, 3600.0)):
+        p = os.path.join(store.path("t", v), "_commit.json")
+        with open(p) as f:
+            m = json.load(f)
+        m["_committed_at"] = now - age
+        with open(p, "w") as f:
+            json.dump(m, f)
+    from scalligraph_spark.suite import executor_for
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        import zoneinfo
+
+        tz = zoneinfo.ZoneInfo("America/New_York")
+        # a naive ISO stamped between the two commits, written in NY time
+        naive_iso = dt.datetime.fromtimestamp(now - 5400, tz).replace(tzinfo=None).isoformat()
+        ex = executor_for(spark, SF, store_root=store.root)
+        t = ex.execute([{"_name": "fromStore", "label": "t", "asOf": naive_iso}])
+        assert t.df.count() == 50, "naive asOf must read in the session tz"
+        # aware ISO stays unambiguous regardless of session tz
+        aware_iso = dt.datetime.fromtimestamp(now - 5400, dt.timezone.utc).isoformat()
+        t2 = ex.execute([{"_name": "fromStore", "label": "t", "asOf": aware_iso}])
+        assert t2.df.count() == 50
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

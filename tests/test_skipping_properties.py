@@ -132,3 +132,135 @@ def test_prune_of_provable_non_matches(case):
     if entry["cols"]["c"].get("mn") is None:
         return  # unusable stats (e.g. NaN min) legitimately keep the file
     assert not _file_may_match(entry, "c", "=", pred, _TZ)
+
+
+# --- predicate TREES (or/and/not) ------------------------------------------
+
+from scalligraph_spark.store import _preds_may_match  # noqa: E402
+
+
+@st.composite
+def _tree(draw, kind, depth=0):
+    """A random predicate conjunction (list of items) over column "c" of
+    the given domain kind; items recurse into or/and/not nodes."""
+    n = draw(st.integers(min_value=1, max_value=3))
+    items = []
+    for _ in range(n):
+        choice = draw(
+            st.sampled_from(
+                ["leaf"] * 4 + (["or", "and", "not"] if depth < 2 else [])
+            )
+        )
+        if choice == "leaf":
+            op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in"]))
+            if op == "in":
+                v = draw(
+                    st.lists(st.one_of(st.none(), _DOMAINS[kind]), min_size=0, max_size=3)
+                )
+            else:
+                v = draw(st.one_of(st.none(), _DOMAINS[kind]))
+            items.append(("c", op, v))
+        elif choice == "not":
+            items.append(("not", draw(_tree(kind, depth + 1))))
+        else:
+            branches = draw(
+                st.lists(_tree(kind, depth + 1), min_size=1, max_size=3)
+            )
+            items.append((choice, branches))
+    return items
+
+
+def _leaf_matches(v, op, pred) -> bool:
+    preds = [p for p in pred if p is not None] if op == "in" else (
+        [] if pred is None else [pred]
+    )
+    if v is None or not preds:
+        return False
+    for p in preds:
+        if op in ("=", "in") and v == p:
+            return True
+        if op == "<" and v < p:
+            return True
+        if op == "<=" and v <= p:
+            return True
+        if op == ">" and v > p:
+            return True
+        if op == ">=" and v >= p:
+            return True
+    return False
+
+
+def _row_matches_tree(v, items) -> bool:
+    """Ground truth for ONE row under the tree, two-valued conservative
+    reading of SQL semantics: null comparisons are False, so NOT can
+    only WIDEN the match set relative to SQL's three-valued logic —
+    which is exactly the safe direction for a soundness fuzz (the prune
+    must keep every file SQL would match; it may keep more)."""
+    for it in items:
+        if isinstance(it, tuple) and len(it) == 2 and it[0] in ("or", "and", "not"):
+            kw, arg = it
+            if kw == "not":
+                ok = not _row_matches_tree(v, arg)
+            elif kw == "or":
+                ok = any(_row_matches_tree(v, b) for b in arg)
+            else:
+                ok = all(_row_matches_tree(v, b) for b in arg)
+        else:
+            _c, op, pred = it
+            ok = _leaf_matches(v, op, pred)
+        if not ok:
+            return False
+    return True
+
+
+@st.composite
+def _tree_case(draw):
+    kind = draw(st.sampled_from(sorted(_DOMAINS)))
+    vals = draw(
+        st.lists(st.one_of(st.none(), _DOMAINS[kind]), min_size=0, max_size=10)
+    )
+    return vals, draw(_tree(kind))
+
+
+@settings(max_examples=2000, deadline=None)
+@given(_tree_case())
+def test_tree_prune_is_sound(case):
+    """A file containing any row that matches the or/and/not tree must
+    never be pruned — the OR extension cannot introduce unsound prunes."""
+    vals, items = case
+    entry = _entry_for(vals)
+    if any(_row_matches_tree(v, items) for v in vals):
+        assert _preds_may_match(entry, items, _TZ), (
+            f"UNSOUND TREE PRUNE: {items!r} matches a row of {vals!r} "
+            f"but entry {entry!r} was pruned"
+        )
+
+
+@settings(max_examples=500, deadline=None)
+@given(_tree_case())
+def test_or_of_point_lookups_prunes_when_all_disjuncts_outside(case):
+    """Completeness floor for the new shape: an OR of point lookups all
+    strictly outside the file's [min, max] envelope must prune."""
+    vals, _ = case
+    nn = [v for v in vals if v is not None]
+    if not nn:
+        return
+    entry = _entry_for(vals)
+    if entry["cols"]["c"].get("mn") is None:
+        return
+    lo, hi = min(nn), max(nn)
+    import datetime as _d
+    if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+        below, above = lo - 1, hi + 1
+    elif isinstance(lo, str):
+        below, above = "\x00" + lo if lo else None, hi + "\x7f"
+    elif isinstance(lo, _d.datetime):
+        below, above = lo - _d.timedelta(seconds=1), hi + _d.timedelta(seconds=1)
+    elif isinstance(lo, _d.date):
+        below, above = lo - _d.timedelta(days=1), hi + _d.timedelta(days=1)
+    else:
+        return
+    disjuncts = [[("c", "=", x)] for x in (below, above) if x is not None and not (lo <= x <= hi)]
+    if not disjuncts:
+        return
+    assert not _preds_may_match(entry, [("or", disjuncts)], _TZ)
