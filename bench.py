@@ -150,6 +150,10 @@ HEADLINE = [
     "events_set_ops_exact",  # one membership-flag shuffle answers union/intersect/jaccard exactly
     "store_skipping_read",  # manifest-pruned selective read: candidate files only + residual filter
     "store_time_travel",  # timestampAsOf resolution + pinned snapshot read
+    # round-12: skipping scale tier (parquet manifest + OR trees)
+    "store_skipping_or_read",  # OR-of-date-ranges pruned as union of per-disjunct candidates
+    "store_skipping_manifest_scale",  # ≥5,000-file table: manifest pruned as a Spark job, not a driver JSON parse
+    "qlang_from_store",  # versioned-store scan + skipping from the query language
 ]
 
 

@@ -110,6 +110,25 @@ def _is_node(p) -> bool:
     )
 
 
+# Past this many files the per-file entries move OUT of _file_stats.json
+# into a parquet sidecar (_manifest/files.parquet) and read_skipping
+# prunes them DISTRIBUTIVELY — Delta's checkpoint discipline.  A JSON
+# manifest re-parsed on the driver per query is microseconds at 10³
+# files but a multi-second, few-hundred-MB stall at the 100 TB target
+# (~10⁵–10⁶ files); the parquet tier bounds per-query manifest cost by
+# cluster parallelism instead of driver JSON throughput.  Never a
+# correctness boundary: both tiers evaluate the same _preds_may_match
+# per entry, and the residual filter re-applies either way.
+PARQUET_MANIFEST_FILE_THRESHOLD = 4096
+
+# In-process manifest cache: a committed version's manifest is immutable
+# (backfills replace the file, changing its mtime/size → a new key), so
+# caching the parsed JSON by (path, mtime_ns, size) is free invalidation.
+# Entries are treated as READ-ONLY by every consumer.
+_MANIFEST_CACHE: dict = {}
+_MANIFEST_CACHE_MAX = 64
+
+
 class MissingFileStatsWarning(UserWarning):
     """A predicate-bearing store read found no file-stats manifest: the
     read stays CORRECT (full scan + filter) but nothing prunes — write
@@ -177,7 +196,11 @@ def manifest_kinds(manifest: dict) -> dict:
     JSON-predicate coercion needs WITHOUT a schema read (at a million
     files, ``spark.read.parquet(...).schema`` pays a directory listing
     just to learn that a column is a date).  Partition pseudo-stats
-    (``part``/``pnull``) carry no type and are skipped."""
+    (``part``/``pnull``) carry no type and are skipped.  Parquet-tier
+    manifests precompute this at publish time (the per-file entries are
+    no longer driver-resident)."""
+    if "kinds" in manifest:
+        return dict(manifest["kinds"])
     kinds: dict = {}
     for e in manifest.get("files", []):
         for c, st in (e.get("cols") or {}).items():
@@ -549,7 +572,11 @@ def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> 
     from urllib.parse import unquote
 
     paths: list[str] = []
-    for root, _dirs, files in os.walk(data_dir):
+    for root, dirs, files in os.walk(data_dir):
+        # prune hidden dirs in place: Spark's listing skips _/.-prefixed
+        # directories (e.g. the _manifest sidecar), so the manifest must
+        # describe exactly the files Spark would scan
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 paths.append(os.path.join(root, f))
@@ -639,6 +666,52 @@ def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> 
                 val = unquote(raw)
                 e["cols"][key] = {"t": "part", "mn": val, "mx": val, "nulls": 0}
     return {"columns": wanted, "files": entries}
+
+
+def _publish_manifest(data_dir: str, man: dict) -> None:
+    """Publish a version's file-stats manifest into ``data_dir``.  At or
+    below :data:`PARQUET_MANIFEST_FILE_THRESHOLD` files the per-file
+    entries inline in ``_file_stats.json`` (one tiny driver read).
+    Above it they land in a parquet sidecar (``_manifest/files.parquet``
+    — the ``_``-prefixed DIRECTORY hides it from Spark's data listing;
+    the file inside is plainly readable by name) and the JSON keeps only
+    a driver-sized header: columns, file count, precomputed stat kinds,
+    and a sample path for metadata-only empty reads.  Both files write
+    temp-then-rename, and the JSON renames LAST — it is the publish
+    point, so readers never observe a header without its sidecar."""
+    files = man["files"]
+    if len(files) <= PARQUET_MANIFEST_FILE_THRESHOLD:
+        payload = man
+    else:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        mdir = os.path.join(data_dir, "_manifest")
+        os.makedirs(mdir, exist_ok=True)
+        table = pa.table(
+            {
+                "path": pa.array([e["path"] for e in files], type=pa.string()),
+                "rows": pa.array([e.get("rows") for e in files], type=pa.int64()),
+                "cols_json": pa.array(
+                    [json.dumps(e.get("cols") or {}) for e in files], type=pa.string()
+                ),
+            }
+        )
+        fd, tmp = tempfile.mkstemp(dir=mdir, prefix=".files.")
+        os.close(fd)
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(mdir, "files.parquet"))
+        payload = {
+            "columns": man["columns"],
+            "n_files": len(files),
+            "kinds": manifest_kinds(man),
+            "files_parquet": os.path.join("_manifest", "files.parquet"),
+            "sample_path": files[0]["path"] if files else None,
+        }
+    fd, tmp = tempfile.mkstemp(dir=data_dir, prefix="_file_stats.")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(data_dir, "_file_stats.json"))
 
 
 class VersionConflictError(RuntimeError):
@@ -827,10 +900,11 @@ class LabelStore:
             w.parquet(staging)
             if stats_cols:
                 # footer scan over the staged files — manifest publishes
-                # atomically with the data via the same rename
+                # atomically with the data via the same rename (past the
+                # threshold the entries ride a parquet sidecar in the
+                # same staging dir)
                 man = _footer_manifest(df.sparkSession, staging, list(stats_cols))
-                with open(os.path.join(staging, "_file_stats.json"), "w") as f:
-                    json.dump(man, f)
+                _publish_manifest(staging, man)
             # meta lands in staging so the rename publishes data+meta as
             # one atomic unit.  Every commit carries a wall-clock stamp
             # (reserved key, stripped by commit_meta) — the clock that
@@ -909,14 +983,29 @@ class LabelStore:
 
     # -- file-level data skipping -------------------------------------------
     def file_manifest(self, label: str, version: int | None = None) -> dict | None:
-        """The per-file stats manifest recorded by ``write(stats_cols=…)``
-        or :meth:`collect_file_stats` — ``None`` when the version has
-        none (readers then fall back to a full scan)."""
+        """The file-stats manifest recorded by ``write(stats_cols=…)`` or
+        :meth:`collect_file_stats` — ``None`` when the version has none
+        (readers then fall back to a full scan).  Parsed manifests cache
+        in-process keyed (path, mtime, size): a committed version's
+        manifest is immutable (backfills replace the file → new key), so
+        repeated reads of a hot label never re-pay the JSON parse.
+        Treat the returned dict as READ-ONLY — it is shared."""
         p = os.path.join(self.path(label, version), "_file_stats.json")
-        if not os.path.exists(p):
+        try:
+            st = os.stat(p)
+        except FileNotFoundError:
             return None
-        with open(p) as f:
-            return json.load(f)
+        key = (os.path.abspath(p), st.st_mtime_ns, st.st_size)
+        man = _MANIFEST_CACHE.get(key)
+        if man is None:
+            with open(p) as f:
+                man = json.load(f)
+            if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+                # drop the oldest insertion (dict preserves order) — a
+                # bounded cache beats LRU bookkeeping at this size
+                _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+            _MANIFEST_CACHE[key] = man
+        return man
 
     def collect_file_stats(self, spark: SparkSession, label: str, columns: list[str], version: int | None = None) -> int:
         """Backfill a file-stats manifest onto an EXISTING version (the
@@ -929,10 +1018,7 @@ class LabelStore:
         if not os.path.isdir(vdir):
             raise FileNotFoundError(f"label {label!r} has no version directory {vdir}")
         man = _footer_manifest(spark, vdir, list(columns))
-        fd, tmp = tempfile.mkstemp(dir=vdir, prefix="_file_stats.")
-        with os.fdopen(fd, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, os.path.join(vdir, "_file_stats.json"))
+        _publish_manifest(vdir, man)
         return len(man["files"])
 
     def read_skipping(
@@ -964,13 +1050,73 @@ class LabelStore:
             return self.read(spark, label, v).where(cond)
         tz = spark.conf.get("spark.sql.session.timeZone")
         vdir = self.path(label, v)
-        kept = [e["path"] for e in man["files"] if _preds_may_match(e, preds, tz)]
+        if "files_parquet" in man:
+            kept = self._prune_distributed(spark, vdir, man, preds, tz)
+            sample = man.get("sample_path")
+        else:
+            kept = [e["path"] for e in man["files"] if _preds_may_match(e, preds, tz)]
+            sample = man["files"][0]["path"] if man["files"] else None
         if not kept:
-            # provably empty: Catalyst folds the false filter to an empty
-            # LocalRelation — no scan is scheduled at all
+            # provably empty — answer from METADATA: one footer read of a
+            # manifest-named file supplies the schema, so the empty
+            # result never pays the version's directory listing (at the
+            # million-file scale this tier targets, the listing IS the
+            # cost being avoided).  Restricted to unpartitioned layouts:
+            # hive partition-column TYPES are inferred from the full set
+            # of directory names, which a single file cannot reproduce.
+            if sample is not None and "=" not in os.path.dirname(sample):
+                schema = (
+                    spark.read.option("basePath", vdir)
+                    .parquet(os.path.join(vdir, sample))
+                    .schema
+                )
+                return spark.createDataFrame([], schema).where(F.lit(False))
+            # fallback: Catalyst folds the false filter to an empty
+            # LocalRelation — the listing happens, the scan never does
             return self.read(spark, label, v).where(F.lit(False))
         df = spark.read.option("basePath", vdir).parquet(*[os.path.join(vdir, p) for p in kept])
         return df.where(cond)
+
+    def _prune_distributed(
+        self, spark: SparkSession, vdir: str, man: dict, preds, tz: str
+    ) -> list[str]:
+        """Evaluate the prune over a parquet-tier manifest AS A SPARK JOB:
+        the per-file entries never materialize on the driver — each
+        executor slice runs the same :func:`_preds_may_match` the inline
+        tier runs (decisions bit-identical by construction; the entries
+        round-trip through the exact JSON encoding `_enc_stat` produced)
+        and only the KEPT paths return.  Per-query manifest cost is
+        bounded by cluster parallelism, not driver JSON throughput —
+        Delta's checkpoint-read discipline."""
+        mdf = spark.read.parquet(os.path.join(vdir, man["files_parquet"]))
+        n_files = int(man.get("n_files", 0))
+
+        def prune(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                keep = []
+                for path, rows, cols_json in zip(
+                    pdf["path"], pdf["rows"], pdf["cols_json"]
+                ):
+                    entry = {
+                        "path": path,
+                        "rows": None if pd.isna(rows) else int(rows),
+                        "cols": json.loads(cols_json),
+                    }
+                    if _preds_may_match(entry, preds, tz):
+                        keep.append(path)
+                yield pd.DataFrame({"path": pd.Series(keep, dtype="object")})
+
+        n_slices = max(
+            1, min(n_files // 8192 + 1, spark.sparkContext.defaultParallelism)
+        )
+        rows = (
+            mdf.repartition(n_slices)
+            .mapInPandas(prune, schema="path string")
+            .collect()
+        )
+        return [r["path"] for r in rows]
 
     # -- timestamp time travel ----------------------------------------------
     def version_at(self, label: str, ts: float) -> int:

@@ -8274,6 +8274,83 @@ def store_skipping_or_read_q(spark, sf):
     return t.df.select("o_orderstatus", "count", "total")
 
 
+def _manifest_scale_store(spark, sf):
+    """A ≥5,000-file orders table (one-time per sf, cached in /tmp):
+    key-sorted slices written directly with pyarrow — the small-file
+    shape a micro-batch pipeline accumulates, and the scale point where
+    the parquet manifest tier takes over from inline JSON."""
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_manscale_{_os.path.basename(sf.rstrip('/'))}"
+    store = LabelStore(root)
+    if store.version("orders") == 0:
+        pdf = (
+            cat_for(spark, sf).vertex_df("orders")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .toPandas()
+        )
+        n = len(pdf)
+        target = min(5200, n)
+        chunk = max(1, n // target)
+        label_dir = _os.path.join(root, "orders")
+        staging = _os.path.join(label_dir, ".staging-build")
+        _shutil.rmtree(staging, ignore_errors=True)
+        _os.makedirs(staging)
+        for k, i in enumerate(range(0, n, chunk)):
+            _pq.write_table(
+                _pa.Table.from_pandas(pdf.iloc[i : i + chunk], preserve_index=False),
+                _os.path.join(staging, f"part-{k:05d}.parquet"),
+            )
+        open(_os.path.join(staging, "_SUCCESS"), "w").close()
+        try:
+            _os.rename(staging, _os.path.join(label_dir, "v1"))
+        except OSError:  # concurrent builder won the rename
+            _shutil.rmtree(staging, ignore_errors=True)
+        else:
+            store._set_version("orders", 1)
+            store.collect_file_stats(spark, "orders", ["o_orderkey"])
+    return store
+
+
+@q(
+    "store_skipping_manifest_scale",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+""",
+    "manifest cost at the small-file scale point (VERDICT r11 #1): a "
+    "key-sorted orders table sliced into ≥5,000 files crosses "
+    "PARQUET_MANIFEST_FILE_THRESHOLD, so its per-file stats live in a "
+    "parquet sidecar and read_skipping prunes them AS A SPARK JOB "
+    "(mapInPandas over manifest slices, only kept paths return) instead "
+    "of re-parsing an O(files) JSON on the driver per query — Delta's "
+    "checkpoint discipline; the header JSON is cached per (path, mtime). "
+    "The harness asserts the parquet tier engaged and the point-range "
+    "probe bound a tiny fraction of the files; the residual filter keeps "
+    "it exactly the SQL range",
+)
+def store_skipping_manifest_scale_q(spark, sf):
+    store = _manifest_scale_store(spark, sf)
+    man = store.file_manifest("orders")
+    n_files = int(man.get("n_files", len(man.get("files", []))))
+    if n_files > 4096:
+        assert "files_parquet" in man, "past the threshold the sidecar tier must engage"
+    r = store.read_skipping(
+        spark, "orders", [("o_orderkey", ">=", 1000), ("o_orderkey", "<", 2000)]
+    )
+    kept = len(r.inputFiles())
+    assert kept <= max(8, n_files // 10), f"range probe must prune ({kept}/{n_files})"
+    return r.select("o_orderkey", "o_totalprice")
+
+
 @q(
     "dedup_edit_distance",
     """

@@ -681,3 +681,100 @@ def test_from_store_naive_asof_reads_in_session_tz(spark, store):
         assert t2.df.count() == 50
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# --- parquet manifest tier + manifest cache (VERDICT r11 #1) -----------------
+
+
+def test_parquet_manifest_tier_decisions_identical(spark, store, monkeypatch):
+    """Above the file-count threshold the per-file entries move to a
+    parquet sidecar pruned DISTRIBUTIVELY; prune decisions and results
+    must be identical to the inline-JSON tier for the same predicates
+    (both tiers run the same _preds_may_match per entry)."""
+    import scalligraph_spark.store as S
+
+    df = _frame(spark, 4000)
+    monkeypatch.setattr(S, "PARQUET_MANIFEST_FILE_THRESHOLD", 4)
+    store.write("t", df, sort_by=(10, ["id"]), stats_cols=["id", "d", "name"])
+    man = store.file_manifest("t")
+    assert "files_parquet" in man and man["n_files"] == 10 and "files" not in man
+    assert man["kinds"] == {"id": "num", "d": "date", "name": "str"}
+    d0 = datetime.date(2020, 6, 1)
+    cases = [
+        [("id", ">=", 100), ("id", "<", 300)],
+        [("or", [[("id", "<", 50)], [("id", ">=", 3900)]])],
+        [("name", ">=", "u000100"), ("name", "<", "u000200")],
+        [("d", "=", d0)],
+        [("id", "=", -1)],  # provably empty
+    ]
+    exprs = [
+        (F.col("id") >= 100) & (F.col("id") < 300),
+        (F.col("id") < 50) | (F.col("id") >= 3900),
+        (F.col("name") >= "u000100") & (F.col("name") < "u000200"),
+        F.col("d") == d0,
+        F.col("id") == -1,
+    ]
+    got = {}
+    for i, p in enumerate(cases):
+        r = store.read_skipping(spark, "t", p)
+        _same(r, df.where(exprs[i]))
+        got[i] = sorted(os.path.basename(f) for f in r.inputFiles())
+        if i != 4:
+            assert 0 < len(got[i]) < 10, f"case {i} must prune: {got[i]}"
+    # flip the SAME version back to the inline tier via backfill
+    monkeypatch.setattr(S, "PARQUET_MANIFEST_FILE_THRESHOLD", 10**9)
+    store.collect_file_stats(spark, "t", ["id", "d", "name"])
+    man2 = store.file_manifest("t")
+    assert "files" in man2 and len(man2["files"]) == 10
+    for i, p in enumerate(cases):
+        r = store.read_skipping(spark, "t", p)
+        _same(r, df.where(exprs[i]))
+        assert sorted(os.path.basename(f) for f in r.inputFiles()) == got[i], (
+            f"case {i}: tiers must keep identical files"
+        )
+
+
+def test_provably_empty_read_is_metadata_only(spark, store):
+    """ADVICE r11: an all-files-pruned read must not pay the version's
+    directory listing — one manifest-named footer supplies the schema
+    and the result is an empty LocalRelation (zero bound files)."""
+    df = _frame(spark, 1000)
+    store.write("t", df, sort_by=(4, ["id"]), stats_cols=["id"])
+    r = store.read_skipping(spark, "t", [("id", ">", 10**9)])
+    assert r.count() == 0
+    assert r.schema == store.read(spark, "t").schema
+    assert r.inputFiles() == [], "empty result must bind no data files"
+    # hive-partitioned layouts keep the safe fallback (partition-column
+    # types are inferred from the full directory set) — still exact
+    store.write("p", df.withColumn("k", F.col("id") % 3),
+                partition_by=["k"], stats_cols=["id"])
+    rp = store.read_skipping(spark, "p", [("id", ">", 10**9)])
+    assert rp.count() == 0
+    assert rp.schema == store.read(spark, "p").schema
+
+
+def test_manifest_cache_keyed_by_mtime(spark, store):
+    df = _frame(spark, 500)
+    store.write("t", df, stats_cols=["id"])
+    m1 = store.file_manifest("t")
+    assert store.file_manifest("t") is m1, "hot manifest must come from cache"
+    time.sleep(0.02)
+    store.collect_file_stats(spark, "t", ["id", "name"])  # backfill replaces it
+    m2 = store.file_manifest("t")
+    assert m2 is not m1 and m2["columns"] == ["id", "name"]
+
+
+def test_parquet_manifest_carries_through_compaction(spark, store, monkeypatch):
+    """compact/optimize must re-collect stats for the same columns even
+    when the old manifest is parquet-tier (columns come from the stub)."""
+    import scalligraph_spark.store as S
+
+    monkeypatch.setattr(S, "PARQUET_MANIFEST_FILE_THRESHOLD", 2)
+    df = _frame(spark, 2000)
+    store.write("t", df, sort_by=(8, ["id"]), stats_cols=["id", "d"])
+    assert "files_parquet" in store.file_manifest("t")
+    store.compact(spark, "t", target_file_bytes=1 << 30)
+    man = store.file_manifest("t")
+    assert man is not None and man["columns"] == ["id", "d"]
+    _same(store.read_skipping(spark, "t", [("id", "<", 100)]),
+          df.where(F.col("id") < 100))

@@ -264,3 +264,24 @@ def test_or_of_point_lookups_prunes_when_all_disjuncts_outside(case):
     if not disjuncts:
         return
     assert not _preds_may_match(entry, [("or", disjuncts)], _TZ)
+
+
+# --- parquet manifest tier: the JSON round-trip is decision-preserving ------
+
+import json as _json  # noqa: E402
+
+
+@settings(max_examples=1000, deadline=None)
+@given(_tree_case())
+def test_parquet_tier_roundtrip_preserves_decision(case):
+    """The parquet sidecar carries each entry's cols as a JSON string
+    (exactly what _prune_distributed decodes); the round trip must
+    preserve the prune decision bit-for-bit vs the inline tier."""
+    vals, items = case
+    entry = _entry_for(vals)
+    rt = {
+        "path": entry["path"],
+        "rows": entry["rows"],
+        "cols": _json.loads(_json.dumps(entry["cols"])),
+    }
+    assert _preds_may_match(entry, items, _TZ) == _preds_may_match(rt, items, _TZ)
