@@ -547,52 +547,71 @@ class QueryServer:
                 """Body is bytes (Content-Length) or an iterator of byte
                 fragments (Transfer-Encoding: chunked — the reference's
                 Results.Ok.chunked streamed output).  Every response
-                carries Request-Time, and one access-log record fires
-                per request (AccessLogFilter.scala:16-36)."""
+                carries Request-Time, and one access-log record fires per
+                request (AccessLogFilter.scala:16-36).  The completion
+                record fires BEFORE the last byte reaches the socket (a
+                keep-alive client that observed the full response is
+                guaranteed to find it); a send that then fails midway
+                (client disconnect, broken pipe) APPENDS a record with
+                ``error="write_failed"`` so the log never silently claims
+                bytes that missed the wire, and the connection closes."""
+                user = getattr(server._request_ctx, "user", None)
+                server._request_ctx.user = None  # reset for keep-alive reuse
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 for k, v in headers.items():
                     self.send_header(k, v)
 
-                def _log(n_bytes: int) -> None:
-                    # fires BEFORE the last byte reaches the socket, so a
-                    # client that has observed the complete response is
-                    # GUARANTEED to find the record — an after-the-write
-                    # record raced keep-alive clients under load
+                def _log(n_bytes: int, error: str | None = None) -> None:
                     if server.access_log is not None:
-                        server.access_log(
-                            {
-                                "remote": self.client_address[0],
-                                "method": self.command,
-                                "path": self.path,
-                                "status": status,
-                                "ms": int((time.monotonic() - t0) * 1000),
-                                "bytes": n_bytes,
-                                # authenticated user_id, None for anonymous
-                                # / failed auth (the reference logs the
-                                # login name the same way)
-                                "user": getattr(server._request_ctx, "user", None),
-                            }
-                        )
-                    server._request_ctx.user = None  # reset for keep-alive reuse
+                        rec = {
+                            "remote": self.client_address[0],
+                            "method": self.command,
+                            "path": self.path,
+                            "status": status,
+                            "ms": int((time.monotonic() - t0) * 1000),
+                            "bytes": n_bytes,
+                            # authenticated user_id, None for anonymous /
+                            # failed auth (the reference logs the login
+                            # name the same way)
+                            "user": user,
+                        }
+                        if error is not None:
+                            rec["error"] = error
+                        server.access_log(rec)
 
                 if isinstance(body, bytes):
                     self.send_header("Content-Length", str(len(body)))
                     self.send_header("Request-Time", str(int((time.monotonic() - t0) * 1000)))
                     self.end_headers()
                     _log(len(body))
-                    self.wfile.write(body)
+                    try:
+                        self.wfile.write(body)
+                    except OSError:
+                        _log(len(body), error="write_failed")
+                        self.close_connection = True
                 else:
                     self.send_header("Transfer-Encoding", "chunked")
                     self.send_header("Request-Time", str(int((time.monotonic() - t0) * 1000)))
                     self.end_headers()
                     n_bytes = 0
-                    for frag in body:
-                        if frag:
-                            self.wfile.write(b"%x\r\n%s\r\n" % (len(frag), frag))
-                            n_bytes += len(frag)
+                    try:
+                        for frag in body:
+                            if frag:
+                                self.wfile.write(b"%x\r\n%s\r\n" % (len(frag), frag))
+                                n_bytes += len(frag)
+                    except OSError:
+                        # mid-stream disconnect: the only record for this
+                        # request says how far the body actually got
+                        _log(n_bytes, error="write_failed")
+                        self.close_connection = True
+                        return
                     _log(n_bytes)  # the client blocks on the terminator below
-                    self.wfile.write(b"0\r\n\r\n")
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                    except OSError:
+                        _log(n_bytes, error="write_failed")
+                        self.close_connection = True
 
             def do_POST(self):
                 t0 = time.monotonic()

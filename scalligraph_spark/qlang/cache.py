@@ -75,6 +75,8 @@ class QueryCache:
     """Write-through, version-keyed result cache for a QueryExecutor."""
 
     def __init__(self, executor, store, labels: list[str] | None = None, prefix: str = "_qcache_"):
+        import threading
+
         self.executor = executor
         self.store = store
         # labels whose versions form the fingerprint: default = every
@@ -87,6 +89,15 @@ class QueryCache:
         self.prefix = prefix
         self.hits = 0
         self.misses = 0
+        # single-flight registry: one lock per in-flight cold key, so N
+        # concurrent identical chains (ThreadingHTTPServer dashboards)
+        # compute ONCE — followers block on the leader's lock and are
+        # served the committed write-through.  The registry entry is
+        # removed when the flight lands; waiters holding the lock object
+        # still drain through it, and latecomers re-check the store
+        # first.  Auth-salted keys keep flights per-principal.
+        self._flights: dict = {}
+        self._flights_mu = threading.Lock()
 
     # -- key --------------------------------------------------------------
     def _fingerprint(self) -> str:
@@ -200,14 +211,37 @@ class QueryCache:
 
     # -- execution --------------------------------------------------------
     def execute(self, chain: list[dict], auth: dict | None = None) -> Traversal:
+        import threading
+
         label = self.prefix + self.key(chain, auth)
         spark = self.executor.catalog.spark
         if self.store.version(label) > 0:
             self.hits += 1
             return Traversal(self.store.read(spark, label), catalog=self.executor.catalog, label=None)
-        self.misses += 1
-        t = self.executor.execute(chain, auth=auth)
-        self.store.write(label, t.df, meta={"kind": "query_cache", "chain": chain})
+        # single-flight: claim (or join) the key's in-flight lock so a
+        # cold-key stampede computes once — without it N concurrent
+        # identical dashboard chains each paid the full query before the
+        # first write-through landed
+        with self._flights_mu:
+            flight = self._flights.get(label)
+            if flight is None:
+                flight = self._flights[label] = threading.Lock()
+        try:
+            with flight:
+                if self.store.version(label) > 0:
+                    # a leader landed the entry while we waited
+                    self.hits += 1
+                    return Traversal(
+                        self.store.read(spark, label),
+                        catalog=self.executor.catalog,
+                        label=None,
+                    )
+                self.misses += 1
+                t = self.executor.execute(chain, auth=auth)
+                self.store.write(label, t.df, meta={"kind": "query_cache", "chain": chain})
+        finally:
+            with self._flights_mu:
+                self._flights.pop(label, None)
         # serve the committed copy so repeated actions on the returned
         # frame scan the cache, not the original plan
         return Traversal(self.store.read(spark, label), catalog=self.executor.catalog, label=None)

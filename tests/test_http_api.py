@@ -596,3 +596,111 @@ def test_trusted_user_header_sso(spark):
             headers={"X-Remote-User": "alice", "Authorization": "Bearer k-alice"},
         )
         assert status == 200
+
+
+def test_access_log_marks_failed_sends(spark):
+    """ADVICE r11: a send that fails midway (client disconnect) must not
+    be logged as a completed response — the log appends a record with
+    error="write_failed" carrying how far the body actually got, so
+    operators can distinguish delivered bytes from attempted ones."""
+    import socket
+    import struct
+    import time as _t
+
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.suite import executor_for
+
+    records = []
+    with QueryServer(executor_for(spark, SF_DIR), access_log=records.append).serve() as srv:
+        body = json.dumps(
+            {"query": [{"_name": "all_lineitem"}], "chunkSize": 500}
+        ).encode()
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=60)
+        s.sendall(
+            b"POST /api/v1/query HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: %d\r\n\r\n%s" % (len(body), body)
+        )
+        assert s.recv(1)  # headers flushed — the server is now mid-stream
+        # RST-close: the kernel rejects every later server write with
+        # EPIPE/ECONNRESET while the Spark iterator is still producing
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER, struct.pack("ii", 1, 0))
+        s.close()
+        deadline = _t.time() + 60
+        while _t.time() < deadline and not any(r.get("error") for r in records):
+            _t.sleep(0.05)
+    failed = [r for r in records if r.get("error") == "write_failed"]
+    assert failed, f"expected a write_failed record, got {records}"
+    assert failed[0]["status"] == 200 and failed[0]["bytes"] >= 0
+
+
+def test_cold_key_stampede_computes_once(spark, tmp_path):
+    """VERDICT r11 #6: ThreadingHTTPServer + QueryCache under a cold-key
+    stampede — 8 concurrent identical chains must compute ONCE (per-key
+    single-flight); followers block on the leader and serve the
+    committed write-through."""
+    import threading
+    import time as _t
+
+    from scalligraph_spark.catalog import GraphCatalog
+    from scalligraph_spark.http_api import QueryServer
+    from scalligraph_spark.qlang import QueryCache, QueryExecutor
+    from scalligraph_spark.store import LabelStore
+
+    store = LabelStore(str(tmp_path / "qc"))
+    store.write(
+        "person",
+        spark.createDataFrame(
+            [(1, "marko", 29), (2, "vadas", 27)], "person_id long, name string, age long"
+        ),
+    )
+    cat = GraphCatalog(spark)
+    cat.add_store_vertex(store, "person", "person_id")
+    ex = QueryExecutor(cat)
+    ex.register_init("people", lambda g, s, a: g.V("person"))
+
+    class CountingExecutor:
+        """Executor proxy that counts compute calls and widens the
+        stampede window so every thread is in flight before the leader
+        lands its write-through."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.catalog = inner.catalog
+            self._row_policies = getattr(inner, "_row_policies", {})
+            self.calls = 0
+            self._mu = threading.Lock()
+
+        def execute(self, chain, auth=None):
+            with self._mu:
+                self.calls += 1
+            _t.sleep(1.0)
+            return self.inner.execute(chain, auth=auth)
+
+    counting = CountingExecutor(ex)
+    cache = QueryCache(counting, store)
+    srv = QueryServer(ex, cache=cache).serve()
+    try:
+        chain = [{"_name": "people"}, {"_name": "count"}]
+        results, errors = [], []
+
+        def fire():
+            try:
+                status, headers, rows = _post(srv.port, chain=chain)
+                results.append((status, rows[0]["count"]))
+            except Exception as e:  # surface thread failures in the assert
+                errors.append(repr(e))
+
+        threads = [threading.Thread(target=fire) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert results == [(200, 2)] * 8
+        assert counting.calls == 1, (
+            f"stampede must single-flight: {counting.calls} computes"
+        )
+        assert cache.misses == 1 and cache.hits == 7
+    finally:
+        srv.close()
