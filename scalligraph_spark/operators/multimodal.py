@@ -50,6 +50,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # which codec produced the row: pil / png / jpeg_baseline / wav /
+        # stub — the decode-coverage signal (groupBy("decoder") counts
+        # stub-degraded rows per corpus; a crawl corpus is ~10-20%
+        # progressive JPEG, which is stub territory without PIL)
+        T.StructField("decoder", T.StringType(), False),
     ]
 )
 
@@ -69,6 +74,7 @@ def _decode_stub(payload: bytes, kind: str) -> dict:
         "width": (n % 640) + 1 if kind == "image" else None,
         "height": (n % 480) + 1 if kind == "image" else None,
         "feature": [h / total for h in hist],
+        "decoder": "stub",
     }
 
 
@@ -424,10 +430,20 @@ def _decode_wav(payload: bytes) -> dict | None:
 
 def _decode_real(payload: bytes, kind: str) -> dict:
     """REAL decode path: PIL when installed (any format), else the
-    stdlib PNG/WAV decoders, else fall back to the clearly-fake stub so a
-    mixed corpus with unsupported payloads degrades loudly-documented
-    rather than crashing a 100 TB job (quarantine upstream if that
-    matters — `validate_rows` composes)."""
+    stdlib PNG/WAV decoders and the pure-Python BASELINE-JPEG decoder,
+    else fall back to the clearly-fake stub so a mixed corpus with
+    unsupported payloads degrades loudly-documented rather than crashing
+    a 100 TB job (quarantine upstream if that matters — `validate_rows`
+    composes).
+
+    PROGRESSIVE JPEG (SOF2) NEEDS PIL: the pure-Python tier decodes
+    baseline/extended-sequential Huffman only, and a web-crawl corpus is
+    typically 10-20% progressive — without PIL those rows silently carry
+    stub features.  Every output row's ``decoder`` field names the codec
+    that produced it (``pil``/``png``/``jpeg_baseline``/``wav``/
+    ``stub``), so coverage is COUNTABLE per corpus: audit with
+    ``extract_features(df, decoder="real").groupBy("kind",
+    "decoder").count()`` before trusting the features."""
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -444,6 +460,7 @@ def _decode_real(payload: bytes, kind: str) -> dict:
                 "width": img.width,
                 "height": img.height,
                 "feature": [v / total for v in hist],
+                "decoder": "pil",
             }
     except Exception:
         # ImportError (no PIL) — but ALSO UnidentifiedImageError/OSError/
@@ -453,14 +470,15 @@ def _decode_real(payload: bytes, kind: str) -> dict:
         pass
     if kind == "image":
         out = _decode_png(payload)
-        if out is None:
-            out = _decode_jpeg(payload)
         if out is not None:
-            return out
+            return dict(out, decoder="png")
+        out = _decode_jpeg(payload)
+        if out is not None:
+            return dict(out, decoder="jpeg_baseline")
     if kind == "audio":
         out = _decode_wav(payload)
         if out is not None:
-            return out
+            return dict(out, decoder="wav")
     return _decode_stub(payload, kind)
 
 
@@ -473,10 +491,14 @@ def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
     ``decoder="stub"`` (default) keeps the deterministic fake — the
     cross-engine-replayable path the suite oracle verifies.
     ``decoder="real"`` decodes actual bytes: PIL when installed, else the
-    pure-stdlib PNG/WAV decoders (tests decode real tiny PNGs/WAVs
-    byte-exactly), falling back to the stub for unsupported payloads.
-    Either way the Spark shape is identical: binary stays in Arrow
-    batches, map-only, no shuffle."""
+    pure-stdlib PNG/WAV decoders and the pure-Python baseline-JPEG
+    decoder (tests decode real tiny payloads byte-exactly), falling back
+    to the stub for unsupported payloads — NOTE progressive JPEG (SOF2)
+    is stub territory without PIL; see :func:`_decode_real`.  Each row's
+    ``decoder`` column names the codec that produced it, so stub
+    degradation is countable per format instead of a silent quality
+    cliff.  Either way the Spark shape is identical: binary stays in
+    Arrow batches, map-only, no shuffle."""
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}; use 'stub' or 'real'")
     decode = _DECODERS[decoder]
@@ -492,6 +514,7 @@ def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
                     "width": pd.array([d["width"] for d in decoded], dtype="Int32"),
                     "height": pd.array([d["height"] for d in decoded], dtype="Int32"),
                     "feature": [d["feature"] for d in decoded],
+                    "decoder": [d["decoder"] for d in decoded],
                 }
             )
 

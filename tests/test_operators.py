@@ -138,7 +138,10 @@ def media(spark, docs):
 
 def test_multimodal_extract_features_schema_and_values(media, docs):
     out = extract_features(media)
-    assert [f.name for f in out.schema.fields] == ["media_id", "kind", "n_bytes", "width", "height", "feature"]
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "kind", "n_bytes", "width", "height", "feature", "decoder"
+    ]
+    assert {r["decoder"] for r in out.select("decoder").distinct().collect()} == {"stub"}
     rows = {r["media_id"]: r for r in out.collect()}
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     for mid, r in rows.items():
@@ -2088,10 +2091,38 @@ def test_extract_features_real_decoder_end_to_end(spark):
     assert (rows[1]["width"], rows[1]["height"]) == (2, 2)
     assert (rows[2]["width"], rows[2]["height"]) == (2, 16)
     assert rows[3]["n_bytes"] == 3  # stub fallback still yields a row
+    # decode coverage is countable per row: real codecs name themselves,
+    # the unsupported payload is visibly stub-degraded
+    assert rows[1]["decoder"] == "png"
+    assert rows[2]["decoder"] == "wav"
+    assert rows[3]["decoder"] == "stub"
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         extract_features(media, decoder="nope")
+
+
+def test_progressive_jpeg_degrades_countably(spark):
+    """VERDICT r11 #7: progressive JPEG (SOF2) is PIL territory — the
+    pure-Python tier refuses it (never a wrong decode) and the row is
+    COUNTABLE as stub-degraded via the decoder column, so a crawl corpus
+    (~10-20% progressive) shows its quality cliff instead of hiding it."""
+    from scalligraph_spark.operators.multimodal import _decode_jpeg, extract_features
+
+    sof2 = bytes.fromhex("ffd8ffc20004") + b"\x00\x00"
+    assert _decode_jpeg(sof2) is None, "SOF2 must be refused, not mis-decoded"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(sof2), None)],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    cov = {
+        (r["kind"], r["decoder"]): r["count"]
+        for r in extract_features(media, decoder="real")
+        .groupBy("kind", "decoder")
+        .count()
+        .collect()
+    }
+    assert cov == {("image", "stub"): 1}
 
 
 def test_decode_real_corrupt_payload_degrades_to_stub():
