@@ -2378,6 +2378,64 @@ def similarity_ivf_topk_q(spark, sf):
     return ivf_ann_topk(cat_for(spark, sf).vertex_df("embeddings"), k=10)
 
 
+def _ann_replay_root(sf) -> str:
+    """Fixed, sf-suffixed directory where ANN suite entries export their
+    (deterministic) persisted artifacts for the DuckDB oracle to replay —
+    the oracle runs AFTER the Spark side (tools/check.py order, mirroring
+    the driver), so it reads exactly the artifacts the query just probed
+    and re-derives the probe/ADC arithmetic from the same parquet bytes."""
+    import os as _os
+
+    return f"/tmp/sgspark_annreplay_{_os.path.basename(sf.rstrip('/'))}"
+
+
+def _export_replay_dir(src_dir: str, dest: str) -> None:
+    """Copy a store version dir's data files into a flat replay dir
+    (atomic swap) — plain driver-side file copy, no Spark job."""
+    import os as _os
+    import shutil as _shutil
+
+    tmp = dest + ".tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    _os.makedirs(tmp)
+    n = 0
+    for root, dirs, files in _os.walk(src_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                _shutil.copy(_os.path.join(root, f), _os.path.join(tmp, f"{n:04d}.parquet"))
+                n += 1
+    _shutil.rmtree(dest, ignore_errors=True)
+    _os.replace(tmp, dest)
+
+
+def _export_replay_books(books, dest: str) -> None:
+    """Write PQ codebooks (numpy (m, 2^nbits, dsub)) as a replay parquet
+    (subspace, code, centroid) — the same rows build_pq_index commits."""
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    m, k, _d = books.shape
+    t = _pa.table(
+        {
+            "subspace": _pa.array([j for j in range(m) for _ in range(k)], _pa.int32()),
+            "code": _pa.array([c for _ in range(m) for c in range(k)], _pa.int32()),
+            "centroid": _pa.array(
+                [[float(x) for x in books[j, c]] for j in range(m) for c in range(k)]
+            ),
+        }
+    )
+    tmp = dest + ".tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    _os.makedirs(tmp)
+    _pq.write_table(t, _os.path.join(tmp, "books.parquet"))
+    _shutil.rmtree(dest, ignore_errors=True)
+    _os.replace(tmp, dest)
+
+
 def _ann_index_store(spark, sf, rebuild: bool = False):
     """Build-once-per-process IVF index for the sf's embeddings table —
     the point of a persisted index is that queries do NOT pay training;
@@ -2396,13 +2454,19 @@ def _ann_index_store(spark, sf, rebuild: bool = False):
         c = cat_for(spark, sf)
         emb = c.vertex_df("embeddings")
         _shutil.rmtree(root, ignore_errors=True)
+        store = LabelStore(root)
         build_ivf_index(
-            LabelStore(root), "emb_ivf", emb,
+            store, "emb_ivf", emb,
             n_rows=c.vertices["embeddings"].n_rows_hint,
             # inverted lists make the artifact searchable per-query
             # (similarity_ivf_search) without scanning the corpus
             store_cells=True, cells_n_list=2,
         )
+        # replay copies for the DuckDB oracle (one-time, at build —
+        # never on the benched query path)
+        replay = _ann_replay_root(sf)
+        _export_replay_dir(store.path("emb_ivf"), f"{replay}/ivf_centroids")
+        _export_replay_dir(store.path("emb_ivf__cells"), f"{replay}/ivf_cells")
         _ANN_INDEX_BUILT.add(key)
     return LabelStore(root)
 
@@ -2431,9 +2495,38 @@ def similarity_indexed_ann_q(spark, sf):
 
 @q(
     "similarity_ivf_search",
-    None,  # candidate set = trained k-means cell lists — no SQL twin;
-    # pytest proves the result equals a numpy re-rank of exactly the
-    # stored probed-cell lists, and that In(cell,…) is pushed to the scan
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+qn AS (SELECT sqrt(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS qn
+       FROM q, unnest(range(1, 65)) t(i)),
+cdot AS (
+  SELECT c.cell,
+         CAST(SUM(CAST(CAST(c.centroid[i] AS DOUBLE) * (CAST(q.qe[i] AS DOUBLE) / qn.qn) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/ivf_centroids/*.parquet') c, q, qn,
+       unnest(range(1, 65)) t(i)
+  GROUP BY c.cell
+),
+probes AS (SELECT cell FROM cdot ORDER BY dot DESC, cell ASC LIMIT 4),
+cand AS (
+  SELECT DISTINCT id FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/ivf_cells/*.parquet')
+  WHERE cell IN (SELECT cell FROM probes)
+),
+terms AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS n2
+  FROM embeddings e JOIN cand ON e.vec_id = cand.id, q, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id
+)
+SELECT t.vec_id, round(t.dot / (sqrt(t.n2) * qn.qn), 12) AS cosine
+FROM terms t, qn
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+    # the oracle REPLAYS the persisted artifacts (VERDICT r11 #5, the
+    # sketch_countmin_counts pattern applied to ANN): the Spark side
+    # exports its centroid/cell parquet at build time, DuckDB re-derives
+    # the probe-cell choice and the cosine re-rank from the same bytes —
+    # the candidate set and scores are checked end-to-end, not rows-only
     "SINGLE-QUERY search through the persisted IVF inverted lists (true "
     "IVF, Jégou et al. TPAMI 2011): probe cells chosen driver-side "
     "against the broadcast-sized centroids (no job), the scan reads ONLY "
@@ -2471,8 +2564,82 @@ def similarity_ann_index_build_q(spark, sf):
 
 @q(
     "similarity_ivfpq_topk",
-    None,  # k-means cells + PQ codes — no closed-form oracle; rows-only
-    # (pytest proves full-probe/full-refine ≡ the plain PQ scan)
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+qn AS (SELECT sqrt(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS qn
+       FROM q, unnest(range(1, 65)) t(i)),
+cent AS (SELECT cell, centroid FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/ivfpq_centroids/*.parquet')),
+books AS (SELECT subspace, code, centroid FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/ivfpq_books/*.parquet')),
+probes AS (
+  SELECT c.cell FROM cent c, q, qn, unnest(range(1, 65)) t(i)
+  GROUP BY c.cell
+  ORDER BY CAST(SUM(CAST(CAST(c.centroid[i] AS DOUBLE) * (CAST(q.qe[i] AS DOUBLE) / qn.qn) AS DECIMAL(38,20))) AS DOUBLE) DESC,
+           c.cell ASC
+  LIMIT 4
+),
+vnorm AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS vn
+  FROM embeddings, unnest(range(1, 65)) t(i) GROUP BY vec_id
+),
+cellof AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+    FROM (
+      SELECT e.vec_id, c.cell,
+             CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) / v.vn) * CAST(c.centroid[i] AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+      FROM embeddings e JOIN vnorm v ON e.vec_id = v.vec_id
+      CROSS JOIN cent c CROSS JOIN unnest(range(1, 65)) t(i)
+      GROUP BY e.vec_id, c.cell
+    )
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT vec_id FROM cellof
+  WHERE cell IN (SELECT cell FROM probes) AND vec_id != 1
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           row_number() OVER (PARTITION BY vec_id, subspace ORDER BY score DESC, code ASC) AS rn
+    FROM (
+      SELECT e.vec_id, b.subspace, b.code,
+             CAST(SUM(CAST((CAST(e.embedding[b.subspace * 16 + i] AS DOUBLE) / v.vn) * CAST(b.centroid[i] AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+             - 0.5 * CAST(SUM(CAST(CAST(b.centroid[i] AS DOUBLE) * CAST(b.centroid[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS score
+      FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+      JOIN vnorm v ON e.vec_id = v.vec_id
+      CROSS JOIN books b CROSS JOIN unnest(range(1, 17)) t(i)
+      GROUP BY e.vec_id, b.subspace, b.code
+    )
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT b.subspace, b.code,
+         CAST(SUM(CAST(CAST(b.centroid[i] AS DOUBLE) * (CAST(q.qe[b.subspace * 16 + i] AS DOUBLE) / qn.qn) AS DECIMAL(38,20))) AS DOUBLE) AS ip
+  FROM books b, q, qn, unnest(range(1, 17)) t(i)
+  GROUP BY b.subspace, b.code
+),
+adc AS (
+  SELECT enc.vec_id, CAST(SUM(CAST(l.ip AS DECIMAL(28,18))) AS DOUBLE) AS approx_ip
+  FROM enc JOIN lut l ON l.subspace = enc.subspace AND l.code = enc.code
+  GROUP BY enc.vec_id
+),
+refine AS (SELECT vec_id FROM adc ORDER BY approx_ip DESC, vec_id ASC LIMIT 64),
+rer AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS n2
+  FROM embeddings e JOIN refine r ON e.vec_id = r.vec_id, q, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id
+)
+SELECT rer.vec_id, round(rer.dot / (qn.qn * sqrt(rer.n2)), 12) AS cosine
+FROM rer, qn
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+    # artifact-replay oracle (VERDICT r11 #5): DuckDB re-derives the FULL
+    # IVF-PQ pipeline from the exported centroid/codebook parquet — probe
+    # cells, per-vector cell assignment, PQ encoding (argmax per
+    # subspace), the ADC lookup, the refine cut, and the exact re-rank
     "composed IVF-PQ single-query top-k through BOTH persisted artifacts "
     "(the FAISS IVFx,PQy shape): IVF cells prune the SCAN (n_probe cells "
     "touched), PQ codes prune the BYTES (m bytes/row through the ADC "
@@ -2500,6 +2667,9 @@ def similarity_ivfpq_topk_q(spark, sf):
     build_pq_index(store, "emb_pq", emb, m=4, nbits=8)
     ivf = load_ann_index(spark, store, "emb_ivf")
     pq = load_ann_index(spark, store, "emb_pq")
+    replay = _ann_replay_root(sf)
+    _export_replay_dir(store.path("emb_ivf"), f"{replay}/ivfpq_centroids")
+    _export_replay_books(pq.codebooks, f"{replay}/ivfpq_books")
     return ivfpq_topk(
         emb, query_id=1, k=10, n_probe=4, refine=64,
         centroids=ivf.centroids, codebooks=pq.codebooks,
@@ -3259,7 +3429,42 @@ def pipeline_stratified_sample_q(spark, sf):
 
 @q(
     "similarity_pq_topk",
-    None,  # k-means codebooks have no DuckDB twin → rows-only
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+qn AS (SELECT sqrt(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS qn
+       FROM q, unnest(range(1, 65)) t(i)),
+lut AS (
+  SELECT b.subspace, b.code,
+         CAST(SUM(CAST(CAST(b.centroid[i] AS DOUBLE) * (CAST(q.qe[b.subspace * 8 + i] AS DOUBLE) / qn.qn) AS DECIMAL(38,20))) AS DOUBLE) AS ip
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/pq8_books/*.parquet') b, q, qn,
+       unnest(range(1, 9)) t(i)
+  GROUP BY b.subspace, b.code
+),
+adc AS (
+  SELECT c.id, CAST(SUM(CAST(l.ip AS DECIMAL(28,18))) AS DOUBLE) AS approx_ip
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/pq8_codes/*.parquet') c
+  CROSS JOIN unnest(range(1, 9)) t(j)
+  JOIN lut l ON l.subspace = j - 1 AND l.code = c.codes[j]
+  WHERE c.id != 7
+  GROUP BY c.id
+),
+refine AS (SELECT id FROM adc ORDER BY approx_ip DESC, id ASC LIMIT 64),
+rer AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS n2
+  FROM embeddings e JOIN refine r ON e.vec_id = r.id, q, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id
+)
+SELECT rer.vec_id, round(rer.dot / (qn.qn * sqrt(rer.n2)), 12) AS cosine
+FROM rer, qn
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+    # artifact-replay oracle (VERDICT r11 #5): the Spark side exports the
+    # trained codebooks AND the encoded (id, codes) table — the compressed
+    # index a 100 TB deployment persists — and DuckDB re-derives the ADC
+    # lookup table, the table-lookup scan, the refine cut, and the exact
+    # re-rank from those same bytes
     "product-quantization ANN: PQ codes move m bytes/row instead of 4·d "
     "(32× compression at d=64, m=8), asymmetric-distance table-lookup scan, "
     "exact cosine re-rank of the short list — pytest proves full-refine ≡ "
@@ -3267,9 +3472,17 @@ def pipeline_stratified_sample_q(spark, sf):
 )
 def similarity_pq_topk_q(spark, sf):
     from scalligraph_spark.operators import pq_topk
+    from scalligraph_spark.operators.similarity import pq_encode, pq_train
 
     emb = cat_for(spark, sf).vertex_df("embeddings")
-    return pq_topk(emb, query_id=7, k=10, m=8, refine=64)
+    # train once here (identical call to pq_topk's internal default) so
+    # the codebooks and the persisted-style codes table can be exported
+    # for the oracle's replay, then probe with training disabled
+    books = pq_train(emb, m=8, nbits=8)
+    replay = _ann_replay_root(sf)
+    _export_replay_books(books, f"{replay}/pq8_books")
+    pq_encode(emb, books).write.mode("overwrite").parquet(f"{replay}/pq8_codes")
+    return pq_topk(emb, query_id=7, k=10, m=8, refine=64, codebooks=books)
 
 
 @q(
