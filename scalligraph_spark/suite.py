@@ -9652,11 +9652,24 @@ def quality_constraint_report_q(spark, sf):
 # (timestampAsOf, for value_index_lookup: the value-index family keeps
 # THREE window entries — catchup, catchup_tombstone, retention_vacuum).
 # Both rotated-out entries stay registered and suite-exact.
+#
+# Round-12 rotation (VERDICT r11 #8): IN qlang_from_store (the skipping
+# tier routed through the query language, pruned-files + row-policy
+# gated), store_skipping_or_read (the new OR-of-ranges predicate trees,
+# pruned-files asserted), and similarity_ivf_search (the first
+# artifact-replay ANN oracle — VERDICT #5's flip, probe arithmetic
+# re-derived by DuckDB from the exported centroids/cells).  OUT the
+# three longest residents (10 consecutive rounds each): scan_by_ids
+# (scan family keeps scan_vertices/scan_edges/graph_empty suite-exact),
+# public_property_rename (properties family keeps auth_property IN the
+# window), and qagg_field_subaggs (the agg family keeps
+# qagg_rollup_events + qagg_grouping_sets in-window and the field
+# subagg/nested forms suite-exact).
 _WINDOW = [
-    "scan_by_ids",
+    "qlang_from_store",
     "qlang_row_policy",
     "qagg_rollup_events",
-    "public_property_rename",
+    "store_skipping_or_read",
     "qlang_dialogue_chain",
     "quality_constraint_report",
     "value_index_catchup_tombstone",
@@ -9677,7 +9690,7 @@ _WINDOW = [
     "integrity_resolve_duplicates",
     "pipeline_sample_per_key",
     "stats_analyze_columns",
-    "qagg_field_subaggs",
+    "similarity_ivf_search",
     "stats_grouped_quantiles",
     "events_window_funnel",
     "graph_cc_skewed",

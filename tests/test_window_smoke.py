@@ -48,8 +48,14 @@ def oracle_counts():
     counts = {}
     for name in list(e.queries())[:50]:
         sql = oracles.get(name)
-        if sql is None:
-            counts[name] = None  # rows-only entry: no prediction
+        # artifact-replay oracles (the ANN probes) read parquet the SPARK
+        # side exports at the CHECK sf (0.01) — meaningless against this
+        # tier's sf0.001 run, and absent entirely on a fresh machine (the
+        # fixture runs before any spark query).  The exact gate remains
+        # tools/check.py (spark-then-oracle order, same sf); the smoke
+        # tier treats them as rows-only.
+        if sql is None or "sgspark_annreplay" in sql:
+            counts[name] = None
             continue
         counts[name] = len(con.execute(sql).df())
     con.close()

@@ -114,7 +114,7 @@ def build_scaled(spark, src: str, dst: str, k: int) -> None:
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
 
 
-def run(spark, sf_dir: str, names) -> dict[str, float]:
+def run(spark, sf_dir: str, names, force_median: set | None = None, medianed: set | None = None) -> dict[str, float]:
     from scalligraph_spark import suite as S
     from scalligraph_spark.suite import SUITE
 
@@ -143,14 +143,21 @@ def run(spark, sf_dir: str, names) -> dict[str, float]:
             return time.perf_counter() - t0
 
         t = one()
-        if t < 2.0:
+        if t < 2.0 or (force_median is not None and name in force_median):
             # sub-2s entries: a single un-warmed shot flatters 10× ratios
             # (PERF.md r10 flagged events_funnel_count 0.66-raw vs ~1.9
             # warm) — the first rep pays JIT/codegen/scan-cache warmup
             # that the scaled run then gets for free.  Median-of-3 makes
             # the base honest; entries ≥2s amortize warmup already and
             # stay single-shot (the 10× sweep must finish in one session).
+            # `force_median` keeps the TREATMENT consistent per key across
+            # scale points: a key that medianed at the base must median at
+            # the scaled point too, even if it crossed the 2 s cutoff
+            # there — VERDICT r11 #3's qagg_percentiles straddle, where
+            # the ratio mixed a warm base with a cold scaled shot.
             t = sorted([t, one(), one()])[1]
+            if medianed is not None:
+                medianed.add(name)
         times[name] = round(t, 3)
         print(f"# {sf_dir}: {name}: {times[name]:.3f}s", file=sys.stderr)
     return times
@@ -172,8 +179,11 @@ def main() -> int:
         print(f"# building {k}x replica at {dst}", file=sys.stderr)
         build_scaled(spark, src, dst, k)
 
-    base = run(spark, src, names)
-    scaled = run(spark, dst, names)
+    # per-key treatment consistency: whatever medianed at the base (every
+    # sub-2s key) medians at the scaled point too
+    medianed: set = set()
+    base = run(spark, src, names, medianed=medianed)
+    scaled = run(spark, dst, names, force_median=medianed)
     report = {
         "k": k,
         "base_sec": base,
