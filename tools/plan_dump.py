@@ -164,6 +164,11 @@ PLAN_QUERIES = [
     "events_window_funnel_strict_hot",  # 20x interloper load on ONE user-key exchange
     "store_skipping_read",  # scan lists ONLY manifest-kept files; residual filter pushed to parquet
     "store_time_travel",  # plain pinned-version scan — resolution is pure metadata
+    # round-12: skipping scale tier — OR trees prune as a union of
+    # disjunct candidates; past-threshold manifests prune via a Spark job
+    # so the final scan binds only kept files (never an O(files) driver parse)
+    "store_skipping_or_read",  # OR-of-date-ranges: two slices' files only, exact residual
+    "store_skipping_manifest_scale",  # 5,000+-file table: candidate files only in the scan
 ]
 
 
