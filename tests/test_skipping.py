@@ -778,3 +778,28 @@ def test_parquet_manifest_carries_through_compaction(spark, store, monkeypatch):
     assert man is not None and man["columns"] == ["id", "d"]
     _same(store.read_skipping(spark, "t", [("id", "<", 100)]),
           df.where(F.col("id") < 100))
+
+
+def test_read_merged_with_or_tree_predicates(spark, store):
+    """Selective MOR composes with the or/and/not predicate grammar: the
+    tree prunes the base (union of disjunct candidates) and filters the
+    resolved upserts exactly."""
+    df = _frame(spark, 3000)
+    store.write("t", df, sort_by=(6, ["id"]), stats_cols=["id"])
+    d1 = (
+        df.where(F.col("id").isin([10, 2900]))
+        .withColumn("price", F.lit(-5.0))
+        .withColumn("_op", F.lit("upsert"))
+    )
+    store.write_delta(spark, "t", d1, ["id"])
+    preds = [("or", [[("id", "<", 50)], [("id", ">=", 2890)]]),
+             ("not", [("price", "<", 0.0)])]
+    merged = store.read_merged(spark, "t")
+    exp = merged.where(
+        ((F.col("id") < 50) | (F.col("id") >= 2890)) & ~(F.col("price") < 0.0)
+    )
+    got = store.read_merged(spark, "t", predicates=preds)
+    _same(got, exp)
+    ids = {r["id"] for r in got.select("id").collect()}
+    assert 10 not in ids and 2900 not in ids  # upserted to negative price
+    assert 11 in ids and 2950 in ids

@@ -100,7 +100,13 @@ def main() -> int:
     import __spark_entry__ as e
     from scalligraph_spark.session import get_spark
 
-    spark = get_spark(app_name="check", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+    spark = get_spark(
+        app_name="check",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        # keep stdout greppable: the console progress bar otherwise glues
+        # "[Stage …]" fragments onto the per-query ok/FAIL lines
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
