@@ -382,8 +382,16 @@ def ivf_ann_topk(
     n_rows: int | None = None,
     n_list: int = 1,
     centroids=None,
+    queries=None,
 ) -> DataFrame:
     """IVF approximate top-k neighbors — the second scale path beside LSH.
+
+    ``queries`` (a one-column id frame) restricts the PROBE side to a
+    bounded query set: the cell index still covers the full corpus, but
+    candidate generation and the exact re-rank — the expensive joins —
+    run only for the sampled queries.  This is the recall-audit shape at
+    100 TB: the audit's cost must scale with its query budget, never
+    with the corpus squared.
 
     Pipeline: spherical k-means coarse quantizer (trained on a
     deterministic ≤``sample_rows`` sample, driver-side numpy) → every
@@ -444,6 +452,14 @@ def ivf_ann_topk(
     # each vector lists in its n_list nearest cells (multi-assignment)
     index = cells.select("id", F.explode(F.slice("cells", 1, n_list)).alias("cell"))
     probes = cells.select(F.col("id").alias("qid"), F.explode("cells").alias("cell"))
+    if queries is not None:
+        probes = probes.join(
+            F.broadcast(
+                queries.select(F.col(queries.columns[0]).alias("qid")).distinct()
+            ),
+            "qid",
+            "left_semi",
+        )
     cands = (
         probes.join(index, "cell")
         .where(F.col("qid") != F.col("id"))

@@ -204,7 +204,7 @@ def manifest_kinds(manifest: dict) -> dict:
     kinds: dict = {}
     for e in manifest.get("files", []):
         for c, st in (e.get("cols") or {}).items():
-            t = st.get("t")
+            t = st.get("t") or (st.get("bloom") or {}).get("t")
             if t and t not in ("part", "pnull"):
                 kinds.setdefault(c, t)
     return kinds
@@ -305,6 +305,115 @@ def _coerce_pred(kind: str, v, session_tz: str):
     return None
 
 
+# -- bloom file skipping (Delta bloom-filter index analog) -------------------
+#
+# min/max ranges prune SORTED/clustered columns; a point lookup on an
+# UNCLUSTERED high-cardinality column (ids, digests, UUIDs) sees every
+# file's range span the whole domain and prunes nothing.  A per-file
+# Bloom filter answers "could this value be in this file?" with no false
+# negatives, so `=`/`in` predicates prune those files too.  False
+# positives only ever KEEP a file — the residual filter stays exact.
+#
+# Canonical hashing domain: both the build side (row values) and the
+# probe side (predicate values) pass through `_bloom_canon`, which rides
+# `_coerce_pred`'s comparison space — `5`, `5.0` and Decimal("5.0") all
+# hash to "num:5", naive predicate timestamps read in the session
+# timezone exactly like range pruning, and kind mismatches simply keep
+# the file.  Files containing values the canon cannot represent (±inf,
+# exotic types) store NO bloom — absence can't be proven there.
+
+
+def _bloom_canon(kind: str, v, session_tz: str) -> str | None:
+    """Canonical hash string for a value under a stat kind — ``None`` =
+    not representable (the caller must treat the value as maybe-present
+    at probe time, and must NOT build a bloom over it at build time)."""
+    c = _coerce_pred(kind, v, session_tz)
+    if c is None:
+        return None
+    if kind == "num":
+        try:
+            if not c.is_finite():
+                return None
+            if c == 0:
+                return "num:0"  # -0.0 must hash like 0 (SQL 0 = -0.0)
+            # exponent-free normal form: 5, 5.0, Decimal("5.00") → "5";
+            # Decimal("50").normalize() alone would give "5E+1"
+            return "num:" + format(c.normalize(), "f")
+        except (ArithmeticError, ValueError):
+            return None
+    if kind == "bool":
+        return "bool:true" if c else "bool:false"
+    return f"{kind}:{c}"
+
+
+def _bloom_hash_positions(canon: str, m: int, k: int):
+    """k bit positions via double hashing over one md5 — deterministic
+    across engines and sessions (no seeds, no process randomness)."""
+    import hashlib
+
+    d = hashlib.md5(canon.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, session_tz: str, fpp: float) -> dict | None:
+    """Per-file bloom over the non-null values of one column — ``None``
+    when any value is un-canonicalizable or the column mixes stat kinds
+    (a partial bloom would prove false absences) or nothing is hashable.
+    Returns ``{"t": kind, "m": bits, "k": hashes, "b": base64(bitset)}``."""
+    import base64
+    import math
+
+    kind = None
+    canons = []
+    for v in values:
+        if v is None:
+            continue
+        kv, _enc = _enc_stat(v)
+        if kv is None:
+            return None
+        if kind is None:
+            kind = kv
+        elif kv != kind:
+            return None
+        c = _bloom_canon(kind, v, session_tz)
+        if c is None:
+            return None
+        canons.append(c)
+    if not canons:
+        return None
+    n = len(canons)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1)
+    m = (m + 7) // 8 * 8
+    k = max(1, min(16, round(m / n * math.log(2))))
+    bits = bytearray(m // 8)
+    for c in canons:
+        for pos in _bloom_hash_positions(c, m, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"t": kind, "m": m, "k": k, "b": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _bloom_maybe_contains(bf: dict, kind: str, v, session_tz: str) -> bool:
+    """Could ``v`` be among the file's values?  Conservative: any
+    canonicalization failure or malformed filter → True (keep)."""
+    import base64
+
+    canon = _bloom_canon(kind, v, session_tz)
+    if canon is None:
+        return True
+    try:
+        bits = base64.b64decode(bf["b"])
+        m, k = int(bf["m"]), int(bf["k"])
+        if m <= 0 or k <= 0 or len(bits) * 8 < m:
+            return True
+    except (KeyError, ValueError, TypeError):
+        return True
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7)) for pos in _bloom_hash_positions(canon, m, k)
+    )
+
+
 def _coerce_part(raw: str, v):
     """Hive partition values are path strings — coerce the STAT toward the
     predicate value's type (numeric partition dirs must compare
@@ -354,7 +463,16 @@ def _file_may_match(entry: dict, col: str, op: str, v, session_tz: str) -> bool:
     if nulls is not None and rows is not None and nulls >= rows:
         return False
     kind, mn, mx = st.get("t"), st.get("mn"), st.get("mx")
+    bf = st.get("bloom") if op in ("=", "in") else None
     if kind is None or mn is None or mx is None:
+        if bf is not None and bf.get("t") is not None:
+            # no usable range (truncated/absent min-max) but a bloom
+            # exists: prune only when EVERY probed value is provably
+            # absent — false positives keep, never drop
+            if all(
+                not _bloom_maybe_contains(bf, bf["t"], pv, session_tz) for pv in vals
+            ):
+                return False
         return True
 
     def _bounds(pv):
@@ -392,6 +510,16 @@ def _file_may_match(entry: dict, col: str, op: str, v, session_tz: str) -> bool:
             # incomparable pair (or Decimal NaN) — keep, never crash
             return True
         if ok:
+            # the range admits this value; a bloom may still PROVE it
+            # absent (point lookups on unclustered columns, where every
+            # file's min/max spans the domain) — per value, so an in-list
+            # keeps the file only if some value is range-ok AND
+            # bloom-maybe
+            bk = (bf or {}).get("t") or kind
+            if bf is not None and kind != "part" and not _bloom_maybe_contains(
+                bf, bk, pv, session_tz
+            ):
+                continue
             return True
     return False
 
@@ -557,13 +685,27 @@ def predicates_from_json_filter(query: dict) -> list:
     return go(query)
 
 
-def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> dict:
+def _footer_manifest(
+    spark: SparkSession,
+    data_dir: str,
+    columns: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
+) -> dict:
     """Collect per-file footer stats for ``columns`` under ``data_dir`` —
     a DISTRIBUTED footer scan (``mapInPandas`` over the file list; pyarrow
     opens only metadata, never data pages) so manifest collection on a
     million-file table spreads across the cluster instead of serializing
     through the driver.  Hive partition dirs contribute exact
     min=max=value pseudo-stats driver-side (pure path parsing).
+
+    ``bloom_cols`` additionally builds a per-file Bloom filter over each
+    named column's values (see :func:`_bloom_build`) — THIS part reads
+    the column's data pages (column-pruned, one column at a time), so it
+    costs a real scan at build time; it buys `=`/`in` pruning on columns
+    min/max cannot serve.  Bloom bitsets size ~1.2 KB per 1k distinct
+    values at fpp=1% — fine in the parquet sidecar tier, noticeable in
+    the inline JSON for very wide manifests.
 
     Parquet writers may TRUNCATE string min/max, but the spec guarantees
     truncated-min <= true-min and truncated-max >= true-max, so pruning on
@@ -581,9 +723,12 @@ def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> 
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 paths.append(os.path.join(root, f))
     paths.sort()
+    blooms = list(dict.fromkeys(bloom_cols or []))
     if not paths:
-        return {"columns": list(columns), "files": []}
+        return {"columns": list(columns), "bloom_columns": blooms, "files": []}
     wanted = list(dict.fromkeys(columns))
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    fpp = float(bloom_fpp)
 
     def scan(batches):
         import pandas as pd
@@ -594,7 +739,8 @@ def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> 
             out = []
             for p in pdf["path"]:
                 try:
-                    md = _pq.ParquetFile(p).metadata
+                    pf = _pq.ParquetFile(p)
+                    md = pf.metadata
                 except Exception:
                     # unreadable footer (foreign/corrupt file in a backfill
                     # target): record the file with NO stats — readers keep
@@ -633,6 +779,17 @@ def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> 
                         st_out["nulls"] = a["nulls"]
                     if st_out:
                         cols[name] = st_out
+                schema_names = set(pf.schema_arrow.names)
+                for name in blooms:
+                    if name not in schema_names:
+                        continue  # hive partition column — path pseudo-stats cover it
+                    try:
+                        vals = pf.read(columns=[name]).column(0).to_pylist()
+                        bf = _bloom_build(vals, tz, fpp)
+                    except Exception:
+                        bf = None  # unreadable column: no bloom, file kept
+                    if bf is not None:
+                        cols.setdefault(name, {})["bloom"] = bf
                 out.append({"path": p, "rows": md.num_rows, "cols": cols})
             yield pd.DataFrame({"entry": [json.dumps(e) for e in out]})
 
@@ -658,14 +815,14 @@ def _footer_manifest(spark: SparkSession, data_dir: str, columns: list[str]) -> 
             if "=" not in seg:
                 continue
             key, raw = seg.split("=", 1)
-            if key not in wanted:
+            if key not in wanted and key not in blooms:
                 continue
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 e["cols"][key] = {"t": "pnull"}
             else:
                 val = unquote(raw)
                 e["cols"][key] = {"t": "part", "mn": val, "mx": val, "nulls": 0}
-    return {"columns": wanted, "files": entries}
+    return {"columns": wanted, "bloom_columns": blooms, "files": entries}
 
 
 def _publish_manifest(data_dir: str, man: dict) -> None:
@@ -703,6 +860,7 @@ def _publish_manifest(data_dir: str, man: dict) -> None:
         os.replace(tmp, os.path.join(mdir, "files.parquet"))
         payload = {
             "columns": man["columns"],
+            "bloom_columns": man.get("bloom_columns", []),
             "n_files": len(files),
             "kinds": manifest_kinds(man),
             "files_parquet": os.path.join("_manifest", "files.parquet"),
@@ -802,6 +960,8 @@ class LabelStore:
         meta: dict | None = None,
         expected_version: int | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_fpp: float = 0.01,
     ) -> int:
         """Commit a new table version and flip the pointer (the atomic
         'transaction' of the batch world).
@@ -813,6 +973,13 @@ class LabelStore:
         :meth:`read_skipping` then prunes files driver-side before Spark
         ever lists them.  Pair with ``sort_by``/``zorder_by`` so the
         layout makes the per-file ranges narrow.
+
+        ``bloom_cols`` → additionally build a per-file Bloom filter per
+        named column (Delta bloom-index analog): ``=``/``in`` predicates
+        then prune files on UNCLUSTERED high-cardinality columns (ids,
+        digests) where every file's min/max spans the whole domain.
+        Costs a column-pruned data read at write time; false positives
+        only keep files, the residual filter stays exact.
 
         ``partition_by`` → hive-style directory partitioning (partition
         pruning on those columns); ``bucket_hint`` = (n, cols) →
@@ -898,12 +1065,15 @@ class LabelStore:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(staging)
-            if stats_cols:
+            if stats_cols or bloom_cols:
                 # footer scan over the staged files — manifest publishes
                 # atomically with the data via the same rename (past the
                 # threshold the entries ride a parquet sidecar in the
                 # same staging dir)
-                man = _footer_manifest(df.sparkSession, staging, list(stats_cols))
+                man = _footer_manifest(
+                    df.sparkSession, staging, list(stats_cols or []),
+                    bloom_cols=bloom_cols, bloom_fpp=bloom_fpp,
+                )
                 _publish_manifest(staging, man)
             # meta lands in staging so the rename publishes data+meta as
             # one atomic unit.  Every commit carries a wall-clock stamp
@@ -1007,17 +1177,29 @@ class LabelStore:
             _MANIFEST_CACHE[key] = man
         return man
 
-    def collect_file_stats(self, spark: SparkSession, label: str, columns: list[str], version: int | None = None) -> int:
+    def collect_file_stats(
+        self,
+        spark: SparkSession,
+        label: str,
+        columns: list[str],
+        version: int | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_fpp: float = 0.01,
+    ) -> int:
         """Backfill a file-stats manifest onto an EXISTING version (the
         write-time path is ``write(stats_cols=…)``).  Metadata-only
-        (distributed footer scan, no data pages); the sidecar publishes
-        with a temp-file rename, and underscore-prefixed names are
-        invisible to Spark's parquet reader, so concurrent readers of the
-        version are undisturbed.  Returns the number of files indexed."""
+        (distributed footer scan, no data pages — unless ``bloom_cols``
+        asks for per-file Bloom filters, which read those columns' data);
+        the sidecar publishes with a temp-file rename, and
+        underscore-prefixed names are invisible to Spark's parquet
+        reader, so concurrent readers of the version are undisturbed.
+        Returns the number of files indexed."""
         vdir = self.path(label, version)
         if not os.path.isdir(vdir):
             raise FileNotFoundError(f"label {label!r} has no version directory {vdir}")
-        man = _footer_manifest(spark, vdir, list(columns))
+        man = _footer_manifest(
+            spark, vdir, list(columns), bloom_cols=bloom_cols, bloom_fpp=bloom_fpp
+        )
         _publish_manifest(vdir, man)
         return len(man["files"])
 
@@ -1293,6 +1475,7 @@ class LabelStore:
         # a manifest on the current base carries forward across the fold
         # (same rule as compact/optimize), unless the caller overrides
         write_opts.setdefault("stats_cols", self._inherited_stats_cols(label))
+        write_opts.setdefault("bloom_cols", self._inherited_bloom_cols(label))
         v = self.write(label, merged, **write_opts)
         if slots:
             self.write(
@@ -1415,6 +1598,7 @@ class LabelStore:
             self.read(spark, label, v).coalesce(target),
             partition_by=partition_by,
             stats_cols=self._inherited_stats_cols(label, v),
+            bloom_cols=self._inherited_bloom_cols(label, v),
         )
 
     def optimize(
@@ -1442,7 +1626,8 @@ class LabelStore:
         inherited = self._inherited_stats_cols(label, v) or []
         stats_cols = list(dict.fromkeys(inherited + list(zorder_by)))
         return self.write(
-            label, self.read(spark, label, v), zorder_by=(n_files, zorder_by), stats_cols=stats_cols
+            label, self.read(spark, label, v), zorder_by=(n_files, zorder_by),
+            stats_cols=stats_cols, bloom_cols=self._inherited_bloom_cols(label, v),
         )
 
     def _inherited_stats_cols(self, label: str, version: int | None = None) -> list[str] | None:
@@ -1451,6 +1636,13 @@ class LabelStore:
         OPTIMIZE must not silently drop data skipping."""
         man = self.file_manifest(label, version)
         return list(man["columns"]) if man else None
+
+    def _inherited_bloom_cols(self, label: str, version: int | None = None) -> list[str] | None:
+        """Bloom-filter columns to re-collect on a rewrite — same
+        carry-forward rule as :meth:`_inherited_stats_cols`."""
+        man = self.file_manifest(label, version)
+        cols = list(man.get("bloom_columns", [])) if man else []
+        return cols or None
 
     def vacuum(
         self,
@@ -1566,13 +1758,15 @@ def store_report(spark: SparkSession, store: "LabelStore") -> DataFrame:
                 # data-skipping signal: which columns the current version
                 # can prune on (empty = selective reads pay a full listing)
                 sorted(man["columns"]) if man else [],
+                sorted(man.get("bloom_columns", [])) if man else [],
             )
         )
     return spark.createDataFrame(
         rows,
         "label string, version int, retained_versions int, data_files int, "
         "data_bytes long, staging_orphans int, delta_backlog int, "
-        "commit_age_seconds long, skipping_cols array<string>",
+        "commit_age_seconds long, skipping_cols array<string>, "
+        "bloom_cols array<string>",
     )
 
 

@@ -8533,6 +8533,50 @@ def _manifest_scale_store(spark, sf):
 
 
 @q(
+    "store_skipping_bloom_read",
+    """
+SELECT o_orderkey, h
+FROM (SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders)
+WHERE h IN (md5('42'), md5('999999999'))
+""",
+    "bloom file skipping (Delta bloom-index analog, beyond min/max): a "
+    "point lookup on an UNCLUSTERED high-cardinality column (an md5 "
+    "digest over a key-sorted table) finds every file's min/max spanning "
+    "the whole hex domain — range pruning keeps all files — but the "
+    "per-file Bloom filter written by `write(bloom_cols=…)` proves "
+    "absence, so the scan binds only the owning file(s); the absent "
+    "second probe value prunes everywhere.  False positives only KEEP "
+    "files and the residual filter is exact, so the result is exactly "
+    "the SQL IN.  The harness asserts the bloom actually pruned below "
+    "what ranges could",
+)
+def store_skipping_bloom_read_q(spark, sf):
+    import hashlib as _hl
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore
+
+    orders = cat_for(spark, sf).vertex_df("orders").select(
+        "o_orderkey", F.md5(F.col("o_orderkey").cast("string")).alias("h")
+    )
+    root = f"/tmp/sgspark_bloomskip_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    # key-sorted layout → h is UNCLUSTERED: ranges cannot prune it
+    store.write(
+        "orders_h", orders, sort_by=(12, ["o_orderkey"]),
+        stats_cols=["h"], bloom_cols=["h"],
+    )
+    probes = [_hl.md5(b"42").hexdigest(), _hl.md5(b"999999999").hexdigest()]
+    r = store.read_skipping(spark, "orders_h", [("h", "in", probes)])
+    n_all = len(store.file_manifest("orders_h")["files"])
+    kept = len(r.inputFiles())
+    assert kept <= max(2, n_all // 4), f"bloom must prune ({kept}/{n_all})"
+    return r.select("o_orderkey", "h")
+
+
+@q(
     "store_skipping_manifest_scale",
     """
 SELECT o_orderkey, o_totalprice
@@ -9231,23 +9275,35 @@ def hop_out_skewed_q(spark, sf):
     # (test_similarity: IVF ≥ stated floor, PQ/IVF-PQ per-query floors)
     "ANN recall honesty: recall@10 of the persisted-index IVF path "
     "against the exact multi-query cosine ground truth "
-    "(exact_cosine_topk over a deterministic ~1/37 query sample → "
+    "(exact_cosine_topk over a FIXED 256-query hash-ordered sample → "
     "ann_recall_at_k set intersection) — the one quality number an ANN "
     "user asks first, measured per round instead of asserted; returns "
-    "one (kind, n_queries, mean_recall, min_recall) row.  Operating "
-    "point n_probe=16/n_list=2 — the measured sf0.1 trade-off on these "
-    "(near-random, IVF-worst-case) embeddings: (4,1)→0.35, (8,1)→0.50, "
-    "(16,1)→0.75, (8,2)→0.74, (16,2)→0.92, (32,2)→0.995 mean recall",
+    "one (kind, n_queries, mean_recall, min_recall) row.  The query "
+    "budget is fixed, not a corpus fraction, so the audit scales with "
+    "budget × corpus (the probe side of ivf_ann_topk restricts to the "
+    "sample) — never O(n²).  Operating point n_probe=16/n_list=2 — the "
+    "measured sf0.1 trade-off on these (near-random, IVF-worst-case) "
+    "embeddings: (4,1)→0.35, (8,1)→0.50, (16,1)→0.75, (8,2)→0.74, "
+    "(16,2)→0.92, (32,2)→0.995 mean recall",
 )
 def similarity_ann_recall_q(spark, sf):
     from scalligraph_spark.operators import ann_recall_at_k, exact_cosine_topk, indexed_ann_topk
 
     store = _ann_index_store(spark, sf)
     emb = cat_for(spark, sf).vertex_df("embeddings")
-    queries = emb.where(F.col("vec_id") % 37 == 0).select("vec_id")
+    # FIXED query budget (the 100 TB audit shape): the old 1-in-37 corpus
+    # sample grew the query set linearly, making the exact ground truth
+    # O(n²/37) by construction — the r12 30× sweep's superlinear
+    # inflection.  A recall audit samples a bounded, deterministic query
+    # set (hash order, 256) so its cost scales with the budget × corpus.
+    queries = (
+        emb.select("vec_id")
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(256)
+    )
     approx = indexed_ann_topk(
-        spark, store, "emb_ivf", emb, k=10, n_probe=16, n_list=2
-    ).where(F.col("id_a") % 37 == 0)
+        spark, store, "emb_ivf", emb, k=10, n_probe=16, n_list=2, queries=queries
+    )
     exact = exact_cosine_topk(emb, queries, k=10)
     per = ann_recall_at_k(approx, exact)
     return per.groupBy(F.lit("ivf").alias("kind")).agg(

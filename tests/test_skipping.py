@@ -803,3 +803,87 @@ def test_read_merged_with_or_tree_predicates(spark, store):
     ids = {r["id"] for r in got.select("id").collect()}
     assert 10 not in ids and 2900 not in ids  # upserted to negative price
     assert 11 in ids and 2950 in ids
+
+
+# --- per-file Bloom filters (Delta bloom-index analog) ------------------------
+
+
+def test_bloom_prunes_unclustered_point_lookup(spark, store):
+    """min/max cannot prune a point lookup on an unclustered
+    high-cardinality column (every file's range spans the domain); a
+    per-file bloom proves absence and drops those files — false
+    positives only ever keep."""
+    import hashlib
+
+    from scalligraph_spark.store import _file_may_match
+
+    df = spark.range(8000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    store.write("t", df, sort_by=(8, ["id"]), stats_cols=["h"], bloom_cols=["h"])
+    man = store.file_manifest("t")
+    assert man["bloom_columns"] == ["h"]
+    probe = hashlib.md5(b"4242").hexdigest()
+    r = store.read_skipping(spark, "t", [("h", "=", probe)])
+    assert 0 < len(r.inputFiles()) <= 2, "bloom must prune to the owning file (+fp)"
+    _same(r, df.where(F.col("h") == probe))
+    # evidence that the RANGES alone keep everything here
+    stripped = [
+        dict(e, cols={c: {k: v for k, v in st.items() if k != "bloom"}
+                      for c, st in e["cols"].items()})
+        for e in man["files"]
+    ]
+    assert sum(_file_may_match(e, "h", "=", probe, "UTC") for e in stripped) == 8
+    # absent-everywhere value → provably empty, metadata-only
+    r0 = store.read_skipping(spark, "t", [("h", "=", "no-such-hash")])
+    assert r0.count() == 0 and r0.inputFiles() == []
+    # in-list: present + absent keeps only the present value's files
+    r2 = store.read_skipping(spark, "t", [("h", "in", [probe, "no-such-hash"])])
+    assert 0 < len(r2.inputFiles()) <= 2
+    _same(r2, df.where(F.col("h") == probe))
+
+
+def test_bloom_numeric_cross_type_probes(spark, store):
+    """SQL equality across numeric types: a bloom built over BIGINT rows
+    must match float/Decimal probes of the same value (shared canon)."""
+    from decimal import Decimal
+
+    df = spark.range(2000).select((F.col("id") * 7).alias("v"))
+    store.write("t", df, sort_by=(4, ["id" if False else "v"]), stats_cols=[], bloom_cols=["v"])
+    for probe in (49, 49.0, Decimal("49.0")):
+        r = store.read_skipping(spark, "t", [("v", "=", probe)])
+        assert r.count() == 1, f"probe {probe!r} must hit through the bloom"
+    assert store.read_skipping(spark, "t", [("v", "=", 50)]).count() == 0
+
+
+def test_bloom_carries_through_compaction_and_tiers(spark, store, monkeypatch):
+    """Compaction re-collects inherited bloom columns; the parquet
+    manifest tier carries blooms through cols_json with identical
+    decisions."""
+    import hashlib
+
+    import scalligraph_spark.store as S
+
+    df = spark.range(4000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    monkeypatch.setattr(S, "PARQUET_MANIFEST_FILE_THRESHOLD", 4)
+    store.write("t", df, sort_by=(8, ["id"]), stats_cols=["id"], bloom_cols=["h"])
+    man = store.file_manifest("t")
+    assert "files_parquet" in man and man["bloom_columns"] == ["h"]
+    probe = hashlib.md5(b"123").hexdigest()
+    r = store.read_skipping(spark, "t", [("h", "=", probe)])
+    assert 0 < len(r.inputFiles()) <= 2
+    _same(r, df.where(F.col("h") == probe))
+    # compaction: blooms re-collected over the new layout
+    monkeypatch.setattr(S, "PARQUET_MANIFEST_FILE_THRESHOLD", 4096)
+    store.compact(spark, "t", target_file_bytes=1 << 30)
+    man2 = store.file_manifest("t")
+    assert man2["columns"] == ["id"] and man2["bloom_columns"] == ["h"]
+    r2 = store.read_skipping(spark, "t", [("h", "=", probe)])
+    _same(r2, df.where(F.col("h") == probe))
+    # report surfaces the bloom columns
+    from scalligraph_spark.store import store_report
+
+    rep = {row["label"]: row for row in store_report(spark, store).collect()}
+    assert rep["t"]["bloom_cols"] == ["h"]

@@ -62,8 +62,14 @@ def _case(draw):
     return vals, op, pred
 
 
-def _entry_for(vals):
-    """Manifest entry exactly as _footer_manifest would encode this file."""
+def _entry_for(vals, with_bloom: bool = True):
+    """Manifest entry exactly as _footer_manifest would encode this file —
+    including the per-file Bloom filter (built the way the collector
+    builds it), so every soundness property below also covers bloom
+    pruning: a false NEGATIVE anywhere in the canon/hash pipeline would
+    show up as an unsound prune here."""
+    from scalligraph_spark.store import _bloom_build
+
     nn = [v for v in vals if v is not None]
     cols = {}
     if nn:
@@ -76,6 +82,10 @@ def _entry_for(vals):
         cols["c"] = stat
     else:
         cols["c"] = {"nulls": len(vals)}
+    if with_bloom:
+        bf = _bloom_build(vals, _TZ, 0.01)
+        if bf is not None:
+            cols["c"]["bloom"] = bf
     return {"path": "f.parquet", "rows": len(vals), "cols": cols}
 
 
@@ -285,3 +295,46 @@ def test_parquet_tier_roundtrip_preserves_decision(case):
         "cols": _json.loads(_json.dumps(entry["cols"])),
     }
     assert _preds_may_match(entry, items, _TZ) == _preds_may_match(rt, items, _TZ)
+
+
+# --- bloom pruning: no false negatives, and equality prunes absents ---------
+
+from scalligraph_spark.store import _bloom_build, _bloom_maybe_contains  # noqa: E402
+
+
+@settings(max_examples=1500, deadline=None)
+@given(_case())
+def test_bloom_never_proves_a_present_value_absent(case):
+    """The hard bloom invariant: a value actually IN the file must test
+    maybe-present — row values and predicate values must land on the
+    same canonical hash string for every domain (ints vs floats,
+    Decimal forms, -0.0, dates, naive timestamps)."""
+    vals, _op, _pred = case
+    bf = _bloom_build(vals, _TZ, 0.01)
+    if bf is None:
+        return
+    for v in vals:
+        if v is not None:
+            assert _bloom_maybe_contains(bf, bf["t"], v, _TZ), (
+                f"false negative: {v!r} is in the file but bloom {bf['t']} denies it"
+            )
+
+
+def test_bloom_cross_type_numeric_canon():
+    """5, 5.0, Decimal('5.00') and -0.0/0 share one canonical form —
+    SQL equality across numeric types must not produce false negatives."""
+    from decimal import Decimal
+
+    bf = _bloom_build([5, -0.0], _TZ, 0.01)
+    assert bf is not None and bf["t"] == "num"
+    for probe in (5, 5.0, Decimal("5.00"), 0, 0.0, Decimal("-0")):
+        assert _bloom_maybe_contains(bf, "num", probe, _TZ)
+
+
+def test_bloom_aborts_on_unhashable_or_mixed():
+    """±inf/NaN values or mixed stat kinds must abort the bloom — a
+    partial bloom would prove false absences."""
+    assert _bloom_build([1.0, float("inf")], _TZ, 0.01) is None
+    assert _bloom_build([1.0, float("nan")], _TZ, 0.01) is None
+    assert _bloom_build([1, "x"], _TZ, 0.01) is None
+    assert _bloom_build([None, None], _TZ, 0.01) is None
