@@ -175,22 +175,33 @@ class EntityModel:
         indexes for every ``has()``); the FIRST declared index's columns
         become ``sort_by`` so the files' ranges are narrow on the primary
         lookup path (one clustering is physically possible — secondary
-        keys still prune, just with wider ranges).  FULLTEXT hints are
-        query-behavior, not layout, and contribute nothing here."""
+        keys still prune, just with wider ranges).  UNIQUE columns OFF
+        the sort path additionally become ``bloom_cols``: a unique key
+        is exactly the point-lookup shape, and an unclustered one finds
+        every file's min/max spanning the domain — the per-file Bloom
+        filter restores pruning there (Delta bloom-index analog).
+        FULLTEXT hints are query-behavior, not layout, and contribute
+        nothing here."""
         layout_kinds = (IndexType.BASIC, IndexType.STANDARD, IndexType.UNIQUE)
         stats: list[str] = []
         sort: tuple[str, ...] | None = None
+        blooms: list[str] = []
         for kind, cols in self.indexes:
             if kind not in layout_kinds:
                 continue
             if sort is None:
                 sort = cols
             stats.extend(c for c in cols if c not in stats)
+            if kind == IndexType.UNIQUE:
+                blooms.extend(c for c in cols if c not in blooms)
         out: dict = {}
         if stats:
             out["stats_cols"] = stats
         if sort:
             out["sort_by"] = (n_files, list(sort))
+            blooms = [c for c in blooms if c not in sort]
+        if blooms:
+            out["bloom_cols"] = blooms
         return out
 
 

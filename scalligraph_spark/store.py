@@ -628,6 +628,42 @@ def _validate_predicates(predicates, _in_not: bool = False) -> list:
     return preds
 
 
+_RANGE_COMPLEMENT = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+
+
+def _normalize_predicates(preds: list) -> list:
+    """Exact rewrites that turn conservative shapes into prunable ones:
+    ``not`` over a conjunction whose leaves are ALL range ops becomes
+    the equivalent OR of complemented leaves (De Morgan; three-valued
+    semantics identical — a row with a NULL operand is excluded under
+    both forms, because the un-negated complement also evaluates NULL).
+    ``not`` over ``=``/``in``/nested nodes stays as-is: kept
+    conservatively at prune time, exact in the residual filter."""
+    out = []
+    for p in preds:
+        if not _is_node(p):
+            out.append(p)
+            continue
+        kw, arg = p
+        if kw != "not":
+            out.append((kw, [_normalize_predicates(b) for b in arg]))
+            continue
+        arg = _normalize_predicates(arg)
+        if arg and all(
+            not _is_node(i) and i[1] in _RANGE_COMPLEMENT for i in arg
+        ):
+            if len(arg) == 1:
+                c, op, v = arg[0]
+                out.append((c, _RANGE_COMPLEMENT[op], v))
+            else:
+                out.append(
+                    ("or", [[(c, _RANGE_COMPLEMENT[op], v)] for c, op, v in arg])
+                )
+            continue
+        out.append(("not", arg))
+    return out
+
+
 def predicates_from_json_filter(query: dict) -> list:
     """Map the skipping-expressible SUBSET of the reference's JSON filter
     grammar (core/.../query/Filter.scala:131-196; compiled exactly by
@@ -1224,7 +1260,7 @@ class LabelStore:
         stale-typed, or missing (no manifest → plain full scan +
         filter).  Hive partition columns prune from their path values;
         everything else from parquet footer min/max/null-count."""
-        preds = _validate_predicates(predicates)
+        preds = _normalize_predicates(_validate_predicates(predicates))
         v = self.version(label) if version is None else version
         cond = _predicates_column(preds)
         man = self.file_manifest(label, v)
@@ -1417,7 +1453,7 @@ class LabelStore:
         mor = f"{label}__mor"
         m = self.commit_meta(mor) if self.version(mor) > 0 else {}
         if predicates is not None:
-            preds = _validate_predicates(predicates)
+            preds = _normalize_predicates(_validate_predicates(predicates))
             base = self.read_skipping(spark, label, preds)
         else:
             base = self.read(spark, label)

@@ -164,6 +164,7 @@ def start_store_sink(
     checkpoint_dir: str,
     query_name: str = "store_sink",
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ):
     """Stream → versioned :class:`~scalligraph_spark.store.LabelStore`
     commits via ``foreachBatch``: each micro-batch lands as a NEW table
@@ -179,7 +180,9 @@ def start_store_sink(
 
     ``stats_cols`` threads the file-stats manifest through every batch
     commit (store.write contract), so an incrementally-maintained table
-    stays prunable by ``read_skipping`` without a separate backfill pass.
+    stays prunable by ``read_skipping`` without a separate backfill pass;
+    ``bloom_cols`` does the same for per-file Bloom filters (point
+    lookups on unclustered columns — the Delta bloom-index analog).
 
     Returns the started StreamingQuery (caller awaits/stops)."""
 
@@ -194,7 +197,10 @@ def start_store_sink(
             merged = store.read(batch_df.sparkSession, label, cur_v).unionByName(batch_df)
         else:
             merged = batch_df
-        store.write(label, merged, meta={"batch_id": batch_id}, stats_cols=stats_cols)
+        store.write(
+            label, merged, meta={"batch_id": batch_id},
+            stats_cols=stats_cols, bloom_cols=bloom_cols,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(_commit)

@@ -887,3 +887,90 @@ def test_bloom_carries_through_compaction_and_tiers(spark, store, monkeypatch):
 
     rep = {row["label"]: row for row in store_report(spark, store).collect()}
     assert rep["t"]["bloom_cols"] == ["h"]
+
+
+def test_not_of_ranges_prunes_and_matches_spark_semantics(spark, store):
+    """("not", range-conj) rewrites to exact complements (De Morgan) and
+    PRUNES — including rows with NULLs, where both forms exclude."""
+    df = _frame(spark, 3000)  # mod7 has nulls
+    store.write("t", df, sort_by=(6, ["id"]), stats_cols=["id", "mod7"])
+    total = len(store.file_manifest("t")["files"])
+    r = store.read_skipping(spark, "t", [("not", [("id", "<", 2500)])])
+    assert 0 < len(r.inputFiles()) < total, "complemented range must prune"
+    _same(r, df.where(~(F.col("id") < 2500)))
+    # multi-leaf De Morgan + a null-bearing column stays exact
+    r2 = store.read_skipping(
+        spark, "t", [("not", [("id", ">=", 500), ("mod7", "<", 3)])]
+    )
+    _same(r2, df.where(~((F.col("id") >= 500) & (F.col("mod7") < 3))))
+    # the mod7 disjunct legitimately spans every file (unsorted column) —
+    # the tight prune case is the sorted-key complement
+    r3 = store.read_skipping(
+        spark, "t", [("not", [("id", ">=", 500), ("id", "<", 2500)])]
+    )
+    _same(r3, df.where(~((F.col("id") >= 500) & (F.col("id") < 2500))))
+    assert 0 < len(r3.inputFiles()) < total
+
+
+def test_model_unique_hint_emits_bloom_cols(spark, store):
+    """A UNIQUE index hint off the sort path is the point-lookup shape —
+    layout_hints emits it as bloom_cols, and the written table prunes
+    point probes on the unclustered unique key."""
+    import hashlib
+
+    from scalligraph_spark.model import EntityModel, IndexType
+
+    m = EntityModel.vertex(
+        "doc",
+        {"doc_id": "long", "digest": "string"},
+        indexes=[
+            (IndexType.BASIC, ("doc_id",)),
+            (IndexType.UNIQUE, ("digest",)),
+        ],
+    )
+    hints = m.layout_hints(n_files=6)
+    assert hints["stats_cols"] == ["doc_id", "digest"]
+    assert hints["sort_by"] == (6, ["doc_id"])
+    assert hints["bloom_cols"] == ["digest"]
+    # a unique key ON the sort path needs no bloom (ranges are tight)
+    m2 = EntityModel.vertex(
+        "u", {"k": "long"}, indexes=[(IndexType.UNIQUE, ("k",))]
+    )
+    assert "bloom_cols" not in m2.layout_hints()
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("digest"),
+    )
+    store.write("doc", df, **hints)
+    probe = hashlib.md5(b"777").hexdigest()
+    r = store.read_skipping(spark, "doc", [("digest", "=", probe)])
+    assert 0 < len(r.inputFiles()) <= 2
+    _same(r, df.where(F.col("digest") == probe))
+
+
+def test_store_sink_threads_bloom_cols(spark, store, tmp_path):
+    """Streaming-maintained tables keep bloom pruning batch over batch."""
+    import hashlib
+
+    from scalligraph_spark.streaming import start_store_sink
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+    rows = src.select(
+        F.col("value").alias("k"),
+        F.md5(F.col("value").cast("string")).alias("digest"),
+    )
+    q = start_store_sink(
+        rows, store, "t", str(tmp_path / "ck"),
+        stats_cols=["k"], bloom_cols=["digest"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    man = store.file_manifest("t")
+    assert man is not None and man["bloom_columns"] == ["digest"]
+    got = store.read(spark, "t")
+    if got.count() > 0:
+        first = got.orderBy("k").limit(1).collect()[0]
+        r = store.read_skipping(spark, "t", [("digest", "=", first["digest"])])
+        assert [row["k"] for row in r.collect()] == [first["k"]]

@@ -338,3 +338,55 @@ def test_bloom_aborts_on_unhashable_or_mixed():
     assert _bloom_build([1.0, float("nan")], _TZ, 0.01) is None
     assert _bloom_build([1, "x"], _TZ, 0.01) is None
     assert _bloom_build([None, None], _TZ, 0.01) is None
+
+
+# --- not-of-range normalization: exact and sound ----------------------------
+
+from scalligraph_spark.store import _normalize_predicates  # noqa: E402
+
+
+@st.composite
+def _range_conj(draw):
+    kind = draw(st.sampled_from(sorted(_DOMAINS)))
+    vals = draw(
+        st.lists(st.one_of(st.none(), _DOMAINS[kind]), min_size=0, max_size=10)
+    )
+    n = draw(st.integers(min_value=1, max_value=3))
+    conj = [
+        ("c", draw(st.sampled_from(["<", "<=", ">", ">="])), draw(_DOMAINS[kind]))
+        for _ in range(n)
+    ]
+    return vals, conj
+
+
+@settings(max_examples=1000, deadline=None)
+@given(_range_conj())
+def test_not_of_ranges_rewrites_exactly_and_prunes_soundly(case):
+    """("not", range-conj) normalizes to an OR of complemented leaves —
+    a POSITIVE tree, so the standard two-valued ground truth IS the SQL
+    semantics; the prune over the normalized form must keep every file
+    containing a matching row."""
+    vals, conj = case
+    norm = _normalize_predicates([("not", conj)])
+    # shape: one positive leaf or one or-node, never a residual "not"
+    assert all(not (_x := it)[0] == "not" for it in norm if isinstance(it, tuple) and len(it) == 2)
+    entry = _entry_for(vals)
+    if any(v is not None and _row_matches_tree(v, norm) for v in vals):
+        assert _preds_may_match(entry, norm, _TZ), (
+            f"UNSOUND normalized prune: {norm!r} matches a row of {vals!r}"
+        )
+
+
+def test_normalize_leaves_eq_and_nested_not_alone():
+    from scalligraph_spark.store import _normalize_predicates as N
+
+    assert N([("not", [("c", "=", 5)])]) == [("not", [("c", "=", 5)])]
+    assert N([("not", [("c", "in", [1])])]) == [("not", [("c", "in", [1])])]
+    assert N([("not", [("c", "<", 5)])]) == [("c", ">=", 5)]
+    assert N([("not", [("c", "<", 5), ("c", ">", 1)])]) == [
+        ("or", [[("c", ">=", 5)], [("c", "<=", 1)]])
+    ]
+    # nested: the not inside an or-branch rewrites too
+    assert N([("or", [[("not", [("c", ">=", 3)])], [("c", "=", 9)]])]) == [
+        ("or", [[("c", "<", 3)], [("c", "=", 9)]])
+    ]
