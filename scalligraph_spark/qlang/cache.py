@@ -89,13 +89,16 @@ class QueryCache:
         self.prefix = prefix
         self.hits = 0
         self.misses = 0
-        # single-flight registry: one lock per in-flight cold key, so N
-        # concurrent identical chains (ThreadingHTTPServer dashboards)
-        # compute ONCE — followers block on the leader's lock and are
-        # served the committed write-through.  The registry entry is
-        # removed when the flight lands; waiters holding the lock object
-        # still drain through it, and latecomers re-check the store
-        # first.  Auth-salted keys keep flights per-principal.
+        # single-flight registry: one refcounted lock per in-flight cold
+        # key, so N concurrent identical chains (ThreadingHTTPServer
+        # dashboards) compute ONCE — followers block on the leader's
+        # lock and are served the committed write-through.  Entries are
+        # [lock, waiter_count]; the LAST thread out removes the entry
+        # (not the leader on exit), so a leader whose execute/write
+        # RAISED cannot strand followers on a popped entry while a
+        # latecomer creates a second lock and computes concurrently —
+        # the retry serializes through the same lock.  Auth-salted keys
+        # keep flights per-principal.
         self._flights: dict = {}
         self._flights_mu = threading.Lock()
 
@@ -225,9 +228,10 @@ class QueryCache:
         with self._flights_mu:
             flight = self._flights.get(label)
             if flight is None:
-                flight = self._flights[label] = threading.Lock()
+                flight = self._flights[label] = [threading.Lock(), 0]
+            flight[1] += 1
         try:
-            with flight:
+            with flight[0]:
                 if self.store.version(label) > 0:
                     # a leader landed the entry while we waited
                     self.hits += 1
@@ -241,7 +245,9 @@ class QueryCache:
                 self.store.write(label, t.df, meta={"kind": "query_cache", "chain": chain})
         finally:
             with self._flights_mu:
-                self._flights.pop(label, None)
+                flight[1] -= 1
+                if flight[1] == 0 and self._flights.get(label) is flight:
+                    del self._flights[label]
         # serve the committed copy so repeated actions on the returned
         # frame scan the cache, not the original plan
         return Traversal(self.store.read(spark, label), catalog=self.executor.catalog, label=None)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,7 +86,7 @@ def check_retention(retention_seconds) -> float:
 # "don't know" below resolves to KEEP THE FILE for the same reason (except
 # provable non-matches: all-null columns, hive-null partitions).
 
-_SKIP_OPS = ("=", "<", "<=", ">", ">=", "in")
+_SKIP_OPS = ("=", "<", "<=", ">", ">=", "in", "isnull")
 
 # Predicate grammar (read_skipping / read_merged / fromStore `where`):
 # a predicate list is a CONJUNCTION of items; an item is either a leaf
@@ -121,12 +122,33 @@ def _is_node(p) -> bool:
 # per entry, and the residual filter re-applies either way.
 PARQUET_MANIFEST_FILE_THRESHOLD = 4096
 
+# ... and past this many BYTES of serialized per-file entries, whatever
+# the file count: blooms ride the entries (~base64(m/8) per file per
+# bloom column), so a few thousand large files with one bloom column can
+# hit gigabytes while staying under the file-count threshold — the same
+# driver wall by another route.  The sidecar tier prunes distributively
+# either way.
+PARQUET_MANIFEST_BYTE_THRESHOLD = 16 * 1024 * 1024
+
+# Past this kept fraction read_skipping returns the PLAIN scan (+ the
+# same exact residual filter) instead of an explicit kept-path read: an
+# unselective predicate on a million-file table would otherwise ship
+# ~10⁶ path strings through py4j into a parquet(*paths) call — a driver
+# wall — to save a listing it barely prunes.  Purely a physical-plan
+# choice; rows are identical on both routes.
+_KEPT_FRACTION_FALLBACK = 0.5
+
 # In-process manifest cache: a committed version's manifest is immutable
 # (backfills replace the file, changing its mtime/size → a new key), so
 # caching the parsed JSON by (path, mtime_ns, size) is free invalidation.
-# Entries are treated as READ-ONLY by every consumer.
+# Entries are treated as READ-ONLY by every consumer.  Get/evict/insert
+# run under a lock: ThreadingHTTPServer handlers hit this concurrently,
+# and the evict's iter-then-pop would otherwise race another thread's
+# insert/evict (KeyError / RuntimeError).  The critical section is
+# microseconds — the JSON parse itself happens OUTSIDE the lock.
 _MANIFEST_CACHE: dict = {}
 _MANIFEST_CACHE_MAX = 64
+_MANIFEST_CACHE_MU = threading.Lock()
 
 
 class MissingFileStatsWarning(UserWarning):
@@ -357,16 +379,34 @@ def _bloom_hash_positions(canon: str, m: int, k: int):
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-def _bloom_build(values, session_tz: str, fpp: float) -> dict | None:
+# Per-file bloom bitset byte ceiling.  Uncapped, a bloom sizes at
+# ~9.6 bits/row (fpp=1%): a compacted 128 MB file holds ~10⁶ rows →
+# ~1.2 MB bitset → multi-GB manifests at a few thousand files — the
+# O(files) driver wall the manifest tiers exist to remove.  Capping the
+# bitset RAISES the false-positive rate (recorded in the bloom's
+# ``fpp`` field), which only ever KEEPS extra files — never a
+# correctness risk.  64 KiB serves ~54k distinct values at 1% and
+# ~10⁶ values at ~17%; past ~50% effective fpp the bloom prunes
+# nothing and is dropped entirely (absence of a ``bloom`` key already
+# means "keep" to the prune).
+_BLOOM_MAX_BYTES = 64 * 1024
+
+
+def _bloom_build(
+    values, session_tz: str, fpp: float, max_bytes: int = _BLOOM_MAX_BYTES
+) -> dict | None:
     """Per-file bloom over the non-null values of one column — ``None``
     when any value is un-canonicalizable or the column mixes stat kinds
-    (a partial bloom would prove false absences) or nothing is hashable.
-    Returns ``{"t": kind, "m": bits, "k": hashes, "b": base64(bitset)}``."""
+    (a partial bloom would prove false absences), nothing is hashable,
+    or the byte-capped bitset would be too saturated to prune (> ~50%
+    effective fpp).  Returns ``{"t": kind, "m": bits, "k": hashes, "b":
+    base64(bitset)}`` plus ``"fpp"`` when the cap degraded the target
+    rate — a loud meta note that the bloom is coarser than asked."""
     import base64
     import math
 
     kind = None
-    canons = []
+    canons = set()  # size the bitset on DISTINCT values, not row count
     for v in values:
         if v is None:
             continue
@@ -380,18 +420,29 @@ def _bloom_build(values, session_tz: str, fpp: float) -> dict | None:
         c = _bloom_canon(kind, v, session_tz)
         if c is None:
             return None
-        canons.append(c)
+        canons.add(c)
     if not canons:
         return None
     n = len(canons)
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1)
     m = (m + 7) // 8 * 8
+    capped = False
+    m_cap = max(64, int(max_bytes) * 8)
+    if m > m_cap:
+        m, capped = m_cap, True
     k = max(1, min(16, round(m / n * math.log(2))))
+    out = {"t": kind, "m": m, "k": k}
+    if capped:
+        eff = (1.0 - math.exp(-k * n / m)) ** k
+        if eff > 0.5:
+            return None  # saturated: keeps ~everything, pure dead weight
+        out["fpp"] = round(eff, 4)
     bits = bytearray(m // 8)
     for c in canons:
         for pos in _bloom_hash_positions(c, m, k):
             bits[pos >> 3] |= 1 << (pos & 7)
-    return {"t": kind, "m": m, "k": k, "b": base64.b64encode(bytes(bits)).decode("ascii")}
+    out["b"] = base64.b64encode(bytes(bits)).decode("ascii")
+    return out
 
 
 def _bloom_maybe_contains(bf: dict, kind: str, v, session_tz: str) -> bool:
@@ -445,6 +496,18 @@ def _file_may_match(entry: dict, col: str, op: str, v, session_tz: str) -> bool:
     rows = entry.get("rows")
     if rows == 0:
         return False
+    if op == "isnull":
+        # `col IS NULL` (the JSON grammar's `_is`/bare null — see
+        # predicates_from_json_filter): the inverse of every other op's
+        # null logic.  Prune only on an EXACT zero null count; a column
+        # absent from the file's schema reads as null, so missing stats
+        # must keep the file.
+        st = (entry.get("cols") or {}).get(col)
+        if st is None:
+            return True
+        if st.get("t") == "pnull":
+            return True  # __HIVE_DEFAULT_PARTITION__: column is null here
+        return st.get("nulls") != 0  # prune only on an exact 0 count
     vals = [x for x in v if x is not None] if op == "in" else ([] if v is None else [v])
     if not vals:
         return False  # `col = NULL` / empty in-list match nothing in SQL
@@ -549,7 +612,9 @@ def _predicates_column(predicates) -> Column:
             continue
         c, op, v = p
         col = F.col(c)
-        if op == "in":
+        if op == "isnull":
+            e = col.isNull()
+        elif op == "in":
             vals = [x for x in v if x is not None]
             e = col.isin(vals) if vals else F.lit(False)
         elif v is None:
@@ -615,6 +680,12 @@ def _validate_predicates(predicates, _in_not: bool = False) -> list:
             raise ValueError(f"unsupported skipping op {op!r}; use one of {_SKIP_OPS}")
         if op == "in" and not isinstance(v, (list, tuple, set, frozenset)):
             raise ValueError(f"'in' needs a collection value, got {v!r}")
+        if op == "isnull":
+            if v is not None:
+                raise ValueError(f"'isnull' takes value None, got {v!r}")
+            # NOT(col IS NULL) is two-valued SQL (= IS NOT NULL): exact
+            # under negation, unlike the null-literal comparisons below
+            continue
         if _in_not and (
             v is None or (op == "in" and (not v or any(x is None for x in v)))
         ):
@@ -670,6 +741,10 @@ def predicates_from_json_filter(query: dict) -> list:
     qlang/filters.py) onto the predicate tree: ``_is``/bare ``{field:
     value}`` → ``=``, ``_lt/_gt/_lte/_gte`` → ranges, ``_between`` →
     ``>= a AND < b``, ``_in`` → ``in``, ``_and/_or/_not`` → tree nodes.
+    ``_is``/bare with a NULL value means null-safe equality in the
+    grammar (filters.py compiles it to ``eqNullSafe`` = IS NULL), so it
+    maps to the ``isnull`` op — pruned via manifest null counts, never
+    to ``=``/None (which is SQL's match-nothing comparison).
     Raises ``ValueError`` on operators file stats cannot serve
     (``_like``, ``_contains``, ``_ne``, custom ops, …) — callers route
     those through a post-scan filter step instead of silently
@@ -705,6 +780,8 @@ def predicates_from_json_filter(query: dict) -> list:
             return [("not", go(spec))]
         if op in ("_lt", "_gt", "_lte", "_gte", "_is"):
             f, v = _fv(spec)
+            if op == "_is" and v is None:
+                return [(f, "isnull", None)]
             return [(f, {"_lt": "<", "_gt": ">", "_lte": "<=", "_gte": ">=", "_is": "="}[op], v)]
         if op == "_between":
             f = str(spec["_field"])
@@ -716,6 +793,8 @@ def predicates_from_json_filter(query: dict) -> list:
                 f"filter operator {op!r} is not skipping-expressible — apply "
                 "it as a chain filter step after the store read"
             )
+        if spec is None:
+            return [(str(op), "isnull", None)]  # bare {field: null} → IS NULL
         return [(str(op), "=", spec)]  # bare {field: value} → _is
 
     return go(query)
@@ -727,6 +806,7 @@ def _footer_manifest(
     columns: list[str],
     bloom_cols: list[str] | None = None,
     bloom_fpp: float = 0.01,
+    bloom_max_bytes: int = _BLOOM_MAX_BYTES,
 ) -> dict:
     """Collect per-file footer stats for ``columns`` under ``data_dir`` —
     a DISTRIBUTED footer scan (``mapInPandas`` over the file list; pyarrow
@@ -761,12 +841,20 @@ def _footer_manifest(
     paths.sort()
     blooms = list(dict.fromkeys(bloom_cols or []))
     if not paths:
-        return {"columns": list(columns), "bloom_columns": blooms, "files": []}
+        return {
+            "columns": list(columns),
+            "bloom_columns": blooms,
+            "n_schemas": 0,
+            "files": [],
+        }
     wanted = list(dict.fromkeys(columns))
     tz = spark.conf.get("spark.sql.session.timeZone")
     fpp = float(bloom_fpp)
+    bmax = int(bloom_max_bytes)
 
     def scan(batches):
+        import hashlib as _hl
+
         import pandas as pd
         import pyarrow.parquet as _pq
 
@@ -821,12 +909,22 @@ def _footer_manifest(
                         continue  # hive partition column — path pseudo-stats cover it
                     try:
                         vals = pf.read(columns=[name]).column(0).to_pylist()
-                        bf = _bloom_build(vals, tz, fpp)
+                        bf = _bloom_build(vals, tz, fpp, max_bytes=bmax)
                     except Exception:
                         bf = None  # unreadable column: no bloom, file kept
                     if bf is not None:
                         cols.setdefault(name, {})["bloom"] = bf
-                out.append({"path": p, "rows": md.num_rows, "cols": cols})
+                out.append(
+                    {
+                        "path": p,
+                        "rows": md.num_rows,
+                        "cols": cols,
+                        # transient (stripped before publish): fingerprint
+                        # for the homogeneous-schema check the metadata-only
+                        # empty read depends on
+                        "schema_h": _hl.md5(str(pf.schema_arrow).encode()).hexdigest(),
+                    }
+                )
             yield pd.DataFrame({"entry": [json.dumps(e) for e in out]})
 
     if len(paths) <= 32:
@@ -858,22 +956,45 @@ def _footer_manifest(
             else:
                 val = unquote(raw)
                 e["cols"][key] = {"t": "part", "mn": val, "mx": val, "nulls": 0}
-    return {"columns": wanted, "bloom_columns": blooms, "files": entries}
+    # homogeneity summary for the metadata-only empty read: 1 = every
+    # file shares one schema (a single sample file can stand in for the
+    # version's schema); 0 = unknown (an unreadable footer contributes
+    # no fingerprint, so homogeneity is unprovable — readers fall back
+    # to the listing-paying empty path).  Foreign/backfilled files with
+    # divergent schemas are tolerated by design; they just disqualify
+    # the fast path.
+    fps = {e.pop("schema_h", None) for e in entries}
+    n_schemas = 0 if None in fps else len(fps)
+    return {
+        "columns": wanted,
+        "bloom_columns": blooms,
+        "n_schemas": n_schemas,
+        "files": entries,
+    }
 
 
 def _publish_manifest(data_dir: str, man: dict) -> None:
     """Publish a version's file-stats manifest into ``data_dir``.  At or
-    below :data:`PARQUET_MANIFEST_FILE_THRESHOLD` files the per-file
+    below :data:`PARQUET_MANIFEST_FILE_THRESHOLD` files AND
+    :data:`PARQUET_MANIFEST_BYTE_THRESHOLD` serialized bytes the per-file
     entries inline in ``_file_stats.json`` (one tiny driver read).
-    Above it they land in a parquet sidecar (``_manifest/files.parquet``
-    — the ``_``-prefixed DIRECTORY hides it from Spark's data listing;
-    the file inside is plainly readable by name) and the JSON keeps only
-    a driver-sized header: columns, file count, precomputed stat kinds,
-    and a sample path for metadata-only empty reads.  Both files write
+    Past either bound they land in a parquet sidecar
+    (``_manifest/files.parquet`` — the ``_``-prefixed DIRECTORY hides it
+    from Spark's data listing; the file inside is plainly readable by
+    name) and the JSON keeps only a driver-sized header: columns, file
+    count, precomputed stat kinds, and a sample path for metadata-only
+    empty reads.  The byte bound exists for BLOOMS: bitsets ride the
+    entries, so a modest file count of large bloom-indexed files can
+    out-weigh a huge count of plain ones.  Both files write
     temp-then-rename, and the JSON renames LAST — it is the publish
     point, so readers never observe a header without its sidecar."""
     files = man["files"]
+    blob = None
     if len(files) <= PARQUET_MANIFEST_FILE_THRESHOLD:
+        blob = json.dumps(man)
+        if len(blob) > PARQUET_MANIFEST_BYTE_THRESHOLD:
+            blob = None
+    if blob is not None:
         payload = man
     else:
         import pyarrow as pa
@@ -898,13 +1019,14 @@ def _publish_manifest(data_dir: str, man: dict) -> None:
             "columns": man["columns"],
             "bloom_columns": man.get("bloom_columns", []),
             "n_files": len(files),
+            "n_schemas": man.get("n_schemas", 0),
             "kinds": manifest_kinds(man),
             "files_parquet": os.path.join("_manifest", "files.parquet"),
             "sample_path": files[0]["path"] if files else None,
         }
     fd, tmp = tempfile.mkstemp(dir=data_dir, prefix="_file_stats.")
     with os.fdopen(fd, "w") as f:
-        json.dump(payload, f)
+        f.write(blob if blob is not None else json.dumps(payload))
     os.replace(tmp, os.path.join(data_dir, "_file_stats.json"))
 
 
@@ -998,6 +1120,7 @@ class LabelStore:
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         bloom_fpp: float = 0.01,
+        bloom_max_bytes: int = _BLOOM_MAX_BYTES,
     ) -> int:
         """Commit a new table version and flip the pointer (the atomic
         'transaction' of the batch world).
@@ -1109,6 +1232,7 @@ class LabelStore:
                 man = _footer_manifest(
                     df.sparkSession, staging, list(stats_cols or []),
                     bloom_cols=bloom_cols, bloom_fpp=bloom_fpp,
+                    bloom_max_bytes=bloom_max_bytes,
                 )
                 _publish_manifest(staging, man)
             # meta lands in staging so the rename publishes data+meta as
@@ -1202,15 +1326,17 @@ class LabelStore:
         except FileNotFoundError:
             return None
         key = (os.path.abspath(p), st.st_mtime_ns, st.st_size)
-        man = _MANIFEST_CACHE.get(key)
+        with _MANIFEST_CACHE_MU:
+            man = _MANIFEST_CACHE.get(key)
         if man is None:
             with open(p) as f:
                 man = json.load(f)
-            if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
-                # drop the oldest insertion (dict preserves order) — a
-                # bounded cache beats LRU bookkeeping at this size
-                _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
-            _MANIFEST_CACHE[key] = man
+            with _MANIFEST_CACHE_MU:
+                if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+                    # drop the oldest insertion (dict preserves order) — a
+                    # bounded cache beats LRU bookkeeping at this size
+                    _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+                _MANIFEST_CACHE[key] = man
         return man
 
     def collect_file_stats(
@@ -1221,6 +1347,7 @@ class LabelStore:
         version: int | None = None,
         bloom_cols: list[str] | None = None,
         bloom_fpp: float = 0.01,
+        bloom_max_bytes: int = _BLOOM_MAX_BYTES,
     ) -> int:
         """Backfill a file-stats manifest onto an EXISTING version (the
         write-time path is ``write(stats_cols=…)``).  Metadata-only
@@ -1234,7 +1361,8 @@ class LabelStore:
         if not os.path.isdir(vdir):
             raise FileNotFoundError(f"label {label!r} has no version directory {vdir}")
         man = _footer_manifest(
-            spark, vdir, list(columns), bloom_cols=bloom_cols, bloom_fpp=bloom_fpp
+            spark, vdir, list(columns), bloom_cols=bloom_cols, bloom_fpp=bloom_fpp,
+            bloom_max_bytes=bloom_max_bytes,
         )
         _publish_manifest(vdir, man)
         return len(man["files"])
@@ -1271,18 +1399,27 @@ class LabelStore:
         if "files_parquet" in man:
             kept = self._prune_distributed(spark, vdir, man, preds, tz)
             sample = man.get("sample_path")
+            n_total = int(man.get("n_files", 0))
         else:
             kept = [e["path"] for e in man["files"] if _preds_may_match(e, preds, tz)]
             sample = man["files"][0]["path"] if man["files"] else None
+            n_total = len(man["files"])
         if not kept:
             # provably empty — answer from METADATA: one footer read of a
             # manifest-named file supplies the schema, so the empty
             # result never pays the version's directory listing (at the
             # million-file scale this tier targets, the listing IS the
-            # cost being avoided).  Restricted to unpartitioned layouts:
-            # hive partition-column TYPES are inferred from the full set
-            # of directory names, which a single file cannot reproduce.
-            if sample is not None and "=" not in os.path.dirname(sample):
+            # cost being avoided).  Restricted to unpartitioned layouts
+            # (hive partition-column TYPES are inferred from the full set
+            # of directory names, which a single file cannot reproduce)
+            # and to manifests that PROVED every file shares one schema
+            # (n_schemas == 1) — foreign/backfilled files may diverge,
+            # and the empty frame's columns must match read().where(F).
+            if (
+                sample is not None
+                and "=" not in os.path.dirname(sample)
+                and man.get("n_schemas") == 1
+            ):
                 schema = (
                     spark.read.option("basePath", vdir)
                     .parquet(os.path.join(vdir, sample))
@@ -1292,6 +1429,14 @@ class LabelStore:
             # fallback: Catalyst folds the false filter to an empty
             # LocalRelation — the listing happens, the scan never does
             return self.read(spark, label, v).where(F.lit(False))
+        if n_total and len(kept) > n_total * _KEPT_FRACTION_FALLBACK:
+            # unselective predicate: the prune bought little, and shipping
+            # ~n_total path strings through py4j into a parquet(*paths)
+            # call costs more than the directory listing it avoids — on a
+            # million-file table the kept-path relay would be the new
+            # driver wall.  Same rows either way: plain scan + exact
+            # residual filter.
+            return self.read(spark, label, v).where(cond)
         df = spark.read.option("basePath", vdir).parquet(*[os.path.join(vdir, p) for p in kept])
         return df.where(cond)
 

@@ -8386,11 +8386,19 @@ def qlang_from_store_q(spark, sf):
             },
         ]
     )
+    import datetime as _dt
+
     n_all = len(store.read(spark, "orders").inputFiles())
+    # same two-sided range the fromStore step scans — selective enough
+    # to stay under the kept-fraction fallback (which would rightly
+    # return the plain listing for an unselective one-sided probe)
     n_kept = len(
         store.read_skipping(
             spark, "orders",
-            [("o_orderdate", ">=", __import__("datetime").datetime(1996, 1, 1))],
+            [
+                ("o_orderdate", ">=", _dt.datetime(1996, 1, 1)),
+                ("o_orderdate", "<", _dt.datetime(1997, 1, 1)),
+            ],
         ).inputFiles()
     )
     assert n_kept < n_all, f"fromStore must prune files ({n_kept}/{n_all})"

@@ -331,3 +331,56 @@ def test_policy_salt_round2_hardening(spark, tmp_path):
             return F.col("c_acctbal") >= 0
 
     key_for(Cyclic())  # no RecursionError
+
+
+def test_single_flight_failed_leader_does_not_fork_locks(setup):
+    """A leader whose execute RAISES must not strand the flight: the
+    registry entry stays until the last waiter drains (refcounted), so
+    followers retry THROUGH THE SAME LOCK — exactly one of them
+    recomputes and write-throughs; nothing computes concurrently."""
+    import threading
+
+    store, ex = setup
+    state = {"n": 0, "inflight": 0, "max_inflight": 0}
+    mu = threading.Lock()
+    real = ex.execute
+
+    def flaky(chain, auth=None):
+        with mu:
+            state["n"] += 1
+            state["inflight"] += 1
+            state["max_inflight"] = max(state["max_inflight"], state["inflight"])
+            first = state["n"] == 1
+        try:
+            if first:
+                raise RuntimeError("transient executor failure")
+            return real(chain, auth=auth)
+        finally:
+            with mu:
+                state["inflight"] -= 1
+
+    ex.execute = flaky
+    cache = QueryCache(ex, store)
+    chain = [{"_name": "people"}]
+    results, errors = [], []
+
+    def run():
+        try:
+            results.append(sorted(r["name"] for r in cache.execute(chain).df.collect()))
+        except RuntimeError as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # the failing leader surfaces its error; every follower is served
+    assert len(errors) == 1 and len(results) == 5
+    assert all(r == ["josh", "marko", "vadas"] for r in results)
+    # exactly 2 computes (failed leader + one retrying follower), and
+    # never two at once — the refcounted entry kept latecomers on the
+    # same lock instead of forking a second flight
+    assert state["n"] == 2
+    assert state["max_inflight"] == 1
+    assert cache._flights == {}  # last waiter removed the entry

@@ -974,3 +974,178 @@ def test_store_sink_threads_bloom_cols(spark, store, tmp_path):
         first = got.orderBy("k").limit(1).collect()[0]
         r = store.read_skipping(spark, "t", [("digest", "=", first["digest"])])
         assert [row["k"] for row in r.collect()] == [first["k"]]
+
+
+# --- round 13: IS NULL predicates, byte-aware tiers, bloom caps, fallback ---
+
+
+def test_json_filter_null_maps_to_isnull():
+    """`_is`/bare with a NULL value means null-safe equality in the
+    grammar (qlang/filters.py compiles it to eqNullSafe = IS NULL) — it
+    must map to the `isnull` op, never to `=`/None (SQL's match-nothing
+    comparison), or fromStore silently returns an empty frame."""
+    from scalligraph_spark.store import predicates_from_json_filter
+
+    assert predicates_from_json_filter({"mod7": None}) == [("mod7", "isnull", None)]
+    assert predicates_from_json_filter(
+        {"_is": {"_field": "mod7", "_value": None}}
+    ) == [("mod7", "isnull", None)]
+    assert predicates_from_json_filter({"_not": {"mod7": None}}) == [
+        ("not", [("mod7", "isnull", None)])
+    ]
+    # non-null _is still maps to `=`
+    assert predicates_from_json_filter({"_is": {"_field": "x", "_value": 3}}) == [
+        ("x", "=", 3)
+    ]
+
+
+def test_isnull_reads_exactly_and_prunes_null_free_files(spark, store):
+    """IS NULL ≡ read().where(col.isNull()) — and files whose manifest
+    proves a zero null count are never handed to Spark."""
+    df = spark.range(0, 8000).select(
+        F.col("id"),
+        F.when(F.col("id") >= 6000, None).otherwise(F.col("id")).alias("maybe"),
+    )
+    store.write("t", df, sort_by=(8, ["id"]), stats_cols=["id", "maybe"])
+    total = len(store.file_manifest("t")["files"])
+    r = store.read_skipping(spark, "t", [("maybe", "isnull", None)])
+    _same(r, df.where(F.col("maybe").isNull()))
+    assert 0 < len(r.inputFiles()) < total  # null-free files pruned
+    # NOT(IS NULL) = IS NOT NULL: exact two-valued SQL, allowed under not
+    rn = store.read_skipping(spark, "t", [("not", [("maybe", "isnull", None)])])
+    _same(rn, df.where(F.col("maybe").isNotNull()))
+    # via the JSON grammar end to end
+    from scalligraph_spark.store import predicates_from_json_filter
+
+    rj = store.read_skipping(spark, "t", predicates_from_json_filter({"maybe": None}))
+    _same(rj, df.where(F.col("maybe").isNull()))
+
+
+def test_isnull_keeps_hive_null_partition(spark, store):
+    """__HIVE_DEFAULT_PARTITION__ rows ARE the nulls — the pnull
+    pseudo-stat must keep those files for isnull (and only those, when
+    every regular partition value is non-null by construction)."""
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id") % 2).alias("p"),
+    )
+    store.write("t", df, partition_by=["p"], stats_cols=["id", "p"])
+    r = store.read_skipping(spark, "t", [("p", "isnull", None)])
+    _same(r, df.where(F.col("p").isNull()))
+    assert all("__HIVE_DEFAULT_PARTITION__" in f for f in r.inputFiles())
+
+
+def test_byte_threshold_routes_to_parquet_sidecar(spark, store, monkeypatch):
+    """A manifest under the FILE threshold but over the BYTE threshold
+    (big blooms on few files) must take the sidecar tier — identical
+    results, driver-sized _file_stats.json."""
+    import scalligraph_spark.store as st_mod
+
+    monkeypatch.setattr(st_mod, "PARQUET_MANIFEST_BYTE_THRESHOLD", 512)
+    df = _frame(spark, 4000)
+    store.write("t", df, sort_by=(6, ["id"]), stats_cols=["id", "name", "price"])
+    man = store.file_manifest("t")
+    assert "files_parquet" in man and man["n_files"] == 6
+    hdr = os.path.getsize(os.path.join(store.path("t"), "_file_stats.json"))
+    assert hdr <= 1024  # header only: columns, kinds, counts, sample path
+    r = store.read_skipping(spark, "t", [("id", ">=", 3500)])
+    _same(r, df.where(F.col("id") >= 3500))
+    assert len(r.inputFiles()) < 6
+
+
+def test_bloom_bitset_byte_cap(spark, store):
+    """_bloom_build bounds the bitset at max_bytes: the capped bloom
+    records its degraded fpp, stays sound (never prunes a present
+    value), and a hopelessly saturated cap drops the bloom entirely."""
+    from scalligraph_spark.store import _bloom_build, _bloom_maybe_contains
+
+    vals = [f"v{i:06d}" for i in range(5000)]
+    bf = _bloom_build(vals, "UTC", 0.01, max_bytes=1024)
+    assert bf is not None and bf["m"] <= 1024 * 8
+    assert 0 < bf["fpp"] <= 0.5
+    # soundness: every present value still answers maybe-present
+    assert all(_bloom_maybe_contains(bf, "str", v, "UTC") for v in vals[:500])
+    # saturation: cap far too small for the cardinality → no bloom
+    assert _bloom_build([f"x{i}" for i in range(200000)], "UTC", 0.01, max_bytes=64) is None
+    # uncapped path unchanged: no fpp note
+    small = _bloom_build(["a", "b", "c"], "UTC", 0.01)
+    assert small is not None and "fpp" not in small
+
+
+def test_bloom_cap_bounds_manifest_bytes(spark, store):
+    """End to end: with a per-file bloom byte cap, _file_stats.json stays
+    below (n_files × cap) + slack even on a high-cardinality digest
+    column, and the capped blooms still prune point lookups."""
+    import hashlib
+
+    df = spark.range(0, 30000).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("digest"),
+    )
+    store.write(
+        "doc", df, sort_by=(4, ["id"]), stats_cols=["id"],
+        bloom_cols=["digest"], bloom_max_bytes=4096,
+    )
+    size = os.path.getsize(os.path.join(store.path("doc"), "_file_stats.json"))
+    # 4 files × 4 KiB bitset → ~22 KiB of base64 + stats; generous bound
+    assert size < 4 * 4096 * 2 + 8192
+    probe = hashlib.md5(b"777").hexdigest()
+    r = store.read_skipping(spark, "doc", [("digest", "=", probe)])
+    _same(r, df.where(F.col("digest") == probe))
+    assert len(r.inputFiles()) <= 2  # capped blooms still bind
+
+
+def test_kept_fraction_fallback_same_rows(spark, store, monkeypatch):
+    """Past the kept-fraction threshold read_skipping returns the PLAIN
+    scan + residual filter (no kept-path relay) — identical rows, all
+    files listed; selective predicates still take the pruned route."""
+    import scalligraph_spark.store as st_mod
+
+    df = _frame(spark)
+    store.write("t", df, sort_by=(8, ["id"]), stats_cols=["id"])
+    # unselective: keeps 7/8 files → fallback (threshold 0.5) → the scan
+    # lists every file, rows still exact
+    r = store.read_skipping(spark, "t", [("id", ">=", 1000)])
+    _same(r, df.where(F.col("id") >= 1000))
+    assert len(r.inputFiles()) == 8
+    # selective predicate under the default threshold still prunes
+    r2 = store.read_skipping(spark, "t", [("id", "<", 1000)])
+    _same(r2, df.where(F.col("id") < 1000))
+    assert len(r2.inputFiles()) < 8
+    # force-prune everything through the explicit route to pin equality
+    monkeypatch.setattr(st_mod, "_KEPT_FRACTION_FALLBACK", 1.01)
+    r3 = store.read_skipping(spark, "t", [("id", ">=", 1000)])
+    _same(r3, df.where(F.col("id") >= 1000))
+    assert len(r3.inputFiles()) == 7  # explicit kept-path read, 1 pruned
+
+
+def test_empty_fastpath_requires_homogeneous_schemas(spark, store):
+    """The metadata-only empty read derives the schema from ONE sample
+    file — legal only when the manifest PROVED all files share a schema.
+    A foreign/backfilled divergent file flips n_schemas and the empty
+    path falls back to the listing route (schema = union, exactly like
+    read().where(lit(False)))."""
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("a"))
+    store.write("t", df, stats_cols=["id"])
+    man = store.file_manifest("t")
+    assert man.get("n_schemas") == 1
+    fast = store.read_skipping(spark, "t", [("id", "=", 10**9)])
+    assert fast.count() == 0 and fast.inputFiles() == []
+    # drop a foreign file with an extra column into the version dir
+    vdir = store.path("t")
+    spark.range(0, 5).select(
+        F.col("id"), (F.col("id") * 2).alias("a"), F.lit("x").alias("extra")
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "_tmp_foreign"))
+    import glob
+    import shutil
+
+    src = glob.glob(os.path.join(vdir, "_tmp_foreign", "*.parquet"))[0]
+    shutil.move(src, os.path.join(vdir, "part-foreign.parquet"))
+    shutil.rmtree(os.path.join(vdir, "_tmp_foreign"))
+    store.collect_file_stats(spark, "t", ["id"])
+    man2 = store.file_manifest("t")
+    assert man2.get("n_schemas") == 2
+    empty = store.read_skipping(spark, "t", [("id", "=", 10**9)])
+    plain = store.read(spark, "t").where(F.lit(False))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [f.name for f in plain.schema.fields]

@@ -52,8 +52,10 @@ def _case(draw):
     vals = draw(
         st.lists(st.one_of(st.none(), _DOMAINS[kind]), min_size=0, max_size=12)
     )
-    op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in"]))
-    if op == "in":
+    op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in", "isnull"]))
+    if op == "isnull":
+        pred = None
+    elif op == "in":
         pred = draw(
             st.lists(st.one_of(st.none(), _DOMAINS[kind]), min_size=0, max_size=4)
         )
@@ -91,6 +93,8 @@ def _entry_for(vals, with_bloom: bool = True):
 
 def _truly_matches(vals, op, pred) -> bool:
     """Ground truth under SQL comparison semantics."""
+    if op == "isnull":
+        return any(v is None for v in vals)
     preds = [p for p in pred if p is not None] if op == "in" else (
         [] if pred is None else [pred]
     )
@@ -162,8 +166,10 @@ def _tree(draw, kind, depth=0):
             )
         )
         if choice == "leaf":
-            op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in"]))
-            if op == "in":
+            op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in", "isnull"]))
+            if op == "isnull":
+                v = None
+            elif op == "in":
                 v = draw(
                     st.lists(st.one_of(st.none(), _DOMAINS[kind]), min_size=0, max_size=3)
                 )
@@ -181,6 +187,8 @@ def _tree(draw, kind, depth=0):
 
 
 def _leaf_matches(v, op, pred) -> bool:
+    if op == "isnull":
+        return v is None
     preds = [p for p in pred if p is not None] if op == "in" else (
         [] if pred is None else [pred]
     )
