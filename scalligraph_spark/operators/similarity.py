@@ -383,8 +383,18 @@ def ivf_ann_topk(
     n_list: int = 1,
     centroids=None,
     queries=None,
+    exact_scores: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k neighbors — the second scale path beside LSH.
+
+    ``exact_scores=True`` routes the re-rank cosine through decimal sums
+    (``_decimal_dot``/``_decimal_norm2``, the ``brute_force_cosine_topk``
+    discipline): the per-pair sums become order-independent, so an
+    auditing engine that re-accumulates in a different order (DuckDB's
+    unnest-SUM) reproduces the rounded scores bit-identically — the knob
+    that lets a replay oracle check this operator value-exactly.  Same
+    12-decimal outputs either way in the absence of rounding-boundary
+    collisions; decimal costs ~2-3× on the re-rank sum only.
 
     ``queries`` (a one-column id frame) restricts the PROBE side to a
     bounded query set: the cell index still covers the full corpus, but
@@ -466,8 +476,10 @@ def ivf_ann_topk(
         .select(F.col("qid").alias("id_a"), F.col("id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    dot_fn = _decimal_dot if exact_scores else _double_dot
+    norm2_fn = _decimal_norm2 if exact_scores else _double_norm2
     vecs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_double_norm2(F.col(vec_col))).alias("nrm")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(norm2_fn(F.col(vec_col))).alias("nrm")
     )
     scored = (
         cands.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
@@ -475,7 +487,7 @@ def ivf_ann_topk(
         .select(
             "id_a",
             "id_b",
-            F.round(_double_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
+            F.round(dot_fn(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
         )
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc_nulls_last(), F.col("id_b").asc())

@@ -2365,19 +2365,6 @@ def dedup_clusters_q(spark, sf):
     return near_dup_clusters(cat_for(spark, sf).vertex_df("documents"))
 
 
-@q(
-    "similarity_ivf_topk",
-    None,  # k-means cell assignment — no closed-form oracle; rows-only
-    "IVF ANN top-k: spherical k-means coarse quantizer (deterministic "
-    "sample training) → cell-list probe join → exact-cosine re-rank — the "
-    "second scale path beside LSH",
-)
-def similarity_ivf_topk_q(spark, sf):
-    from scalligraph_spark.operators import ivf_ann_topk
-
-    return ivf_ann_topk(cat_for(spark, sf).vertex_df("embeddings"), k=10)
-
-
 def _ann_replay_root(sf) -> str:
     """Fixed, sf-suffixed directory where ANN suite entries export their
     (deterministic) persisted artifacts for the DuckDB oracle to replay —
@@ -2407,6 +2394,116 @@ def _export_replay_dir(src_dir: str, dest: str) -> None:
                 n += 1
     _shutil.rmtree(dest, ignore_errors=True)
     _os.replace(tmp, dest)
+
+
+def _export_replay_centroids(C, dest: str) -> None:
+    """Write a (k, dim) centroid matrix as a replay parquet (cell,
+    centroid) — the same rows _centroids_to_df commits, driver-side."""
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    t = _pa.table(
+        {
+            "cell": _pa.array(list(range(len(C))), _pa.int32()),
+            "centroid": _pa.array([[float(x) for x in row] for row in C]),
+        }
+    )
+    tmp = dest + ".tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    _os.makedirs(tmp)
+    _pq.write_table(t, _os.path.join(tmp, "centroids.parquet"))
+    _shutil.rmtree(dest, ignore_errors=True)
+    _os.replace(tmp, dest)
+
+
+def _ivf_allpairs_oracle(cent_dir: str, n_probe: int = 4, k: int = 10) -> str:
+    """Artifact-replay oracle for the all-pairs IVF top-k (the r12
+    similarity_ivf_search pattern extended to every-vector-queries):
+    DuckDB re-derives the probe-cell ranking, the n_list=1 cell
+    assignment (rank-1 probe), the candidate join, and the
+    decimal-summed cosine re-rank from the exported centroid parquet —
+    candidate sets AND scores check end-to-end.  Requires the Spark side
+    to score with exact_scores=True (order-independent decimal sums)."""
+    return f"""
+WITH cents AS (
+  SELECT cell, centroid
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/{cent_dir}/*.parquet')
+),
+vn AS (
+  SELECT e.vec_id,
+         sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
+  FROM embeddings e, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id
+),
+celldot AS (
+  SELECT e.vec_id, c.cell,
+         CAST(SUM(CAST(c.centroid[i] * (CAST(e.embedding[i] AS DOUBLE) / v.nrm) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+  FROM embeddings e JOIN vn v USING (vec_id), cents c, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id, c.cell
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rk
+  FROM celldot
+),
+cands AS (
+  SELECT DISTINCT p.vec_id AS id_a, a.vec_id AS id_b
+  FROM (SELECT vec_id, cell FROM ranked WHERE rk <= {n_probe}) p
+  JOIN (SELECT vec_id, cell FROM ranked WHERE rk = 1) a USING (cell)
+  WHERE p.vec_id <> a.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(
+           CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)
+           / (any_value(na.nrm) * any_value(nb.nrm)), 12) AS cosine
+  FROM cands c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  JOIN vn na ON na.vec_id = c.id_a
+  JOIN vn nb ON nb.vec_id = c.id_b,
+  unnest(range(1, 65)) t(i)
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b, cosine,
+         row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+@q(
+    "similarity_ivf_topk",
+    _ivf_allpairs_oracle("ivf_topk_centroids"),
+    # value-exact via artifact replay (the r12 similarity_ivf_search
+    # pattern, VERDICT r12 #2): the entry trains the quantizer with the
+    # same deterministic procedure the operator would run internally,
+    # exports the centroids, and scores with exact_scores=True so DuckDB
+    # can re-derive probe choice, cell assignment, candidates, and the
+    # decimal-summed cosines from the same bytes
+    "IVF ANN top-k: spherical k-means coarse quantizer (deterministic "
+    "sample training, lifted into the entry so the replay oracle reads "
+    "the exact centroids the query probed; n_rows from the catalog's "
+    "footer hint — no auto-sizing count job) → cell-list probe join → "
+    "exact-cosine re-rank — the second scale path beside LSH",
+)
+def similarity_ivf_topk_q(spark, sf):
+    import math as _math
+
+    from scalligraph_spark.operators import ivf_ann_topk
+    from scalligraph_spark.operators.similarity import _train_centroids
+
+    c = cat_for(spark, sf)
+    emb = c.vertex_df("embeddings")
+    n = c.vertices["embeddings"].n_rows_hint
+    n_centroids = max(4, min(4096, int(_math.sqrt(max(n, 4)))))
+    C = _train_centroids(emb, n_centroids, 10_000, "vec_id", "embedding")
+    _export_replay_centroids(C, f"{_ann_replay_root(sf)}/ivf_topk_centroids")
+    return ivf_ann_topk(emb, k=10, centroids=C, exact_scores=True)
 
 
 def _export_replay_books(books, dest: str) -> None:
@@ -2476,8 +2573,11 @@ _ANN_INDEX_BUILT: set = set()
 
 @q(
     "similarity_indexed_ann",
-    None,  # k-means cells — no closed-form oracle; rows-only (pytest proves
-    # bit-identity with the per-call-trained path and a no-training guard)
+    _ivf_allpairs_oracle("ivf_centroids"),
+    # value-exact via artifact replay (VERDICT r12 #2): the oracle reads
+    # the centroids the build exported and re-derives probe choice, cell
+    # assignment, candidates, and decimal cosines — the pytest
+    # bit-identity proof (persisted == per-call-trained) still stands
     "ANN through a PERSISTED index artifact: the IVF quantizer is built "
     "once into the versioned LabelStore (see similarity_ann_index_build), "
     "then every query goes load_ann_index → ivf_ann_topk(centroids=…) "
@@ -2490,7 +2590,7 @@ def similarity_indexed_ann_q(spark, sf):
 
     store = _ann_index_store(spark, sf)
     emb = cat_for(spark, sf).vertex_df("embeddings")
-    return indexed_ann_topk(spark, store, "emb_ivf", emb, k=10)
+    return indexed_ann_topk(spark, store, "emb_ivf", emb, k=10, exact_scores=True)
 
 
 @q(
@@ -4747,8 +4847,39 @@ def qlang_ann_search(spark, sf):
 
 @q(
     "qlang_ann_search_indexed",
-    None,  # approximate-by-design (probed cells only) — no exact SQL twin;
-    # pytest pins plan pushdown + fallback warning + near-parity with exact
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT sqrt(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS qn
+       FROM q, unnest(range(1, 65)) t(i)),
+cdot AS (
+  SELECT c.cell,
+         CAST(SUM(CAST(c.centroid[i] * (CAST(q.qe[i] AS DOUBLE) / qn.qn) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/ivf_centroids/*.parquet') c, q, qn,
+       unnest(range(1, 65)) t(i)
+  GROUP BY c.cell
+),
+probes AS (SELECT cell FROM cdot ORDER BY dot DESC, cell ASC LIMIT 8),
+cand AS (
+  SELECT DISTINCT id FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/ivf_cells/*.parquet')
+  WHERE cell IN (SELECT cell FROM probes)
+),
+terms AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS n2
+  FROM embeddings e JOIN cand ON e.vec_id = cand.id, q, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id
+)
+SELECT t.vec_id, round(t.dot / (sqrt(t.n2) * qn.qn), 12) AS cosine
+FROM terms t, qn
+WHERE t.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 5
+""",
+    # value-exact via artifact replay (VERDICT r12 #2): the oracle
+    # re-derives the 8 probe cells, the probed-list candidate set, and
+    # the cosine re-rank from the exported centroid/cell parquet — the
+    # chain's self-exclusion (the query vector re-ranks at 1.0, always
+    # rank 1, and is dropped) maps to WHERE vec_id <> 0 + LIMIT 5
     "the SAME [{_name: annSearch}] chain answered through the persisted "
     "IVF inverted lists when the executor declares ann_index=(store, "
     "name): probe cells chosen driver-side, scan reads ONLY the probed "
