@@ -2103,14 +2103,19 @@ def test_extract_features_real_decoder_end_to_end(spark):
 
 
 def test_progressive_jpeg_degrades_countably(spark):
-    """VERDICT r11 #7: progressive JPEG (SOF2) is PIL territory — the
-    pure-Python tier refuses it (never a wrong decode) and the row is
-    COUNTABLE as stub-degraded via the decoder column, so a crawl corpus
-    (~10-20% progressive) shows its quality cliff instead of hiding it."""
-    from scalligraph_spark.operators.multimodal import _decode_jpeg, extract_features
+    """A CORRUPT SOF2 payload (header torn mid-segment) degrades to the
+    stub and the row is COUNTABLE via the decoder column — the
+    progressive tier decodes well-formed streams (tests below) but must
+    never mis-decode broken ones."""
+    from scalligraph_spark.operators.multimodal import (
+        _decode_jpeg,
+        _decode_jpeg_progressive,
+        extract_features,
+    )
 
     sof2 = bytes.fromhex("ffd8ffc20004") + b"\x00\x00"
-    assert _decode_jpeg(sof2) is None, "SOF2 must be refused, not mis-decoded"
+    assert _decode_jpeg(sof2) is None, "SOF2 must be refused by the baseline tier"
+    assert _decode_jpeg_progressive(sof2) is None, "corrupt SOF2 must not decode"
     media = spark.createDataFrame(
         [(1, "image", bytearray(sof2), None)],
         "media_id long, kind string, payload binary, meta string",
@@ -2341,3 +2346,120 @@ def test_jpeg_decoder_restart_intervals(spark):
     assert out is not None, "restart-interval baseline JPEG must decode"
     assert (out["width"], out["height"]) == (32, 8)
     assert out["feature"] == [0, 0.25, 0.25, 0, 0.25, 0, 0.25, 0]
+
+
+# -- progressive JPEG decoder (SOF2, T.81 §G.1.2, verified vs javax.imageio) --
+
+
+def _jvm_jpeg_progressive(spark, w, h, px):
+    """Encode a TYPE_INT_RGB image to PROGRESSIVE JPEG with the JVM's
+    independent javax.imageio codec (ImageWriteParam.MODE_DEFAULT emits
+    the stock 10-scan spectral-selection + successive-approximation
+    script: interleaved DC first/refine + per-component AC bands)."""
+    jvm = spark._jvm
+    bi = jvm.java.awt.image.BufferedImage(w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = px(x, y)
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    wr = it.next()
+    param = wr.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    wr.dispose()
+    return bytes(baos.toByteArray())
+
+
+def test_progressive_jpeg_matches_imageio(spark):
+    """Progressive decoder vs the JVM's independent codec on (a) a
+    constant block (DC-only, mathematically exact), (b) a grayscale-as-
+    RGB gradient with non-multiple-of-8 dimensions, and (c) a 4:2:0
+    color image (interleaved DC scans entropy-decode chroma for bit
+    sync; chroma AC scans are byte-skipped).  Luma histograms match the
+    reference decode bin-for-bin on these fixtures — the same contract
+    (and the same clipping-free fixture discipline) as the baseline
+    tests above."""
+    from scalligraph_spark.operators.multimodal import _decode_jpeg, _decode_jpeg_progressive
+
+    cases = [
+        (8, 8, lambda x, y: (200, 200, 200)),
+        (21, 13, lambda x, y: ((x * 11 + y * 7) % 256,) * 3),
+        (24, 16, lambda x, y: ((x * 10) % 256, (y * 14) % 256, 120)),
+    ]
+    for w, h, px in cases:
+        payload = _jvm_jpeg_progressive(spark, w, h, px)
+        assert _decode_jpeg(payload) is None, "baseline tier must refuse SOF2"
+        out = _decode_jpeg_progressive(payload)
+        assert (out["width"], out["height"]) == (w, h)
+        assert out["feature"] == pytest.approx(_jvm_luma_hist(spark, payload), abs=1e-9)
+
+
+def test_progressive_jpeg_grayscale_single_component(spark):
+    """1-component progressive: DC scans are NON-interleaved (ns=1, one
+    block per MCU on the component grid) — the branch 3-component
+    fixtures never reach.  Encoded/verified via the raster directly
+    (setRGB's sRGB-to-gray conversion would shift the values)."""
+    import numpy as np
+
+    from scalligraph_spark.operators.multimodal import _decode_jpeg_progressive
+
+    jvm = spark._jvm
+    w, h = 21, 13
+    bi = jvm.java.awt.image.BufferedImage(w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    ras = bi.getRaster()
+    for y in range(h):
+        for x in range(w):
+            ras.setSample(x, y, 0, (x * 11 + y * 7) % 256)
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    wr = it.next()
+    param = wr.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    wr.dispose()
+    payload = bytes(baos.toByteArray())
+    out = _decode_jpeg_progressive(payload)
+    assert (out["width"], out["height"]) == (w, h)
+    # reference: the JVM's own decode of the gray raster
+    rbi = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(bytearray(payload)))
+    rras = rbi.getRaster()
+    ref = np.array([[rras.getSample(x, y, 0) for x in range(w)] for y in range(h)])
+    hist = np.bincount((ref >> 5).ravel(), minlength=8)[:8]
+    assert out["feature"] == pytest.approx([float(v) / ref.size for v in hist], abs=1e-9)
+
+
+def test_progressive_jpeg_corrupt_oversize_and_label(spark):
+    """Truncated / garbage / over-budget progressive payloads return
+    None (degrade to stub, never raise); a well-formed one flows through
+    extract_features with the jpeg_progressive decoder label — stub
+    degradation for the ~10-20%-of-crawl format is CLOSED and the
+    coverage signal proves which tier served each row."""
+    import unittest.mock as mock
+
+    from scalligraph_spark.operators import multimodal as mm
+
+    good = _jvm_jpeg_progressive(spark, 16, 9, lambda x, y: (x * 15, y * 20, 40))
+    assert mm._decode_jpeg_progressive(good) is not None
+    assert mm._decode_jpeg_progressive(good[:20]) is None
+    torn = mm._decode_jpeg_progressive(good[:-3])
+    assert torn is None or (torn["width"], torn["height"]) == (16, 9)
+    assert mm._decode_jpeg_progressive(b"\xff\xd8\xff\xee junk") is None
+    assert mm._decode_jpeg_progressive(b"") is None
+    with mock.patch.object(mm, "_JPEG_MAX_PIXELS", 16):
+        assert mm._decode_jpeg_progressive(good) is None
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(good), None), (2, "image", bytearray(good[:20]), None)],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    rows = {r["media_id"]: r for r in mm.extract_features(media, decoder="real").collect()}
+    assert rows[1]["decoder"] == "jpeg_progressive"
+    assert (rows[1]["width"], rows[1]["height"]) == (16, 9)
+    assert rows[2]["decoder"] == "stub"
