@@ -174,6 +174,12 @@ def main() -> int:
 
     spark = get_spark(app_name="scale_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    # heap honesty (VERDICT r12 #6): SCALE30_r12 proved the minhash "5.09×"
+    # was GCLocker thrash at the default 8 GB — every artifact now records
+    # the ACTUAL JVM heap the figures ran under, so slopes are never
+    # computed across mismatched heaps.  Pin with SPARK_DRIVER_MEMORY=24g
+    # for pair-volume keys at large K.
+    heap_bytes = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
 
     if not os.path.exists(os.path.join(dst, "lineitem.parquet")):
         print(f"# building {k}x replica at {dst}", file=sys.stderr)
@@ -186,6 +192,7 @@ def main() -> int:
     scaled = run(spark, dst, names, force_median=medianed)
     report = {
         "k": k,
+        "heap": f"{heap_bytes / (1 << 30):.1f}g",
         "base_sec": base,
         "scaled_sec": scaled,
         "ratio": {n: (round(scaled[n] / base[n], 2) if base[n] else None) for n in base},
