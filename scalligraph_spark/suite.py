@@ -8743,6 +8743,10 @@ def store_skipping_manifest_scale_q(spark, sf):
         spark, "orders", [("o_orderkey", ">=", 1000), ("o_orderkey", "<", 2000)]
     )
     kept = len(r.inputFiles())
+    # this also proves the kept-fraction FALLBACK (read_skipping returns
+    # the plain full listing past ~50% kept) did NOT engage here — the
+    # bench key must measure the pruned route, and a fallback would read
+    # every file
     assert kept < n_files, f"range probe must prune ({kept}/{n_files})"
     if n_files > 4096:
         # the tiny-fraction claim belongs to the sidecar scale point; at

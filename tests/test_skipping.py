@@ -732,6 +732,19 @@ def test_parquet_manifest_tier_decisions_identical(spark, store, monkeypatch):
         assert sorted(os.path.basename(f) for f in r.inputFiles()) == got[i], (
             f"case {i}: tiers must keep identical files"
         )
+    # third leg (round 13): the BYTE-triggered sidecar — file count far
+    # under the threshold, serialized entries over the byte bound — must
+    # make the same decisions as both tiers above
+    monkeypatch.setattr(S, "PARQUET_MANIFEST_BYTE_THRESHOLD", 64)
+    store.collect_file_stats(spark, "t", ["id", "d", "name"])
+    man3 = store.file_manifest("t")
+    assert "files_parquet" in man3 and man3["n_files"] == 10
+    for i, p in enumerate(cases):
+        r = store.read_skipping(spark, "t", p)
+        _same(r, df.where(exprs[i]))
+        assert sorted(os.path.basename(f) for f in r.inputFiles()) == got[i], (
+            f"case {i}: byte-triggered tier must keep identical files"
+        )
 
 
 def test_provably_empty_read_is_metadata_only(spark, store):
@@ -1116,7 +1129,14 @@ def test_kept_fraction_fallback_same_rows(spark, store, monkeypatch):
     monkeypatch.setattr(st_mod, "_KEPT_FRACTION_FALLBACK", 1.01)
     r3 = store.read_skipping(spark, "t", [("id", ">=", 1000)])
     _same(r3, df.where(F.col("id") >= 1000))
-    assert len(r3.inputFiles()) == 7  # explicit kept-path read, 1 pruned
+    # explicit kept-path read: exactly the manifest's may-match set
+    # (range-partition boundaries wobble run to run, so derive it)
+    from scalligraph_spark.store import _preds_may_match
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    man = store.file_manifest("t")
+    exp = sum(1 for e in man["files"] if _preds_may_match(e, [("id", ">=", 1000)], tz))
+    assert len(r3.inputFiles()) == exp
 
 
 def test_empty_fastpath_requires_homogeneous_schemas(spark, store):
