@@ -155,6 +155,7 @@ HEADLINE = [
     "store_skipping_manifest_scale",  # ≥5,000-file table: manifest pruned as a Spark job, not a driver JSON parse
     "qlang_from_store",  # versioned-store scan + skipping from the query language
     "store_skipping_bloom_read",  # bloom point lookup on an unclustered digest column
+    "store_skipping_bloom_cap",  # byte-capped blooms on the big fact table: header stays driver-sized
 ]
 
 

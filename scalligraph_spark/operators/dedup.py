@@ -158,8 +158,14 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket_rows: int | None = 8192,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, Jaccard-estimated ≥ t.
+
+    ``signatures`` skips the signature computation: pass a precomputed
+    ``(id, signature)`` frame (normally :func:`minhash_signature` over
+    the same corpus — e.g. when the caller also exports it for an audit
+    or replay oracle) and the map stage is not paid twice.
 
     Pipeline: signature (map-only) → band keys (map-only) → self-join on
     (band, band_hash) buckets (the ONLY shuffle) → estimate similarity from
@@ -184,7 +190,11 @@ def minhash_lsh_pairs(
     # long-lived session releases it with spark.catalog.clearCache() when
     # the all-pairs job finishes.  The crawl-cadence probe path
     # (dedup_index.incremental_near_dups) holds no cache at all.
-    sigs = minhash_signature(docs, text_col, id_col, num_hashes).persist()
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signature(docs, text_col, id_col, num_hashes)
+    ).persist()
     sigs.count()
     # the banded relation carries ONLY (id, band, bh) — 3 narrow columns.
     # Shipping the 64-long signature through the ×bands exploded self-join
@@ -307,6 +317,39 @@ def pairs_to_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id")
     return out.withColumn("is_kept", F.col("doc_id") == F.col("canonical_id"))
 
 
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document as ``(id, simhash)`` — the signature
+    relation :func:`simhash_pairs` buckets, exposed so audits (and the
+    suite's replay oracle) can export exactly the signatures a pairing
+    run used.  Sign-sum of per-token xxhash64 bits, all 64 bit-votes in
+    one numpy broadcast per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash64(h: pd.Series) -> pd.Series:
+        # (the per-bit aggregate formulation runs interpreted in Spark's
+        # higher-order functions — 64 array walks per row)
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << shifts  # bit i → 2^i
+        out = np.zeros(len(h), dtype=np.uint64)
+        for i, row in enumerate(h):
+            if row is None or len(row) == 0:
+                continue
+            hh = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            bits = (hh[:, None] >> shifts[None, :]) & np.uint64(1)  # (t, 64)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            out[i] = (weights * (votes > 0)).sum(dtype=np.uint64)  # disjoint bits — exact
+        return pd.Series(out.view(np.int64))
+
+    return docs.select(
+        F.col(id_col).alias("id"), simhash64(_base_hashes(F.col(text_col))).alias("simhash")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -328,29 +371,7 @@ def simhash_pairs(
     probability — strictly better recall than single-prefix bucketing,
     which misses any near-dup differing in the prefix.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def simhash64(h: pd.Series) -> pd.Series:
-        # all 64 bit-votes in one numpy broadcast per row: bits (t×64) →
-        # ±1 votes → column sums → sign bits packed back into an int64.
-        # (the per-bit aggregate formulation runs interpreted in Spark's
-        # higher-order functions — 64 array walks per row)
-        import numpy as np
-
-        shifts = np.arange(64, dtype=np.uint64)
-        weights = np.uint64(1) << shifts  # bit i → 2^i
-        out = np.zeros(len(h), dtype=np.uint64)
-        for i, row in enumerate(h):
-            if row is None or len(row) == 0:
-                continue
-            hh = np.asarray(row, dtype=np.int64).astype(np.uint64)
-            bits = (hh[:, None] >> shifts[None, :]) & np.uint64(1)  # (t, 64)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            out[i] = (weights * (votes > 0)).sum(dtype=np.uint64)  # disjoint bits — exact
-        return pd.Series(out.view(np.int64))
-
-    sigs = docs.select(F.col(id_col).alias("id"), simhash64(_base_hashes(F.col(text_col))).alias("simhash"))
+    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
     # 4 block-bucket tables (OR-construction): block k = bits [16k, 16k+16)
     blocks = sigs.select(
         "id",

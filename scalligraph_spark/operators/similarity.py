@@ -162,12 +162,20 @@ def ann_recall_at_k(
     )
 
 
-def _exact_rerank(pairs: DataFrame, embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _exact_rerank(
+    pairs: DataFrame, embeddings: DataFrame, id_col: str, vec_col: str,
+    exact_scores: bool = False,
+) -> DataFrame:
     """Score candidate (id_a, id_b) pairs with the exact cosine by joining
     back to the NARROW vector table twice by id — candidates shuffle as two
-    longs, never carrying the embeddings through the candidate join."""
+    longs, never carrying the embeddings through the candidate join.
+    ``exact_scores`` routes the sums through order-independent decimals
+    (see :func:`ivf_ann_topk`) so a replay oracle reproduces the rounded
+    scores bit-identically."""
+    dot_fn = _decimal_dot if exact_scores else _double_dot
+    norm2_fn = _decimal_norm2 if exact_scores else _double_norm2
     vecs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_double_norm2(F.col(vec_col))).alias("nrm")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(norm2_fn(F.col(vec_col))).alias("nrm")
     )
     return (
         pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
@@ -175,7 +183,7 @@ def _exact_rerank(pairs: DataFrame, embeddings: DataFrame, id_col: str, vec_col:
         .select(
             "id_a",
             "id_b",
-            F.round(_double_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
+            F.round(dot_fn(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
         )
     )
 
@@ -238,6 +246,7 @@ def embedding_cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    exact_scores: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-accelerated — the scale path.
 
@@ -253,7 +262,9 @@ def embedding_cosine_pairs_lsh(
     pairs = lsh_bucket_candidates(
         embeddings, num_planes=num_planes, num_tables=num_tables, id_col=id_col, vec_col=vec_col, n_rows=n_rows
     )
-    return _exact_rerank(pairs, embeddings, id_col, vec_col).where(F.col("cosine") >= threshold)
+    return _exact_rerank(
+        pairs, embeddings, id_col, vec_col, exact_scores=exact_scores
+    ).where(F.col("cosine") >= threshold)
 
 
 def _bucket_udf(num_planes: int, num_tables: int):
@@ -502,6 +513,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    exact_scores: bool = False,
 ) -> DataFrame:
     """Approximate top-k neighbors per vector: LSH candidates → exact
     cosine re-rank → k best per id (both directions of each pair count).
@@ -509,6 +521,7 @@ def lsh_ann_topk(
     The re-rank joins candidate pairs back to the (narrow) embedding table
     twice by id, computes the decimal-exact cosine, and keeps the top k per
     source id with a window — TakeOrdered-per-key, no global sort.
+    ``exact_scores`` = the :func:`ivf_ann_topk` replay-oracle knob.
     """
     from pyspark.sql import Window
 
@@ -526,7 +539,7 @@ def lsh_ann_topk(
     )
     # score each undirected pair ONCE, then mirror the scored rows — halves
     # the dot products vs scoring both directions
-    scored = _exact_rerank(pairs, embeddings, id_col, vec_col)
+    scored = _exact_rerank(pairs, embeddings, id_col, vec_col, exact_scores=exact_scores)
     # persist + eager count: both union branches read the scored pairs —
     # a lazy persist would compute the whole candidate pipeline once per
     # branch inside the same job before the cache populates.
@@ -795,6 +808,7 @@ def semantic_dedup(
     n_rows: int | None = None,
     max_bucket_rows: int | None = 8192,
     centroids=None,
+    exact_scores: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
     clustering embeddings and pruning within clusters only.
@@ -842,7 +856,9 @@ def semantic_dedup(
 
     cells = embeddings.select(F.col(id_col).alias("id"), nearest_cell(F.col(vec_col)).alias("cell"))
     cand = salted_bucket_pairs(cells, ["cell"], max_bucket_rows)
-    dups = _exact_rerank(cand, embeddings, id_col, vec_col).where(F.col("cosine") >= threshold)
+    dups = _exact_rerank(
+        cand, embeddings, id_col, vec_col, exact_scores=exact_scores
+    ).where(F.col("cosine") >= threshold)
     from scalligraph_spark.operators.dedup import pairs_to_clusters
 
     out = pairs_to_clusters(embeddings.select(F.col(id_col)), dups, id_col=id_col)

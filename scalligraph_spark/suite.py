@@ -1275,23 +1275,89 @@ def dedup_ngram_jaccard_q(spark, sf):
 
 @q(
     "dedup_minhash_lsh",
-    None,  # xxhash64 seeds have no DuckDB equivalent → rows-only check
+    """
+WITH sigs AS (
+  SELECT id, signature
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/minhash_sigs/*.parquet')
+),
+banded AS (
+  SELECT id, t.b AS band, list_slice(signature, t.b * 8 + 1, t.b * 8 + 8) AS key
+  FROM sigs, unnest(range(0, 8)) AS t(b)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         SUM(CASE WHEN sa.signature[t.i] = sb.signature[t.i] THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.id = p.id_a
+  JOIN sigs sb ON sb.id = p.id_b,
+  unnest(range(1, 65)) AS t(i)
+  GROUP BY p.id_a, p.id_b
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+""",
+    # value-exact via artifact replay (round 13): the exported per-doc
+    # signatures are the one xxhash64+numpy step SQL cannot re-derive
+    # (recall pytest pins them); DuckDB replays the banding as SLICE
+    # EQUALITY (Spark buckets on xxhash64 of the slice — equal slices ⟺
+    # equal band hash up to 64-bit collisions, vanishing at oracle
+    # scale), the pair join, and the matching-minima estimate k/64 —
+    # exact rationals on both engines.  Salting cannot engage at oracle
+    # scale.  `signatures=` hands the exported frame to the operator so
+    # the map stage is not paid twice (bench key unchanged).
     "MinHash+LSH banded near-dup candidates — the 100 TB dedup path. "
     "bands=8/r=8 puts the S-curve midpoint at (1/8)^(1/8)≈0.77, matching the "
     "0.7 emit threshold (r=4 banding would flood candidates on a pair-dense corpus)",
 )
 def dedup_minhash_q(spark, sf):
-    return minhash_lsh_pairs(cat_for(spark, sf).vertex_df("documents"), bands=8, threshold=0.7)
+    from scalligraph_spark.operators import minhash_signature
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    sigs = minhash_signature(docs, "text", "doc_id", 64)
+    _export_replay_df(sigs, f"{_ann_replay_root(sf)}/minhash_sigs")
+    return minhash_lsh_pairs(docs, bands=8, threshold=0.7, signatures=sigs)
 
 
 @q(
     "dedup_simhash",
-    None,  # xxhash64-based signature → rows-only check
+    """
+WITH s AS (
+  SELECT id, simhash
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/simhash_sigs/*.parquet')
+),
+blocks AS (
+  SELECT id, simhash, t.k AS blk, (simhash >> (16 * t.k)) & 65535 AS bkey
+  FROM s, unnest([0, 1, 2, 3]) AS t(k)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bkey = b.bkey AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(sa, sb)) <= 16
+""",
+    # value-exact via artifact replay (round 13): the exported per-doc
+    # signatures are the one xxhash64+numpy step SQL cannot re-derive
+    # (sign-sum determinism pytest-pinned); DuckDB replays the 4×16-bit
+    # block bucketing, the pair join, and the Hamming filter bit-for-bit
+    # (arithmetic >> equals Spark's unsigned >> after the & 0xFFFF mask;
+    # salting cannot engage at oracle scale)
     "64-bit SimHash near-dup pairs within Hamming radius; 4×16-bit block "
     "bucketing (OR-construction) — exact for radius ≤3, high-recall beyond",
 )
 def dedup_simhash_q(spark, sf):
-    return simhash_pairs(cat_for(spark, sf).vertex_df("documents"), max_hamming=16)
+    from scalligraph_spark.operators import simhash_signatures
+
+    docs = cat_for(spark, sf).vertex_df("documents")
+    _export_replay_df(
+        simhash_signatures(docs), f"{_ann_replay_root(sf)}/simhash_sigs"
+    )
+    return simhash_pairs(docs, max_hamming=16)
 
 
 @q(
@@ -1318,12 +1384,74 @@ def similarity_cosine_topk_q(spark, sf):
 
 @q(
     "similarity_ann_topk",
-    None,  # LSH candidate set is hash-derived → rows-only check
+    """
+WITH tb AS (
+  SELECT id, tbl, bucket
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/lsh_assignments/*.parquet')
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+),
+vn AS (
+  SELECT e.vec_id,
+         sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
+  FROM embeddings e, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id
+),
+dots AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.id_a
+  JOIN embeddings eb ON eb.vec_id = p.id_b,
+  unnest(range(1, 65)) t(i)
+  GROUP BY p.id_a, p.id_b
+),
+scored AS (
+  SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 12) AS cosine
+  FROM dots d JOIN vn na ON na.vec_id = d.id_a JOIN vn nb ON nb.vec_id = d.id_b
+),
+mirrored AS (
+  SELECT id_a, id_b, cosine FROM scored
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b, cosine FROM scored
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b, cosine,
+         row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rn
+  FROM mirrored
+) WHERE rn <= 10
+""",
+    # value-exact via artifact replay (round 13, extending VERDICT r12
+    # #2's pattern to the LSH family): the entry exports the seeded
+    # bucket assignments it probes — the hyperplane signatures are the
+    # one numpy-RNG step SQL cannot re-derive (pytest pins their
+    # determinism) — and DuckDB replays pair generation, the
+    # decimal-summed cosine re-rank, the mirror, and the per-id top-k
+    # from the same bytes.  Bucket salting cannot engage at oracle scale
+    # (500 rows << 8192 cap), so the SQL pair join IS the Spark join.
     "ANN top-k per vector: LSH candidates (auto-scaled planes, multi-table "
     "OR-construction) → exact-cosine re-rank → row_number()<=k per source id",
 )
 def similarity_ann_topk_q(spark, sf):
-    return lsh_ann_topk(cat_for(spark, sf).vertex_df("embeddings"), k=10)
+    import math as _math
+
+    from scalligraph_spark.operators.similarity import _bucket_udf
+
+    c = cat_for(spark, sf)
+    emb = c.vertex_df("embeddings")
+    k = 10
+    n = c.vertices["embeddings"].n_rows_hint
+    target = max(16, 2 * k)
+    num_planes = max(4, min(28, _math.ceil(_math.log2(max(2.0, n / target)))))
+    udf = _bucket_udf(num_planes, 4)
+    tb = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(udf(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+    _export_replay_df(tb, f"{_ann_replay_root(sf)}/lsh_assignments")
+    return lsh_ann_topk(emb, k=k, num_planes=num_planes, n_rows=n, exact_scores=True)
 
 
 @q(
@@ -2345,24 +2473,92 @@ def scalar_date_trunc(spark, sf):
 
 @q(
     "similarity_lsh_buckets",
-    None,  # hyperplanes derived from xxhash64 → rows-only check
+    """
+WITH tb AS (
+  SELECT id, tbl, bucket
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/lsh_assignments_raw/*.parquet')
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+""",
+    # value-exact via artifact replay (round 13): the exported seeded
+    # bucket assignments are the one numpy-RNG step SQL cannot re-derive;
+    # pair generation (same-bucket a<b, pair-deduped) replays exactly —
+    # salting cannot engage at oracle scale
     "random-hyperplane LSH candidate pairs (auto-scaled plane count, "
     "multi-table OR-construction) — the raw candidate stage of the ANN path",
 )
 def similarity_lsh_q(spark, sf):
-    return lsh_bucket_candidates(cat_for(spark, sf).vertex_df("embeddings"))
+    import math as _math
+
+    from scalligraph_spark.operators.similarity import _bucket_udf
+
+    c = cat_for(spark, sf)
+    emb = c.vertex_df("embeddings")
+    n = c.vertices["embeddings"].n_rows_hint
+    num_planes = max(4, min(28, _math.ceil(_math.log2(max(2.0, n / 64)))))
+    udf = _bucket_udf(num_planes, 4)
+    tb = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(udf(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+    _export_replay_df(tb, f"{_ann_replay_root(sf)}/lsh_assignments_raw")
+    return lsh_bucket_candidates(emb, num_planes=num_planes, n_rows=n)
 
 
 @q(
     "dedup_clusters",
-    None,  # minhash pair graph is hash-derived → rows-only
+    """
+WITH RECURSIVE
+sigs AS (
+  SELECT id, signature
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/minhash_sigs/*.parquet')
+),
+banded AS (
+  SELECT id, t.b AS band, list_slice(signature, t.b * 8 + 1, t.b * 8 + 8) AS key
+  FROM sigs, unnest(range(0, 8)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+good AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sigs sa ON sa.id = c.id_a
+  JOIN sigs sb ON sb.id = c.id_b,
+  unnest(range(1, 65)) AS t(i)
+  GROUP BY c.id_a, c.id_b
+  HAVING SUM(CASE WHEN sa.signature[t.i] = sb.signature[t.i] THEN 1 ELSE 0 END) / 64.0 >= 0.7
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM good UNION SELECT id_b, id_a FROM good),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.id
+)
+SELECT d.doc_id, m.lbl AS canonical_id, d.doc_id = m.lbl AS is_kept
+FROM documents d
+JOIN (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) m ON m.id = d.doc_id
+""",
+    # value-exact via artifact replay (round 13): same exported minhash
+    # signatures as dedup_minhash_lsh (the entry re-exports them so it
+    # verifies standalone); DuckDB replays banding, the ≥0.7 estimate,
+    # and min-label connected components as a recursive CTE (reach-set
+    # enumeration — near-dup clusters are small, so the quadratic
+    # per-cluster reach relation is tiny), then canonical = cluster min
     "end-to-end dedup decision: minhash near-dup pairs → connected components → "
     "one canonical doc per cluster (doc_id, canonical_id, is_kept)",
 )
 def dedup_clusters_q(spark, sf):
-    from scalligraph_spark.operators import near_dup_clusters
+    from scalligraph_spark.operators import minhash_signature, pairs_to_clusters
 
-    return near_dup_clusters(cat_for(spark, sf).vertex_df("documents"))
+    docs = cat_for(spark, sf).vertex_df("documents")
+    sigs = minhash_signature(docs, "text", "doc_id", 64)
+    _export_replay_df(sigs, f"{_ann_replay_root(sf)}/minhash_sigs")
+    pairs = minhash_lsh_pairs(docs, bands=8, threshold=0.7, signatures=sigs)
+    return pairs_to_clusters(docs, pairs)
 
 
 def _ann_replay_root(sf) -> str:
@@ -2392,6 +2588,20 @@ def _export_replay_dir(src_dir: str, dest: str) -> None:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 _shutil.copy(_os.path.join(root, f), _os.path.join(tmp, f"{n:04d}.parquet"))
                 n += 1
+    _shutil.rmtree(dest, ignore_errors=True)
+    _os.replace(tmp, dest)
+
+
+def _export_replay_df(df, dest: str) -> None:
+    """Write a small DataFrame as a replay-dir parquet (atomic swap) —
+    for broadcast-sized artifacts the oracle re-derives pipelines from
+    (LSH bucket assignments, exported hash relations)."""
+    import os as _os
+    import shutil as _shutil
+
+    tmp = dest + ".tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
     _shutil.rmtree(dest, ignore_errors=True)
     _os.replace(tmp, dest)
 
@@ -3124,13 +3334,61 @@ def dedup_embedding_cosine_q(spark, sf):
 
 @q(
     "dedup_embedding_cosine_lsh",
-    None,  # hyperplane-hash candidate recall has no SQL equivalent → rows-only
+    """
+WITH tb AS (
+  SELECT id, tbl, bucket
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/lsh_assignments_nd/*.parquet')
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+),
+vn AS (
+  SELECT e.vec_id,
+         sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
+  FROM embeddings e, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id
+),
+dots AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.id_a
+  JOIN embeddings eb ON eb.vec_id = p.id_b,
+  unnest(range(1, 65)) t(i)
+  GROUP BY p.id_a, p.id_b
+)
+SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 12) AS cosine
+FROM dots d JOIN vn na ON na.vec_id = d.id_a JOIN vn nb ON nb.vec_id = d.id_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 12) >= 0.35
+""",
+    # value-exact via artifact replay (round 13): the exported seeded
+    # bucket assignments are the one numpy-RNG step SQL cannot re-derive;
+    # DuckDB replays candidate generation + the decimal-summed exact
+    # re-rank + the threshold — precision-exactness checked end-to-end
     "embedding-cosine near-dup pairs via LSH candidates + exact re-rank: "
     "precision exact (same threshold on the same cosine), recall grows with "
     "num_tables OR-construction — the subquadratic scale path",
 )
 def dedup_embedding_cosine_lsh_q(spark, sf):
-    return embedding_cosine_pairs_lsh(cat_for(spark, sf).vertex_df("embeddings"), threshold=0.35, num_tables=8)
+    import math as _math
+
+    from scalligraph_spark.operators.similarity import _bucket_udf
+
+    c = cat_for(spark, sf)
+    emb = c.vertex_df("embeddings")
+    n = c.vertices["embeddings"].n_rows_hint
+    num_planes = max(4, min(28, _math.ceil(_math.log2(max(2.0, n / 64)))))
+    udf = _bucket_udf(num_planes, 8)
+    tb = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(udf(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+    _export_replay_df(tb, f"{_ann_replay_root(sf)}/lsh_assignments_nd")
+    return embedding_cosine_pairs_lsh(
+        emb, threshold=0.35, num_planes=num_planes, num_tables=8,
+        n_rows=n, exact_scores=True,
+    )
 
 
 @q(
@@ -5187,9 +5445,58 @@ def text_classifier_score(spark, sf):
     )
 
 
+def _lpa_oracle(rounds: int = 10) -> str:
+    """Synchronous LPA unrolled to ``rounds`` SQL rounds (round 13):
+    the operator's loop is deterministic — mode label among neighbors,
+    ties to the SMALLEST label — and stops early only at a fixpoint,
+    which further unrolled rounds preserve, so round-N SQL ≡ the loop
+    for every early-stop point.  The edge relation is the exact
+    all-pairs decimal cosine (the dedup_embedding_cosine oracle), so
+    the WHOLE pipeline replays with no artifact export."""
+    parts = [
+        """
+WITH terms AS (
+  SELECT vec_id AS id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+n2 AS (SELECT id, CAST(SUM(CAST(x * x AS DECIMAL(28,18))) AS DOUBLE) AS n2 FROM terms GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,18))) AS DOUBLE) AS dot
+  FROM terms a JOIN terms b ON a.i = b.i AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM dots JOIN n2 na ON na.id = id_a JOIN n2 nb ON nb.id = id_b
+  WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) >= 0.35
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+r0 AS (SELECT DISTINCT a AS vertex, a AS community FROM edges)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.a AS v, p.community AS l, count(*) AS c
+  FROM edges e JOIN r{i - 1} p ON p.vertex = e.b GROUP BY e.a, p.community
+),
+r{i} AS (
+  SELECT v AS vertex, l AS community FROM (
+    SELECT v, l, row_number() OVER (PARTITION BY v ORDER BY c DESC, l ASC) AS rn FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(f"\nSELECT vertex, community FROM r{rounds}")
+    return "".join(parts)
+
+
 @q(
     "graph_label_propagation",
-    None,  # iterative most-frequent-neighbor fixpoint — no SQL twin; pytest
+    _lpa_oracle(10),
+    # value-exact (round 13): no artifact needed — the near-dup edge
+    # relation is the exact decimal cosine, and the deterministic
+    # synchronous rounds unroll to plain SQL (fixpoints are preserved by
+    # extra rounds, so early stopping cannot diverge)
     "deterministic synchronous label-propagation communities over the "
     "near-dup graph (most-frequent neighbor label, smallest-label "
     "tie-break — reproducible where GraphX's hashmap-order tie-break is "
@@ -6190,16 +6497,83 @@ def graph_sssp_weighted_q(spark, sf):
 
 @q(
     "dedup_semantic",
-    None,  # k-means quantizer has no DuckDB twin → rows-only
+    """
+WITH RECURSIVE
+cents AS (
+  SELECT cell, centroid
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/semdedup_centroids/*.parquet')
+),
+vn AS (
+  SELECT e.vec_id,
+         sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
+  FROM embeddings e, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id
+),
+celldot AS (
+  SELECT e.vec_id, c.cell,
+         CAST(SUM(CAST(c.centroid[i] * (CAST(e.embedding[i] AS DOUBLE) / v.nrm) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+  FROM embeddings e JOIN vn v USING (vec_id), cents c, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id, c.cell
+),
+assign AS (
+  SELECT vec_id AS id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rk
+    FROM celldot
+  ) WHERE rk = 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+),
+dups AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  JOIN vn na ON na.vec_id = c.id_a
+  JOIN vn nb ON nb.vec_id = c.id_b,
+  unnest(range(1, 65)) t(i)
+  GROUP BY c.id_a, c.id_b, na.nrm, nb.nrm
+  HAVING round(CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)
+               / (na.nrm * nb.nrm), 12) >= 0.99
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM dups UNION SELECT id_b, id_a FROM dups),
+reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.id
+)
+SELECT emb.vec_id, m.lbl AS canonical_id, emb.vec_id = m.lbl AS is_kept
+FROM embeddings emb
+JOIN (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) m ON m.id = emb.vec_id
+""",
+    # value-exact via artifact replay (round 13): the entry trains the
+    # quantizer deterministically, exports the centroids, and scores
+    # with exact_scores=True; DuckDB re-derives the argmax cell
+    # assignment (rank-1 by decimal centroid dot, tie → lower cell —
+    # numpy argmax's rule), the within-cell pairs, the ≥0.99 decimal
+    # cosine verify, and min-label CC as a recursive CTE
     "SemDeDup semantic near-dup removal: spherical k-means cells → salted "
     "within-cell pair join (never all-pairs) → exact-cosine verify → CC "
     "canonical; returns per-vector keep decisions",
 )
 def dedup_semantic_q(spark, sf):
-    from scalligraph_spark.operators import semantic_dedup
+    import math as _math
 
-    emb = cat_for(spark, sf).vertex_df("embeddings")
-    out = semantic_dedup(emb, threshold=0.99, id_col="vec_id", vec_col="embedding")
+    from scalligraph_spark.operators import semantic_dedup
+    from scalligraph_spark.operators.similarity import _train_centroids
+
+    c = cat_for(spark, sf)
+    emb = c.vertex_df("embeddings")
+    n = c.vertices["embeddings"].n_rows_hint
+    n_centroids = max(4, min(4096, int(_math.sqrt(max(n, 4)))))
+    C = _train_centroids(emb, n_centroids, 10_000, "vec_id", "embedding")
+    _export_replay_centroids(C, f"{_ann_replay_root(sf)}/semdedup_centroids")
+    out = semantic_dedup(
+        emb, threshold=0.99, id_col="vec_id", vec_col="embedding",
+        centroids=C, exact_scores=True,
+    )
     return out.orderBy("vec_id")
 
 
@@ -7419,9 +7793,55 @@ def sketch_join_size_q(spark, sf):
 
 @q(
     "sketch_kmv_set_ops",
-    None,  # xxhash64-order statistics — no SQL twin; pytest pins the
-    # error bands against exact counts on planted-overlap sets and the
-    # TakeOrdered (never full-sort) build plan
+    """
+WITH raw AS (
+  SELECT s, h, k, exact
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/kmv_sketches/*.parquet')
+),
+cfg AS (
+  SELECT max(k) AS k,
+         max(CASE WHEN s = 'a' THEN CAST(exact AS INT) END) = 1 AS ea,
+         max(CASE WHEN s = 'b' THEN CAST(exact AS INT) END) = 1 AS eb
+  FROM raw
+),
+a AS (SELECT DISTINCT h FROM raw WHERE s = 'a'),
+b AS (SELECT DISTINCT h FROM raw WHERE s = 'b'),
+sa AS (SELECT count(*) AS n, max(h) AS uk FROM a),
+sb AS (SELECT count(*) AS n, max(h) AS uk FROM b),
+merged AS (SELECT h FROM a UNION SELECT h FROM b),
+mtotal AS (SELECT count(*) AS n FROM merged),
+uvals AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM merged
+  ) WHERE rn <= (SELECT k FROM cfg)
+),
+ustat AS (
+  SELECT count(*) AS n, max(h) AS uk,
+         sum(CASE WHEN h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+                  THEN 1 ELSE 0 END) AS inter
+  FROM uvals
+),
+calc AS (
+  SELECT
+    CASE WHEN cfg.ea THEN CAST(sa.n AS DOUBLE) ELSE (cfg.k - 1) / sa.uk END AS est_a,
+    CASE WHEN cfg.eb THEN CAST(sb.n AS DOUBLE) ELSE (cfg.k - 1) / sb.uk END AS est_b,
+    CASE WHEN cfg.ea AND cfg.eb AND mtotal.n <= cfg.k
+         THEN CAST(mtotal.n AS DOUBLE) ELSE (cfg.k - 1) / ustat.uk END AS est_u,
+    CAST(ustat.inter AS DOUBLE) / ustat.n AS rho
+  FROM cfg, sa, sb, mtotal, ustat
+)
+SELECT round(est_a, 2) AS clickers, round(est_b, 2) AS buyers,
+       round(est_u, 2) AS "union", round(rho * est_u, 2) AS "intersect",
+       round(greatest(0.0, est_a - rho * est_u), 2) AS click_only,
+       round(rho, 6) AS jaccard
+FROM calc
+""",
+    # value-exact via artifact replay (round 13): the entry exports the
+    # two sketches' hash values — xxhash64 is the one step DuckDB cannot
+    # re-derive (determinism pytest-pinned) — and the oracle replays the
+    # SIGMOD'07 arithmetic end-to-end: exact-below-k vs (k-1)/u_k, the
+    # union's min-k truncation with its exactness rule, ρ·D̂ᵤ
+    # intersection, clamped difference, Jaccard = ρ
     "KMV distinct-value synopses with SET ALGEBRA (Beyer et al., SIGMOD "
     "2007): the k smallest hash values per set support union, "
     "intersection, difference, and Jaccard estimates DRIVER-SIDE — the "
@@ -7433,6 +7853,12 @@ def sketch_join_size_q(spark, sf):
     "forever",
 )
 def sketch_kmv_set_ops_q(spark, sf):
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
     from scalligraph_spark.operators import kmv_sketch
 
     ev = cat_for(spark, sf).vertex_df("events")
@@ -7440,6 +7866,23 @@ def sketch_kmv_set_ops_q(spark, sf):
     buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
     a = kmv_sketch(clickers, "user_id", k=1024)
     b = kmv_sketch(buyers, "user_id", k=1024)
+    # replay export: (set, hash) rows + k/exact meta — driver-sized by
+    # the sketch's own contract (k doubles per set)
+    dest = f"{_ann_replay_root(sf)}/kmv_sketches"
+    t = _pa.table(
+        {
+            "s": _pa.array(["a"] * len(a.values) + ["b"] * len(b.values)),
+            "h": _pa.array(list(a.values) + list(b.values), _pa.float64()),
+            "k": _pa.array([a.k] * len(a.values) + [b.k] * len(b.values), _pa.int32()),
+            "exact": _pa.array([a.exact] * len(a.values) + [b.exact] * len(b.values)),
+        }
+    )
+    tmp = dest + ".tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    _os.makedirs(tmp)
+    _pq.write_table(t, _os.path.join(tmp, "sketches.parquet"))
+    _shutil.rmtree(dest, ignore_errors=True)
+    _os.replace(tmp, dest)
     return spark.createDataFrame(
         [
             (
@@ -8713,6 +9156,72 @@ def store_skipping_bloom_read_q(spark, sf):
     kept = len(r.inputFiles())
     assert kept <= max(2, n_all // 4), f"bloom must prune ({kept}/{n_all})"
     return r.select("o_orderkey", "h")
+
+
+@q(
+    "store_skipping_bloom_cap",
+    """
+WITH probe AS (
+  SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS p
+  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1
+)
+SELECT l_orderkey, l_linenumber, h
+FROM (SELECT l_orderkey, l_linenumber,
+             md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS h
+      FROM lineitem)
+WHERE h IN (SELECT p FROM probe) OR h = md5('absent-probe')
+""",
+    "bloom byte caps on LARGE files (VERDICT r12 #1c): blooms over the "
+    "biggest fact table's digest column with a 16 KiB per-file bitset "
+    "cap — at sf0.1 each of the 16 key-sorted files holds ~37k distinct "
+    "digests, so the uncapped bitset (~45 KB/file) exceeds the cap and "
+    "_bloom_build degrades the fpp LOUDLY instead of growing the "
+    "manifest; the harness asserts `_file_stats.json` stays under "
+    "n_files x (cap x 4/3 + 4 KiB) — driver-sized however big the files "
+    "get — while the capped blooms still prune below what ranges can "
+    "and the residual filter keeps the result exactly the SQL IN",
+)
+def store_skipping_bloom_cap_q(spark, sf):
+    import hashlib as _hl
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore
+
+    li = cat_for(spark, sf).vertex_df("lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("h"),
+    )
+    root = f"/tmp/sgspark_bloomcap_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    cap = 16 * 1024
+    store.write(
+        "li_h", li, sort_by=(16, ["l_orderkey"]),
+        stats_cols=["h"], bloom_cols=["h"], bloom_max_bytes=cap,
+    )
+    man = store.file_manifest("li_h")
+    n_all = len(man["files"])
+    hdr = _os.path.getsize(_os.path.join(store.path("li_h"), "_file_stats.json"))
+    assert hdr <= n_all * (cap * 4 // 3 + 4096), (
+        f"manifest must stay driver-sized under the bloom cap ({hdr} bytes)"
+    )
+    first = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
+    present = _hl.md5(
+        f"{first['l_orderkey']}-{first['l_linenumber']}".encode()
+    ).hexdigest()
+    probes = [present, _hl.md5(b"absent-probe").hexdigest()]
+    r = store.read_skipping(spark, "li_h", [("h", "in", probes)])
+    kept = len(r.inputFiles())
+    assert kept < n_all, f"capped bloom must still prune ({kept}/{n_all})"
+    return r.select("l_orderkey", "l_linenumber", "h")
 
 
 @q(

@@ -170,6 +170,7 @@ PLAN_QUERIES = [
     "store_skipping_or_read",  # OR-of-date-ranges: two slices' files only, exact residual
     "store_skipping_manifest_scale",  # 5,000+-file table: candidate files only in the scan
     "store_skipping_bloom_read",  # bloom-pruned scan binds the owning file(s) only
+    "store_skipping_bloom_cap",  # capped blooms still prune; manifest header bounded
 ]
 
 
