@@ -267,13 +267,20 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 3,
     checkpoint_dir: str | None = None,
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Classic iterative PageRank: rank(v) = (1-d) + d·Σ rank(u)/outdeg(u)
     over in-neighbors u (the GraphX formulation, ranks sum ≈ N).
 
     Dangling vertices (no out-edges) keep contributing nothing — matching
     GraphX's default staticRank behavior.
-    """
+
+    ``exact_sums`` routes the per-vertex rank-mass sum through
+    DECIMAL(28,18) (still partial-aggregable — the skew shape is
+    unchanged): a hub summing thousands of double contributions becomes
+    order-independent, so a replay oracle re-accumulating in a different
+    order reproduces every round's ranks bit-identically.  All other
+    arithmetic is elementwise and already engine-exact."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     verts = (
         e.select(F.col("src").alias("vertex"))
@@ -289,7 +296,18 @@ def pagerank(
             .join(e, F.col("vertex") == F.col("src"))
             .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("outdeg")).alias("contrib"))
             .groupBy("vertex")
-            .agg(F.sum("contrib").alias("recv"))
+            .agg(
+                (
+                    # round-12 after the exact decimal sum: engines convert
+                    # decimal->double with up to 1 ulp of divergence (DuckDB's
+                    # int128/10^18 two-step vs BigDecimal.doubleValue); the
+                    # repo's standard 1e-12 quantization erases it while the
+                    # sum itself stays order-independent
+                    F.round(F.sum(F.col("contrib").cast("decimal(28,18)")).cast("double"), 12)
+                    if exact_sums
+                    else F.sum("contrib")
+                ).alias("recv")
+            )
         )
         ranks = (
             verts.join(contribs, "vertex", "left")

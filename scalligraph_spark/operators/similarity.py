@@ -96,6 +96,7 @@ def exact_cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_scores: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k for a SET of query ids — the multi-query ground
     truth an ANN recall measurement compares against
@@ -109,18 +110,20 @@ def exact_cosine_topk(
     Returns (id_a=query, id_b=neighbor, cosine)."""
     from pyspark.sql import Window
 
+    dot_fn = _decimal_dot if exact_scores else _double_dot
+    norm2_fn = _decimal_norm2 if exact_scores else _double_norm2
     qv = (
         embeddings.join(F.broadcast(queries.select(F.col(id_col))), id_col)
         .select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("qv"),
-            F.sqrt(_double_norm2(F.col(vec_col))).alias("qn"),
+            F.sqrt(norm2_fn(F.col(vec_col))).alias("qn"),
         )
     )
     corpus = embeddings.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v"),
-        F.sqrt(_double_norm2(F.col(vec_col))).alias("nb"),
+        F.sqrt(norm2_fn(F.col(vec_col))).alias("nb"),
     )
     scored = (
         corpus.crossJoin(F.broadcast(qv))
@@ -128,7 +131,7 @@ def exact_cosine_topk(
         .select(
             "id_a",
             "id_b",
-            F.round(_double_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nb")), 12).alias("cosine"),
+            F.round(dot_fn(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nb")), 12).alias("cosine"),
         )
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc_nulls_last(), F.col("id_b").asc())

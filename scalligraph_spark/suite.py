@@ -4724,9 +4724,52 @@ _MINHASH_INDEX_BUILT: set = set()
 
 @q(
     "dedup_neardup_probe",
-    None,  # xxhash64-derived MinHash family — no SQL twin; the pytest
-    # differential pins exact equality with the full-corpus LSH join's
-    # cross pairs (test_dedup_index)
+    """
+WITH csigs AS (
+  SELECT id, signature
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/neardup_corpus_sigs/*.parquet')
+),
+bsigs AS (
+  SELECT id, signature
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/neardup_batch_sigs/*.parquet')
+),
+cband AS (
+  SELECT id, t.b AS band, list_slice(signature, t.b * 4 + 1, t.b * 4 + 4) AS key
+  FROM csigs, unnest(range(0, 16)) AS t(b)
+),
+bband AS (
+  SELECT id, t.b AS band, list_slice(signature, t.b * 4 + 1, t.b * 4 + 4) AS key
+  FROM bsigs, unnest(range(0, 16)) AS t(b)
+),
+live AS (
+  SELECT band, key FROM cband GROUP BY band, key HAVING count(*) <= 8192
+),
+cands AS (
+  SELECT DISTINCT bb.id AS batch_id, cb.id AS corpus_id
+  FROM bband bb
+  JOIN live l ON l.band = bb.band AND l.key = bb.key
+  JOIN cband cb ON cb.band = bb.band AND cb.key = bb.key
+  WHERE bb.id <> cb.id
+),
+est AS (
+  SELECT c.batch_id, c.corpus_id,
+         SUM(CASE WHEN sa.signature[t.i] = sb.signature[t.i] THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM cands c
+  JOIN bsigs sa ON sa.id = c.batch_id
+  JOIN csigs sb ON sb.id = c.corpus_id,
+  unnest(range(1, 65)) AS t(i)
+  GROUP BY c.batch_id, c.corpus_id
+)
+SELECT batch_id, corpus_id, est_jaccard FROM est WHERE est_jaccard >= 0.8
+""",
+    # value-exact via artifact replay (round 13): the exported corpus
+    # (= the persisted index's signature table) and batch signatures are
+    # the xxhash64 steps SQL cannot re-derive; DuckDB replays the banded
+    # probe join as slice equality (bands=16/r=4, the index's own
+    # layout), the oversized-bucket skip (count ≤ 8192 per corpus
+    # bucket — structurally a no-op at oracle scale), and the
+    # matching-minima estimate at the 0.8 cut.  The pytest differential
+    # separately pins probe ≡ full-corpus LSH
     "incremental NEAR-dup detection through the persisted MinHash index "
     "(the near-dup twin of dedup_incremental's exact-hash probe): the "
     "corpus is signed ONCE into signature + banded-bucket store tables; "
@@ -4752,6 +4795,15 @@ def dedup_neardup_probe_q(spark, sf):
     # threshold 0.8: "is this batch ~identical to something held" — the
     # crawl-dedup question; the synthetic corpus is near-dup-dense by
     # construction, so a 0.5 cut would return ~3k matches per probe doc
+    from scalligraph_spark.operators import minhash_signature
+
+    _export_replay_df(
+        store.read(spark, "docs_mh"), f"{_ann_replay_root(sf)}/neardup_corpus_sigs"
+    )
+    _export_replay_df(
+        minhash_signature(batch, "text", "doc_id", 64),
+        f"{_ann_replay_root(sf)}/neardup_batch_sigs",
+    )
     return incremental_near_dups(spark, store, "docs_mh", batch, threshold=0.8)
 
 
@@ -4816,9 +4868,75 @@ def graph_triangles(spark, sf):
     return triangle_count(pairs, src="id_a", dst="id_b")
 
 
+def _kcore_oracle(k: int = 2, rounds: int = 50) -> str:
+    """Iterative k-core peeling unrolled to ``rounds`` SQL rounds
+    (round 13, the _lpa_oracle discipline): peeling is monotone removal,
+    so a fixpoint reached at any earlier round is preserved by the
+    remaining unrolled rounds — round-N SQL ≡ the loop wherever the loop
+    converged (and the Spark side RAISES past max_iter=50, so an
+    unconverged graph fails loudly on both engines).  The edge relation
+    is the exact all-pairs decimal cosine; final degrees recompute over
+    the surviving induced subgraph, which at fixpoint ARE the converged
+    core degrees."""
+    parts = [
+        """
+WITH terms AS (
+  SELECT vec_id AS id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+n2 AS (SELECT id, CAST(SUM(CAST(x * x AS DECIMAL(28,18))) AS DOUBLE) AS n2 FROM terms GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,18))) AS DOUBLE) AS dot
+  FROM terms a JOIN terms b ON a.i = b.i AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM dots JOIN n2 na ON na.id = id_a JOIN n2 nb ON nb.id = id_b
+  WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) >= 0.35
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM pairs WHERE id_a <> id_b
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing: each round references the prior
+        # round three times, and DuckDB's default CTE inlining would
+        # re-expand the whole chain per reference (exponential plan,
+        # file-handle exhaustion at round ~20)
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1})
+  GROUP BY v
+),
+k{i} AS (SELECT v FROM d{i} WHERE d >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN k{i} ka ON ka.v = e.a
+  JOIN k{i} kb ON kb.v = e.b
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v AS vertex, d AS degree
+FROM (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+  GROUP BY v
+) WHERE d >= {k}"""
+    )
+    return "".join(parts)
+
+
 @q(
     "graph_k_core",
-    None,  # iterative peeling fixpoint — no SQL twin; pytest proves known cores
+    _kcore_oracle(2, 50),
+    # value-exact (round 13): no artifact needed — peeling unrolls to 50
+    # SQL rounds over the exact decimal-cosine edge relation (monotone
+    # removal preserves fixpoints; the operator raises past the same 50)
     "2-core of the embedding near-dup graph (vertices inside cyclic dup "
     "structure, pendant pairs peeled away): deterministic iterative "
     "peeling, one narrow degree aggregate + two semi-joins per round, "
@@ -9843,13 +9961,50 @@ def graph_cc_skewed_q(spark, sf):
     return connected_components(_zipf_edges(spark, sf))
 
 
+def _pagerank_zipf_oracle(iterations: int = 5) -> str:
+    """PageRank unrolled to ``iterations`` SQL rounds over the Zipf hub
+    graph (round 13).  The operator runs with ``exact_sums=True`` so the
+    per-vertex rank-mass sum is an order-independent DECIMAL(28,18)
+    accumulation — the one step that made hub sums engine-divergent —
+    and every other op is elementwise double arithmetic replayed with
+    the same literals ((1-d) is COMPUTED as 1e0-0.85e0: 0.15 is a
+    different double).  MATERIALIZED per round: each CTE is referenced
+    by the next round and default inlining would re-expand the chain."""
+    parts = [
+        f"""
+WITH e AS MATERIALIZED ({_ZIPF_EDGES_SQL}),
+outdeg AS MATERIALIZED (SELECT src AS vertex, count(*) AS od FROM e GROUP BY src),
+verts AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+r0 AS MATERIALIZED (SELECT vertex, CAST(1.0 AS DOUBLE) AS "rank" FROM verts)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS vertex,
+         round(CAST(SUM(CAST(r."rank" / CAST(od.od AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE), 12) AS recv
+  FROM e JOIN r{i - 1} r ON r.vertex = e.src JOIN outdeg od ON od.vertex = e.src
+  GROUP BY e.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT v.vertex,
+         (1e0 - 0.85e0) + 0.85e0 * COALESCE(c.recv, 0e0) AS "rank"
+  FROM verts v LEFT JOIN c{i} c ON c.vertex = v.vertex
+)"""
+        )
+    parts.append(f"""
+SELECT vertex, "rank" FROM r{iterations}""")
+    return "".join(parts)
+
+
 @q(
     "graph_pagerank_skewed",
-    None,  # iterative float sums over thousands-of-term hubs: no hash-exact
-    # SQL twin (each hub's rank sums O(10^3) doubles whose partial-agg
-    # order Spark does not pin) — closed-form differential pytest instead
-    # (test_graph_analytics: rank(hub) = 0.15 + 0.85·0.15·indeg exactly on
-    # this dangling-hub star graph)
+    _pagerank_zipf_oracle(5),
+    # value-exact (round 13): exact_sums=True makes the hub's
+    # thousands-of-term rank-mass sum order-independent (decimal), so
+    # the unrolled SQL rounds reproduce every rank bit-for-bit — the
+    # closed-form differential pytest (rank(hub) = 0.15+0.85·0.15·indeg
+    # on this dangling-hub star) remains beside it
     "5-iteration PageRank on the same Zipf-skewed hub graph: the "
     "rank-mass aggregation groups by dst, so the 10% hub is the hot "
     "reduce key — the skew bench twin of graph_pagerank",
@@ -9857,7 +10012,7 @@ def graph_cc_skewed_q(spark, sf):
 def graph_pagerank_skewed_q(spark, sf):
     from scalligraph_spark.operators import pagerank
 
-    return pagerank(_zipf_edges(spark, sf), iterations=5)
+    return pagerank(_zipf_edges(spark, sf), iterations=5, exact_sums=True)
 
 
 def _zipf_hop_catalog(spark, sf) -> GraphCatalog:
@@ -9926,9 +10081,99 @@ def hop_out_skewed_q(spark, sf):
 
 @q(
     "similarity_ann_recall",
-    None,  # recall of a k-means-cell candidate set — no closed-form SQL
-    # twin; the quality floors are pytest-pinned at fixed seeds/n_probe
-    # (test_similarity: IVF ≥ stated floor, PQ/IVF-PQ per-query floors)
+    """
+WITH q AS (
+  SELECT id FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/recall_queries/*.parquet')
+),
+cents AS (
+  SELECT cell, centroid
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/ivf_centroids/*.parquet')
+),
+vn AS (
+  SELECT e.vec_id,
+         sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
+  FROM embeddings e, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id
+),
+celldot AS (
+  SELECT e.vec_id, c.cell,
+         CAST(SUM(CAST(c.centroid[i] * (CAST(e.embedding[i] AS DOUBLE) / v.nrm) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+  FROM embeddings e JOIN vn v USING (vec_id), cents c, unnest(range(1, 65)) t(i)
+  GROUP BY e.vec_id, c.cell
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rk
+  FROM celldot
+),
+cands AS (
+  SELECT DISTINCT p.vec_id AS id_a, a.vec_id AS id_b
+  FROM (SELECT r.vec_id, r.cell FROM ranked r JOIN q ON q.id = r.vec_id WHERE r.rk <= 16) p
+  JOIN (SELECT vec_id, cell FROM ranked WHERE rk <= 2) a USING (cell)
+  WHERE p.vec_id <> a.vec_id
+),
+ascore AS (
+  SELECT c.id_a, c.id_b,
+         round(
+           CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)
+           / (any_value(na.nrm) * any_value(nb.nrm)), 12) AS cosine
+  FROM cands c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  JOIN vn na ON na.vec_id = c.id_a
+  JOIN vn nb ON nb.vec_id = c.id_b,
+  unnest(range(1, 65)) t(i)
+  GROUP BY c.id_a, c.id_b
+),
+approx AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rn
+    FROM ascore
+  ) WHERE rn <= 10
+),
+escore AS (
+  SELECT q.id AS id_a, e.vec_id AS id_b,
+         round(
+           CAST(SUM(CAST(CAST(eq.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)
+           / (any_value(nq.nrm) * any_value(ne.nrm)), 12) AS cosine
+  FROM q
+  JOIN embeddings eq ON eq.vec_id = q.id
+  JOIN vn nq ON nq.vec_id = q.id
+  CROSS JOIN embeddings e
+  JOIN vn ne ON ne.vec_id = e.vec_id,
+  unnest(range(1, 65)) t(i)
+  WHERE e.vec_id <> q.id
+  GROUP BY q.id, e.vec_id
+),
+exact AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rn
+    FROM escore
+  ) WHERE rn <= 10
+),
+per AS (
+  SELECT e.id_a AS query,
+         count(*) AS n_exact,
+         SUM(CASE WHEN a.id_b IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM exact e LEFT JOIN approx a ON a.id_a = e.id_a AND a.id_b = e.id_b
+  GROUP BY e.id_a
+)
+SELECT 'ivf' AS kind,
+       count(*) AS n_queries,
+       round(SUM(n_hit) / CAST(SUM(n_exact) AS DOUBLE), 12) AS mean_recall,
+       min(round(n_hit / CAST(n_exact AS DOUBLE), 12)) AS min_recall
+FROM per
+""",
+    # value-exact via artifact replay (round 13): the exported query-id
+    # sample (the one xxhash64 step SQL cannot re-derive) plus the
+    # persisted centroids let DuckDB replay BOTH sides — the IVF probe
+    # (rk≤16 probes over rk≤2 assignments) and the exact ground truth —
+    # with decimal scoring (exact_scores=True both sides), then the
+    # per-query set intersection.  The mean is the ratio of hit/exact
+    # SUMS (identical to the per-query mean at constant n_exact=10, and
+    # a single exact integer division — no order-dependent double sum)
     "ANN recall honesty: recall@10 of the persisted-index IVF path "
     "against the exact multi-query cosine ground truth "
     "(exact_cosine_topk over a FIXED 256-query hash-ordered sample → "
@@ -9957,14 +10202,23 @@ def similarity_ann_recall_q(spark, sf):
         .orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(256)
     )
-    approx = indexed_ann_topk(
-        spark, store, "emb_ivf", emb, k=10, n_probe=16, n_list=2, queries=queries
+    _export_replay_df(
+        queries.select(F.col("vec_id").alias("id")),
+        f"{_ann_replay_root(sf)}/recall_queries",
     )
-    exact = exact_cosine_topk(emb, queries, k=10)
+    approx = indexed_ann_topk(
+        spark, store, "emb_ivf", emb, k=10, n_probe=16, n_list=2,
+        queries=queries, exact_scores=True,
+    )
+    exact = exact_cosine_topk(emb, queries, k=10, exact_scores=True)
     per = ann_recall_at_k(approx, exact)
+    # mean = Σhit/Σexact (n_exact is the constant k for every query, so
+    # this IS the per-query mean) — one exact integer division instead
+    # of an order-dependent 256-term double sum, so the replay oracle
+    # reproduces it bit-identically
     return per.groupBy(F.lit("ivf").alias("kind")).agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.avg("recall"), 12).alias("mean_recall"),
+        F.round(F.sum("n_hit") / F.sum("n_exact"), 12).alias("mean_recall"),
         F.min("recall").alias("min_recall"),
     )
 
