@@ -356,6 +356,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 12,
     max_bucket_rows: int | None = 8192,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs within a Hamming radius.
 
@@ -371,7 +372,13 @@ def simhash_pairs(
     probability — strictly better recall than single-prefix bucketing,
     which misses any near-dup differing in the prefix.
     """
-    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    # signatures= skips the signing map stage when the caller already
+    # computed (and e.g. exported) the same (id, simhash) frame
+    sigs = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    )
     # 4 block-bucket tables (OR-construction): block k = bits [16k, 16k+16)
     blocks = sigs.select(
         "id",

@@ -96,7 +96,6 @@ def exact_cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    exact_scores: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k for a SET of query ids — the multi-query ground
     truth an ANN recall measurement compares against
@@ -110,20 +109,18 @@ def exact_cosine_topk(
     Returns (id_a=query, id_b=neighbor, cosine)."""
     from pyspark.sql import Window
 
-    dot_fn = _decimal_dot if exact_scores else _double_dot
-    norm2_fn = _decimal_norm2 if exact_scores else _double_norm2
     qv = (
         embeddings.join(F.broadcast(queries.select(F.col(id_col))), id_col)
         .select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("qv"),
-            F.sqrt(norm2_fn(F.col(vec_col))).alias("qn"),
+            F.sqrt(_double_norm2(F.col(vec_col))).alias("qn"),
         )
     )
     corpus = embeddings.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v"),
-        F.sqrt(norm2_fn(F.col(vec_col))).alias("nb"),
+        F.sqrt(_double_norm2(F.col(vec_col))).alias("nb"),
     )
     scored = (
         corpus.crossJoin(F.broadcast(qv))
@@ -131,7 +128,7 @@ def exact_cosine_topk(
         .select(
             "id_a",
             "id_b",
-            F.round(dot_fn(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nb")), 12).alias("cosine"),
+            F.round(_double_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nb")), 12).alias("cosine"),
         )
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc_nulls_last(), F.col("id_b").asc())
@@ -165,20 +162,15 @@ def ann_recall_at_k(
     )
 
 
-def _exact_rerank(
-    pairs: DataFrame, embeddings: DataFrame, id_col: str, vec_col: str,
-    exact_scores: bool = False,
-) -> DataFrame:
+def _exact_rerank(pairs: DataFrame, embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Score candidate (id_a, id_b) pairs with the exact cosine by joining
     back to the NARROW vector table twice by id — candidates shuffle as two
     longs, never carrying the embeddings through the candidate join.
-    ``exact_scores`` routes the sums through order-independent decimals
-    (see :func:`ivf_ann_topk`) so a replay oracle reproduces the rounded
-    scores bit-identically."""
-    dot_fn = _decimal_dot if exact_scores else _double_dot
-    norm2_fn = _decimal_norm2 if exact_scores else _double_norm2
+    Sums are plain-double LEFT FOLDS (F.aggregate evaluates in array
+    order) — replay oracles reproduce them bit-identically with DuckDB's
+    list_reduce left fold, so no decimal/fixed-point detour is needed."""
     vecs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(norm2_fn(F.col(vec_col))).alias("nrm")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_double_norm2(F.col(vec_col))).alias("nrm")
     )
     return (
         pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
@@ -186,7 +178,7 @@ def _exact_rerank(
         .select(
             "id_a",
             "id_b",
-            F.round(dot_fn(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
+            F.round(_double_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
         )
     )
 
@@ -249,7 +241,6 @@ def embedding_cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
-    exact_scores: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-accelerated — the scale path.
 
@@ -265,9 +256,7 @@ def embedding_cosine_pairs_lsh(
     pairs = lsh_bucket_candidates(
         embeddings, num_planes=num_planes, num_tables=num_tables, id_col=id_col, vec_col=vec_col, n_rows=n_rows
     )
-    return _exact_rerank(
-        pairs, embeddings, id_col, vec_col, exact_scores=exact_scores
-    ).where(F.col("cosine") >= threshold)
+    return _exact_rerank(pairs, embeddings, id_col, vec_col).where(F.col("cosine") >= threshold)
 
 
 def _bucket_udf(num_planes: int, num_tables: int):
@@ -397,18 +386,13 @@ def ivf_ann_topk(
     n_list: int = 1,
     centroids=None,
     queries=None,
-    exact_scores: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k neighbors — the second scale path beside LSH.
 
-    ``exact_scores=True`` routes the re-rank cosine through decimal sums
-    (``_decimal_dot``/``_decimal_norm2``, the ``brute_force_cosine_topk``
-    discipline): the per-pair sums become order-independent, so an
-    auditing engine that re-accumulates in a different order (DuckDB's
-    unnest-SUM) reproduces the rounded scores bit-identically — the knob
-    that lets a replay oracle check this operator value-exactly.  Same
-    12-decimal outputs either way in the absence of rounding-boundary
-    collisions; decimal costs ~2-3× on the re-rank sum only.
+    Re-rank sums are plain-double LEFT FOLDS (F.aggregate evaluates in
+    array order), which replay oracles reproduce bit-identically with
+    DuckDB's list_reduce — value-exact verification costs the production
+    path nothing.
 
     ``queries`` (a one-column id frame) restricts the PROBE side to a
     bounded query set: the cell index still covers the full corpus, but
@@ -490,10 +474,8 @@ def ivf_ann_topk(
         .select(F.col("qid").alias("id_a"), F.col("id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    dot_fn = _decimal_dot if exact_scores else _double_dot
-    norm2_fn = _decimal_norm2 if exact_scores else _double_norm2
     vecs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(norm2_fn(F.col(vec_col))).alias("nrm")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_double_norm2(F.col(vec_col))).alias("nrm")
     )
     scored = (
         cands.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
@@ -501,7 +483,7 @@ def ivf_ann_topk(
         .select(
             "id_a",
             "id_b",
-            F.round(dot_fn(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
+            F.round(_double_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
         )
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc_nulls_last(), F.col("id_b").asc())
@@ -516,15 +498,13 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
-    exact_scores: bool = False,
 ) -> DataFrame:
     """Approximate top-k neighbors per vector: LSH candidates → exact
     cosine re-rank → k best per id (both directions of each pair count).
 
     The re-rank joins candidate pairs back to the (narrow) embedding table
-    twice by id, computes the decimal-exact cosine, and keeps the top k per
+    twice by id, computes the exact cosine, and keeps the top k per
     source id with a window — TakeOrdered-per-key, no global sort.
-    ``exact_scores`` = the :func:`ivf_ann_topk` replay-oracle knob.
     """
     from pyspark.sql import Window
 
@@ -542,7 +522,7 @@ def lsh_ann_topk(
     )
     # score each undirected pair ONCE, then mirror the scored rows — halves
     # the dot products vs scoring both directions
-    scored = _exact_rerank(pairs, embeddings, id_col, vec_col, exact_scores=exact_scores)
+    scored = _exact_rerank(pairs, embeddings, id_col, vec_col)
     # persist + eager count: both union branches read the scored pairs —
     # a lazy persist would compute the whole candidate pipeline once per
     # branch inside the same job before the cache populates.
@@ -811,7 +791,6 @@ def semantic_dedup(
     n_rows: int | None = None,
     max_bucket_rows: int | None = 8192,
     centroids=None,
-    exact_scores: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
     clustering embeddings and pruning within clusters only.
@@ -859,9 +838,7 @@ def semantic_dedup(
 
     cells = embeddings.select(F.col(id_col).alias("id"), nearest_cell(F.col(vec_col)).alias("cell"))
     cand = salted_bucket_pairs(cells, ["cell"], max_bucket_rows)
-    dups = _exact_rerank(
-        cand, embeddings, id_col, vec_col, exact_scores=exact_scores
-    ).where(F.col("cosine") >= threshold)
+    dups = _exact_rerank(cand, embeddings, id_col, vec_col).where(F.col("cosine") >= threshold)
     from scalligraph_spark.operators.dedup import pairs_to_clusters
 
     out = pairs_to_clusters(embeddings.select(F.col(id_col)), dups, id_col=id_col)

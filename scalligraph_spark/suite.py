@@ -1354,10 +1354,9 @@ def dedup_simhash_q(spark, sf):
     from scalligraph_spark.operators import simhash_signatures
 
     docs = cat_for(spark, sf).vertex_df("documents")
-    _export_replay_df(
-        simhash_signatures(docs), f"{_ann_replay_root(sf)}/simhash_sigs"
-    )
-    return simhash_pairs(docs, max_hamming=16)
+    sigs = simhash_signatures(docs)
+    _export_replay_df(sigs, f"{_ann_replay_root(sf)}/simhash_sigs")
+    return simhash_pairs(docs, max_hamming=16, signatures=sigs)
 
 
 @q(
@@ -1395,18 +1394,15 @@ pairs AS (
 ),
 vn AS (
   SELECT e.vec_id,
-         sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
-  FROM embeddings e, unnest(range(1, 65)) t(i)
-  GROUP BY e.vec_id
+         sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nrm
+  FROM embeddings e
 ),
 dots AS (
   SELECT p.id_a, p.id_b,
-         CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot
+         list_reduce(list_transform(list_zip(ea.embedding, eb.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, v) -> acc + v) AS dot
   FROM pairs p
   JOIN embeddings ea ON ea.vec_id = p.id_a
-  JOIN embeddings eb ON eb.vec_id = p.id_b,
-  unnest(range(1, 65)) t(i)
-  GROUP BY p.id_a, p.id_b
+  JOIN embeddings eb ON eb.vec_id = p.id_b
 ),
 scored AS (
   SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 12) AS cosine
@@ -1451,7 +1447,7 @@ def similarity_ann_topk_q(spark, sf):
         F.posexplode(udf(F.col("embedding"))).alias("tbl", "bucket"),
     )
     _export_replay_df(tb, f"{_ann_replay_root(sf)}/lsh_assignments")
-    return lsh_ann_topk(emb, k=k, num_planes=num_planes, n_rows=n, exact_scores=True)
+    return lsh_ann_topk(emb, k=k, num_planes=num_planes, n_rows=n)
 
 
 @q(
@@ -2592,13 +2588,29 @@ def _export_replay_dir(src_dir: str, dest: str) -> None:
     _os.replace(tmp, dest)
 
 
+# Replay artifacts exist SOLELY for the DuckDB oracle, which the driver
+# and tools/check.py run at sf=0.01 — at any other sf (the sf0.1 bench,
+# the sf0.001 smoke tier) the export would be pure overhead riding a
+# TIMED entry, so the per-entry export helpers no-op there.  (The
+# build-time exports inside _ann_index_store stay unconditional: they
+# amortize into the warm-up, never a timed query.)
+_REPLAY_ORACLE_SF = "sf0.01"
+
+
+def _replay_export_active(dest: str) -> bool:
+    return f"_{_REPLAY_ORACLE_SF}/" in dest + "/"
+
+
 def _export_replay_df(df, dest: str) -> None:
     """Write a small DataFrame as a replay-dir parquet (atomic swap) —
     for broadcast-sized artifacts the oracle re-derives pipelines from
-    (LSH bucket assignments, exported hash relations)."""
+    (LSH bucket assignments, exported hash relations).  No-op outside
+    the oracle sf (see :data:`_REPLAY_ORACLE_SF`)."""
     import os as _os
     import shutil as _shutil
 
+    if not _replay_export_active(dest):
+        return
     tmp = dest + ".tmp"
     _shutil.rmtree(tmp, ignore_errors=True)
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -2608,13 +2620,16 @@ def _export_replay_df(df, dest: str) -> None:
 
 def _export_replay_centroids(C, dest: str) -> None:
     """Write a (k, dim) centroid matrix as a replay parquet (cell,
-    centroid) — the same rows _centroids_to_df commits, driver-side."""
+    centroid) — the same rows _centroids_to_df commits, driver-side.
+    No-op outside the oracle sf."""
     import os as _os
     import shutil as _shutil
 
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
+    if not _replay_export_active(dest):
+        return
     t = _pa.table(
         {
             "cell": _pa.array(list(range(len(C))), _pa.int32()),
@@ -2636,7 +2651,8 @@ def _ivf_allpairs_oracle(cent_dir: str, n_probe: int = 4, k: int = 10) -> str:
     assignment (rank-1 probe), the candidate join, and the
     decimal-summed cosine re-rank from the exported centroid parquet —
     candidate sets AND scores check end-to-end.  Requires the Spark side
-    to score with exact_scores=True (order-independent decimal sums)."""
+    to sum with plain-double LEFT FOLDS, which the oracle's list_reduce
+    replays bit-identically."""
     return f"""
 WITH cents AS (
   SELECT cell, centroid
@@ -2644,9 +2660,8 @@ WITH cents AS (
 ),
 vn AS (
   SELECT e.vec_id,
-         sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
-  FROM embeddings e, unnest(range(1, 65)) t(i)
-  GROUP BY e.vec_id
+         sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nrm
+  FROM embeddings e
 ),
 celldot AS (
   SELECT e.vec_id, c.cell,
@@ -2667,16 +2682,12 @@ cands AS (
 ),
 scored AS (
   SELECT c.id_a, c.id_b,
-         round(
-           CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)
-           / (any_value(na.nrm) * any_value(nb.nrm)), 12) AS cosine
+         round(list_reduce(list_transform(list_zip(ea.embedding, eb.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, v) -> acc + v) / (na.nrm * nb.nrm), 12) AS cosine
   FROM cands c
   JOIN embeddings ea ON ea.vec_id = c.id_a
   JOIN embeddings eb ON eb.vec_id = c.id_b
   JOIN vn na ON na.vec_id = c.id_a
-  JOIN vn nb ON nb.vec_id = c.id_b,
-  unnest(range(1, 65)) t(i)
-  GROUP BY c.id_a, c.id_b
+  JOIN vn nb ON nb.vec_id = c.id_b
 )
 SELECT id_a, id_b, cosine FROM (
   SELECT id_a, id_b, cosine,
@@ -2692,7 +2703,7 @@ SELECT id_a, id_b, cosine FROM (
     # value-exact via artifact replay (the r12 similarity_ivf_search
     # pattern, VERDICT r12 #2): the entry trains the quantizer with the
     # same deterministic procedure the operator would run internally,
-    # exports the centroids, and scores with exact_scores=True so DuckDB
+    # exports the centroids; the left-fold double sums let DuckDB
     # can re-derive probe choice, cell assignment, candidates, and the
     # decimal-summed cosines from the same bytes
     "IVF ANN top-k: spherical k-means coarse quantizer (deterministic "
@@ -2713,7 +2724,7 @@ def similarity_ivf_topk_q(spark, sf):
     n_centroids = max(4, min(4096, int(_math.sqrt(max(n, 4)))))
     C = _train_centroids(emb, n_centroids, 10_000, "vec_id", "embedding")
     _export_replay_centroids(C, f"{_ann_replay_root(sf)}/ivf_topk_centroids")
-    return ivf_ann_topk(emb, k=10, centroids=C, exact_scores=True)
+    return ivf_ann_topk(emb, k=10, centroids=C)
 
 
 def _export_replay_books(books, dest: str) -> None:
@@ -2800,7 +2811,7 @@ def similarity_indexed_ann_q(spark, sf):
 
     store = _ann_index_store(spark, sf)
     emb = cat_for(spark, sf).vertex_df("embeddings")
-    return indexed_ann_topk(spark, store, "emb_ivf", emb, k=10, exact_scores=True)
+    return indexed_ann_topk(spark, store, "emb_ivf", emb, k=10)
 
 
 @q(
@@ -3345,18 +3356,15 @@ pairs AS (
 ),
 vn AS (
   SELECT e.vec_id,
-         sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
-  FROM embeddings e, unnest(range(1, 65)) t(i)
-  GROUP BY e.vec_id
+         sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nrm
+  FROM embeddings e
 ),
 dots AS (
   SELECT p.id_a, p.id_b,
-         CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) AS dot
+         list_reduce(list_transform(list_zip(ea.embedding, eb.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, v) -> acc + v) AS dot
   FROM pairs p
   JOIN embeddings ea ON ea.vec_id = p.id_a
-  JOIN embeddings eb ON eb.vec_id = p.id_b,
-  unnest(range(1, 65)) t(i)
-  GROUP BY p.id_a, p.id_b
+  JOIN embeddings eb ON eb.vec_id = p.id_b
 )
 SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 12) AS cosine
 FROM dots d JOIN vn na ON na.vec_id = d.id_a JOIN vn nb ON nb.vec_id = d.id_b
@@ -3386,8 +3394,7 @@ def dedup_embedding_cosine_lsh_q(spark, sf):
     )
     _export_replay_df(tb, f"{_ann_replay_root(sf)}/lsh_assignments_nd")
     return embedding_cosine_pairs_lsh(
-        emb, threshold=0.35, num_planes=num_planes, num_tables=8,
-        n_rows=n, exact_scores=True,
+        emb, threshold=0.35, num_planes=num_planes, num_tables=8, n_rows=n
     )
 
 
@@ -6623,9 +6630,8 @@ cents AS (
 ),
 vn AS (
   SELECT e.vec_id,
-         sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
-  FROM embeddings e, unnest(range(1, 65)) t(i)
-  GROUP BY e.vec_id
+         sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nrm
+  FROM embeddings e
 ),
 celldot AS (
   SELECT e.vec_id, c.cell,
@@ -6650,11 +6656,8 @@ dups AS (
   JOIN embeddings ea ON ea.vec_id = c.id_a
   JOIN embeddings eb ON eb.vec_id = c.id_b
   JOIN vn na ON na.vec_id = c.id_a
-  JOIN vn nb ON nb.vec_id = c.id_b,
-  unnest(range(1, 65)) t(i)
-  GROUP BY c.id_a, c.id_b, na.nrm, nb.nrm
-  HAVING round(CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)
-               / (na.nrm * nb.nrm), 12) >= 0.99
+  JOIN vn nb ON nb.vec_id = c.id_b
+  WHERE round(list_reduce(list_transform(list_zip(ea.embedding, eb.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, v) -> acc + v) / (na.nrm * nb.nrm), 12) >= 0.99
 ),
 edges AS (SELECT id_a AS a, id_b AS b FROM dups UNION SELECT id_b, id_a FROM dups),
 reach(id, lbl) AS (
@@ -6668,7 +6671,7 @@ JOIN (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) m ON m.id = emb.vec_id
 """,
     # value-exact via artifact replay (round 13): the entry trains the
     # quantizer deterministically, exports the centroids, and scores
-    # with exact_scores=True; DuckDB re-derives the argmax cell
+    # ; DuckDB re-derives the argmax cell
     # assignment (rank-1 by decimal centroid dot, tie → lower cell —
     # numpy argmax's rule), the within-cell pairs, the ≥0.99 decimal
     # cosine verify, and min-label CC as a recursive CTE
@@ -6689,8 +6692,7 @@ def dedup_semantic_q(spark, sf):
     C = _train_centroids(emb, n_centroids, 10_000, "vec_id", "embedding")
     _export_replay_centroids(C, f"{_ann_replay_root(sf)}/semdedup_centroids")
     out = semantic_dedup(
-        emb, threshold=0.99, id_col="vec_id", vec_col="embedding",
-        centroids=C, exact_scores=True,
+        emb, threshold=0.99, id_col="vec_id", vec_col="embedding", centroids=C
     )
     return out.orderBy("vec_id")
 
@@ -7987,6 +7989,8 @@ def sketch_kmv_set_ops_q(spark, sf):
     # replay export: (set, hash) rows + k/exact meta — driver-sized by
     # the sketch's own contract (k doubles per set)
     dest = f"{_ann_replay_root(sf)}/kmv_sketches"
+    if not _replay_export_active(dest):
+        dest = None
     t = _pa.table(
         {
             "s": _pa.array(["a"] * len(a.values) + ["b"] * len(b.values)),
@@ -7995,12 +7999,13 @@ def sketch_kmv_set_ops_q(spark, sf):
             "exact": _pa.array([a.exact] * len(a.values) + [b.exact] * len(b.values)),
         }
     )
-    tmp = dest + ".tmp"
-    _shutil.rmtree(tmp, ignore_errors=True)
-    _os.makedirs(tmp)
-    _pq.write_table(t, _os.path.join(tmp, "sketches.parquet"))
-    _shutil.rmtree(dest, ignore_errors=True)
-    _os.replace(tmp, dest)
+    if dest is not None:
+        tmp = dest + ".tmp"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        _os.makedirs(tmp)
+        _pq.write_table(t, _os.path.join(tmp, "sketches.parquet"))
+        _shutil.rmtree(dest, ignore_errors=True)
+        _os.replace(tmp, dest)
     return spark.createDataFrame(
         [
             (
@@ -10091,9 +10096,8 @@ cents AS (
 ),
 vn AS (
   SELECT e.vec_id,
-         sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
-  FROM embeddings e, unnest(range(1, 65)) t(i)
-  GROUP BY e.vec_id
+         sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nrm
+  FROM embeddings e
 ),
 celldot AS (
   SELECT e.vec_id, c.cell,
@@ -10114,16 +10118,12 @@ cands AS (
 ),
 ascore AS (
   SELECT c.id_a, c.id_b,
-         round(
-           CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)
-           / (any_value(na.nrm) * any_value(nb.nrm)), 12) AS cosine
+         round(list_reduce(list_transform(list_zip(ea.embedding, eb.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, v) -> acc + v) / (na.nrm * nb.nrm), 12) AS cosine
   FROM cands c
   JOIN embeddings ea ON ea.vec_id = c.id_a
   JOIN embeddings eb ON eb.vec_id = c.id_b
   JOIN vn na ON na.vec_id = c.id_a
-  JOIN vn nb ON nb.vec_id = c.id_b,
-  unnest(range(1, 65)) t(i)
-  GROUP BY c.id_a, c.id_b
+  JOIN vn nb ON nb.vec_id = c.id_b
 ),
 approx AS (
   SELECT id_a, id_b FROM (
@@ -10134,17 +10134,13 @@ approx AS (
 ),
 escore AS (
   SELECT q.id AS id_a, e.vec_id AS id_b,
-         round(
-           CAST(SUM(CAST(CAST(eq.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE)
-           / (any_value(nq.nrm) * any_value(ne.nrm)), 12) AS cosine
+         round(list_reduce(list_transform(list_zip(eq.embedding, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, v) -> acc + v) / (nq.nrm * ne.nrm), 12) AS cosine
   FROM q
   JOIN embeddings eq ON eq.vec_id = q.id
   JOIN vn nq ON nq.vec_id = q.id
   CROSS JOIN embeddings e
-  JOIN vn ne ON ne.vec_id = e.vec_id,
-  unnest(range(1, 65)) t(i)
+  JOIN vn ne ON ne.vec_id = e.vec_id
   WHERE e.vec_id <> q.id
-  GROUP BY q.id, e.vec_id
 ),
 exact AS (
   SELECT id_a, id_b FROM (
@@ -10170,7 +10166,7 @@ FROM per
     # sample (the one xxhash64 step SQL cannot re-derive) plus the
     # persisted centroids let DuckDB replay BOTH sides — the IVF probe
     # (rk≤16 probes over rk≤2 assignments) and the exact ground truth —
-    # with decimal scoring (exact_scores=True both sides), then the
+    # with left-fold double scoring replayed via list_reduce, then the
     # per-query set intersection.  The mean is the ratio of hit/exact
     # SUMS (identical to the per-query mean at constant n_exact=10, and
     # a single exact integer division — no order-dependent double sum)
@@ -10207,10 +10203,9 @@ def similarity_ann_recall_q(spark, sf):
         f"{_ann_replay_root(sf)}/recall_queries",
     )
     approx = indexed_ann_topk(
-        spark, store, "emb_ivf", emb, k=10, n_probe=16, n_list=2,
-        queries=queries, exact_scores=True,
+        spark, store, "emb_ivf", emb, k=10, n_probe=16, n_list=2, queries=queries
     )
-    exact = exact_cosine_topk(emb, queries, k=10, exact_scores=True)
+    exact = exact_cosine_topk(emb, queries, k=10)
     per = ann_recall_at_k(approx, exact)
     # mean = Σhit/Σexact (n_exact is the constant k for every query, so
     # this IS the per-query mean) — one exact integer division instead
