@@ -86,7 +86,7 @@ def check_retention(retention_seconds) -> float:
 # "don't know" below resolves to KEEP THE FILE for the same reason (except
 # provable non-matches: all-null columns, hive-null partitions).
 
-_SKIP_OPS = ("=", "<", "<=", ">", ">=", "in", "isnull")
+_SKIP_OPS = ("=", "<", "<=", ">", ">=", "in", "isnull", "notnull")
 
 # Predicate grammar (read_skipping / read_merged / fromStore `where`):
 # a predicate list is a CONJUNCTION of items; an item is either a leaf
@@ -496,18 +496,24 @@ def _file_may_match(entry: dict, col: str, op: str, v, session_tz: str) -> bool:
     rows = entry.get("rows")
     if rows == 0:
         return False
-    if op == "isnull":
-        # `col IS NULL` (the JSON grammar's `_is`/bare null — see
-        # predicates_from_json_filter): the inverse of every other op's
-        # null logic.  Prune only on an EXACT zero null count; a column
-        # absent from the file's schema reads as null, so missing stats
-        # must keep the file.
+    if op in ("isnull", "notnull"):
+        # `col IS [NOT] NULL` (the JSON grammar's `_is`-null / `_contains`
+        # — see predicates_from_json_filter): the inverse of every other
+        # op's null logic.  isnull prunes only on an EXACT zero null
+        # count; notnull prunes only when EVERY row is provably null
+        # (exact nulls == rows, or the hive null partition).  A column
+        # absent from a file's schema reads as null, so missing stats
+        # keep the file for isnull and ALSO for notnull (the stats may
+        # merely be unrecorded).
         st = (entry.get("cols") or {}).get(col)
         if st is None:
             return True
         if st.get("t") == "pnull":
-            return True  # __HIVE_DEFAULT_PARTITION__: column is null here
-        return st.get("nulls") != 0  # prune only on an exact 0 count
+            return op == "isnull"  # __HIVE_DEFAULT_PARTITION__: all null
+        nulls = st.get("nulls")
+        if op == "isnull":
+            return nulls != 0  # prune only on an exact 0 count
+        return not (nulls is not None and rows is not None and nulls >= rows)
     vals = [x for x in v if x is not None] if op == "in" else ([] if v is None else [v])
     if not vals:
         return False  # `col = NULL` / empty in-list match nothing in SQL
@@ -614,6 +620,8 @@ def _predicates_column(predicates) -> Column:
         col = F.col(c)
         if op == "isnull":
             e = col.isNull()
+        elif op == "notnull":
+            e = col.isNotNull()
         elif op == "in":
             vals = [x for x in v if x is not None]
             e = col.isin(vals) if vals else F.lit(False)
@@ -680,11 +688,12 @@ def _validate_predicates(predicates, _in_not: bool = False) -> list:
             raise ValueError(f"unsupported skipping op {op!r}; use one of {_SKIP_OPS}")
         if op == "in" and not isinstance(v, (list, tuple, set, frozenset)):
             raise ValueError(f"'in' needs a collection value, got {v!r}")
-        if op == "isnull":
+        if op in ("isnull", "notnull"):
             if v is not None:
-                raise ValueError(f"'isnull' takes value None, got {v!r}")
-            # NOT(col IS NULL) is two-valued SQL (= IS NOT NULL): exact
-            # under negation, unlike the null-literal comparisons below
+                raise ValueError(f"{op!r} takes value None, got {v!r}")
+            # IS [NOT] NULL is two-valued SQL: exact under negation,
+            # unlike the null-literal comparisons below (and the
+            # normalizer rewrites not-of-isnull to the prunable twin)
             continue
         if _in_not and (
             v is None or (op == "in" and (not v or any(x is None for x in v)))
@@ -699,7 +708,7 @@ def _validate_predicates(predicates, _in_not: bool = False) -> list:
     return preds
 
 
-_RANGE_COMPLEMENT = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+_RANGE_COMPLEMENT = {"<": ">=", "<=": ">", ">": "<=", ">=": "<", "isnull": "notnull", "notnull": "isnull"}
 
 
 def _normalize_predicates(preds: list) -> list:
@@ -745,6 +754,11 @@ def predicates_from_json_filter(query: dict) -> list:
     grammar (filters.py compiles it to ``eqNullSafe`` = IS NULL), so it
     maps to the ``isnull`` op — pruned via manifest null counts, never
     to ``=``/None (which is SQL's match-nothing comparison).
+    ``_contains`` is property-IS-DEFINED in the grammar (Filter.scala:187,
+    NOT substring) and maps to ``notnull`` — pruned when a file is
+    provably all-null (exact nulls == rows, hive null partition).  The
+    two ops are each other's ``not``-complement, so the normalizer keeps
+    negated forms prunable too.
     Raises ``ValueError`` on operators file stats cannot serve
     (``_like``, ``_contains``, ``_ne``, custom ops, …) — callers route
     those through a post-scan filter step instead of silently
@@ -788,6 +802,10 @@ def predicates_from_json_filter(query: dict) -> list:
             return [(f, ">=", spec["_from"]), (f, "<", spec["_to"])]
         if op == "_in":
             return [(str(spec["_field"]), "in", list(spec["_values"]))]
+        if op == "_contains":
+            # property-is-defined (Filter.scala:187) = IS NOT NULL
+            f = spec if isinstance(spec, str) else _fv(spec)[0]
+            return [(str(f), "notnull", None)]
         if op.startswith("_"):
             raise ValueError(
                 f"filter operator {op!r} is not skipping-expressible — apply "

@@ -52,8 +52,8 @@ def _case(draw):
     vals = draw(
         st.lists(st.one_of(st.none(), _DOMAINS[kind]), min_size=0, max_size=12)
     )
-    op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in", "isnull"]))
-    if op == "isnull":
+    op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in", "isnull", "notnull"]))
+    if op in ("isnull", "notnull"):
         pred = None
     elif op == "in":
         pred = draw(
@@ -95,6 +95,8 @@ def _truly_matches(vals, op, pred) -> bool:
     """Ground truth under SQL comparison semantics."""
     if op == "isnull":
         return any(v is None for v in vals)
+    if op == "notnull":
+        return any(v is not None for v in vals)
     preds = [p for p in pred if p is not None] if op == "in" else (
         [] if pred is None else [pred]
     )
@@ -166,8 +168,8 @@ def _tree(draw, kind, depth=0):
             )
         )
         if choice == "leaf":
-            op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in", "isnull"]))
-            if op == "isnull":
+            op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in", "isnull", "notnull"]))
+            if op in ("isnull", "notnull"):
                 v = None
             elif op == "in":
                 v = draw(
@@ -189,6 +191,8 @@ def _tree(draw, kind, depth=0):
 def _leaf_matches(v, op, pred) -> bool:
     if op == "isnull":
         return v is None
+    if op == "notnull":
+        return v is not None
     preds = [p for p in pred if p is not None] if op == "in" else (
         [] if pred is None else [pred]
     )
@@ -360,10 +364,12 @@ def _range_conj(draw):
         st.lists(st.one_of(st.none(), _DOMAINS[kind]), min_size=0, max_size=10)
     )
     n = draw(st.integers(min_value=1, max_value=3))
-    conj = [
-        ("c", draw(st.sampled_from(["<", "<=", ">", ">="])), draw(_DOMAINS[kind]))
-        for _ in range(n)
-    ]
+    conj = []
+    for _ in range(n):
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "isnull", "notnull"]))
+        conj.append(
+            ("c", op, None if op in ("isnull", "notnull") else draw(_DOMAINS[kind]))
+        )
     return vals, conj
 
 
@@ -379,7 +385,9 @@ def test_not_of_ranges_rewrites_exactly_and_prunes_soundly(case):
     # shape: one positive leaf or one or-node, never a residual "not"
     assert all(not (_x := it)[0] == "not" for it in norm if isinstance(it, tuple) and len(it) == 2)
     entry = _entry_for(vals)
-    if any(v is not None and _row_matches_tree(v, norm) for v in vals):
+    # None rows participate: isnull complements can match them, and the
+    # two-valued _leaf_matches already encodes exactly that semantics
+    if any(_row_matches_tree(v, norm) for v in vals):
         assert _preds_may_match(entry, norm, _TZ), (
             f"UNSOUND normalized prune: {norm!r} matches a row of {vals!r}"
         )
