@@ -2463,3 +2463,128 @@ def test_progressive_jpeg_corrupt_oversize_and_label(spark):
     assert rows[1]["decoder"] == "jpeg_progressive"
     assert (rows[1]["width"], rows[1]["height"]) == (16, 9)
     assert rows[2]["decoder"] == "stub"
+
+
+def test_progressive_jpeg_restart_intervals_and_eob_runs():
+    """Hand-built grayscale PROGRESSIVE JPEG (javax never emits DRI):
+    three scans — DC first at Al=1, DC refinement (Ah=1, bit-only), AC
+    first with an EOB RUN spanning two blocks — all under a 2-MCU
+    restart interval, so every scan type exercises predictor/EOB-run
+    reset + byte-aligned RSTn resync.  Constant 8x8 blocks with DC
+    quant 8 decode mathematically exactly (one value odd, so the DC
+    refinement bit is load-bearing)."""
+    from scalligraph_spark.operators.multimodal import (
+        _decode_jpeg,
+        _decode_jpeg_progressive,
+    )
+
+    counts = [1, 1, 1, 1, 1, 1, 1, 1, 1, 1] + [0] * 6
+    vals = list(range(9)) + [0x10]  # DC cats 0-8 + the AC EOB-run-1 sym
+
+    class W:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc, self.n = 0, 0
+
+        def bits(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc, self.n = 0, 0
+
+        def align(self):
+            if self.n:
+                self.bits((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            k += 1
+            code += 1
+        code <<= 1
+
+    def put_sym(w, sym):
+        ln, c = codes[sym]
+        w.bits(c, ln)
+
+    def put_dc(w, diff):
+        t = abs(diff).bit_length()
+        put_sym(w, t)
+        if t:
+            w.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    pix = [81, 144, 208, 48]  # dc = [-47, 16, 80, -80]; 81 is the odd one
+    dcs = [v - 128 for v in pix]
+    w_img, h_img = 32, 8
+
+    # scan 1: DC first, Al=1 — reduced values dc>>1, predictor resets at RSTn
+    s1 = W()
+    pred, rst = 0, 0
+    for i, dc in enumerate(dcs):
+        if i and i % 2 == 0:
+            s1.align()
+            s1.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            pred = 0
+        red = dc >> 1
+        put_dc(s1, red - pred)
+        pred = red
+    s1.align()
+
+    # scan 2: DC refinement (Ah=1, Al=0) — one raw bit per block
+    s2 = W()
+    rst2 = 0
+    for i, dc in enumerate(dcs):
+        if i and i % 2 == 0:
+            s2.align()
+            s2.out += bytes([0xFF, 0xD0 + rst2])
+            rst2 = (rst2 + 1) & 7
+        s2.bits(dc & 1, 1)
+    s2.align()
+
+    # scan 3: AC first (Ss=1..63) — all-zero AC; block 0 emits an EOB RUN
+    # (sym 0x10 + one 0 extension bit → run of 2) covering block 1, then
+    # a restart, then plain EOBs for blocks 2-3
+    s3 = W()
+    put_sym(s3, 0x10)
+    s3.bits(0, 1)
+    s3.align()
+    s3.out += bytes([0xFF, 0xD0])
+    put_sym(s3, 0x00)
+    put_sym(s3, 0x00)
+    s3.align()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([8] + [1] * 63))
+    sof = seg(
+        0xC2,
+        bytes([8]) + h_img.to_bytes(2, "big") + w_img.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(vals)) + seg(
+        0xC4, bytes([0x10]) + bytes(counts) + bytes(vals)
+    )
+    dri = seg(0xDD, (2).to_bytes(2, "big"))
+    sos1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))  # DC first, Al=1
+    sos2 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))  # DC refine, Ah=1
+    sos3 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))  # AC first
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht + dri
+        + sos1 + bytes(s1.out)
+        + sos2 + bytes(s2.out)
+        + sos3 + bytes(s3.out)
+        + b"\xff\xd9"
+    )
+
+    assert _decode_jpeg(payload) is None, "baseline tier must refuse SOF2"
+    out = _decode_jpeg_progressive(payload)
+    assert out is not None, "restart-interval progressive JPEG must decode"
+    assert (out["width"], out["height"]) == (32, 8)
+    # pixels == pix exactly (DC quant 8 cancels the IDCT 1/8): bins 2,4,6,1
+    assert out["feature"] == [0, 0.25, 0.25, 0, 0.25, 0, 0.25, 0]
