@@ -280,7 +280,20 @@ def pagerank(
     unchanged): a hub summing thousands of double contributions becomes
     order-independent, so a replay oracle re-accumulating in a different
     order reproduces every round's ranks bit-identically.  All other
-    arithmetic is elementwise and already engine-exact."""
+    arithmetic is elementwise and already engine-exact.
+
+    CAVEAT (ADVICE r13): ``exact_sums=True`` applies the repo's 1e-12
+    quantization to each iteration's ``recv`` INSIDE the loop, so the
+    per-round rounding compounds across iterations — after k rounds the
+    ranks can differ from the plain-double path by up to ~k·|rank|·1e-12
+    (damping-attenuated; ≈1e-11 relative at the default 10 iterations),
+    not merely by summation order.  That is the deliberate trade: both
+    engines replay the SAME quantized recurrence bit-identically, which
+    is what the cross-engine oracle needs.  ``exact_sums=False`` remains
+    the production default — plain double sums, no quantization, the
+    GraphX-equivalent recurrence; bench slopes recorded before round 13
+    measured that path (the bench key switched semantics in r13 — see
+    PERF.md)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     verts = (
         e.select(F.col("src").alias("vertex"))

@@ -599,7 +599,17 @@ def _prog_scan(
                         coef if c["id"] == y_id else None, by, bx,
                     )
     else:
-        # AC scan: exactly one component (T.81 §G.1.1.1.1)
+        # AC scan: exactly one component (T.81 §G.1.1.1.1).  A
+        # spec-invalid interleaved AC scan must REFUSE here (ADVICE r13):
+        # decoding scan[0] as non-interleaved could silently read the
+        # wrong component's coefficients whenever the bitstream happens
+        # not to desync — raise so the caller's stub fallback engages
+        # deterministically instead.
+        if len(scan) != 1:
+            raise ValueError(
+                f"progressive AC scan must have exactly one component "
+                f"(T.81 §G.1.1.1.1), got {len(scan)}"
+            )
         c = scan[0]
         actab = huff[(1, c["ac"])]
         bw = (-(-w * c["h"] // hmax) + 7) // 8

@@ -109,8 +109,20 @@ def compile_filter(
             vs = [val(f, v) for v in spec["_values"]]
             return col(f).isin(vs)
         if op == "_contains":
-            # property-is-defined (Filter.scala:187), NOT substring
-            return col(spec if isinstance(spec, str) else _field_value(spec)[0]).isNotNull()
+            # property-is-defined (Filter.scala:187), NOT substring.  The
+            # reference parser accepts ONLY the string form (FString); an
+            # object spec is ambiguous — GraphQL's `_contains` suffix means
+            # substring (graphql.py folds it to _like before reaching here)
+            # — so coercing it to IS NOT NULL would silently widen a
+            # substring-intent filter.  Refuse loudly (ADVICE r13), matching
+            # the reference's parse failure.
+            if not isinstance(spec, str):
+                raise ValueError(
+                    f"_contains takes a field-name string "
+                    f"(property-is-defined, Filter.scala:187); got {spec!r} — "
+                    "for substring matching use _like"
+                )
+            return col(spec).isNotNull()
         if op in ("_like", "_wildcard"):
             f, v = _field_value(spec)
             return TextP.like(str(val(f, v)))(col(f))

@@ -803,9 +803,20 @@ def predicates_from_json_filter(query: dict) -> list:
         if op == "_in":
             return [(str(spec["_field"]), "in", list(spec["_values"]))]
         if op == "_contains":
-            # property-is-defined (Filter.scala:187) = IS NOT NULL
-            f = spec if isinstance(spec, str) else _fv(spec)[0]
-            return [(str(f), "notnull", None)]
+            # property-is-defined (Filter.scala:187) = IS NOT NULL.  The
+            # reference grammar accepts ONLY the string form (its parser
+            # matches FString); an object spec is ambiguous — in GraphQL
+            # `_contains` means substring — so coercing it to IS NOT NULL
+            # would silently return extra rows for a substring-intent
+            # filter.  Refuse loudly instead (ADVICE r13), matching the
+            # reference's parse failure.
+            if not isinstance(spec, str):
+                raise ValueError(
+                    f"_contains takes a field-name string "
+                    f"(property-is-defined, Filter.scala:187); got {spec!r} — "
+                    "for substring matching use a _like chain filter step"
+                )
+            return [(spec, "notnull", None)]
         if op.startswith("_"):
             raise ValueError(
                 f"filter operator {op!r} is not skipping-expressible — apply "

@@ -9345,8 +9345,23 @@ def store_skipping_bloom_cap_q(spark, sf):
         f"{first['l_orderkey']}-{first['l_linenumber']}".encode()
     ).hexdigest()
     probes = [present, _hl.md5(b"absent-probe").hexdigest()]
-    r = store.read_skipping(spark, "li_h", [("h", "in", probes)])
-    kept = len(r.inputFiles())
+    preds = [("h", "in", probes)]
+    r = store.read_skipping(spark, "li_h", preds)
+    # prune POWER is asserted over the manifest decisions themselves
+    # (pre-fallback), not r.inputFiles() (ADVICE r13): with a degraded
+    # ~19% fpp bloom and 2 probes the expected keep rate is ~34%, so at
+    # other replica scales the >50%-kept fallback can legitimately route
+    # the read through the plain listing — the blooms still worked; the
+    # assertion must not conflate routing with pruning.
+    from scalligraph_spark.store import (
+        _normalize_predicates,
+        _preds_may_match,
+        _validate_predicates,
+    )
+
+    npreds = _normalize_predicates(_validate_predicates(preds))
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    kept = sum(1 for e in man["files"] if _preds_may_match(e, npreds, tz))
     # past the saturation point (scale replicas: ~375k digests/file vs a
     # 16 KiB cap) _bloom_build DROPS the bloom entirely — the documented
     # graceful degradation: nothing prunes, nothing is wrong, and the
@@ -10223,10 +10238,21 @@ def similarity_ann_recall_q(spark, sf):
     # mean = Σhit/Σexact (n_exact is the constant k for every query, so
     # this IS the per-query mean) — one exact integer division instead
     # of an order-dependent 256-term double sum, so the replay oracle
-    # reproduces it bit-identically
+    # reproduces it bit-identically.  The constancy is ENFORCED, not
+    # assumed (ADVICE r13): if any query yields n_exact != k (corpus
+    # barely above k at a tiny sf), Σhit/Σexact silently becomes a
+    # micro-average — assert_true makes that a loud failure instead of a
+    # drifted metric, at zero extra jobs (the guard rides the same agg).
+    guard = F.coalesce(
+        F.assert_true(
+            (F.min("n_exact") == F.lit(10)) & (F.max("n_exact") == F.lit(10)),
+            F.lit("n_exact != k: mean_recall would drift to a micro-average"),
+        ).cast("double"),
+        F.lit(0.0),
+    )
     return per.groupBy(F.lit("ivf").alias("kind")).agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.sum("n_hit") / F.sum("n_exact"), 12).alias("mean_recall"),
+        F.round(F.sum("n_hit") / F.sum("n_exact") + guard, 12).alias("mean_recall"),
         F.min("recall").alias("min_recall"),
     )
 

@@ -1207,9 +1207,12 @@ def test_notnull_reads_exactly_and_prunes_allnull_files(spark, store, monkeypatc
     assert predicates_from_json_filter({"_contains": "maybe"}) == [
         ("maybe", "notnull", None)
     ]
-    assert predicates_from_json_filter(
-        {"_contains": {"_field": "maybe", "_value": None}}
-    ) == [("maybe", "notnull", None)]
+    # object-form _contains is REFUSED (ADVICE r13): the reference grammar
+    # only parses the string form, and in GraphQL _contains means substring
+    # — coercing the object form to IS NOT NULL would silently widen a
+    # substring-intent filter
+    with pytest.raises(ValueError, match="_contains takes a field-name string"):
+        predicates_from_json_filter({"_contains": {"_field": "maybe", "_value": None}})
     rj = store.read_skipping(
         spark, "t", predicates_from_json_filter({"_contains": "maybe"})
     )
