@@ -642,6 +642,82 @@ def q(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Bench fixture discipline (VERDICT r13 #1): store-family READ keys must time
+# reads, not the rmtree+write() that stages their fixture — round 13 made the
+# write path heavier (per-file schema fingerprints, null counts, bloom
+# machinery), and every key that rebuilt its fixture inside the timed region
+# read as a 2.0-2.6x "read regression" while SCALE10's bloom keys showed the
+# BUILD's slope under a READ label.  The cure is the _ann_index_store /
+# _cdf_store pattern made uniform: each fixture builds once per process (so a
+# code change never reads a stale /tmp layout), every builder registers here,
+# and bench.py pre-builds them all in warm-up so rep 1 is already a pure
+# read.  Build cost is carried by explicit build keys
+# (store_write_plain / store_write_stats_overhead / value_index_build /
+# similarity_ann_index_build / text_index_build) instead of leaking into
+# read keys.
+_BENCH_FIXTURE_FNS: list = []
+_BENCH_FIXTURES_BUILT: set = set()
+
+
+def _bench_fixture(fn):
+    """Register ``fn(spark, sf) -> LabelStore`` as a warm-up fixture."""
+    _BENCH_FIXTURE_FNS.append(fn)
+    return fn
+
+
+def warm_bench_fixtures(spark, sf) -> None:
+    """Pre-build every memoized store-family fixture — called by bench.py
+    warm-up (untimed) so no timed rep ever pays a fixture build."""
+    for fn in _BENCH_FIXTURE_FNS:
+        fn(spark, sf)
+
+
+def _fixture_store(spark, sf, name, build):
+    """Build-once-per-process LabelStore fixture at
+    ``/tmp/sgspark_<name>_<sfbase>``: first touch per process rebuilds from
+    scratch (rmtree + build), later touches return the committed store."""
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore
+
+    root = f"/tmp/sgspark_{name}_{_os.path.basename(sf.rstrip('/'))}"
+    if root not in _BENCH_FIXTURES_BUILT:
+        _shutil.rmtree(root, ignore_errors=True)
+        build(LabelStore(root))
+        _BENCH_FIXTURES_BUILT.add(root)
+    return LabelStore(root)
+
+
+def _fixture_work_copy(store) -> "object":
+    """Hardlink-copy a pristine fixture into a fresh ``<root>.work`` so a
+    MUTATING timed region (index catch-up, compaction, retention vacuum)
+    can run repeatedly against identical bytes without paying a rebuild:
+    parquet data files are immutable in the store design (writes create
+    new version/segment dirs; vacuum unlinks), so they hardlink —
+    O(metadata) per file, no data copy at any scale — while JSON
+    pointers/manifests/commit stamps copy for real because sweeps rewrite
+    them in place."""
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore
+
+    work = store.root.rstrip("/") + ".work"
+    _shutil.rmtree(work, ignore_errors=True)
+
+    def _copy(src, dst, *, follow_symlinks=True):
+        if src.endswith(".parquet"):
+            _os.link(src, dst)
+        else:
+            _shutil.copy2(src, dst)
+        return dst
+
+    _shutil.copytree(store.root, work, copy_function=_copy)
+    return LabelStore(work)
+
+
 # ===========================================================================
 # ===  VERIFIED WINDOW (first 50 — one consolidated query per family)     ===
 # ===========================================================================
@@ -2754,6 +2830,7 @@ def _export_replay_books(books, dest: str) -> None:
     _os.replace(tmp, dest)
 
 
+@_bench_fixture
 def _ann_index_store(spark, sf, rebuild: bool = False):
     """Build-once-per-process IVF index for the sf's embeddings table —
     the point of a persisted index is that queries do NOT pay training;
@@ -5902,6 +5979,7 @@ def text_index_extend_q(spark, sf):
     return store.read(spark, f"docs_ix__seg{k}")
 
 
+@_bench_fixture
 def _value_index_store(spark, sf, rebuild: bool = False):
     """Build-once-per-process composite value indexes — ``cust_by_name``
     (unique, customer.c_name → c_custkey: the reference's ``unique``
@@ -6018,6 +6096,32 @@ def qlang_value_lookup_q(spark, sf):
     return t.df.select("c_custkey", "c_name", "c_mktsegment")
 
 
+@_bench_fixture
+def _vcatch_fixture(spark, sf):
+    def build(store):
+        from scalligraph_spark.cdf import write_with_cdf
+        from scalligraph_spark.operators import build_value_index
+
+        cust = cat_for(spark, sf).vertex_df("customer")
+        write_with_cdf(
+            store, "customer", cust.where(F.col("c_custkey") % 5 != 0), ["c_custkey"]
+        )
+        build_value_index(
+            spark, store, "cust_by_name", store.read(spark, "customer"),
+            "c_name", "c_custkey", unique=True,
+            corpus_store=store, corpus_label="customer",
+        )
+        write_with_cdf(
+            store, "customer",
+            store.read(spark, "customer").unionByName(
+                cust.where(F.col("c_custkey") % 5 == 0)
+            ),
+            ["c_custkey"],
+        )
+
+    return _fixture_store(spark, sf, "vcatch", build)
+
+
 @q(
     "value_index_catchup",
     "SELECT c_name AS value, c_custkey AS id FROM customer WHERE c_name IS NOT NULL",
@@ -6032,34 +6136,45 @@ def qlang_value_lookup_q(spark, sf):
     "corpus-cost rebuild",
 )
 def value_index_catchup_q(spark, sf):
-    import os as _os
-    import shutil as _shutil
+    from scalligraph_spark.operators import catchup_value_index, load_value_index
 
-    from scalligraph_spark.cdf import write_with_cdf
-    from scalligraph_spark.operators import (
-        build_value_index,
-        catchup_value_index,
-        load_value_index,
-    )
-    from scalligraph_spark.store import LabelStore
-
-    root = f"/tmp/sgspark_vcatch_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    cust = cat_for(spark, sf).vertex_df("customer")
-    write_with_cdf(store, "customer", cust.where(F.col("c_custkey") % 5 != 0), ["c_custkey"])
-    build_value_index(
-        spark, store, "cust_by_name", store.read(spark, "customer"),
-        "c_name", "c_custkey", unique=True, corpus_store=store, corpus_label="customer",
-    )
-    write_with_cdf(
-        store, "customer",
-        store.read(spark, "customer").unionByName(cust.where(F.col("c_custkey") % 5 == 0)),
-        ["c_custkey"],
-    )
+    # the timed subject is the CHURN-COST catch-up sweep, not the corpus
+    # commit + index build that stage it (VERDICT r13 #1): the pristine
+    # fixture (corpus@80% → index → churn append) builds once per process;
+    # the sweep MUTATES the store, so each call works on a hardlink copy
+    store = _fixture_work_copy(_vcatch_fixture(spark, sf))
     rep = catchup_value_index(spark, store, "cust_by_name", store)
     assert rep["action"] == "extended", rep
     return load_value_index(spark, store, "cust_by_name").entries
+
+
+@_bench_fixture
+def _vtomb_fixture(spark, sf):
+    def build(store):
+        from scalligraph_spark.cdf import write_with_cdf
+        from scalligraph_spark.operators import build_value_index
+
+        cust = cat_for(spark, sf).vertex_df("customer")
+        write_with_cdf(store, "customer", cust, ["c_custkey"])
+        build_value_index(
+            spark, store, "cust_by_name", store.read(spark, "customer"),
+            "c_name", "c_custkey", unique=True,
+            corpus_store=store, corpus_label="customer",
+        )
+        mutated = (
+            store.read(spark, "customer")
+            .where(F.col("c_custkey") % 7 != 0)
+            .withColumn(
+                "c_name",
+                F.when(
+                    F.col("c_custkey") % 11 == 0,
+                    F.concat(F.lit("renamed-"), F.col("c_custkey").cast("string")),
+                ).otherwise(F.col("c_name")),
+            )
+        )
+        write_with_cdf(store, "customer", mutated, ["c_custkey"])
+
+    return _fixture_store(spark, sf, "vtomb", build)
 
 
 @q(
@@ -6079,41 +6194,32 @@ def value_index_catchup_q(spark, sf):
     "JanusDatabase.scala:304-434; the discipline is Lucene deleted-docs",
 )
 def value_index_catchup_tombstone_q(spark, sf):
-    import os as _os
-    import shutil as _shutil
+    from scalligraph_spark.operators import catchup_value_index, load_value_index
 
-    from scalligraph_spark.cdf import write_with_cdf
-    from scalligraph_spark.operators import (
-        build_value_index,
-        catchup_value_index,
-        load_value_index,
-    )
-    from scalligraph_spark.store import LabelStore
-
-    root = f"/tmp/sgspark_vtomb_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    cust = cat_for(spark, sf).vertex_df("customer")
-    write_with_cdf(store, "customer", cust, ["c_custkey"])
-    build_value_index(
-        spark, store, "cust_by_name", store.read(spark, "customer"),
-        "c_name", "c_custkey", unique=True, corpus_store=store, corpus_label="customer",
-    )
-    mutated = (
-        store.read(spark, "customer")
-        .where(F.col("c_custkey") % 7 != 0)
-        .withColumn(
-            "c_name",
-            F.when(
-                F.col("c_custkey") % 11 == 0,
-                F.concat(F.lit("renamed-"), F.col("c_custkey").cast("string")),
-            ).otherwise(F.col("c_name")),
-        )
-    )
-    write_with_cdf(store, "customer", mutated, ["c_custkey"])
+    # timed subject: the tombstone-fold sweep at churn cost — the corpus
+    # commits + index build are the once-per-process pristine fixture; the
+    # sweep mutates, so each call runs against a hardlink copy
+    store = _fixture_work_copy(_vtomb_fixture(spark, sf))
     rep = catchup_value_index(spark, store, "cust_by_name", store, on_mutation="tombstone")
     assert rep["action"] == "tombstoned", rep
     return load_value_index(spark, store, "cust_by_name").entries
+
+
+@_bench_fixture
+def _vret_fixture(spark, sf):
+    def build(store):
+        from scalligraph_spark.operators import build_value_index, extend_value_index
+
+        cust = cat_for(spark, sf).vertex_df("customer")
+        build_value_index(
+            spark, store, "cust_by_name", cust.where(F.col("c_custkey") % 5 != 0),
+            "c_name", "c_custkey",
+        )
+        extend_value_index(
+            spark, store, "cust_by_name", cust.where(F.col("c_custkey") % 5 == 0)
+        )
+
+    return _fixture_store(spark, sf, "vret", build)
 
 
 @q(
@@ -6134,29 +6240,19 @@ def value_index_catchup_tombstone_q(spark, sf):
 def value_index_retention_vacuum_q(spark, sf):
     import json as _json
     import os as _os
-    import shutil as _shutil
     import time as _time
 
     from scalligraph_spark.operators import (
-        build_value_index,
         compact_value_index,
-        extend_value_index,
         load_value_index,
         vacuum_index_segments,
     )
-    from scalligraph_spark.store import LabelStore
 
-    root = f"/tmp/sgspark_vret_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    cust = cat_for(spark, sf).vertex_df("customer")
-    build_value_index(
-        spark, store, "cust_by_name", cust.where(F.col("c_custkey") % 5 != 0),
-        "c_name", "c_custkey",
-    )
-    extend_value_index(
-        spark, store, "cust_by_name", cust.where(F.col("c_custkey") % 5 == 0)
-    )
+    # timed subject: pin → compact → windowed sweep → aged sweep (the
+    # retention lifecycle); the build+extend that stage the segment layout
+    # are the pristine fixture, and compaction/vacuum mutate, so each call
+    # works on a hardlink copy (VERDICT r13 #1)
+    store = _fixture_work_copy(_vret_fixture(spark, sf))
     pinned = load_value_index(spark, store, "cust_by_name").entries  # base ∪ seg1
     n_pinned = pinned.count()
     compact_value_index(spark, store, "cust_by_name")
@@ -6178,6 +6274,39 @@ def value_index_retention_vacuum_q(spark, sf):
     return load_value_index(spark, store, "cust_by_name").entries
 
 
+@_bench_fixture
+def _fleet_fixture(spark, sf):
+    def build(store):
+        from scalligraph_spark.cdf import write_with_cdf
+        from scalligraph_spark.operators import (
+            build_minhash_index,
+            build_text_index,
+            build_value_index,
+        )
+
+        docs = cat_for(spark, sf).vertex_df("documents")
+        write_with_cdf(store, "documents", docs.where(F.col("doc_id") % 5 != 0), ["doc_id"])
+        build_value_index(spark, store, "docs_by_source", store.read(spark, "documents"),
+                          "source", "doc_id", corpus_store=store, corpus_label="documents")
+        build_text_index(store, "docs_text", store.read(spark, "documents"),
+                         corpus_store=store, corpus_label="documents")
+        build_minhash_index(spark, store, "docs_mix", store.read(spark, "documents"),
+                            corpus_store=store, corpus_label="documents")
+        write_with_cdf(
+            store, "documents",
+            store.read(spark, "documents").unionByName(
+                docs.where(F.col("doc_id") % 5 == 0)
+            ),
+            ["doc_id"],
+        )
+        # a fourth index built AFTER the append is already fresh → mixed
+        # staleness for the sweep to navigate
+        build_value_index(spark, store, "docs_by_lang", store.read(spark, "documents"),
+                          "lang", "doc_id", corpus_store=store, corpus_label="documents")
+
+    return _fixture_store(spark, sf, "fleet", build)
+
+
 @q(
     "maintain_indexes_fleet",
     "SELECT source AS value, doc_id AS id FROM documents WHERE source IS NOT NULL",
@@ -6193,40 +6322,19 @@ def value_index_retention_vacuum_q(spark, sf):
     "fleet-wide, with a number attached (bench key)",
 )
 def maintain_indexes_fleet_q(spark, sf):
-    import os as _os
-    import shutil as _shutil
-
-    from scalligraph_spark.cdf import write_with_cdf
     from scalligraph_spark.operators import (
-        build_minhash_index,
-        build_text_index,
-        build_value_index,
         load_text_index,
         load_value_index,
         maintain_indexes,
     )
     from scalligraph_spark.operators.dedup_index import _meta as _mh_meta
-    from scalligraph_spark.store import LabelStore
 
-    root = f"/tmp/sgspark_fleet_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    docs = cat_for(spark, sf).vertex_df("documents")
-    write_with_cdf(store, "documents", docs.where(F.col("doc_id") % 5 != 0), ["doc_id"])
-    build_value_index(spark, store, "docs_by_source", store.read(spark, "documents"),
-                      "source", "doc_id", corpus_store=store, corpus_label="documents")
-    build_text_index(store, "docs_text", store.read(spark, "documents"),
-                     corpus_store=store, corpus_label="documents")
-    build_minhash_index(spark, store, "docs_mix", store.read(spark, "documents"),
-                        corpus_store=store, corpus_label="documents")
-    write_with_cdf(
-        store, "documents",
-        store.read(spark, "documents").unionByName(docs.where(F.col("doc_id") % 5 == 0)),
-        ["doc_id"],
-    )
-    # a fourth index built AFTER the append is already fresh → mixed staleness
-    build_value_index(spark, store, "docs_by_lang", store.read(spark, "documents"),
-                      "lang", "doc_id", corpus_store=store, corpus_label="documents")
+    # timed subject: ONE fleet sweep catching three stale indexes up at
+    # churn cost (the claim with a number attached).  The corpus commits +
+    # four index builds are the pristine fixture (VERDICT r13 #1 — they
+    # previously rode this key's timed region, ~10 of its 12.7 s); the
+    # sweep extends indexes, so each call works on a hardlink copy
+    store = _fixture_work_copy(_fleet_fixture(spark, sf))
     reps = {r["index"]: r for r in maintain_indexes(
         spark, store,
         [("docs_by_source", "value"), ("docs_text", "text"),
@@ -6340,6 +6448,7 @@ _CDF_SQL_V2 = (
 )
 
 
+@_bench_fixture
 def _cdf_store(spark, sf):
     """Build-once-per-process two-version customer table with a captured
     change feed: v2 applies a deterministic churn (delete keys ≡0 mod 10,
@@ -8814,6 +8923,32 @@ def pipeline_mixture_plan_q(spark, sf):
     return mixture_plan(docs, w, token_budget=1_000_000)
 
 
+@_bench_fixture
+def _mvstore_fixture(spark, sf):
+    def build(store):
+        docs = cat_for(spark, sf).vertex_df("documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        store.write("docs", docs)
+        v2 = (
+            docs.where(F.col("doc_id") % 7 != 3)
+            .withColumn(
+                "n_chars",
+                F.when(F.col("doc_id") % 10 == 0, F.col("n_chars") + 1000).otherwise(
+                    F.col("n_chars")
+                ),
+            )
+            .unionByName(
+                docs.where(F.col("doc_id") % 100 == 7).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"), "source", "n_chars"
+                )
+            )
+        )
+        store.write("docs", v2)
+
+    return _fixture_store(spark, sf, "mvstore", build)
+
+
 @q(
     "store_mv_refresh",
     """
@@ -8836,35 +8971,48 @@ FROM v2 GROUP BY source
     "full recompute at v2 the refresh must equal bit-for-bit",
 )
 def store_mv_refresh_q(spark, sf):
-    import os as _os
-    import shutil as _shutil
+    from scalligraph_spark.store import aggregate_snapshot, refresh_aggregate
 
-    from scalligraph_spark.store import LabelStore, aggregate_snapshot, refresh_aggregate
-
-    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "source", "n_chars")
-    root = f"/tmp/sgspark_mvstore_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    store.write("docs", docs)
-    v2 = (
-        docs.where(F.col("doc_id") % 7 != 3)
-        .withColumn(
-            "n_chars",
-            F.when(F.col("doc_id") % 10 == 0, F.col("n_chars") + 1000).otherwise(
-                F.col("n_chars")
-            ),
-        )
-        .unionByName(
-            docs.where(F.col("doc_id") % 100 == 7).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "source", "n_chars"
-            )
-        )
-    )
-    store.write("docs", v2)
+    store = _mvstore_fixture(spark, sf)
     mv = aggregate_snapshot(store.read(spark, "docs", 1), ["source"], ["n_chars"])
     return refresh_aggregate(
         spark, store, "docs", mv, ["source"], ["n_chars"], 1, 2, key_cols=["doc_id"]
     )
+
+
+@_bench_fixture
+def _morstore_fixture(spark, sf):
+    def build(store):
+        docs = cat_for(spark, sf).vertex_df("documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        store.write("docs", docs)
+        d1 = (
+            docs.where(F.col("doc_id") % 7 == 2)
+            .select("doc_id", "source", (F.col("n_chars") + 1).alias("n_chars"))
+            .withColumn("_op", F.lit("upsert"))
+            .unionByName(
+                docs.where((F.col("doc_id") % 13 == 5) & (F.col("doc_id") % 7 != 2)).select(
+                    "doc_id",
+                    F.lit(None).cast("string").alias("source"),
+                    F.lit(None).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
+                    F.lit("delete").alias("_op"),
+                )
+            )
+        )
+        store.write_delta(spark, "docs", d1, ["doc_id"])
+        d2 = (
+            docs.where(F.col("doc_id") % 11 == 1)
+            .select(
+                "doc_id",
+                F.lit("edited").alias("source"),
+                (F.col("n_chars") + 5).alias("n_chars"),
+            )
+            .withColumn("_op", F.lit("upsert"))
+        )
+        store.write_delta(spark, "docs", d2, ["doc_id"])
+
+    return _fixture_store(spark, sf, "morstore", build)
 
 
 @q(
@@ -8897,41 +9045,21 @@ SELECT doc_id, source, n_chars FROM latest WHERE op = 'upsert'
     "compact_mor folds deltas into a plain base when churn accumulates",
 )
 def store_mor_read_q(spark, sf):
-    import os as _os
-    import shutil as _shutil
+    return _morstore_fixture(spark, sf).read_merged(spark, "docs")
 
-    from scalligraph_spark.store import LabelStore
 
-    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "source", "n_chars")
-    root = f"/tmp/sgspark_morstore_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    store.write("docs", docs)
-    d1 = (
-        docs.where(F.col("doc_id") % 7 == 2)
-        .select("doc_id", "source", (F.col("n_chars") + 1).alias("n_chars"))
-        .withColumn("_op", F.lit("upsert"))
-        .unionByName(
-            docs.where((F.col("doc_id") % 13 == 5) & (F.col("doc_id") % 7 != 2)).select(
-                "doc_id",
-                F.lit(None).cast("string").alias("source"),
-                F.lit(None).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
-                F.lit("delete").alias("_op"),
-            )
+@_bench_fixture
+def _skip_read_fixture(spark, sf):
+    def build(store):
+        orders = cat_for(spark, sf).vertex_df("orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
         )
-    )
-    store.write_delta(spark, "docs", d1, ["doc_id"])
-    d2 = (
-        docs.where(F.col("doc_id") % 11 == 1)
-        .select(
-            "doc_id",
-            F.lit("edited").alias("source"),
-            (F.col("n_chars") + 5).alias("n_chars"),
+        store.write(
+            "orders", orders, sort_by=(12, ["o_orderdate"]),
+            stats_cols=["o_orderdate", "o_totalprice"],
         )
-        .withColumn("_op", F.lit("upsert"))
-    )
-    store.write_delta(spark, "docs", d2, ["doc_id"])
-    return store.read_merged(spark, "docs")
+
+    return _fixture_store(spark, sf, "skip", build)
 
 
 @q(
@@ -8955,21 +9083,8 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 )
 def store_skipping_read_q(spark, sf):
     import datetime as _dt
-    import os as _os
-    import shutil as _shutil
 
-    from scalligraph_spark.store import LabelStore
-
-    orders = cat_for(spark, sf).vertex_df("orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    root = f"/tmp/sgspark_skip_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    store.write(
-        "orders", orders, sort_by=(12, ["o_orderdate"]),
-        stats_cols=["o_orderdate", "o_totalprice"],
-    )
+    store = _skip_read_fixture(spark, sf)
     out = store.read_skipping(
         spark,
         "orders",
@@ -8983,6 +9098,87 @@ def store_skipping_read_q(spark, sf):
     n_kept = len(out.inputFiles())
     assert n_kept < n_all, f"skipping read must prune files ({n_kept}/{n_all})"
     return out
+
+
+def _write_cost_entry(spark, sf, name, **write_opts):
+    """Shared body of the pinned write-cost pair: rmtree + write the SAME
+    12-file date-sorted orders layout (the write IS the timed subject for
+    both keys — unlike the read keys, nothing here is fixture), then read
+    the commit back so the round-trip is value-checked."""
+    import os as _os
+    import shutil as _shutil
+
+    from scalligraph_spark.store import LabelStore
+
+    orders = cat_for(spark, sf).vertex_df("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    root = f"/tmp/sgspark_{name}_{_os.path.basename(sf.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    store = LabelStore(root)
+    store.write("orders", orders, sort_by=(12, ["o_orderdate"]), **write_opts)
+    r = store.read(spark, "orders")
+    n_files = len(r.inputFiles())
+    assert n_files == 12, f"write-cost pair must produce identical layouts ({n_files})"
+    return store, r
+
+
+@q(
+    "store_write_plain",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys FROM orders",
+    "write-path cost CONTROL (VERDICT r13 #3): commit the orders table as "
+    "12 date-sorted files with NO stats collection — the baseline the "
+    "stats-overhead key subtracts against.  Pinned across rounds so "
+    "manifest-collection cost stays a measured number, never a forensic "
+    "inference from read-key drift",
+)
+def store_write_plain_q(spark, sf):
+    store, r = _write_cost_entry(spark, sf, "wplain")
+    assert store.file_manifest("orders") is None, "control write must carry no manifest"
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+    )
+
+
+@q(
+    "store_write_stats_overhead",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys FROM orders",
+    "write-path STATS overhead, measured (VERDICT r13 #3): the identical "
+    "12-file commit with stats_cols on two columns — per-file footer "
+    "min/max + null counts + schema fingerprints (n_schemas) collected by "
+    "the distributed footer scan (store.py _footer_manifest).  This key "
+    "minus store_write_plain IS the manifest-collection cost per commit; "
+    "divide by 12 for per-file.  Bloom build cost is deliberately NOT "
+    "included (it reads data pages, a different regime — "
+    "store_skipping_bloom_cap times that write)",
+)
+def store_write_stats_overhead_q(spark, sf):
+    store, r = _write_cost_entry(
+        spark, sf, "wstats", stats_cols=["o_orderdate", "o_totalprice"]
+    )
+    man = store.file_manifest("orders")
+    assert man is not None and len(man["files"]) == 12, "stats write must publish a manifest"
+    assert man.get("n_schemas") == 1, "homogeneous commit must fingerprint as one schema"
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+    )
+
+
+@_bench_fixture
+def _asof_fixture(spark, sf):
+    def build(store):
+        docs = cat_for(spark, sf).vertex_df("documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        store.write("docs", docs.where(F.col("doc_id") % 7 != 3))  # v1
+        store.write("docs", docs.where(F.col("doc_id") % 5 != 0))  # v2 — the target
+        store.write("docs", docs)  # v3 (current)
+
+    return _fixture_store(spark, sf, "asof", build)
 
 
 @q(
@@ -9000,18 +9196,11 @@ def store_skipping_read_q(spark, sf):
 def store_time_travel_q(spark, sf):
     import json as _json
     import os as _os
-    import shutil as _shutil
     import time as _time
 
-    from scalligraph_spark.store import LabelStore
-
-    docs = cat_for(spark, sf).vertex_df("documents").select("doc_id", "source", "n_chars")
-    root = f"/tmp/sgspark_asof_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    store.write("docs", docs.where(F.col("doc_id") % 7 != 3))  # v1
-    store.write("docs", docs.where(F.col("doc_id") % 5 != 0))  # v2 — the target
-    store.write("docs", docs)  # v3 (current)
+    store = _asof_fixture(spark, sf)
+    # re-stamp per call (three tiny JSON rewrites — read-path cost only):
+    # the as-of instant is relative to NOW, so stamps refresh each run
     now = _time.time()
     for v, age in ((1, 300.0), (2, 200.0), (3, 100.0)):
         p = _os.path.join(store.path("docs", v), "_commit.json")
@@ -9023,6 +9212,20 @@ def store_time_travel_q(spark, sf):
     assert store.version_at("docs", now - 250) == 1
     assert store.version_at("docs", now) == 3
     return store.read_as_of(spark, "docs", now - 150)
+
+
+@_bench_fixture
+def _qskip_fixture(spark, sf):
+    def build(store):
+        orders = cat_for(spark, sf).vertex_df("orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        store.write(
+            "orders", orders, sort_by=(12, ["o_orderdate"]),
+            stats_cols=["o_orderdate"],
+        )
+
+    return _fixture_store(spark, sf, "qskip", build)
 
 
 @q(
@@ -9046,22 +9249,8 @@ GROUP BY o_orderstatus
     "filter+group",
 )
 def qlang_from_store_q(spark, sf):
-    import os as _os
-    import shutil as _shutil
-
-    from scalligraph_spark.store import LabelStore
-
-    orders = cat_for(spark, sf).vertex_df("orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
-    )
-    root = f"/tmp/sgspark_qskip_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    store.write(
-        "orders", orders, sort_by=(12, ["o_orderdate"]),
-        stats_cols=["o_orderdate"],
-    )
-    ex = executor_for(spark, sf, store_root=root)
+    store = _qskip_fixture(spark, sf)
+    ex = executor_for(spark, sf, store_root=store.root)
     t = ex.execute(
         [
             {
@@ -9102,6 +9291,20 @@ def qlang_from_store_q(spark, sf):
     return t.df.select("o_orderstatus", "count", "total")
 
 
+@_bench_fixture
+def _orskip_fixture(spark, sf):
+    def build(store):
+        orders = cat_for(spark, sf).vertex_df("orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        store.write(
+            "orders", orders, sort_by=(12, ["o_orderdate"]),
+            stats_cols=["o_orderdate"],
+        )
+
+    return _fixture_store(spark, sf, "orskip", build)
+
+
 @q(
     "store_skipping_or_read",
     f"""
@@ -9122,22 +9325,8 @@ GROUP BY o_orderstatus
     "the table; the residual filter keeps it exactly the SQL OR",
 )
 def store_skipping_or_read_q(spark, sf):
-    import os as _os
-    import shutil as _shutil
-
-    from scalligraph_spark.store import LabelStore
-
-    orders = cat_for(spark, sf).vertex_df("orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
-    )
-    root = f"/tmp/sgspark_orskip_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    store.write(
-        "orders", orders, sort_by=(12, ["o_orderdate"]),
-        stats_cols=["o_orderdate"],
-    )
-    ex = executor_for(spark, sf, store_root=root)
+    store = _orskip_fixture(spark, sf)
+    ex = executor_for(spark, sf, store_root=store.root)
     t = ex.execute(
         [
             {
@@ -9192,6 +9381,7 @@ def store_skipping_or_read_q(spark, sf):
     return t.df.select("o_orderstatus", "count", "total")
 
 
+@_bench_fixture
 def _manifest_scale_store(spark, sf):
     """A ≥5,000-file orders table (one-time per sf, cached in /tmp):
     key-sorted slices written directly with pyarrow — the small-file
@@ -9237,6 +9427,25 @@ def _manifest_scale_store(spark, sf):
     return store
 
 
+@_bench_fixture
+def _bloomskip_fixture(spark, sf):
+    def build(store):
+        orders = cat_for(spark, sf).vertex_df("orders").select(
+            "o_orderkey", F.md5(F.col("o_orderkey").cast("string")).alias("h")
+        )
+        # key-sorted layout → h is UNCLUSTERED: ranges cannot prune it.
+        # bloom_max_bytes=512 KiB keeps the bitsets at the target fpp even
+        # on the 10x/30x scale replicas (~375k digests/file = ~450 KB
+        # optimal) — this entry measures bloom PRUNING POWER; the byte-cap
+        # degradation discipline is store_skipping_bloom_cap's subject
+        store.write(
+            "orders_h", orders, sort_by=(12, ["o_orderkey"]),
+            stats_cols=["h"], bloom_cols=["h"], bloom_max_bytes=512 * 1024,
+        )
+
+    return _fixture_store(spark, sf, "bloomskip", build)
+
+
 @q(
     "store_skipping_bloom_read",
     """
@@ -9257,26 +9466,8 @@ WHERE h IN (md5('42'), md5('999999999'))
 )
 def store_skipping_bloom_read_q(spark, sf):
     import hashlib as _hl
-    import os as _os
-    import shutil as _shutil
 
-    from scalligraph_spark.store import LabelStore
-
-    orders = cat_for(spark, sf).vertex_df("orders").select(
-        "o_orderkey", F.md5(F.col("o_orderkey").cast("string")).alias("h")
-    )
-    root = f"/tmp/sgspark_bloomskip_{_os.path.basename(sf.rstrip('/'))}"
-    _shutil.rmtree(root, ignore_errors=True)
-    store = LabelStore(root)
-    # key-sorted layout → h is UNCLUSTERED: ranges cannot prune it.
-    # bloom_max_bytes=512 KiB keeps the bitsets at the target fpp even on
-    # the 10x/30x scale replicas (~375k digests/file = ~450 KB optimal) —
-    # this entry measures bloom PRUNING POWER; the byte-cap degradation
-    # discipline is store_skipping_bloom_cap's subject
-    store.write(
-        "orders_h", orders, sort_by=(12, ["o_orderkey"]),
-        stats_cols=["h"], bloom_cols=["h"], bloom_max_bytes=512 * 1024,
-    )
+    store = _bloomskip_fixture(spark, sf)
     probes = [_hl.md5(b"42").hexdigest(), _hl.md5(b"999999999").hexdigest()]
     r = store.read_skipping(spark, "orders_h", [("h", "in", probes)])
     n_all = len(store.file_manifest("orders_h")["files"])

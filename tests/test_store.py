@@ -953,3 +953,54 @@ def test_store_report_metadata_only_health(spark, tmp_path):
     assert rep["person"]["data_files"] >= 1 and rep["person"]["data_bytes"] > 0
     # retention signal: freshly-committed labels report a near-zero age
     assert 0 <= rep["person"]["commit_age_seconds"] < 300
+
+
+def test_fixture_work_copy_isolates_mutations(spark, store):
+    """The bench fixture discipline (VERDICT r13 #1): a hardlink work copy
+    lets a MUTATING timed region (catch-up, compaction, vacuum) run
+    repeatedly against identical bytes — new versions land only in the
+    copy, JSON metadata rewrites only touch the copy's real-copied files,
+    and vacuum in the copy unlinks without harming the pristine data."""
+    import json
+    import os
+
+    from scalligraph_spark.suite import _fixture_work_copy
+
+    store.write("t", spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    pristine_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(store.root)
+        for f in fs
+    )
+    pristine_bytes = {p: open(p, "rb").read() for p in pristine_files}
+
+    work = _fixture_work_copy(store)
+    assert work.root == store.root.rstrip("/") + ".work"
+    # parquet data files are hardlinks (no data copy); metadata is real
+    for p in pristine_files:
+        rel = os.path.relpath(p, store.root)
+        wp = os.path.join(work.root, rel)
+        if p.endswith(".parquet"):
+            assert os.path.samefile(p, wp), "data files must hardlink"
+        else:
+            assert not os.path.samefile(p, wp), "metadata must copy for real"
+    # mutate the copy: new version, in-place stamp rewrite, vacuum
+    work.write("t", spark.createDataFrame([(1, "a")], "k long, v string"))
+    cp = os.path.join(work.path("t", 1), "_commit.json")
+    with open(cp) as fh:
+        m = json.load(fh)
+    m["_committed_at"] = 1.0
+    with open(cp, "w") as fh:
+        json.dump(m, fh)
+    work.vacuum("t", retention_seconds=0.0)
+    # the pristine fixture is byte-identical to before
+    assert sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(store.root) for f in fs
+    ) == pristine_files
+    for p, b in pristine_bytes.items():
+        assert open(p, "rb").read() == b, f"pristine bytes changed: {p}"
+    assert store.version("t") == 1
+    # and a SECOND work copy starts from the pristine state again
+    work2 = _fixture_work_copy(store)
+    assert work2.version("t") == 1
+    assert work2.read(spark, "t").count() == 2
