@@ -35,3 +35,14 @@ def oracle_sql() -> dict[str, str]:
     from scalligraph_spark.suite import SUITE
 
     return {name: q.sql for name, q in SUITE.items() if q.sql is not None}
+
+
+def bounds_sql() -> dict[str, str]:
+    """OPTIONAL extension the driver ignores: for sketch-backed entries
+    with no bit-identical SQL twin, DuckDB SQL whose exact columns compare
+    exactly and whose ``<col>_lo``/``<col>_hi`` pairs must bracket the
+    Spark result — the sketch's published error bound, asserted by
+    tools/check.py as a distinct ``bound`` tier."""
+    from scalligraph_spark.suite import SUITE
+
+    return {name: q.bounds_sql for name, q in SUITE.items() if q.bounds_sql is not None}

@@ -629,14 +629,21 @@ class Q:
     spark: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # None → non-SQL-expressible; driver does rows-only check
     doc: str = ""
+    # BOUNDED oracle (VERDICT r13 #5) for sketch-backed entries that have no
+    # bit-identical SQL twin: DuckDB SQL whose result carries (a) exact
+    # columns, compared exactly, and (b) `<col>_lo`/`<col>_hi` pairs that
+    # must bracket the Spark result's `<col>` — the published error bound of
+    # the sketch, asserted instead of hand-waved.  tools/check.py reports
+    # these as a distinct `bound` tier; the driver still sees rows-only.
+    bounds_sql: str | None = None
 
 
 SUITE: dict[str, Q] = {}
 
 
-def q(name: str, sql: str | None, doc: str = ""):
+def q(name: str, sql: str | None, doc: str = "", bounds_sql: str | None = None):
     def deco(fn):
-        SUITE[name] = Q(spark=fn, sql=sql, doc=doc)
+        SUITE[name] = Q(spark=fn, sql=sql, doc=doc, bounds_sql=bounds_sql)
         return fn
 
     return deco
@@ -3665,10 +3672,54 @@ def hop_doc_embedding_q(spark, sf):
 
 @q(
     "pipeline_corpus_profile",
-    None,  # HLL++/percentile sketches have no bit-identical DuckDB twin → rows-only
+    None,  # HLL++/percentile sketches have no bit-identical DuckDB twin
     "per-source corpus profile via mergeable sketches: HLL++ vocabulary, "
     "approx_percentile length quantiles — partial-aggregated, no wide "
-    "shuffle (the exact versions ship every token / full-sort at scale)",
+    "shuffle (the exact versions ship every token / full-sort at scale).  "
+    "No exact oracle BY DESIGN, but verified as BOUNDED-exact (VERDICT "
+    "r13 #5): n_docs/total_tokens compare exactly, approx_vocab must land "
+    "inside HLL++'s 3-sigma band (rsd=0.02 -> ±6%), and each percentile "
+    "must be an element within the sketch's published rank-error window "
+    "(±ceil(n/accuracy)+1 positions around the target rank)",
+    bounds_sql="""
+WITH d AS (
+  SELECT source, length(text) AS n_chars_len,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+base AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens
+  FROM d GROUP BY source
+),
+vocab AS (
+  SELECT source, count(DISTINCT tok) AS ndv
+  FROM (SELECT source, unnest(toks) AS tok FROM d) GROUP BY source
+),
+ranked AS (
+  SELECT source, list(n_chars_len ORDER BY n_chars_len) AS vs,
+         count(*) AS n
+  FROM d GROUP BY source
+),
+pcts AS (
+  SELECT source,
+    vs[greatest(1, CAST(floor(0.50 * n) AS BIGINT) - (CAST(ceil(n / 10000.0) AS BIGINT) + 1))] AS p50_lo,
+    vs[least(n,    CAST(ceil(0.50 * n)  AS BIGINT) + (CAST(ceil(n / 10000.0) AS BIGINT) + 1))] AS p50_hi,
+    vs[greatest(1, CAST(floor(0.90 * n) AS BIGINT) - (CAST(ceil(n / 10000.0) AS BIGINT) + 1))] AS p90_lo,
+    vs[least(n,    CAST(ceil(0.90 * n)  AS BIGINT) + (CAST(ceil(n / 10000.0) AS BIGINT) + 1))] AS p90_hi,
+    vs[greatest(1, CAST(floor(0.99 * n) AS BIGINT) - (CAST(ceil(n / 10000.0) AS BIGINT) + 1))] AS p99_lo,
+    vs[least(n,    CAST(ceil(0.99 * n)  AS BIGINT) + (CAST(ceil(n / 10000.0) AS BIGINT) + 1))] AS p99_hi
+  FROM ranked
+)
+SELECT b.source, b.n_docs, b.total_tokens,
+       CAST(floor(v.ndv * 0.94) AS BIGINT) AS approx_vocab_lo,
+       CAST(ceil(v.ndv * 1.06)  AS BIGINT) AS approx_vocab_hi,
+       p.p50_lo AS p50_chars_lo, p.p50_hi AS p50_chars_hi,
+       p.p90_lo AS p90_chars_lo, p.p90_hi AS p90_chars_hi,
+       p.p99_lo AS p99_chars_lo, p.p99_hi AS p99_chars_hi
+FROM base b JOIN vocab v USING (source) JOIN pcts p USING (source)
+""",
 )
 def pipeline_corpus_profile_q(spark, sf):
     from scalligraph_spark.operators import corpus_profile

@@ -90,6 +90,44 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def compare_bounds(name: str, sdf: pd.DataFrame, bdf: pd.DataFrame) -> list[str]:
+    """Bounded-oracle compare (VERDICT r13 #5): the bounds SQL's plain
+    columns must match the Spark result exactly; each ``<col>_lo``/
+    ``<col>_hi`` pair must bracket the Spark column ``<col>`` — the
+    sketch's published error bound, asserted per row."""
+    problems = []
+    stems = sorted(c[:-3] for c in bdf.columns if c.endswith("_lo"))
+    exact = sorted(c for c in bdf.columns if not (c.endswith("_lo") or c.endswith("_hi")))
+    missing = [c for c in stems + exact if c not in sdf.columns]
+    extra = [c for c in sdf.columns if c not in stems + exact]
+    if missing or extra:
+        problems.append(f"schema: spark-missing={missing} spark-extra={extra}")
+        return problems
+    if len(sdf) != len(bdf):
+        problems.append(f"rows: spark={len(sdf)} bounds={len(bdf)}")
+        return problems
+    s = sdf.sort_values(exact, kind="stable").reset_index(drop=True)
+    b = bdf.sort_values(exact, kind="stable").reset_index(drop=True)
+    for c in exact:
+        sv, ov = s[c].tolist(), b[c].tolist()
+        bad = [i for i in range(len(sv)) if not _values_equal(sv[i], ov[i])]
+        if bad:
+            i = bad[0]
+            problems.append(f"exact col {c}: {len(bad)} diffs, first at row {i}: spark={sv[i]!r} bounds={ov[i]!r}")
+    for c in stems:
+        sv = s[c].astype(float).tolist()
+        lo = b[c + "_lo"].astype(float).tolist()
+        hi = b[c + "_hi"].astype(float).tolist()
+        bad = [i for i in range(len(sv)) if not (lo[i] <= sv[i] <= hi[i])]
+        if bad:
+            i = bad[0]
+            problems.append(
+                f"bound col {c}: {len(bad)} out of bounds, first at row {i}: "
+                f"spark={sv[i]!r} not in [{lo[i]!r}, {hi[i]!r}]"
+            )
+    return problems
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_CHECK", "/root/testdata/sf0.01")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -114,8 +152,9 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    bounds = e.bounds_sql() if hasattr(e, "bounds_sql") else {}
     names = [n for n in qs if not args or any(a in n for a in args)]
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_bound = 0
     failures = []
     for name in names:
         t0 = time.time()
@@ -127,6 +166,23 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
+            if name in bounds:
+                try:
+                    bdf = con.execute(bounds[name]).df()
+                except Exception:
+                    print(f"FAIL  {name}: bounds oracle raised\n{traceback.format_exc()}")
+                    n_fail += 1
+                    failures.append(name)
+                    continue
+                problems = compare_bounds(name, sdf, bdf)
+                if problems:
+                    print(f"FAIL  {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
+                    n_fail += 1
+                    failures.append(name)
+                else:
+                    print(f"bound {name}: {len(sdf)} rows (exact cols + sketch error bounds) [{time.time()-t0:.1f}s]")
+                    n_bound += 1
+                continue
             print(f"rows  {name}: {len(sdf)} rows (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
@@ -145,7 +201,7 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
-    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL of {len(names)}")
+    print(f"\n{n_pass} ok, {n_bound} bounded-exact, {n_rows_only} rows-only, {n_fail} FAIL of {len(names)}")
     if failures:
         print("failures:", " ".join(failures))
     return 1 if n_fail else 0
