@@ -10920,6 +10920,21 @@ def quality_constraint_report_q(spark, sf):
 # UPGRADED, not lost — the incoming store_skipping_bloom_read checks the
 # same prune-by-bloom discipline at the storage tier).  Both rotated-out
 # entries stay registered, bench-keyed, and exact under tools/check.py.
+#
+# Round-14 rotation (VERDICT r13 #6): IN store_skipping_bloom_cap (the
+# byte-cap degradation discipline's own oracle-exact entry — per-file
+# bloom bitset caps with loud fpp degradation and a driver-sized-header
+# assertion) and similarity_ivf_topk (the artifact-replay oracle pattern
+# at all-pairs scale: DuckDB re-derives probe choice, cell assignment,
+# candidates and left-fold cosines from the exported centroids).  OUT
+# the two longest residents, both in-window since the original round-4
+# window: multimodal_features (the multimodal family keeps
+# multimodal_jpeg_decode in-window — strictly deeper surface: real
+# entropy decode + the same Arrow mapInPandas plumbing; features stays
+# suite-exact + pytest) and pipeline_clean_corpus (the pipeline family
+# keeps pipeline_sample_per_key + pipeline_pack_documents_sharded
+# in-window; clean_corpus stays suite-exact and bench-keyed).  Both
+# rotated-out entries remain registered and exact under tools/check.py.
 _WINDOW = [
     "qlang_from_store",
     "qlang_row_policy",
@@ -10961,10 +10976,10 @@ _WINDOW = [
     "temporal_forward_fill",
     "text_quality_tokens",
     "store_skipping_bloom_read",
-    "multimodal_features",
+    "similarity_ivf_topk",
     "temporal_asof_join_bucketed",
     "dialogue_pack_budget_sharded",
-    "pipeline_clean_corpus",
+    "store_skipping_bloom_cap",
     "store_time_travel",
     "writes_pipeline",
     "auth_property",
