@@ -51,7 +51,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         # which codec produced the row: pil / png / jpeg_baseline /
-        # jpeg_progressive / wav / stub — the decode-coverage signal
+        # jpeg_progressive / jpeg_arith / wav / stub — the coverage signal
         # (groupBy("decoder") counts stub-degraded rows per corpus)
         T.StructField("decoder", T.StringType(), False),
     ]
@@ -721,6 +721,398 @@ def _prog_ac_refine(bits, blk, ss, se, al, actab, eobrun: int) -> int:
     return eobrun
 
 
+# -- arithmetic-coded JPEG (SOF9, T.81 Annex F) -------------------------------
+
+# ITU-T T.81 Table D.3: the arithmetic coder's probability estimation
+# state machine — (Qe, next-state-on-MPS, next-state-on-LPS, switch-MPS).
+# These constants are part of the PUBLIC standard; row 113 is the
+# non-adapting ~0.5-probability state the AC statistical model codes
+# sign bits with (F.1.4.4.2.1: sign uses a fixed estimate).
+_QE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0), (0x080B, 4, 18, 0),
+    (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0), (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0),
+    (0x0036, 9, 30, 0), (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1), (0x3F25, 16, 36, 0),
+    (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0), (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0),
+    (0x0CEF, 21, 43, 0), (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0), (0x01B1, 28, 54, 0),
+    (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0), (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0),
+    (0x0068, 33, 62, 0), (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0), (0x2EF1, 40, 67, 0),
+    (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0), (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0),
+    (0x1177, 45, 73, 0), (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0), (0x04DE, 52, 50, 0),
+    (0x040F, 53, 50, 0), (0x0363, 54, 51, 0), (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0),
+    (0x01F8, 57, 54, 0), (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0), (0x008F, 32, 61, 0),
+    (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0), (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0),
+    (0x2FE8, 69, 83, 0), (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0), (0x119C, 76, 74, 0),
+    (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0), (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0),
+    (0x5832, 81, 80, 1), (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0), (0x2516, 71, 86, 0),
+    (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0), (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0),
+    (0x3824, 93, 99, 0), (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0), (0x3C3D, 100, 104, 0),
+    (0x375E, 93, 99, 0), (0x5231, 102, 105, 0), (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0),
+    (0x415E, 99, 103, 0), (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1), (0x5522, 109, 112, 0),
+    (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+]
+
+
+class _ArithDec:
+    """T.81 §F.2.2 arithmetic DECODER (the QM coder): 16-bit interval
+    register A, code register C fed 8 bits at a time through the 0xFF00
+    unstuffing byte feeder, conditional MPS/LPS exchange around
+    renormalization, and the Table D.3 state machine above.  Statistics
+    bins are single bytes — bit 7 the current MPS sense, bits 0-6 the
+    state index — exactly the packing §F.1.4.4 describes.  A marker in
+    the entropy stream feeds zero bytes from then on (the compressed
+    data is self-terminating; the trailing marker is the caller's to
+    handle), except RSTn which the MCU loop consumes via
+    :meth:`sync_restart` (full decoder re-init + statistics reset, per
+    §E.2.4).  Verified against the independent libjpeg implementation
+    (tests/test_operators.py, arithmetic fixtures)."""
+
+    __slots__ = ("data", "pos", "c", "a", "ct", "_marker")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._init_registers()
+
+    def _byte(self) -> int:
+        d, p = self.data, self.pos
+        if self._marker or p >= len(d):
+            return 0
+        b = d[p]
+        if b == 0xFF:
+            # skip the run of 0xFF bytes, then look at what follows
+            q = p + 1
+            while q < len(d) and d[q] == 0xFF:
+                q += 1
+            nxt = d[q] if q < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = q + 1  # stuffed: a literal 0xFF data byte
+                return 0xFF
+            self._marker = True  # leave pos AT the marker for the caller
+            return 0
+        self.pos = p + 1
+        return b
+
+    def _init_registers(self) -> None:
+        # INITDEC (§F.2.2.1): two start bytes in C, interval register at
+        # full scale 0x10000, shift counter empty.  C accumulates fed
+        # bytes at the BOTTOM and is never shifted by renormalization —
+        # the compare aligns via ``(A - Qe) << CT`` (the spec's software
+        # conventions, §F.2.2.5), which is what makes the lazy renorm
+        # exact.  These register conventions were verified
+        # instruction-level against the independent libjpeg decoder.
+        self._marker = False
+        self.c = (self._byte() << 8) | self._byte()
+        self.ct = 0
+        self.a = 0x10000
+
+    def sync_restart(self) -> None:
+        """Scan to the next RSTn, consume it, re-init registers (the
+        statistics reset is the caller's — it owns the bins)."""
+        d, p = self.data, self.pos
+        n = len(d)
+        while p + 1 < n:
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos = p + 2
+                self._init_registers()
+                return
+            p += 1
+        raise ValueError("expected restart marker")
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        """One binary decision in bin ``i`` (DECODE, §F.2.2.2, with the
+        MPS/LPS conditional-exchange paths of Figures F.20/F.21): the
+        MPS owns the renormalization-aligned subinterval
+        ``(A-Qe) << CT``; taking the Qe-sized remainder decodes the LPS
+        unless conditional exchange (``A-Qe < Qe``) swaps the roles.
+        Stats bytes pack bit 7 = MPS sense, bits 0-6 = state index."""
+        # lazy renormalization first (one fresh byte per 8 doublings)
+        a, c, ct = self.a, self.c, self.ct
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = (c << 8) | self._byte()
+                ct += 8
+            a <<= 1
+        sv = stats[i]
+        qe, nmps, nlps, sw = _QE[sv & 0x7F]
+        a -= qe
+        temp = a << ct
+        if c < temp:
+            if a & 0x8000:
+                self.a, self.c, self.ct = a, c, ct
+                return sv >> 7  # short MPS path: no adaptation
+            if a < qe:  # conditional exchange: renorm-sized MPS region
+                d = (sv >> 7) ^ 1
+                stats[i] = (sv & 0x80) ^ ((sw << 7) | nlps)
+            else:
+                d = sv >> 7
+                stats[i] = (sv & 0x80) | nmps
+        else:
+            c -= temp
+            if a < qe:  # conditional exchange: the Qe region is the MPS
+                d = sv >> 7
+                stats[i] = (sv & 0x80) | nmps
+            else:
+                d = (sv >> 7) ^ 1
+                stats[i] = (sv & 0x80) ^ ((sw << 7) | nlps)
+            a = qe
+        self.a, self.c, self.ct = a, c, ct
+        return d
+
+
+def _arith_dc_diff(dec, st, ctx: int, cond_l: int, cond_u: int) -> tuple:
+    """Decode one DC difference (T.81 §F.1.4.4.1, Figures F.22-F.24
+    inverted): zero/sign/first-magnitude in the 4-bin context cluster,
+    magnitude category through the shared X bins at 20, mantissa through
+    the matching M bin 14 beyond, then the next block's context class
+    from the L/U conditioning thresholds.  Returns (diff, next_ctx)."""
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    m = dec.decode(st, ctx + 2 + sign)
+    i = 20
+    if m:
+        while dec.decode(st, i):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("DC magnitude overflow")
+            i += 1
+    if m < (1 << cond_l) >> 1:
+        nctx = 0
+    elif m > (1 << cond_u) >> 1:
+        nctx = 12 + 4 * sign
+    else:
+        nctx = 4 + 4 * sign
+    v = m
+    mm = m >> 1
+    if mm:
+        i += 14
+        while mm:
+            if dec.decode(st, i):
+                v |= mm
+            mm >>= 1
+    v += 1
+    return (-v if sign else v), nctx
+
+
+def _arith_ac_block(dec, st, fixed: bytearray, kx: int, coef) -> None:
+    """Decode one block's AC coefficients (T.81 §F.1.4.4.2): per-k EOB
+    decision and zero-run in the 3-bin clusters, sign at the fixed
+    ~0.5-probability bin, magnitude category through the low/high X bin
+    areas at 189/217 split by the Kx conditioning, mantissa 14 beyond."""
+    k = 1
+    while k <= 63:
+        s = 3 * (k - 1)
+        if dec.decode(st, s):
+            return  # EOB
+        while dec.decode(st, s + 1) == 0:
+            k += 1
+            s += 3
+            if k > 63:
+                raise ValueError("AC run past band end")
+        sign = dec.decode(fixed, 0)
+        m = dec.decode(st, s + 2)
+        i = s + 2
+        if m and dec.decode(st, s + 2):
+            m = 2
+            i = 189 if k <= kx else 217
+            while dec.decode(st, i):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("AC magnitude overflow")
+                i += 1
+        v = m
+        mm = m >> 1
+        if mm:
+            i += 14
+            while mm:
+                if dec.decode(st, i):
+                    v |= mm
+                mm >>= 1
+        v += 1
+        coef[_ZIGZAG[k]] = -v if sign else v
+        k += 1
+
+
+def _decode_jpeg_arith(payload: bytes) -> dict | None:
+    """Minimal REAL arithmetic-coded JPEG decoder (SOF9, extended
+    sequential DCT) — pure Python + numpy, no PIL: the T.81 Annex F QM
+    arithmetic coder (Table D.3 state machine, conditional exchange,
+    renorm-fed byte stream) under the §F.1.4.4 sequential DC/AC
+    statistical models, DAC conditioning (L/U thresholds, Kx band
+    split), restart intervals (full re-init + statistics reset), 1–2×
+    sampling factors.  Closes the last common-JPEG stub source after
+    the SOF0/1 and SOF2 Huffman tiers (VERDICT r13 #7): arithmetic
+    JPEGs are <1% of a web crawl (patent-legacy rare) but now decode
+    instead of carrying stub features.
+
+    Same luma-only contract as :func:`_decode_jpeg`: chroma blocks are
+    entropy-decoded (the arithmetic stream has no skippable boundaries)
+    and dropped; only Y inverse-transforms.  Verified against the
+    independent libjpeg implementation — the only other arithmetic
+    codec available; javax.imageio refuses SOF9 — bin-for-bin on
+    gradient/color/restart fixtures (tests/test_operators.py).  Returns
+    None for progressive-arithmetic (SOF10) / hierarchical / >4 MP /
+    corrupt payloads — the caller degrades to the stub, never crashes
+    the job."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, "np.ndarray"] = {}
+        comps: list[dict] = []
+        w = h = 0
+        restart = 0
+        pos = 2
+        data = payload
+        # DAC conditioning defaults (§F.1.4.4.1.2 / F.1.4.4.2.1)
+        dc_l = [0] * 16
+        dc_u = [1] * 16
+        ac_kx = [5] * 16
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            m = data[pos + 1]
+            pos += 2
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                continue
+            seglen = int.from_bytes(data[pos : pos + 2], "big")
+            seg = data[pos + 2 : pos + seglen]
+            if m == 0xDB:  # DQT
+                o = 0
+                while o < len(seg):
+                    pq, tq = seg[o] >> 4, seg[o] & 15
+                    if pq == 0:
+                        tbl = np.frombuffer(seg[o + 1 : o + 65], dtype=np.uint8).astype(np.int32)
+                        o += 65
+                    else:
+                        tbl = np.frombuffer(seg[o + 1 : o + 129], dtype=">u2").astype(np.int32)
+                        o += 129
+                    dq = np.zeros(64, dtype=np.int32)
+                    dq[_ZIGZAG] = tbl
+                    qt[tq] = dq.reshape(8, 8)
+            elif m == 0xC9:  # SOF9: extended sequential, arithmetic
+                if seg[0] != 8:
+                    return None  # 12-bit precision unsupported
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if not w or not h or w * h > _JPEG_MAX_PIXELS or nc not in (1, 3):
+                    return None
+                for i in range(nc):
+                    cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            elif m in (0xC0, 0xC1, 0xC2, 0xCA, 0xCB):
+                return None  # Huffman tiers / progressive-arith / lossless
+            elif m == 0xCC:  # DAC: arithmetic conditioning
+                o = 0
+                while o + 1 < len(seg):
+                    tc, tb = seg[o] >> 4, seg[o] & 15
+                    v = seg[o + 1]
+                    if tc == 0:
+                        dc_l[tb] = v & 15
+                        dc_u[tb] = v >> 4
+                        if dc_u[tb] < dc_l[tb]:
+                            return None
+                    else:
+                        if not 1 <= v <= 63:
+                            return None
+                        ac_kx[tb] = v
+                    o += 2
+            elif m == 0xDD:  # DRI
+                restart = int.from_bytes(seg[0:2], "big")
+            elif m == 0xDA:  # SOS
+                ns = seg[0]
+                scan = []
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    (c,) = [c for c in comps if c["id"] == cs]
+                    scan.append(dict(c, dc=tt >> 4, ac=tt & 15))
+                pos += seglen
+                break
+            elif m == 0xD9:
+                return None
+            pos += seglen
+        else:
+            return None
+        if not comps or not scan or w == 0:
+            return None
+
+        hmax = max(c["h"] for c in scan)
+        vmax = max(c["v"] for c in scan)
+        if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+            return None
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        ycomp = scan[0]
+        ypw, yph = mcux * 8 * ycomp["h"], mcuy * 8 * ycomp["v"]
+        yplane = np.zeros((yph, ypw), dtype=np.float64)
+
+        u = np.arange(8)
+        A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+        A[0, :] *= 1 / np.sqrt(2)
+
+        dec = _ArithDec(data, pos)
+        dc_stats = {c["dc"]: bytearray(64) for c in scan}
+        ac_stats = {c["ac"]: bytearray(256) for c in scan}
+        fixed = bytearray([113])  # non-adapting ~0.5 bin (AC signs)
+        preds = {c["id"]: 0 for c in scan}
+        dc_ctx = {c["id"]: 0 for c in scan}
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    dec.sync_restart()
+                    for st in dc_stats.values():
+                        st[:] = bytes(64)
+                    for st in ac_stats.values():
+                        st[:] = bytes(256)
+                    fixed[0] = 113
+                    preds = {c["id"]: 0 for c in scan}
+                    dc_ctx = {c["id"]: 0 for c in scan}
+                mcu_i += 1
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = np.zeros(64, dtype=np.int32)
+                            diff, dc_ctx[c["id"]] = _arith_dc_diff(
+                                dec, dc_stats[c["dc"]], dc_ctx[c["id"]],
+                                dc_l[c["dc"]], dc_u[c["dc"]],
+                            )
+                            preds[c["id"]] += diff
+                            coef[0] = preds[c["id"]]
+                            _arith_ac_block(
+                                dec, ac_stats[c["ac"]], fixed, ac_kx[c["ac"]], coef
+                            )
+                            if c is scan[0]:  # luma only
+                                F8 = coef.reshape(8, 8) * qt[c["tq"]]
+                                blk = A.T @ F8 @ A + 128.0
+                                y0 = (my * c["v"] + by) * 8
+                                x0 = (mx * c["h"] + bx) * 8
+                                yplane[y0 : y0 + 8, x0 : x0 + 8] = blk
+        luma = np.clip(np.rint(yplane[:h, :w]), 0, 255).astype(np.int32)
+        hist = np.bincount((luma >> 5).ravel(), minlength=8)[:8]
+        total = max(int(hist.sum()), 1)
+        return {
+            "n_bytes": len(payload),
+            "width": w,
+            "height": h,
+            "feature": [float(v) / total for v in hist],
+        }
+    except Exception:
+        return None  # corrupt/truncated: one bad row must never crash a job
+
+
 def _decode_wav(payload: bytes) -> dict | None:
     """Minimal REAL WAV decoder — stdlib ``wave``: frame count / channels /
     sample width, plus an 8-bin absolute-amplitude histogram over the
@@ -767,14 +1159,16 @@ def _decode_real(payload: bytes, kind: str) -> dict:
     a 100 TB job (quarantine upstream if that matters — `validate_rows`
     composes).
 
-    The pure-Python JPEG tier decodes BOTH baseline/extended-sequential
-    (SOF0/1) and progressive (SOF2) Huffman streams — a web-crawl corpus
-    is typically 10-20% progressive, so the SOF2 tier closed the last
-    common-format stub cliff (arithmetic-coded and hierarchical JPEG
-    remain stub territory; both are rare in the wild).  Every output
-    row's ``decoder`` field names the codec that produced it
-    (``pil``/``png``/``jpeg_baseline``/``jpeg_progressive``/``wav``/
-    ``stub``), so coverage is COUNTABLE per corpus: audit with
+    The pure-Python JPEG tier decodes baseline/extended-sequential
+    (SOF0/1) and progressive (SOF2) Huffman streams AND
+    arithmetic-coded sequential streams (SOF9, T.81 Annex F QM coder —
+    the <1%-of-crawl patent-legacy tail, closed in round 14).  The only
+    remaining JPEG stub territory is progressive-arithmetic (SOF10) and
+    hierarchical — vanishingly rare in the wild and countable via the
+    ``decoder`` column.  Every output row's ``decoder`` field names the
+    codec that produced it (``pil``/``png``/``jpeg_baseline``/
+    ``jpeg_progressive``/``jpeg_arith``/``wav``/``stub``), so coverage
+    is COUNTABLE per corpus: audit with
     ``extract_features(df, decoder="real").groupBy("kind",
     "decoder").count()`` before trusting the features."""
     try:  # pragma: no cover - PIL absent in this container
@@ -811,6 +1205,9 @@ def _decode_real(payload: bytes, kind: str) -> dict:
         out = _decode_jpeg_progressive(payload)
         if out is not None:
             return dict(out, decoder="jpeg_progressive")
+        out = _decode_jpeg_arith(payload)
+        if out is not None:
+            return dict(out, decoder="jpeg_arith")
     if kind == "audio":
         out = _decode_wav(payload)
         if out is not None:

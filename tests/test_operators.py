@@ -2588,3 +2588,185 @@ def test_progressive_jpeg_restart_intervals_and_eob_runs():
     assert (out["width"], out["height"]) == (32, 8)
     # pixels == pix exactly (DC quant 8 cancels the IDCT 1/8): bins 2,4,6,1
     assert out["feature"] == [0, 0.25, 0.25, 0, 0.25, 0, 0.25, 0]
+
+
+# -- arithmetic-coded JPEG (SOF9, T.81 Annex F, verified vs libjpeg) ----------
+#
+# javax.imageio refuses SOF9, so the independent reference here is the
+# system libjpeg (libjpeg62-turbo ships arithmetic support).  The shim in
+# tests/tools/jpeg_arith_tool.c compiles at test time and both ENCODES
+# fixtures (pixel path + a jpeg_write_coefficients path that pins exact
+# symbol sequences) and DECODES them back; gcc/libjpeg absence skips the
+# tier (import-try gating rule — the decoder itself is pure Python).
+
+_ARITH_TOOL_CACHE: list = []
+
+
+def _arith_tool() -> str:
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    if not _ARITH_TOOL_CACHE:
+        src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "jpeg_arith_tool.c")
+        exe = os.path.join(tempfile.gettempdir(), "sgspark_jpeg_arith_tool")
+        gcc = shutil.which("gcc") or shutil.which("cc")
+        if gcc is None:
+            _ARITH_TOOL_CACHE.append(None)
+        elif (
+            os.path.exists(exe)
+            and os.path.getmtime(exe) > os.path.getmtime(src)
+        ):
+            _ARITH_TOOL_CACHE.append(exe)
+        else:
+            r = subprocess.run([gcc, "-O2", "-o", exe, src, "-ljpeg"], capture_output=True)
+            _ARITH_TOOL_CACHE.append(exe if r.returncode == 0 else None)
+    if _ARITH_TOOL_CACHE[0] is None:
+        pytest.skip("no gcc/libjpeg available for arithmetic-JPEG fixtures")
+    return _ARITH_TOOL_CACHE[0]
+
+
+def _arith_enc(w, h, mode, px, q=85, arith=1, rst=0):
+    import subprocess
+
+    out = subprocess.run(
+        [_arith_tool(), "encode", str(w), str(h), mode, str(q), str(arith), "0", str(rst)],
+        input=px, capture_output=True,
+    )
+    assert out.returncode == 0, out.stderr
+    return out.stdout
+
+
+def _libjpeg_luma_hist(jpg):
+    import subprocess
+
+    import numpy as np
+
+    dec = subprocess.run([_arith_tool(), "decode"], input=jpg, capture_output=True)
+    hdr, _, rest = dec.stdout.partition(b"\n")
+    w, h = map(int, hdr.split())
+    a = np.frombuffer(rest, dtype=np.uint8).reshape(h, w).astype(np.int64)
+    hist = np.bincount((a >> 5).ravel(), minlength=8)[:8]
+    return [float(v) / a.size for v in hist]
+
+
+def test_arith_jpeg_matches_libjpeg_gray_and_420():
+    """Pure-Python SOF9 decode vs the independent libjpeg decode,
+    bin-for-bin: (a) grayscale gradient with non-multiple-of-8 dims,
+    (b) 4:2:0 color (interleaved MCUs, chroma entropy-decoded to stay
+    synced and dropped)."""
+    from scalligraph_spark.operators.multimodal import _decode_jpeg_arith
+
+    gray = _arith_enc(21, 13, "gray", bytes((x * 11 + y * 7) % 256 for y in range(13) for x in range(21)))
+    assert gray[:2] == b"\xff\xd8" and b"\xff\xc9" in gray  # really SOF9
+    out = _decode_jpeg_arith(gray)
+    assert (out["width"], out["height"]) == (21, 13)
+    assert out["feature"] == pytest.approx(_libjpeg_luma_hist(gray), abs=1e-9)
+
+    rgb = bytes(b for y in range(16) for x in range(24) for b in ((x * 10) % 256, (y * 14) % 256, 120))
+    color = _arith_enc(24, 16, "rgb", rgb)
+    out = _decode_jpeg_arith(color)
+    assert (out["width"], out["height"]) == (24, 16)
+    assert out["feature"] == pytest.approx(_libjpeg_luma_hist(color), abs=1e-9)
+
+
+def test_arith_jpeg_entropy_layer_bit_exact_vs_huffman_twin():
+    """The decisive entropy-layer check: the same pixels encoded Huffman
+    (SOF0) and arithmetic (SOF9) quantize to the SAME coefficients, so
+    the two pure-Python tiers must produce IDENTICAL features — any
+    arithmetic-decoder desync would diverge.  (The vs-libjpeg comparison
+    on this high-frequency fixture is only IDCT-±1-close; this twin
+    check is exact.)"""
+    from scalligraph_spark.operators.multimodal import _decode_jpeg, _decode_jpeg_arith
+
+    px = bytes((x * x + 3 * y) % 256 for y in range(48) for x in range(64))
+    hj = _arith_enc(64, 48, "gray", px, arith=0)
+    aj = _arith_enc(64, 48, "gray", px, arith=1)
+    h_out = _decode_jpeg(hj)
+    a_out = _decode_jpeg_arith(aj)
+    assert h_out is not None and a_out is not None
+    assert a_out["feature"] == h_out["feature"]
+    assert (a_out["width"], a_out["height"]) == (64, 48)
+
+
+def test_arith_jpeg_restart_intervals():
+    """RSTn inside an arithmetic scan: full decoder re-init + statistics
+    reset per §E.2.4 — verified against libjpeg with DRI=2."""
+    from scalligraph_spark.operators.multimodal import _decode_jpeg_arith
+
+    px = bytes((x * 7 + y * 13) % 256 for y in range(32) for x in range(32))
+    jpg = _arith_enc(32, 32, "gray", px, rst=2)
+    assert b"\xff\xdd" in jpg  # DRI present
+    out = _decode_jpeg_arith(jpg)
+    assert out["feature"] == pytest.approx(_libjpeg_luma_hist(jpg), abs=1e-9)
+
+
+def test_arith_jpeg_refusals_label_and_safety():
+    """SOF10 (progressive arithmetic) refuses countably; corrupt and
+    truncated payloads degrade, never raise; the real tier labels
+    arithmetic rows `jpeg_arith`."""
+    import subprocess
+
+    from scalligraph_spark.operators import multimodal as mm
+
+    good = _arith_enc(16, 16, "gray", bytes((x + y) % 256 for y in range(16) for x in range(16)))
+    assert mm._decode_jpeg(good) is None, "Huffman tier must refuse SOF9"
+    assert mm._decode_jpeg_progressive(good) is None
+    assert mm._decode_jpeg_arith(good) is not None
+    assert mm._decode_real(good, "image")["decoder"] == "jpeg_arith"
+    # progressive arithmetic = SOF10: refused by all tiers -> stub
+    pj = subprocess.run(
+        [_arith_tool(), "encode", "16", "16", "gray", "85", "1", "1", "0"],
+        input=bytes((x + y) % 256 for y in range(16) for x in range(16)),
+        capture_output=True,
+    ).stdout
+    if b"\xff\xca" in pj:  # some builds may not emit progressive+arith
+        assert mm._decode_jpeg_arith(pj) is None
+        assert mm._decode_real(pj, "image")["decoder"] == "stub"
+    # safety: truncation mid-header, torn entropy tail, garbage
+    assert mm._decode_jpeg_arith(good[:20]) is None
+    torn = mm._decode_jpeg_arith(good[:-3])
+    assert torn is None or (torn["width"], torn["height"]) == (16, 16)
+    assert mm._decode_jpeg_arith(b"\xff\xd8\xff\xee junk") is None
+    assert mm._decode_jpeg_arith(b"") is None
+    import unittest.mock as mock
+
+    with mock.patch.object(mm, "_JPEG_MAX_PIXELS", 16):
+        assert mm._decode_jpeg_arith(good) is None
+
+
+def test_arith_jpeg_exact_symbol_fixtures():
+    """jpeg_write_coefficients fixtures pin EXACT decision sequences
+    (quant all-ones, known coefficients): DC diffs across sign/magnitude
+    shapes and minimal AC patterns must round-trip value-exactly through
+    the arithmetic tier (features are a closed-form function of the
+    coefficients here)."""
+    import struct
+    import subprocess
+
+    from scalligraph_spark.operators.multimodal import _decode_jpeg, _decode_jpeg_arith
+
+    def enc_coef(blocks, w, h, arith_tool):
+        data = b"".join(struct.pack("<64h", *b) for b in blocks)
+        out = subprocess.run([arith_tool, "encode_coef", str(w), str(h)], input=data, capture_output=True)
+        assert out.returncode == 0, out.stderr
+        return out.stdout
+
+    tool = _arith_tool()
+    # varied blocks: DC context transitions (zero/small/large, both signs)
+    # + AC runs, EOB positions, magnitudes spanning multiple X/M bins
+    blocks = []
+    vals = [0, 1, -1, 2, -37, 115, -115, 3]
+    for i, dc in enumerate(vals):
+        b = [0] * 64
+        b[0] = dc
+        if i % 2 == 0:
+            b[1] = (-1) ** i * (i + 1)  # zigzag k=1
+            b[16] = 67 if i == 4 else 0  # zigzag k=5, big magnitude
+        blocks.append(b)
+    jpg = enc_coef(blocks, 8, 64, tool)
+    out = _decode_jpeg_arith(jpg)
+    assert out is not None and (out["width"], out["height"]) == (8, 64)
+    # libjpeg's own decode agrees bin-for-bin on this low-frequency set
+    assert out["feature"] == pytest.approx(_libjpeg_luma_hist(jpg), abs=1e-9)
