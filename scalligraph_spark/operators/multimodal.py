@@ -51,7 +51,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         # which codec produced the row: pil / png / jpeg_baseline /
-        # jpeg_progressive / jpeg_arith / wav / stub — the coverage signal
+        # jpeg_progressive / jpeg_arith / jpeg_arith_progressive / wav /
+        # stub — the coverage signal
         # (groupBy("decoder") counts stub-degraded rows per corpus)
         T.StructField("decoder", T.StringType(), False),
     ]
@@ -1113,6 +1114,338 @@ def _decode_jpeg_arith(payload: bytes) -> dict | None:
         return None  # corrupt/truncated: one bad row must never crash a job
 
 
+def _arith_prog_dc_scan(
+    dec, scan, dc_stats, dc_ctx, preds, dc_l, dc_u, al,
+    dcval, y_id, restart, mcux, mcuy,
+) -> None:
+    """One progressive DC scan (T.81 §G.2.1, first pass Ah=0): the
+    SEQUENTIAL DC statistical model applied to diffs of the
+    point-transformed values — verified decision-for-decision against
+    libjpeg.  Interleaved when color: chroma DC entropy-decodes to stay
+    synchronized (its values are dropped; only Y accumulates)."""
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                dec.sync_restart()
+                for st in dc_stats.values():
+                    st[:] = bytes(64)
+                for cid in preds:
+                    preds[cid] = 0
+                    dc_ctx[cid] = 0
+            mcu_i += 1
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        diff, dc_ctx[c["id"]] = _arith_dc_diff(
+                            dec, dc_stats[c["dc"]], dc_ctx[c["id"]],
+                            dc_l[c["dc"]], dc_u[c["dc"]],
+                        )
+                        preds[c["id"]] += diff
+                        if c["id"] == y_id:
+                            dcval[my * c["v"] + by, mx * c["h"] + bx] = (
+                                preds[c["id"]] << al
+                            )
+
+
+def _arith_prog_dc_refine(
+    dec, scan, fixed, al, dcval, y_id, restart, mcux, mcuy
+) -> None:
+    """Progressive DC refinement (Ah>0): ONE fixed-probability decision
+    per block appends the next magnitude bit — for every component in an
+    interleaved scan (chroma bits decode and drop)."""
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                dec.sync_restart()
+                fixed[0] = 113
+            mcu_i += 1
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bit = dec.decode(fixed, 0)
+                        if c["id"] == y_id:
+                            r, q = my * c["v"] + by, mx * c["h"] + bx
+                            if bit:
+                                dcval[r, q] += 1 << al
+
+
+def _arith_prog_ac_first(dec, st, fixed, kx, blk, ss, se, al) -> None:
+    """Progressive AC first pass over band [Ss..Se] (T.81 §G.2.2): the
+    sequential AC model on point-transformed values, landing
+    ``value << Al`` in the coefficient grid."""
+    k = ss
+    while k <= se:
+        s = 3 * (k - 1)
+        if dec.decode(st, s):
+            return  # EOB: band empty from k on
+        while dec.decode(st, s + 1) == 0:
+            k += 1
+            s += 3
+            if k > se:
+                raise ValueError("AC run past band end")
+        sign = dec.decode(fixed, 0)
+        m = dec.decode(st, s + 2)
+        i = s + 2
+        if m and dec.decode(st, s + 2):
+            m = 2
+            i = 189 if k <= kx else 217
+            while dec.decode(st, i):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("AC magnitude overflow")
+                i += 1
+        v = m
+        mm = m >> 1
+        if mm:
+            i += 14
+            while mm:
+                if dec.decode(st, i):
+                    v |= mm
+                mm >>= 1
+        v += 1
+        blk[_ZIGZAG[k]] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_prog_ac_refine(dec, st, fixed, blk, ss, se, al) -> None:
+    """Progressive AC refinement (T.81 §G.2.3): positions with nonzero
+    history receive one correction bit (bin 3(k-1)+2); insignificant
+    positions decide newly-significant (bin 3(k-1)+1, sign at the fixed
+    bin); the EOB decision (bin 3(k-1)) is only coded BEYOND kex — the
+    last history-nonzero position — because corrections before it must
+    be delivered regardless.  Verified decision-for-decision vs libjpeg."""
+    p1 = 1 << al
+    kex = se
+    while kex >= ss and blk[_ZIGZAG[kex]] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        s = 3 * (k - 1)
+        if k > kex and dec.decode(st, s):
+            return  # EOB: nothing newly significant from k on
+        # walk to the next event (a correction or a newly-significant
+        # coefficient) — run decisions only, NO EOB checks inside the walk
+        while True:
+            z = _ZIGZAG[k]
+            cur = blk[z]
+            if cur != 0:
+                if dec.decode(st, s + 2):
+                    blk[z] = cur + (p1 if cur > 0 else -p1)
+                break
+            if dec.decode(st, s + 1):
+                sign = dec.decode(fixed, 0)
+                blk[z] = -p1 if sign else p1
+                break
+            k += 1
+            s += 3
+            if k > se:
+                raise ValueError("AC refine run past band end")
+        k += 1
+
+
+def _decode_jpeg_arith_prog(payload: bytes) -> dict | None:
+    """Minimal REAL progressive arithmetic-coded JPEG decoder (SOF10) —
+    pure Python + numpy: spectral selection + successive approximation
+    per T.81 §G.2 over the Annex F QM coder, DAC conditioning, restart
+    intervals (per-scan statistics reset + decoder re-init), 1–2×
+    sampling.  With this tier every JPEG entropy/progression mode except
+    hierarchical decodes; each scan's statistical model was verified
+    decision-for-decision against the independent libjpeg implementation
+    (tests/test_operators.py).
+
+    Same luma-only contract as the other JPEG tiers: chroma-only AC
+    scans skip byte-wise (scan boundaries are markers), interleaved DC
+    scans entropy-decode chroma solely to stay synchronized.  Returns
+    None for sequential frames / hierarchical / >4 MP / corrupt
+    payloads."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, "np.ndarray"] = {}
+        comps: list[dict] = []
+        w = h = 0
+        restart = 0
+        hmax = vmax = 1
+        mcux = mcuy = 0
+        coef = None  # Y AC grid: (rows, cols, 64) at true scale
+        dcval = None  # Y DC visible values (already << Al)
+        dc_l = [0] * 16
+        dc_u = [1] * 16
+        ac_kx = [5] * 16
+        pos = 2
+        data = payload
+        saw_sof10 = False
+        while pos + 2 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            m = data[pos + 1]
+            pos += 2
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                continue
+            if m == 0xD9:
+                break
+            seglen = int.from_bytes(data[pos : pos + 2], "big")
+            seg = data[pos + 2 : pos + seglen]
+            if m == 0xDB:
+                o = 0
+                while o < len(seg):
+                    pq, tq = seg[o] >> 4, seg[o] & 15
+                    if pq == 0:
+                        tbl = np.frombuffer(seg[o + 1 : o + 65], dtype=np.uint8).astype(np.int32)
+                        o += 65
+                    else:
+                        tbl = np.frombuffer(seg[o + 1 : o + 129], dtype=">u2").astype(np.int32)
+                        o += 129
+                    dq = np.zeros(64, dtype=np.int32)
+                    dq[_ZIGZAG] = tbl
+                    qt[tq] = dq.reshape(8, 8)
+            elif m == 0xCA:  # SOF10: progressive, arithmetic
+                if seg[0] != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if not w or not h or w * h > _JPEG_MAX_PIXELS or nc not in (1, 3):
+                    return None
+                for i in range(nc):
+                    cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+                    return None
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                y = comps[0]
+                coef = np.zeros((mcuy * y["v"], mcux * y["h"], 64), dtype=np.int32)
+                dcval = np.zeros((mcuy * y["v"], mcux * y["h"]), dtype=np.int64)
+                saw_sof10 = True
+            elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCB):
+                return None  # other frame types: not this tier
+            elif m == 0xCC:  # DAC
+                o = 0
+                while o + 1 < len(seg):
+                    tc, tb = seg[o] >> 4, seg[o] & 15
+                    v = seg[o + 1]
+                    if tc == 0:
+                        dc_l[tb] = v & 15
+                        dc_u[tb] = v >> 4
+                        if dc_u[tb] < dc_l[tb]:
+                            return None
+                    else:
+                        if not 1 <= v <= 63:
+                            return None
+                        ac_kx[tb] = v
+                    o += 2
+            elif m == 0xDD:
+                restart = int.from_bytes(seg[0:2], "big")
+            elif m == 0xDA:
+                if not saw_sof10:
+                    return None
+                ns = seg[0]
+                scan = []
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    (c,) = [c for c in comps if c["id"] == cs]
+                    scan.append(dict(c, dc=tt >> 4, ac=tt & 15))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                pos += seglen
+                y_id = comps[0]["id"]
+                if ss == 0:  # DC scan (maybe interleaved): must decode fully
+                    dec = _ArithDec(data, pos)
+                    fixed = bytearray([113])
+                    if len(scan) == 1:
+                        # non-interleaved: iterate the COMPONENT's own
+                        # block grid (one block per step), not MCUs
+                        c0s = scan[0]
+                        gx = -(-(w * c0s["h"]) // (8 * hmax))
+                        gy = -(-(h * c0s["v"]) // (8 * vmax))
+                        dscan = [dict(c0s, h=1, v=1)]
+                    else:
+                        gx, gy, dscan = mcux, mcuy, scan
+                    if ah == 0:
+                        dc_stats = {c["dc"]: bytearray(64) for c in dscan}
+                        preds = {c["id"]: 0 for c in dscan}
+                        dc_ctx = {c["id"]: 0 for c in dscan}
+                        _arith_prog_dc_scan(
+                            dec, dscan, dc_stats, dc_ctx, preds, dc_l, dc_u,
+                            al, dcval, y_id, restart, gx, gy,
+                        )
+                    else:
+                        _arith_prog_dc_refine(
+                            dec, dscan, fixed, al, dcval, y_id, restart, gx, gy
+                        )
+                    pos = _skip_entropy(data, dec.pos)
+                    continue
+                # AC scan: exactly one component (T.81 §G)
+                if len(scan) != 1:
+                    raise ValueError("progressive AC scan must have one component")
+                c0 = scan[0]
+                if c0["id"] != y_id:
+                    pos = _skip_entropy(data, pos)  # chroma-only: hop over
+                    continue
+                bw = coef.shape[1]
+                bh = coef.shape[0]
+                # block dimensions of the Y component (non-interleaved)
+                cw = -(-(w * c0["h"]) // (8 * hmax))
+                ch_ = -(-(h * c0["v"]) // (8 * vmax))
+                dec = _ArithDec(data, pos)
+                fixed = bytearray([113])
+                ac_stats = bytearray(256)
+                blk_i = 0
+                for by in range(ch_):
+                    for bx in range(cw):
+                        if restart and blk_i and blk_i % restart == 0:
+                            dec.sync_restart()
+                            ac_stats[:] = bytes(256)
+                            fixed[0] = 113
+                        blk_i += 1
+                        blk = coef[by, bx]
+                        if ah == 0:
+                            _arith_prog_ac_first(
+                                dec, ac_stats, fixed, ac_kx[c0["ac"]], blk, ss, se, al
+                            )
+                        else:
+                            _arith_prog_ac_refine(
+                                dec, ac_stats, fixed, blk, ss, se, al
+                            )
+                pos = _skip_entropy(data, dec.pos)
+                continue
+            pos += seglen
+        if coef is None or not comps:
+            return None
+
+        u = np.arange(8)
+        A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+        A[0, :] *= 1 / np.sqrt(2)
+        y = comps[0]
+        dq = qt[y["tq"]]
+        yph, ypw = coef.shape[0] * 8, coef.shape[1] * 8
+        yplane = np.zeros((yph, ypw), dtype=np.float64)
+        for by in range(coef.shape[0]):
+            for bx in range(coef.shape[1]):
+                F8 = coef[by, bx].reshape(8, 8).copy()
+                F8[0, 0] = int(dcval[by, bx])
+                F8 = F8 * dq
+                yplane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = A.T @ F8 @ A + 128.0
+        luma = np.clip(np.rint(yplane[:h, :w]), 0, 255).astype(np.int32)
+        hist = np.bincount((luma >> 5).ravel(), minlength=8)[:8]
+        total = max(int(hist.sum()), 1)
+        return {
+            "n_bytes": len(payload),
+            "width": w,
+            "height": h,
+            "feature": [float(v) / total for v in hist],
+        }
+    except Exception:
+        return None  # corrupt/truncated: one bad row must never crash a job
+
+
 def _decode_wav(payload: bytes) -> dict | None:
     """Minimal REAL WAV decoder — stdlib ``wave``: frame count / channels /
     sample width, plus an 8-bin absolute-amplitude histogram over the
@@ -1161,14 +1494,15 @@ def _decode_real(payload: bytes, kind: str) -> dict:
 
     The pure-Python JPEG tier decodes baseline/extended-sequential
     (SOF0/1) and progressive (SOF2) Huffman streams AND
-    arithmetic-coded sequential streams (SOF9, T.81 Annex F QM coder —
-    the <1%-of-crawl patent-legacy tail, closed in round 14).  The only
-    remaining JPEG stub territory is progressive-arithmetic (SOF10) and
-    hierarchical — vanishingly rare in the wild and countable via the
-    ``decoder`` column.  Every output row's ``decoder`` field names the
-    codec that produced it (``pil``/``png``/``jpeg_baseline``/
-    ``jpeg_progressive``/``jpeg_arith``/``wav``/``stub``), so coverage
-    is COUNTABLE per corpus: audit with
+    arithmetic-coded streams in BOTH modes (SOF9 sequential and SOF10
+    progressive — T.81 Annex F QM coder + §G.2 models; the
+    <1%-of-crawl patent-legacy tail, closed in round 14).  The only
+    remaining JPEG stub territory is hierarchical (SOF5-7/13-15) —
+    vanishingly rare in the wild and countable via the ``decoder``
+    column.  Every output row's ``decoder`` field names the codec that
+    produced it (``pil``/``png``/``jpeg_baseline``/``jpeg_progressive``/
+    ``jpeg_arith``/``jpeg_arith_progressive``/``wav``/``stub``), so
+    coverage is COUNTABLE per corpus: audit with
     ``extract_features(df, decoder="real").groupBy("kind",
     "decoder").count()`` before trusting the features."""
     try:  # pragma: no cover - PIL absent in this container
@@ -1208,6 +1542,9 @@ def _decode_real(payload: bytes, kind: str) -> dict:
         out = _decode_jpeg_arith(payload)
         if out is not None:
             return dict(out, decoder="jpeg_arith")
+        out = _decode_jpeg_arith_prog(payload)
+        if out is not None:
+            return dict(out, decoder="jpeg_arith_progressive")
     if kind == "audio":
         out = _decode_wav(payload)
         if out is not None:

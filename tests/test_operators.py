@@ -2715,7 +2715,8 @@ def test_arith_jpeg_refusals_label_and_safety():
     assert mm._decode_jpeg_progressive(good) is None
     assert mm._decode_jpeg_arith(good) is not None
     assert mm._decode_real(good, "image")["decoder"] == "jpeg_arith"
-    # progressive arithmetic = SOF10: refused by all tiers -> stub
+    # progressive arithmetic = SOF10: the sequential tier refuses, the
+    # SOF10 tier decodes, and the real path labels it countably
     pj = subprocess.run(
         [_arith_tool(), "encode", "16", "16", "gray", "85", "1", "1", "0"],
         input=bytes((x + y) % 256 for y in range(16) for x in range(16)),
@@ -2723,7 +2724,8 @@ def test_arith_jpeg_refusals_label_and_safety():
     ).stdout
     if b"\xff\xca" in pj:  # some builds may not emit progressive+arith
         assert mm._decode_jpeg_arith(pj) is None
-        assert mm._decode_real(pj, "image")["decoder"] == "stub"
+        assert mm._decode_jpeg_arith_prog(pj) is not None
+        assert mm._decode_real(pj, "image")["decoder"] == "jpeg_arith_progressive"
     # safety: truncation mid-header, torn entropy tail, garbage
     assert mm._decode_jpeg_arith(good[:20]) is None
     torn = mm._decode_jpeg_arith(good[:-3])
@@ -2770,3 +2772,69 @@ def test_arith_jpeg_exact_symbol_fixtures():
     assert out is not None and (out["width"], out["height"]) == (8, 64)
     # libjpeg's own decode agrees bin-for-bin on this low-frequency set
     assert out["feature"] == pytest.approx(_libjpeg_luma_hist(jpg), abs=1e-9)
+
+
+def test_arith_progressive_jpeg_matches_libjpeg():
+    """SOF10 (progressive arithmetic, T.81 §G.2 over the Annex F coder)
+    vs the independent libjpeg decode, bin-for-bin: grayscale gradient,
+    4:2:0 color (interleaved DC scan decodes chroma DC to stay synced;
+    chroma AC scans skip byte-wise), and DRI restart intervals."""
+    from scalligraph_spark.operators.multimodal import _decode_jpeg_arith_prog
+
+    def enc(w, h, mode, px, rst=0):
+        import subprocess
+
+        return subprocess.run(
+            [_arith_tool(), "encode", str(w), str(h), mode, "85", "1", "1", str(rst)],
+            input=px, capture_output=True,
+        ).stdout
+
+    gray = enc(21, 13, "gray", bytes((x * 11 + y * 7) % 256 for y in range(13) for x in range(21)))
+    assert b"\xff\xca" in gray  # really SOF10
+    out = _decode_jpeg_arith_prog(gray)
+    assert (out["width"], out["height"]) == (21, 13)
+    assert out["feature"] == pytest.approx(_libjpeg_luma_hist(gray), abs=1e-9)
+
+    rgb = bytes(b for y in range(16) for x in range(24) for b in ((x * 10) % 256, (y * 14) % 256, 120))
+    color = enc(24, 16, "rgb", rgb)
+    out = _decode_jpeg_arith_prog(color)
+    assert out["feature"] == pytest.approx(_libjpeg_luma_hist(color), abs=1e-9)
+
+    rsted = enc(32, 32, "gray", bytes((x * 7 + y * 13) % 256 for y in range(32) for x in range(32)), rst=2)
+    assert b"\xff\xdd" in rsted
+    out = _decode_jpeg_arith_prog(rsted)
+    assert out["feature"] == pytest.approx(_libjpeg_luma_hist(rsted), abs=1e-9)
+
+
+def test_arith_progressive_entropy_bit_exact_vs_huffman_prog_twin():
+    """Decisive entropy-layer check for SOF10: the same pixels through
+    progressive-HUFFMAN (the r12-verified tier) and progressive-ARITH
+    must produce IDENTICAL features — the scan scripts match and the
+    coefficients are the same, so any §G.2 model or coder desync
+    diverges.  Also safety: truncation/garbage degrade, never raise."""
+    import subprocess
+
+    from scalligraph_spark.operators import multimodal as mm
+
+    px = bytes((x * x + 3 * y) % 256 for y in range(48) for x in range(64))
+
+    def enc(arith):
+        return subprocess.run(
+            [_arith_tool(), "encode", "64", "48", "gray", "85", str(arith), "1", "0"],
+            input=px, capture_output=True,
+        ).stdout
+
+    h_out = mm._decode_jpeg_progressive(enc(0))
+    a_out = mm._decode_jpeg_arith_prog(enc(1))
+    assert h_out is not None and a_out is not None
+    assert a_out["feature"] == h_out["feature"]
+    good = enc(1)
+    assert mm._decode_jpeg_arith_prog(good[:20]) is None
+    torn = mm._decode_jpeg_arith_prog(good[:-3])
+    assert torn is None or (torn["width"], torn["height"]) == (64, 48)
+    assert mm._decode_jpeg_arith_prog(b"\xff\xd8\xff\xee junk") is None
+    assert mm._decode_jpeg_arith_prog(b"") is None
+    import unittest.mock as mock
+
+    with mock.patch.object(mm, "_JPEG_MAX_PIXELS", 16):
+        assert mm._decode_jpeg_arith_prog(good) is None

@@ -107,6 +107,7 @@ int main(int argc, char **argv) {
  * tests control the exact symbol sequence the arithmetic coder sees. */
 static int do_encode_coef(int argc, char **argv) {
   int w = atoi(argv[2]), h = atoi(argv[3]);
+  int progressive = argc > 4 ? atoi(argv[4]) : 0;
   int bw = (w + 7) / 8, bh = (h + 7) / 8;
   struct jpeg_compress_struct cinfo;
   struct jpeg_error_mgr jerr;
@@ -127,6 +128,8 @@ static int do_encode_coef(int argc, char **argv) {
     jpeg_add_quant_table(&cinfo, 0, ones, 100, TRUE);
   }
   cinfo.arith_code = TRUE;
+  if (progressive)
+    jpeg_simple_progression(&cinfo);
   jvirt_barray_ptr coef_arrays[1];
   coef_arrays[0] = (*cinfo.mem->request_virt_barray)
     ((j_common_ptr)&cinfo, JPOOL_IMAGE, FALSE, bw, bh, 1);
