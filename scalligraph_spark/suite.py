@@ -7416,19 +7416,80 @@ def qlang_analyze_q(spark, sf):
 
 @q(
     "text_bpe_tokenize",
-    None,  # BPE apply is an iterative per-word merge loop — no SQL twin; rows-only
+    # value-exact via artifact replay (round 14 — the last flippable
+    # rows-only entry): the learned merge table exports as a replay
+    # parquet and DuckDB re-runs the EXACT priority-greedy per-word
+    # apply loop (_encode_word: repeatedly merge the lowest-rank —
+    # earliest-position on ties — adjacent pair) as a recursive CTE:
+    # each word's chain steps until no pair applies; doc token arrays
+    # reassemble in word order.  Training itself stays Spark-side (the
+    # iterative argmax loop has no SQL twin) — but the ENCODE, which is
+    # what the entry returns, now checks end-to-end.
+    """
+WITH RECURSIVE m AS (
+  SELECT rank, "left" AS l, "right" AS r
+  FROM read_parquet('/tmp/sgspark_annreplay_sf0.01/bpe_merges/*.parquet')
+),
+dw AS (
+  SELECT doc_id, ws[i] AS word, i
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents) d,
+       unnest(range(1, len(ws) + 1)) t(i)
+),
+words AS (SELECT DISTINCT word FROM dw),
+enc AS (
+  SELECT word,
+         list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+  FROM words
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(syms[1:bi-1], [syms[bi] || syms[bi+1]]), syms[bi+2:]) AS syms
+  FROM (
+    SELECT word, syms,
+           (SELECT i FROM unnest(range(1, len(syms))) t(i)
+            JOIN m ON m.l = syms[i] AND m.r = syms[i+1]
+            ORDER BY m.rank, i LIMIT 1) AS bi
+    FROM enc
+  ) WHERE bi IS NOT NULL
+),
+final AS (
+  SELECT word, syms FROM (
+    SELECT word, syms,
+           (SELECT count(*) FROM unnest(range(1, len(syms))) t(i)
+            JOIN m ON m.l = syms[i] AND m.r = syms[i+1]) AS napp
+    FROM enc
+  ) WHERE napp = 0
+),
+agg AS (
+  SELECT dw.doc_id, flatten(list(f.syms ORDER BY dw.i)) AS tokens
+  FROM dw JOIN final f USING (word)
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(a.tokens), 0) AS BIGINT) AS n_tokens,
+       coalesce(a.tokens, CAST([] AS VARCHAR[])) AS tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
     "BPE tokenizer prep: ONE corpus aggregate (word frequencies) → "
     "bounded-vocab driver merge training (TakeOrdered cap — the "
     "sentencepiece/HF trainer architecture) → Arrow-batched map-only "
     "encode with broadcast merge ranks + per-batch word cache; "
     "determinism pinned by lexicographic tie-breaks (differential-tested "
-    "vs an independent naive trainer)",
+    "vs an independent naive trainer).  The encode verifies VALUE-EXACT: "
+    "DuckDB replays the merge loop from the exported merge table as a "
+    "recursive CTE (priority-greedy, earliest-position ties — the "
+    "_encode_word recurrence replayed symbol-for-symbol)",
 )
 def text_bpe_tokenize_q(spark, sf):
     from scalligraph_spark.operators import encode_bpe, train_bpe
+    from scalligraph_spark.operators.bpe import merges_to_df
 
     docs = cat_for(spark, sf).vertex_df("documents")
     merges = train_bpe(docs, n_merges=40, max_words=20_000)
+    _export_replay_df(
+        merges_to_df(spark, merges), f"{_ann_replay_root(sf)}/bpe_merges"
+    )
     return encode_bpe(docs, merges).select("doc_id", "n_tokens", "tokens")
 
 
