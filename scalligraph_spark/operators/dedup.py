@@ -196,25 +196,27 @@ def minhash_lsh_pairs(
         else minhash_signature(docs, text_col, id_col, num_hashes)
     ).persist()
     sigs.count()
-    # the banded relation carries ONLY (id, band, bh) — 3 narrow columns.
-    # Shipping the 64-long signature through the ×bands exploded self-join
-    # would multiply shuffle bytes by ~bands×signature width; instead the
-    # (deduplicated) candidate pairs join BACK to the signature table by id.
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.slice("signature", b * r + 1, r).cast("string")).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bh")
-    pairs = salted_bucket_pairs(banded, ["band", "bh"], max_bucket_rows)
+    # the banded relation carries (id, bhs, band, bh) — the ALL-band hash
+    # array `bhs` (bands × 8 bytes) rides along so the pair join can dedup
+    # by FIRST COLLIDING BAND (buckets.salted_bucket_pairs table_keys)
+    # instead of a dropDuplicates exchange over the raw candidate volume —
+    # on a pair-dense corpus that distinct is the pipeline's single
+    # biggest shuffle (measured sf0.1: 10.8M raw rows collapsing to 4.6M).
+    # Shipping the full 64-long signature would multiply shuffle bytes by
+    # ~bands×signature width; the (deduplicated) candidate pairs still
+    # join BACK to the signature table by id for the estimate.
+    bhs = F.array(
+        *[
+            F.xxhash64(F.slice("signature", b * r + 1, r).cast("string"))
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", bhs.alias("bhs")).select(
+        "id", "bhs", F.posexplode("bhs").alias("band", "bh")
+    )
+    pairs = salted_bucket_pairs(
+        banded, ["band", "bh"], max_bucket_rows, table_keys=("band", "bhs", bands)
+    )
     cands = pairs.join(
         sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")), "id_a"
     ).join(sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")), "id_b")
@@ -373,29 +375,34 @@ def simhash_pairs(
     which misses any near-dup differing in the prefix.
     """
     # signatures= skips the signing map stage when the caller already
-    # computed (and e.g. exported) the same (id, simhash) frame
+    # computed (and e.g. exported) the same (id, simhash) frame.
+    # persist: the narrow (id, simhash) frame feeds the oversize check,
+    # both sides of the block self-join and (via carry) the Hamming
+    # filter — unpersisted, the signing pandas-UDF re-runs once per scan
+    # (measured 3-5× the whole pipeline at sf0.1).  Same caller-owned
+    # lifetime contract as minhash_lsh_pairs' signature cache.
     sigs = (
         signatures
         if signatures is not None
         else simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    ).persist()
+    # 4 block-bucket tables (OR-construction): block k = bits [16k, 16k+16).
+    # The per-row `bkeys` array (4 × 8 bytes) lets the pair join dedup by
+    # first colliding block (no dropDuplicates exchange over raw pairs —
+    # see buckets.salted_bucket_pairs table_keys).
+    bkeys = F.array(
+        *[
+            F.shiftrightunsigned("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)
+        ]
     )
-    # 4 block-bucket tables (OR-construction): block k = bits [16k, 16k+16)
-    blocks = sigs.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("blk"),
-                        F.shiftrightunsigned("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
-                    )
-                    for k in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "simhash", "b.blk", "b.bkey")
-    pairs = salted_bucket_pairs(blocks, ["blk", "bkey"], max_bucket_rows, carry_cols=["simhash"])
+    blocks = sigs.select("id", "simhash", bkeys.alias("bkeys")).select(
+        "id", "simhash", "bkeys", F.posexplode("bkeys").alias("blk", "bkey")
+    )
+    pairs = salted_bucket_pairs(
+        blocks, ["blk", "bkey"], max_bucket_rows,
+        carry_cols=["simhash"], table_keys=("blk", "bkeys", 4),
+    )
     ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
         pairs.select("id_a", "id_b", ham.alias("hamming"))

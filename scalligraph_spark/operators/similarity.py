@@ -343,9 +343,16 @@ def lsh_bucket_candidates(
         n = n_rows if n_rows is not None else embeddings.count()
         num_planes = max(4, min(28, math.ceil(math.log2(max(2.0, n / target_bucket_rows)))))
     udf = _bucket_udf(num_planes, num_tables)
-    sigs = embeddings.select(F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("bks"))
-    tb = sigs.select("id", F.posexplode("bks").alias("tbl", "bucket"))
-    return salted_bucket_pairs(tb, ["tbl", "bucket"], max_bucket_rows)
+    # persist: the bucket-signature frame feeds the oversize check and both
+    # sides of the self-join — unpersisted, the Arrow matmul UDF re-runs
+    # once per scan (caller-owned lifetime, as in minhash_lsh_pairs)
+    sigs = embeddings.select(F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("bks")).persist()
+    # carry the all-tables bucket array so the pair join dedups by first
+    # colliding table instead of a dropDuplicates exchange over raw pairs
+    tb = sigs.select("id", "bks", F.posexplode("bks").alias("tbl", "bucket"))
+    return salted_bucket_pairs(
+        tb, ["tbl", "bucket"], max_bucket_rows, table_keys=("tbl", "bks", num_tables)
+    )
 
 
 def _train_centroids(embeddings, n_centroids, sample_rows, id_col, vec_col, iters=5):
@@ -837,7 +844,9 @@ def semantic_dedup(
         return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
 
     cells = embeddings.select(F.col(id_col).alias("id"), nearest_cell(F.col(vec_col)).alias("cell"))
-    cand = salted_bucket_pairs(cells, ["cell"], max_bucket_rows)
+    # one row per id, one bucket table → the join emits each pair at most
+    # once by construction, so the pair-dedup exchange is skipped
+    cand = salted_bucket_pairs(cells, ["cell"], max_bucket_rows, unique_pairs=True)
     dups = _exact_rerank(cand, embeddings, id_col, vec_col).where(F.col("cosine") >= threshold)
     from scalligraph_spark.operators.dedup import pairs_to_clusters
 
