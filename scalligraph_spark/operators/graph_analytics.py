@@ -209,12 +209,16 @@ def _cc_two_phase(
         # -- large-star ---------------------------------------------------
         nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # no dropDuplicates here: large's rows feed straight into a MAP
+        # (the orientation) and then the oriented dedup below — a dedup at
+        # this level would add a full exchange without reducing the bytes
+        # entering the next one (dropDuplicates' map-side partial
+        # aggregation already collapses local duplicates either way)
         large = (
             nbrs.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .dropDuplicates(["u", "v"])
         )
         # -- small-star ---------------------------------------------------
         oriented = large.select(
@@ -294,19 +298,31 @@ def pagerank(
     GraphX-equivalent recurrence; bench slopes recorded before round 13
     measured that path (the bench key switched semantics in r13 — see
     PERF.md)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # verts: dropDuplicates leaves the cache hash-partitioned on vertex, so
+    # the per-iteration left join below reuses that partitioning instead of
+    # re-exchanging the vertex set every round
     verts = (
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .dropDuplicates(["vertex"])
         .persist()
     )
-    out_deg = e.groupBy(F.col("src").alias("vertex")).agg(F.count(F.lit(1)).alias("outdeg"))
+    # LOOP-INVARIANT hoist: (src, dst, outdeg) never changes across
+    # iterations, yet the old shape re-joined edges with the out-degree
+    # aggregate inside every superstep — one aggregation + one join per
+    # round for a relation that is constant.  Build it once, partitioned
+    # on src, so each iteration's ranks⋈edges join finds both sides
+    # already hash-partitioned on the join key (ranks inherits vertex
+    # partitioning from the previous round's groupBy/left join): the only
+    # exchange left per superstep is the groupBy(dst) rank-mass move —
+    # the one shuffle the algorithm fundamentally requires.
+    out_deg = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(out_deg, "src").repartition("src").persist()
     ranks = verts.withColumn("rank", F.lit(1.0))
     for i in range(iterations):
         contribs = (
-            ranks.join(out_deg, "vertex")
-            .join(e, F.col("vertex") == F.col("src"))
+            ranks.join(ed, F.col("vertex") == F.col("src"))
             .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("outdeg")).alias("contrib"))
             .groupBy("vertex")
             .agg(
@@ -333,7 +349,7 @@ def pagerank(
             ranks = _cut_lineage(ranks, checkpoint_dir)
     # materialize, then release this call's caches (see connected_components)
     ranks = _cut_lineage(ranks, checkpoint_dir)
-    e.unpersist()
+    ed.unpersist()
     verts.unpersist()
     return ranks
 
