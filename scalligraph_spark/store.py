@@ -423,6 +423,50 @@ def _bloom_build(
         canons.add(c)
     if not canons:
         return None
+    return _bloom_from_canons(kind, canons, fpp, max_bytes)
+
+
+def _bloom_build_arrow(
+    arr, session_tz: str, fpp: float, max_bytes: int = _BLOOM_MAX_BYTES
+) -> dict | None:
+    """Arrow-native fast path for :func:`_bloom_build` — bit-identical
+    output (same canon strings, same md5 double-hashing), but dedup and
+    null-dropping run in C (``pyarrow.compute.unique``) and the per-value
+    kind dispatch collapses to ONE arrow-type check instead of a
+    3-layer Python call chain per row (measured 12 µs/value on the
+    Decimal path).  String and integer columns — digests, ids, the
+    columns blooms exist for — take the fast path; every other type
+    falls back to the reference implementation unchanged."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    t = arr.type
+    if _pa.types.is_string(t) or _pa.types.is_large_string(t):
+        u = _pc.unique(arr.combine_chunks() if isinstance(arr, _pa.ChunkedArray) else arr).drop_null()
+        # "str" canon is the raw value prefixed — no per-value coercion
+        canons = {"str:" + v for v in u.to_pylist()}
+        return _bloom_from_canons("str", canons, fpp, max_bytes)
+    if _pa.types.is_integer(t):
+        u = _pc.unique(arr.combine_chunks() if isinstance(arr, _pa.ChunkedArray) else arr).drop_null()
+        # integer num canon: Decimal(str(i)).normalize() formatted "f" is
+        # exactly str(i) for every int (trailing zeros re-expand under
+        # "f"); 0 is pinned so -0.0 float probes keep matching
+        canons = {("num:0" if v == 0 else "num:" + str(v)) for v in u.to_pylist()}
+        return _bloom_from_canons("num", canons, fpp, max_bytes)
+    return _bloom_build(arr.to_pylist(), session_tz, fpp, max_bytes=max_bytes)
+
+
+def _bloom_from_canons(kind: str, canons: set, fpp: float, max_bytes: int) -> dict | None:
+    """Shared tail of the bloom build: size the bitset on the DISTINCT
+    canon set, apply the byte cap (loud fpp degradation / saturation
+    drop), and set bits via the md5 double-hash — identical to the loop
+    in :func:`_bloom_build`."""
+    import base64
+    import hashlib
+    import math
+
+    if not canons:
+        return None
     n = len(canons)
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1)
     m = (m + 7) // 8 * 8
@@ -438,8 +482,14 @@ def _bloom_build(
             return None  # saturated: keeps ~everything, pure dead weight
         out["fpp"] = round(eff, 4)
     bits = bytearray(m // 8)
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
     for c in canons:
-        for pos in _bloom_hash_positions(c, m, k):
+        d = md5(c.encode("utf-8")).digest()
+        h1 = from_bytes(d[:8], "big")
+        h2 = from_bytes(d[8:16], "big") | 1
+        for i in range(k):
+            pos = (h1 + i * h2) % m
             bits[pos >> 3] |= 1 << (pos & 7)
     out["b"] = base64.b64encode(bytes(bits)).decode("ascii")
     return out
@@ -937,8 +987,11 @@ def _footer_manifest(
                     if name not in schema_names:
                         continue  # hive partition column — path pseudo-stats cover it
                     try:
-                        vals = pf.read(columns=[name]).column(0).to_pylist()
-                        bf = _bloom_build(vals, tz, fpp, max_bytes=bmax)
+                        # hand the Arrow column straight to the vectorized
+                        # build — no to_pylist of the full column
+                        bf = _bloom_build_arrow(
+                            pf.read(columns=[name]).column(0), tz, fpp, max_bytes=bmax
+                        )
                     except Exception:
                         bf = None  # unreadable column: no bloom, file kept
                     if bf is not None:
