@@ -134,6 +134,38 @@ def bloom_probe(df: DataFrame, col: str, words: DataFrame, m_bits: int, k: int) 
     return probed.withColumn("__maybe", maybe_present).drop(*drop)
 
 
+# Word-count ceiling for the INLINE probe: at or under this many 64-bit
+# words (2 MB of longs) the whole Bloom word table embeds in the probe
+# expression as one array literal, making the probe a pure map-side
+# projection — zero joins, zero broadcast machinery.  Past it (parents
+# beyond ~10M keys at 1% fpp) the k word-index equi-joins take over; the
+# cap exists because a literal rides the serialized plan into every
+# task, so it must stay task-closure-sized.
+_BLOOM_INLINE_MAX_WORDS = 1 << 18
+
+
+def _bloom_probe_inline(
+    df: DataFrame, col: str, words_arr: list[int], m_bits: int, k: int
+) -> DataFrame:
+    """Map-only Bloom probe against a driver-collected word array: the
+    same per-row positions/bit tests as :func:`bloom_probe`, but the word
+    lookup is ``element_at`` on an array LITERAL instead of ``k``
+    equi-joins — no shuffle, no broadcast, one projection."""
+    arr = F.lit(words_arr)
+    maybe = None
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+        word = F.element_at(arr, (pos / 64).cast("long").cast("int") + 1)
+        # F.shiftleft only takes a literal int shift — call the SQL
+        # function directly for the column-valued bit offset
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        hit = word.bitwiseAND(mask) != 0
+        maybe = hit if maybe is None else (maybe & hit)
+    return df.withColumn("__maybe", maybe)
+
+
 def dangling_links_bloom(
     child: DataFrame,
     fk_col: str,
@@ -170,12 +202,23 @@ def dangling_links_bloom(
     n = expected_items if expected_items is not None else parent.count()
     m_bits, k = bloom_params(n, fpp)
     words = _bloom_words(parent, parent_key, m_bits, k)
-    # broadcast when plausibly small (16 B/row heuristic; beyond that Spark
-    # would spill the broadcast anyway — let the planner shuffle instead)
-    if m_bits // 64 <= 16_000_000:
-        words = F.broadcast(words)
-
-    probed = bloom_probe(child, fk_col, words, m_bits, k)
+    n_words = (m_bits + 63) // 64
+    if n_words <= _BLOOM_INLINE_MAX_WORDS:
+        # small filter: collect the word table (bounded by the cap above),
+        # release its build cache immediately, and probe as one map-side
+        # projection — the k-join machinery only exists for blooms too big
+        # to ride the plan
+        dense = [0] * n_words
+        for r in words.collect():
+            dense[int(r["w"])] = int(r["word"])
+        words.unpersist()
+        probed = _bloom_probe_inline(child, fk_col, dense, m_bits, k)
+    else:
+        # broadcast when plausibly small (16 B/row heuristic; beyond that
+        # Spark would spill the broadcast anyway — let the planner shuffle)
+        if m_bits // 64 <= 16_000_000:
+            words = F.broadcast(words)
+        probed = bloom_probe(child, fk_col, words, m_bits, k)
     definite = probed.where(~F.col("__maybe")).drop("__maybe")
     if not exact:
         return definite

@@ -35,20 +35,52 @@ def test_bloom_approx_subset_and_mostly_complete(spark):
     assert len(approx) >= 0.9 * len(plain)      # misses at most ~fpp of danglers
 
 
-def test_bloom_probe_is_broadcast_no_child_shuffle(spark):
-    """The probe side must be broadcast hash joins — the child is never
-    exchanged in approximate mode (the point of the operator at 100 TB)."""
-    parent, child = _fixture(spark)
-    df = dangling_links_bloom(child, "fk", parent, "pk", expected_items=500, exact=False)
+def _plan(df) -> str:
     import contextlib
     import io
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    text = buf.getvalue()
+    return buf.getvalue()
+
+
+def test_bloom_probe_small_filter_is_map_only(spark):
+    """A task-closure-sized bloom inlines as an array literal: approximate
+    mode is a pure projection over the child — zero joins, zero exchanges
+    (the point of the operator at 100 TB)."""
+    parent, child = _fixture(spark)
+    df = dangling_links_bloom(child, "fk", parent, "pk", expected_items=500, exact=False)
+    text = _plan(df)
+    assert "Join" not in text
+    assert "Exchange" not in text
+
+
+def test_bloom_probe_large_filter_is_broadcast_no_child_shuffle(spark):
+    """Past the inline word cap the probe falls back to k equi-joins, which
+    must be broadcast — the child is never exchanged in approximate mode."""
+    parent, child = _fixture(spark)
+    # expected_items sized so m_bits/64 exceeds _BLOOM_INLINE_MAX_WORDS
+    df = dangling_links_bloom(
+        child, "fk", parent, "pk", expected_items=2_000_000, exact=False
+    )
+    text = _plan(df)
     assert "BroadcastHashJoin" in text
     assert "SortMergeJoin" not in text
+
+
+def test_bloom_small_large_paths_agree(spark):
+    """The inline and join probes are the same filter bit-for-bit at equal
+    (m_bits, k): exact mode from both paths equals the plain anti-join."""
+    parent, child = _fixture(spark)
+    plain = {r["cid"] for r in dangling_links(child, "fk", parent, "pk").collect()}
+    big = {
+        r["cid"]
+        for r in dangling_links_bloom(
+            child, "fk", parent, "pk", expected_items=2_000_000
+        ).collect()
+    }
+    assert big == plain
 
 
 def test_bloom_null_fk_counts_as_dangling(spark):
