@@ -290,21 +290,42 @@ def duplicate_spans(
     hashes group once ((g) -> distinct-doc count, no self-join, so a
     boilerplate gram that appears a million times costs one count, never a
     quadratic pair blowup), duplicated positions semi-join back by g, and
-    interval-union coverage is exact via explode(sequence(pos, pos+k-1))
-    + distinct, all on (id, int) rows.  No UDF anywhere.
+    interval-union coverage is exact per doc from the SORTED duplicated
+    start positions: equal-length [pos, pos+k-1] intervals union to
+    Σ min(k, pos_{i+1} − pos_i) over consecutive starts, + k for the
+    last — one groupBy(id) carrying (count, positions array) replaces
+    the earlier explode(sequence)×k + distinct + second aggregate +
+    second join (the k× row blowup and the (id, p) distinct exchange
+    were the operator's biggest shuffle).  All on (id, int) rows; no
+    UDF anywhere.
     """
     win = _token_windows(docs, k, text_col, id_col)
     dup_g = _dup_window_hashes(win, id_col, min_doc_freq, min_count)
     dpos = win.join(dup_g, "g", "left_semi")
-    per_win = dpos.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_windows"))
-    covered = dpos.select(
-        F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("p")
-    ).distinct()
-    per_cov = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_tokens"))
+    per_doc = dpos.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_windows"),
+        F.array_sort(F.collect_list("pos")).alias("__ps"),
+    )
+    # window starts are unique per doc, so consecutive sorted starts give
+    # the exact interval union; the per-doc fold is interpreted (HOF) but
+    # runs once per doc over an array bounded by doc length
+    n = F.size(F.col("__ps"))
+    union_len = (
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__ps"), F.lit(1), n - F.lit(1)),
+                F.slice(F.col("__ps"), F.lit(2), n - F.lit(1)),
+                lambda a, b: F.least(b - a, F.lit(k)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        + F.lit(k)
+    ).cast("long")
+    per_doc = per_doc.select(F.col(id_col), "dup_windows", union_len.alias("dup_tokens"))
     base = docs.select(F.col(id_col), F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"))
     return (
-        base.join(per_win, id_col, "left")
-        .join(per_cov, id_col, "left")
+        base.join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
             "n_tokens",
