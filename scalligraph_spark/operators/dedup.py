@@ -195,7 +195,15 @@ def minhash_lsh_pairs(
         if signatures is not None
         else minhash_signature(docs, text_col, id_col, num_hashes)
     ).persist()
-    sigs.count()
+    n_docs = sigs.count()
+    # the estimate join-back ships the candidate-pair stream through two
+    # joins against this table; when the SIGNATURE table is broadcast-tier
+    # (the catalog's hop-join discipline: row cap AND estimated bytes cap
+    # — id + num_hashes longs + array overhead per row) both joins become
+    # map-only BroadcastHashJoins and the pair stream never exchanges or
+    # sorts.  The gate is the measured count (just paid for the persist),
+    # so a corpus-scale signature table keeps the shuffled join.
+    sigs_bcast = n_docs <= 500_000 and n_docs * (num_hashes * 8 + 48) <= (64 << 20)
     # the banded relation carries (id, bhs, band, bh) — the ALL-band hash
     # array `bhs` (bands × 8 bytes) rides along so the pair join can dedup
     # by FIRST COLLIDING BAND (buckets.salted_bucket_pairs table_keys)
@@ -217,9 +225,11 @@ def minhash_lsh_pairs(
     pairs = salted_bucket_pairs(
         banded, ["band", "bh"], max_bucket_rows, table_keys=("band", "bhs", bands)
     )
-    cands = pairs.join(
-        sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")), "id_a"
-    ).join(sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")), "id_b")
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    if sigs_bcast:
+        sig_a, sig_b = F.broadcast(sig_a), F.broadcast(sig_b)
+    cands = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(float(num_hashes))
