@@ -300,11 +300,15 @@ def funnel_count(
     Spark shape: this is the one funnel member that is inherently
     SEQUENTIAL per user (each chain's start depends on where the
     previous chain ended), so it uses the sanctioned fallback tier — an
-    Arrow-batched ``applyInPandas`` over a ``(keys)`` grouping of the
-    type-filtered narrow projection.  The group payload is the user's
-    STEP-TYPE events only (interlopers are irrelevant to default-mode
-    chains and are filtered before the shuffle), so memory per group is
-    funnel traffic, not raw activity.  A differential pytest pins the
+    Arrow-batched ``mapInPandas`` partition scan over the type-filtered
+    narrow projection hash-partitioned and sorted by ``(keys, ts)``: one
+    sequential pass per partition evaluates every group's state machine
+    (per-GROUP pandas overhead, not the scan, dominated the earlier
+    grouped ``applyInPandas`` — a no-op grouped UDF alone cost 4.5 s
+    against 0.8 s for the whole scan at sf0.1).  The payload is the
+    user's STEP-TYPE events only (interlopers are irrelevant to
+    default-mode chains and are filtered before the shuffle), so memory
+    per group is funnel traffic, not raw activity.  A differential pytest pins the
     evaluator against an independent naive implementation; the driver
     oracle replays the state machine as a DuckDB recursive CTE.
 
@@ -316,11 +320,9 @@ def funnel_count(
     there), so no chain or matcher state can span a boundary and
     per-session counts sum exactly — a bot's group costs its densest
     burst, never its lifetime.  Splitting is HOT-KEYS-ONLY by design:
-    sessionizing everything drowns typical corpora in tiny pandas
-    groups whose per-group Arrow overhead dominates (measured 10× at
-    sf0.1), while normal keys stay on the single-exchange monolithic
-    path and the (few, broadcastable) hot keys pay the extra session
-    exchange.  ``split_over=None`` turns splitting off entirely (the
+    normal keys stay on the single-exchange monolithic path while the
+    (few, broadcastable) hot keys pay the extra session-window exchange
+    and the per-session re-aggregate.  ``split_over=None`` turns splitting off entirely (the
     guard then bounds whole keys); ``split_over=0`` forces it for every
     key; the ``"auto"`` default is ``max_events_per_key // 4``.
 
@@ -447,36 +449,74 @@ def funnel_count(
         f"{f.name} {f.dataType.simpleString()}" for f in narrow.schema.fields if f.name in keys
     ) + ", n_chains long"
 
-    def count_chains(pdf):
-        import pandas as pd
+    def _partition_scan(df: DataFrame, group_cols: list[str]) -> DataFrame:
+        """Evaluation tier: ONE ``mapInPandas`` pass per partition.
 
-        pdf = pdf.sort_values(["__ms", "__t"], kind="mergesort")
-        count, k, anchor, prev = 0, 0, None, None
-        for t, m in zip(pdf["__t"], pdf["__ms"]):
-            if k > 0 and m > anchor + horizon:
-                k, anchor, prev = 0, None, None  # horizon expired mid-chain
-            if k == 0:
-                if t == step_list[0]:
-                    k, anchor, prev = 1, m, m
-                continue
-            if t == step_list[k] and m > prev:
-                k, prev = k + 1, m
-                if k == len(step_list):
-                    count += 1
-                    k, anchor, prev = 0, None, None  # restart AFTER the chain
-        if not count:
-            return pd.DataFrame(columns=list(pdf.columns[: len(keys)]) + ["n_chains"])
-        head = pdf.iloc[[0]][list(pdf.columns[: len(keys)])].copy()
-        head["n_chains"] = count
-        return head
+        Hash-repartition on the group columns (a group never splits), sort
+        within partitions by (group, __ms, __t), then a single sequential
+        scan runs the state machine for every group in the partition,
+        carrying state across Arrow batch boundaries.  Replaces the earlier
+        ``groupBy(...).applyInPandas`` whose PER-GROUP Arrow/pandas
+        overhead dominated — measured at sf0.1 (1,500 groups): a no-op
+        grouped UDF alone cost 4.5 s, this shape runs the real scan in
+        0.8 s.  The partition count is pinned to defaultParallelism
+        (cluster core count): the scan is CPU-bound Python over ~24-byte
+        rows, so AQE's byte-sized coalescing would serialise it onto one
+        core.  Row order where it matters is identical to the grouped
+        sort — ties in (__ms, __t) are byte-identical rows to the state
+        machine — so results match the grouped evaluation exactly."""
+        gc = list(group_cols)
+
+        def scan(batches):
+            import pandas as pd
+
+            def _same(a, b):
+                # NaN-safe tuple equality: a null group key arrives as
+                # NaN (x != x) and must compare equal to itself
+                return all((x == y) or (x != x and y != y) for x, y in zip(a, b))
+
+            cur = None
+            count, k = 0, 0
+            anchor = prev = None
+            out = []
+            for pdf in batches:
+                cols = [pdf[c].to_numpy() for c in gc]
+                ts = pdf["__t"].to_numpy()
+                mss = pdf["__ms"].to_numpy()
+                for i in range(len(pdf)):
+                    g = tuple(c[i] for c in cols)
+                    if cur is None or not _same(g, cur):
+                        if cur is not None and count:
+                            out.append(cur[: len(keys)] + (count,))
+                        cur, count, k, anchor, prev = g, 0, 0, None, None
+                    t, m = ts[i], mss[i]
+                    if k > 0 and m > anchor + horizon:
+                        k, anchor, prev = 0, None, None  # horizon expired mid-chain
+                    if k == 0:
+                        if t == step_list[0]:
+                            k, anchor, prev = 1, m, m
+                        continue
+                    if t == step_list[k] and m > prev:
+                        k, prev = k + 1, m
+                        if k == len(step_list):
+                            count += 1
+                            k, anchor, prev = 0, None, None  # restart AFTER the chain
+            if cur is not None and count:
+                out.append(cur[: len(keys)] + (count,))
+            if out:
+                yield pd.DataFrame(out, columns=keys + ["n_chains"])
+
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        part = df.repartition(n_parts, *gc).sortWithinPartitions(*gc, "__ms", "__t")
+        return part.mapInPandas(scan, schema=out_schema)
 
     def _monolithic(df: DataFrame) -> DataFrame:
         if mono_guard_needed:
             _guard(df, keys, sessioned=False)
-        return df.groupBy(*keys).applyInPandas(count_chains, schema=out_schema)
+        return _partition_scan(df, keys)
 
     def _split(df: DataFrame) -> DataFrame:
-        # NO persist: the guard's agg and the grouped-map job each pay the
+        # NO persist: the guard's agg and the scan job each pay the
         # hot subset's sessionize (shuffle + running-sum window) once.  A
         # cache here would save that one recompute but pin the hot subset
         # in the CacheManager past the caller's action — in a long-lived
@@ -485,9 +525,9 @@ def funnel_count(
         # one saved window over churn-sized data.
         sess = _sessionized(df)
         _guard(sess, keys + ["__sess"], sessioned=True)
-        parts = sess.groupBy(*keys, "__sess").applyInPandas(count_chains, schema=out_schema)
         # per-session partial counts sum to the key's exact total (no
         # chain spans a session boundary) — a tiny one-row-per-session agg
+        parts = _partition_scan(sess, keys + ["__sess"])
         return parts.groupBy(*keys).agg(F.sum("n_chains").cast("long").alias("n_chains"))
 
     if hot_keys is None:
