@@ -111,7 +111,15 @@ def build_text_index(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("long").alias("sumdl"),
     ).first()
-    post = _postings(docs, text_col, id_col)
+    # persist for the build's lifetime: the postings relation (tokenize +
+    # the (term, doc_id) shuffle) feeds the terms aggregate AND the
+    # term-sorted store commit; without it each consumer re-tokenises and
+    # re-shuffles the corpus (3 computes total — the sorted write itself
+    # still dominates the key, so the measured gain at sf0.1 is ~12%, but
+    # the saved computes scale with corpus size while the write is the
+    # index's own size).  Unpersisted before return — no cache outlives
+    # the build.
+    post = _postings(docs, text_col, id_col).persist()
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     meta = {
         "kind": "bm25_inverted",
@@ -140,11 +148,14 @@ def build_text_index(
     # cheap), so its commit meta is the authoritative, always-fresh copy;
     # the postings copy keeps old artifacts loadable.  The fresh base
     # subsumes every existing tombstone (base_seq = carried watermark).
-    store.write(f"{name}__terms", dfreq, meta=dict(meta, table_role="bm25_terms"))
-    return store.write(
-        name, post, sort_by=(sort_files, ["term"]),
-        meta=dict(meta, base_seq=int(meta["seg_seq"])),
-    )
+    try:
+        store.write(f"{name}__terms", dfreq, meta=dict(meta, table_role="bm25_terms"))
+        return store.write(
+            name, post, sort_by=(sort_files, ["term"]),
+            meta=dict(meta, base_seq=int(meta["seg_seq"])),
+        )
+    finally:
+        post.unpersist()
 
 
 def extend_text_index(
