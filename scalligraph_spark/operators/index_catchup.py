@@ -66,7 +66,12 @@ def _changes_report(spark, corpus_store, label: str, v_from: int, v_to: int, key
     """(full change frame, insert rows as corpus-shaped DataFrame,
     per-type churn counts) for the v_from→v_to range — one churn-sized
     aggregate decides the path."""
-    ch = table_changes(spark, corpus_store, label, v_from, v_to, key_cols=key_cols)
+    # persist for the catch-up's lifetime (_catchup unpersists): the
+    # frame feeds the churn aggregate AND the extend/tombstone consumers,
+    # and an uncaptured step's fallback is a full two-version hash-diff —
+    # recomputing THAT per consumer dwarfs the churn-sized cache.  The
+    # churn collect below doubles as the cache's materialising action.
+    ch = table_changes(spark, corpus_store, label, v_from, v_to, key_cols=key_cols).persist()
     churn = {
         r[CHANGE_TYPE]: int(r["n"])
         for r in ch.groupBy(CHANGE_TYPE).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -152,6 +157,24 @@ def _catchup(
         )
     ch, inserts, churn = _changes_report(spark, corpus_store, label, v_from, v_to, key_cols)
     mutations = {t: n for t, n in churn.items() if t not in ("insert",)}
+    try:
+        return _route(
+            ch, inserts, churn, mutations, report, v_to,
+            on_mutation, extend, reindex, restamp, tombstone, key_cols, label, name,
+        )
+    finally:
+        # _changes_report persisted the change frame (the churn aggregate
+        # already materialised it); every routing branch is done with it
+        # by the time this runs
+        ch.unpersist()
+
+
+def _route(
+    ch, inserts, churn, mutations, report, v_to,
+    on_mutation, extend, reindex, restamp, tombstone, key_cols, label, name,
+):
+    """Branch arm of :func:`_catchup` (split out so the caller can scope
+    the change-frame cache with one try/finally around every return)."""
     if mutations:
         if on_mutation == "reindex":
             reindex()
