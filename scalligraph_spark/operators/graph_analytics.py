@@ -221,9 +221,13 @@ def _cc_two_phase(
             .where(F.col("u") != F.col("v"))
         )
         # -- small-star ---------------------------------------------------
-        oriented = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).dropDuplicates(["u", "v"])
+        # no dropDuplicates on the oriented stream either (same argument as
+        # large above, one full (u,v) exchange + aggregate per round saved):
+        # min(v) per u is multiplicity-blind, duplicate join-back rows
+        # collapse in the final dedup below, and the DISTINCT small-star
+        # output is identical — dedup(f(multiset)) == dedup(f(set)) because
+        # every emitted row depends only on its own (u,v) value and m(u)
+        oriented = large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             oriented.join(smins, "u")
