@@ -3254,7 +3254,17 @@ def graph_connected_components(spark, sf):
         (F.lit(1000) + F.col("c_custkey")).cast("long").alias("src"),
         (F.lit(100) + F.col("c_nationkey")).cast("long").alias("dst"),
     )
-    return connected_components(nat.unionByName(cust))
+    # min_label (the HashToMin shape this entry has always documented):
+    # the region←nation←customer graph is a BOUNDED-DIAMETER forest by
+    # construction (diameter ≤ 4 at any scale factor — structural, not a
+    # data-size property), so min-label converges in ~diameter supersteps
+    # of ONE join+agg each, independent of N — the principled choice per
+    # connected_components' own docstring, where two_phase pays ~2·log n
+    # double-pass rounds for diameter robustness this graph cannot need.
+    # Identical labels by construction (r14 A/B: 6.3 → 3.3 s at sf0.1;
+    # the differential pytest pins two_phase ≡ min_label).  The skew/
+    # unknown-diameter path stays benched by graph_cc_skewed (two_phase).
+    return connected_components(nat.unionByName(cust), algorithm="min_label")
 
 
 @q(
