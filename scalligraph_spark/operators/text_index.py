@@ -107,19 +107,20 @@ def build_text_index(
     versioned store tables ``name`` / ``name__terms`` → returns the
     postings version.  The postings table is range-partitioned + sorted on ``term`` so query-term filters prune to the relevant row
     groups — the on-disk analog of a posting list."""
-    n, sumdl = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("long").alias("sumdl"),
-    ).first()
     # persist for the build's lifetime: the postings relation (tokenize +
-    # the (term, doc_id) shuffle) feeds the terms aggregate AND the
-    # term-sorted store commit; without it each consumer re-tokenises and
-    # re-shuffles the corpus (3 computes total — the sorted write itself
-    # still dominates the key, so the measured gain at sf0.1 is ~12%, but
-    # the saved computes scale with corpus size while the write is the
-    # index's own size).  Unpersisted before return — no cache outlives
-    # the build.
+    # the (term, doc_id) shuffle) feeds the corpus stats, the terms
+    # aggregate AND the term-sorted store commit; without it each consumer
+    # re-tokenises and re-shuffles the corpus.  Unpersisted before return —
+    # no cache outlives the build.
     post = _postings(docs, text_col, id_col).persist()
+    # sum_dl = Σ_docs size(tokens) = Σ tf over the postings — read it from
+    # the cache instead of a SECOND full tokenize pass over the corpus
+    # (the old dedicated stats scan re-split every document; the value is
+    # an integer count, bit-identical by construction: explode emits one
+    # row per token and null-text docs contribute no rows to either form).
+    # n_docs never needed tokenisation at all — a column-pruned count.
+    sumdl = int(post.agg(F.sum("tf").cast("long").alias("sumdl")).first()[0] or 0)
+    n = docs.count()
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     meta = {
         "kind": "bm25_inverted",
