@@ -613,6 +613,7 @@ def maintain_indexes(
     vacuum: bool = False,
     vacuum_retention_seconds: float = 0.0,
     on_mutation: str = "error",
+    max_concurrent: int | None = None,
 ) -> list[dict]:
     """One-call index fleet maintenance — the nightly-cron shape at
     100 TB: for every declared ``(name, kind)`` (kind ∈ value / text /
@@ -637,7 +638,19 @@ def maintain_indexes(
     that runs right after its own compaction reclaims nothing and the
     NEXT sweep does, once the window has elapsed).  0 keeps the legacy
     immediate reclaim, safe only under the no-pinned-readers operator
-    discipline."""
+    discipline.
+
+    ``max_concurrent``: indexes maintained CONCURRENTLY (default
+    ``min(3, len(indexes))``).  Per-index maintenance chains are
+    independent — every index owns its own store labels and atomic
+    version pointer, and they share only READ access to the corpus
+    change feed — so overlapping them lets the next index's stages
+    back-fill executors idled by the current index's straggler tail
+    (2-3 in flight fills the tail without fighting for executors);
+    commit ordering WITHIN an index is unchanged, so each index's
+    crash-consistency story is untouched.  Reports keep input order.
+    Pass ``1`` for a strictly serial sweep when cross-index commit/event
+    ORDER must be deterministic for a downstream consumer."""
     if on_mutation not in ("error", "reindex", "tombstone"):
         # validate ONCE up front: a typo'd policy knob must be a loud
         # error, not a sweep that reports every index as 'failed'
@@ -698,15 +711,17 @@ def maintain_indexes(
 
             compact_ann_cells(spark, store, name)
 
-    reports = []
     for name, kind in indexes:
+        # validate the WHOLE fleet up front: a typo'd kind must fail the
+        # call, not surface mid-sweep after other indexes already moved
         if kind not in catchups:
             raise ValueError(f"kind must be value/text/minhash/ann, got {kind!r}")
+
+    def _maintain_one(name: str, kind: str) -> dict:
         try:
             rep = catchups[kind](spark, store, name, corpus_store, on_mutation=on_mutation)
         except Exception as e:  # one corrupt index must not block the fleet
-            reports.append({"index": name, "kind": kind, "action": "failed", "error": str(e)})
-            continue
+            return {"index": name, "kind": kind, "action": "failed", "error": str(e)}
         rep = dict(rep, kind=kind)
         live = _live_count(name, kind)
         rep["live_segments"] = live
@@ -721,5 +736,17 @@ def maintain_indexes(
             if vacuum
             else []
         )
-        reports.append(rep)
-    return reports
+        return rep
+
+    workers = min(3, len(indexes)) if max_concurrent is None else max(1, int(max_concurrent))
+    if workers <= 1 or len(indexes) <= 1:
+        return [_maintain_one(name, kind) for name, kind in indexes]
+    # guide-§2.6 overlap: per-index chains are independent Spark jobs, so a
+    # small pool lets index k+1's stages back-fill the executors index k's
+    # straggler tail leaves idle.  map() preserves input order; per-index
+    # failure isolation lives INSIDE _maintain_one, so one corrupt index
+    # still reports "failed" without aborting the sweep.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(lambda nk: _maintain_one(*nk), indexes))
