@@ -151,7 +151,9 @@ def exact_cosine_topk(
             if not len(pdf):
                 continue
             ids = pdf["id_b"].to_numpy()
-            X = np.array([[float(x) for x in v] for v in pdf["v"]], dtype=np.float64)
+            # vstack of the Arrow-decoded float64 rows: value-identical to
+            # the old per-element float() loop, without 512k Python calls
+            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
             if X.shape[1] != dim:
                 raise ValueError(
                     f"exact_cosine_topk: corpus vector width {X.shape[1]} != query width {dim}"
@@ -220,7 +222,15 @@ def _exact_rerank(pairs: DataFrame, embeddings: DataFrame, id_col: str, vec_col:
     longs, never carrying the embeddings through the candidate join.
     Sums are plain-double LEFT FOLDS (F.aggregate evaluates in array
     order) — replay oracles reproduce them bit-identically with DuckDB's
-    list_reduce left fold, so no decimal/fixed-point detour is needed."""
+    list_reduce left fold, so no decimal/fixed-point detour is needed.
+
+    The fold is interpreted (CodegenFallback), but a round-14 in-process
+    A/B says it BEATS an exact_cosine_topk-style numpy mapInPandas kernel
+    here: candidate pairs are join products, so a kernel forces BOTH
+    vectors of every pair across the Arrow boundary (2·dim·8 bytes/pair)
+    where the fold keeps them JVM-side — measured a wash on the IVF keys
+    and a 1.3 → 3.0 s regression on dedup_embedding_cosine_lsh (the same
+    lesson as the rejected pandas-UDF minhash estimate)."""
     vecs = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_double_norm2(F.col(vec_col))).alias("nrm")
     )
@@ -533,18 +543,9 @@ def ivf_ann_topk(
         .select(F.col("qid").alias("id_a"), F.col("id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.sqrt(_double_norm2(F.col(vec_col))).alias("nrm")
-    )
-    scored = (
-        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_double_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 12).alias("cosine"),
-        )
-    )
+    # exact re-rank through the shared helper (identical expression tree
+    # to the inline fold this replaces — pure dedup of the code path)
+    scored = _exact_rerank(cands, embeddings, id_col, vec_col)
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc_nulls_last(), F.col("id_b").asc())
     return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
 
