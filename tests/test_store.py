@@ -113,6 +113,17 @@ def test_bucketed_join_has_no_exchange(spark):
 
     a = spark.range(0, 10000).withColumn("v", F.col("id") % 7)
     b = spark.range(0, 10000).withColumn("w", F.col("id") % 5)
+    # a KILLED previous run (driver verify timeout, ctrl-C) leaves the
+    # managed-table DIRECTORY behind with no catalog entry — the fresh
+    # per-process metastore can't DROP it, and saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS; clear leftover locations first
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bk_a", "bk_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     write_bucketed(a, "bk_a", 4, ["id"])
     write_bucketed(b, "bk_b", 4, ["id"])
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

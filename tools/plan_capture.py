@@ -1,7 +1,7 @@
-"""Capture `.explain("formatted")` per bench key into plans/r14/ files.
+"""Capture `.explain("formatted")` per bench key into plans/<round>/ files (default r15; $SPARK_GRAFT_PLAN_ROUND overrides).
 
-Optimization-round evidence (OPTIMIZATION_r14.md): for every query the
-round touches, `plans/r14/<key>_before.txt` and `..._after.txt` hold the
+Optimization-round evidence (OPTIMIZATION_<round>.md): for every query the
+round touches, `plans/<round>/<key>_before.txt` and `..._after.txt` hold the
 formatted physical plan so plan claims ("2 Exchange -> 1",
 "SortMergeJoin -> BroadcastHashJoin") are checkable without running
 Spark.
@@ -26,7 +26,7 @@ def main() -> int:
     wanted = sys.argv[2:]
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
 
     from bench import HEADLINE
